@@ -1,0 +1,21 @@
+"""PySpark-native analytics engine with the query & data-processing
+capabilities of the reference pre-market sentiment pipeline
+(``Nitin-Nandan/Pre-Market_Data_Pipeline_For_Stocks``), re-expressed
+Spark-first (DataFrame/SQL/Catalyst), plus LLM-data-pipeline extensions
+(dedup, similarity search, text analysis, multimodal plumbing) designed
+for 100 TB-class inputs.
+
+Layout
+------
+- ``session``    SparkSession factory (UTC, AQE, tuned shuffle partitions)
+- ``schemas``    every explicit StructType (no inference anywhere)
+- ``config``     job parameters (mirror of reference config.yaml keys)
+- ``sources``    bronze readers / driver-side connectors
+- ``functions``  pure column-expression helpers (text, numeric, hashing)
+- ``operators``  DataFrame -> DataFrame business logic, one module per
+                 operator family from SURVEY.md §2
+- ``plans``      end-to-end query plans (premarket pipeline, benchmark set)
+- ``streaming``  Structured Streaming variants over the events stream
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,43 @@
+"""Job configuration — mirror of the reference's config.yaml keys
+(``/root/reference/config.yaml:1-13``, loaded by ``src/core/config.py:13-33``)
+plus an explicit ``as_of_ts`` replacing the reference's wall-clock
+``datetime.now()`` (``src/providers/news.py:153``) so every run is
+deterministic and oracle-testable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import date, datetime
+
+
+@dataclass(frozen=True)
+class JobConfig:
+    stocks: tuple[str, ...]
+    start_date: date
+    end_date: date
+    output_dir: str = "output"
+    lookback_window_hours: int = 72          # news.lookback_window_hours (engine.py:71)
+    as_of_ts: datetime | None = None         # deterministic "now" for the news window
+    newsdata_api_key: str | None = None
+    sentiment_backend: str = "lexicon"       # lexicon | finbert
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "JobConfig":
+        """Accept the reference's YAML shape: ``stocks``, ``date_range.start/end``,
+        ``output_dir``, ``news.lookback_window_hours`` (defaults mirrored from
+        ``engine.py:68-71``)."""
+        dr = cfg.get("date_range", {})
+
+        def _d(v):
+            return v if isinstance(v, date) else datetime.strptime(str(v), "%Y-%m-%d").date()
+
+        return JobConfig(
+            stocks=tuple(cfg.get("stocks", [])),
+            start_date=_d(dr.get("start")),
+            end_date=_d(dr.get("end")),
+            output_dir=cfg.get("output_dir", "output"),
+            lookback_window_hours=int(cfg.get("news", {}).get("lookback_window_hours", 72)),
+            as_of_ts=cfg.get("as_of_ts"),
+            sentiment_backend=cfg.get("sentiment_backend", "lexicon"),
+        )

@@ -1,0 +1,1 @@
+"""Pure column-expression helpers — no I/O, no UDFs unless unavoidable."""

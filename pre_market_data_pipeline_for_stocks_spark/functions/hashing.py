@@ -1,0 +1,34 @@
+"""Deterministic cross-engine hashing.
+
+Spark's ``xxhash64``/``hash`` have no DuckDB equivalent, so every hash
+that must agree with the DuckDB oracle is derived from ``md5`` (identical
+in both engines): take the first 15 hex digits (60 bits — always a
+positive int64) and parse base-16.
+
+Spark:  ``CAST(CONV(SUBSTRING(MD5(x), 1, 15), 16, 10) AS BIGINT)``
+DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``
+
+Used by exact dedup, MinHash, SimHash and fingerprinting operators —
+one shared definition so signatures match across engines and across
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_i64(col: Column, seed: int | None = None) -> Column:
+    """60-bit positive integer hash of a string column (optionally seeded).
+
+    Seeding is by prefixing ``"<seed>:"`` — portable to any SQL engine,
+    unlike a numeric seed parameter."""
+    s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def md5_i64_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`md5_i64`."""
+    s = f"('{seed}:' || {expr})" if seed is not None else expr
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"

@@ -1,0 +1,42 @@
+"""Numeric column helpers — formulas F1-F4/F10/F11 (SURVEY.md §2.9).
+
+Rounding: the reference uses Python ``round()`` (banker's / half-even),
+so every rounding here is ``F.bround`` (HALF_EVEN), not ``F.round``
+(HALF_UP) — SURVEY.md §7.4 rounding-parity note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pct_change(cur: Column, prev: Column, scale: int = 4) -> Column:
+    """F1 — ``(cur - prev)/prev * 100`` rounded half-even.
+
+    ``prev == 0`` -> null (pandas would yield inf at market.py:73-75; we
+    pin null and document — the validator never admits 0 closes)."""
+    return F.bround(
+        F.when(prev.isNotNull() & (prev != 0), (cur - prev) / prev * 100.0),
+        scale,
+    )
+
+
+def yoy_change(cur: Column, prev: Column, scale: int = 2) -> Column:
+    """F2 — ``(cur - prev)/abs(prev) * 100`` (abs denominator: sign
+    convention at market.py:134); ``prev == 0`` -> null (market.py:130-132);
+    round 2 (market.py:135)."""
+    return F.bround(
+        F.when(prev.isNotNull() & (prev != 0), (cur - prev) / F.abs(prev) * 100.0),
+        scale,
+    )
+
+
+def coerce_double(col: Column) -> Column:
+    """F10 — ``pd.to_numeric(errors='coerce')`` analogue: null on failure."""
+    return col.cast("string").try_cast("double")
+
+
+def coerce_volume(col: Column) -> Column:
+    """F10 — volume: coerce-failure/missing -> 0, int (market.py:71)."""
+    return F.coalesce(col.cast("string").try_cast("double"), F.lit(0.0)).cast("long")

@@ -1,0 +1,83 @@
+"""Text/phrase predicates as native column expressions (no Python UDFs).
+
+Re-expresses the reference's news relevance logic
+(``/root/reference/src/core/news_utils.py:18-79``) as Catalyst-codegen'd
+regex expressions so the predicate runs JVM-side at scale (SURVEY.md P6/F5/F6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Exact alternation the reference builds at news_utils.py:36
+# (re.escape of each CORPORATE_SUFFIXES entry, joined with |).
+CORPORATE_SUFFIX_PATTERN = r"[\s,]+(limited|ltd|ltd\.|corporation|corp|corp\.)[\s.]*$"
+
+# Characters that must be escaped when a data value is spliced into a regex.
+_REGEX_META = r"[\^\$\.\|\?\*\+\(\)\[\]\{\}\\]"
+
+
+def strip_corporate_suffix(name: Column) -> Column:
+    """F5 — drop a trailing legal suffix (``"Bank of India Limited"`` ->
+    ``"Bank of India"``); business descriptors like "Industries" are kept
+    (news_utils.py:15-20). Case-insensitive, anchored at end (single match,
+    so Spark's replace-all and the reference's ``re.sub`` agree)."""
+    return F.trim(F.regexp_replace(name, "(?i)" + CORPORATE_SUFFIX_PATTERN, ""))
+
+
+def regex_quote(phrase: Column) -> Column:
+    """Escape regex metacharacters in a data-derived phrase (the column
+    analogue of ``re.escape``, which the reference applies at
+    news_utils.py:61)."""
+    return F.regexp_replace(phrase, _REGEX_META, r"\\$0")
+
+
+def standalone_match(text: Column, phrase: Column) -> Column:
+    """True iff ``phrase`` occurs in ``text`` as a standalone phrase.
+
+    Parity with ``news_utils.py:59-67``: the match must sit on a ``\\b``
+    boundary AND the nearest non-whitespace character before it must not
+    be a letter (so "State Bank of India" is rejected for phrase
+    "Bank of India", while "Vedanta, BPCL, Hindustan Zinc among..." is
+    accepted for "Hindustan Zinc" — a comma precedes).
+
+    Encoded as one regex over the lowercased text; the three admissible
+    left contexts are:
+      - start of string (optionally after whitespace),
+      - a non-letter, non-space char then >=1 spaces (e.g. "q4 <phrase>"),
+      - an immediately preceding punctuation char (non-word, non-space).
+    A word char (letter/digit/_) immediately before the phrase fails the
+    reference's ``\\b`` and is excluded by construction. Runs identically
+    under Java regex (Spark) and RE2 (DuckDB oracle).
+    """
+    pattern = F.concat(
+        F.lit(r"(^\s*|[^a-z\s]\s+|[^\w\s])"),
+        regex_quote(F.lower(phrase)),
+        F.lit(r"\b"),
+    )
+    return F.rlike(F.lower(text), pattern) & phrase.isNotNull() & (F.trim(phrase) != "")
+
+
+def is_relevant_title(title: Column, long_name: Column, ticker: Column) -> Column:
+    """P6 — title relevance, parity with ``news_utils.py:40-79``:
+    try full long name, then suffix-stripped name, then ticker."""
+    return (
+        standalone_match(title, long_name)
+        | standalone_match(title, strip_corporate_suffix(long_name))
+        | standalone_match(title, ticker)
+    )
+
+
+# SQL-string twins (same semantics, for oracle_sql / spark.sql usage) ------
+
+def standalone_match_sql(text_expr: str, phrase_lit: str) -> str:
+    """DuckDB/Spark-portable SQL predicate for a *literal* phrase."""
+    import re as _re
+
+    quoted = _re.escape(phrase_lit.lower())
+    # re.escape escapes more than RE2 likes (e.g. spaces stay plain here).
+    return (
+        f"regexp_matches(lower({text_expr}), "
+        f"'(^\\s*|[^a-z\\s]\\s+|[^\\w\\s]){quoted}\\b')"
+    )

@@ -1,0 +1,3 @@
+"""DataFrame -> DataFrame business logic, one module per operator family
+(SURVEY.md §2). Every function is pure (no I/O) and testable on tiny
+in-memory frames."""

@@ -1,0 +1,92 @@
+"""J2-J4 / F12-F13 / O3 — final fact assembly + provenance.
+
+Replaces the reference's per-(stock,date) row loop
+(``src/pipeline/engine.py:98-189``) with one declarative plan:
+
+  grid (J1) ⋈ ohlcv (J2, INNER — missing market data drops the row,
+  engine.py:144-146) ⋈ best_headline (J3, LEFT + default fill,
+  news.py:389-397) ⋈ fundamentals (J4, LEFT, null kept, engine.py:176-177)
+
+Provenance (F12, engine.py:125-188): ``concat_ws(" | ")`` of exactly four
+ordered tokens. Rows surviving J2 always carry ``market=yfinance``
+(engine.py:136 — the missing_date/unavailable branches return None and
+never emit a row).
+
+Scale note: headline and fundamentals relations have one row per stock —
+broadcast joins; the only shuffle is grid⋈ohlcv on (stock, date), and at
+100 TB that join co-partitions if bronze OHLCV is bucketed by stock.
+
+Documented divergence: a session whose lag is undefined (a ticker's
+first-ever bar, when even the 10-day buffer has no prior close) yields
+pandas NaN in the reference and the row is emitted with ``Pct_Change=nan``
+(engine.py:134 keeps it — ``float('nan')`` is not None). We drop such
+rows instead: NaN is not a meaningful percent change, and a null would
+fail the reference's own validator (0% empty Pct_Change cells,
+validator.py:82-89). Pinned by tests/test_premarket_e2e.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .news import DEFAULT_HEADLINE
+
+
+def assemble_fact(grid: DataFrame, ohlcv_derived: DataFrame,
+                  headlines: DataFrame, fundamentals: DataFrame,
+                  sentiment_token: str = "finbert") -> DataFrame:
+    """Produce the ``pre_market_sentiment`` fact (pre-sentiment scoring).
+
+    Inputs:
+      grid            (date, stock)                    — calendar.date_stock_grid
+      ohlcv_derived   (stock, date, ..., volume, pct_change) — market.with_session_pct_change
+      headlines       (stock, headline, news_source, ...)    — news.best_headline
+      fundamentals    (stock, yoy_net_income_pct)            — fundamentals.yoy_net_income
+
+    Output columns are the engine-internal (lowercase) names; sentiment
+    scoring and the sink rename to the reference CSV header happen later.
+    """
+    fact = (
+        grid
+        .join(ohlcv_derived.select("stock", "date", "volume", "pct_change"),
+              on=["stock", "date"], how="inner")                     # J2
+        .filter(F.col("pct_change").isNotNull() & F.col("volume").isNotNull())
+        .join(F.broadcast(headlines), on="stock", how="left")        # J3
+        .join(F.broadcast(fundamentals), on="stock", how="left")     # J4
+        .withColumn("headline",
+                    F.coalesce(F.col("headline"), F.lit(DEFAULT_HEADLINE)))  # F13
+        .withColumn("news_source",
+                    F.coalesce(F.col("news_source"), F.lit("default")))
+    )
+    # F12 — provenance, 4 ordered tokens (engine.py:125-188).
+    return fact.withColumn(
+        "data_source_log",
+        F.concat_ws(
+            " | ",
+            F.lit("market=yfinance"),
+            F.concat(F.lit("news="), F.col("news_source")),
+            F.lit(f"sentiment={sentiment_token}"),
+            F.when(F.col("yoy_net_income_pct").isNotNull(),
+                   "fundamentals=yfinance").otherwise("fundamentals=unavailable"),
+        ),
+    )
+
+
+def to_output_contract(fact_scored: DataFrame) -> DataFrame:
+    """O3 + §1.3 — rename to the reference CSV header (engine.py:33-37),
+    format the date, order date-major / stock-minor (engine.py:98-105)."""
+    return (
+        fact_scored.select(
+            F.date_format("date", "yyyy-MM-dd").alias("Date"),
+            F.col("stock").alias("Stock"),
+            F.col("pct_change").alias("Pct_Change"),
+            F.col("volume").alias("Volume"),
+            F.col("headline").alias("Headline"),
+            F.col("sentiment_label").alias("Sentiment_Label"),
+            F.col("sentiment_score").alias("Sentiment_Score"),
+            F.col("yoy_net_income_pct").alias("YoY_NetIncome_Pct"),
+            F.col("data_source_log").alias("Data_Source_Log"),
+        )
+        .orderBy("Date", "Stock")
+    )

@@ -1,0 +1,45 @@
+"""P4/J1 — trading-calendar generation and the dates x stocks grid.
+
+Reference: ``src/pipeline/engine.py:248-263`` generates Mon-Fri dates in
+[start, end] (NSE holidays intentionally NOT excluded — holiday rows
+later vanish via the inner OHLCV join, SURVEY.md gotcha #12); the nested
+``for date: for stock:`` loop at ``engine.py:98-105`` is the implicit
+cross join J1.
+
+Scale note: both sides are tiny (dates x tickers), so the cross join is
+a broadcast nested loop over a handful of rows — never a shuffle.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def trading_dates(spark: SparkSession, start: date, end: date) -> DataFrame:
+    """Mon-Fri dates in [start, end] as one-column DataFrame ``date``."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("date"),
+                    F.lit(end).cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("date")
+        )
+        # Spark dayofweek: Sun=1 .. Sat=7; Mon-Fri = 2..6 (engine.py:260 weekday()<5)
+        .filter(F.dayofweek("date").between(2, 6))
+    )
+
+
+def stocks_df(spark: SparkSession, stocks: list[str] | tuple[str, ...]) -> DataFrame:
+    return spark.createDataFrame([(s,) for s in stocks], "stock string")
+
+
+def date_stock_grid(dates: DataFrame, stocks: DataFrame) -> DataFrame:
+    """J1 — the (date, stock) grid; replaces the engine.py:98-105 row loop."""
+    return dates.crossJoin(stocks)

@@ -1,0 +1,77 @@
+"""J5/W3/F2/F18 — year-over-year net income via an as-of quarter self-join.
+
+Reference: ``src/providers/market.py:105-139``. Semantics to preserve:
+  - latest non-null quarter per stock (dropna + sort desc, market.py:111-118);
+  - target = latest quarter_end minus 1 year (pandas DateOffset, which
+    clamps Feb 29 -> Feb 28 — Spark ``add_months(-12)`` matches);
+  - comparison quarter = argmin |quarter_end - target| (market.py:121-125),
+    accepted iff the distance is <= 20 days (market.py:124);
+  - YoY = (cur - prev)/abs(prev)*100, prev == 0 -> null (market.py:130-134),
+    rounded to 2 (market.py:135).
+
+Spark-first design (SURVEY.md §7.3): no pandas bridge — a self-join on
+stock with a bounded |datediff| predicate, then ``row_number`` by
+distance. At scale the join key is ``stock`` and each side holds a few
+dozen quarters per stock, so the join is a co-partitioned hash join with
+trivially bounded fan-out; the 20-day tolerance bounds candidates to at
+most ~2 per stock.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import yoy_change
+
+TOLERANCE_DAYS = 20  # market.py:124
+
+
+def yoy_net_income(quarterly: DataFrame) -> DataFrame:
+    """Input: (stock, quarter_end, net_income). Output: (stock, yoy_net_income_pct)
+    — one row per stock that has a valid YoY; stocks without one are absent
+    (callers left-join and treat null as ``fundamentals=unavailable``)."""
+    q = quarterly.filter(F.col("net_income").isNotNull())  # P9 dropna (market.py:111)
+
+    # W3 — most recent quarter per stock. Tie-break deterministically on
+    # net_income desc (the reference index has unique quarter ends).
+    w_latest = Window.partitionBy("stock").orderBy(
+        F.col("quarter_end").desc(), F.col("net_income").desc())
+    latest = (
+        q.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("stock"),
+            F.col("quarter_end").alias("latest_quarter"),
+            F.col("net_income").alias("cur_income"),
+            F.add_months(F.col("quarter_end"), -12).alias("target_date"),  # F18 t-1y
+        )
+    )
+
+    # J5 — candidates within tolerance of target. The reference's argmin
+    # scans the WHOLE index including the latest quarter itself
+    # (market.py:121-125); the latest sits ~365 days from target, so the
+    # 20-day tolerance is what excludes it — we reproduce exactly that.
+    cand = latest.join(q.select(F.col("stock"),
+                                F.col("quarter_end").alias("prev_quarter"),
+                                F.col("net_income").alias("prev_income")),
+                       on="stock", how="inner")
+    cand = cand.filter(
+        F.abs(F.datediff("prev_quarter", "target_date")) <= TOLERANCE_DAYS
+    )
+
+    # argmin of |distance| (market.py:121-125); tie-break on later quarter.
+    w_near = Window.partitionBy("stock").orderBy(
+        F.abs(F.datediff("prev_quarter", "target_date")).asc(),
+        F.col("prev_quarter").desc(),
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_near))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "stock",
+            yoy_change(F.col("cur_income"), F.col("prev_income"))  # F2: abs denom
+            .alias("yoy_net_income_pct"),
+        )
+        .filter(F.col("yoy_net_income_pct").isNotNull())
+    )

@@ -1,0 +1,47 @@
+"""W1/W2/F1/F3/P2 — session-over-session percent change on OHLCV bars.
+
+Reference: ``src/providers/market.py:60-82``. The pct change is computed
+against the immediately preceding *available trading session* (pandas
+``pct_change()``, market.py:73-75) — NOT a calendar-day lag — and the
+requested [start, end] trim is applied AFTER the derivation
+(market.py:75 -> 78-79) so the first in-range row sees a previous close
+from the 10-day pre-start buffer (market.py:43-46).
+
+Scale note: the window partitions by ``stock`` — per-ticker daily bars
+are at most a few thousand rows each, so no partition skew; Catalyst
+will not push the date trim below the window (it is ordering-dependent),
+and our code applies it after, mirroring the reference order (X2/X3).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import coerce_double, coerce_volume, pct_change
+
+
+def with_session_pct_change(ohlcv: DataFrame,
+                            start: date | None = None,
+                            end: date | None = None) -> DataFrame:
+    """Derive ``pct_change`` per (stock, session), then trim to [start, end].
+
+    Input columns: stock, date, open, high, low, close, volume.
+    Output adds ``pct_change`` (double, round 4, null for the very first
+    session or a zero previous close).
+    """
+    w = Window.partitionBy("stock").orderBy("date")
+    close = coerce_double(F.col("close"))          # F10: invalid -> null (market.py:70)
+    prev_close = F.lag(close, 1).over(w)           # W1: session lag, gap-tolerant
+    df = (
+        ohlcv
+        .withColumn("volume", coerce_volume(F.col("volume")))  # missing -> 0 (market.py:71)
+        .withColumn("pct_change", pct_change(close, prev_close))  # F1 + F3 (bround 4)
+    )
+    if start is not None and end is not None:
+        # P2 applied after W1 — order is semantically required (X2/X3).
+        df = df.filter(F.col("date").between(F.lit(start), F.lit(end)))
+    return df.select("stock", "date", "open", "high", "low", "close",
+                     "volume", "pct_change")

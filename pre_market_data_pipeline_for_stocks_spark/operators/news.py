@@ -1,0 +1,136 @@
+"""P5-P8 / A1 / W4 / J6-J7 / §2.8 — best headline per stock.
+
+Re-expresses the reference's provider chain
+(``src/providers/news.py:344-397``: Google QueryA -> Google QueryB ->
+NewsData QueryA -> NewsData QueryB -> default) as ONE declarative plan
+over the bronze ``news_articles`` relation:
+
+  articles ⋈ aliases -> per-provider filters -> priority ranking -> top-1.
+
+Semantics preserved (SURVEY.md Appendix A #6-#9):
+  - title filter (P6) applies only to ``query_kind='name'`` queries
+    (news.py:74-86, 225-239);
+  - the 72-hour client-side recency window (P7) applies to NewsData ONLY,
+    and NewsData drops articles with unparsable/missing publish times
+    (news.py:153-169); Google relies on the server-side ``when:3d`` token
+    and keeps undated entries (P8 asymmetry, news.py:310-330);
+  - within a query group the most recent article wins (A1): NewsData
+    compares datetimes, Google compares ``"yyyy-MM-dd HH:mm:ss"`` strings
+    lexicographically — identical ordering for that fixed format, with
+    empty/missing timestamps as valid losers (news.py:174 vs news.py:330).
+    Both are one ``published_at DESC NULLS LAST`` ordering here;
+  - provider/query priority is encoded as a rank column — a hit at a
+    higher priority always beats any hit at a lower one, reproducing the
+    reference's short-circuit (X7).
+
+Tie-break note: the reference's ``max()`` keeps the first-listed article
+on equal timestamps (feed order). Feed order does not exist in a
+relation, so ties break deterministically on (url, title) — documented
+divergence, pinned by tests.
+
+Scale note: aliases is a tiny dimension -> broadcast join; the top-1 per
+stock is a single shuffle on ``stock`` (or none if the source is already
+bucketed by stock); no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import is_relevant_title
+
+# news.py:31-32
+DEFAULT_HEADLINE = "No major headline available"
+DEFAULT_SOURCE = "default"
+
+def _priority() -> "F.Column":
+    """Priority encoding of the reference's short-circuit chain
+    (news.py:367-386 across providers; news.py:74-86 / 225-239 within one)."""
+    return (
+        F.when((F.col("provider") == "google") & (F.col("query_kind") == "name"), 1)
+        .when((F.col("provider") == "google") & (F.col("query_kind") == "ticker"), 2)
+        .when((F.col("provider") == "newsdata") & (F.col("query_kind") == "name"), 3)
+        .when((F.col("provider") == "newsdata") & (F.col("query_kind") == "ticker"), 4)
+    )
+
+
+def best_headline(articles: DataFrame, aliases: DataFrame,
+                  as_of_ts: datetime, lookback_hours: int = 72) -> DataFrame:
+    """Top-1 article per stock through the full provider-priority chain.
+
+    Input: bronze ``news_articles`` (schemas.NEWS_ARTICLES) + ``stock_aliases``.
+    Output: (stock, headline, news_source, news_published_at) — one row per
+    stock that has ANY surviving article; stocks with none are simply absent
+    (the assembly left-join fills the default article, F13).
+
+    ``as_of_ts`` replaces the reference's wall-clock ``datetime.now()``
+    (news.py:153) so runs are reproducible.
+    """
+    cutoff = as_of_ts - timedelta(hours=lookback_hours)
+
+    a = (
+        articles
+        .withColumn("title", F.trim(F.col("title")))
+        .filter(F.col("title").isNotNull() & (F.col("title") != ""))  # P5
+        .join(F.broadcast(aliases), on="stock", how="left")           # J6/J7
+        .withColumn("_name", F.coalesce(F.col("long_name"), F.col("stock")))
+    )
+
+    # P6 — relevance only for name-queries (gotcha #7).
+    a = a.filter(
+        (F.col("query_kind") != "name")
+        | is_relevant_title(F.col("title"), F.col("_name"), F.col("stock"))
+    )
+
+    # P7 — client-side recency window + parsable timestamp: NewsData only
+    # (gotcha #8); Google keeps everything `when:3d` returned (P8).
+    a = a.filter(
+        (F.col("provider") != "newsdata")
+        | (F.col("published_at").isNotNull() & (F.col("published_at") >= F.lit(cutoff)))
+    )
+
+    # A1/W4 + §2.8 — one ranking delivers both the within-group argmax and
+    # the cross-group priority short-circuit.
+    w = Window.partitionBy("stock").orderBy(
+        _priority().asc(),
+        F.col("published_at").desc_nulls_last(),
+        F.col("url").asc_nulls_last(),
+        F.col("title").asc(),
+    )
+    return (
+        a.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "stock",
+            F.col("title").alias("headline"),
+            F.col("provider").alias("news_source"),   # only google|newsdata survive here
+            F.col("published_at").alias("news_published_at"),
+        )
+    )
+
+
+def annotated_articles(articles: DataFrame, aliases: DataFrame,
+                       as_of_ts: datetime, lookback_hours: int = 72) -> DataFrame:
+    """Debug projection (K5 parity with ``scripts/dump_news_debug.py:83-136``):
+    the P5/P6/P7 predicates as boolean columns instead of filters, so one
+    plan serves both production and diagnostics (SURVEY.md §3.3)."""
+    cutoff = as_of_ts - timedelta(hours=lookback_hours)
+    return (
+        articles
+        .withColumn("title", F.trim(F.col("title")))
+        .join(F.broadcast(aliases), on="stock", how="left")
+        .withColumn("_name", F.coalesce(F.col("long_name"), F.col("stock")))
+        .select(
+            "stock", "provider", "query_kind", "title", "source", "url",
+            "published_at",
+            (F.col("title").isNotNull() & (F.col("title") != "")).alias("non_blank"),
+            is_relevant_title(F.col("title"), F.col("_name"), F.col("stock"))
+            .alias("relevant_title"),
+            (F.col("published_at").isNotNull()
+             & (F.col("published_at") >= F.lit(cutoff))).alias("in_window"),
+            (F.col("query_kind") == "name").alias("title_filter_applied"),
+        )
+    )

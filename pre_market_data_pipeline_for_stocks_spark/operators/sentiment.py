@@ -1,0 +1,171 @@
+"""U1-U5 — pluggable headline sentiment (SURVEY.md §2.11).
+
+Two backends behind one column-level API, mirroring the reference's
+``SentimentProvider`` ABC (``src/providers/base.py:61-76``):
+
+- ``LexiconSentiment`` — deterministic, JVM-side (no UDF): a broadcast
+  term-match join against a tiny lexicon. CI/oracle backend.
+- ``FinBERTSentiment`` — the reference's HuggingFace model
+  (``ProsusAI/finbert``, ``src/providers/sentiment.py:126-140``) as an
+  Arrow-batched pandas UDF with a lazy per-executor pipeline (X9). The
+  transformers stack is not installed in this container, so the UDF body
+  raises NotImplementedError unless the import succeeds — the Spark-side
+  plumbing (signature, batching, schema) is real and tested via a fake.
+
+Shared semantics (independent of backend, all native Catalyst exprs):
+  - U2 short-circuit: empty/default headline -> Neutral/0.0 with NO
+    inference (sentiment.py:85-92), kept OUTSIDE the UDF so Catalyst can
+    prune model calls;
+  - U3 score normalization: positive -> +bround(raw,4), negative ->
+    -bround(raw,4), neutral -> exactly 0.0 (confidence discarded,
+    sentiment.py:145-159);
+  - U4 label canonicalization with unknown -> Neutral (sentiment.py:31-35);
+  - U5 failure fallback -> Neutral/0.0 (sentiment.py:103-108).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .news import DEFAULT_HEADLINE
+
+_FINBERT_MODEL = "ProsusAI/finbert"
+
+
+def _is_shortcircuit(headline: Column) -> Column:
+    """U2 — exact default-headline or blank (sentiment.py:85-92)."""
+    h = F.trim(F.coalesce(headline, F.lit("")))
+    return (h == "") | (h == DEFAULT_HEADLINE)
+
+
+def normalize_scores(df: DataFrame, raw_label: str = "raw_label",
+                     raw_score: str = "raw_score") -> DataFrame:
+    """U3 + U4 — map (raw_label, raw_score) -> (sentiment_label,
+    sentiment_score); pure when/otherwise chains, no UDF."""
+    lbl = F.lower(F.coalesce(F.col(raw_label), F.lit("neutral")))
+    label = (
+        F.when(lbl == "positive", "Positive")
+        .when(lbl == "negative", "Negative")
+        .otherwise("Neutral")                        # unknown -> Neutral (U4)
+    )
+    score = (
+        F.when(lbl == "positive", F.bround(F.col(raw_score), 4))
+        .when(lbl == "negative", F.bround(-F.col(raw_score), 4))
+        .otherwise(F.lit(0.0))                       # neutral discards confidence
+    )
+    return df.withColumn("sentiment_label", label).withColumn(
+        "sentiment_score", F.coalesce(score, F.lit(0.0)))
+
+
+class LexiconSentiment:
+    """Deterministic backend: the strongest matching lexicon term decides
+    (raw_label, raw_score); no match -> neutral/0.0.
+
+    Matching is case-insensitive substring containment (term in headline).
+    Implemented as a broadcast theta-join + ``max_by`` — with a lexicon of
+    a few hundred terms this is a broadcast nested loop entirely JVM-side,
+    linear in input rows, shuffle-free up to the per-headline argmax.
+    Ties on raw_score break on term (asc) for determinism.
+    """
+
+    def __init__(self, lexicon: DataFrame):
+        self.lexicon = lexicon
+
+    def score(self, df: DataFrame, headline_col: str = "headline") -> DataFrame:
+        """Append sentiment_label / sentiment_score to ``df``."""
+        h = F.col(headline_col)
+        lex = F.broadcast(self.lexicon.select(
+            F.lower(F.col("term")).alias("_term"), "raw_label", "raw_score"))
+
+        from pyspark.sql import Window
+        w = Window.partitionBy("_h").orderBy(
+            F.col("raw_score").desc(), F.col("_term").asc())
+        matches = (
+            df.select(F.col(headline_col).alias("_h")).distinct()
+            .join(lex, F.lower(F.col("_h")).contains(F.col("_term")), "inner")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_h", "raw_label", "raw_score")
+        )
+
+        scored = normalize_scores(
+            df.join(F.broadcast(matches), df[headline_col] == matches["_h"], "left")
+            .drop("_h"))
+        # U2 short-circuit wins over any lexicon match.
+        return (
+            scored
+            .withColumn(
+                "sentiment_label",
+                F.when(_is_shortcircuit(h), "Neutral").otherwise(F.col("sentiment_label")))
+            .withColumn(
+                "sentiment_score",
+                F.when(_is_shortcircuit(h), F.lit(0.0)).otherwise(F.col("sentiment_score")))
+            .drop("raw_label", "raw_score")
+        )
+
+
+class FinBERTSentiment:
+    """Production backend — Arrow-batched pandas UDF, lazy per-executor
+    model load (parity with sentiment.py:126-140; X9). ``model_fn`` is
+    injectable so tests exercise the full UDF plumbing with a fake."""
+
+    def __init__(self, model_name: str = _FINBERT_MODEL, model_fn=None):
+        self.model_name = model_name
+        self.model_fn = model_fn
+
+    def score(self, df: DataFrame, headline_col: str = "headline") -> DataFrame:
+        model_name = self.model_name
+        injected = self.model_fn
+        out_type = T.StructType([
+            T.StructField("raw_label", T.StringType()),
+            T.StructField("raw_score", T.DoubleType()),
+        ])
+
+        # Iterator form: the model loads once per executor python worker
+        # and is reused across Arrow batches (X9 parity).
+        @F.pandas_udf(out_type)
+        def infer(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            pipe = None
+            for s in batches:
+                if pipe is None:
+                    if injected is not None:
+                        pipe = injected
+                    else:
+                        try:
+                            from transformers import pipeline as hf_pipeline
+                        except ImportError as exc:  # container has no transformers
+                            raise NotImplementedError(
+                                "FinBERT backend requires the 'transformers' "
+                                "package; use LexiconSentiment in this "
+                                "environment") from exc
+                        pipe = hf_pipeline(task="text-classification",
+                                           model=model_name, device=-1)
+                labels, scores = [], []
+                for text in s.fillna(""):
+                    try:
+                        raw = pipe(text, truncation=True, max_length=512)
+                        r = raw[0]
+                        if isinstance(r, list):   # transformers 4/5 shape (sentiment.py:97-102)
+                            r = r[0]
+                        labels.append(str(r["label"]).lower())
+                        scores.append(float(r["score"]))
+                    except Exception:             # U5 fallback (sentiment.py:103-108)
+                        labels.append("error")
+                        scores.append(0.0)
+                yield pd.DataFrame({"raw_label": labels, "raw_score": scores})
+
+        h = F.col(headline_col)
+        # U2 outside the UDF: model runs only on non-default headlines.
+        raw = F.when(_is_shortcircuit(h),
+                     F.struct(F.lit("neutral").alias("raw_label"),
+                              F.lit(0.0).alias("raw_score"))).otherwise(infer(h))
+        scored = df.withColumn("_raw", raw).select(
+            "*", F.col("_raw.raw_label").alias("raw_label"),
+            F.col("_raw.raw_score").alias("raw_score")).drop("_raw")
+        return normalize_scores(scored).drop("raw_label", "raw_score")

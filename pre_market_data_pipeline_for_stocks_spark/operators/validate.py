@@ -1,0 +1,100 @@
+"""A2-A5 — the output-contract validator as ONE Spark aggregation.
+
+Port of ``src/pipeline/validator.py:25-100``. The reference validates the
+CSV *as strings* (``csv.DictReader``): "null" means an empty/whitespace
+cell (validator.py:84,92) and numeric checks go through ``float()`` parses
+(validator.py:67-72). We reproduce that by validating the all-string CSV
+read-back with ``try_cast`` — a failed parse counts as a violation,
+exactly like the reference's ValueError path.
+
+All five checks run in a single ``agg()`` — one pass over the data, no
+driver-side loop; at 100 TB this is one scan + one tiny reduce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import OUTPUT_COLUMNS
+
+MAX_YOY_NULL_RATE_PCT = 33.0  # validator.py:96
+
+
+@dataclass
+class ValidationReport:
+    passed: bool
+    messages: list[str]
+
+
+def _is_blank(c: str):
+    return F.trim(F.coalesce(F.col(c), F.lit(""))) == ""
+
+
+def validate_output(df: DataFrame, expected_rows: int | None = None) -> ValidationReport:
+    """Run checks 0-4 of validator.py:25-100 on an all-string DataFrame.
+
+    ``expected_rows`` parameterizes the reference's hard-coded 15
+    (= 3 stocks x 5 dates of the sample config, validator.py:56-58).
+    """
+    messages: list[str] = []
+    ok = True
+
+    # check 0 — required columns (validator.py:49-53)
+    missing = [c for c in OUTPUT_COLUMNS if c not in df.columns]
+    if missing:
+        return ValidationReport(False, [f"FAIL: missing columns {missing}"])
+    messages.append("PASS: all required columns present")
+
+    score = F.col("Sentiment_Score").try_cast("double")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # check 2 — score parses and in [-1,1] (validator.py:63-79)
+        F.sum(F.when(score.isNull() | ~score.between(-1.0, 1.0), 1)
+              .otherwise(0)).alias("bad_scores"),
+        # check 3 — zero blank cells in Pct_Change / Volume (validator.py:82-89)
+        F.sum(F.when(_is_blank("Pct_Change"), 1).otherwise(0)).alias("null_pct"),
+        F.sum(F.when(_is_blank("Volume"), 1).otherwise(0)).alias("null_vol"),
+        # check 4 — blank-rate of YoY <= 33% (validator.py:91-98)
+        F.avg(F.when(_is_blank("YoY_NetIncome_Pct"), 1.0).otherwise(0.0))
+        .alias("yoy_null_frac"),
+    ).collect()[0]
+
+    if expected_rows is not None:
+        if agg["n_rows"] == expected_rows:
+            messages.append(f"PASS: row count == {expected_rows}")
+        else:
+            ok = False
+            messages.append(f"FAIL: row count {agg['n_rows']} != {expected_rows}")
+
+    if agg["bad_scores"] == 0:
+        messages.append("PASS: Sentiment_Score all parse and within [-1, 1]")
+    else:
+        ok = False
+        messages.append(f"FAIL: {agg['bad_scores']} invalid Sentiment_Score values")
+
+    if agg["null_pct"] == 0 and agg["null_vol"] == 0:
+        messages.append("PASS: no empty Pct_Change/Volume cells")
+    else:
+        ok = False
+        messages.append(
+            f"FAIL: empty cells — Pct_Change={agg['null_pct']}, Volume={agg['null_vol']}")
+
+    rate = 100.0 * (agg["yoy_null_frac"] or 0.0)
+    if rate <= MAX_YOY_NULL_RATE_PCT:
+        messages.append(f"PASS: YoY empty-rate {rate:.1f}% <= {MAX_YOY_NULL_RATE_PCT}%")
+    else:
+        ok = False
+        messages.append(f"FAIL: YoY empty-rate {rate:.1f}% > {MAX_YOY_NULL_RATE_PCT}%")
+
+    return ValidationReport(ok, messages)
+
+
+def validate_csv(spark: SparkSession, path: str,
+                 expected_rows: int | None = None) -> ValidationReport:
+    """Read the sink CSV back as all-strings (DictReader parity,
+    validator.py:39-46) and validate."""
+    df = spark.read.option("header", True).csv(path)  # no schema -> all strings
+    return validate_output(df, expected_rows)

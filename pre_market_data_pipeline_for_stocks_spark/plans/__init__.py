@@ -1,0 +1,1 @@
+"""End-to-end query plans: the premarket pipeline and benchmark queries."""

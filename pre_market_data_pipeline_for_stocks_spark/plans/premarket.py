@@ -1,0 +1,57 @@
+"""The full premarket-sentiment pipeline as one declarative plan
+(SURVEY.md §3.1 restated Spark-first).
+
+    calendar x stocks (J1)
+      ⋈ ohlcv + session-lag pct_change (J2/W1/W2)
+      ⋈ best headline via provider-priority chain (J3, broadcast)
+      ⋈ YoY fundamentals via as-of self-join (J4/J5, broadcast)
+      -> sentiment scoring (U1-U5)
+      -> provenance + output contract (F12/F13/O3)
+
+The per-row loop of ``src/pipeline/engine.py:98-105`` disappears into
+Catalyst; sources are bronze DataFrames.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import JobConfig
+from ..operators import assemble, calendar, fundamentals, market, news
+from ..operators.sentiment import FinBERTSentiment, LexiconSentiment
+
+
+def run_premarket_plan(
+    spark: SparkSession,
+    cfg: JobConfig,
+    ohlcv: DataFrame,
+    quarterly: DataFrame,
+    articles: DataFrame,
+    aliases: DataFrame,
+    lexicon: DataFrame | None = None,
+    model_fn=None,
+) -> DataFrame:
+    """Bronze inputs -> the ``pre_market_sentiment`` output contract."""
+    dates = calendar.trading_dates(spark, cfg.start_date, cfg.end_date)
+    grid = calendar.date_stock_grid(dates, calendar.stocks_df(spark, cfg.stocks))
+
+    bars = market.with_session_pct_change(ohlcv, cfg.start_date, cfg.end_date)
+    yoy = fundamentals.yoy_net_income(quarterly)
+    heads = news.best_headline(
+        articles, aliases,
+        as_of_ts=cfg.as_of_ts or datetime.utcnow(),
+        lookback_hours=cfg.lookback_window_hours)
+
+    fact = assemble.assemble_fact(grid, bars, heads, yoy)
+
+    if cfg.sentiment_backend == "finbert":
+        backend = FinBERTSentiment(model_fn=model_fn)
+    else:
+        if lexicon is None:
+            raise ValueError("lexicon DataFrame required for the lexicon backend")
+        backend = LexiconSentiment(lexicon)
+    scored = backend.score(fact, "headline")
+
+    return assemble.to_output_contract(scored)

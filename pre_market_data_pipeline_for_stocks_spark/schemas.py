@@ -1,0 +1,84 @@
+"""Every schema as an explicit StructType — no inference anywhere.
+
+The reference pins types by convention only (dataclass annotations,
+``src/models/datatypes.py:7-32``; ad-hoc coercions,
+``src/providers/market.py:70-71``). Here every relation has one
+authoritative StructType (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- bronze inputs (FIXTURES.md §1-§5) -----------------------------------
+
+# OHLCV bars, per reference src/providers/market.py:27-82 (pre-derivation)
+OHLCV = T.StructType([
+    T.StructField("stock", T.StringType(), False),
+    T.StructField("date", T.DateType(), False),
+    T.StructField("open", T.DoubleType(), True),
+    T.StructField("high", T.DoubleType(), True),
+    T.StructField("low", T.DoubleType(), True),
+    T.StructField("close", T.DoubleType(), True),   # coerce-failure -> null (market.py:70)
+    T.StructField("volume", T.LongType(), True),    # missing -> 0 (market.py:71)
+])
+
+# Quarterly fundamentals, long format (reference market.py:94-111)
+QUARTERLY_FINANCIALS = T.StructType([
+    T.StructField("stock", T.StringType(), False),
+    T.StructField("quarter_end", T.DateType(), False),
+    T.StructField("net_income", T.DoubleType(), True),
+])
+
+# Normalized news articles, both providers & query kinds
+# (reference news.py:283-305 google, news.py:156-185 newsdata)
+NEWS_ARTICLES = T.StructType([
+    T.StructField("stock", T.StringType(), False),
+    T.StructField("provider", T.StringType(), False),    # google | newsdata
+    T.StructField("query_kind", T.StringType(), False),  # name | ticker
+    T.StructField("title", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("published_at", T.TimestampType(), True),
+    T.StructField("summary", T.StringType(), True),
+])
+
+# Ticker -> company longName dimension (reference news_utils.py:106-131)
+STOCK_ALIASES = T.StructType([
+    T.StructField("stock", T.StringType(), False),
+    T.StructField("long_name", T.StringType(), True),
+])
+
+# Deterministic sentiment lexicon (test stand-in for FinBERT; FIXTURES.md §5)
+SENTIMENT_LEXICON = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("raw_label", T.StringType(), False),   # positive|negative|neutral
+    T.StructField("raw_score", T.DoubleType(), False),
+])
+
+# --- final output fact (reference engine.py:33-37; SURVEY.md §1.3) -------
+
+OUTPUT_COLUMNS = [
+    "Date", "Stock", "Pct_Change", "Volume", "Headline",
+    "Sentiment_Label", "Sentiment_Score", "YoY_NetIncome_Pct",
+    "Data_Source_Log",
+]
+
+PRE_MARKET_SENTIMENT = T.StructType([
+    T.StructField("Date", T.StringType(), False),           # "YYYY-MM-DD" at sink
+    T.StructField("Stock", T.StringType(), False),
+    T.StructField("Pct_Change", T.DoubleType(), True),      # round 4
+    T.StructField("Volume", T.LongType(), True),
+    T.StructField("Headline", T.StringType(), False),
+    T.StructField("Sentiment_Label", T.StringType(), False),
+    T.StructField("Sentiment_Score", T.DoubleType(), False),  # [-1,1] round 4
+    T.StructField("YoY_NetIncome_Pct", T.DoubleType(), True),  # round 2, nullable
+    T.StructField("Data_Source_Log", T.StringType(), False),
+])
+
+# --- driver-provided TPC-H-ish tables (/root/testdata; TESTDATA.md) ------
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]

@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test container (local[N], single
+JVM); the same settings scale to a real cluster where the master is set
+by the submitter. Timezone pinned to UTC so timestamps hash identically
+against the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "premarket-spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    AQE is on so runtime statistics re-plan shuffles (partition
+    coalescing, skew-join splitting) — essential at 100 TB where static
+    planning over/under-shoots. ``spark.sql.shuffle.partitions`` is set
+    to the local core count for tests; on a real cluster it should be
+    ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver fixtures store TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL); read them as int64
+        # nanos and convert in sources.offline.load_testdata.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master or not SparkSession.getActiveSession():
+        builder = builder.master(master or f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

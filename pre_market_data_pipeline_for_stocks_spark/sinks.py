@@ -1,0 +1,37 @@
+"""K1-K5 — sinks (SURVEY.md §2.2).
+
+The reference writes one CSV with a fixed header (engine.py:191-212),
+per-stock OHLCV audit CSVs (engine.py:227-233) and a fundamentals JSON
+(engine.py:235-243). Spark-side: ``coalesce(1)`` gives the single-file
+contract at sample scale; at 100 TB the same writer without coalesce
+emits one file per partition and ``partitionBy`` replaces the
+one-file-per-stock loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_fact_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """K1 — null -> "" matches the reference's empty-cell convention
+    (engine.py:207-210); overwrite-on-rerun (engine.py:192)."""
+    out = df.coalesce(1) if single_file else df
+    (out.write.mode("overwrite").option("header", True)
+        .option("nullValue", None).option("emptyValue", "").csv(path))
+
+
+def write_ohlcv_audit(df: DataFrame, path: str) -> None:
+    """K2 — idiomatic replacement for one-CSV-per-stock: partitioned write."""
+    (df.write.mode("overwrite").partitionBy("stock")
+       .option("header", True).csv(path))
+
+
+def write_fundamentals_json(df: DataFrame, path: str) -> None:
+    """K3 — fundamentals dim as JSON lines."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_debug_json(df: DataFrame, path: str) -> None:
+    """K5 — annotated news relation (operators.news.annotated_articles)."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,3 @@
+"""Sources: offline bronze readers (the deterministic/test path) and
+driver-side live connectors (yfinance / Google News RSS / NewsData.io),
+gated behind import-try since the network libs are optional."""

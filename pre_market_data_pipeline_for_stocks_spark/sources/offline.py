@@ -1,0 +1,82 @@
+"""Offline bronze readers — the deterministic path every test and oracle
+comparison runs on (SURVEY.md §7.4: live connectors are thin and
+separately smoke-tested; S7's SQLite cache becomes persisted bronze).
+
+All readers take explicit StructTypes (never infer) and push projection
+/ predicates to the Parquet scan by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+
+def read_bronze(spark: SparkSession, path: str, schema) -> DataFrame:
+    if path.endswith(".csv") or (os.path.isdir(path) and any(
+            f.endswith(".csv") for f in os.listdir(path))):
+        return spark.read.schema(schema).option("header", True).csv(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def read_ohlcv(spark: SparkSession, path: str) -> DataFrame:
+    return read_bronze(spark, path, schemas.OHLCV)
+
+
+def read_quarterly_financials(spark: SparkSession, path: str) -> DataFrame:
+    return read_bronze(spark, path, schemas.QUARTERLY_FINANCIALS)
+
+
+def read_news_articles(spark: SparkSession, path: str) -> DataFrame:
+    return read_bronze(spark, path, schemas.NEWS_ARTICLES)
+
+
+def read_stock_aliases(spark: SparkSession, path: str) -> DataFrame:
+    return read_bronze(spark, path, schemas.STOCK_ALIASES)
+
+
+def read_sentiment_lexicon(spark: SparkSession, path: str) -> DataFrame:
+    return read_bronze(spark, path, schemas.SENTIMENT_LEXICON)
+
+
+# --- driver-provided TPC-H-ish tables ------------------------------------
+
+# Timestamp columns in the driver fixtures. They are written as parquet
+# TIMESTAMP(NANOS), which Spark cannot read natively — with
+# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) they
+# surface as int64 nanoseconds and are converted here. DuckDB reads the
+# same files as microsecond timestamps, so `div 1000` keeps both engines
+# value-identical for the oracle comparison.
+TESTDATA_TS_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def _restore_nanos_timestamps(name: str, df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    for c in TESTDATA_TS_COLUMNS.get(name, []):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str,
+                  tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver fixtures (TESTDATA.md) as a name -> DataFrame dict."""
+    out = {}
+    for name in tables or schemas.TESTDATA_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        out[name] = _restore_nanos_timestamps(name, df)
+    return out
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for spark.sql queries."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

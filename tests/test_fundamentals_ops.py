@@ -1,0 +1,76 @@
+"""J5/W3/F2/F18 — as-of quarter self-join + YoY (FIXTURES.md §2 edge cases)."""
+
+from __future__ import annotations
+
+from conftest import d
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.operators.fundamentals import (
+    yoy_net_income,
+)
+
+
+def _qf(spark, rows):
+    return spark.createDataFrame(
+        [(s, d(q), n) for s, q, n in rows], schemas.QUARTERLY_FINANCIALS)
+
+
+def _yoy(spark, rows):
+    return {r["stock"]: r["yoy_net_income_pct"]
+            for r in yoy_net_income(_qf(spark, rows)).collect()}
+
+
+def test_exact_year_back_match(spark):
+    out = _yoy(spark, [("A", "2025-12-31", 120.0), ("A", "2024-12-31", 100.0)])
+    assert out["A"] == 20.0
+
+
+def test_tolerance_boundary_20_vs_21_days(spark):
+    # 20 days off the 1-year mark: accepted (market.py:124 <=)
+    ok = _yoy(spark, [("A", "2025-12-31", 120.0), ("A", "2024-12-11", 100.0)])
+    assert ok["A"] == 20.0
+    # 21 days off: rejected -> stock absent
+    bad = _yoy(spark, [("A", "2025-12-31", 120.0), ("A", "2024-12-10", 100.0)])
+    assert "A" not in bad
+
+
+def test_zero_prev_income_yields_absent(spark):
+    out = _yoy(spark, [("A", "2025-12-31", 120.0), ("A", "2024-12-31", 0.0)])
+    assert "A" not in out  # market.py:130-132
+
+
+def test_abs_denominator_sign_convention(spark):
+    # prev = -100, cur = 50: (50 - -100)/abs(-100)*100 = +150.0 (market.py:134)
+    out = _yoy(spark, [("A", "2025-12-31", 50.0), ("A", "2024-12-31", -100.0)])
+    assert out["A"] == 150.0
+
+
+def test_single_quarter_yields_absent(spark):
+    out = _yoy(spark, [("A", "2025-12-31", 120.0)])
+    assert "A" not in out  # market.py:113-115
+
+
+def test_nearest_quarter_wins(spark):
+    # Two candidates: 10 days off vs 15 days off -> nearest (10d) wins.
+    out = _yoy(spark, [
+        ("A", "2025-12-31", 120.0),
+        ("A", "2024-12-21", 100.0),   # 10 days before target 2024-12-31
+        ("A", "2025-01-15", 200.0),   # 15 days after target
+    ])
+    assert out["A"] == 20.0
+
+
+def test_null_quarters_dropped_before_selection(spark):
+    out = _yoy(spark, [
+        ("A", "2025-12-31", 120.0),
+        ("A", "2024-12-31", None),    # P9: dropped -> no valid prev
+        ("A", "2024-06-30", 100.0),
+    ])
+    assert "A" not in out
+
+
+def test_round_half_even_2dp(spark):
+    # (100.03 - 100)/100*100 = 0.03, fine; use a banker's-rounding case:
+    # yoy = 0.125 -> bround 2 = 0.12 (Python round parity), not 0.13.
+    out = _yoy(spark, [("A", "2025-12-31", 100.125), ("A", "2024-12-31", 100.0)])
+    assert out["A"] == 0.12

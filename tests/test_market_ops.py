@@ -1,0 +1,68 @@
+"""W1/W2/F1/F3/F10 — session-lag pct change semantics (SURVEY.md §5 unit plan)."""
+
+from __future__ import annotations
+
+from conftest import d
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.operators.market import (
+    with_session_pct_change,
+)
+
+
+def _bars(spark, rows):
+    return spark.createDataFrame(
+        [(s, d(dd), 1.0, 1.0, 1.0, c, v) for s, dd, c, v in rows], schemas.OHLCV)
+
+
+def test_session_lag_spans_gap_days(spark):
+    # Fri 100 -> (weekend gap) -> Mon 110: lag is vs previous SESSION not day.
+    df = _bars(spark, [
+        ("A", "2026-01-02", 100.0, 10),   # Fri
+        ("A", "2026-01-05", 110.0, 20),   # Mon
+        ("A", "2026-01-07", 99.0, 30),    # Wed (Tue missing entirely — gap)
+    ])
+    out = {r["date"].isoformat(): r["pct_change"]
+           for r in with_session_pct_change(df).collect()}
+    assert out["2026-01-02"] is None                 # no previous session
+    assert out["2026-01-05"] == 10.0
+    assert out["2026-01-07"] == -10.0                # vs Mon, across the gap
+
+
+def test_buffer_rows_feed_first_in_range_lag(spark):
+    # market.py:43-46/75-79: derive over the buffered range, THEN trim.
+    df = _bars(spark, [
+        ("A", "2025-12-29", 200.0, 1),    # buffer-only row
+        ("A", "2026-01-02", 220.0, 2),    # first in-range row
+    ])
+    out = with_session_pct_change(df, d("2026-01-01"), d("2026-01-31")).collect()
+    assert len(out) == 1                              # buffer row trimmed
+    assert out[0]["pct_change"] == 10.0               # but its close fed the lag
+
+
+def test_zero_prev_close_yields_null(spark):
+    df = _bars(spark, [("A", "2026-01-02", 0.0, 1), ("A", "2026-01-05", 5.0, 1)])
+    out = {r["date"].isoformat(): r["pct_change"]
+           for r in with_session_pct_change(df).collect()}
+    assert out["2026-01-05"] is None                  # pinned: null, not inf
+
+
+def test_volume_null_coerces_to_zero_and_rounding_is_half_even(spark):
+    df = _bars(spark, [
+        ("A", "2026-01-02", 3.0, None),
+        ("A", "2026-01-05", 4.0, 7),
+    ])
+    rows = {r["date"].isoformat(): r for r in with_session_pct_change(df).collect()}
+    assert rows["2026-01-02"]["volume"] == 0          # F10 (market.py:71)
+    assert rows["2026-01-05"]["pct_change"] == 33.3333  # bround(33.33333..., 4)
+
+
+def test_per_stock_partitioning_is_independent(spark):
+    df = _bars(spark, [
+        ("A", "2026-01-02", 100.0, 1), ("A", "2026-01-05", 101.0, 1),
+        ("B", "2026-01-05", 50.0, 1),
+    ])
+    out = {(r["stock"], r["date"].isoformat()): r["pct_change"]
+           for r in with_session_pct_change(df).collect()}
+    assert out[("B", "2026-01-05")] is None           # B's first session
+    assert out[("A", "2026-01-05")] == 1.0

@@ -1,0 +1,125 @@
+"""P5-P8/A1/W4/§2.8 — best-headline selection (FIXTURES.md §3 edge cases)."""
+
+from __future__ import annotations
+
+from conftest import ts
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.operators.news import (
+    DEFAULT_HEADLINE,
+    best_headline,
+)
+
+AS_OF = ts("2026-01-10T09:00:00")
+
+
+def _articles(spark, rows):
+    # rows: (stock, provider, query_kind, title, published_at | None)
+    # url derives from the title so reordering the input list cannot
+    # change tie-break outcomes.
+    return spark.createDataFrame(
+        [(s, p, q, t, "src", f"http://u/{abs(hash(t)) % 10**8}",
+          ts(pub) if pub else None, None)
+         for (s, p, q, t, pub) in rows],
+        schemas.NEWS_ARTICLES)
+
+
+def _aliases(spark, pairs):
+    return spark.createDataFrame(list(pairs), schemas.STOCK_ALIASES)
+
+
+def _best(spark, rows, aliases=(("HINDZINC", "Hindustan Zinc Limited"),)):
+    out = best_headline(_articles(spark, rows), _aliases(spark, aliases), AS_OF)
+    return {r["stock"]: r for r in out.collect()}
+
+
+def test_priority_google_name_beats_fresher_lower_priority(spark):
+    out = _best(spark, [
+        ("HINDZINC", "google", "name", "Hindustan Zinc wins", "2026-01-08 01:00:00"),
+        ("HINDZINC", "newsdata", "name", "Hindustan Zinc newer", "2026-01-10 08:00:00"),
+        ("HINDZINC", "google", "ticker", "HINDZINC fresh note", "2026-01-10 08:30:00"),
+    ])
+    r = out["HINDZINC"]
+    assert r["headline"] == "Hindustan Zinc wins"
+    assert r["news_source"] == "google"
+
+
+def test_most_recent_wins_within_group(spark):
+    out = _best(spark, [
+        ("HINDZINC", "google", "name", "Hindustan Zinc older", "2026-01-07 01:00:00"),
+        ("HINDZINC", "google", "name", "Hindustan Zinc newer", "2026-01-09 01:00:00"),
+    ])
+    assert out["HINDZINC"]["headline"] == "Hindustan Zinc newer"
+
+
+def test_title_filter_only_for_name_queries(spark):
+    # Irrelevant title kills the google/name candidate; the ticker-query
+    # candidate survives with NO title filter (gotcha #7).
+    out = _best(spark, [
+        ("HINDZINC", "google", "name", "State Bank of India cuts rates", "2026-01-09 01:00:00"),
+        ("HINDZINC", "google", "ticker", "Totally unrelated title", "2026-01-08 01:00:00"),
+    ])
+    assert out["HINDZINC"]["headline"] == "Totally unrelated title"
+
+
+def test_newsdata_window_and_null_timestamp_asymmetry(spark):
+    # NewsData outside 72h -> dropped; Google undated -> still competes (gotcha #8).
+    out = _best(spark, [
+        ("HINDZINC", "newsdata", "name", "Hindustan Zinc stale", "2026-01-01 01:00:00"),
+        ("HINDZINC", "google", "name", "Hindustan Zinc undated", None),
+    ])
+    r = out["HINDZINC"]
+    assert r["headline"] == "Hindustan Zinc undated"
+    assert r["news_source"] == "google"
+
+
+def test_newsdata_null_published_dropped(spark):
+    out = _best(spark, [
+        ("HINDZINC", "newsdata", "ticker", "HZ undated newsdata", None),
+    ])
+    assert "HINDZINC" not in out  # news.py:163-166 unparsable -> dropped
+
+
+def test_window_boundary_inclusive(spark):
+    # cutoff = AS_OF - 72h = 2026-01-07 09:00:00; >= survives (news.py:168 <)
+    out = _best(spark, [
+        ("HINDZINC", "newsdata", "ticker", "HZ exactly at cutoff", "2026-01-07 09:00:00"),
+    ])
+    assert out["HINDZINC"]["headline"] == "HZ exactly at cutoff"
+    out2 = _best(spark, [
+        ("HINDZINC", "newsdata", "ticker", "HZ one sec too old", "2026-01-07 08:59:59"),
+    ])
+    assert "HINDZINC" not in out2
+
+
+def test_blank_titles_dropped(spark):
+    out = _best(spark, [
+        ("HINDZINC", "google", "ticker", "   ", "2026-01-09 01:00:00"),
+    ])
+    assert "HINDZINC" not in out
+
+
+def test_missing_alias_falls_back_to_ticker(spark):
+    # No alias row: long_name := stock (news_utils.py:149-158 coalesce).
+    out = _best(spark, [
+        ("NEWCO", "google", "name", "NEWCO announces buyback", "2026-01-09 01:00:00"),
+    ], aliases=(("HINDZINC", "Hindustan Zinc Limited"),))
+    assert out["NEWCO"]["headline"] == "NEWCO announces buyback"
+
+
+def test_no_survivors_means_absent_stock(spark):
+    out = _best(spark, [
+        ("HINDZINC", "google", "name", "Unrelated headline entirely", "2026-01-09 01:00:00"),
+    ])
+    assert out == {}  # default fill happens at assembly (F13)
+    assert DEFAULT_HEADLINE  # imported constant used by assembly
+
+
+def test_equal_timestamps_tie_break_deterministic(spark):
+    rows = [
+        ("HINDZINC", "google", "ticker", "Tie B", "2026-01-09 01:00:00"),
+        ("HINDZINC", "google", "ticker", "Tie A", "2026-01-09 01:00:00"),
+    ]
+    a = _best(spark, rows)["HINDZINC"]["headline"]
+    b = _best(spark, list(reversed(rows)))["HINDZINC"]["headline"]
+    assert a == b  # order-insensitive determinism (url asc tie-break)

@@ -1,0 +1,131 @@
+"""End-to-end premarket plan: bronze fixtures -> output contract -> validator.
+
+Covers SURVEY.md gotchas #4 (missing market row dropped), #11 (provenance
+tokens), #12 (weekday calendar), #13 (ordering), and the validator port.
+"""
+
+from __future__ import annotations
+
+from conftest import d, ts
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.config import JobConfig
+from pre_market_data_pipeline_for_stocks_spark.operators.news import DEFAULT_HEADLINE
+from pre_market_data_pipeline_for_stocks_spark.operators.validate import validate_output
+from pre_market_data_pipeline_for_stocks_spark.plans.premarket import (
+    run_premarket_plan,
+)
+
+CFG = JobConfig(
+    stocks=("HINDZINC", "BANKINDIA", "THINCO", "NODATA"),
+    start_date=d("2026-01-05"),   # Mon
+    end_date=d("2026-01-09"),     # Fri
+    as_of_ts=ts("2026-01-09T09:00:00"),
+)
+
+
+def _fixtures(spark):
+    ohlcv = spark.createDataFrame([
+        # HINDZINC: full week + buffer Friday before
+        ("HINDZINC", d("2026-01-02"), 1.0, 1.0, 1.0, 100.0, 10),
+        ("HINDZINC", d("2026-01-05"), 1.0, 1.0, 1.0, 110.0, 11),
+        ("HINDZINC", d("2026-01-06"), 1.0, 1.0, 1.0, 99.0, 12),
+        ("HINDZINC", d("2026-01-07"), 1.0, 1.0, 1.0, 99.0, 13),
+        ("HINDZINC", d("2026-01-08"), 1.0, 1.0, 1.0, 120.0, 14),
+        ("HINDZINC", d("2026-01-09"), 1.0, 1.0, 1.0, 121.0, 15),
+        # BANKINDIA: missing Wednesday (holiday) -> that row must vanish
+        ("BANKINDIA", d("2026-01-02"), 1.0, 1.0, 1.0, 50.0, 20),
+        ("BANKINDIA", d("2026-01-05"), 1.0, 1.0, 1.0, 51.0, 21),
+        ("BANKINDIA", d("2026-01-06"), 1.0, 1.0, 1.0, 52.0, 22),
+        ("BANKINDIA", d("2026-01-08"), 1.0, 1.0, 1.0, 53.0, 23),
+        ("BANKINDIA", d("2026-01-09"), 1.0, 1.0, 1.0, 54.0, 24),
+        # THINCO: listed mid-week; buffer row on Wed feeds Thursday's lag
+        ("THINCO", d("2026-01-07"), 1.0, 1.0, 1.0, 10.0, 30),
+        ("THINCO", d("2026-01-08"), 1.0, 1.0, 1.0, 11.0, 31),
+        ("THINCO", d("2026-01-09"), 1.0, 1.0, 1.0, 12.1, 32),
+        # NODATA: no rows at all -> all its rows dropped (gotcha #4)
+    ], schemas.OHLCV)
+
+    quarterly = spark.createDataFrame([
+        ("HINDZINC", d("2025-12-31"), 120.0),
+        ("HINDZINC", d("2024-12-31"), 100.0),
+        ("BANKINDIA", d("2025-12-31"), 80.0),
+        ("BANKINDIA", d("2024-12-20"), 70.0),   # 11 days off target -> accepted
+        # THINCO absent entirely -> fundamentals=unavailable (engine.py:177)
+    ], schemas.QUARTERLY_FINANCIALS)
+
+    articles = spark.createDataFrame([
+        ("HINDZINC", "google", "name", "Hindustan Zinc surges on record profit",
+         "s", "u1", ts("2026-01-08 10:00:00"), None),
+        ("BANKINDIA", "newsdata", "ticker", "BANKINDIA fraud probe widens",
+         "s", "u2", ts("2026-01-08 11:00:00"), None),
+    ], schemas.NEWS_ARTICLES)
+
+    aliases = spark.createDataFrame([
+        ("HINDZINC", "Hindustan Zinc Limited"),
+        ("BANKINDIA", "Bank of India Limited"),
+    ], schemas.STOCK_ALIASES)
+
+    lexicon = spark.createDataFrame([
+        ("surge", "positive", 0.91), ("fraud", "negative", 0.97),
+    ], schemas.SENTIMENT_LEXICON)
+    return ohlcv, quarterly, articles, aliases, lexicon
+
+
+def test_end_to_end_contract(spark):
+    ohlcv, quarterly, articles, aliases, lexicon = _fixtures(spark)
+    out = run_premarket_plan(spark, CFG, ohlcv, quarterly, articles,
+                             aliases, lexicon=lexicon)
+    rows = out.collect()
+
+    assert [r["Date"] for r in rows] == sorted([r["Date"] for r in rows])
+    # HINDZINC all 5 days; BANKINDIA 4 (Wed missing); THINCO Thu+Fri
+    # (Wed is buffer-only: its own pct_change is undefined -> dropped); NODATA 0.
+    assert len(rows) == 5 + 4 + 2
+
+    by_key = {(r["Stock"], r["Date"]): r for r in rows}
+
+    hz_mon = by_key[("HINDZINC", "2026-01-05")]
+    assert hz_mon["Pct_Change"] == 10.0       # vs buffer Friday close
+    assert hz_mon["Volume"] == 11
+    assert hz_mon["Headline"] == "Hindustan Zinc surges on record profit"
+    assert hz_mon["Sentiment_Label"] == "Positive"
+    assert hz_mon["Sentiment_Score"] == 0.91
+    assert hz_mon["YoY_NetIncome_Pct"] == 20.0
+    assert hz_mon["Data_Source_Log"] == (
+        "market=yfinance | news=google | sentiment=finbert | fundamentals=yfinance")
+
+    # BANKINDIA Wednesday missing -> no row (inner join J2)
+    assert ("BANKINDIA", "2026-01-07") not in by_key
+    # BANKINDIA Thursday lags across the gap to Tuesday's close
+    bi_thu = by_key[("BANKINDIA", "2026-01-08")]
+    assert bi_thu["Pct_Change"] == round((53.0 - 52.0) / 52.0 * 100, 4)
+    assert bi_thu["Sentiment_Label"] == "Negative"
+    assert bi_thu["YoY_NetIncome_Pct"] == round((80.0 - 70.0) / 70.0 * 100, 2)
+
+    # THINCO: no fundamentals, no news -> defaults + unavailable token
+    tc_thu = by_key[("THINCO", "2026-01-08")]
+    assert tc_thu["Pct_Change"] == 10.0      # lag vs Wednesday buffer row
+    assert tc_thu["Headline"] == DEFAULT_HEADLINE
+    assert tc_thu["YoY_NetIncome_Pct"] is None
+    assert tc_thu["Data_Source_Log"] == (
+        "market=yfinance | news=default | sentiment=finbert | fundamentals=unavailable")
+    # First-ever session has an undefined lag -> dropped (documented
+    # divergence from the reference's NaN row; see assemble.py).
+    assert ("THINCO", "2026-01-07") not in by_key
+
+    report = validate_output(out.selectExpr(
+        *[f"cast({c} as string) as {c}" for c in schemas.OUTPUT_COLUMNS]),
+        expected_rows=11)
+    assert report.passed, report.messages
+
+
+def test_default_headline_when_no_articles(spark):
+    ohlcv, quarterly, _, aliases, lexicon = _fixtures(spark)
+    empty_articles = spark.createDataFrame([], schemas.NEWS_ARTICLES)
+    out = run_premarket_plan(spark, CFG, ohlcv, quarterly, empty_articles,
+                             aliases, lexicon=lexicon)
+    r = out.filter("Stock = 'HINDZINC' AND Date = '2026-01-05'").collect()[0]
+    assert r["Headline"] == DEFAULT_HEADLINE
+    assert r["Sentiment_Label"] == "Neutral" and r["Sentiment_Score"] == 0.0
+    assert "news=default" in r["Data_Source_Log"]

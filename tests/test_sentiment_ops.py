@@ -1,0 +1,88 @@
+"""U1-U5 — sentiment backends (FIXTURES.md §5 mapping table)."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.operators.news import DEFAULT_HEADLINE
+from pre_market_data_pipeline_for_stocks_spark.operators.sentiment import (
+    FinBERTSentiment,
+    LexiconSentiment,
+)
+
+LEX = [
+    ("surge", "positive", 0.91234),
+    ("record profit", "positive", 0.971),
+    ("plunge", "negative", 0.88),
+    ("fraud", "negative", 0.97),
+    ("steady", "neutral", 0.8),
+]
+
+
+def _lex(spark):
+    return spark.createDataFrame(LEX, schemas.SENTIMENT_LEXICON)
+
+
+def _score(spark, headlines):
+    df = spark.createDataFrame([(h,) for h in headlines], "headline string")
+    out = LexiconSentiment(_lex(spark)).score(df)
+    return {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
+            for r in out.collect()}
+
+
+def test_positive_negative_neutral_mapping(spark):
+    out = _score(spark, [
+        "Shares surge on results",        # positive 0.91234 -> +0.9123
+        "Stock to plunge further",        # negative -> -0.88
+        "Outlook steady for Q4",          # neutral -> exactly 0.0 (U3)
+    ])
+    assert out["Shares surge on results"] == ("Positive", 0.9123)
+    assert out["Stock to plunge further"] == ("Negative", -0.88)
+    assert out["Outlook steady for Q4"] == ("Neutral", 0.0)
+
+
+def test_default_headline_short_circuit(spark):
+    # U2: default/empty -> Neutral/0.0 even though "surge" would match "" no-op
+    out = _score(spark, [DEFAULT_HEADLINE, ""])
+    assert out[DEFAULT_HEADLINE] == ("Neutral", 0.0)
+    assert out[""] == ("Neutral", 0.0)
+
+
+def test_no_match_is_neutral_zero(spark):
+    out = _score(spark, ["Completely unrelated words"])
+    assert out["Completely unrelated words"] == ("Neutral", 0.0)
+
+
+def test_strongest_term_wins(spark):
+    # "fraud" (0.97 neg) beats "surge" (0.91234 pos)
+    out = _score(spark, ["Shares surge despite fraud probe"])
+    assert out["Shares surge despite fraud probe"] == ("Negative", -0.97)
+
+
+def test_case_insensitive_match(spark):
+    out = _score(spark, ["SHARES SURGE TODAY"])
+    assert out["SHARES SURGE TODAY"][0] == "Positive"
+
+
+def test_finbert_udf_plumbing_with_fake_model(spark):
+    """Exercises the real pandas-UDF path (batching, struct schema, U2/U3/U4)
+    with an injected fake pipeline — transformers isn't installed here."""
+
+    def fake_pipe(text, truncation=True, max_length=512):
+        if "down" in text:
+            return [{"label": "NEGATIVE", "score": 0.75}]
+        if "boom" in text:
+            return [[{"label": "positive", "score": 0.5}]]  # transformers-5 nesting
+        if "explode" in text:
+            raise RuntimeError("inference blew up")         # U5 path
+        return [{"label": "weird", "score": 0.9}]           # unknown label -> Neutral
+
+    df = spark.createDataFrame(
+        [("markets down",), ("boom times",), ("explode now",),
+         ("other",), (DEFAULT_HEADLINE,)], "headline string")
+    out = {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
+           for r in FinBERTSentiment(model_fn=fake_pipe).score(df).collect()}
+    assert out["markets down"] == ("Negative", -0.75)
+    assert out["boom times"] == ("Positive", 0.5)
+    assert out["explode now"] == ("Neutral", 0.0)      # U5 error fallback
+    assert out["other"] == ("Neutral", 0.0)            # U4 unknown label
+    assert out[DEFAULT_HEADLINE] == ("Neutral", 0.0)   # U2 short-circuit

@@ -1,0 +1,128 @@
+"""F5/F6/P6 — suffix strip + standalone-phrase relevance
+(the documented accept/reject examples, news_utils.py:26-28, 44-47)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.functions.text import (
+    is_relevant_title,
+    strip_corporate_suffix,
+)
+
+
+def _strip(spark, name):
+    return spark.range(1).select(
+        strip_corporate_suffix(F.lit(name)).alias("x")).collect()[0]["x"]
+
+
+def _relevant(spark, title, long_name, ticker=""):
+    return spark.range(1).select(
+        is_relevant_title(F.lit(title), F.lit(long_name), F.lit(ticker))
+        .alias("x")).collect()[0]["x"]
+
+
+@pytest.mark.parametrize("name,expected", [
+    ("Bank of India Limited", "Bank of India"),
+    ("Hindustan Zinc Ltd.", "Hindustan Zinc"),
+    ("Vedanta Ltd", "Vedanta"),
+    ("Acme Corporation", "Acme"),
+    ("Acme Corp.", "Acme"),
+    ("Acme, Ltd.", "Acme"),
+    ("Reliance Industries", "Reliance Industries"),   # descriptor kept (news_utils.py:15-17)
+    ("Tata Services", "Tata Services"),
+    ("BANKINDIA", "BANKINDIA"),
+])
+def test_strip_corporate_suffix(spark, name, expected):
+    assert _strip(spark, name) == expected
+
+
+def test_embedded_entity_rejected(spark):
+    # news_utils.py:44-46 — the canonical counter-example.
+    assert not _relevant(spark, "State Bank of India cuts rates",
+                         "Bank of India Limited", "BANKINDIA")
+
+
+def test_list_style_title_accepted(spark):
+    # news_utils.py:46-47 — comma precedes, not a letter.
+    assert _relevant(spark, "Vedanta, BPCL, Hindustan Zinc among top gainers",
+                     "Hindustan Zinc Limited", "HINDZINC")
+
+
+def test_exact_and_stripped_name_match(spark):
+    assert _relevant(spark, "Bank of India Limited posts record profit",
+                     "Bank of India Limited", "BANKINDIA")
+    assert _relevant(spark, "Bank of India posts record profit",
+                     "Bank of India Limited", "BANKINDIA")
+
+
+def test_ticker_term_matches(spark):
+    assert _relevant(spark, "BANKINDIA surges 5% on results",
+                     "Bank of India Limited", "BANKINDIA")
+
+
+def test_title_start_and_punct_contexts(spark):
+    assert _relevant(spark, "  Hindustan Zinc declares dividend",
+                     "Hindustan Zinc", "HINDZINC")
+    assert _relevant(spark, "(Hindustan Zinc) update", "Hindustan Zinc", "HINDZINC")
+    assert _relevant(spark, "Q4 Hindustan Zinc results", "Hindustan Zinc", "HINDZINC")
+
+
+def test_word_char_glued_prefix_rejected(spark):
+    # \b parity: digit/letter/underscore immediately before the phrase fails.
+    assert not _relevant(spark, "24Hindustan Zinc update", "Hindustan Zinc", "")
+    assert not _relevant(spark, "x_Hindustan Zinc update", "Hindustan Zinc", "")
+
+
+def test_suffix_inside_phrase_not_stripped(spark):
+    # Suffix strip is anchored at end only.
+    assert _strip(spark, "Ltd Capital Partners") == "Ltd Capital Partners"
+
+
+def test_python_reference_parity_randomized(spark):
+    """Property check: our column expression == the reference algorithm
+    (re-implemented here from news_utils.py:59-67) over generated cases."""
+    import re
+
+    def ref_standalone(text: str, phrase: str) -> bool:
+        pattern = r"\b" + re.escape(phrase) + r"\b"
+        for m in re.finditer(pattern, text):
+            before = text[: m.start()].rstrip()
+            if before and before[-1].isalpha():
+                continue
+            return True
+        return False
+
+    def ref_relevant(title, long_name, ticker):
+        t = title.lower()
+        if ref_standalone(t, long_name.lower()):
+            return True
+        stripped = re.sub(
+            r"[\s,]+(limited|ltd|ltd\.|corporation|corp|corp\.)[\s.]*$",
+            "", long_name, flags=re.IGNORECASE).strip().lower()
+        if stripped and ref_standalone(t, stripped):
+            return True
+        return bool(ticker) and ref_standalone(t, ticker.lower())
+
+    contexts = ["", "X ", "state ", "q4 ", ", ", "(", "2024 ", "pre-", "re:",
+                "a", "_", "9", "foo bar "]
+    phrases = [("Bank of India Limited", "BANKINDIA"),
+               ("Hindustan Zinc Ltd.", "HINDZINC")]
+    cases = []
+    for ln, tk in phrases:
+        base = re.sub(r"[\s,]+(limited|ltd|ltd\.)[\s.]*$", "", ln,
+                      flags=re.IGNORECASE)
+        for ctx in contexts:
+            for tail in ["", " rallies", "s rally"]:
+                cases.append((f"{ctx}{base}{tail}", ln, tk))
+                cases.append((f"{ctx}{tk}{tail}", ln, tk))
+
+    rows = spark.createDataFrame(cases, "title string, ln string, tk string")
+    got = rows.select(
+        "title", "ln", "tk",
+        is_relevant_title(F.col("title"), F.col("ln"), F.col("tk")).alias("got"),
+    ).collect()
+    for r in got:
+        expected = ref_relevant(r["title"], r["ln"], r["tk"])
+        assert r["got"] == expected, (r["title"], r["ln"], r["tk"], expected)
