@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "headline_suite_wall_s", "value": <total>, "unit": "sec",
+   "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
+
+Each query is forced with a count() action (no driver-side collect of
+results); a warmup run of the smallest query absorbs JVM/codegen start-up
+so numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pre_market_data_pipeline_for_stocks_spark.plans.registry import (  # noqa: E402
+    headline_queries,
+)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("premarket-bench")
+
+    suite = headline_queries()
+
+    # Warmup: touch each input table + fire codegen once on a tiny plan.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    next(iter(suite.values()))(spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_suite_wall_s",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

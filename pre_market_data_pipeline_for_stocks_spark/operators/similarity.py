@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension scope (BASELINE.json north star):
+
+- cosine_topk          brute-force cosine top-k against one query vector:
+                       a broadcast of the (tiny) query side + one
+                       JVM-side pass with ``aggregate``/``zip_with`` —
+                       no Python in the hot loop, no shuffle until the
+                       final top-k (TakeOrdered). The correctness
+                       baseline; linear scan is the right plan when the
+                       query side is 1 vector even at 100 TB.
+- hyperplane_lsh_buckets
+                       random-hyperplane (sign) LSH: p pseudo-random
+                       planes derived deterministically from md5 hashes
+                       (so the DuckDB oracle reproduces them bit-for-bit)
+                       -> a p-bit bucket id per vector. Bucketing turns
+                       ANN into an equi-join on bucket — the scale path
+                       for vector-vs-vector search.
+- lsh_candidate_pairs  vectors sharing a bucket, verified with exact
+                       cosine — LSH recall demo over the bucketed space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k rows by cosine similarity to the vector with ``query_vec_id``
+    (the query row itself excluded): (vec_id, cosine)."""
+    q = (embeddings.filter(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("_qvec")))
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))), 4)
+            .alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket): p-bit sign-LSH bucket per vector.
+
+    Plane p's weight for dimension d is +-1 from the parity of
+    ``md5("<p>:<d>")`` — deterministic and engine-portable. The per-plane
+    dot product is a JVM-side ``aggregate`` over the posexploded vector;
+    one shuffle on vec_id re-assembles the bucket."""
+    pe = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    per_plane = []
+    for p in range(planes):
+        w = F.when(md5_i64(F.col("dim").cast("string"), seed=p) % 2 == 0, 1.0) \
+             .otherwise(-1.0)
+        per_plane.append(
+            F.sum(F.col("val").cast("double") * w).alias(f"proj_{p}"))
+    proj = pe.groupBy("vec_id").agg(*per_plane)
+    bucket = None
+    for p in range(planes):
+        term = F.when(F.col(f"proj_{p}") > 0, F.lit(1 << p).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        bucket = term if bucket is None else bucket + term
+    return proj.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_candidate_pairs(embeddings: DataFrame, planes: int = 8,
+                        threshold: float = 0.9) -> DataFrame:
+    """Same-bucket pairs verified with exact cosine:
+    (vec_a, vec_b, cosine). Join cost is O(sum_b bucket_size^2) instead
+    of O(n^2)."""
+    b = hyperplane_lsh_buckets(embeddings, planes)
+    x = b.withColumnsRenamed({"vec_id": "vec_a"})
+    y = b.withColumnsRenamed({"vec_id": "vec_b"})
+    cand = (x.join(y, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b"))
+    e = embeddings.select(F.col("vec_id"), F.col("embedding"))
+    pairs = (
+        cand
+        .join(e.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a"}), "vec_a")
+        .join(e.withColumnsRenamed({"vec_id": "vec_b", "embedding": "emb_b"}), "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 4)
+            .alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,114 @@
+"""Text-analysis operators over a documents relation (doc_id, text).
+
+Extension scope (BASELINE.json north star): language-ID, quality
+scoring, token counting and document fingerprinting — all pure column
+expressions (regex + arithmetic, JVM-side, whole-stage-codegen'd), each
+with an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+# Tiny stopword profiles for the n-gram/stopword language heuristic.
+# Deterministic tie order: first profile in this list wins.
+LANG_PROFILES = [
+    ("en", ["the", "a", "of", "and", "to"]),
+    ("es", ["el", "la", "de", "que", "los"]),
+    ("de", ["der", "die", "und", "das", "ein"]),
+    ("fr", ["le", "la", "les", "et", "une"]),
+    ("zh", ["de", "shi", "zai", "le", "he"]),
+]
+
+
+def _count_pattern(text, pattern: str):
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def _profile_count(text, words: list[str]):
+    return _count_pattern(text, r"\b(" + "|".join(words) + r")\b")
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, best_hits): stopword-profile language ID.
+
+    The profile with the most stopword hits wins; ties (and zero hits)
+    resolve to the earliest profile in LANG_PROFILES — a deterministic
+    CASE ladder, not a UDF."""
+    t = F.col(text_col)
+    counts = {lang: _profile_count(t, words) for lang, words in LANG_PROFILES}
+    best = F.greatest(*counts.values())
+    guess = F.lit(None).cast("string")
+    for lang, _ in reversed(LANG_PROFILES):
+        guess = F.when(counts[lang] == best, lang).otherwise(guess)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       guess.alias("lang_guess"),
+                       best.cast("long").alias("best_hits"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality): length/punctuation/stopword heuristics -> one score.
+
+    quality = clamp01(0.4*stopword_ratio*5 + 0.3*min(n_tokens/100,1)
+              + 0.3*(1 - punct_ratio*10)), rounded to 4."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_chars = F.length(t)
+    punct = _count_pattern(t, r"[^\w\s]")
+    stops = _profile_count(t, ["the", "a", "of", "and", "to"])
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stops / F.greatest(n_tokens, F.lit(1)), 6)
+    raw = (0.4 * F.least(stop_ratio * 5, F.lit(1.0))
+           + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+           + 0.3 * F.greatest(F.lit(0.0), 1 - punct_ratio * 10))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round((n_chars - _count_pattern(t, r"\s")) / F.greatest(n_tokens, F.lit(1)), 4)
+        .alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 4).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace tokenization plus
+    a BPE-ish segmentation (letter runs / digit runs / single symbols)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        _count_pattern(t, r"[a-z]+|[0-9]+|[^a-z0-9\s]").cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, window: int = 16, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint, n_grams): rolling-hash document fingerprint.
+
+    The fingerprint is the minimum 60-bit hash over all character
+    ``window``-grams (winnowing with one global window) — robust to
+    content reordering at the edges, identical in the DuckDB twin.
+    Cost: one explode of (len - window + 1) substrings per doc; bounded
+    by document length, shuffle only on doc_id."""
+    t = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(
+        F.length(t) - (window - 1), F.lit(1)))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(positions).alias("pos"),
+        t.alias("_t"),
+    ).select("doc_id", F.substring(F.col("_t"), F.col("pos"), window).alias("gram"))
+    return grams.groupBy("doc_id").agg(
+        F.min(md5_i64(F.col("gram"))).alias("fingerprint"),
+        F.count_distinct(F.col("gram")).alias("n_grams"),
+    )

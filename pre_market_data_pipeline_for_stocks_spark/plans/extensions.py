@@ -1,0 +1,88 @@
+"""LLM-data-pipeline extension queries bound to the driver fixtures
+(documents / embeddings). The operators live in operators/{dedup,
+similarity,textstats}.py; these wrappers fix parameters so each query
+has a stable DuckDB oracle twin in plans/registry.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textstats
+from ..sources.offline import load_testdata
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 8
+MINHASH_BANDS = 4
+LSH_PLANES = 8
+ANN_QUERY_ID = 0
+ANN_TOPK = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ["documents"])["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                     n=3, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
+                                   MINHASH_BANDS, 3, JACCARD_THRESHOLD)
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), MINHASH_K, 3)
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def text_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def text_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir), window=16)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    return similarity.hyperplane_lsh_buckets(_emb(spark, sf_dir), LSH_PLANES)
+
+
+def embedding_norms(spark, sf_dir):
+    """Array-function coverage: per-vector L2 norm + dim count (F.aggregate
+    / zip_with JVM-side array math over array<float>)."""
+    emb = _emb(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    return emb.select(
+        "vec_id", "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.sqrt(dot), 4).alias("l2_norm"),
+    )

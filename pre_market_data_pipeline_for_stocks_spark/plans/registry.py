@@ -1,0 +1,523 @@
+"""Query registry: every driver-checkable query with its DuckDB oracle.
+
+Each entry pairs a Spark DataFrame builder (plans/relational.py,
+plans/extensions.py) with the ANSI-SQL twin DuckDB runs over the same
+parquet tables. Column names, types and rounding are aligned in both
+engines (see relational.py conventions).
+
+Entries tagged ``headline=True`` form the bench.py suite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import extensions as X
+from . import relational as R
+
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
+
+
+def _h(x: str, seed: int | None = None) -> str:
+    s = f"('{seed}:' || {x})" if seed is not None else x
+    return _H.format(x=s)
+
+
+# Shared CTE: distinct word 3-gram shingles per document (twin of
+# operators.dedup.word_shingles with n=3).
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) t(i)
+  WHERE array_to_string(w[i:i+2], ' ') <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+SELECT c.doc_a, c.doc_b,
+       round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4) >= 0.5
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bitsums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    recombine = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> ''),
+h AS (SELECT doc_id, {_h('token')} AS h FROM tok),
+bitsums AS (SELECT doc_id,
+    {bitsums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, ({recombine}) AS simhash FROM bitsums
+"""
+
+
+def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
+    rpb = k // bands
+    sigs = ",\n    ".join(
+        f"min({_h('shingle', seed=i)}) AS sig_{i}" for i in range(k))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"sig_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS band_key FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {_SHINGLES_CTE.strip().rstrip(',')},
+sigs AS (SELECT doc_id,
+    {sigs}
+  FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+{_JACCARD_TAIL}
+"""
+
+
+def _lsh_bucket_sql(planes: int = 8) -> str:
+    projs = ",\n    ".join(
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj_{p}"
+        .format(h=_h("dim::VARCHAR", seed=p), p=p)
+        for p in range(planes))
+    bucket = " + ".join(
+        f"CASE WHEN proj_{p} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p in range(planes))
+    return f"""
+WITH pe AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+proj AS (SELECT vec_id,
+    {projs}
+  FROM pe GROUP BY vec_id)
+SELECT vec_id, ({bucket}) AS bucket FROM proj
+"""
+
+
+_STOP = {
+    "en": "the|a|of|and|to", "es": "el|la|de|que|los",
+    "de": "der|die|und|das|ein", "fr": "le|la|les|et|une",
+    "zh": "de|shi|zai|le|he",
+}
+
+
+def _lang_sql() -> str:
+    counts = {k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
+              for k, v in _STOP.items()}
+    best = "greatest({})".format(", ".join(counts.values()))
+    ladder = "CASE " + " ".join(
+        f"WHEN {counts[lang]} = best THEN '{lang}'"
+        for lang in ["en", "es", "de", "fr", "zh"]) + " END"
+    return f"""
+WITH c AS (SELECT doc_id, text, {best} AS best FROM documents)
+SELECT doc_id, {ladder} AS lang_guess, best::BIGINT AS best_hits FROM c
+"""
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None           # None -> driver records rows-only check
+    headline: bool = False      # included in bench.py
+
+
+REGISTRY: dict[str, QueryDef] = {
+    # --- flagship + TPC-H-style -----------------------------------------
+    "flagship_daily_close_pct": QueryDef(R.flagship_daily_close_pct, """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id,
+         count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_events,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+closes AS (
+  SELECT user_id, day, value AS close_raw, n_events FROM daily WHERE rn = 1),
+lagged AS (
+  SELECT *, lag(close_raw) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM closes)
+SELECT user_id, day, round(close_raw, 2) AS close, n_events,
+       round(CASE WHEN prev IS NOT NULL AND prev <> 0
+                  THEN (close_raw - prev) / prev * 100.0 END, 4) AS pct_change
+FROM lagged
+""", headline=True),
+
+    "q1_pricing_summary": QueryDef(R.q1_pricing_summary, """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""", headline=True),
+
+    "q3_top_unshipped_orders": QueryDef(R.q3_top_unshipped_orders, """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""", headline=True),
+
+    "q5_region_nation_revenue": QueryDef(R.q5_region_nation_revenue, """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""", headline=True),
+
+    # --- operator-keyed --------------------------------------------------
+    "p4_trading_calendar_grid": QueryDef(R.p4_trading_calendar_grid, """
+SELECT d, r_name FROM (
+  SELECT CAST(t.gs AS DATE) AS d
+  FROM generate_series(DATE '1995-01-02', DATE '1995-03-31',
+                       INTERVAL 1 DAY) t(gs)
+  WHERE isodow(CAST(t.gs AS DATE)) <= 5)
+CROSS JOIN (SELECT r_name FROM region)
+ORDER BY d, r_name
+"""),
+
+    "w1_session_lag_events": QueryDef(R.w1_session_lag_events, """
+SELECT event_id, user_id, ts, value,
+       round(CASE WHEN prev IS NOT NULL AND prev <> 0
+                  THEN (value - prev) / prev * 100.0 END, 4) AS pct_change
+FROM (SELECT *, lag(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+      FROM events)
+""", headline=True),
+
+    "w2_lag_before_trim": QueryDef(R.w2_lag_before_trim, """
+SELECT event_id, user_id, ts, value,
+       round(CASE WHEN prev IS NOT NULL AND prev <> 0
+                  THEN (value - prev) / prev * 100.0 END, 4) AS pct_change
+FROM (SELECT *, lag(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+"""),
+
+    "j5_asof_nearest_order_yoy": QueryDef(R.j5_asof_nearest_order_yoy, """
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                  o_totalprice, o_orderkey FROM orders),
+latest AS (
+  SELECT o_custkey AS custkey, od AS latest_date, o_totalprice AS cur_price,
+         (od - INTERVAL 12 MONTH)::DATE AS target_date
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY od DESC, o_orderkey DESC) AS rn
+        FROM o)
+  WHERE rn = 1),
+cand AS (
+  SELECT l.custkey, l.latest_date, l.cur_price, o.od, o.o_totalprice,
+         o.o_orderkey,
+         abs(datediff('day', l.target_date, o.od)) AS dist
+  FROM latest l JOIN o ON l.custkey = o.o_custkey
+  WHERE o.od < l.latest_date
+    AND abs(datediff('day', l.target_date, o.od)) <= 45),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY custkey
+                               ORDER BY dist ASC, od DESC,
+                                        o_orderkey DESC) AS rn
+  FROM cand)
+SELECT custkey, latest_date, od AS prev_date,
+       round(CASE WHEN o_totalprice <> 0
+                  THEN (cur_price - o_totalprice) / abs(o_totalprice) * 100.0
+             END, 2) AS yoy_pct
+FROM pick WHERE rn = 1 ORDER BY custkey
+""", headline=True),
+
+    "w3_topk_orders_per_customer": QueryDef(R.w3_topk_orders_per_customer, """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank
+  FROM orders) WHERE rank <= 3
+"""),
+
+    "a1_latest_event_per_user": QueryDef(R.a1_latest_event_per_user, """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""),
+
+    "f12_provenance_tokens": QueryDef(R.f12_provenance_tokens, """
+SELECT o_orderkey,
+       concat_ws(' | ',
+         CASE WHEN o_orderstatus = 'F' THEN 'market=yfinance'
+              WHEN o_orderstatus = 'O' THEN 'market=missing_date'
+              ELSE 'market=unavailable' END,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'news=google'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'news=newsdata'
+              ELSE 'news=default' END,
+         'sentiment=finbert',
+         CASE WHEN o_totalprice > 100000 THEN 'fundamentals=yfinance'
+              ELSE 'fundamentals=unavailable' END) AS data_source_log
+FROM orders
+"""),
+
+    "set28_priority_coalesce": QueryDef(R.set28_priority_coalesce, """
+SELECT o_custkey, o_orderkey, o_orderpriority,
+       CAST(o_orderdate AS DATE) AS o_orderdate FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                    WHEN o_orderpriority = '2-HIGH' THEN 2 ELSE 3 END ASC,
+               o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""),
+
+    "a2a5_validator_aggregate": QueryDef(R.a2a5_validator_aggregate, """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS range_violations,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_qty,
+       round(100.0 * avg(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS null_tax_rate_pct
+FROM lineitem
+"""),
+
+    "p6_standalone_phrase": QueryDef(R.p6_standalone_phrase, """
+SELECT doc_id,
+       regexp_matches(lower(text), '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])spark\\b')
+         AS mentions_spark,
+       regexp_matches(lower(text),
+                      '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])window merge\\b')
+         AS mentions_window_merge
+FROM documents
+WHERE regexp_matches(lower(text), '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])spark\\b')
+   OR regexp_matches(lower(text),
+                     '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])window merge\\b')
+"""),
+
+    "f5_suffix_strip": QueryDef(R.f5_suffix_strip, """
+SELECT s_suppkey, decorated,
+       trim(regexp_replace(decorated,
+         '(?i)[\\s,]+(limited|ltd|ltd\\.|corporation|corp|corp\\.)[\\s.]*$',
+         '')) AS stripped
+FROM (
+  SELECT s_suppkey,
+         s_name || CASE WHEN s_suppkey % 4 = 0 THEN ' Limited'
+                        WHEN s_suppkey % 4 = 1 THEN ' Ltd.'
+                        WHEN s_suppkey % 4 = 2 THEN ', Corp.'
+                        ELSE ' Industries' END AS decorated
+  FROM supplier)
+"""),
+
+    "u3u4_sentiment_mapping": QueryDef(R.u3u4_sentiment_mapping, """
+SELECT doc_id, raw_label,
+       CASE WHEN raw_label = 'positive' THEN 'Positive'
+            WHEN raw_label = 'negative' THEN 'Negative'
+            ELSE 'Neutral' END AS sentiment_label,
+       CASE WHEN raw_label = 'positive' THEN round(raw_score, 4)
+            WHEN raw_label = 'negative' THEN round(-raw_score, 4)
+            ELSE 0.0 END AS sentiment_score
+FROM (
+  SELECT doc_id,
+         CASE WHEN text LIKE '%fast%' THEN 'positive'
+              WHEN text LIKE '%slow%' THEN 'negative'
+              WHEN text LIKE '%weird%' THEN 'surprising'
+              ELSE 'neutral' END AS raw_label,
+         round((n_chars % 100) / 100.0, 4) AS raw_score
+  FROM documents)
+"""),
+
+    "f16_json_extract_props": QueryDef(R.f16_json_extract_props, """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+         AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""),
+
+    "events_tumbling_hourly": QueryDef(R.events_tumbling_hourly, """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""", headline=True),
+
+    "events_sessionization": QueryDef(R.events_sessionization, """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""", headline=True),
+
+    "multimodal_binary_meta": QueryDef(R.multimodal_binary_meta, """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(octet_length(encode(text)) - n_chars AS BIGINT)
+         AS multibyte_overhead
+FROM documents
+"""),
+
+    # --- LLM-data-pipeline extensions ------------------------------------
+    "dedup_exact": QueryDef(X.dedup_exact, f"""
+SELECT {_h('text')} AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""),
+
+    "dedup_ngram_jaccard": QueryDef(X.dedup_ngram_jaccard, f"""
+WITH {_SHINGLES_CTE.strip()},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+{_JACCARD_TAIL}
+""", headline=True),
+
+    "dedup_minhash_lsh": QueryDef(X.dedup_minhash_lsh, _minhash_band_sql(),
+                                  headline=True),
+
+    "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
+WITH {_SHINGLES_CTE.strip()}
+SELECT doc_id,
+  {", ".join(f"min({_h('shingle', seed=i)}) AS sig_{i}" for i in range(8))}
+FROM sh GROUP BY doc_id
+"""),
+
+    "dedup_simhash": QueryDef(X.dedup_simhash, _simhash_sql(32)),
+
+    "text_lang_id": QueryDef(X.text_lang_id, _lang_sql()),
+
+    "text_quality": QueryDef(X.text_quality, """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
+           AS stops,
+         len(regexp_extract_all(lower(text), '\\s')) AS n_ws
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, n_chars, n_ws,
+         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(stops / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM m)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_chars - n_ws) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       punct_ratio, stopword_ratio,
+       round(least(greatest(
+         0.4 * least(stopword_ratio * 5, 1.0)
+         + 0.3 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * greatest(0.0, 1 - punct_ratio * 10), 0.0), 1.0), 4)
+         AS quality
+FROM r
+"""),
+
+    "text_token_counts": QueryDef(X.text_token_counts, """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""),
+
+    "text_fingerprint": QueryDef(X.text_fingerprint, f"""
+WITH grams AS (
+  SELECT doc_id, substr(text, i, 16) AS gram
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 15, 1) + 1)) t(i))
+SELECT doc_id, min({_h('gram')}) AS fingerprint,
+       count(DISTINCT gram) AS n_grams
+FROM grams GROUP BY doc_id
+"""),
+
+    "ann_cosine_topk": QueryDef(X.ann_cosine_topk, """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                * sqrt(list_inner_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""", headline=True),
+
+    "ann_lsh_buckets": QueryDef(X.ann_lsh_buckets, _lsh_bucket_sql()),
+
+    "embedding_norms": QueryDef(X.embedding_norms, """
+SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
+       round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items()
+            if qd.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items() if qd.headline}

@@ -1,0 +1,392 @@
+"""Operator-keyed relational queries over the driver's TPC-H-ish fixtures.
+
+Every §2 operator family from SURVEY.md is exercised here against the
+tables the driver can oracle-check with DuckDB (TESTDATA.md); the
+premarket pipeline applies the same operators to market data, these
+re-express them over orders/lineitem/events so correctness is
+hash-verifiable. The DuckDB twins live in plans/registry.py.
+
+Conventions for oracle parity:
+  - every computed column is aliased identically in Spark and SQL;
+  - doubles are rounded (<= 6 dp) in BOTH engines so parallel-sum
+    ulp noise cannot flip the value hash;
+  - every ranking has a total order (explicit tie-break columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import standalone_match, strip_corporate_suffix
+from ..operators.sentiment import normalize_scores
+from ..sources.offline import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, list(names))
+    return [tabs[n] for n in names]
+
+
+# --- flagship: the premarket shape over events ---------------------------
+
+def flagship_daily_close_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Premarket W1/W3/A1/F1 composite over the events stream: per
+    (user_id, day) take the day's closing value (last event), then the
+    day-over-day percent change vs the previous ACTIVE day (session lag,
+    market.py:73-75 semantics)."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id")))
+             .alias("close"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    return daily.select(
+        "user_id", "day", F.round("close", 2).alias("close"), "n_events",
+        F.round(F.when(prev.isNotNull() & (prev != 0),
+                       (F.col("close") - prev) / prev * 100.0), 4)
+        .alias("pct_change"),
+    )
+
+
+# --- TPC-H-style benchmark queries ---------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: grouped aggregation sweep (TPC-H Q1 shape)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: 3-way join + grouped revenue + top-k (TPC-H Q3 shape)."""
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: snowflake join through region/nation/customer/orders/
+    lineitem/supplier with the co-located-nation condition (TPC-H Q5
+    shape). Dimension sides broadcast."""
+    region, nation, cust, supp, orders, li = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier",
+        "orders", "lineitem")
+    return (
+        li
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --- operator-keyed queries ----------------------------------------------
+
+def p4_trading_calendar_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J1: weekday calendar generation x a small dimension (regions
+    stand in for the stock list)."""
+    (region,) = _t(spark, sf_dir, "region")
+    dates = (
+        spark.range(1)
+        .select(F.explode(F.sequence(
+            F.lit("1995-01-02").cast("date"), F.lit("1995-03-31").cast("date"),
+            F.expr("interval 1 day"))).alias("d"))
+        .filter(F.dayofweek("d").between(2, 6))
+    )
+    return dates.crossJoin(region.select("r_name")).orderBy("d", "r_name")
+
+
+def w1_session_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/F1: percent change of value vs the previous event per user."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(F.when(prev.isNotNull() & (prev != 0),
+                       (F.col("value") - prev) / prev * 100.0), 4)
+        .alias("pct_change"),
+    )
+
+
+def w2_lag_before_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/X2/X3: the lag is computed over the FULL history, then the
+    range trim applies — the first in-range row keeps its lag from
+    before the cut (the reference's buffered-fetch semantics)."""
+    lagged = w1_session_lag_events(spark, sf_dir)
+    return lagged.filter(
+        F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+
+
+def j5_asof_nearest_order_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F2/F18 over orders: for each customer's latest order, find the
+    order nearest to exactly one year earlier (tolerance 45 days) and
+    compute the YoY percent change of o_totalprice with the reference's
+    abs-denominator formula (market.py:117-135 semantics)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.select("o_custkey", F.to_date("o_orderdate").alias("od"),
+                      "o_totalprice", "o_orderkey")
+    w_latest = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").desc(), F.col("o_orderkey").desc())
+    latest = (
+        o.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("od").alias("latest_date"),
+                F.col("o_totalprice").alias("cur_price"),
+                F.add_months(F.col("od"), -12).alias("target_date"))
+    )
+    cand = (
+        latest.join(o, latest["custkey"] == o["o_custkey"])
+        .filter(F.col("od") < F.col("latest_date"))
+        .withColumn("dist", F.abs(F.datediff(F.col("od"), F.col("target_date"))))
+        .filter(F.col("dist") <= 45)
+    )
+    w_near = Window.partitionBy("custkey").orderBy(
+        F.col("dist").asc(), F.col("od").desc(), F.col("o_orderkey").desc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_near))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "custkey", "latest_date",
+            F.col("od").alias("prev_date"),
+            F.round(F.when(F.col("o_totalprice") != 0,
+                           (F.col("cur_price") - F.col("o_totalprice"))
+                           / F.abs(F.col("o_totalprice")) * 100.0), 2)
+            .alias("yoy_pct"))
+        .orderBy("custkey")
+    )
+
+
+def w3_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/O2: top-3 orders by totalprice per customer."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def a1_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O2: argmax by event time per user (the headline top-1 shape)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def f12_provenance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: the pipe-joined provenance string as when/otherwise token
+    chains (engine.py:125-188 shape) over orders."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    market = F.when(F.col("o_orderstatus") == "F", "market=yfinance") \
+              .when(F.col("o_orderstatus") == "O", "market=missing_date") \
+              .otherwise("market=unavailable")
+    news = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                  "news=google") \
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "news=newsdata") \
+            .otherwise("news=default")
+    fund = F.when(F.col("o_totalprice") > 100000, "fundamentals=yfinance") \
+            .otherwise("fundamentals=unavailable")
+    return orders.select(
+        "o_orderkey",
+        F.concat_ws(" | ", market, news, F.lit("sentiment=finbert"), fund)
+        .alias("data_source_log"))
+
+
+def set28_priority_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: the provider-priority coalesce as ranking — per customer
+    prefer URGENT orders, then HIGH, then anything; most recent within a
+    tier (the Google->NewsData->default chain shape)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    prio = F.when(F.col("o_orderpriority") == "1-URGENT", 1) \
+            .when(F.col("o_orderpriority") == "2-HIGH", 2).otherwise(3)
+    w = Window.partitionBy("o_custkey").orderBy(
+        prio.asc(), F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderpriority",
+                F.to_date("o_orderdate").alias("o_orderdate"))
+    )
+
+
+def a2a5_validator_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5: the whole output-contract validator as ONE aggregation
+    (validator.py:56-98 shape) over lineitem."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~F.col("l_discount").between(0.0, 0.1), 1).otherwise(0))
+        .alias("range_violations"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .alias("null_qty"),
+        F.round(100.0 * F.avg(
+            F.when(F.col("l_tax").isNull(), 1.0).otherwise(0.0)), 4)
+        .alias("null_tax_rate_pct"),
+    )
+
+
+def p6_standalone_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the standalone-phrase relevance predicate (news_utils.py:40-79
+    semantics) as a native regex expression over documents."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            standalone_match(F.col("text"), F.lit("spark")).alias("mentions_spark"),
+            standalone_match(F.col("text"), F.lit("window merge"))
+            .alias("mentions_window_merge"))
+        .filter(F.col("mentions_spark") | F.col("mentions_window_merge"))
+    )
+
+
+def f5_suffix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: corporate-suffix stripping (news_utils.py:18-37) over supplier
+    names decorated with the reference's suffix vocabulary; business
+    descriptors must survive."""
+    (supp,) = _t(spark, sf_dir, "supplier")
+    decorated = F.concat(
+        F.col("s_name"),
+        F.when(F.col("s_suppkey") % 4 == 0, " Limited")
+        .when(F.col("s_suppkey") % 4 == 1, " Ltd.")
+        .when(F.col("s_suppkey") % 4 == 2, ", Corp.")
+        .otherwise(" Industries"))
+    return supp.select(
+        "s_suppkey", decorated.alias("decorated"),
+        strip_corporate_suffix(decorated).alias("stripped"))
+
+
+def u3u4_sentiment_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/U4: label canonicalization + signed-score normalization
+    (sentiment.py:31-35,145-159) as native column maps over documents."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("text").contains("fast"), "positive")
+        .when(F.col("text").contains("slow"), "negative")
+        .when(F.col("text").contains("weird"), "surprising")   # unknown label
+        .otherwise("neutral").alias("raw_label"),
+        (F.round((F.col("n_chars") % 100) / 100.0, 4)).alias("raw_score"),
+    )
+    return normalize_scores(raw).select(
+        "doc_id", "raw_label", "sentiment_label", "sentiment_score")
+
+
+def f16_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: JSON envelope decode (cache.py:61,79 shape) — extract props.k
+    and aggregate per event_type."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate (the batch twin of
+    streaming/events.py — same plan run over a stream with a watermark)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap + running sum (30-minute inactivity
+    gap): per (user, session) count/duration. The batch formulation of
+    the streaming session_window operator."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # All arithmetic in whole microseconds (unix_micros / epoch_us) so the
+    # DuckDB twin is value-identical — no float seconds anywhere.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        events
+        .withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000")
+             .alias("duration_s"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata — byte length + content digest (the decode step itself
+    is the Pandas-UDF stub in operators/multimodal.py)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        (n_bytes - F.col("n_chars")).cast("long").alias("multibyte_overhead"),
+    )

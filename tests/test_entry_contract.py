@@ -1,0 +1,82 @@
+"""Local mini-driver: every queries() entry vs its DuckDB oracle.
+
+Mimics the driver's correctness gate (BASELINE.md t2): row count, schema
+width, and an order-insensitive value comparison — but stricter (exact
+cell-level equality after sorting columns by name and rows by all
+columns). Runs at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+import os
+
+SF = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(columns, rows):
+    """(columns, row tuples) -> column-name-sorted, row-sorted tuples.
+    Values stay native Python objects (dates stay dates, datetimes stay
+    datetimes); floats round to 9 dp to absorb binary-repr noise far
+    below the query-level rounding grain."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm(row[i]) for i in order) for row in rows]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only check (driver parity)
+        return
+    cur = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(sdf.columns) == sorted(ocols), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ocols)}")
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
+
+    a = _normalize(sdf.columns, srows)
+    b = _normalize(ocols, orows)
+    mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert not mism, f"{name}: first diffs {mism}"
