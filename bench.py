@@ -6,9 +6,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "headline_suite_wall_s", "value": <total>, "unit": "sec",
    "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
 
-Each query is forced with a count() action (no driver-side collect of
-results); a warmup run of the smallest query absorbs JVM/codegen start-up
-so numbers reflect steady-state execution.
+Each query is forced with a ``noop``-format write — every output column
+is fully computed (a bare count() would let Catalyst prune unused
+projections) but nothing is collected to the driver. A warmup absorbs
+JVM/codegen start-up so numbers reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -34,14 +35,17 @@ def main() -> None:
 
     suite = headline_queries()
 
-    # Warmup: touch each input table + fire codegen once on a tiny plan.
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: touch an input table + fire codegen once on a tiny plan.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    next(iter(suite.values()))(spark, sf_dir).limit(1).count()
+    force(next(iter(suite.values()))(spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
     for name, fn in suite.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(json.dumps({

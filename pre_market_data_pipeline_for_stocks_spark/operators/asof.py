@@ -1,0 +1,69 @@
+"""Generic as-of / nearest-within-tolerance join (SURVEY.md J5 family).
+
+Spark has no native as-of join; this composes built-ins (SURVEY.md §7.3
+verdict): an equi-join on the key columns, a bounded time-distance
+predicate, and a ``row_number`` pick — no pandas bridge, no UDF. The
+tolerance bound keeps per-key fan-out small, so the join cost is
+O(|left| x candidates-within-tolerance), shuffled only on the join key.
+
+Used by operators.fundamentals (YoY quarter match) and the
+j5_asof_nearest_order_yoy registry query; exposed generically so any
+(key, time) pair of relations can be matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIRECTIONS = ("backward", "forward", "nearest")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_time: str, right_time: str,
+              tolerance_days: int | None = None,
+              direction: str = "nearest",
+              how: str = "inner") -> DataFrame:
+    """Join each left row to the single best right row per key.
+
+    - ``backward``: latest right row with time <= left time;
+    - ``forward``: earliest right row with time >= left time;
+    - ``nearest``: minimum |time distance| (ties -> the later right row).
+    ``tolerance_days`` bounds the admissible distance (inclusive);
+    required for ``nearest`` (an unbounded nearest-join is a cross join
+    per key — refuse to build that plan at scale).
+
+    Right columns keep their names; callers should pre-alias clashes.
+    """
+    if direction not in DIRECTIONS:
+        raise ValueError(f"direction must be one of {DIRECTIONS}")
+    if direction == "nearest" and tolerance_days is None:
+        raise ValueError("nearest as-of join requires tolerance_days "
+                         "(unbounded nearest = per-key cross join)")
+
+    lt, rt = F.col(left_time), F.col(right_time)
+    dist = F.datediff(rt, lt)          # right - left, in days
+
+    cond = None
+    if direction == "backward":
+        cond = dist <= 0
+        order = [rt.desc()]
+    elif direction == "forward":
+        cond = dist >= 0
+        order = [rt.asc()]
+    else:
+        cond = F.lit(True)
+        order = [F.abs(dist).asc(), rt.desc()]
+    if tolerance_days is not None:
+        cond = cond & (F.abs(dist) <= tolerance_days)
+
+    joined = left.join(right, on=on, how="inner").filter(cond)
+    w = Window.partitionBy(*on, lt).orderBy(*order)
+    best = joined.withColumn("_asof_rn", F.row_number().over(w)) \
+                 .filter(F.col("_asof_rn") == 1).drop("_asof_rn")
+    if how == "left":
+        # Re-attach unmatched left rows with null right columns.
+        right_cols = [c for c in right.columns if c not in on]
+        return left.join(best.select(*on, left_time, *right_cols),
+                         on=on + [left_time], how="left")
+    return best

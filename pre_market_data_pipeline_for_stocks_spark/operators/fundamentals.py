@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import yoy_change
+from .asof import asof_join
 
 TOLERANCE_DAYS = 20  # market.py:124
 
@@ -48,27 +49,22 @@ def yoy_net_income(quarterly: DataFrame) -> DataFrame:
         )
     )
 
-    # J5 — candidates within tolerance of target. The reference's argmin
-    # scans the WHOLE index including the latest quarter itself
-    # (market.py:121-125); the latest sits ~365 days from target, so the
-    # 20-day tolerance is what excludes it — we reproduce exactly that.
-    cand = latest.join(q.select(F.col("stock"),
-                                F.col("quarter_end").alias("prev_quarter"),
-                                F.col("net_income").alias("prev_income")),
-                       on="stock", how="inner")
-    cand = cand.filter(
-        F.abs(F.datediff("prev_quarter", "target_date")) <= TOLERANCE_DAYS
-    )
-
-    # argmin of |distance| (market.py:121-125); tie-break on later quarter.
-    w_near = Window.partitionBy("stock").orderBy(
-        F.abs(F.datediff("prev_quarter", "target_date")).asc(),
-        F.col("prev_quarter").desc(),
+    # J5 — nearest-within-tolerance as-of join against the 1-year-back
+    # target. The reference's argmin scans the WHOLE index including the
+    # latest quarter itself (market.py:121-125); the latest sits ~365
+    # days from target, so the 20-day tolerance alone excludes it — the
+    # generic operator reproduces exactly that (direction='nearest',
+    # ties -> later quarter, matching numpy argmin over the desc index).
+    matched = asof_join(
+        latest,
+        q.select(F.col("stock"),
+                 F.col("quarter_end").alias("prev_quarter"),
+                 F.col("net_income").alias("prev_income")),
+        on=["stock"], left_time="target_date", right_time="prev_quarter",
+        tolerance_days=TOLERANCE_DAYS, direction="nearest",
     )
     return (
-        cand.withColumn("_rn", F.row_number().over(w_near))
-        .filter(F.col("_rn") == 1)
-        .select(
+        matched.select(
             "stock",
             yoy_change(F.col("cur_income"), F.col("prev_income"))  # F2: abs denom
             .alias("yoy_net_income_pct"),

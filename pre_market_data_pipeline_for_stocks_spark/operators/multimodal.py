@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (extension scope, BASELINE.json north star).
+
+Design for 100 TB: payloads live in a ``binary`` column (or object-store
+pointers); per-item work (decode / feature-extract / resize / frame
+sampling) runs in Arrow-batched ``mapInPandas`` so bytes never surface
+row-at-a-time in Python. The actual media codecs are NOT installed in
+this container, so the decode kernel is stubbed: ``decoder="fake"`` is a
+deterministic md5-derived stand-in (tested end-to-end), while
+``decoder="pillow"`` raises NotImplementedError unless PIL imports —
+the Spark-side plumbing (schemas, batching, partitioning, UDF
+signatures) is real either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_digest", T.StringType(), False),
+])
+
+
+def attach_payload(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, media_type, payload): deterministic fake media payloads —
+    the UTF-8 bytes of the text column, typed by doc_id. Stands in for
+    reading real blobs; everything downstream treats payload as opaque."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int")).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: derive (width,
+    height, channels) from the payload digest. Replace with PIL/ffmpeg
+    in an environment that has them."""
+    d = hashlib.md5(payload).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, (1, 3, 4)[d[2] % 3]
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """mapInPandas decode: (doc_id, media_type, payload) -> MEDIA_META.
+
+    Arrow batches in, Arrow batches out; the decoder runs once per
+    executor batch with no per-row Python/JVM crossings."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pillow":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "pillow is not installed in this container; use "
+                    "decoder='fake' for the deterministic stand-in") from exc
+        for pdf in it:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_channels": [d[2] for d in decoded],
+            })
+
+    return media.mapInPandas(batches, MEDIA_META)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling for "video" payloads: one row per sampled frame
+    offset with a per-frame digest — the explode-shaped fan-out a real
+    video pipeline produces, with a deterministic fake frame hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    chunk = payload[i * every_n_bytes:(i + 1) * every_n_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_digest"].append(
+                        hashlib.md5(bytes(chunk)).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("media_type") == "video")
+            .mapInPandas(batches, FRAME_SCHEMA))
+
+
+def media_features(media: DataFrame, dims: int = 8) -> DataFrame:
+    """Feature extraction stub: a deterministic pseudo-embedding per
+    payload (md5-expanded), Arrow-batched — the shape of a real
+    CLIP/wav2vec feature UDF without the model."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                d = hashlib.md5(bytes(p)).digest()
+                feats.append([((d[i] / 255.0) * 2 - 1) for i in range(dims)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(batches, out_schema)

@@ -86,16 +86,53 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
     return proj.select("vec_id", bucket.alias("bucket"))
 
 
-def lsh_candidate_pairs(embeddings: DataFrame, planes: int = 8,
-                        threshold: float = 0.9) -> DataFrame:
-    """Same-bucket pairs verified with exact cosine:
-    (vec_a, vec_b, cosine). Join cost is O(sum_b bucket_size^2) instead
-    of O(n^2)."""
-    b = hyperplane_lsh_buckets(embeddings, planes)
-    x = b.withColumnsRenamed({"vec_id": "vec_a"})
-    y = b.withColumnsRenamed({"vec_id": "vec_b"})
-    cand = (x.join(y, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b"))
+def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
+                        planes_per_band: int = 4,
+                        threshold: float = 0.4) -> DataFrame:
+    """Banded (OR-amplified) sign-LSH near-dup pairs verified with exact
+    cosine: (vec_a, vec_b, cosine).
+
+    Two vectors are candidates iff they agree on ALL ``planes_per_band``
+    sign bits of at least ONE band — the classic (b, r) amplification:
+    for same-bucket probability p per plane, recall = 1-(1-p^r)^b. A
+    single monolithic bucket table (hyperplane_lsh_buckets) has ~p^planes
+    recall, which is near zero for moderate-angle pairs; banding is what
+    makes sign-LSH usable as a near-dup candidate generator.
+
+    Join cost is O(sum over band-buckets of size^2), tunable via (b, r)
+    for the target recall/candidate-volume trade-off at scale.
+    """
+    pe = embeddings.select(
+        F.col("vec_id"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    )
+    n_planes = bands * planes_per_band
+    projs = []
+    for p in range(n_planes):
+        w = F.when(md5_i64(F.col("dim").cast("string"), seed=p) % 2 == 0, 1.0) \
+             .otherwise(-1.0)
+        projs.append(F.sum(F.col("val").cast("double") * w).alias(f"proj_{p}"))
+    proj = pe.groupBy("vec_id").agg(*projs)
+
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for r in range(planes_per_band):
+            p = b * planes_per_band + r
+            bit = F.when(F.col(f"proj_{p}") > 0, F.lit(1 << r).cast("long")) \
+                   .otherwise(F.lit(0).cast("long"))
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    banded = proj.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", "bk.band", "bk.band_key")
+
+    x = banded.withColumnsRenamed({"vec_id": "vec_a"})
+    y = banded.withColumnsRenamed({"vec_id": "vec_b"})
+    cand = (x.join(y, ["band", "band_key"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
     e = embeddings.select(F.col("vec_id"), F.col("embedding"))
     pairs = (
         cand

@@ -49,6 +49,25 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    # 48-bit signatures: the fixture docs share one vocabulary, so 32 bits
+    # collide en masse (10k+ "pairs" from 500 docs); 48/24 keeps the band
+    # join selective.
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), bits=48,
+                                        band_bits=24, max_hamming=3)
+
+
+def ann_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: banded-LSH candidates verified with
+    exact cosine (the dedup-by-embedding path). Threshold 0.4 sits at
+    the ~99.9th percentile of the fixture's pairwise-cosine distribution
+    (max 0.51); (bands=4, r=4) gives ~50% recall at that angle with a
+    bounded candidate volume."""
+    return similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
+                                          bands=4, planes_per_band=4,
+                                          threshold=0.4)
+
+
 def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 

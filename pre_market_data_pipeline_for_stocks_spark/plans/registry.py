@@ -50,7 +50,8 @@ WHERE round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4) >= 0.5
 """
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_cte(bits: int = 32) -> str:
+    """CTE fragment ending in ``simhash_t(doc_id, simhash)``."""
     bitsums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits))
@@ -58,15 +59,37 @@ def _simhash_sql(bits: int = 32) -> str:
         f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
         for i in range(bits))
     return f"""
-WITH tok AS (
+tok AS (
   SELECT DISTINCT doc_id, t AS token FROM (
     SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
     FROM documents) WHERE t <> ''),
 h AS (SELECT doc_id, {_h('token')} AS h FROM tok),
 bitsums AS (SELECT doc_id,
     {bitsums}
-  FROM h GROUP BY doc_id)
-SELECT doc_id, ({recombine}) AS simhash FROM bitsums
+  FROM h GROUP BY doc_id),
+simhash_t AS (SELECT doc_id, ({recombine}) AS simhash FROM bitsums)
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    return f"WITH {_simhash_cte(bits).strip()}\nSELECT doc_id, simhash FROM simhash_t"
+
+
+def _simhash_pairs_sql(bits: int = 32, band_bits: int = 16,
+                       max_hamming: int = 3) -> str:
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_simhash_cte(bits).strip()},
+banded AS (
+  SELECT doc_id, simhash, 0 AS band, simhash & {mask} AS band_val FROM simhash_t
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, simhash >> {band_bits} AS band_val
+  FROM simhash_t)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
@@ -100,7 +123,8 @@ common AS (
 """
 
 
-def _lsh_bucket_sql(planes: int = 8) -> str:
+def _lsh_bucket_cte(planes: int = 8) -> str:
+    """CTE fragment ending in ``bucket_t(vec_id, bucket)``."""
     projs = ",\n    ".join(
         "sum(val * CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj_{p}"
         .format(h=_h("dim::VARCHAR", seed=p), p=p)
@@ -109,13 +133,59 @@ def _lsh_bucket_sql(planes: int = 8) -> str:
         f"CASE WHEN proj_{p} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
         for p in range(planes))
     return f"""
+pe AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+proj AS (SELECT vec_id,
+    {projs}
+  FROM pe GROUP BY vec_id),
+bucket_t AS (SELECT vec_id, ({bucket}) AS bucket FROM proj)
+"""
+
+
+def _lsh_bucket_sql(planes: int = 8) -> str:
+    return (f"WITH {_lsh_bucket_cte(planes).strip()}\n"
+            "SELECT vec_id, bucket FROM bucket_t")
+
+
+def _lsh_pairs_sql(bands: int = 4, planes_per_band: int = 4,
+                   threshold: float = 0.4) -> str:
+    n_planes = bands * planes_per_band
+    projs = ",\n    ".join(
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj_{p}"
+        .format(h=_h("dim::VARCHAR", seed=p), p=p)
+        for p in range(n_planes))
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT vec_id, {b} AS band, ({key}) AS band_key FROM proj".format(
+            b=b,
+            key=" + ".join(
+                f"CASE WHEN proj_{b * planes_per_band + r} > 0 "
+                f"THEN {1 << r}::BIGINT ELSE 0::BIGINT END"
+                for r in range(planes_per_band)))
+        for b in range(bands))
+    cos = ("round(list_inner_product(ea.embedding::DOUBLE[], "
+           "eb.embedding::DOUBLE[]) / "
+           "(sqrt(list_inner_product(ea.embedding::DOUBLE[], "
+           "ea.embedding::DOUBLE[])) * "
+           "sqrt(list_inner_product(eb.embedding::DOUBLE[], "
+           "eb.embedding::DOUBLE[]))), 4)")
+    return f"""
 WITH pe AS (
   SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS val
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
 proj AS (SELECT vec_id,
     {projs}
-  FROM pe GROUP BY vec_id)
-SELECT vec_id, ({bucket}) AS bucket FROM proj
+  FROM pe GROUP BY vec_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id)
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {cos} >= {threshold}
 """
 
 
@@ -438,6 +508,12 @@ FROM sh GROUP BY doc_id
 """),
 
     "dedup_simhash": QueryDef(X.dedup_simhash, _simhash_sql(32)),
+
+    "dedup_simhash_pairs": QueryDef(X.dedup_simhash_pairs,
+                                    _simhash_pairs_sql(48, 24, 3)),
+
+    "ann_cosine_near_dup": QueryDef(X.ann_cosine_near_dup,
+                                    _lsh_pairs_sql(4, 4, 0.4), headline=True),
 
     "text_lang_id": QueryDef(X.text_lang_id, _lang_sql()),
 

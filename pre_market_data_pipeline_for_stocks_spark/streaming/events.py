@@ -1,0 +1,96 @@
+"""Structured Streaming over the events stream (greenfield extension —
+the reference is batch-only, SURVEY.md §2.10/§7.4).
+
+The batch twins live in plans/relational.py (events_tumbling_hourly,
+events_sessionization) and are what the DuckDB oracle checks; these
+streaming formulations run the SAME logical aggregations with
+event-time watermarks, so a backfill (batch) and a live run (stream)
+produce consistent results — the Kappa-style contract.
+
+Local testing drives the stream from the fixture parquet directory with
+a memory sink + ``processAllAvailable()`` (synchronous drain).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.offline import load_testdata
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """readStream over the events fixture. The static schema is taken
+    from the batch reader (TIMESTAMP(NANOS) arrives as int64 under
+    nanosAsLong and is restored here, exactly like the batch path)."""
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    # The file-stream source requires a directory: stream the fixture dir
+    # with a glob filter selecting just the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans.relational.events_tumbling_hourly: 1-hour
+    event-time tumbling windows with late-data tolerance ``watermark``."""
+    return (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "sum_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via the native session_window operator
+    (the stateful formulation of plans.relational.events_sessionization)."""
+    return (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events", "sum_value")
+    )
+
+
+def run_to_memory(agg: DataFrame, query_name: str,
+                  output_mode: str = "complete") -> None:
+    """Drive a streaming aggregation to completion against the fixture
+    files and leave the result queryable as ``SELECT * FROM <query_name>``."""
+    q = (agg.writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def batch_stream_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly tumbling aggregation as a STREAM, then return the
+    drained result — callers compare against the batch twin. Used by
+    tests; demonstrates the backfill==live contract."""
+    agg = tumbling_hourly(events_stream(spark, sf_dir))
+    run_to_memory(agg, "stream_hourly", "complete")
+    return spark.sql("SELECT * FROM stream_hourly")
+
+
+def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ["events"])["events"]

@@ -1,0 +1,72 @@
+"""Generic as-of join (operators/asof.py) — J5 family semantics."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import d
+
+from pre_market_data_pipeline_for_stocks_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("A", d("2026-01-10"), 1.0), ("B", d("2026-01-10"), 2.0)],
+        "key string, lt date, lval double")
+    right = spark.createDataFrame([
+        ("A", d("2026-01-08"), 10.0),
+        ("A", d("2026-01-11"), 20.0),
+        ("A", d("2026-01-20"), 30.0),
+        ("B", d("2025-12-01"), 40.0),
+    ], "key string, rt date, rval double")
+    return left, right
+
+
+def test_nearest_picks_min_distance(spark):
+    left, right = _frames(spark)
+    out = {r["key"]: r["rval"] for r in asof_join(
+        left, right, ["key"], "lt", "rt",
+        tolerance_days=30, direction="nearest").collect()}
+    assert out["A"] == 20.0        # 1 day after beats 2 days before
+
+
+def test_nearest_tolerance_excludes(spark):
+    left, right = _frames(spark)
+    out = {r["key"]: r["rval"] for r in asof_join(
+        left, right, ["key"], "lt", "rt",
+        tolerance_days=30, direction="nearest").collect()}
+    assert "B" not in out          # B's only row is 40 days away
+
+
+def test_nearest_tie_prefers_later(spark):
+    left = spark.createDataFrame([("A", d("2026-01-10"))], "key string, lt date")
+    right = spark.createDataFrame([
+        ("A", d("2026-01-08"), 1.0), ("A", d("2026-01-12"), 2.0),
+    ], "key string, rt date, rval double")
+    out = asof_join(left, right, ["key"], "lt", "rt",
+                    tolerance_days=5, direction="nearest").collect()
+    assert out[0]["rval"] == 2.0   # equidistant -> later right row
+
+
+def test_backward_and_forward(spark):
+    left, right = _frames(spark)
+    back = {r["key"]: r["rval"] for r in asof_join(
+        left, right, ["key"], "lt", "rt", direction="backward").collect()}
+    assert back["A"] == 10.0       # latest <= lt
+    fwd = {r["key"]: r["rval"] for r in asof_join(
+        left, right, ["key"], "lt", "rt", direction="forward").collect()}
+    assert fwd["A"] == 20.0        # earliest >= lt
+
+
+def test_left_join_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    out = {r["key"]: r["rval"] for r in asof_join(
+        left, right, ["key"], "lt", "rt",
+        tolerance_days=30, direction="nearest", how="left").collect()}
+    assert out["A"] == 20.0
+    assert out["B"] is None        # kept, null-filled
+
+
+def test_unbounded_nearest_refused(spark):
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="tolerance_days"):
+        asof_join(left, right, ["key"], "lt", "rt", direction="nearest")

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: binary payload column + mapInPandas kernels."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import multimodal as mm
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import load_testdata
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"].limit(30)
+    return mm.attach_payload(docs).cache()
+
+
+def test_payload_is_binary_and_typed(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    types = {r["media_type"] for r in media.select("media_type").distinct().collect()}
+    assert types <= {"image", "audio", "video"}
+
+
+def test_decode_media_deterministic(media):
+    out = mm.decode_media(media).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["n_bytes"] > 0
+        assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
+        assert r["n_channels"] in (1, 3, 4)
+    # deterministic across runs
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in mm.decode_media(media).collect()}
+    assert all(again[r["doc_id"]] == (r["width"], r["height"]) for r in out)
+
+
+def test_decode_media_pillow_backend_raises_cleanly(media):
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_media(media, decoder="pillow").collect()
+    assert "NotImplementedError" in str(exc_info.value) or "pillow" in str(exc_info.value)
+
+
+def test_sample_frames_only_video(spark, media):
+    frames = mm.sample_frames(media).collect()
+    video_ids = {r["doc_id"] for r in media.filter("media_type = 'video'").collect()}
+    assert {r["doc_id"] for r in frames} == video_ids
+    # frame digests match a driver-side recomputation
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in media.filter("media_type = 'video'").collect()}
+    for r in frames[:10]:
+        chunk = payloads[r["doc_id"]][r["frame_idx"] * 64:(r["frame_idx"] + 1) * 64]
+        assert r["frame_digest"] == hashlib.md5(chunk).hexdigest()
+
+
+def test_media_features_shape(media):
+    out = mm.media_features(media).collect()
+    assert len(out) == 30
+    assert all(len(r["features"]) == 8 for r in out)
+    assert all(-1.0 <= v <= 1.0 for r in out for v in r["features"])

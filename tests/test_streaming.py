@@ -1,0 +1,37 @@
+"""Structured Streaming: the stream twins must agree with the batch
+oracles (Kappa contract) and handle watermark/session semantics."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+    events_sessionization,
+    events_tumbling_hourly,
+)
+from pre_market_data_pipeline_for_stocks_spark.streaming import events as se
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    got = se.batch_stream_consistency(spark, sf_dir)
+    stream_rows = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+                   for r in got.collect()}
+    batch_rows = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+                  for r in events_tumbling_hourly(spark, sf_dir).collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_stream_session_windows(spark, sf_dir):
+    agg = se.session_windows(se.events_stream(spark, sf_dir))
+    se.run_to_memory(agg, "stream_sessions", "complete")
+    stream = spark.sql(
+        "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events "
+        "FROM stream_sessions GROUP BY user_id").collect()
+    by_user_stream = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in stream}
+
+    batch = events_sessionization(spark, sf_dir).groupBy("user_id").agg(
+        {"session_id": "count", "n_events": "sum"}).collect()
+    by_user_batch = {r["user_id"]: (r["count(session_id)"], r["sum(n_events)"])
+                     for r in batch}
+    # session_window(gap) closes a session when the NEXT event is > gap
+    # away — identical semantics to the batch lag-gap formulation.
+    assert by_user_stream == by_user_batch
