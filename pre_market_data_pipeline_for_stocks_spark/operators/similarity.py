@@ -133,15 +133,22 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     cand = (x.join(y, ["band", "band_key"])
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b").distinct())
-    e = embeddings.select(F.col("vec_id"), F.col("embedding"))
+    # Verification: norms are computed ONCE per vector and joined in —
+    # per candidate pair only the dot product remains (3x fewer
+    # 64-element folds than recomputing both norms per pair).
+    e = embeddings.select(
+        F.col("vec_id"), F.col("embedding"),
+        _norm(F.col("embedding")).alias("nrm"))
     pairs = (
         cand
-        .join(e.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a"}), "vec_a")
-        .join(e.withColumnsRenamed({"vec_id": "vec_b", "embedding": "emb_b"}), "vec_b")
+        .join(e.withColumnsRenamed(
+            {"vec_id": "vec_a", "embedding": "emb_a", "nrm": "nrm_a"}), "vec_a")
+        .join(e.withColumnsRenamed(
+            {"vec_id": "vec_b", "embedding": "emb_b", "nrm": "nrm_b"}), "vec_b")
         .select(
             "vec_a", "vec_b",
             F.round(_dot(F.col("emb_a"), F.col("emb_b"))
-                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 4)
+                    / (F.col("nrm_a") * F.col("nrm_b")), 4)
             .alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)

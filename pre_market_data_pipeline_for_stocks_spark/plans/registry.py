@@ -26,9 +26,10 @@ def _h(x: str, seed: int | None = None) -> str:
     return _H.format(x=s)
 
 
-# Shared CTE: distinct word 3-gram shingles per document (twin of
-# operators.dedup.word_shingles with n=3).
-_SHINGLES_CTE = """
+# Shared CTE: distinct word 3-gram shingles per document, plus their
+# 60-bit hashes (twin of operators.dedup.word_shingles/hashed_shingles
+# with n=3). ``shh(doc_id, sh)`` carries the hash used for joins.
+_SHINGLES_CTE = f"""
 toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
   FROM documents),
@@ -36,7 +37,8 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) t(i)
   WHERE array_to_string(w[i:i+2], ' ') <> ''),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+shh AS (SELECT doc_id, {_H.format(x='shingle')} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shh GROUP BY doc_id)
 """
 
 _JACCARD_TAIL = """
@@ -93,10 +95,25 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
+_MINHASH_PRIME = 1073741789
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    # Twin of operators.dedup.minhash_params — same constants.
+    return [((((i + 1) * 2654435761) % _MINHASH_PRIME) | 1,
+             ((i + 1) * 97002721 + 7) % _MINHASH_PRIME)
+            for i in range(k)]
+
+
+def _minhash_sig_exprs(k: int) -> str:
+    return ",\n    ".join(
+        f"min(((sh % {_MINHASH_PRIME}) * {a} + {b}) % {_MINHASH_PRIME})"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(_minhash_params(k)))
+
+
 def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
     rpb = k // bands
-    sigs = ",\n    ".join(
-        f"min({_h('shingle', seed=i)}) AS sig_{i}" for i in range(k))
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, ".format(b=b)
         + " || '_' || ".join(
@@ -104,10 +121,10 @@ def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
         + " AS band_key FROM sigs"
         for b in range(bands))
     return f"""
-WITH {_SHINGLES_CTE.strip().rstrip(',')},
+WITH {_SHINGLES_CTE.strip()},
 sigs AS (SELECT doc_id,
-    {sigs}
-  FROM sh GROUP BY doc_id),
+    {_minhash_sig_exprs(k)}
+  FROM shh GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -116,8 +133,8 @@ cand AS (
 common AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2)
 {_JACCARD_TAIL}
 """
@@ -492,7 +509,7 @@ FROM documents GROUP BY 1
 WITH {_SHINGLES_CTE.strip()},
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 {_JACCARD_TAIL}
 """, headline=True),
@@ -503,8 +520,8 @@ common AS (
     "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
 WITH {_SHINGLES_CTE.strip()}
 SELECT doc_id,
-  {", ".join(f"min({_h('shingle', seed=i)}) AS sig_{i}" for i in range(8))}
-FROM sh GROUP BY doc_id
+    {_minhash_sig_exprs(8)}
+FROM shh GROUP BY doc_id
 """),
 
     "dedup_simhash": QueryDef(X.dedup_simhash, _simhash_sql(32)),
