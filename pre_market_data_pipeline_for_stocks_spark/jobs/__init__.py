@@ -1,0 +1,1 @@
+"""CLI entry points mirroring the reference's run_pipeline.py / validator."""

@@ -1,0 +1,77 @@
+"""Batch job entry point — the Spark twin of the reference's
+``run_pipeline.py`` (``/root/reference/run_pipeline.py:21-43``).
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.run_pipeline \
+        --config config.yaml
+
+The YAML shape mirrors the reference ``config.yaml`` (stocks,
+date_range.start/end, output_dir, news.lookback_window_hours) plus a
+``bronze`` section pointing at the offline input tables:
+
+    bronze:
+      ohlcv: path/to/ohlcv.parquet
+      quarterly_financials: ...
+      news_articles: ...
+      stock_aliases: ...
+      sentiment_lexicon: ...        # when sentiment_backend: lexicon
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .. import sinks
+from ..config import JobConfig
+from ..operators.validate import validate_csv
+from ..plans.premarket import run_premarket_plan
+from ..session import get_spark
+from ..sources import offline
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="premarket-spark batch pipeline")
+    ap.add_argument("--config", default="config.yaml")
+    ap.add_argument("--validate", action="store_true",
+                    help="run the output-contract validator after the write")
+    args = ap.parse_args(argv)
+
+    import yaml
+    with open(args.config, encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    if not raw:
+        raise SystemExit(f"empty config: {args.config}")
+
+    cfg = JobConfig.from_dict(raw)
+    bronze = raw.get("bronze", {})
+    spark = get_spark("premarket-pipeline")
+
+    lexicon = None
+    if cfg.sentiment_backend == "lexicon":
+        lexicon = offline.read_sentiment_lexicon(
+            spark, bronze["sentiment_lexicon"])
+
+    out = run_premarket_plan(
+        spark, cfg,
+        ohlcv=offline.read_ohlcv(spark, bronze["ohlcv"]),
+        quarterly=offline.read_quarterly_financials(
+            spark, bronze["quarterly_financials"]),
+        articles=offline.read_news_articles(spark, bronze["news_articles"]),
+        aliases=offline.read_stock_aliases(spark, bronze["stock_aliases"]),
+        lexicon=lexicon,
+    )
+
+    dest = f"{cfg.output_dir}/pre_market_sentiment.csv"
+    sinks.write_fact_csv(out, dest)
+    print(f"SUCCESS: wrote {dest}")
+
+    if args.validate:
+        report = validate_csv(spark, dest)
+        for msg in report.messages:
+            print(msg)
+        return 0 if report.passed else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

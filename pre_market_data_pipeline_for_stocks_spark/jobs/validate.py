@@ -1,0 +1,35 @@
+"""Validator entry point — the Spark twin of
+``python -m src.pipeline.validator <csv>``
+(``/root/reference/src/pipeline/validator.py:103-116``).
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.validate \
+        output/pre_market_sentiment.csv [--expected-rows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..operators.validate import validate_csv
+from ..session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="output-contract validator")
+    ap.add_argument("csv_path")
+    ap.add_argument("--expected-rows", type=int, default=None,
+                    help="parameterized row-count check (reference pins 15 "
+                         "= 3 stocks x 5 dates of the sample config)")
+    args = ap.parse_args(argv)
+
+    report = validate_csv(get_spark("premarket-validate"), args.csv_path,
+                          args.expected_rows)
+    for msg in report.messages:
+        print(msg)
+    print("VALIDATION " + ("PASSED" if report.passed else "FAILED"))
+    return 0 if report.passed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

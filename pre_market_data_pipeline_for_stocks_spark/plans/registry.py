@@ -489,6 +489,28 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    "rollup_region_nation_revenue": QueryDef(R.rollup_region_nation_revenue, """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""),
+
+    "f7f8_datetime_roundtrip": QueryDef(R.f7f8_datetime_roundtrip, """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS ts_reparsed,
+       try_strptime(event_type, '%Y-%m-%d %H:%M:%S') AS bad_parse,
+       strftime(ts, '%Y-%m-%d') AS day_str
+FROM events
+"""),
+
     "multimodal_binary_meta": QueryDef(R.multimodal_binary_meta, """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -378,6 +378,47 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (rollup) — region -> nation subtotal tree
+    with grand total, over the snowflake join. Grouping-set coverage for
+    the §2.5 aggregate family."""
+    region, nation, cust, orders = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders")
+    joined = (
+        orders
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("r_name").asc_nulls_first(),
+                 F.col("n_name").asc_nulls_first())
+    )
+
+
+def f7f8_datetime_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8/F17: strftime/strptime round-trip with failure-as-null parse
+    semantics (news.py:163-166 try-parse behavior) over events."""
+    (events,) = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    formatted = F.date_format("ts", fmt)
+    return (
+        events
+        .select(
+            "event_id",
+            formatted.alias("ts_str"),
+            F.to_timestamp(formatted, fmt).alias("ts_reparsed"),
+            # failure-as-null: feed a non-timestamp through try-parse
+            F.try_to_timestamp(F.col("event_type"), F.lit(fmt))
+            .alias("bad_parse"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        )
+    )
+
+
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat content as an opaque binary column with
     typed metadata — byte length + content digest (the decode step itself
