@@ -1,0 +1,70 @@
+"""Skew-mitigation helpers for hot-key aggregations and joins.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime, but two patterns remain worth expressing explicitly at 100 TB:
+
+- salted two-phase aggregation: a groupBy on a key with a few mega-hot
+  values (e.g. a near-empty-string document hash, a null-ish user id)
+  puts one reducer on the critical path. Salting fans each key across
+  ``salt`` partial groups, then combines — the classic partial/final
+  split made explicit when the aggregate is algebraic.
+- replicated (broadcast-salted) join for a hot build side is covered by
+  AQE + broadcast hints; we deliberately do NOT hand-roll it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Algebraic aggregates that compose through a two-phase split.
+_MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
+               salt: int = 16) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column -> (agg_fn, input_col) with agg_fn in
+    {sum, count, min, max} (algebraic — mergeable across salt buckets).
+
+    Phase 1 groups on (keys + salt) so a hot key spreads over ``salt``
+    reducers; phase 2 merges the partials on the true keys. For uniform
+    keys this adds one small extra shuffle; for skewed keys it removes
+    the straggler — the trade Spark's own partial aggregation makes,
+    applied across partitions instead of within them.
+
+    Apply deliberately: in local mode (shared-memory shuffle, no
+    per-reducer memory cliff) the extra shuffle just costs time; the
+    win appears on real clusters where one reducer would otherwise
+    process the hot key's entire partition alone or spill.
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGEABLE and fn != "count":
+            raise ValueError(f"{fn} is not algebraic-mergeable")
+
+    salt_col = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt
+
+    phase1_aggs = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1) if col == "*" else F.col(col))
+                               .alias(f"_p_{name}"))
+        else:
+            phase1_aggs.append(_MERGEABLE[fn](F.col(col)).alias(f"_p_{name}"))
+    partial = (df.withColumn("_salt", salt_col)
+               .groupBy(*keys, "_salt").agg(*phase1_aggs))
+
+    phase2_aggs = []
+    for name, (fn, _col) in aggs.items():
+        merge = F.sum if fn in ("sum", "count") else _MERGEABLE[fn]
+        phase2_aggs.append(merge(F.col(f"_p_{name}")).alias(name))
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salt_key(key: Column, buckets: int) -> Column:
+    """Deterministic salt for join-side replication: append to a hot join
+    key so both sides can expand it (the build side cross-joins a 0..n-1
+    range). Exposed for plans that pre-salt before a skewed join."""
+    return F.concat(key.cast("string"), F.lit("#"),
+                    (F.crc32(key.cast("string")) % buckets).cast("string"))

@@ -1,0 +1,89 @@
+"""Property-based parity tests (hypothesis): the native column
+expressions must agree with reference-algorithm reimplementations on
+generated inputs — broader than the example-based tests."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.functions.text import (
+    is_relevant_title,
+    strip_corporate_suffix,
+)
+
+# --- reference algorithms, re-implemented from news_utils.py:18-79 -------
+
+_SUFFIX_RE = re.compile(
+    r"[\s,]+(limited|ltd|ltd\.|corporation|corp|corp\.)[\s.]*$", re.IGNORECASE)
+
+
+def ref_strip(name: str) -> str:
+    return _SUFFIX_RE.sub("", name).strip()
+
+
+def ref_standalone(text: str, phrase: str) -> bool:
+    pattern = r"\b" + re.escape(phrase) + r"\b"
+    for m in re.finditer(pattern, text):
+        before = text[: m.start()].rstrip()
+        if before and before[-1].isalpha():
+            continue
+        return True
+    return False
+
+
+def ref_relevant(title: str, long_name: str, ticker: str) -> bool:
+    t = title.lower()
+    if ref_standalone(t, long_name.lower()):
+        return True
+    stripped = ref_strip(long_name).lower()
+    if stripped and ref_standalone(t, stripped):
+        return True
+    return bool(ticker) and ref_standalone(t, ticker.lower())
+
+
+# --- strategies ----------------------------------------------------------
+
+WORD = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+NAME = st.builds(
+    lambda ws, suffix: " ".join(ws) + suffix,
+    st.lists(st.sampled_from(["Bank", "of", "India", "Zinc", "Acme", "Hind"]),
+             min_size=1, max_size=3),
+    st.sampled_from(["", " Limited", " Ltd.", " Corp.", " Industries", ", Ltd"]))
+CONTEXT = st.sampled_from(["", "X", "state ", "q4 ", ", ", "(", "2024 ",
+                           "pre-", "_", "9", "  ", "the "])
+TAIL = st.sampled_from(["", " rallies", "s rally", ")", ".com", "-led"])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(CONTEXT, NAME, TAIL, st.booleans()),
+                min_size=1, max_size=12))
+def test_relevance_parity_generated(spark, cases):
+    rows = []
+    for ctx, name, tail, use_stripped in cases:
+        phrase = ref_strip(name) if use_stripped else name
+        rows.append((f"{ctx}{phrase}{tail}", name, "TICK"))
+        rows.append((f"{ctx}no mention here{tail}", name, "TICK"))
+    df = spark.createDataFrame(rows, "title string, ln string, tk string")
+    got = df.select("title", "ln", "tk",
+                    is_relevant_title(F.col("title"), F.col("ln"),
+                                      F.col("tk")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == ref_relevant(r["title"], r["ln"], r["tk"]), \
+            (r["title"], r["ln"])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(NAME, min_size=1, max_size=20))
+def test_suffix_strip_parity_generated(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = df.select("name", strip_corporate_suffix(F.col("name"))
+                    .alias("stripped")).collect()
+    for r in got:
+        assert r["stripped"] == ref_strip(r["name"]), r["name"]

@@ -1,0 +1,60 @@
+"""Salted aggregation (skew path) + sink coverage (K1/K2/K3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark import sinks
+from pre_market_data_pipeline_for_stocks_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"),
+        # key 0 is mega-hot
+        F.when(F.col("id") % 7 == 0, F.lit(0)).otherwise(F.col("id") % 7)
+        .alias("key"),
+        (F.col("id") * 1.5).alias("v"))
+    got = {r["key"]: (r["total"], r["n"], r["mx"]) for r in salted_agg(
+        df, ["key"], {"total": ("sum", "v"), "n": ("count", "*"),
+                      "mx": ("max", "v")}, salt=8).collect()}
+    want = {r["key"]: (r["total"], r["n"], r["mx"]) for r in df.groupBy("key")
+            .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"),
+                 F.max("v").alias("mx")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][2] == want[k][2]
+        assert abs(got[k][0] - want[k][0]) < 1e-6
+
+
+def test_partitioned_audit_sink_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 11.0), ("B", 1, 20.0)],
+        "stock string, day int, close double")
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "audit")
+        sinks.write_ohlcv_audit(df, dest)
+        # K2: one directory per stock (the reference's per-stock CSV files)
+        parts = {d for d in os.listdir(dest) if d.startswith("stock=")}
+        assert parts == {"stock=A", "stock=B"}
+        back = spark.read.option("header", True).csv(dest)
+        assert back.count() == 3
+        assert set(back.columns) == {"stock", "day", "close"}
+
+
+def test_fact_csv_single_file_and_null_convention(spark):
+    df = spark.createDataFrame(
+        [("2026-01-05", "A", 1.5, None)],
+        "Date string, Stock string, Pct_Change double, YoY double")
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "fact")
+        sinks.write_fact_csv(df, dest)
+        csvs = [f for f in os.listdir(dest) if f.endswith(".csv")]
+        assert len(csvs) == 1                      # K1 single-file contract
+        body = open(os.path.join(dest, csvs[0])).read().strip().splitlines()
+        assert body[0] == "Date,Stock,Pct_Change,YoY"
+        assert body[1] == "2026-01-05,A,1.5,"      # null -> "" (engine.py:207-210)
