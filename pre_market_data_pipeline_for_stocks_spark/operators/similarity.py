@@ -22,7 +22,7 @@ Extension scope (BASELINE.json north star):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i64
@@ -84,6 +84,64 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
                 .otherwise(F.lit(0).cast("long"))
         bucket = term if bucket is None else bucket + term
     return proj.select("vec_id", bucket.alias("bucket"))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             centroid_stride: int = 50, nprobe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to centroid cells, probe
+    only the ``nprobe`` cells nearest the query, brute-force inside.
+
+    Centroid "training" is stubbed deterministically (every
+    ``centroid_stride``-th vector is a centroid — replace with k-means||
+    in production; the partition/probe/scan plumbing is the real part).
+    At scale: the cell assignment is a broadcast cross join (|centroids|
+    is small), the probed scan touches ~nprobe/|centroids| of the data —
+    the IVF trade of recall for scan fraction. All tie-breaks are
+    deterministic (lower centroid id, then vec_id) so the DuckDB oracle
+    reproduces the result exactly."""
+    cents = (embeddings.filter(F.col(id_col) % centroid_stride == 0)
+             .select(F.col(id_col).alias("cent_id"),
+                     F.col(vec_col).alias("cent_vec")))
+
+    def cos(a, b):
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    # Assign every vector to its nearest centroid cell.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_cc").desc(), F.col("cent_id").asc())
+    assigned = (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cc", cos(F.col("embedding"), F.col("cent_vec")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+    # Probe the nprobe cells nearest the query vector.
+    q = (embeddings.filter(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("_qvec")))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_qc", cos(F.col("cent_vec"), F.col("_qvec")))
+        .orderBy(F.col("_qc").desc(), F.col("cent_id").asc())
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+
+    # Brute-force only within probed cells.
+    return (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cell",
+                F.round(cos(F.col("embedding"), F.col("_qvec")), 4)
+                .alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,

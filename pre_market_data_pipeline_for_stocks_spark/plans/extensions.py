@@ -92,6 +92,11 @@ def ann_lsh_buckets(spark, sf_dir):
     return similarity.hyperplane_lsh_buckets(_emb(spark, sf_dir), LSH_PLANES)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), query_vec_id=ANN_QUERY_ID,
+                               k=ANN_TOPK, centroid_stride=50, nprobe=3)
+
+
 def embedding_norms(spark, sf_dir):
     """Array-function coverage: per-vector L2 norm + dim count (F.aggregate
     / zip_with JVM-side array math over array<float>)."""

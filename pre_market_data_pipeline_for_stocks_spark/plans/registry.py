@@ -616,6 +616,35 @@ LIMIT 10
 
     "ann_lsh_buckets": QueryDef(X.ann_lsh_buckets, _lsh_bucket_sql()),
 
+    "ann_ivf_topk": QueryDef(X.ann_ivf_topk, """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_inner_product(e.v, c.cv)
+              / (sqrt(list_inner_product(e.v, e.v))
+                 * sqrt(list_inner_product(c.cv, c.cv)))) DESC,
+             c.cent_id ASC) AS rn
+    FROM e, cents c) WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probed AS (
+  SELECT cent_id AS cell FROM cents, q
+  ORDER BY (list_inner_product(cv, qv)
+            / (sqrt(list_inner_product(cv, cv))
+               * sqrt(list_inner_product(qv, qv)))) DESC, cent_id ASC
+  LIMIT 3)
+SELECT a.vec_id, a.cell,
+       round(list_inner_product(a.v, q.qv)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
+FROM assigned a JOIN probed p ON a.cell = p.cell, q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""", headline=True),
+
     "embedding_norms": QueryDef(X.embedding_norms, """
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
        round(sqrt(list_inner_product(embedding::DOUBLE[],

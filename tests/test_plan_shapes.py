@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the scale-relevant plan properties
+(pushdown, pruning, broadcast choices, cache reuse) must hold — a
+correct answer from a bad plan is a fail at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_q1_scan_prunes_and_pushes_down(spark, sf_dir, queries):
+    plan = _physical(queries["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must NOT read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    # map-side combine: partial aggregation before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir, queries):
+    plan = _physical(queries["q5_region_nation_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2   # nation + region at least
+
+
+def test_minhash_reuses_persisted_shingles(spark, sf_dir, queries):
+    plan = _physical(queries["dedup_minhash_lsh"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan            # shingle cache actually used
+
+
+def test_premarket_fact_joins_broadcast(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark import schemas
+    from pre_market_data_pipeline_for_stocks_spark.config import JobConfig
+    from pre_market_data_pipeline_for_stocks_spark.plans.premarket import (
+        run_premarket_plan,
+    )
+    d = dt.date.fromisoformat
+    cfg = JobConfig(stocks=("A",), start_date=d("2026-01-05"),
+                    end_date=d("2026-01-09"),
+                    as_of_ts=dt.datetime(2026, 1, 9, 9))
+    ohlcv = spark.createDataFrame(
+        [("A", d("2026-01-05"), 1.0, 1.0, 1.0, 2.0, 1)], schemas.OHLCV)
+    quarterly = spark.createDataFrame([], schemas.QUARTERLY_FINANCIALS)
+    articles = spark.createDataFrame([], schemas.NEWS_ARTICLES)
+    aliases = spark.createDataFrame([], schemas.STOCK_ALIASES)
+    lexicon = spark.createDataFrame([], schemas.SENTIMENT_LEXICON)
+    out = run_premarket_plan(spark, cfg, ohlcv, quarterly, articles,
+                             aliases, lexicon=lexicon)
+    plan = _physical(out)
+    # headline + fundamentals dimension joins must be broadcast (J3/J4)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the fact path must not collect/driver-loop: plan is pure Spark ops
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
