@@ -91,6 +91,31 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def normalize_text(text):
+    """Canonical LLM-prep text normalization: lowercase, strip
+    punctuation/symbols, collapse whitespace runs, trim. A column
+    expression (usable anywhere), twin of the oracle's
+    regexp_replace(..., 'g') chain."""
+    stripped = F.regexp_replace(F.lower(text), r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def normalized_dedup(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Near-exact dedup: group on the hash of the NORMALIZED text so
+    case/punctuation/whitespace variants collapse into one group.
+    (text_norm_hash, keep_doc_id, n_copies) — same shuffle shape as
+    exact_dedup."""
+    return (
+        docs.select(
+            md5_i64(normalize_text(F.col(text_col))).alias("text_norm_hash"),
+            F.col(id_col).alias("doc_id"))
+        .groupBy("text_norm_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 def fingerprint(docs: DataFrame, window: int = 16, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint, n_grams): rolling-hash document fingerprint.

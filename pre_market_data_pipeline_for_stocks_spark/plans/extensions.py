@@ -72,6 +72,10 @@ def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def dedup_normalized(spark, sf_dir):
+    return textstats.normalized_dedup(_docs(spark, sf_dir))
+
+
 def text_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 

@@ -489,6 +489,25 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    "stats_summary_lineitem": QueryDef(R.stats_summary_lineitem, """
+SELECT l_returnflag,
+       count(*) AS n,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""),
+
+    "dedup_normalized": QueryDef(X.dedup_normalized, """
+SELECT {h} AS text_norm_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""".format(h=_h(r"trim(regexp_replace(regexp_replace(lower(text), "
+               r"'[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"))),
+
     "rollup_region_nation_revenue": QueryDef(R.rollup_region_nation_revenue, """
 SELECT r_name, n_name,
        round(sum(o_totalprice), 2) AS total_price,

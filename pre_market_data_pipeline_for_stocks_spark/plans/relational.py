@@ -378,6 +378,27 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate coverage: exact interpolated percentiles,
+    sample stddev, correlation, distinct counts — per return flag."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
+            .alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4)
+            .alias("p95_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+            .alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregation (rollup) — region -> nation subtotal tree
     with grand total, over the snowflake join. Grouping-set coverage for

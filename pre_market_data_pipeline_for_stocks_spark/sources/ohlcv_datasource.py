@@ -1,0 +1,88 @@
+"""Custom PySpark DataSource (Spark 4 Python data-source API) for OHLCV
+bars — the ``spark.read.format("synthetic_ohlcv")`` path SURVEY.md S1
+plans for. Two roles:
+
+- a deterministic synthetic market feed (seeded per-(stock, day) md5
+  pseudo-randoms) so the premarket pipeline can run end-to-end with NO
+  network and NO fixture files;
+- the template for a live ``yfinance`` data source: swap ``read`` for
+  an API fetch per partition — the partition planning (one input
+  partition per ticker → per-ticker parallelism and retry isolation)
+  is exactly what a production connector needs.
+
+Usage:
+    spark.dataSource.register(SyntheticOhlcvDataSource)
+    (spark.read.format("synthetic_ohlcv")
+        .option("stocks", "HINDZINC,BANKINDIA")
+        .option("start_date", "2026-01-01")
+        .option("end_date", "2026-01-31")
+        .load())
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+OHLCV_DDL = ("stock string, date date, open double, high double, "
+             "low double, close double, volume bigint")
+
+
+def _u(seed: str, *parts: object) -> float:
+    """Deterministic uniform [0, 1) from md5 of the joined parts."""
+    key = ":".join([seed, *[str(p) for p in parts]])
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / 16**15
+
+
+class _StockPartition(InputPartition):
+    def __init__(self, stock: str):
+        self.stock = stock
+
+
+class SyntheticOhlcvReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.stocks = [s for s in options.get("stocks", "").split(",") if s]
+        if not self.stocks:
+            raise ValueError("synthetic_ohlcv requires option 'stocks'")
+        self.start = dt.date.fromisoformat(options.get("start_date", "2026-01-01"))
+        self.end = dt.date.fromisoformat(options.get("end_date", "2026-01-31"))
+        self.seed = options.get("seed", "42")
+
+    def partitions(self):
+        # One partition per ticker: per-ticker parallel generation; a live
+        # connector gets per-ticker API retry isolation from the same split.
+        return [_StockPartition(s) for s in self.stocks]
+
+    def read(self, partition: _StockPartition):
+        stock = partition.stock
+        base = 50.0 + _u(self.seed, stock, "base") * 450.0
+        close = base
+        day = self.start
+        while day <= self.end:
+            if day.isoweekday() <= 5:            # trading days: Mon-Fri
+                ret = (_u(self.seed, stock, day, "ret") - 0.5) * 0.1
+                o = close
+                close = round(max(1.0, close * (1.0 + ret)), 2)
+                hi = round(max(o, close) * (1 + _u(self.seed, stock, day, "h") * 0.02), 2)
+                lo = round(min(o, close) * (1 - _u(self.seed, stock, day, "l") * 0.02), 2)
+                vol = int(_u(self.seed, stock, day, "v") * 1_000_000)
+                yield (stock, day, round(o, 2), hi, lo, close, vol)
+            day += dt.timedelta(days=1)
+
+
+class SyntheticOhlcvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ohlcv"
+
+    def schema(self) -> str:
+        return OHLCV_DDL
+
+    def reader(self, schema) -> SyntheticOhlcvReader:
+        return SyntheticOhlcvReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticOhlcvDataSource)

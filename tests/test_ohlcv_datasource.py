@@ -1,0 +1,68 @@
+"""Custom Python DataSource: deterministic OHLCV feed end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.sources import ohlcv_datasource
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    ohlcv_datasource.register(spark)
+
+    def load(stocks="HINDZINC,BANKINDIA", start="2026-01-01", end="2026-01-31"):
+        return (spark.read.format("synthetic_ohlcv")
+                .option("stocks", stocks).option("start_date", start)
+                .option("end_date", end).load())
+    return load
+
+
+def test_schema_and_trading_days(feed):
+    df = feed()
+    assert [f.name for f in df.schema] == [
+        "stock", "date", "open", "high", "low", "close", "volume"]
+    rows = df.collect()
+    # Jan 2026 has 22 weekdays; two stocks
+    assert len(rows) == 22 * 2
+    assert all(r["date"].isoweekday() <= 5 for r in rows)
+    assert all(r["low"] <= r["open"] <= r["high"] for r in rows)
+    assert all(r["low"] <= r["close"] <= r["high"] for r in rows)
+
+
+def test_deterministic_across_reads(feed):
+    a = sorted(map(tuple, feed().collect()))
+    b = sorted(map(tuple, feed().collect()))
+    assert a == b
+
+
+def test_partitioned_per_stock(feed):
+    df = feed(stocks="A,B,C,D")
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_feeds_the_premarket_plan(spark, feed):
+    from pre_market_data_pipeline_for_stocks_spark import schemas
+    from pre_market_data_pipeline_for_stocks_spark.config import JobConfig
+    from pre_market_data_pipeline_for_stocks_spark.plans.premarket import (
+        run_premarket_plan,
+    )
+    d = dt.date.fromisoformat
+    cfg = JobConfig(stocks=("HINDZINC", "BANKINDIA"),
+                    start_date=d("2026-01-12"), end_date=d("2026-01-16"),
+                    as_of_ts=dt.datetime(2026, 1, 16, 9))
+    empty = {
+        "quarterly": spark.createDataFrame([], schemas.QUARTERLY_FINANCIALS),
+        "articles": spark.createDataFrame([], schemas.NEWS_ARTICLES),
+        "aliases": spark.createDataFrame([], schemas.STOCK_ALIASES),
+        "lexicon": spark.createDataFrame([], schemas.SENTIMENT_LEXICON),
+    }
+    out = run_premarket_plan(
+        spark, cfg, feed(start="2026-01-01", end="2026-01-16"),
+        empty["quarterly"], empty["articles"], empty["aliases"],
+        lexicon=empty["lexicon"])
+    rows = out.collect()
+    assert len(rows) == 10                      # 2 stocks x 5 trading days
+    assert all(r["Pct_Change"] is not None for r in rows)  # buffer fed lags
