@@ -76,13 +76,17 @@ def best_headline(articles: DataFrame, aliases: DataFrame,
         .withColumn("title", F.trim(F.col("title")))
         .filter(F.col("title").isNotNull() & (F.col("title") != ""))  # P5
         .join(F.broadcast(aliases), on="stock", how="left")           # J6/J7
-        .withColumn("_name", F.coalesce(F.col("long_name"), F.col("stock")))
+        # explicit cast: ticker ids may be numeric; the fallback is the
+        # ticker AS TEXT (news_utils.py:149-158), never a numeric coercion
+        .withColumn("_name", F.coalesce(F.col("long_name"),
+                                        F.col("stock").cast("string")))
     )
 
     # P6 — relevance only for name-queries (gotcha #7).
     a = a.filter(
         (F.col("query_kind") != "name")
-        | is_relevant_title(F.col("title"), F.col("_name"), F.col("stock"))
+        | is_relevant_title(F.col("title"), F.col("_name"),
+                            F.col("stock").cast("string"))
     )
 
     # P7 — client-side recency window + parsable timestamp: NewsData only
@@ -122,12 +126,14 @@ def annotated_articles(articles: DataFrame, aliases: DataFrame,
         articles
         .withColumn("title", F.trim(F.col("title")))
         .join(F.broadcast(aliases), on="stock", how="left")
-        .withColumn("_name", F.coalesce(F.col("long_name"), F.col("stock")))
+        .withColumn("_name", F.coalesce(F.col("long_name"),
+                                        F.col("stock").cast("string")))
         .select(
             "stock", "provider", "query_kind", "title", "source", "url",
             "published_at",
             (F.col("title").isNotNull() & (F.col("title") != "")).alias("non_blank"),
-            is_relevant_title(F.col("title"), F.col("_name"), F.col("stock"))
+            is_relevant_title(F.col("title"), F.col("_name"),
+                              F.col("stock").cast("string"))
             .alias("relevant_title"),
             (F.col("published_at").isNotNull()
              & (F.col("published_at") >= F.lit(cutoff))).alias("in_window"),

@@ -1,0 +1,117 @@
+"""The FULL premarket pipeline as one oracle-checkable query.
+
+Synthesizes every bronze input from the driver's TPC-H-ish fixtures
+(deterministically, in both engines), then runs the REAL operators —
+market.with_session_pct_change, news.best_headline,
+fundamentals.yoy_net_income, assemble.assemble_fact, LexiconSentiment,
+assemble.to_output_contract — end-to-end. The DuckDB twin in
+registry.py re-derives the whole pipeline in SQL, so the entire engine
+path (not just individual operators) is value-hash verified.
+
+Derivations:
+  - OHLCV    <- events: per (user=stock, day) last value = close,
+               event count = volume; buffer days before the range feed
+               the first lag (W2 semantics).
+  - news     <- documents: provider/query_kind/published_at derived
+               from doc_id; title = text; aliases give each stock a
+               long_name in {'spark', 'table value'} so the standalone
+               -phrase relevance predicate (P6) really bites.
+  - fundamentals <- orders: per (custkey%150, day) summed totalprice as
+               quarterly net income; as-of year-back match (J5).
+  - sentiment lexicon: 3 fixed terms exercising U2-U4.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import JobConfig
+from ..operators import assemble, calendar, fundamentals, market, news
+from ..operators.sentiment import LexiconSentiment
+from ..sources.offline import load_testdata
+
+AS_OF = dt.datetime(2024, 1, 19, 12, 0, 0)
+START = dt.date(2024, 1, 8)
+END = dt.date(2024, 1, 19)
+N_STOCKS = 150
+
+LEXICON = [("fast", "positive", 0.9), ("slow", "negative", 0.95),
+           ("merge", "neutral", 0.8)]
+
+
+def _bronze_ohlcv(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("volume",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("user_id", "day")))
+        .filter(F.col("_rn") == 1)
+    )
+    return daily.select(
+        F.col("user_id").alias("stock"), F.col("day").alias("date"),
+        F.lit(0.0).alias("open"), F.lit(0.0).alias("high"),
+        F.lit(0.0).alias("low"), F.col("value").alias("close"),
+        F.col("volume"))
+
+
+def _bronze_articles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        (F.col("doc_id") % N_STOCKS).alias("stock"),
+        F.when(F.col("doc_id") % 2 == 0, "google").otherwise("newsdata")
+        .alias("provider"),
+        F.when(F.col("doc_id") % 4 < 2, "name").otherwise("ticker")
+        .alias("query_kind"),
+        F.col("text").alias("title"),
+        F.col("source"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.lit(AS_OF) - F.make_interval(
+            hours=(F.col("doc_id") % 120).cast("int")))
+        .alias("published_at"),
+        F.lit(None).cast("string").alias("summary"),
+    )
+
+
+def _bronze_aliases(spark: SparkSession) -> DataFrame:
+    return spark.range(N_STOCKS).select(
+        F.col("id").alias("stock"),
+        F.when(F.col("id") % 3 == 0, "table value").otherwise("spark")
+        .alias("long_name"))
+
+
+def _bronze_quarterly(orders: DataFrame) -> DataFrame:
+    return (
+        orders
+        .groupBy((F.col("o_custkey") % N_STOCKS).alias("stock"),
+                 F.to_date("o_orderdate").alias("quarter_end"))
+        .agg(F.sum("o_totalprice").alias("net_income"))
+    )
+
+
+def premarket_e2e_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = load_testdata(spark, sf_dir, ["events", "documents", "orders"])
+    cfg = JobConfig(stocks=(), start_date=START, end_date=END, as_of_ts=AS_OF)
+
+    bars = market.with_session_pct_change(
+        _bronze_ohlcv(tabs["events"]), cfg.start_date, cfg.end_date)
+    heads = news.best_headline(
+        _bronze_articles(tabs["documents"]), _bronze_aliases(spark),
+        as_of_ts=AS_OF, lookback_hours=72)
+    yoy = fundamentals.yoy_net_income(_bronze_quarterly(tabs["orders"]))
+
+    dates = calendar.trading_dates(spark, cfg.start_date, cfg.end_date)
+    stocks = tabs["events"].select(
+        F.col("user_id").alias("stock")).distinct()
+    grid = calendar.date_stock_grid(dates, stocks)
+
+    fact = assemble.assemble_fact(grid, bars, heads, yoy)
+    lexicon = spark.createDataFrame(
+        LEXICON, "term string, raw_label string, raw_score double")
+    scored = LexiconSentiment(lexicon).score(fact, "headline")
+    return assemble.to_output_contract(scored)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
+from .premarket_tpch import premarket_e2e_tpch
 
 _H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
 
@@ -251,6 +252,133 @@ SELECT user_id, day, round(close_raw, 2) AS close, n_events,
        round(CASE WHEN prev IS NOT NULL AND prev <> 0
                   THEN (close_raw - prev) / prev * 100.0 END, 4) AS pct_change
 FROM lagged
+""", headline=True),
+
+    # The WHOLE premarket pipeline (market lag -> headline chain ->
+    # sentiment -> YoY as-of -> assembly -> contract) on TPC-H-derived
+    # bronze — end-to-end value-hash parity, not just per-operator.
+    "premarket_e2e_tpch": QueryDef(premarket_e2e_tpch, """
+WITH daily AS (
+  SELECT user_id AS stock, day, value AS close, volume FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS volume
+    FROM events) WHERE rn = 1),
+bars AS (
+  SELECT stock, day AS bar_date, CAST(coalesce(volume, 0) AS BIGINT) AS volume,
+         round_even(CASE WHEN prev IS NOT NULL AND prev <> 0
+                         THEN (close - prev) / prev * 100.0 END, 4)
+           AS pct_change
+  FROM (SELECT *, lag(close) OVER (PARTITION BY stock ORDER BY day) AS prev
+        FROM daily)
+  WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-19'),
+articles AS (
+  SELECT doc_id % 150 AS stock,
+         CASE WHEN doc_id % 2 = 0 THEN 'google' ELSE 'newsdata' END
+           AS provider,
+         CASE WHEN doc_id % 4 < 2 THEN 'name' ELSE 'ticker' END AS query_kind,
+         trim(text) AS title,
+         'u' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE TIMESTAMP '2024-01-19 12:00:00'
+                   - to_hours((doc_id % 120)::BIGINT) END AS published_at
+  FROM documents),
+aliases AS (
+  SELECT i AS stock,
+         CASE WHEN i % 3 = 0 THEN 'table value' ELSE 'spark' END AS long_name
+  FROM (SELECT unnest(range(0, 150)) AS i)),
+a1 AS (
+  SELECT a.stock, a.provider, a.query_kind, a.title, a.url, a.published_at,
+         lower(coalesce(al.long_name, a.stock::VARCHAR)) AS nm
+  FROM articles a LEFT JOIN aliases al USING (stock)
+  WHERE a.title IS NOT NULL AND a.title <> ''),
+a2 AS (
+  SELECT * FROM a1
+  WHERE query_kind <> 'name'
+     OR regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm || '\\b')
+     OR regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || stock::VARCHAR || '\\b')),
+a3 AS (
+  SELECT * FROM a2
+  WHERE provider <> 'newsdata'
+     OR (published_at IS NOT NULL
+         AND published_at >= TIMESTAMP '2024-01-16 12:00:00')),
+heads AS (
+  SELECT stock, title AS headline, provider AS news_source FROM (
+    SELECT *, row_number() OVER (PARTITION BY stock ORDER BY
+             CASE WHEN provider = 'google' AND query_kind = 'name' THEN 1
+                  WHEN provider = 'google' AND query_kind = 'ticker' THEN 2
+                  WHEN provider = 'newsdata' AND query_kind = 'name' THEN 3
+                  ELSE 4 END ASC,
+             published_at DESC NULLS LAST, url ASC NULLS LAST,
+             title ASC) AS rn
+    FROM a3) WHERE rn = 1),
+q AS (SELECT o_custkey % 150 AS stock, CAST(o_orderdate AS DATE) AS qe,
+             sum(o_totalprice) AS ni
+      FROM orders GROUP BY 1, 2),
+latest AS (
+  SELECT stock, qe AS latest_q, ni AS cur_ni,
+         (qe - INTERVAL 12 MONTH)::DATE AS target
+  FROM (SELECT *, row_number() OVER (PARTITION BY stock
+                                     ORDER BY qe DESC, ni DESC) AS rn
+        FROM q WHERE ni IS NOT NULL)
+  WHERE rn = 1),
+yoycand AS (
+  SELECT l.stock, l.cur_ni, q.ni AS prev_ni, q.qe AS prev_q,
+         abs(datediff('day', l.target, q.qe)) AS dist
+  FROM latest l JOIN q ON q.stock = l.stock
+  WHERE abs(datediff('day', l.target, q.qe)) <= 20),
+yoy AS (
+  SELECT stock, round_even(CASE WHEN prev_ni <> 0
+                THEN (cur_ni - prev_ni) / abs(prev_ni) * 100.0 END, 2)
+           AS yoy_net_income_pct
+  FROM (SELECT *, row_number() OVER (PARTITION BY stock
+                                     ORDER BY dist ASC, prev_q DESC) AS rn
+        FROM yoycand) WHERE rn = 1),
+yoy2 AS (SELECT * FROM yoy WHERE yoy_net_income_pct IS NOT NULL),
+dates AS (
+  SELECT CAST(t.gs AS DATE) AS day
+  FROM generate_series(DATE '2024-01-08', DATE '2024-01-19',
+                       INTERVAL 1 DAY) t(gs)
+  WHERE isodow(CAST(t.gs AS DATE)) <= 5),
+stocks AS (SELECT DISTINCT user_id AS stock FROM events),
+fact AS (
+  SELECT g.stock, g.day, b.volume, b.pct_change,
+         coalesce(h.headline, 'No major headline available') AS headline,
+         coalesce(h.news_source, 'default') AS news_source,
+         y.yoy_net_income_pct
+  FROM (SELECT day, stock FROM dates CROSS JOIN stocks) g
+  JOIN bars b ON b.stock = g.stock AND b.bar_date = g.day
+  LEFT JOIN heads h ON h.stock = g.stock
+  LEFT JOIN yoy2 y ON y.stock = g.stock
+  WHERE b.pct_change IS NOT NULL AND b.volume IS NOT NULL),
+scored AS (
+  SELECT *,
+    CASE WHEN headline = 'No major headline available'
+              OR trim(coalesce(headline, '')) = '' THEN 'Neutral'
+         WHEN contains(lower(headline), 'slow') THEN 'Negative'
+         WHEN contains(lower(headline), 'fast') THEN 'Positive'
+         ELSE 'Neutral' END AS sentiment_label,
+    (CASE WHEN headline = 'No major headline available'
+               OR trim(coalesce(headline, '')) = '' THEN 0.0
+          WHEN contains(lower(headline), 'slow') THEN -0.95
+          WHEN contains(lower(headline), 'fast') THEN 0.9
+          ELSE 0.0 END)::DOUBLE AS sentiment_score
+  FROM fact)
+SELECT strftime(day, '%Y-%m-%d') AS "Date", stock AS "Stock",
+       pct_change AS "Pct_Change", volume AS "Volume",
+       headline AS "Headline", sentiment_label AS "Sentiment_Label",
+       sentiment_score AS "Sentiment_Score",
+       yoy_net_income_pct AS "YoY_NetIncome_Pct",
+       concat_ws(' | ', 'market=yfinance', 'news=' || news_source,
+                 'sentiment=finbert',
+                 CASE WHEN yoy_net_income_pct IS NOT NULL
+                      THEN 'fundamentals=yfinance'
+                      ELSE 'fundamentals=unavailable' END)
+         AS "Data_Source_Log"
+FROM scored
 """, headline=True),
 
     "q1_pricing_summary": QueryDef(R.q1_pricing_summary, """
