@@ -617,6 +617,15 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    "trend_slope_per_user": QueryDef(R.trend_slope_per_user, """
+SELECT user_id, count(*) AS n,
+       round(regr_slope(value, epoch_us(ts) / 1000000.0 / 86400.0), 6)
+         AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 1000000.0 / 86400.0), 4)
+         AS intercept
+FROM events GROUP BY user_id ORDER BY user_id
+"""),
+
     "stats_summary_lineitem": QueryDef(R.stats_summary_lineitem, """
 SELECT l_returnflag,
        count(*) AS n,

@@ -378,6 +378,42 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) surface: per-user OLS trend of event
+    value over time, computed by a numpy kernel per group — the shape of
+    any per-entity model-fit operator. Cross-validated against the SQL
+    closed form (regr_slope/regr_intercept) in the DuckDB oracle, so the
+    pandas kernel itself is value-checked, not just executed."""
+    import numpy as np
+    import pandas as pd
+
+    (events,) = _t(spark, sf_dir, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9 / 86400.0  # days
+        y = pdf["value"].to_numpy()
+        n = len(pdf)
+        if n < 2 or np.ptp(x) == 0:
+            slope, intercept = float("nan"), float("nan")
+        else:
+            xm, ym = x.mean(), y.mean()
+            slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+            intercept = float(ym - slope * xm)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]], "n": [n],
+            "slope_per_day": [round(slope, 6)],
+            "intercept": [round(intercept, 4)],
+        })
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fit, "user_id bigint, n bigint, slope_per_day double, "
+                            "intercept double")
+        .orderBy("user_id")
+    )
+
+
 def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate coverage: exact interpolated percentiles,
     sample stddev, correlation, distinct counts — per return flag."""

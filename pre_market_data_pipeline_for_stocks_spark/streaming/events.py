@@ -83,6 +83,40 @@ def run_to_memory(agg: DataFrame, query_name: str,
         q.stop()
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total) carried across micro-batches in
+    explicit GroupState — the arbitrary-stateful-processing surface the
+    built-in windowed aggregations can't express (e.g. per-entity online
+    accumulators, model state, CDC merge state).
+
+    Emits one update row per (user, micro-batch); state persists between
+    triggers and would persist across restarts under a checkpoint dir.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n],
+                            "total": [round(total, 2)]})
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, n bigint, total double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def batch_stream_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the hourly tumbling aggregation as a STREAM, then return the
     drained result — callers compare against the batch twin. Used by

@@ -1,0 +1,51 @@
+"""Bucketing: pre-bucketed tables co-locate their join — the saved plan
+must contain NO shuffle exchange on the join keys. This is the 100 TB
+co-located-join story (SURVEY.md §2.4 note) made checkable."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import load_testdata
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    tabs = load_testdata(spark, sf_dir, ["orders", "lineitem"])
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (tabs["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (tabs["lineitem"].write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(bucketed):
+    spark = bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql("""
+            SELECT o.o_orderkey, count(*) AS n_items, sum(l.l_quantity) AS qty
+            FROM b_orders o JOIN b_lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        """)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # co-located: SortMergeJoin directly over the bucketed scans,
+    # no Exchange below the join
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+    # and the result is right (vs a plain join on the raw parquet)
+    raw = load_testdata(spark, "/root/testdata/sf0.001", ["orders", "lineitem"])
+    expect = (raw["orders"].join(raw["lineitem"],
+                                 raw["orders"].o_orderkey == raw["lineitem"].l_orderkey)
+              .groupBy("o_orderkey").count().count())
+    assert joined.count() == expect

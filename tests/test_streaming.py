@@ -20,6 +20,44 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert len(stream_rows) > 0
 
 
+def test_stateful_user_totals_across_microbatches(spark, sf_dir, tmp_path):
+    """State must carry across micro-batches: two input files, one per
+    trigger; each user's final update equals the all-data batch totals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = se.load_events_batch(spark, sf_dir)
+    half_a = events.filter("event_id % 2 = 0")
+    half_b = events.filter("event_id % 2 = 1")
+    src = str(tmp_path / "stream_src")
+    half_a.coalesce(1).write.mode("overwrite").parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = se.stateful_user_totals(stream)
+    q = (agg.writeStream.outputMode("update")
+         .format("memory").queryName("stateful_totals").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last update per user = the row with the max running n
+    updates = spark.sql("SELECT * FROM stateful_totals")
+    final = {r["user_id"]: r["total"] for r in updates
+             .withColumn("_rn", F.row_number().over(
+                 Window.partitionBy("user_id").orderBy(F.col("n").desc())))
+             .filter("_rn = 1").collect()}
+    expected = {r["user_id"]: round(r["t"], 2) for r in
+                events.groupBy("user_id").agg(F.sum("value").alias("t")).collect()}
+    assert final == expected
+    # multiple batches actually happened (users got >1 update)
+    multi = updates.groupBy("user_id").count().filter("count > 1").count()
+    assert multi > 0
+
+
 def test_stream_session_windows(spark, sf_dir):
     agg = se.session_windows(se.events_stream(spark, sf_dir))
     se.run_to_memory(agg, "stream_sessions", "complete")
