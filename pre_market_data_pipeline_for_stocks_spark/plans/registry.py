@@ -503,6 +503,25 @@ SELECT user_id, event_id, ts, event_type, value FROM (
   FROM events) WHERE rn = 1
 """),
 
+    "semi_anti_order_coverage": QueryDef(R.semi_anti_order_coverage, """
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+w AS (
+  SELECT c_mktsegment, count(*) AS n_with_big_order
+  FROM customer c WHERE EXISTS (
+    SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+  GROUP BY c_mktsegment),
+wo AS (
+  SELECT c_mktsegment, count(*) AS n_without_big_order
+  FROM customer c WHERE NOT EXISTS (
+    SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+  GROUP BY c_mktsegment)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(w.n_with_big_order, 0) AS n_with_big_order,
+       coalesce(wo.n_without_big_order, 0) AS n_without_big_order
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY 1
+"""),
+
     "f12_provenance_tokens": QueryDef(R.f12_provenance_tokens, """
 SELECT o_orderkey,
        concat_ws(' | ',

@@ -223,6 +223,29 @@ def a1_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_anti_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage (the X7 short-circuit gating pattern:
+    'only fetch provider B for stocks with no provider-A hit' is exactly
+    a left_anti join at scale): per market segment, customers with and
+    without high-value orders."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    with_big = (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_with_big_order")))
+    without_big = (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+                   .groupBy("c_mktsegment")
+                   .agg(F.count(F.lit(1)).alias("n_without_big_order")))
+    return (
+        with_big.join(without_big, "c_mktsegment", "full_outer")
+        .select("c_mktsegment",
+                F.coalesce("n_with_big_order", F.lit(0)).alias("n_with_big_order"),
+                F.coalesce("n_without_big_order", F.lit(0))
+                .alias("n_without_big_order"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def f12_provenance_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: the pipe-joined provenance string as when/otherwise token
     chains (engine.py:125-188 shape) over orders."""

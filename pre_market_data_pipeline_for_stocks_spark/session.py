@@ -39,6 +39,9 @@ def get_spark(app_name: str = "premarket-spark", master: str | None = None,
         # rejects by default (PARQUET_TYPE_ILLEGAL); read them as int64
         # nanos and convert in sources.offline.load_testdata.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Allow custom Python data sources (ohlcv_datasource) to receive
+        # pushed-down filters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if master or not SparkSession.getActiveSession():
         builder = builder.master(master or f"local[{cpus}]")

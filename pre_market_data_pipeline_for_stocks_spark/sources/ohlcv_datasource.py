@@ -24,7 +24,17 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 OHLCV_DDL = ("stock string, date date, open double, high double, "
              "low double, close double, volume bigint")
@@ -41,6 +51,15 @@ class _StockPartition(InputPartition):
         self.stock = stock
 
 
+def _as_date(v) -> dt.date | None:
+    if isinstance(v, dt.date):
+        return v
+    try:
+        return dt.date.fromisoformat(str(v))
+    except ValueError:
+        return None
+
+
 class SyntheticOhlcvReader(DataSourceReader):
     def __init__(self, options: dict):
         self.stocks = [s for s in options.get("stocks", "").split(",") if s]
@@ -50,9 +69,37 @@ class SyntheticOhlcvReader(DataSourceReader):
         self.end = dt.date.fromisoformat(options.get("end_date", "2026-01-31"))
         self.seed = options.get("seed", "42")
 
+    def pushFilters(self, filters):
+        """X5 — source-level predicate pushdown: stock equality/IN prunes
+        whole partitions before they are planned; date bounds shrink the
+        per-partition generation range. Anything else is returned to
+        Spark to evaluate post-scan."""
+        unsupported = []
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if isinstance(f, EqualTo) and col == "stock":
+                self.stocks = [s for s in self.stocks if s == f.value]
+            elif isinstance(f, In) and col == "stock":
+                allowed = set(f.value)
+                self.stocks = [s for s in self.stocks if s in allowed]
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == "date":
+                lo = _as_date(f.value)
+                if lo and lo > self.start:
+                    self.start = lo if isinstance(f, GreaterThanOrEqual) \
+                        else lo + dt.timedelta(days=1)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and col == "date":
+                hi = _as_date(f.value)
+                if hi and hi < self.end:
+                    self.end = hi if isinstance(f, LessThanOrEqual) \
+                        else hi - dt.timedelta(days=1)
+            else:
+                unsupported.append(f)
+        return unsupported
+
     def partitions(self):
         # One partition per ticker: per-ticker parallel generation; a live
         # connector gets per-ticker API retry isolation from the same split.
+        # (pushFilters has already pruned stocks/date range at this point.)
         return [_StockPartition(s) for s in self.stocks]
 
     def read(self, partition: _StockPartition):

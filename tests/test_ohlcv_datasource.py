@@ -43,6 +43,21 @@ def test_partitioned_per_stock(feed):
     assert df.rdd.getNumPartitions() == 4
 
 
+def test_filter_pushdown_prunes_partitions(feed):
+    # stock equality pushes down -> only that ticker's partition is planned
+    df = feed(stocks="A,B,C,D").filter("stock = 'B'")
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert {r["stock"] for r in rows} == {"B"}
+
+    # date range pushes down -> generation range shrinks (values identical
+    # to post-scan filtering since bars are generated per-day)
+    narrow = feed().filter("date >= date'2026-01-12' AND date <= date'2026-01-16'")
+    assert narrow.count() == 5 * 2
+    assert all(dt.date(2026, 1, 12) <= r["date"] <= dt.date(2026, 1, 16)
+               for r in narrow.collect())
+
+
 def test_feeds_the_premarket_plan(spark, feed):
     from pre_market_data_pipeline_for_stocks_spark import schemas
     from pre_market_data_pipeline_for_stocks_spark.config import JobConfig
