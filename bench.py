@@ -44,6 +44,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in suite.items():
+        # Drop persisted intermediates of the previous query so one
+        # query's cache pressure can't distort the next one's timing.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
