@@ -89,7 +89,7 @@ banded AS (
   SELECT doc_id, simhash, 1 AS band, simhash >> {band_bits} AS band_val
   FROM simhash_t)
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
 FROM banded x JOIN banded y
   ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
@@ -488,7 +488,7 @@ FROM pick WHERE rn = 1 ORDER BY custkey
 """, headline=True),
 
     "w3_topk_orders_per_customer": QueryDef(R.w3_topk_orders_per_customer, """
-SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+SELECT o_custkey, o_orderkey, o_totalprice, rank::INTEGER AS rank FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -628,8 +628,9 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM g)
 SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
        (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
