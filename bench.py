@@ -44,12 +44,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in suite.items():
-        # Drop persisted intermediates of the previous query so one
-        # query's cache pressure can't distort the next one's timing.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        # best-of-2: single-run numbers swing +-50% on the heavier
+        # queries (GC/AQE variance in one shared JVM); min-of-2 is
+        # stable enough to compare across rounds.
+        for _ in range(2):
+            # Drop persisted intermediates so one run's cache pressure
+            # can't distort the next timing.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     print(json.dumps({
         "metric": "headline_suite_wall_s",

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import JobConfig
@@ -43,21 +43,20 @@ LEXICON = [("fast", "positive", 0.9), ("slow", "negative", 0.95),
 
 
 def _bronze_ohlcv(events: DataFrame) -> DataFrame:
-    w = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
+    # ONE aggregation with map-side partials (max_by on (ts, event_id) +
+    # count) instead of two window passes over a full sort shuffle —
+    # same rows, one exchange.
     daily = (
         events.withColumn("day", F.to_date("ts"))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("volume",
-                    F.count(F.lit(1)).over(
-                        Window.partitionBy("user_id", "day")))
-        .filter(F.col("_rn") == 1)
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id")))
+             .alias("close"),
+             F.count(F.lit(1)).alias("volume"))
     )
     return daily.select(
         F.col("user_id").alias("stock"), F.col("day").alias("date"),
         F.lit(0.0).alias("open"), F.lit(0.0).alias("high"),
-        F.lit(0.0).alias("low"), F.col("value").alias("close"),
-        F.col("volume"))
+        F.lit(0.0).alias("low"), F.col("close"), F.col("volume"))
 
 
 def _bronze_articles(docs: DataFrame) -> DataFrame:
