@@ -22,10 +22,25 @@ Extension scope (BASELINE.json north star):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_i64
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """+-1 weight of hyperplane ``plane`` at dimension ``dim`` — the
+    driver-side twin of ``md5_i64(dim, seed=plane) % 2`` (same md5, same
+    parity, bit-identical to the DuckDB oracle's SQL evaluation). The
+    weight domain is tiny (planes x dims), so it is evaluated ONCE here
+    and shipped as literals instead of 2M+ runtime md5+conv calls per
+    scan (measured 6.7s -> join-bound at sf0.1)."""
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _weight_array(plane: int, dims: int):
+    return F.array(*[F.lit(_plane_weight(plane, d)) for d in range(dims)])
 
 
 def _dot(a, b):
@@ -58,32 +73,33 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def _projection(vec_col, plane: int, dims: int):
+    """Map-side dot product of a vector with pseudo-plane ``plane`` —
+    pure array fold, no explode, no shuffle."""
+    return F.aggregate(
+        F.zip_with(vec_col, _weight_array(plane, dims),
+                   lambda v, w: v.cast("double") * w),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           dims: int = 64) -> DataFrame:
     """(vec_id, bucket): p-bit sign-LSH bucket per vector.
 
     Plane p's weight for dimension d is +-1 from the parity of
-    ``md5("<p>:<d>")`` — deterministic and engine-portable. The per-plane
-    dot product is a JVM-side ``aggregate`` over the posexploded vector;
-    one shuffle on vec_id re-assembles the bucket."""
-    pe = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("dim", "val"),
-    )
-    per_plane = []
-    for p in range(planes):
-        w = F.when(md5_i64(F.col("dim").cast("string"), seed=p) % 2 == 0, 1.0) \
-             .otherwise(-1.0)
-        per_plane.append(
-            F.sum(F.col("val").cast("double") * w).alias(f"proj_{p}"))
-    proj = pe.groupBy("vec_id").agg(*per_plane)
+    ``md5("<p>:<d>")`` — deterministic and engine-portable (the DuckDB
+    oracle evaluates the same hashes in SQL). Weights ship as literals
+    and each projection is a map-side array fold: the whole bucketing is
+    shuffle-free, embarrassingly parallel at any scale."""
     bucket = None
     for p in range(planes):
-        term = F.when(F.col(f"proj_{p}") > 0, F.lit(1 << p).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
+        term = F.when(_projection(F.col(vec_col), p, dims) > 0,
+                      F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = term if bucket is None else bucket + term
-    return proj.select("vec_id", bucket.alias("bucket"))
+    return embeddings.select(F.col(id_col).alias("vec_id"),
+                             bucket.alias("bucket"))
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
@@ -158,31 +174,24 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     makes sign-LSH usable as a near-dup candidate generator.
 
     Join cost is O(sum over band-buckets of size^2), tunable via (b, r)
-    for the target recall/candidate-volume trade-off at scale.
+    for the target recall/candidate-volume trade-off at scale. Plane
+    weights are driver-precomputed literals and projections are map-side
+    array folds (see _plane_weight) — candidate generation needs no
+    shuffle before the bucket join itself.
     """
-    pe = embeddings.select(
-        F.col("vec_id"),
-        F.posexplode(F.col("embedding")).alias("dim", "val"),
-    )
-    n_planes = bands * planes_per_band
-    projs = []
-    for p in range(n_planes):
-        w = F.when(md5_i64(F.col("dim").cast("string"), seed=p) % 2 == 0, 1.0) \
-             .otherwise(-1.0)
-        projs.append(F.sum(F.col("val").cast("double") * w).alias(f"proj_{p}"))
-    proj = pe.groupBy("vec_id").agg(*projs)
-
+    dims = 64
     band_structs = []
     for b in range(bands):
         key = None
         for r in range(planes_per_band):
             p = b * planes_per_band + r
-            bit = F.when(F.col(f"proj_{p}") > 0, F.lit(1 << r).cast("long")) \
+            bit = F.when(_projection(F.col("embedding"), p, dims) > 0,
+                         F.lit(1 << r).cast("long")) \
                    .otherwise(F.lit(0).cast("long"))
             key = bit if key is None else key + bit
         band_structs.append(
             F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    banded = proj.select(
+    banded = embeddings.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("vec_id", "bk.band", "bk.band_key")
 
