@@ -93,6 +93,19 @@ def _bronze_quarterly(orders: DataFrame) -> DataFrame:
     )
 
 
+def news_debug_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 / §3.3 — the dump_news_debug projection: every candidate
+    article with its filter-decision flags as columns (relevance, window,
+    filter-applied) instead of filters, over the same synthesized bronze
+    as premarket_e2e_tpch. Note the debug view applies the 72h window
+    flag to BOTH providers (dump_news_debug.py:141) — stricter than the
+    production path, reproduced as-is."""
+    tabs = load_testdata(spark, sf_dir, ["documents"])
+    return news.annotated_articles(
+        _bronze_articles(tabs["documents"]), _bronze_aliases(spark),
+        as_of_ts=AS_OF, lookback_hours=72)
+
+
 def premarket_e2e_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tabs = load_testdata(spark, sf_dir, ["events", "documents", "orders"])
     cfg = JobConfig(stocks=(), start_date=START, end_date=END, as_of_ts=AS_OF)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
-from .premarket_tpch import premarket_e2e_tpch
+from .premarket_tpch import news_debug_annotations, premarket_e2e_tpch
 
 _H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
 
@@ -380,6 +380,44 @@ SELECT strftime(day, '%Y-%m-%d') AS "Date", stock AS "Stock",
          AS "Data_Source_Log"
 FROM scored
 """, headline=True),
+
+    "news_debug_annotations": QueryDef(news_debug_annotations, """
+WITH articles AS (
+  SELECT doc_id % 150 AS stock,
+         CASE WHEN doc_id % 2 = 0 THEN 'google' ELSE 'newsdata' END
+           AS provider,
+         CASE WHEN doc_id % 4 < 2 THEN 'name' ELSE 'ticker' END AS query_kind,
+         trim(text) AS title,
+         source,
+         'u' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE TIMESTAMP '2024-01-19 12:00:00'
+                   - to_hours((doc_id % 120)::BIGINT) END AS published_at
+  FROM documents),
+aliases AS (
+  SELECT i AS stock,
+         CASE WHEN i % 3 = 0 THEN 'table value' ELSE 'spark' END AS long_name
+  FROM (SELECT unnest(range(0, 150)) AS i)),
+j AS (
+  SELECT a.*, lower(coalesce(al.long_name, a.stock::VARCHAR)) AS nm,
+         lower(trim(regexp_replace(coalesce(al.long_name, a.stock::VARCHAR),
+           '(?i)[\\s,]+(limited|ltd|ltd\\.|corporation|corp|corp\\.)[\\s.]*$',
+           ''))) AS nm_stripped
+  FROM articles a LEFT JOIN aliases al USING (stock))
+SELECT stock, provider, query_kind, title, source, url, published_at,
+       (title IS NOT NULL AND title <> '') AS non_blank,
+       (regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm || '\\b')
+        OR (nm_stripped <> '' AND regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm_stripped || '\\b'))
+        OR regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || stock::VARCHAR || '\\b'))
+         AS relevant_title,
+       (published_at IS NOT NULL
+        AND published_at >= TIMESTAMP '2024-01-16 12:00:00') AS in_window,
+       (query_kind = 'name') AS title_filter_applied
+FROM j
+"""),
 
     "q1_pricing_summary": QueryDef(R.q1_pricing_summary, """
 SELECT l_returnflag, l_linestatus,
