@@ -52,8 +52,12 @@ def assemble_fact(grid: DataFrame, ohlcv_derived: DataFrame,
         .join(ohlcv_derived.select("stock", "date", "volume", "pct_change"),
               on=["stock", "date"], how="inner")                     # J2
         .filter(F.col("pct_change").isNotNull() & F.col("volume").isNotNull())
-        .join(F.broadcast(headlines), on="stock", how="left")        # J3
-        .join(F.broadcast(fundamentals), on="stock", how="left")     # J4
+        # No broadcast hints on headlines/fundamentals: both are
+        # |stocks|-sized (one row per ticker), and a forced broadcast
+        # bypasses autoBroadcastJoinThreshold — a large universe would
+        # OOM the driver. AQE broadcasts at runtime when they fit.
+        .join(headlines, on="stock", how="left")                     # J3
+        .join(fundamentals, on="stock", how="left")                  # J4
         .withColumn("headline",
                     F.coalesce(F.col("headline"), F.lit(DEFAULT_HEADLINE)))  # F13
         .withColumn("news_source",

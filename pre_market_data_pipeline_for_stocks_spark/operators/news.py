@@ -54,6 +54,11 @@ def _priority() -> "F.Column":
         .when((F.col("provider") == "google") & (F.col("query_kind") == "ticker"), 2)
         .when((F.col("provider") == "newsdata") & (F.col("query_kind") == "name"), 3)
         .when((F.col("provider") == "newsdata") & (F.col("query_kind") == "ticker"), 4)
+        # Unknown provider/query_kind combos rank LAST: without this,
+        # priority would be NULL and ascending sort is NULLS FIRST, so an
+        # unexpected provider value would beat the whole google->newsdata
+        # chain — the opposite of the reference's short-circuit order.
+        .otherwise(5)
     )
 
 

@@ -14,8 +14,8 @@ Two backends behind one column-level API, mirroring the reference's
 
 Shared semantics (independent of backend, all native Catalyst exprs):
   - U2 short-circuit: empty/default headline -> Neutral/0.0 with NO
-    inference (sentiment.py:85-92), kept OUTSIDE the UDF so Catalyst can
-    prune model calls;
+    inference (sentiment.py:85-92), implemented as a filter/union plan
+    split so the model UDF never receives short-circuited rows;
   - U3 score normalization: positive -> +bround(raw,4), negative ->
     -bround(raw,4), neutral -> exactly 0.0 (confidence discarded,
     sentiment.py:145-159);
@@ -94,8 +94,13 @@ class LexiconSentiment:
             .select("_h", "raw_label", "raw_score")
         )
 
+        # No broadcast hint on matches: it is distinct-headline-sized,
+        # which for this pipeline is <= |stocks| but for a generic text
+        # column can be arbitrarily large — a forced broadcast would
+        # bypass autoBroadcastJoinThreshold and OOM the driver. AQE
+        # broadcasts at runtime when the relation is actually small.
         scored = normalize_scores(
-            df.join(F.broadcast(matches), df[headline_col] == matches["_h"], "left")
+            df.join(matches, df[headline_col] == matches["_h"], "left")
             .drop("_h"))
         # U2 short-circuit wins over any lexicon match.
         return (
@@ -161,11 +166,19 @@ class FinBERTSentiment:
                 yield pd.DataFrame({"raw_label": labels, "raw_score": scores})
 
         h = F.col(headline_col)
-        # U2 outside the UDF: model runs only on non-default headlines.
-        raw = F.when(_is_shortcircuit(h),
-                     F.struct(F.lit("neutral").alias("raw_label"),
-                              F.lit(0.0).alias("raw_score"))).otherwise(infer(h))
-        scored = df.withColumn("_raw", raw).select(
-            "*", F.col("_raw.raw_label").alias("raw_label"),
-            F.col("_raw.raw_score").alias("raw_score")).drop("_raw")
-        return normalize_scores(scored).drop("raw_label", "raw_score")
+        # U2 as a PLAN SPLIT, not a CaseWhen: Spark extracts pandas UDFs
+        # into an ArrowEvalPython node that evaluates for every row BEFORE
+        # a CaseWhen selects a branch — a conditional expression would
+        # still run the model on short-circuited rows (correct values,
+        # wasted inference). Filter them out, score the rest, union back:
+        # the UDF literally never sees a default/blank headline.
+        shortcut = df.filter(_is_shortcircuit(h)).select(
+            "*", F.lit("neutral").alias("raw_label"),
+            F.lit(0.0).alias("raw_score"))
+        live = (df.filter(~_is_shortcircuit(h))
+                .withColumn("_raw", infer(h))
+                .select("*", F.col("_raw.raw_label").alias("raw_label"),
+                        F.col("_raw.raw_score").alias("raw_score"))
+                .drop("_raw"))
+        return normalize_scores(shortcut.unionByName(live)) \
+            .drop("raw_label", "raw_score")

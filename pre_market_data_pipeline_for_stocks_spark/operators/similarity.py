@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,17 +123,35 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     def cos(a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 
-    # Assign every vector to its nearest centroid cell.
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("_cc").desc(), F.col("cent_id").asc())
+    # Assign every vector to its nearest centroid cell as a MAP-SIDE FOLD:
+    # the centroid set (small by construction — it's the quantizer model)
+    # is packed into ONE row via collect_list and broadcast, so assignment
+    # is a per-row argmax over an array column. No |docs|x|centroids| row
+    # expansion, no aggregation, no shuffle — the alternatives both lose
+    # at scale (a row_number window sort-shuffles the expanded relation;
+    # a groupBy+max_by carrying the embedding payload falls back to
+    # SortAggregate and locally sorts the expansion). array_sort orders
+    # cells by cent_id, and the strictly-greater fold keeps the FIRST max,
+    # reproducing the (cosine desc, cent_id asc) tie-break of the oracle.
+    cent_list = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cent_vec")))
+        .alias("_cents"))
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cos(F.col("embedding"), c["cent_vec"]).alias("cc"),
+            c["cent_id"].alias("cell")))
+    best = F.aggregate(
+        scored_cells,
+        F.struct(F.lit(float("-inf")).alias("cc"),
+                 F.lit(-1).cast("long").alias("cell")),
+        lambda acc, s: F.when(s["cc"] > acc["cc"], s).otherwise(acc))
     assigned = (
         embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("embedding"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("_cc", cos(F.col("embedding"), F.col("cent_vec")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+        .crossJoin(F.broadcast(cent_list))
+        .withColumn("cell", best["cell"])
+        .drop("_cents")
     )
 
     # Probe the nprobe cells nearest the query vector.

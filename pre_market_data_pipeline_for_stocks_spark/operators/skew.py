@@ -43,7 +43,16 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
         if fn not in _MERGEABLE and fn != "count":
             raise ValueError(f"{fn} is not algebraic-mergeable")
 
-    salt_col = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt
+    # Salt derived from ROW CONTENT, not partition/row position: task
+    # re-execution after a shuffle-fetch failure must re-salt every row
+    # identically, or phase-2 reducers that already fetched old partials
+    # can double-count (the SPARK-23207 class of bug). xxhash64 over all
+    # columns is deterministic per row; distinct hot-key rows still fan
+    # out across ~salt buckets. Exact duplicate rows share a bucket —
+    # acceptable: duplicates of one key landing together only concentrates
+    # load if the key's rows are ALL identical, in which case phase 1
+    # reduces them to one partial anyway.
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
 
     phase1_aggs = []
     for name, (fn, col) in aggs.items():

@@ -84,14 +84,24 @@ class SyntheticOhlcvReader(DataSourceReader):
                 self.stocks = [s for s in self.stocks if s in allowed]
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == "date":
                 lo = _as_date(f.value)
-                if lo and lo > self.start:
-                    self.start = lo if isinstance(f, GreaterThanOrEqual) \
-                        else lo + dt.timedelta(days=1)
+                if lo is None:
+                    unsupported.append(f)   # unparsable bound: let Spark apply it
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.start = max(self.start, lo)
+                else:
+                    # STRICT bound: date > lo excludes lo itself even when
+                    # lo == self.start, so narrow whenever lo >= start.
+                    if lo >= self.start:
+                        self.start = lo + dt.timedelta(days=1)
             elif isinstance(f, (LessThan, LessThanOrEqual)) and col == "date":
                 hi = _as_date(f.value)
-                if hi and hi < self.end:
-                    self.end = hi if isinstance(f, LessThanOrEqual) \
-                        else hi - dt.timedelta(days=1)
+                if hi is None:
+                    unsupported.append(f)
+                elif isinstance(f, LessThanOrEqual):
+                    self.end = min(self.end, hi)
+                else:
+                    if hi <= self.end:
+                        self.end = hi - dt.timedelta(days=1)
             else:
                 unsupported.append(f)
         return unsupported

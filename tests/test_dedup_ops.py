@@ -1,0 +1,39 @@
+"""Dedup-operator unit checks that the DuckDB oracle can't express:
+the max_df hot-shingle guard (a plan-cost property, not a result)."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+)
+
+
+def _docs(spark, n=20):
+    # Every doc shares the 4-word boilerplate prefix (two hot 3-shingles
+    # with df = n); the tail words are unique per doc.
+    rows = [(i, f"common boiler plate text w{i} x{i} y{i} z{i}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_hot_shingles_generate_quadratic_pairs_without_guard(spark):
+    docs = _docs(spark)
+    # 2 shared shingles, 6 per doc -> jaccard 2/10 = 0.2 for every pair
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    assert len(pairs) == 20 * 19 // 2
+    assert all(abs(r["jaccard"] - 0.2) < 1e-9 for r in pairs)
+
+
+def test_max_df_caps_hot_shingle_pairs(spark):
+    docs = _docs(spark)
+    # df of the boilerplate shingles is 20 > 10 -> dropped before the
+    # self-join; no other shingle is shared, so the pair space collapses.
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=10)
+    assert pairs.count() == 0
+
+
+def test_max_df_above_actual_df_is_exact(spark):
+    docs = _docs(spark)
+    # Guard threshold above every shingle's df -> identical to unguarded.
+    guarded = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=50)
+    assert guarded.count() == 20 * 19 // 2

@@ -58,6 +58,28 @@ def test_filter_pushdown_prunes_partitions(feed):
                for r in narrow.collect())
 
 
+def test_strict_date_bounds_at_configured_edges(feed):
+    """A strict bound EQUAL to the configured range edge must still
+    exclude the boundary day: pushFilters claims strict comparisons as
+    fully handled, so the source itself has to narrow (regression for the
+    `lo > self.start` off-by-one)."""
+    # 2026-01-05..09 is Mon..Fri. date > start must drop the 5th.
+    gt = feed(start="2026-01-05", end="2026-01-09") \
+        .filter("date > date'2026-01-05'")
+    assert {r["date"] for r in gt.collect()} == {
+        dt.date(2026, 1, d) for d in (6, 7, 8, 9)}
+    # date < end must drop the 9th.
+    lt = feed(start="2026-01-05", end="2026-01-09") \
+        .filter("date < date'2026-01-09'")
+    assert {r["date"] for r in lt.collect()} == {
+        dt.date(2026, 1, d) for d in (5, 6, 7, 8)}
+    # and strict bounds inside the range still narrow by one day
+    both = feed(start="2026-01-05", end="2026-01-09") \
+        .filter("date > date'2026-01-06' AND date < date'2026-01-09'")
+    assert {r["date"] for r in both.collect()} == {
+        dt.date(2026, 1, 7), dt.date(2026, 1, 8)}
+
+
 def test_feeds_the_premarket_plan(spark, feed):
     from pre_market_data_pipeline_for_stocks_spark import schemas
     from pre_market_data_pipeline_for_stocks_spark.config import JobConfig

@@ -86,3 +86,33 @@ def test_finbert_udf_plumbing_with_fake_model(spark):
     assert out["explode now"] == ("Neutral", 0.0)      # U5 error fallback
     assert out["other"] == ("Neutral", 0.0)            # U4 unknown label
     assert out[DEFAULT_HEADLINE] == ("Neutral", 0.0)   # U2 short-circuit
+
+
+def test_finbert_split_prunes_model_calls(spark, tmp_path):
+    """U2 is a plan split, not a CaseWhen: the model UDF must NEVER be
+    invoked for default/blank headlines (a CaseWhen over an ArrowEvalPython
+    node still evaluates the UDF for every row). The fake records every
+    text it sees to a file the driver can inspect (local mode shares the
+    filesystem with Python workers)."""
+    log = str(tmp_path / "model_calls.log")
+
+    def recording_pipe(text, truncation=True, max_length=512):
+        with open(log, "a") as f:
+            f.write(repr(text) + "\n")
+        return [{"label": "positive", "score": 0.6}]
+
+    df = spark.createDataFrame(
+        [(DEFAULT_HEADLINE,), ("",), ("   ",), (None,), ("real news",)],
+        "headline string")
+    out = {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
+           for r in FinBERTSentiment(model_fn=recording_pipe).score(df).collect()}
+    assert out["real news"] == ("Positive", 0.6)
+    assert out[DEFAULT_HEADLINE] == ("Neutral", 0.0)
+    assert out[""] == ("Neutral", 0.0)
+    assert out["   "] == ("Neutral", 0.0)
+    assert out[None] == ("Neutral", 0.0)
+    with open(log) as f:
+        calls = f.read()
+    assert "real news" in calls
+    assert DEFAULT_HEADLINE not in calls
+    assert calls.count("\n") == 1                      # exactly one model call
