@@ -43,26 +43,29 @@ def main() -> None:
     force(next(iter(suite.values()))(spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in suite.items():
-        best = None
         # best-of-2: single-run numbers swing +-50% on the heavier
         # queries (GC/AQE variance in one shared JVM); min-of-2 is
-        # stable enough to compare across rounds.
+        # stable enough to compare across rounds. Both raw runs are
+        # emitted under "runs" so consumers can see the variance.
+        samples = []
         for _ in range(2):
             # Drop persisted intermediates so one run's cache pressure
             # can't distort the next timing.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        timings[name] = min(samples)
 
     print(json.dumps({
         "metric": "headline_suite_wall_s",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -81,3 +81,14 @@ def standalone_match_sql(text_expr: str, phrase_lit: str) -> str:
         f"regexp_matches(lower({text_expr}), "
         f"'(^\\s*|[^a-z\\s]\\s+|[^\\w\\s]){quoted}\\b')"
     )
+
+
+def truncate_display(col: Column, width: int = 50) -> Column:
+    """O4 — terminal display truncation (``dump_news_debug.py:247-248``):
+    text longer than ``width`` is cut to ``width - 2`` characters with a
+    ``".."`` ellipsis appended; shorter text passes through unchanged."""
+    return (
+        F.when(F.length(col) > width,
+               F.concat(F.substring(col, 1, width - 2), F.lit("..")))
+        .otherwise(col)
+    )

@@ -121,6 +121,57 @@ def best_headline(articles: DataFrame, aliases: DataFrame,
     )
 
 
+def debug_summary(annotated: DataFrame) -> DataFrame:
+    """A6 — per-(stock, provider, query_kind) debug rollup: parity with
+    ``scripts/dump_news_debug.py:149-157`` (``_query_block``):
+    ``total_fetched``, ``relevant_in_window``, ``selected_headline``.
+
+    The debug script's semantics are deliberately stricter/simpler than
+    production and are reproduced as-is:
+      - blank titles are dropped BEFORE counting (the annotate helpers
+        skip them, dump_news_debug.py:89-91);
+      - a ticker-query article is always "relevant" — the title filter
+        only bites on name queries (``(not use_title_filter) or ...``,
+        dump_news_debug.py:99);
+      - the 72h window flag applies to BOTH providers;
+      - ``selected_headline`` is the most recent candidate passing both
+        flags (dump_news_debug.py:140-146), 'NONE' when none survives.
+        Feed order doesn't exist in a relation, so timestamp ties break
+        on (url, title) — same documented divergence as best_headline.
+
+    Shuffle shape: one hash aggregation for the counts plus one window
+    argmax restricted to candidate rows, both keyed on the same triple;
+    the final join co-partitions. All map-side-combinable.
+    """
+    keys = ["stock", "provider", "query_kind"]
+    flagged = (
+        annotated
+        .filter(F.col("non_blank"))
+        .withColumn("_cand",
+                    ((~F.col("title_filter_applied")) | F.col("relevant_title"))
+                    & F.col("in_window"))
+    )
+    counts = flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("total_fetched"),
+        F.sum(F.col("_cand").cast("long")).alias("relevant_in_window"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("published_at").desc_nulls_last(),
+        F.col("url").asc_nulls_last(),
+        F.col("title").asc(),
+    )
+    selected = (
+        flagged.filter(F.col("_cand"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col("title").alias("selected_headline"))
+    )
+    return (
+        counts.join(selected, keys, "left")
+        .withColumn("selected_headline",
+                    F.coalesce(F.col("selected_headline"), F.lit("NONE")))
+    )
+
+
 def annotated_articles(articles: DataFrame, aliases: DataFrame,
                        as_of_ts: datetime, lookback_hours: int = 72) -> DataFrame:
     """Debug projection (K5 parity with ``scripts/dump_news_debug.py:83-136``):

@@ -106,6 +106,13 @@ def news_debug_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_of_ts=AS_OF, lookback_hours=72)
 
 
+def news_debug_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — the per-(stock, provider, query_kind) rollup of the debug
+    projection (``dump_news_debug.py:149-157``), over the same
+    synthesized bronze as ``news_debug_annotations``."""
+    return news.debug_summary(news_debug_annotations(spark, sf_dir))
+
+
 def premarket_e2e_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tabs = load_testdata(spark, sf_dir, ["events", "documents", "orders"])
     cfg = JobConfig(stocks=(), start_date=START, end_date=END, as_of_ts=AS_OF)

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
-from .premarket_tpch import news_debug_annotations, premarket_e2e_tpch
+from .premarket_tpch import (
+    news_debug_annotations,
+    news_debug_summary,
+    premarket_e2e_tpch,
+)
 
 _H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
 
@@ -234,6 +238,46 @@ class QueryDef:
     headline: bool = False      # included in bench.py
 
 
+# Shared by news_debug_annotations (K5) and news_debug_summary (A6): the
+# synthesized-articles debug projection with filter-decision flags.
+_NEWS_DEBUG_ANN_SQL = """
+WITH articles AS (
+  SELECT doc_id % 150 AS stock,
+         CASE WHEN doc_id % 2 = 0 THEN 'google' ELSE 'newsdata' END
+           AS provider,
+         CASE WHEN doc_id % 4 < 2 THEN 'name' ELSE 'ticker' END AS query_kind,
+         trim(text) AS title,
+         source,
+         'u' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE TIMESTAMP '2024-01-19 12:00:00'
+                   - to_hours((doc_id % 120)::BIGINT) END AS published_at
+  FROM documents),
+aliases AS (
+  SELECT i AS stock,
+         CASE WHEN i % 3 = 0 THEN 'table value' ELSE 'spark' END AS long_name
+  FROM (SELECT unnest(range(0, 150)) AS i)),
+j AS (
+  SELECT a.*, lower(coalesce(al.long_name, a.stock::VARCHAR)) AS nm,
+         lower(trim(regexp_replace(coalesce(al.long_name, a.stock::VARCHAR),
+           '(?i)[\\s,]+(limited|ltd|ltd\\.|corporation|corp|corp\\.)[\\s.]*$',
+           ''))) AS nm_stripped
+  FROM articles a LEFT JOIN aliases al USING (stock))
+SELECT stock, provider, query_kind, title, source, url, published_at,
+       (title IS NOT NULL AND title <> '') AS non_blank,
+       (regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm || '\\b')
+        OR (nm_stripped <> '' AND regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm_stripped || '\\b'))
+        OR regexp_matches(lower(title),
+          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || stock::VARCHAR || '\\b'))
+         AS relevant_title,
+       (published_at IS NOT NULL
+        AND published_at >= TIMESTAMP '2024-01-16 12:00:00') AS in_window,
+       (query_kind = 'name') AS title_filter_applied
+FROM j
+"""
+
 REGISTRY: dict[str, QueryDef] = {
     # --- flagship + TPC-H-style -----------------------------------------
     "flagship_daily_close_pct": QueryDef(R.flagship_daily_close_pct, """
@@ -381,42 +425,30 @@ SELECT strftime(day, '%Y-%m-%d') AS "Date", stock AS "Stock",
 FROM scored
 """, headline=True),
 
-    "news_debug_annotations": QueryDef(news_debug_annotations, """
-WITH articles AS (
-  SELECT doc_id % 150 AS stock,
-         CASE WHEN doc_id % 2 = 0 THEN 'google' ELSE 'newsdata' END
-           AS provider,
-         CASE WHEN doc_id % 4 < 2 THEN 'name' ELSE 'ticker' END AS query_kind,
-         trim(text) AS title,
-         source,
-         'u' || doc_id::VARCHAR AS url,
-         CASE WHEN doc_id % 7 = 0 THEN NULL
-              ELSE TIMESTAMP '2024-01-19 12:00:00'
-                   - to_hours((doc_id % 120)::BIGINT) END AS published_at
-  FROM documents),
-aliases AS (
-  SELECT i AS stock,
-         CASE WHEN i % 3 = 0 THEN 'table value' ELSE 'spark' END AS long_name
-  FROM (SELECT unnest(range(0, 150)) AS i)),
-j AS (
-  SELECT a.*, lower(coalesce(al.long_name, a.stock::VARCHAR)) AS nm,
-         lower(trim(regexp_replace(coalesce(al.long_name, a.stock::VARCHAR),
-           '(?i)[\\s,]+(limited|ltd|ltd\\.|corporation|corp|corp\\.)[\\s.]*$',
-           ''))) AS nm_stripped
-  FROM articles a LEFT JOIN aliases al USING (stock))
-SELECT stock, provider, query_kind, title, source, url, published_at,
-       (title IS NOT NULL AND title <> '') AS non_blank,
-       (regexp_matches(lower(title),
-          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm || '\\b')
-        OR (nm_stripped <> '' AND regexp_matches(lower(title),
-          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || nm_stripped || '\\b'))
-        OR regexp_matches(lower(title),
-          '(^\\s*|[^a-z\\s]\\s+|[^\\w\\s])' || stock::VARCHAR || '\\b'))
-         AS relevant_title,
-       (published_at IS NOT NULL
-        AND published_at >= TIMESTAMP '2024-01-16 12:00:00') AS in_window,
-       (query_kind = 'name') AS title_filter_applied
-FROM j
+    "news_debug_annotations": QueryDef(news_debug_annotations, _NEWS_DEBUG_ANN_SQL),
+
+    "news_debug_summary": QueryDef(news_debug_summary, f"""
+WITH ann AS ({_NEWS_DEBUG_ANN_SQL}),
+flagged AS (
+  SELECT *, (((NOT title_filter_applied) OR relevant_title) AND in_window)
+         AS cand
+  FROM ann WHERE non_blank),
+counts AS (
+  SELECT stock, provider, query_kind,
+         COUNT(*)::BIGINT AS total_fetched,
+         COALESCE(SUM(CASE WHEN cand THEN 1 ELSE 0 END), 0)::BIGINT
+           AS relevant_in_window
+  FROM flagged GROUP BY stock, provider, query_kind),
+sel AS (
+  SELECT stock, provider, query_kind, title AS selected_headline FROM (
+    SELECT stock, provider, query_kind, title,
+           row_number() OVER (PARTITION BY stock, provider, query_kind
+             ORDER BY published_at DESC NULLS LAST, url ASC, title ASC) AS rn
+    FROM flagged WHERE cand) WHERE rn = 1)
+SELECT c.stock, c.provider, c.query_kind, c.total_fetched,
+       c.relevant_in_window,
+       COALESCE(s.selected_headline, 'NONE') AS selected_headline
+FROM counts c LEFT JOIN sel s USING (stock, provider, query_kind)
 """),
 
     "q1_pricing_summary": QueryDef(R.q1_pricing_summary, """

@@ -7,9 +7,13 @@ and a 1 s rate-limit sleep (``news.py:128``). That driver-side split is the
 right design in Spark too (X5/X10/X11): source fetch is API-quota-bound,
 not data-bound, so it stays on the driver and lands in bronze Parquet
 partitioned by (provider, stock, fetch_date) — the distributed engine
-reads bronze. Network libraries are not installed here, so each connector
-raises NotImplementedError unless its import succeeds; the bronze schemas
-and the retry/rate-limit scaffolding are real.
+reads bronze. The news connectors are fully implemented: URL/query
+building (F14), payload parsing and bronze normalization live in
+``news_payloads`` (pure, fixture-testable), with stdlib-urllib HTTP at
+the edge behind an injectable ``http_get`` — a network failure returns
+None (the reference's INFRA_FAILURE fall-through), and tests drive the
+whole path from recorded payloads. Only the yfinance OHLCV fetch still
+requires a third-party package and stays import-gated.
 """
 
 from __future__ import annotations
@@ -67,22 +71,115 @@ def fetch_ohlcv_yfinance(stock: str, start_date, end_date,
     })
 
 
-def fetch_news_google(ticker: str, query: str):
-    """S4 — Google News RSS scan; normalization parity with news.py:283-305."""
-    try:
-        import feedparser  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "feedparser is not installed; use the offline bronze path "
-            "(sources.offline.read_news_articles)") from exc
-    raise NotImplementedError("live RSS fetch intentionally stubbed offline")
+def get_long_name(stock: str, cache_path: str, fetch_fn=None) -> str:
+    """S3 (live half) — company longName with a JSON file cache
+    (``src/core/news_utils.py:106-158`` parity).
+
+    Resolution order: (1) ``cache_path`` JSON dict (zero network), (2)
+    ``yf.Ticker("<stock>.NS").info["longName"]``, (3) the raw ticker when
+    yfinance is unavailable/raises/returns blank. The result — INCLUDING
+    the ticker fallback — is written back to the cache, exactly as the
+    reference caches its fallback. ``fetch_fn(stock) -> str`` is
+    injectable so the cache round-trip is testable offline; the offline
+    engine path consumes the same mapping as the ``stock_aliases``
+    dimension (operators/news.py J6)."""
+    import json
+    import os
+    cache: dict = {}
+    if os.path.exists(cache_path):
+        with open(cache_path, encoding="utf-8") as f:
+            cache = json.load(f)
+    if stock in cache:
+        return cache[stock]
+    long_name = (fetch_fn or _fetch_long_name_yfinance)(stock)
+    parent = os.path.dirname(cache_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    cache[stock] = long_name
+    with open(cache_path, "w", encoding="utf-8") as f:
+        json.dump(cache, f, indent=2)
+    return long_name
 
 
-def fetch_news_newsdata(api_key: str, query: str, rate_limit_s: float = 1.0):
-    """S5 — NewsData.io /api/1/latest scan (news.py:115-141); >=1 s spacing."""
+def _fetch_long_name_yfinance(stock: str) -> str:
+    """yfinance longName, ticker fallback on ANY failure — empty string,
+    raised exception (news_utils.py:135-158) or the package simply not
+    being installed (this container)."""
     try:
-        import requests  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "requests is not installed; use the offline bronze path") from exc
-    raise NotImplementedError("live API fetch intentionally stubbed offline")
+        import yfinance as yf
+    except ImportError:
+        return stock
+    try:
+        long_name = (yf.Ticker(f"{stock}.NS").info.get("longName") or "").strip()
+        if long_name:
+            return long_name
+    except Exception:
+        pass
+    return stock
+
+
+def _default_http_get(url: str, timeout: float = 15.0) -> tuple[int, str]:
+    """(status, body) via stdlib urllib — the reference's feedparser /
+    requests add only fetching convenience; the parse half lives in
+    ``news_payloads`` and never touches the network."""
+    import urllib.request
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        return resp.status, resp.read().decode("utf-8", errors="replace")
+
+
+def fetch_news_google(ticker: str, query: str, query_kind: str = "name",
+                      http_get=None):
+    """S4 — one Google News RSS query -> bronze NEWS_ARTICLES rows, or
+    None on infra failure (news.py:265-308).
+
+    ``http_get(url) -> (status, body)`` is injectable so tests drive the
+    FULL path (F14 URL build -> parse -> bronze normalize) from a
+    recorded RSS payload with no network. Failure semantics parity:
+    a fetch exception is INFRA_FAILURE -> None (news.py:270-276) and the
+    caller falls through the provider chain. Divergence (documented):
+    feedparser tolerates malformed XML (``bozo`` flag, best-effort
+    entries); stdlib ElementTree is all-or-nothing, so a malformed
+    payload is also INFRA_FAILURE -> None.
+    """
+    from .news_payloads import google_rss_url, parse_google_rss, to_bronze_rows
+    url = google_rss_url(query)
+    get = http_get or _default_http_get
+    try:
+        status, body = get(url)
+        if status != 200:
+            return None
+        entries = parse_google_rss(body)
+    except Exception:
+        return None
+    return to_bronze_rows(entries, ticker, "google", query_kind)
+
+
+def fetch_news_newsdata(api_key: str, ticker: str, query: str,
+                        query_kind: str = "name", rate_limit_s: float = 1.0,
+                        http_get=None, sleep=time.sleep):
+    """S5 — one NewsData.io /api/1/latest query -> bronze rows, or None
+    on infra failure (news.py:115-141).
+
+    Parity: >=1 s spacing BEFORE every call (news.py:128), non-200 or a
+    request exception -> None (news.py:129-140), ``results`` extracted
+    from the JSON body (news.py:141). ``http_get``/``sleep`` injectable
+    for offline tests."""
+    import urllib.parse as _up
+
+    from .news_payloads import (
+        NEWSDATA_URL,
+        newsdata_params,
+        parse_newsdata_payload,
+        to_bronze_rows,
+    )
+    url = NEWSDATA_URL + "?" + _up.urlencode(newsdata_params(api_key, query))
+    get = http_get or _default_http_get
+    sleep(rate_limit_s)
+    try:
+        status, body = get(url)
+        if status != 200:
+            return None
+        entries = parse_newsdata_payload(body)
+    except Exception:
+        return None
+    return to_bronze_rows(entries, ticker, "newsdata", query_kind)

@@ -1,0 +1,180 @@
+"""S4/S5 — raw news payload -> bronze normalization (+ F14 URL building).
+
+The reference fetches Google News RSS via feedparser
+(``src/providers/news.py:265-308``) and NewsData.io via requests
+(``news.py:115-141``), then normalizes entries into article dicts. The
+fetch half is network I/O and stays behind import gates in
+``sources.live``; THIS module is the parse half — pure functions from a
+recorded payload (an RSS XML string, a NewsData JSON blob) to bronze
+``schemas.NEWS_ARTICLES`` rows — so the full normalization is testable
+offline from fixtures, no network, no third-party parser (stdlib
+ElementTree handles RSS 2.0; feedparser adds only leniency we don't
+exercise).
+
+Normalization parity, per provider:
+
+Google (``news.py:283-305`` — applied AT FETCH TIME in the reference):
+  - blank/whitespace titles are dropped here, in the parser;
+  - ``pubDate`` (RFC 822) is parsed to naive UTC and formatted as
+    ``%Y-%m-%d %H:%M:%S`` — feedparser's ``published_parsed`` is a UTC
+    struct_time, so ``email.utils.parsedate_to_datetime`` + UTC convert
+    reproduces it; a missing/unparsable date becomes an EMPTY value and
+    the entry is KEPT (the P8 asymmetry: Google trusts ``when:3d``);
+  - ``<source>`` element text, falling back to ``"Google News"``;
+  - url from ``<link>``, summary from ``<description>``.
+
+NewsData (``news.py:141`` + ``news.py:153-169`` — the API returns raw
+``results`` and blank-title / unparsable-date handling happens at
+SELECT time):
+  - entries are kept raw-ish: title trimmed but blanks KEPT (the P5
+    relational predicate drops them downstream, same observable result);
+  - ``pubDate`` already in ``%Y-%m-%d %H:%M:%S``; unparsable -> null
+    ``published_at``, row kept — the engine's P7 window predicate
+    (null fails ``>= cutoff``) reproduces the reference's parse-or-drop;
+  - source from ``source_id`` falling back to ``"NewsData"``, url from
+    ``link`` then ``url`` (news.py:180).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import email.utils
+import json
+import urllib.parse
+import xml.etree.ElementTree as ET
+
+PUBDATE_FMT = "%Y-%m-%d %H:%M:%S"
+GOOGLE_RSS_BASE = "https://news.google.com/rss/search"
+NEWSDATA_URL = "https://newsdata.io/api/1/latest"
+
+
+# ── query + URL builders (news.py:223-239, 115-127, 267) ────────────────────
+
+def google_name_query(search_name: str) -> str:
+    """Query A — company name, title filter ON (news.py:225-226)."""
+    return f'"{search_name}" (NSE OR shares OR stock) when:3d'
+
+
+def google_ticker_query(ticker: str) -> str:
+    """Query B — ticker, title filter OFF (news.py:234-235)."""
+    return f'"{ticker}" NSE when:3d'
+
+
+def newsdata_name_query(search_name: str) -> str:
+    return f'"{search_name}"'
+
+
+def newsdata_ticker_query(ticker: str) -> str:
+    return f'"{ticker}"'
+
+
+def google_rss_url(query: str) -> str:
+    """F14 — percent-encoded RSS search URL (news.py:266-267)."""
+    return (f"{GOOGLE_RSS_BASE}?q={urllib.parse.quote(query)}"
+            f"&hl=en-IN&gl=IN&ceid=IN:en")
+
+
+def newsdata_params(api_key: str, query: str) -> dict:
+    """Query-params dict for /api/1/latest (news.py:119-127)."""
+    return {
+        "apikey": api_key,
+        "q": query,
+        "language": "en",
+        "country": "in",
+        "category": "business",
+        "prioritydomain": "top",
+        "removeduplicate": 1,
+    }
+
+
+# ── Google RSS payload -> entry dicts (news.py:283-305) ─────────────────────
+
+def _rfc822_to_utc_str(pub: str | None) -> str:
+    """RFC 822 date -> naive-UTC ``PUBDATE_FMT`` string, or "" if absent/
+    unparsable (feedparser's ``published_parsed`` is UTC; news.py:289-293
+    renders it with the same format, "" when missing)."""
+    if not pub:
+        return ""
+    try:
+        parsed = email.utils.parsedate_to_datetime(pub)
+    except (TypeError, ValueError):
+        return ""
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed.strftime(PUBDATE_FMT)
+
+
+def parse_google_rss(xml_text: str) -> list[dict]:
+    """RSS 2.0 payload -> entry dicts {title, source, url, published_at,
+    summary} with published_at as a ``PUBDATE_FMT`` string or "".
+
+    Blank-title items are dropped HERE (fetch-time parity with
+    news.py:285-287); undated items are kept with published_at="" (P8)."""
+    root = ET.fromstring(xml_text)
+    entries = []
+    for item in root.iter("item"):
+        title = (item.findtext("title") or "").strip()
+        if not title:
+            continue
+        source = (item.findtext("source") or "").strip() or "Google News"
+        entries.append({
+            "title": title,
+            "source": source,
+            "url": item.findtext("link") or "",
+            "published_at": _rfc822_to_utc_str(item.findtext("pubDate")),
+            "summary": item.findtext("description") or "",
+        })
+    return entries
+
+
+# ── NewsData payload -> entry dicts (news.py:141, 153-185) ──────────────────
+
+def parse_newsdata_payload(payload: str | dict) -> list[dict]:
+    """``/api/1/latest`` response body -> entry dicts {title, source, url,
+    published_at, summary}; ``results`` missing -> [] (news.py:141).
+
+    Titles are trimmed but blanks KEPT (the reference drops them at
+    select time = the engine's P5 predicate); published_at stays the raw
+    ``pubDate`` string — parse-or-null happens in ``to_bronze_rows``."""
+    body = json.loads(payload) if isinstance(payload, str) else payload
+    entries = []
+    for article in body.get("results", []) or []:
+        entries.append({
+            "title": (article.get("title") or "").strip(),
+            "source": article.get("source_id") or "NewsData",
+            "url": article.get("link") or article.get("url") or "",
+            "published_at": article.get("pubDate") or "",
+            "summary": article.get("description") or "",
+        })
+    return entries
+
+
+# ── entry dicts -> bronze NEWS_ARTICLES rows ─────────────────────────────────
+
+def _parse_pubdate(s: str) -> dt.datetime | None:
+    """``PUBDATE_FMT`` string -> naive datetime, None when empty or
+    unparsable (news.py:163-166: the strptime try/except)."""
+    try:
+        return dt.datetime.strptime(s, PUBDATE_FMT)
+    except (TypeError, ValueError):
+        return None
+
+
+def to_bronze_rows(entries: list[dict], stock: str, provider: str,
+                   query_kind: str) -> list[dict]:
+    """Entry dicts -> rows matching ``schemas.NEWS_ARTICLES``.
+
+    ``published_at`` becomes a (naive) datetime or None; a None for
+    provider='newsdata' is dropped by the engine's P7 predicate (the
+    reference's parse-or-drop), while for provider='google' null
+    publish times remain valid losers in the A1 ordering (P8)."""
+    return [{
+        "stock": stock,
+        "provider": provider,
+        "query_kind": query_kind,
+        "title": e["title"],
+        "source": e["source"],
+        "url": e["url"],
+        "published_at": _parse_pubdate(e.get("published_at") or ""),
+        "summary": e.get("summary", ""),
+    } for e in entries]

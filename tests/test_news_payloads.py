@@ -1,0 +1,222 @@
+"""S4/S5/F14 — recorded-payload news connectors, no network.
+
+The fixtures are hand-recorded payload shapes (an RSS 2.0 XML string, a
+NewsData /api/1/latest JSON body) covering the edge cases the reference
+handles at news.py:115-185 and news.py:265-308: blank titles, missing /
+unparsable / tz-offset publish dates, missing source ids, link-vs-url
+fallback. Tests drive fetch_news_* end-to-end with an injected http_get
+and push the resulting bronze rows through best_headline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import pathlib
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.operators.news import best_headline
+from pre_market_data_pipeline_for_stocks_spark.sources import live, news_payloads
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+RSS_XML = (FIXTURES / "google_rss_sample.xml").read_text()
+ND_JSON = (FIXTURES / "newsdata_sample.json").read_text()
+
+
+# ── Google RSS parsing (news.py:283-305) ─────────────────────────────────────
+
+def test_google_rss_blank_titles_dropped_others_kept():
+    entries = news_payloads.parse_google_rss(RSS_XML)
+    titles = [e["title"] for e in entries]
+    assert len(entries) == 4                       # 5 items, 1 whitespace title
+    assert "Hindustan Zinc shares surge 4% on record silver output" in titles
+    assert all(t.strip() for t in titles)
+
+
+def test_google_rss_pubdate_normalized_to_utc_string():
+    entries = {e["title"]: e for e in news_payloads.parse_google_rss(RSS_XML)}
+    assert entries["Hindustan Zinc shares surge 4% on record silver output"][
+        "published_at"] == "2026-01-15 08:30:00"
+    # +05:30 offset converts to UTC (feedparser's published_parsed parity)
+    assert entries["Zinc prices: what the LME move means for Hindustan Zinc stock"][
+        "published_at"] == "2026-01-14 12:35:12"
+    # missing and unparsable pubDate -> "" but the entry is KEPT (P8)
+    assert entries["Hindustan Zinc declares interim dividend"]["published_at"] == ""
+    assert entries["Metals wrap: miners mixed in early trade"]["published_at"] == ""
+
+
+def test_google_rss_source_fallback_and_fields():
+    entries = {e["title"]: e for e in news_payloads.parse_google_rss(RSS_XML)}
+    assert entries["Hindustan Zinc shares surge 4% on record silver output"][
+        "source"] == "Example Business News"
+    # item without <source> falls back (news.py:294-300)
+    assert entries["Hindustan Zinc declares interim dividend"]["source"] == "Google News"
+    assert entries["Hindustan Zinc declares interim dividend"][
+        "url"] == "https://news.google.com/rss/articles/CBMijkl012"
+
+
+def test_google_rss_url_percent_encodes_query():
+    # F14 (news.py:266-267)
+    url = news_payloads.google_rss_url(
+        news_payloads.google_name_query("Hindustan Zinc"))
+    assert url.startswith("https://news.google.com/rss/search?q=")
+    assert "%22Hindustan%20Zinc%22%20%28NSE%20OR%20shares%20OR%20stock%29" in url
+    assert "when%3A3d" in url
+    assert url.endswith("&hl=en-IN&gl=IN&ceid=IN:en")
+    assert " " not in url.split("?q=")[1].split("&")[0]
+
+
+def test_query_builders_match_reference_shapes():
+    assert news_payloads.google_name_query("Bank of India") == \
+        '"Bank of India" (NSE OR shares OR stock) when:3d'
+    assert news_payloads.google_ticker_query("BANKINDIA") == '"BANKINDIA" NSE when:3d'
+    assert news_payloads.newsdata_name_query("Bank of India") == '"Bank of India"'
+    p = news_payloads.newsdata_params("KEY", '"Bank of India"')
+    assert p == {"apikey": "KEY", "q": '"Bank of India"', "language": "en",
+                 "country": "in", "category": "business",
+                 "prioritydomain": "top", "removeduplicate": 1}
+
+
+# ── NewsData parsing (news.py:115-185) ───────────────────────────────────────
+
+def test_newsdata_results_extracted_and_trimmed():
+    entries = news_payloads.parse_newsdata_payload(ND_JSON)
+    assert len(entries) == 5                       # blanks KEPT at parse time
+    by_url = {e["url"]: e for e in entries}
+    assert by_url["https://example-wire.example/psu-rally"]["title"] == \
+        "PSU banks rally; Bank of India leads gainers"   # trimmed
+    # link -> url fallback and source_id null -> "NewsData" (news.py:178-180)
+    assert by_url["https://example.example/fallback-url-field"]["source"] == "NewsData"
+
+
+def test_newsdata_missing_results_is_empty():
+    assert news_payloads.parse_newsdata_payload('{"status": "success"}') == []
+    assert news_payloads.parse_newsdata_payload({"results": None}) == []
+
+
+def test_bronze_rows_parse_or_null_pubdate():
+    rows = news_payloads.to_bronze_rows(
+        news_payloads.parse_newsdata_payload(ND_JSON),
+        stock="BANKINDIA", provider="newsdata", query_kind="name")
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://example-news.example/boi-q3"]["published_at"] == \
+        dt.datetime(2026, 1, 15, 11, 45)
+    # unparsable pubDate -> None (kept; P7 drops it for newsdata downstream)
+    assert by_url["https://example.example/fallback-url-field"]["published_at"] is None
+    assert all(r["provider"] == "newsdata" and r["query_kind"] == "name"
+               for r in rows)
+
+
+# ── fetch_news_* end-to-end with injected transport ──────────────────────────
+
+def test_fetch_news_google_full_path():
+    seen = []
+
+    def fake_get(url):
+        seen.append(url)
+        return 200, RSS_XML
+
+    rows = live.fetch_news_google("HINDZINC",
+                                  news_payloads.google_name_query("Hindustan Zinc"),
+                                  query_kind="name", http_get=fake_get)
+    assert len(rows) == 4
+    assert seen[0].startswith("https://news.google.com/rss/search?q=%22Hindustan")
+    assert {r["provider"] for r in rows} == {"google"}
+    # undated google entries survive with null published_at (P8)
+    assert sum(r["published_at"] is None for r in rows) == 2
+
+
+@pytest.mark.parametrize("failure", ["raise", "http500", "malformed"])
+def test_fetch_news_google_infra_failure_returns_none(failure):
+    def fake_get(url):
+        if failure == "raise":
+            raise OSError("connection refused")
+        if failure == "http500":
+            return 500, "upstream error"
+        return 200, "<rss><channel><item>"          # malformed XML
+    assert live.fetch_news_google("X", "q", http_get=fake_get) is None
+
+
+def test_fetch_news_newsdata_full_path_and_rate_limit():
+    sleeps, urls = [], []
+
+    def fake_get(url):
+        urls.append(url)
+        return 200, ND_JSON
+
+    rows = live.fetch_news_newsdata(
+        "KEY", "BANKINDIA", news_payloads.newsdata_name_query("Bank of India"),
+        query_kind="name", http_get=fake_get, sleep=sleeps.append)
+    assert sleeps == [1.0]                          # spacing BEFORE the call
+    assert "apikey=KEY" in urls[0] and "q=%22Bank+of+India%22" in urls[0]
+    assert len(rows) == 5
+    assert {r["provider"] for r in rows} == {"newsdata"}
+
+
+def test_fetch_news_newsdata_non_200_returns_none():
+    calls = []
+    out = live.fetch_news_newsdata(
+        "KEY", "X", "q", http_get=lambda u: (429, "quota"), sleep=calls.append)
+    assert out is None and calls == [1.0]
+
+
+# ── S3 longName lookup + JSON cache (news_utils.py:106-158) ──────────────────
+
+def test_get_long_name_cache_round_trip(tmp_path):
+    import json
+    cache = str(tmp_path / "out" / "stock_aliases.json")
+    calls = []
+
+    def fetch(stock):
+        calls.append(stock)
+        return "Bank of India Limited"
+
+    assert live.get_long_name("BANKINDIA", cache, fetch_fn=fetch) == \
+        "Bank of India Limited"
+    assert calls == ["BANKINDIA"]
+
+    def explode(stock):
+        raise AssertionError("fetch invoked despite cache hit")
+
+    # second call: served from the JSON file, fetch never invoked
+    assert live.get_long_name("BANKINDIA", cache, fetch_fn=explode) == \
+        "Bank of India Limited"
+    with open(cache) as f:
+        assert json.load(f) == {"BANKINDIA": "Bank of India Limited"}
+
+
+def test_get_long_name_ticker_fallback_without_yfinance(tmp_path):
+    import json
+    # container has no yfinance -> default fetch falls back to the ticker,
+    # and the FALLBACK is cached too (news_utils.py:129-131)
+    cache = str(tmp_path / "aliases.json")
+    assert live.get_long_name("HINDZINC", cache) == "HINDZINC"
+    with open(cache) as f:
+        assert json.load(f) == {"HINDZINC": "HINDZINC"}
+
+
+# ── recorded payloads through the relational engine ──────────────────────────
+
+def test_fixture_bronze_through_best_headline(spark):
+    g = live.fetch_news_google(
+        "HINDZINC", news_payloads.google_name_query("Hindustan Zinc"),
+        query_kind="name", http_get=lambda u: (200, RSS_XML))
+    n = live.fetch_news_newsdata(
+        "KEY", "BANKINDIA", news_payloads.newsdata_name_query("Bank of India"),
+        query_kind="name", http_get=lambda u: (200, ND_JSON), sleep=lambda s: None)
+    articles = spark.createDataFrame(g + n, schemas.NEWS_ARTICLES)
+    aliases = spark.createDataFrame(
+        [("HINDZINC", "Hindustan Zinc Limited"),
+         ("BANKINDIA", "Bank of India Limited")], schemas.STOCK_ALIASES)
+    best = {r["stock"]: r for r in best_headline(
+        articles, aliases, as_of_ts=dt.datetime(2026, 1, 16, 9)).collect()}
+    # Google: most recent RELEVANT dated article wins; undated ones lose
+    assert best["HINDZINC"]["headline"] == \
+        "Hindustan Zinc shares surge 4% on record silver output"
+    assert best["HINDZINC"]["news_source"] == "google"
+    assert best["HINDZINC"]["news_published_at"] == dt.datetime(2026, 1, 15, 8, 30)
+    # NewsData: blank title (P5), unparsable date (P7) and stale article
+    # (P7) all excluded; the Jan-15 profit story remains
+    assert best["BANKINDIA"]["headline"] == "Bank of India Q3 net profit jumps 35%"
+    assert best["BANKINDIA"]["news_source"] == "newsdata"

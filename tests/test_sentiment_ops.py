@@ -88,6 +88,39 @@ def test_finbert_udf_plumbing_with_fake_model(spark):
     assert out[DEFAULT_HEADLINE] == ("Neutral", 0.0)   # U2 short-circuit
 
 
+def test_finbert_replay_recorded_outputs(spark):
+    """U1 replay verification: recorded (headline -> raw label/score)
+    pairs in the exact return shapes the transformers pipeline produces —
+    v4 ``[{"label","score"}]`` and v5 ``[[{"label","score"}]]`` — driven
+    through the REAL UDF body, asserting the 512-truncation call
+    contract and the U3/U4 mappings on real-shaped outputs."""
+    import json
+    import pathlib
+    recs = json.loads(
+        (pathlib.Path(__file__).parent / "fixtures" / "finbert_recorded.json")
+        .read_text())
+    by_text = {r["text"]: r for r in recs}
+
+    def replay(text, **kwargs):
+        # sentiment.py:133 call contract: truncation at the model max
+        assert kwargs == {"truncation": True, "max_length": 512}
+        r = by_text[text]
+        out = {"label": r["label"], "score": r["score"]}
+        return [[out]] if r["shape"] == "v5" else [out]
+
+    df = spark.createDataFrame([(t,) for t in by_text], "headline string")
+    got = {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
+           for r in FinBERTSentiment(model_fn=replay).score(df).collect()}
+    for r in recs:
+        label = r["label"].lower()
+        if label == "positive":
+            assert got[r["text"]] == ("Positive", round(r["score"], 4))
+        elif label == "negative":
+            assert got[r["text"]] == ("Negative", -round(r["score"], 4))
+        else:  # neutral AND unknown raw labels (U4) discard confidence
+            assert got[r["text"]] == ("Neutral", 0.0)
+
+
 def test_finbert_split_prunes_model_calls(spark, tmp_path):
     """U2 is a plan split, not a CaseWhen: the model UDF must NEVER be
     invoked for default/blank headlines (a CaseWhen over an ArrowEvalPython

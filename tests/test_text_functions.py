@@ -126,3 +126,23 @@ def test_python_reference_parity_randomized(spark):
     for r in got:
         expected = ref_relevant(r["title"], r["ln"], r["tk"])
         assert r["got"] == expected, (r["title"], r["ln"], r["tk"], expected)
+
+
+def test_truncate_display_parity(spark):
+    # O4 (dump_news_debug.py:247-248): len > 50 -> first 48 chars + ".."
+    from pre_market_data_pipeline_for_stocks_spark.functions.text import (
+        truncate_display,
+    )
+    import pyspark.sql.functions as F
+
+    long = "Hindustan Zinc shares surge four percent on record silver output"
+    exactly_50 = "x" * 50
+    over = "y" * 51
+    df = spark.createDataFrame([(long,), (exactly_50,), (over,), ("short",)],
+                               "t string")
+    got = {r["t"]: r["d"] for r in
+           df.select("t", truncate_display(F.col("t")).alias("d")).collect()}
+    assert got[long] == long[:48] + ".."
+    assert got[exactly_50] == exactly_50          # boundary: len == 50 kept
+    assert got[over] == "y" * 48 + ".."
+    assert got["short"] == "short"
