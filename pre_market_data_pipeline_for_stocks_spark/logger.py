@@ -1,0 +1,54 @@
+"""K6 — structured pipeline log sink (``src/core/logger.py:8-50`` parity).
+
+Same line format (``ts | LEVEL    | module.func | message``), same
+file+console handler pair, same idempotent re-setup guard. Driver-side
+by design: in Spark the executors log through log4j; this logger carries
+the *pipeline-level* audit trail (config echo, per-stock progress, sink
+paths) exactly like the reference's driver process. Data lineage is NOT
+logged here — it travels in-band in the fact table's ``Data_Source_Log``
+column (F12), which survives a 1000-executor run where driver log lines
+cannot.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+LOG_FORMAT = "%(asctime)s | %(levelname)-8s | %(module)s.%(funcName)s | %(message)s"
+LOG_DATEFMT = "%Y-%m-%d %H:%M:%S"
+
+
+def setup_logger(name: str = "pipeline",
+                 log_file: str | None = "output/pipeline.log",
+                 console: bool = True) -> logging.Logger:
+    """Configure and return the pipeline logger.
+
+    Reference parity: creates the log directory, installs a file handler
+    and a console handler with the reference's exact format string, and
+    returns the existing logger unchanged when handlers are already
+    attached (the re-entry guard at logger.py:27-28). ``log_file=None``
+    skips the file handler (tests, read-only filesystems).
+    """
+    logger = logging.getLogger(name)
+    # Re-entry guard. Divergence from the reference's ``hasHandlers()``
+    # (logger.py:27-28): that walks the logger hierarchy, so any ROOT
+    # handler (pytest, a host app, Spark's py4j bridge) makes setup a
+    # silent no-op with zero handlers attached. Checking own handlers
+    # keeps the guard's intent (no duplicates on re-setup) without the
+    # embedded-process failure mode.
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    formatter = logging.Formatter(fmt=LOG_FORMAT, datefmt=LOG_DATEFMT)
+    if log_file is not None:
+        path = Path(log_file)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fh = logging.FileHandler(path, encoding="utf-8")
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+    if console:
+        ch = logging.StreamHandler()
+        ch.setFormatter(formatter)
+        logger.addHandler(ch)
+    return logger

@@ -1,0 +1,46 @@
+"""K6 — structured log sink format parity (src/core/logger.py:8-50)."""
+
+import logging
+import re
+
+from pre_market_data_pipeline_for_stocks_spark.logger import setup_logger
+
+LINE_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \| "
+    r"(INFO|WARNING|ERROR|DEBUG|CRITICAL)\s* \| "
+    r"[\w.]+\.[\w<>]+ \| .+$")
+
+
+def test_log_line_format(tmp_path):
+    log_file = tmp_path / "pipeline.log"
+    lg = setup_logger("k6-fmt-test", str(log_file), console=False)
+    lg.info("Fetching OHLCV for %s", "RELIANCE")
+    lg.warning("provider fallback engaged")
+    for h in lg.handlers:
+        h.flush()
+    lines = log_file.read_text(encoding="utf-8").splitlines()
+    assert len(lines) == 2
+    for line in lines:
+        assert LINE_RE.match(line), line
+    # level is padded to 8 chars exactly as the reference format string does
+    assert "| INFO     |" in lines[0]
+    assert "| WARNING  |" in lines[1]
+
+
+def test_reentry_guard_no_duplicate_handlers(tmp_path):
+    lg1 = setup_logger("k6-guard-test", str(tmp_path / "a.log"), console=False)
+    n = len(lg1.handlers)
+    lg2 = setup_logger("k6-guard-test", str(tmp_path / "b.log"), console=False)
+    assert lg2 is lg1 and len(lg2.handlers) == n
+
+
+def test_creates_log_directory(tmp_path):
+    nested = tmp_path / "out" / "deep" / "pipeline.log"
+    lg = setup_logger("k6-dir-test", str(nested), console=False)
+    lg.info("x")
+    assert nested.exists()
+
+
+def test_no_file_handler_when_disabled():
+    lg = setup_logger("k6-nofile-test", log_file=None, console=False)
+    assert not any(isinstance(h, logging.FileHandler) for h in lg.handlers)
