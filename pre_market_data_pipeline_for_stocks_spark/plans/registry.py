@@ -897,6 +897,76 @@ SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
                                      embedding::DOUBLE[])), 4) AS l2_norm
 FROM embeddings
 """),
+
+    # --- relational breadth: pivot / cube / frames / distributions ------
+    "pivot_priority_by_year": QueryDef(R.pivot_priority_by_year, """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_n,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2)
+         AS p1_rev,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_n,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2)
+         AS p2_rev,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_n,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2)
+         AS p3_rev,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_n,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2)
+         AS p4_rev,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS p5_n,
+       round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2)
+         AS p5_rev
+FROM orders GROUP BY 1
+"""),
+
+    "cube_status_priority": QueryDef(R.cube_status_priority, """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""),
+
+    "rolling_range_7d": QueryDef(R.rolling_range_7d, """
+WITH daily AS (
+  SELECT user_id, day, round(value, 4) AS close FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1)
+SELECT user_id, day, close,
+       round(avg(close) OVER w, 4) AS avg_7d,
+       round(min(close) OVER w, 4) AS min_7d,
+       round(max(close) OVER w, 4) AS max_7d,
+       count(*) OVER w AS n_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY date_diff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""),
+
+    "acctbal_distribution": QueryDef(R.acctbal_distribution, """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""),
+
+    "set_ops_customer_cohorts": QueryDef(R.set_ops_customer_cohorts, """
+WITH early AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) <= 1997),
+     late AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) >= 1998)
+SELECT o_custkey, 'both' AS cohort
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT o_custkey, 'early_only' AS cohort
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+UNION ALL
+SELECT o_custkey, 'late_only' AS cohort
+FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
+"""),
 }
 
 

@@ -511,3 +511,102 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("digest"),
         (n_bytes - F.col("n_chars")).cast("long").alias("multibyte_overhead"),
     )
+
+
+# --- relational breadth: pivot / cube / range frames / distributions -----
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per order-year, one (count, revenue)
+    column pair per priority bucket. Explicit pivot values keep the plan
+    a single pass (no distinct-values pre-scan) — at 100 TB an implicit
+    pivot would add a full extra scan just to enumerate columns."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    df = (
+        orders
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    # "1-URGENT_n" -> "p1_n": deterministic short names shared w/ oracle.
+    cols: list = [F.col("order_year")]
+    for p in _PRIORITIES:
+        short = "p" + p[0]
+        cols.append(F.coalesce(F.col(f"`{p}_n`"), F.lit(0)).alias(f"{short}_n"))
+        cols.append(F.col(f"`{p}_rev`").alias(f"{short}_rev"))
+    return df.select(*cols)
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets with grouping_id: all 4 subtotal combinations of
+    (status, priority) in ONE pass — Spark expands grouping sets before
+    the exchange, so partial aggregation still applies (no N scans)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+def rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family RANGE frame: per-user trailing-7-day rolling stats over
+    daily closes. The frame is value-based (epoch-day RANGE BETWEEN 6
+    PRECEDING), not row-based — gaps in the calendar shrink the window,
+    matching a market '7 calendar days' semantic. One shuffle (by
+    user_id) serves both the daily aggregate and the window."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 4)
+             .alias("close"))
+    )
+    epoch_day = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    w = (Window.partitionBy("user_id").orderBy(epoch_day)
+         .rangeBetween(-6, Window.currentRow))
+    return daily.select(
+        "user_id", "day", "close",
+        F.round(F.avg("close").over(w), 4).alias("avg_7d"),
+        F.round(F.min("close").over(w), 4).alias("min_7d"),
+        F.round(F.max("close").over(w), 4).alias("max_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+def acctbal_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment, with a total order (acctbal, custkey) so ranks
+    are deterministic across engines."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT) — customers active in both the
+    early (<=1997) and late (>=1998) eras vs one era only. Spark plans
+    INTERSECT/EXCEPT as aggregate+join, so the same dedup shuffle rules
+    apply as for distinct()."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    early = (orders.where(F.year("o_orderdate") <= 1997)
+             .select("o_custkey"))
+    late = (orders.where(F.year("o_orderdate") >= 1998)
+            .select("o_custkey"))
+    return (
+        early.intersect(late).select("o_custkey", F.lit("both").alias("cohort"))
+        .unionByName(early.subtract(late)
+                     .select("o_custkey", F.lit("early_only").alias("cohort")))
+        .unionByName(late.subtract(early)
+                     .select("o_custkey", F.lit("late_only").alias("cohort")))
+    )
