@@ -211,6 +211,60 @@ WHERE {cos} >= {threshold}
 """
 
 
+def _ivf_sql(stride: int = 50, nprobe: int = 3, iters: int = 1,
+             k: int = 10, sample_mod: int = 2) -> str:
+    """Oracle twin of similarity.ivf_topk with ``iters`` Lloyd rounds
+    unrolled as CTE pairs (assign a{i} from c{i}, recompute c{i+1} from
+    a{i}). Training CTEs read the deterministic ``vec_id % sample_mod``
+    sample (es); the final assignment reads the full relation (e) —
+    mirroring train_sample_mod. Centroid components round to 4 decimals
+    per recompute — the cross-engine determinism contract (see
+    train_ivf_centroids)."""
+    cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
+           "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
+
+    def assign(name: str, cents: str, src: str) -> str:
+        c = cos.format(a="e.v", b="c.cv")
+        return f"""{name} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {c} DESC, c.cent_id ASC) AS rn
+    FROM {src} e, {cents} c) WHERE rn = 1)"""
+
+    def recompute(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT cell AS cent_id, list(val ORDER BY dim) AS cv FROM (
+    SELECT a.cell, t.i AS dim, round(avg(a.v[t.i]), 4) AS val
+    FROM {assigned} a, UNNEST(range(1, len(a.v) + 1)) t(i)
+    GROUP BY a.cell, t.i) GROUP BY cell)"""
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            f"es AS (SELECT * FROM e WHERE vec_id % {sample_mod} = 0)",
+            f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM es "
+            f"WHERE vec_id % {stride} = 0)"]
+    for i in range(iters):
+        ctes.append(assign(f"a{i}", f"c{i}", "es"))
+        ctes.append(recompute(f"c{i + 1}", f"a{i}"))
+    ctes.append(assign("assigned", f"c{iters}", "e"))
+    probe_cos = cos.format(a="cv", b="qv")
+    final_cos = cos.format(a="a.v", b="q.qv")
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    ctes.append(f"""probed AS (
+  SELECT cent_id AS cell FROM c{iters}, q
+  ORDER BY {probe_cos} DESC, cent_id ASC
+  LIMIT {nprobe})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.cell, round({final_cos}, 4) AS cosine
+FROM assigned a JOIN probed p ON a.cell = p.cell, q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 _STOP = {
     "en": "the|a|of|and|to", "es": "el|la|de|que|los",
     "de": "der|die|und|das|ein", "fr": "le|la|les|et|une",
@@ -862,34 +916,7 @@ LIMIT 10
 
     "ann_lsh_buckets": QueryDef(X.ann_lsh_buckets, _lsh_bucket_sql()),
 
-    "ann_ivf_topk": QueryDef(X.ann_ivf_topk, """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
-assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cent_id AS cell,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             (list_inner_product(e.v, c.cv)
-              / (sqrt(list_inner_product(e.v, e.v))
-                 * sqrt(list_inner_product(c.cv, c.cv)))) DESC,
-             c.cent_id ASC) AS rn
-    FROM e, cents c) WHERE rn = 1),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-probed AS (
-  SELECT cent_id AS cell FROM cents, q
-  ORDER BY (list_inner_product(cv, qv)
-            / (sqrt(list_inner_product(cv, cv))
-               * sqrt(list_inner_product(qv, qv)))) DESC, cent_id ASC
-  LIMIT 3)
-SELECT a.vec_id, a.cell,
-       round(list_inner_product(a.v, q.qv)
-             / (sqrt(list_inner_product(a.v, a.v))
-                * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
-FROM assigned a JOIN probed p ON a.cell = p.cell, q
-WHERE a.vec_id <> 0
-ORDER BY cosine DESC, vec_id ASC
-LIMIT 10
-""", headline=True),
+    "ann_ivf_topk": QueryDef(X.ann_ivf_topk, _ivf_sql(), headline=True),
 
     "embedding_norms": QueryDef(X.embedding_norms, """
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
