@@ -1,0 +1,104 @@
+"""Bronze news cache — K4/S7 as code (SURVEY.md §2.1).
+
+The reference protects its free-tier news quotas with a SQLite
+key-value cache keyed ``{provider}_{ticker}_{date}_{query_kind}``
+(``src/core/cache.py:42-89``; keys built at ``news.py:99`` and
+``news.py:251``): a cached payload — INCLUDING an empty result list —
+means no API call that day ("1 credit/stock/day"), while an infra
+failure is returned as None and never cached, so the next run retries.
+
+The Spark-first re-expression is a partitioned bronze Parquet layout
+with the same key as the directory path::
+
+    <root>/provider=<p>/stock=<s>/fetch_date=<d>/query_kind=<k>/
+
+- the cache GET is a filesystem existence probe on the partition's
+  ``_SUCCESS`` marker (atomic-commit semantics: a killed write leaves
+  no marker, so the next run refetches rather than trusting a torn
+  partition);
+- the cache SET is a normal Parquet write of the connector's bronze
+  rows (full ``schemas.NEWS_ARTICLES`` rows — the partition values are
+  also data columns, so the engine reads the tree with
+  ``recursiveFileLookup`` and needs no partition-column reconstruction);
+- the whole tree IS the engine's ``news_articles`` bronze input: the
+  quota cache and the lake are one object, not a sidecar database.
+
+Filesystem probes go through the Hadoop FileSystem API (not
+``os.path``), so the same code addresses local paths in tests and
+HDFS/S3 paths on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+
+
+def bronze_news_path(root: str, provider: str, stock: str,
+                     fetch_date: str, query_kind: str) -> str:
+    """Partition directory for one cache key — the path twin of the
+    reference's ``f"{provider}_{ticker}_{date}_{sfx}"`` string key."""
+    return (f"{root}/provider={provider}/stock={stock}"
+            f"/fetch_date={fetch_date}/query_kind={query_kind}")
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def partition_cached(spark: SparkSession, root: str, provider: str,
+                     stock: str, fetch_date: str, query_kind: str) -> bool:
+    """True iff the partition committed fully (``_SUCCESS`` present)."""
+    part = bronze_news_path(root, provider, stock, fetch_date, query_kind)
+    fs, p = _hadoop_path(spark, part + "/_SUCCESS")
+    return fs.exists(p)
+
+
+def write_bronze_news(spark: SparkSession, rows: list[dict], root: str,
+                      provider: str, stock: str, fetch_date: str,
+                      query_kind: str) -> None:
+    """Commit one connector payload (possibly empty — empty is a valid,
+    quota-protecting cache entry) to its bronze partition."""
+    part = bronze_news_path(root, provider, stock, fetch_date, query_kind)
+    df = spark.createDataFrame(rows, schema=schemas.NEWS_ARTICLES)
+    df.coalesce(1).write.mode("overwrite").parquet(part)
+
+
+def fetch_if_missing(spark: SparkSession, root: str, provider: str,
+                     stock: str, fetch_date: str, query_kind: str,
+                     fetch_fn: Callable[[], list[dict] | None],
+                     ) -> list[dict] | None:
+    """The reference's cache-aware query runner (``news.py:98-110``):
+
+    - partition committed  -> read it back, ``fetch_fn`` NOT called
+      (the "1 credit/stock/day" skip; an empty cached payload counts);
+    - missing              -> call ``fetch_fn``; a payload (even ``[]``)
+      is committed then returned; ``None`` (INFRA_FAILURE) is returned
+      uncached so the next run retries — exactly the reference's
+      failure-vs-empty asymmetry.
+    """
+    if partition_cached(spark, root, provider, stock, fetch_date, query_kind):
+        part = bronze_news_path(root, provider, stock, fetch_date, query_kind)
+        return [r.asDict() for r in
+                spark.read.schema(schemas.NEWS_ARTICLES).parquet(part).collect()]
+    rows = fetch_fn()
+    if rows is None:
+        return None
+    write_bronze_news(spark, rows, root, provider, stock, fetch_date,
+                      query_kind)
+    return rows
+
+
+def read_bronze_news(spark: SparkSession, root: str) -> DataFrame:
+    """The engine-facing read of the whole cache tree as one
+    ``news_articles`` bronze DataFrame. ``recursiveFileLookup`` skips
+    Spark's partition discovery — the key columns are already data
+    columns, so hive-style inference would collide with them."""
+    return (spark.read.schema(schemas.NEWS_ARTICLES)
+            .option("recursiveFileLookup", "true").parquet(root))

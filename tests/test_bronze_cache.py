@@ -1,0 +1,103 @@
+"""Bronze news cache (K4/S7): quota semantics of the reference's
+SQLite date-keyed cache re-expressed as partitioned bronze Parquet.
+
+Pins the reference's exact asymmetry (src/core/cache.py:42-89,
+news.py:98-110): success — including an EMPTY result list — is cached
+and skips the connector; infra failure (None) is never cached.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.sources import bronze_cache as bc
+
+
+ROWS = [{
+    "stock": "TCS", "provider": "newsdata", "query_kind": "name",
+    "title": "TCS wins deal", "source": "wire", "url": "http://x/1",
+    "published_at": dt.datetime(2026, 1, 9, 8, 30), "summary": "s",
+}]
+
+
+class Counter:
+    def __init__(self, payload):
+        self.calls = 0
+        self.payload = payload
+
+    def __call__(self):
+        self.calls += 1
+        return self.payload
+
+
+def test_second_run_same_day_skips_connector(spark, tmp_path):
+    """Two runs, same (provider, stock, date, kind) -> ONE connector
+    call; the second run serves the committed partition."""
+    root = str(tmp_path / "bronze")
+    fetch = Counter(ROWS)
+    args = (spark, root, "newsdata", "TCS", "2026-01-09", "name")
+    first = bc.fetch_if_missing(*args, fetch_fn=fetch)
+    second = bc.fetch_if_missing(*args, fetch_fn=fetch)
+    assert fetch.calls == 1
+    assert [r["title"] for r in first] == ["TCS wins deal"]
+    assert second == first
+
+
+def test_empty_payload_is_a_cache_hit(spark, tmp_path):
+    """An empty result list commits and counts as a hit (quota
+    protection — the reference stores "[]" and treats it as cached)."""
+    root = str(tmp_path / "bronze")
+    fetch = Counter([])
+    args = (spark, root, "google", "INFY", "2026-01-09", "ticker")
+    assert bc.fetch_if_missing(*args, fetch_fn=fetch) == []
+    assert bc.fetch_if_missing(*args, fetch_fn=fetch) == []
+    assert fetch.calls == 1
+
+
+def test_infra_failure_is_not_cached(spark, tmp_path):
+    """None (INFRA_FAILURE) passes through uncached: the next run
+    retries the connector — the reference's failure-vs-empty split."""
+    root = str(tmp_path / "bronze")
+    fetch = Counter(None)
+    args = (spark, root, "newsdata", "TCS", "2026-01-09", "name")
+    assert bc.fetch_if_missing(*args, fetch_fn=fetch) is None
+    assert bc.fetch_if_missing(*args, fetch_fn=fetch) is None
+    assert fetch.calls == 2
+    assert not bc.partition_cached(*args)
+
+
+def test_distinct_keys_fetch_independently(spark, tmp_path):
+    """Each (provider, stock, date, kind) is its own credit."""
+    root = str(tmp_path / "bronze")
+    fetch = Counter(ROWS)
+    bc.fetch_if_missing(spark, root, "newsdata", "TCS", "2026-01-09",
+                        "name", fetch_fn=fetch)
+    bc.fetch_if_missing(spark, root, "newsdata", "TCS", "2026-01-10",
+                        "name", fetch_fn=fetch)
+    bc.fetch_if_missing(spark, root, "newsdata", "TCS", "2026-01-09",
+                        "ticker", fetch_fn=fetch)
+    assert fetch.calls == 3
+
+
+def test_read_bronze_news_unions_partitions(spark, tmp_path):
+    """The cache tree reads back as ONE news_articles DataFrame with
+    the bronze schema (the lake and the cache are the same object)."""
+    root = str(tmp_path / "bronze")
+    other = [dict(ROWS[0], stock="INFY", provider="google",
+                  title="Infosys update")]
+    bc.write_bronze_news(spark, ROWS, root, "newsdata", "TCS",
+                         "2026-01-09", "name")
+    bc.write_bronze_news(spark, other, root, "google", "INFY",
+                         "2026-01-09", "name")
+    df = bc.read_bronze_news(spark, root)
+    want = __import__(
+        "pre_market_data_pipeline_for_stocks_spark.schemas",
+        fromlist=["NEWS_ARTICLES"]).NEWS_ARTICLES
+    # parquet scans surface every field nullable; names+types must match
+    assert [(f.name, f.dataType) for f in df.schema] == \
+        [(f.name, f.dataType) for f in want]
+    got = {(r.stock, r.provider, r.title) for r in df.collect()}
+    assert got == {("TCS", "newsdata", "TCS wins deal"),
+                   ("INFY", "google", "Infosys update")}
