@@ -40,6 +40,11 @@ def setup_logger(name: str = "pipeline",
     if logger.handlers:
         return logger
     logger.setLevel(logging.INFO)
+    # Own handlers + propagate=False: without this, any root handler
+    # (pytest, a host app) would emit every record a second time via
+    # propagation — the double-emit the own-handlers guard would
+    # otherwise trade for the reference's zero-handlers failure mode.
+    logger.propagate = False
     formatter = logging.Formatter(fmt=LOG_FORMAT, datefmt=LOG_DATEFMT)
     if log_file is not None:
         path = Path(log_file)

@@ -43,27 +43,57 @@ def with_retries(fn: Callable[..., R], max_retries: int = 3,
     return wrapped
 
 
-def fetch_ohlcv_yfinance(stock: str, start_date, end_date,
-                         buffer_days: int = 10):
-    """S1 — one ticker's daily bars over [start - buffer, end + 1) (yfinance
-    ``end`` is exclusive, market.py:43-49). Returns a pandas DataFrame in
-    the bronze OHLCV shape; tz stripped (market.py:63-67)."""
+_OHLCV_BRONZE_COLS = ["stock", "date", "open", "high", "low", "close",
+                      "volume"]
+
+
+def _yfinance_history(symbol: str, start, end):
+    """Default ``history_fn``: the real yfinance call, import-gated."""
     try:
         import yfinance as yf  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             "yfinance is not installed in this environment; use the offline "
-            "bronze path (sources.offline.read_ohlcv)") from exc
+            "bronze path (sources.offline.read_ohlcv) or inject a recorded "
+            "history_fn") from exc
+    return yf.Ticker(symbol).history(start=start, end=end, interval="1d")
+
+
+def fetch_ohlcv_yfinance(stock: str, start_date, end_date,
+                         buffer_days: int = 10, history_fn=None):
+    """S1 — one ticker's daily bars over [start - buffer, end + 1)
+    (yfinance ``end`` is exclusive; the buffer guarantees a previous
+    close exists for the first in-range session — market.py:43-49).
+    Returns a pandas DataFrame in the bronze OHLCV shape.
+
+    Normalization parity with ``market.py:60-72``: the tz-aware
+    DatetimeIndex is stripped to naive dates (market.py:63-67), Close
+    coerced numeric, Volume coerced + ``fillna(0)`` + int64
+    (market.py:70-72). Divergence (by design): the reference computes
+    Pct_Change in pandas and trims to [start, end] here; this engine
+    returns the FULL buffered window so the W1/W2 lag-before-trim
+    happens declaratively in the distributed plan (operators/market.py).
+    An empty upstream frame returns an empty bronze-shaped frame
+    (market.py:55-58 returns a bare empty frame).
+
+    ``history_fn(symbol, start, end) -> pandas DataFrame`` is injectable
+    so tests drive the whole normalization from a recorded
+    ``Ticker.history()`` frame with no network and no yfinance import."""
     import datetime as dt
 
     import pandas as pd
-    hist = yf.Ticker(f"{stock}.NS").history(
-        start=start_date - dt.timedelta(days=buffer_days),
-        end=end_date + dt.timedelta(days=1), interval="1d")
+    hist = (history_fn or _yfinance_history)(
+        f"{stock}.NS",
+        start_date - dt.timedelta(days=buffer_days),
+        end_date + dt.timedelta(days=1))
+    if hist.empty:
+        return pd.DataFrame(columns=_OHLCV_BRONZE_COLS)
     hist = hist.reset_index()
-    hist["Date"] = pd.to_datetime(hist["Date"]).dt.tz_localize(None).dt.date
+    dates = pd.to_datetime(hist["Date"])
+    if dates.dt.tz is not None:
+        dates = dates.dt.tz_localize(None)
     return pd.DataFrame({
-        "stock": stock, "date": hist["Date"],
+        "stock": stock, "date": dates.dt.date,
         "open": hist["Open"], "high": hist["High"], "low": hist["Low"],
         "close": pd.to_numeric(hist["Close"], errors="coerce"),
         "volume": pd.to_numeric(hist["Volume"], errors="coerce")
@@ -85,10 +115,19 @@ def get_long_name(stock: str, cache_path: str, fetch_fn=None) -> str:
     dimension (operators/news.py J6)."""
     import json
     import os
+    import tempfile
     cache: dict = {}
+    # A corrupt/truncated cache degrades to a refetch, never a crash
+    # (hardening over the reference's unguarded json.load — this runs
+    # as pipeline infrastructure, not interactively).
     if os.path.exists(cache_path):
-        with open(cache_path, encoding="utf-8") as f:
-            cache = json.load(f)
+        try:
+            with open(cache_path, encoding="utf-8") as f:
+                cache = json.load(f)
+            if not isinstance(cache, dict):
+                cache = {}
+        except (ValueError, OSError):
+            cache = {}
     if stock in cache:
         return cache[stock]
     long_name = (fetch_fn or _fetch_long_name_yfinance)(stock)
@@ -96,8 +135,16 @@ def get_long_name(stock: str, cache_path: str, fetch_fn=None) -> str:
     if parent:
         os.makedirs(parent, exist_ok=True)
     cache[stock] = long_name
-    with open(cache_path, "w", encoding="utf-8") as f:
-        json.dump(cache, f, indent=2)
+    # Atomic replace: a failure mid-write can never poison the cache.
+    fd, tmp = tempfile.mkstemp(dir=parent or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(cache, f, indent=2)
+        os.replace(tmp, cache_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return long_name
 
 

@@ -44,3 +44,21 @@ def test_creates_log_directory(tmp_path):
 def test_no_file_handler_when_disabled():
     lg = setup_logger("k6-nofile-test", log_file=None, console=False)
     assert not any(isinstance(h, logging.FileHandler) for h in lg.handlers)
+
+
+def test_no_propagation_to_root(tmp_path, capsys):
+    """Own handlers + propagate=False: a root handler (pytest, host
+    app) must not re-emit every record — the double-emit ADVICE r2
+    flagged in exactly this embedded scenario."""
+    root_records = []
+    h = logging.Handler()
+    h.emit = lambda record: root_records.append(record)
+    logging.getLogger().addHandler(h)
+    try:
+        lg = setup_logger("k6-prop-test", str(tmp_path / "p.log"),
+                          console=False)
+        lg.info("once only")
+        assert lg.propagate is False
+        assert root_records == []
+    finally:
+        logging.getLogger().removeHandler(h)

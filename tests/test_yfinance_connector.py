@@ -1,0 +1,125 @@
+"""S1 live connector driven from a recorded ``Ticker.history()``-shaped
+frame — the same fixture treatment the news connectors got in round 2
+(VERDICT r2 item #3): no network, no yfinance import, real
+normalization (reference ``src/providers/market.py:43-82``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.sources.live import (
+    fetch_ohlcv_yfinance,
+    get_long_name,
+)
+
+D = dt.date
+
+
+def _recorded_history() -> pd.DataFrame:
+    """A yfinance ``Ticker.history()``-shaped frame: tz-aware
+    DatetimeIndex named Date (NSE is Asia/Kolkata), OHLCV plus the
+    Dividends / Stock Splits columns the real API always returns, one
+    NaN Volume row (yfinance emits these on holidays-adjacent rows)."""
+    idx = pd.DatetimeIndex(
+        [pd.Timestamp(d, tz="Asia/Kolkata") for d in
+         ["2026-01-02", "2026-01-05", "2026-01-06"]], name="Date")
+    return pd.DataFrame({
+        "Open": [100.0, 102.5, 101.0],
+        "High": [103.0, 104.0, 102.0],
+        "Low": [99.5, 101.5, 100.0],
+        "Close": [102.0, 103.5, 101.5],
+        "Volume": [1_000_000.0, np.nan, 2_500_000.0],
+        "Dividends": [0.0, 0.0, 0.0],
+        "Stock Splits": [0.0, 0.0, 0.0],
+    }, index=idx)
+
+
+def test_buffered_window_edges_passed_to_history():
+    """[start - buffer_days, end + 1): yfinance end is exclusive and
+    the buffer guarantees a prev close for W1/W2 (market.py:43-49)."""
+    seen = {}
+
+    def rec(symbol, start, end):
+        seen.update(symbol=symbol, start=start, end=end)
+        return _recorded_history()
+
+    fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6),
+                         buffer_days=10, history_fn=rec)
+    assert seen["symbol"] == "TCS.NS"
+    assert seen["start"] == D(2025, 12, 26)
+    assert seen["end"] == D(2026, 1, 7)
+
+
+def test_bronze_normalization_tz_strip_coerce_fillna():
+    out = fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6),
+                               history_fn=lambda *a: _recorded_history())
+    # tz stripped to naive dates (market.py:63-67)
+    assert list(out["date"]) == [D(2026, 1, 2), D(2026, 1, 5), D(2026, 1, 6)]
+    # NaN volume -> 0, int64 (market.py:72)
+    assert list(out["volume"]) == [1_000_000, 0, 2_500_000]
+    assert out["volume"].dtype == "int64"
+    assert out["close"].dtype == "float64"
+    # buffer rows KEPT: lag-before-trim runs in the engine, not pandas
+    assert len(out) == 3
+    # Dividends / Stock Splits dropped; exact bronze column set
+    assert list(out.columns) == ["stock", "date", "open", "high", "low",
+                                 "close", "volume"]
+    assert set(out["stock"]) == {"TCS"}
+
+
+def test_naive_index_accepted():
+    """Some yfinance builds return a naive index — must not raise."""
+    hist = _recorded_history()
+    hist.index = hist.index.tz_localize(None)
+    out = fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6),
+                               history_fn=lambda *a: hist)
+    assert list(out["date"])[0] == D(2026, 1, 2)
+
+
+def test_empty_history_returns_empty_bronze_frame():
+    out = fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6),
+                               history_fn=lambda *a: pd.DataFrame())
+    assert out.empty
+    assert list(out.columns) == ["stock", "date", "open", "high", "low",
+                                 "close", "volume"]
+
+
+def test_bronze_frame_loads_into_spark_ohlcv_schema(spark):
+    """The connector output is directly ingestible as bronze OHLCV."""
+    out = fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6),
+                               history_fn=lambda *a: _recorded_history())
+    df = spark.createDataFrame(out, schema=schemas.OHLCV)
+    assert df.count() == 3
+    assert df.schema == schemas.OHLCV
+
+
+def test_missing_yfinance_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        fetch_ohlcv_yfinance("TCS", D(2026, 1, 5), D(2026, 1, 6))
+
+
+# --- get_long_name hardening (ADVICE r2) ---------------------------------
+
+def test_corrupt_cache_degrades_to_refetch(tmp_path):
+    p = tmp_path / "names.json"
+    p.write_text("{truncated", encoding="utf-8")
+    got = get_long_name("TCS", str(p), fetch_fn=lambda s: "Tata Consultancy")
+    assert got == "Tata Consultancy"
+    # rewritten cache is valid again and hit on the second call
+    assert get_long_name("TCS", str(p),
+                         fetch_fn=lambda s: pytest.fail("cache miss")) \
+        == "Tata Consultancy"
+
+
+def test_cache_write_is_atomic_no_tmp_litter(tmp_path):
+    p = tmp_path / "names.json"
+    get_long_name("TCS", str(p), fetch_fn=lambda s: "Tata Consultancy")
+    leftover = [f for f in tmp_path.iterdir() if f.suffix == ".tmp"]
+    assert leftover == []
+    assert p.exists()
