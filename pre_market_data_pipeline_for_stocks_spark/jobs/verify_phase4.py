@@ -1,0 +1,123 @@
+"""Phase-4 verification console job — the Spark twin of the
+reference's ``scripts/verify_phase4.py:31-75``.
+
+The reference walks the config stocks, runs the provider chain per
+stock, and prints a per-stock block (SOURCE / HEADLINE / PUB DATE /
+URL) plus a SUMMARY table with the headline truncated at 62 chars.
+Here the per-stock work is ONE Spark plan (``best_headline`` over
+bronze, the ranking the engine already runs) and only the final
+formatting walks the collected rows — which is bounded by the config
+stock list, the same driver-side cardinality the reference prints.
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.verify_phase4 \
+        --config config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import truncate_display
+from ..operators.news import DEFAULT_HEADLINE, best_headline
+
+DIVIDER = "=" * 70
+RULE = "─" * 70
+
+
+def _best_with_url(articles: DataFrame, aliases: DataFrame,
+                   as_of_ts: datetime, lookback_hours: int) -> DataFrame:
+    """best_headline plus the winning article's URL.
+
+    ``best_headline`` deliberately outputs only the fact columns; the
+    console block also prints URL (verify_phase4.py:66). The winner is
+    joined back to bronze on its identifying columns; ``min(url)``
+    collapses same-title/same-time duplicates exactly as the ranking's
+    ``url asc`` tie-break would have chosen. The SUMMARY truncation is
+    the ported O4 ``truncate_display`` at the reference's width 62
+    (verify_phase4.py:73: ``[:60] + ".." if len > 62``)."""
+    best = best_headline(articles, aliases, as_of_ts, lookback_hours)
+    urls = articles.select(
+        "stock", F.trim(F.col("title")).alias("headline"),
+        F.col("provider").alias("news_source"),
+        F.col("published_at").alias("news_published_at"), "url")
+    return (best.join(urls, ["stock", "headline", "news_source",
+                             "news_published_at"], "left")
+            .groupBy("stock", "headline", "news_source",
+                     "news_published_at")
+            .agg(F.min("url").alias("url"),
+                 F.min(truncate_display(F.col("headline"), 62))
+                 .alias("display_headline")))
+
+
+def build_report(articles: DataFrame, aliases: DataFrame, stocks: list[str],
+                 date: str, as_of_ts: datetime,
+                 lookback_hours: int = 72) -> str:
+    """The full console text, format-parity with verify_phase4.py:43-74.
+
+    Stocks absent from ``best_headline`` (no surviving article) print
+    the default headline with source ``default`` and the run date as
+    PUB DATE — the reference's step-3 fall-through."""
+    rows = {r["stock"]: r for r in
+            _best_with_url(articles, aliases, as_of_ts,
+                           lookback_hours).collect()}
+    names = {r["stock"]: r["long_name"] for r in aliases.collect()}
+
+    out = [f"\n{DIVIDER}",
+           f"  Phase 4.4 Verification  |  date={date}",
+           DIVIDER]
+    summary = []
+    for stock in stocks:
+        long_name = names.get(stock) or stock
+        out += [f"\n{RULE}", f"  {stock}  |  {long_name}", RULE]
+        r = rows.get(stock)
+        if r is not None:
+            source, headline = r["news_source"], r["headline"]
+            pub, url, disp = (r["news_published_at"], r["url"],
+                              r["display_headline"])
+        else:
+            source, headline = "default", DEFAULT_HEADLINE
+            pub, url, disp = date, "", DEFAULT_HEADLINE
+        out += [f"  SOURCE   : {source}",
+                f"  HEADLINE : {headline}",
+                f"  PUB DATE : {pub}",
+                f"  URL      : {url[:80] if url else '(none)'}"]
+        summary.append((stock, source, disp))
+
+    out += [f"\n{DIVIDER}", "  SUMMARY", DIVIDER]
+    for stock, source, disp in summary:
+        out.append(f"  {stock:12}  [{source:16}]  {disp}")
+    out.append("")
+    return "\n".join(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from ..config import JobConfig
+    from ..session import get_spark
+    from ..sources import offline
+
+    ap = argparse.ArgumentParser(description="phase-4 headline verification")
+    ap.add_argument("--config", default="config.yaml")
+    args = ap.parse_args(argv)
+
+    import yaml
+    with open(args.config, encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    cfg = JobConfig.from_dict(raw)
+    bronze = raw.get("bronze", {})
+    spark: SparkSession = get_spark("premarket-verify-phase4")
+    report = build_report(
+        offline.read_news_articles(spark, bronze["news_articles"]),
+        offline.read_stock_aliases(spark, bronze["stock_aliases"]),
+        list(cfg.stocks), cfg.end_date.isoformat(), cfg.as_of_ts,
+        cfg.lookback_window_hours)
+    print(report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

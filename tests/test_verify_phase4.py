@@ -1,0 +1,71 @@
+"""Console-format parity for the phase-4 verification job
+(reference scripts/verify_phase4.py:43-74)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark import schemas
+from pre_market_data_pipeline_for_stocks_spark.jobs.verify_phase4 import (
+    DIVIDER,
+    build_report,
+)
+
+AS_OF = dt.datetime(2026, 1, 9, 9, 0)
+LONG_TITLE = "T" * 70
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    articles = spark.createDataFrame([
+        ("TCS", "google", "name", "TCS wins mega deal", "wire",
+         "http://news/x" + "y" * 100, dt.datetime(2026, 1, 9, 7), ""),
+        ("TCS", "newsdata", "name", "TCS something older", "wire",
+         "http://news/z", dt.datetime(2026, 1, 9, 8), ""),
+        ("INFY", "newsdata", "ticker", LONG_TITLE, "wire",
+         "http://news/i", dt.datetime(2026, 1, 9, 6), ""),
+    ], schema=schemas.NEWS_ARTICLES)
+    aliases = spark.createDataFrame(
+        [("TCS", "Tata Consultancy Services"), ("INFY", "Infosys Limited"),
+         ("WIPRO", "Wipro Limited")], schema=schemas.STOCK_ALIASES)
+    return build_report(articles, aliases, ["TCS", "INFY", "WIPRO"],
+                        "2026-01-09", AS_OF)
+
+
+def test_header_and_dividers(report):
+    assert f"{DIVIDER}\n  Phase 4.4 Verification  |  date=2026-01-09\n" \
+        f"{DIVIDER}" in report
+    assert "  SUMMARY\n" in report
+
+
+def test_per_stock_block_shape(report):
+    # google (priority 1) beats the newer newsdata row — provider-chain
+    # short-circuit, and URL is capped at 80 chars like the reference
+    block = report.split("  TCS  |  Tata Consultancy Services")[1]
+    assert "  SOURCE   : google" in block
+    assert "  HEADLINE : TCS wins mega deal" in block
+    assert "  PUB DATE : 2026-01-09 07:00:00" in block
+    url_line = [ln for ln in block.splitlines() if "URL" in ln][0]
+    assert len(url_line.split(": ", 1)[1]) == 80
+
+
+def test_default_fallthrough_for_stock_without_articles(report):
+    block = report.split("  WIPRO  |  Wipro Limited")[1]
+    assert "  SOURCE   : default" in block
+    assert "  HEADLINE : No major headline available" in block
+    assert "  PUB DATE : 2026-01-09" in block
+    assert "  URL      : (none)" in block
+
+
+def test_summary_line_format_and_truncation(report):
+    lines = report.splitlines()
+    summary = lines[lines.index("  SUMMARY") + 2:]
+    tcs = [ln for ln in summary if ln.startswith("  TCS")][0]
+    assert tcs == "  TCS           [google          ]  TCS wins mega deal"
+    infy = [ln for ln in summary if ln.startswith("  INFY")][0]
+    # 70-char headline -> first 60 + ".." (verify_phase4.py:73)
+    assert infy.endswith("T" * 60 + "..")
+    wipro = [ln for ln in summary if ln.startswith("  WIPRO")][0]
+    assert "[default         ]" in wipro
