@@ -230,3 +230,58 @@ def fetch_news_newsdata(api_key: str, ticker: str, query: str,
     except Exception:
         return None
     return to_bronze_rows(entries, ticker, "newsdata", query_kind)
+
+
+def fetch_daily_news_bronze(spark, root: str, stock: str, long_name: str,
+                            fetch_date: str, api_key: str | None = None,
+                            http_get=None, sleep=time.sleep) -> dict:
+    """Daily quota-capped fetch of the full provider chain into the
+    bronze cache — the live twin of the reference's per-stock
+    ``fetch_headline`` orchestration (``news.py:344-397``) minus the
+    selection, which the engine does relationally (operators/news.py
+    priority rank).
+
+    Runs the four (provider, query_kind) queries the reference runs —
+    google/name, google/ticker, newsdata/name, newsdata/ticker — each
+    through ``bronze_cache.fetch_if_missing``, so a re-run the same day
+    costs zero connector calls (1 credit/stock/day) and an INFRA
+    failure is retried next run. Failure isolation parity: one
+    provider's infra failure (network error, non-200, malformed RSS —
+    which stdlib ElementTree rejects where feedparser would best-effort
+    parse; documented divergence at fetch_news_google) yields None for
+    THAT key only; the chain continues and the other providers' rows
+    still land in bronze, so the engine's google->newsdata priority
+    fall-through happens exactly as the reference's try/except chain.
+
+    Returns {(provider, query_kind): rows-or-None} for audit/logging.
+    NewsData queries are skipped (key absent) when ``api_key`` is None,
+    matching the reference's hard requirement of the env key."""
+    from . import bronze_cache as bc
+    from .news_payloads import (
+        google_name_query,
+        google_ticker_query,
+        newsdata_name_query,
+        newsdata_ticker_query,
+    )
+
+    plan = [("google", "name",
+             lambda: fetch_news_google(stock, google_name_query(long_name),
+                                       "name", http_get=http_get)),
+            ("google", "ticker",
+             lambda: fetch_news_google(stock, google_ticker_query(stock),
+                                       "ticker", http_get=http_get))]
+    if api_key is not None:
+        plan += [("newsdata", "name",
+                  lambda: fetch_news_newsdata(
+                      api_key, stock, newsdata_name_query(long_name),
+                      "name", http_get=http_get, sleep=sleep)),
+                 ("newsdata", "ticker",
+                  lambda: fetch_news_newsdata(
+                      api_key, stock, newsdata_ticker_query(stock),
+                      "ticker", http_get=http_get, sleep=sleep))]
+
+    out = {}
+    for provider, kind, fn in plan:
+        out[(provider, kind)] = bc.fetch_if_missing(
+            spark, root, provider, stock, fetch_date, kind, fetch_fn=fn)
+    return out

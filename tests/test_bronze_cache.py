@@ -101,3 +101,73 @@ def test_read_bronze_news_unions_partitions(spark, tmp_path):
     got = {(r.stock, r.provider, r.title) for r in df.collect()}
     assert got == {("TCS", "newsdata", "TCS wins deal"),
                    ("INFY", "google", "Infosys update")}
+
+
+# ── Live provider chain through the cache (fetch_daily_news_bronze) ──────────
+
+FIXTURES = __import__("pathlib").Path(__file__).parent / "fixtures"
+ND_JSON = (FIXTURES / "newsdata_sample.json").read_text()
+MALFORMED_RSS = "<rss><channel><item>"   # truncated — ElementTree rejects
+
+
+def _chain_http_get(calls):
+    """Google serves malformed RSS (INFRA_FAILURE); NewsData serves the
+    recorded payload."""
+    def get(url):
+        calls.append(url)
+        if "news.google.com" in url:
+            return 200, MALFORMED_RSS
+        return 200, ND_JSON
+    return get
+
+
+def test_malformed_rss_falls_through_to_newsdata(spark, tmp_path):
+    """The documented divergence pinned end-to-end (VERDICT r2 wrong#3):
+    malformed Google RSS -> None for the google keys ONLY; the chain
+    continues, NewsData rows land in bronze, and the engine's priority
+    rank will select newsdata — the reference's try/except
+    fall-through (news.py:368-386) expressed through the cache."""
+    from pre_market_data_pipeline_for_stocks_spark.sources import live
+    calls = []
+    root = str(tmp_path / "bronze")
+    out = live.fetch_daily_news_bronze(
+        spark, root, "BANKINDIA", "Bank of India", "2026-01-09",
+        api_key="KEY", http_get=_chain_http_get(calls), sleep=lambda s: None)
+    assert out[("google", "name")] is None
+    assert out[("google", "ticker")] is None
+    assert len(out[("newsdata", "name")]) == 5
+    assert len(out[("newsdata", "ticker")]) == 5
+    # failures are NOT cached; successes are
+    assert not bc.partition_cached(spark, root, "google", "BANKINDIA",
+                                   "2026-01-09", "name")
+    assert bc.partition_cached(spark, root, "newsdata", "BANKINDIA",
+                               "2026-01-09", "name")
+    # the bronze tree already feeds the engine: only newsdata rows exist
+    provs = {r.provider for r in bc.read_bronze_news(spark, root).collect()}
+    assert provs == {"newsdata"}
+
+
+def test_rerun_retries_failed_google_but_not_cached_newsdata(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.sources import live
+    root = str(tmp_path / "bronze")
+    first, second = [], []
+    live.fetch_daily_news_bronze(
+        spark, root, "BANKINDIA", "Bank of India", "2026-01-09",
+        api_key="KEY", http_get=_chain_http_get(first), sleep=lambda s: None)
+    live.fetch_daily_news_bronze(
+        spark, root, "BANKINDIA", "Bank of India", "2026-01-09",
+        api_key="KEY", http_get=_chain_http_get(second), sleep=lambda s: None)
+    # run 1: 2 google + 2 newsdata; run 2: only the 2 failed google
+    assert len(first) == 4
+    assert len(second) == 2
+    assert all("news.google.com" in u for u in second)
+
+
+def test_no_api_key_skips_newsdata_queries(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.sources import live
+    calls = []
+    out = live.fetch_daily_news_bronze(
+        spark, str(tmp_path / "b"), "TCS", "Tata Consultancy",
+        "2026-01-09", api_key=None, http_get=_chain_http_get(calls))
+    assert set(out) == {("google", "name"), ("google", "ticker")}
+    assert all("news.google.com" in u for u in calls)
