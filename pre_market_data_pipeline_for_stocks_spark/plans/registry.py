@@ -761,6 +761,13 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    "events_segment_rollup": QueryDef(R.events_segment_rollup, """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""),
+
     "trend_slope_per_user": QueryDef(R.trend_slope_per_user, """
 SELECT user_id, count(*) AS n,
        round(regr_slope(value, epoch_us(ts) / 1000000.0 / 86400.0), 6)

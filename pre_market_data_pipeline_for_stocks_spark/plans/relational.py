@@ -401,6 +401,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STATIC enrichment join
+    (streaming/events.py segment_rollup): events x broadcast customer
+    dim -> per-(segment, event_type) rollup. Same logical plan object
+    in both executions — the oracle checks this batch run, the
+    streaming pytest checks stream==batch."""
+    from ..streaming.events import segment_rollup
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    return (segment_rollup(events, customer)
+            .orderBy("c_mktsegment", "event_type"))
+
+
 def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map (applyInPandas) surface: per-user OLS trend of event
     value over time, computed by a numpy kernel per group — the shape of

@@ -128,3 +128,61 @@ def batch_stream_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_testdata(spark, sf_dir, ["events"])["events"]
+
+
+def segment_rollup(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment rollup: events joined to the customer
+    dimension, aggregated per (market segment, event type).
+
+    ONE logical plan serves both executions (the Kappa contract, like
+    tumbling_hourly): batch twin = both inputs static (the
+    ``events_segment_rollup`` oracle query); live = ``events`` is a
+    stream and ``customers`` a static DataFrame — Spark re-plans the
+    join every micro-batch, and the explicit broadcast hint keeps the
+    static dim map-side (no stream-side shuffle; at scale the dim
+    refresh cadence is a re-read of the dim table, not a stream).
+    A global (windowless) aggregation needs no watermark; the stream
+    runs in complete mode."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"),
+                           "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def bronze_batch_writer(root: str):
+    """The per-micro-batch writer behind ``run_bronze_append``.
+
+    Exactly-once contract: foreachBatch is at-least-once — on recovery
+    a micro-batch may be REPLAYED with the same ``batch_id``. The write
+    is made idempotent by keying the output directory on the batch id
+    and overwriting: a replay rewrites the same files instead of
+    appending duplicates, which upgrades the sink to effective
+    exactly-once (the standard foreachBatch idempotent-sink pattern;
+    the checkpoint guarantees batch ids are stable across restarts)."""
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{root}/batch-{batch_id}")
+    return write
+
+
+def run_bronze_append(stream: DataFrame, root: str, checkpoint: str) -> None:
+    """Drive a raw (append-mode) stream into the bronze tree via
+    foreachBatch and drain synchronously — the streaming ingest twin of
+    the batch bronze writers in sources/."""
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(bronze_batch_writer(root))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_bronze_tree(spark: SparkSession, root: str) -> DataFrame:
+    """Read every batch-* subdir as one DataFrame (no hive partition
+    inference — the dirs are ingest bookkeeping, not data)."""
+    return (spark.read.option("recursiveFileLookup", "true").parquet(root))

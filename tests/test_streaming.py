@@ -73,3 +73,62 @@ def test_stream_session_windows(spark, sf_dir):
     # session_window(gap) closes a session when the NEXT event is > gap
     # away — identical semantics to the batch lag-gap formulation.
     assert by_user_stream == by_user_batch
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join (events stream x customer dim):
+    the drained complete-mode rollup must equal the batch twin that the
+    DuckDB oracle checks (events_segment_rollup)."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_segment_rollup,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    customers = load_testdata(spark, sf_dir, ["customer"])["customer"]
+    agg = se.segment_rollup(se.events_stream(spark, sf_dir), customers)
+    se.run_to_memory(agg, "stream_segments", "complete")
+    stream_rows = {(r["c_mktsegment"], r["event_type"]): (r["n"], r["sum_value"])
+                   for r in spark.sql("SELECT * FROM stream_segments").collect()}
+    batch_rows = {(r["c_mktsegment"], r["event_type"]): (r["n"], r["sum_value"])
+                  for r in events_segment_rollup(spark, sf_dir).collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_foreach_batch_bronze_append_and_idempotent_replay(spark, sf_dir,
+                                                          tmp_path):
+    """foreachBatch bronze-append: every source row lands exactly once
+    across per-batch dirs, and replaying a micro-batch (the foreachBatch
+    at-least-once case) rewrites its dir instead of duplicating —
+    effective exactly-once via idempotent batch-keyed writes."""
+    from pyspark.sql import functions as F
+
+    events = se.load_events_batch(spark, sf_dir)
+    src = str(tmp_path / "src")
+    events.filter("event_id % 2 = 0").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    root = str(tmp_path / "bronze")
+    se.run_bronze_append(stream, root, str(tmp_path / "ckpt"))
+
+    out = se.read_bronze_tree(spark, root)
+    assert out.count() == events.count()
+    assert sorted(r.event_id for r in out.select("event_id").collect()) == \
+        sorted(r.event_id for r in events.select("event_id").collect())
+    batch_dirs = [p.name for p in (tmp_path / "bronze").iterdir()
+                  if p.name.startswith("batch-")]
+    assert len(batch_dirs) >= 2        # one dir per micro-batch
+
+    # Replay batch 0 with the same id: overwrite, not append. (The
+    # replayed rows are materialized first — a real recovery replays
+    # from the SOURCE via the checkpoint, never from the sink dir.)
+    replay_rows = spark.read.parquet(f"{root}/batch-0").collect()
+    se.bronze_batch_writer(root)(
+        spark.createDataFrame(replay_rows, schema), 0)
+    assert se.read_bronze_tree(spark, root).count() == events.count()
