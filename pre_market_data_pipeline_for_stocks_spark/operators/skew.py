@@ -8,8 +8,9 @@ runtime, but two patterns remain worth expressing explicitly at 100 TB:
   puts one reducer on the critical path. Salting fans each key across
   ``salt`` partial groups, then combines — the classic partial/final
   split made explicit when the aggregate is algebraic.
-- replicated (broadcast-salted) join for a hot build side is covered by
-  AQE + broadcast hints; we deliberately do NOT hand-roll it.
+- salted (replicated-build-side) join: for the cases AQE's skew split
+  and broadcast hints don't cover — see salted_join's docstring for the
+  exact decision boundary.
 """
 
 from __future__ import annotations
@@ -71,9 +72,36 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
     return partial.groupBy(*keys).agg(*phase2_aggs)
 
 
-def salt_key(key: Column, buckets: int) -> Column:
-    """Deterministic salt for join-side replication: append to a hot join
-    key so both sides can expand it (the build side cross-joins a 0..n-1
-    range). Exposed for plans that pre-salt before a skewed join."""
-    return F.concat(key.cast("string"), F.lit("#"),
-                    (F.crc32(key.cast("string")) % buckets).cast("string"))
+def salted_join(probe: DataFrame, build: DataFrame, on: str,
+                buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Replicated-build-side join for a skewed probe key.
+
+    The probe (large, skewed) side gets a per-ROW salt in [0, buckets);
+    the build side is replicated ``buckets`` times via an exploded
+    sequence; the join runs on (key, salt), so one hot key's rows fan
+    out over ``buckets`` reducers instead of one straggler. The salt is
+    derived from row CONTENT (xxhash64 over all probe columns), never
+    rand()/partition position — task re-execution after a shuffle-fetch
+    failure must re-salt identically or rows are lost/duplicated (same
+    SPARK-23207 rationale as salted_agg). Semantics: inner and left
+    joins are safe (each probe row matches exactly the one replica
+    carrying its salt); right/full would multiply unmatched build rows
+    and are rejected.
+
+    When NOT to use this: if the build side fits in a broadcast, a
+    broadcast join already has no shuffle to skew — use that. If both
+    sides are large and stats expose the skew, AQE's skew-join split
+    (on in session.py) rewrites stragglers at runtime without the
+    buckets-x build-side blowup. This helper is for the gap: a
+    replicable-but-not-broadcastable build side, or a hot key AQE can't
+    see (e.g. skew introduced by an upstream operator in the same
+    stage, before any exchange statistics exist).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+                  F.lit(buckets)).cast("int")
+    p = probe.withColumn("_salt", salt)
+    b = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    return p.join(b, [on, "_salt"], how).drop("_salt")

@@ -58,3 +58,68 @@ def test_fact_csv_single_file_and_null_convention(spark):
         body = open(os.path.join(dest, csvs[0])).read().strip().splitlines()
         assert body[0] == "Date,Stock,Pct_Change,YoY"
         assert body[1] == "2026-01-05,A,1.5,"      # null -> "" (engine.py:207-210)
+
+
+def _skewed_fixture(spark):
+    """90% of probe rows share one hot key; build is a 20-row dim."""
+    probe = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 20)
+        .cast("long").alias("k"),
+        (F.col("id") * 3).alias("payload"))
+    build = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label"))
+    return probe, build
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.skew import (
+        salted_join,
+    )
+    probe, build = _skewed_fixture(spark)
+    plain = {(r.k, r.payload, r.label)
+             for r in probe.join(build, "k").collect()}
+    salted = {(r.k, r.payload, r.label)
+              for r in salted_join(probe, build, "k", buckets=8).collect()}
+    assert salted == plain and len(plain) == 2000
+
+    # left semantics: probe rows with no dim match survive exactly once
+    probe_extra = probe.union(
+        spark.createDataFrame([(999, 1)], "k long, payload long"))
+    left = salted_join(probe_extra, build, "k", buckets=8, how="left")
+    assert left.count() == 2001
+    assert left.filter("k = 999").collect()[0].label is None
+
+
+def test_salted_join_flattens_hot_key_partitions(spark):
+    """The point of salting: the hot key's rows spread over ~buckets
+    shuffle groups instead of one. Measured on the shuffle key itself
+    ((k, _salt) distribution) — the hot key must occupy >1 group and no
+    group may hold more than ~1/2 of the hot rows (it holds ALL of them
+    unsalted)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.skew import (
+        salted_join,
+    )
+    probe, build = _skewed_fixture(spark)
+    buckets = 8
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+                  F.lit(buckets)).cast("int")
+    groups = (probe.withColumn("_salt", salt).filter("k = 7")
+              .groupBy("_salt").count().collect())
+    hot_total = sum(r["count"] for r in groups)
+    assert len(groups) == buckets                 # fully fanned out
+    assert max(r["count"] for r in groups) < hot_total / 2
+
+    # and the salted plan actually joins on (k, _salt), not k alone
+    plan = (salted_join(probe, build, "k", buckets=buckets)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_salt" in plan
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest as _pytest
+    from pre_market_data_pipeline_for_stocks_spark.operators.skew import (
+        salted_join,
+    )
+    probe, build = _skewed_fixture(spark)
+    with _pytest.raises(ValueError):
+        salted_join(probe, build, "k", how="full")
