@@ -112,6 +112,52 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
             .mapInPandas(batches, FRAME_SCHEMA))
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def resize_media(media: DataFrame, target: int = 64,
+                 decoder: str = "fake") -> DataFrame:
+    """Resize kernel for "image" payloads: (doc_id, width, height,
+    payload) fit to a ``target`` long edge, Arrow-batched.
+
+    The real implementation is PIL ``thumbnail``/``resize`` per batch;
+    without codecs the deterministic fake preserves the contract every
+    downstream operator relies on — output dims are the aspect-ratio
+    fit of the fake-decoded dims into ``target``, and the payload is a
+    content-derived stand-in whose length tracks width*height*channels
+    (so partition-size accounting behaves like real thumbnails)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pillow":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "pillow is not installed in this container; use "
+                    "decoder='fake' for the deterministic stand-in") from exc
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c = _fake_decode(bytes(payload))
+                scale = target / max(w, h)
+                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                d = hashlib.md5(b"resized:" + bytes(payload)).digest()
+                fake = (d * (nw * nh * c // len(d) + 1))[:nw * nh * c]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["payload"].append(fake)
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("media_type") == "image")
+            .mapInPandas(batches, RESIZED_SCHEMA))
+
+
 def media_features(media: DataFrame, dims: int = 8) -> DataFrame:
     """Feature extraction stub: a deterministic pseudo-embedding per
     payload (md5-expanded), Arrow-batched — the shape of a real

@@ -208,7 +208,7 @@ def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-             centroid_stride: int = 50, nprobe: int = 3,
+             centroid_stride: int = 200, nprobe: int = 3,
              train_iters: int = 1, train_sample_mod: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF ANN: train a coarse quantizer (Lloyd, ``train_iters`` rounds —

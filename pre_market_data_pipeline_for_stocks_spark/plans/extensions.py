@@ -98,7 +98,7 @@ def ann_lsh_buckets(spark, sf_dir):
 
 def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir), query_vec_id=ANN_QUERY_ID,
-                               k=ANN_TOPK, centroid_stride=50, nprobe=3,
+                               k=ANN_TOPK, centroid_stride=200, nprobe=3,
                                train_iters=1, train_sample_mod=2)
 
 

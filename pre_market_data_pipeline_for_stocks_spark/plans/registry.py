@@ -211,7 +211,7 @@ WHERE {cos} >= {threshold}
 """
 
 
-def _ivf_sql(stride: int = 50, nprobe: int = 3, iters: int = 1,
+def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
              k: int = 10, sample_mod: int = 2) -> str:
     """Oracle twin of similarity.ivf_topk with ``iters`` Lloyd rounds
     unrolled as CTE pairs (assign a{i} from c{i}, recompute c{i+1} from

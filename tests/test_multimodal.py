@@ -57,3 +57,29 @@ def test_media_features_shape(media):
     assert len(out) == 30
     assert all(len(r["features"]) == 8 for r in out)
     assert all(-1.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_resize_media_aspect_fit_and_payload_size(media):
+    """Resize contract: only images, dims aspect-fit the fake-decoded
+    (w, h) into the 64 long edge, payload length == w*h*channels of the
+    thumbnail — the accounting a real thumbnail pipeline produces."""
+    out = {r.doc_id: r for r in mm.resize_media(media, target=64).collect()}
+    src = {r.doc_id: bytes(r.payload) for r in
+           media.filter("media_type = 'image'").collect()}
+    assert set(out) == set(src) and len(out) > 0
+    for doc_id, r in out.items():
+        w, h, c = mm._fake_decode(src[doc_id])
+        assert max(r.width, r.height) <= 64
+        assert abs((r.width / r.height) - (w / h)) < 0.1  # aspect kept
+        assert len(bytes(r.payload)) == r.width * r.height * c
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.payload) for r in
+             mm.resize_media(media, target=64).collect()}
+    assert {d: bytes(r.payload) for d, r in out.items()} == again
+
+
+def test_resize_media_pillow_backend_raises_cleanly(media):
+    with pytest.raises(Exception) as exc_info:
+        mm.resize_media(media, decoder="pillow").collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)

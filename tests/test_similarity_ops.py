@@ -23,9 +23,13 @@ def emb(spark, sf_dir):
 
 
 def _recall(emb, train_iters: int) -> float:
+    # stride=50 pinned: at this fixture size the default stride (200)
+    # yields so few cells that nprobe=3 covers them all and recall is
+    # trivially 1.0 — 50 keeps 10 cells so the probe actually prunes.
     brute = {r.vec_id for r in S.cosine_topk(emb, 0, K).collect()}
     ivf = {r.vec_id for r in
-           S.ivf_topk(emb, 0, K, train_iters=train_iters).collect()}
+           S.ivf_topk(emb, 0, K, centroid_stride=50,
+                      train_iters=train_iters).collect()}
     return len(brute & ivf) / K
 
 
