@@ -23,7 +23,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_time: str, right_time: str,
               tolerance_days: int | None = None,
               direction: str = "nearest",
-              how: str = "inner") -> DataFrame:
+              how: str = "inner",
+              left_id: list[str] | None = None,
+              tiebreakers: list[str] | None = None) -> DataFrame:
     """Join each left row to the single best right row per key.
 
     - ``backward``: latest right row with time <= left time;
@@ -33,7 +35,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     required for ``nearest`` (an unbounded nearest-join is a cross join
     per key — refuse to build that plan at scale).
 
-    Right columns keep their names; callers should pre-alias clashes.
+    ``left_id``: columns identifying a LEFT row (e.g. its primary key).
+    Without it the pick-best window partitions by ``on + left_time``,
+    which silently merges distinct left rows sharing key AND time —
+    every such row except one would lose its match. Pass it whenever
+    (on, left_time) is not unique in ``left``.
+
+    ``tiebreakers``: extra RIGHT columns ordered ascending after the
+    time ordering, making the pick deterministic when several right
+    rows share the winning time (without them, ties are
+    partition-order-dependent — unacceptable for an oracle-checked
+    plan). Right columns keep their names; callers pre-alias clashes.
     """
     if direction not in DIRECTIONS:
         raise ValueError(f"direction must be one of {DIRECTIONS}")
@@ -54,16 +66,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     else:
         cond = F.lit(True)
         order = [F.abs(dist).asc(), rt.desc()]
+    order += [F.col(c).asc() for c in (tiebreakers or [])]
     if tolerance_days is not None:
         cond = cond & (F.abs(dist) <= tolerance_days)
 
+    part = [*on, lt] if left_id is None else [F.col(c) for c in left_id]
     joined = left.join(right, on=on, how="inner").filter(cond)
-    w = Window.partitionBy(*on, lt).orderBy(*order)
+    w = Window.partitionBy(*part).orderBy(*order)
     best = joined.withColumn("_asof_rn", F.row_number().over(w)) \
                  .filter(F.col("_asof_rn") == 1).drop("_asof_rn")
     if how == "left":
         # Re-attach unmatched left rows with null right columns.
+        back_on = on + [left_time] if left_id is None else left_id
         right_cols = [c for c in right.columns if c not in on]
-        return left.join(best.select(*on, left_time, *right_cols),
-                         on=on + [left_time], how="left")
+        keep = [c for c in back_on if c not in right_cols]
+        return left.join(best.select(*keep, *right_cols),
+                         on=back_on, how="left")
     return best

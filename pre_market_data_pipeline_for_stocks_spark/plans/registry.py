@@ -761,6 +761,23 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    "asof_backward_event_order": QueryDef(R.asof_backward_event_order, """
+WITH e AS (SELECT event_id, user_id, ts::DATE AS d FROM events),
+best AS (
+  SELECT event_id, o_orderkey, od FROM (
+    SELECT e.event_id, o.o_orderkey, o.o_orderdate::DATE AS od,
+           row_number() OVER (PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC, o.o_orderkey ASC) AS rn
+    FROM e JOIN orders o ON o.o_custkey = e.user_id
+     AND o.o_orderdate::DATE <= e.d
+     AND date_diff('day', o.o_orderdate::DATE, e.d) <= 365)
+  WHERE rn = 1)
+SELECT e.event_id, e.user_id, b.o_orderkey,
+       date_diff('day', b.od, e.d) AS days_since_order
+FROM e LEFT JOIN best b USING (event_id)
+ORDER BY event_id
+"""),
+
     "events_segment_rollup": QueryDef(R.events_segment_rollup, """
 SELECT c.c_mktsegment, e.event_type, count(*) AS n,
        round(sum(e.value), 2) AS sum_value

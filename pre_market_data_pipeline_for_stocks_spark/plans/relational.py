@@ -401,6 +401,29 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_backward_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join, BACKWARD + LEFT flavor (the J5 operator's
+    other half, oracle-checked): each event matched to its user's
+    latest order dated on-or-before the event, within 365 days; events
+    with no admissible order survive with nulls. Deterministic ties via
+    (o_orderdate desc, o_orderkey asc); window partitioned by event_id
+    (left identity — (user_id, ts) need not be unique)."""
+    from ..operators.asof import asof_join
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    left = events.select("event_id", "user_id", "ts")
+    right = orders.select(F.col("o_custkey").alias("user_id"),
+                          "o_orderkey", "o_orderdate")
+    out = asof_join(left, right, on=["user_id"],
+                    left_time="ts", right_time="o_orderdate",
+                    tolerance_days=365, direction="backward", how="left",
+                    left_id=["event_id"], tiebreakers=["o_orderkey"])
+    return (out.select(
+        "event_id", "user_id", "o_orderkey",
+        F.datediff(F.to_date("ts"), F.to_date("o_orderdate"))
+        .alias("days_since_order"))
+        .orderBy("event_id"))
+
+
 def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the STREAM-STATIC enrichment join
     (streaming/events.py segment_rollup): events x broadcast customer

@@ -70,3 +70,44 @@ def test_unbounded_nearest_refused(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError, match="tolerance_days"):
         asof_join(left, right, ["key"], "lt", "rt", direction="nearest")
+
+
+def test_left_rows_sharing_key_and_time_each_keep_their_match(spark):
+    """Without left_id, the pick-best window partitions by (key, time)
+    and distinct left rows sharing both collapse to one match — the
+    generic-operator bug fixed this round. With left_id each row wins
+    independently."""
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.asof import (
+        asof_join,
+    )
+    d = dt.date.fromisoformat
+    left = spark.createDataFrame(
+        [(1, "K", d("2026-01-10")), (2, "K", d("2026-01-10"))],
+        "id long, k string, lt date")
+    right = spark.createDataFrame(
+        [("K", d("2026-01-08"), "r1")], "k string, rt date, payload string")
+    out = asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                    tolerance_days=30, direction="backward", how="left",
+                    left_id=["id"])
+    got = {r.id: r.payload for r in out.collect()}
+    assert got == {1: "r1", 2: "r1"}
+
+
+def test_tiebreakers_make_equal_time_pick_deterministic(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.asof import (
+        asof_join,
+    )
+    d = dt.date.fromisoformat
+    left = spark.createDataFrame([(1, "K", d("2026-01-10"))],
+                                 "id long, k string, lt date")
+    right = spark.createDataFrame(
+        [("K", d("2026-01-08"), 9), ("K", d("2026-01-08"), 3)],
+        "k string, rt date, rid long")
+    out = asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                    tolerance_days=30, direction="backward",
+                    left_id=["id"], tiebreakers=["rid"])
+    assert [r.rid for r in out.collect()] == [3]
