@@ -35,3 +35,44 @@ def write_fundamentals_json(df: DataFrame, path: str) -> None:
 def write_debug_json(df: DataFrame, path: str) -> None:
     """K5 — annotated news relation (operators.news.annotated_articles)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_bucketed_bronze(df: DataFrame, table: str, buckets: int,
+                          key_cols: list[str],
+                          sort_cols: list[str] | None = None) -> None:
+    """Persist a bronze relation bucketed (and sorted) by its join key.
+
+    This is the write half of the co-located-join story the plans rely
+    on (assemble.py J2, test_bucketed_join): two tables bucketed by the
+    same key with the same bucket count sort-merge join with NO
+    exchange under the join — at 100 TB that removes the dominant
+    shuffle from every fact-to-fact join on the bucketing key. Bucketed
+    tables must go through the catalog (``saveAsTable``): a plain
+    ``.parquet(path)`` write drops the bucketing metadata Spark needs
+    at plan time."""
+    (df.write.bucketBy(buckets, *key_cols)
+       .sortBy(*(sort_cols or key_cols))
+       .mode("overwrite").format("parquet").saveAsTable(table))
+
+
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_cols: list[str]) -> None:
+    """Idempotent incremental re-run: replace ONLY the partitions
+    present in ``df``, leaving the rest of the table untouched.
+
+    The reference's re-run model is overwrite-everything
+    (engine.py:192) — correct at its scale, a full-table rewrite at
+    100 TB. Dynamic partition overwrite keeps the reference's
+    idempotence (re-running a day rewrites that day's partitions
+    byte-for-byte) while touching only the affected partitions. The
+    conf is set per-write and restored, so other writers in the same
+    session keep static semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (df.write.mode("overwrite").partitionBy(*partition_cols)
+           .parquet(path))
+    finally:
+        spark.conf.set(key, prev)

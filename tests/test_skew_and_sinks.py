@@ -123,3 +123,60 @@ def test_salted_join_rejects_right_full(spark):
     probe, build = _skewed_fixture(spark)
     with _pytest.raises(ValueError):
         salted_join(probe, build, "k", how="full")
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: re-running one stock's day must not
+    clobber other stocks — the scalable form of the reference's
+    overwrite-on-rerun (engine.py:192)."""
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [("TCS", "2026-01-09", 1.0), ("INFY", "2026-01-09", 2.0)],
+        "stock string, d string, v double")
+    sinks.overwrite_partitions(base, path, ["stock"])
+
+    rerun = spark.createDataFrame([("TCS", "2026-01-09", 9.0)],
+                                  "stock string, d string, v double")
+    sinks.overwrite_partitions(rerun, path, ["stock"])
+
+    got = {(r.stock, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("TCS", 9.0), ("INFY", 2.0)}     # INFY untouched
+    # conf restored to its prior value
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
+
+
+def test_write_bucketed_bronze_roundtrip_no_shuffle_join(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    tabs = load_testdata(spark, "/root/testdata/sf0.001",
+                         ["orders", "lineitem"])
+    for t in ("sb_orders", "sb_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        sinks.write_bucketed_bronze(tabs["orders"], "sb_orders", 8,
+                                    ["o_orderkey"])
+        sinks.write_bucketed_bronze(tabs["lineitem"], "sb_lineitem", 8,
+                                    ["l_orderkey"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.sql("""
+                SELECT o.o_orderkey, count(*) AS n
+                FROM sb_orders o JOIN sb_lineitem l
+                  ON o.o_orderkey = l.l_orderkey
+                GROUP BY o.o_orderkey""")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        join_part = plan.split("SortMergeJoin")[-0] if "SortMergeJoin" \
+            not in plan else plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in join_part
+        assert joined.count() == tabs["orders"].join(
+            tabs["lineitem"],
+            tabs["orders"].o_orderkey == tabs["lineitem"].l_orderkey
+        ).select("o_orderkey").distinct().count()
+    finally:
+        for t in ("sb_orders", "sb_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
