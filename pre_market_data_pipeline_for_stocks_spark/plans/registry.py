@@ -778,6 +778,16 @@ FROM e LEFT JOIN best b USING (event_id)
 ORDER BY event_id
 """),
 
+    "events_followup_join": QueryDef(R.events_followup_join, """
+SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+       round(p.value, 2) AS purchase_value
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id
+"""),
+
     "events_segment_rollup": QueryDef(R.events_segment_rollup, """
 SELECT c.c_mktsegment, e.event_type, count(*) AS n,
        round(sum(e.value), 2) AS sum_value

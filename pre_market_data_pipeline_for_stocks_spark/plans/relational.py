@@ -424,6 +424,33 @@ def asof_backward_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id"))
 
 
+def events_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming/events.py followup_interval_join): views matched to the
+    same user's purchases within the following 30 minutes. The interval
+    predicate is what lets the streaming execution bound its join state
+    — identical join logic here, checked by the DuckDB oracle."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = (events.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"), "user_id",
+                 F.col("ts").alias("view_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value")))
+    return (v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+        .select("view_id", "user_id", "purchase_id",
+                F.round("purchase_value", 2).alias("purchase_value"))
+        .orderBy("view_id", "purchase_id"))
+
+
 def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the STREAM-STATIC enrichment join
     (streaming/events.py segment_rollup): events x broadcast customer

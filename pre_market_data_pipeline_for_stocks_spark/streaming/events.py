@@ -186,3 +186,39 @@ def read_bronze_tree(spark: SparkSession, root: str) -> DataFrame:
     """Read every batch-* subdir as one DataFrame (no hive partition
     inference — the dirs are ingest bookkeeping, not data)."""
     return (spark.read.option("recursiveFileLookup", "true").parquet(root))
+
+
+def followup_interval_join(left_stream: DataFrame,
+                           right_stream: DataFrame,
+                           max_gap_minutes: int = 30,
+                           watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join: each "view" event joined to the
+    same user's "purchase" events landing within (0, max_gap] minutes
+    after it — the attribution/funnel shape.
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark can size the join state buffer and evict rows
+    older than watermark + interval — without the bound, stream-stream
+    join state grows forever. The batch twin is the same inner
+    self-join predicate over the static relation
+    (plans/relational.py events_followup_join), which the DuckDB
+    oracle checks; the streaming pytest checks stream==batch."""
+    v = (left_stream.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("user_id"),
+                 F.col("ts").alias("view_ts"))
+         .withWatermark("view_ts", watermark))
+    p = (right_stream.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value"))
+         .withWatermark("purchase_ts", watermark))
+    return (v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
+        "inner")
+        .select("view_id", "user_id", "purchase_id", "purchase_value"))

@@ -132,3 +132,30 @@ def test_foreach_batch_bronze_append_and_idempotent_replay(spark, sf_dir,
     se.bronze_batch_writer(root)(
         spark.createDataFrame(replay_rows, schema), 0)
     assert se.read_bronze_tree(spark, root).count() == events.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase within 30 min):
+    the drained append-mode result must equal the batch twin the DuckDB
+    oracle checks (events_followup_join). Inner joins emit eagerly as
+    matches arrive; the watermark+interval bound is what lets Spark
+    evict join state — unbounded state otherwise."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_followup_join,
+    )
+    stream = se.events_stream(spark, sf_dir)
+    agg = se.followup_interval_join(stream, se.events_stream(spark, sf_dir))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("stream_followups").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {(r.view_id, r.user_id, r.purchase_id,
+                    round(r.purchase_value, 2))
+                   for r in spark.sql(
+                       "SELECT * FROM stream_followups").collect()}
+    batch_rows = {(r.view_id, r.user_id, r.purchase_id, r.purchase_value)
+                  for r in events_followup_join(spark, sf_dir).collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
