@@ -87,3 +87,71 @@ def test_suffix_strip_parity_generated(spark, names):
                     .alias("stripped")).collect()
     for r in got:
         assert r["stripped"] == ref_strip(r["name"]), r["name"]
+
+
+# --- asof_join vs a pure-Python reference on generated tables ------------
+
+import datetime as dt
+
+from pre_market_data_pipeline_for_stocks_spark.operators.asof import asof_join
+
+_BASE = dt.date(2026, 1, 1)
+
+
+def _ref_asof(left, right, direction, tol):
+    """Brute-force per-left-row pick: the operator's spec in ~10 lines.
+    Ordering mirrors asof_join: time per direction, then rid asc."""
+    out = {}
+    for (lid, k, lt) in left:
+        cands = []
+        for (rid, rk, rt) in right:
+            if rk != k:
+                continue
+            d = (rt - lt).days
+            if direction == "backward" and d > 0:
+                continue
+            if direction == "forward" and d < 0:
+                continue
+            if abs(d) > tol:
+                continue
+            cands.append((rid, rt, d))
+        if not cands:
+            out[lid] = None
+            continue
+        if direction == "backward":
+            best = max(cands, key=lambda c: (c[1],
+                                             -c[0]))   # latest rt, rid asc
+        elif direction == "forward":
+            best = min(cands, key=lambda c: (c[1], c[0]))
+        else:
+            best = min(cands, key=lambda c: (abs(c[2]),
+                                             -c[1].toordinal(), c[0]))
+        out[lid] = best[0]
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                  min_size=1, max_size=8),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                   min_size=0, max_size=8),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.integers(0, 10),
+)
+def test_asof_join_matches_bruteforce(spark, left, right, direction, tol):
+    lrows = [(i, f"k{k}", _BASE + dt.timedelta(days=d))
+             for i, (k, d) in enumerate(left)]
+    rrows = [(i, f"k{k}", _BASE + dt.timedelta(days=d))
+             for i, (k, d) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k string, lt date")
+    rdf = spark.createDataFrame(rrows or [(0, "nope", _BASE)],
+                                "rid long, k string, rt date")
+    got_df = asof_join(ldf, rdf, on=["k"], left_time="lt", right_time="rt",
+                       tolerance_days=tol, direction=direction, how="left",
+                       left_id=["lid"], tiebreakers=["rid"])
+    got = {r.lid: r.rid for r in got_df.collect()}
+    want = _ref_asof(lrows, rrows if rrows else [(0, "nope", _BASE)],
+                     direction, tol)
+    assert got == want
