@@ -788,6 +788,14 @@ FROM events v JOIN events p
 ORDER BY view_id, purchase_id
 """),
 
+    "events_sliding_quarter_hour": QueryDef(R.events_sliding_quarter_hour, """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (t.k * INTERVAL 15 MINUTE)
+         AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events, UNNEST(range(0, 4)) t(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""),
+
     "events_segment_rollup": QueryDef(R.events_segment_rollup, """
 SELECT c.c_mktsegment, e.event_type, count(*) AS n,
        round(sum(e.value), 2) AS sum_value

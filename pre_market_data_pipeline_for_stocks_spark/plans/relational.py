@@ -451,6 +451,26 @@ def events_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("view_id", "purchase_id"))
 
 
+def events_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): each event
+    lands in 4 overlapping windows. Batch twin of the streaming
+    formulation (streaming/events.py sliding_hourly); the DuckDB oracle
+    derives the same 4 window starts per event from the 15-min grid —
+    both engines' grids align because the epoch is divisible by the
+    slide."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the STREAM-STATIC enrichment join
     (streaming/events.py segment_rollup): events x broadcast customer

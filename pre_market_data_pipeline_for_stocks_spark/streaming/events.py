@@ -222,3 +222,19 @@ def followup_interval_join(left_stream: DataFrame,
            <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
         "inner")
         .select("view_id", "user_id", "purchase_id", "purchase_value"))
+
+
+def sliding_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of plans.relational.events_sliding_quarter_hour:
+    1-hour windows sliding every 15 minutes (each event contributes to
+    4 overlapping windows) with late-data tolerance ``watermark``."""
+    return (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "sum_value")
+    )

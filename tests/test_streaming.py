@@ -159,3 +159,17 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
                   for r in events_followup_join(spark, sf_dir).collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_sliding_windows_match_batch(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_sliding_quarter_hour,
+    )
+    agg = se.sliding_hourly(se.events_stream(spark, sf_dir))
+    se.run_to_memory(agg, "stream_sliding", "complete")
+    stream_rows = {(r.window_start, r.event_type): (r.n, r.sum_value)
+                   for r in spark.sql("SELECT * FROM stream_sliding").collect()}
+    batch_rows = {(r.window_start, r.event_type): (r.n, r.sum_value)
+                  for r in events_sliding_quarter_hour(spark, sf_dir).collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
