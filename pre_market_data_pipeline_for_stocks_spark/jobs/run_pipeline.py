@@ -51,12 +51,22 @@ def main(argv: list[str] | None = None) -> int:
         lexicon = offline.read_sentiment_lexicon(
             spark, bronze["sentiment_lexicon"])
 
+    # news_articles may be a flat file OR the partitioned cache tree the
+    # live connectors maintain (sources/bronze_cache.py) — the cache and
+    # the lake are the same object, so the job reads either.
+    news_path = bronze["news_articles"]
+    if bronze.get("news_articles_is_cache_tree"):
+        from ..sources.bronze_cache import read_bronze_news
+        articles = read_bronze_news(spark, news_path)
+    else:
+        articles = offline.read_news_articles(spark, news_path)
+
     out = run_premarket_plan(
         spark, cfg,
         ohlcv=offline.read_ohlcv(spark, bronze["ohlcv"]),
         quarterly=offline.read_quarterly_financials(
             spark, bronze["quarterly_financials"]),
-        articles=offline.read_news_articles(spark, bronze["news_articles"]),
+        articles=articles,
         aliases=offline.read_stock_aliases(spark, bronze["stock_aliases"]),
         lexicon=lexicon,
     )

@@ -173,3 +173,49 @@ def test_stream_sliding_windows_match_batch(spark, sf_dir):
                   for r in events_sliding_quarter_hour(spark, sf_dir).collect()}
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Watermark contract in append mode: an event arriving after its
+    window was finalized (watermark passed window end) is dropped, and
+    the finalized window's counts exclude it. This is the late-data
+    semantics SURVEY §7.4 promises for the streaming extension."""
+    import datetime as dt
+
+    rows_on_time = [
+        (1, dt.datetime(2026, 1, 9, 10, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 9, 10, 30), 1, "view", 1.0, "{}"),
+        # clock advancer: pushes the watermark to 18:00 (max - 2h)
+        (3, dt.datetime(2026, 1, 9, 20, 0), 1, "view", 1.0, "{}"),
+    ]
+    late_rows = [
+        # lands in the (already finalized) 10:00 window -> dropped
+        (4, dt.datetime(2026, 1, 9, 10, 15), 1, "view", 1.0, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows_on_time, schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    agg = se.tumbling_hourly(stream, watermark="2 hours")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("late_data").start())
+    try:
+        # batch 1: on-time rows only -> watermark advances to 18:00
+        q.processAllAvailable()
+        # batch 2: the late arrival lands AFTER its window finalized
+        spark.createDataFrame(late_rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start: r.n
+           for r in spark.sql("SELECT * FROM late_data").collect()}
+    ten = dt.datetime(2026, 1, 9, 10, 0)
+    # the 10:00 window finalized with ONLY the on-time rows
+    assert got.get(ten) == 2
+    # the 20:00 window is still open (watermark has not passed its end)
+    assert dt.datetime(2026, 1, 9, 20, 0) not in got
