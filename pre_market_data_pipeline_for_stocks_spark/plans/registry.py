@@ -862,6 +862,21 @@ SELECT doc_id,
 FROM documents
 """),
 
+    "multimodal_decoded_meta": QueryDef(R.multimodal_decoded_meta, """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM documents)
+SELECT doc_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(16 + ('0x' || substr(h, 1, 2))::INT % 240 AS INT) AS width,
+       CAST(16 + ('0x' || substr(h, 3, 2))::INT % 240 AS INT) AS height,
+       CAST([1,3,4][(('0x' || substr(h, 5, 2))::INT % 3) + 1] AS INT)
+         AS n_channels
+FROM m ORDER BY doc_id
+"""),
+
     # --- LLM-data-pipeline extensions ------------------------------------
     "dedup_exact": QueryDef(X.dedup_exact, f"""
 SELECT {_h('text')} AS text_hash, min(doc_id) AS keep_doc_id,

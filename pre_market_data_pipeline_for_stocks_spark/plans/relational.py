@@ -595,6 +595,20 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode_media mapInPandas kernel ORACLE-CHECKED: the fake
+    decoder derives (width, height, channels) from md5 digest bytes, so
+    the DuckDB twin reproduces them in pure SQL — the strongest
+    available check that the Arrow-batched UDF plumbing (schema, batch
+    iteration, column mapping) transports values faithfully. A real
+    codec would break SQL-expressibility; the fake keeps it testable
+    (SURVEY §7.5 multimodal design)."""
+    from ..operators.multimodal import attach_payload, decode_media
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (decode_media(attach_payload(docs))
+            .orderBy("doc_id"))
+
+
 # --- relational breadth: pivot / cube / range frames / distributions -----
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
