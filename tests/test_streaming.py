@@ -219,3 +219,45 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     assert got.get(ten) == 2
     # the 20:00 window is still open (watermark has not passed its end)
     assert dt.datetime(2026, 1, 9, 20, 0) not in got
+
+
+def test_bronze_append_restart_from_checkpoint_no_duplicates(spark, sf_dir,
+                                                             tmp_path):
+    """Kill-and-restart recovery: a NEW query over the same checkpoint
+    must resume from the committed offset — rows ingested before the
+    stop are not reprocessed, new rows land once, and batch ids
+    continue (the property bronze_batch_writer's idempotence keys on)."""
+    events = se.load_events_batch(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "bronze")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(se.bronze_batch_writer(root))
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()                                   # ingest first half, stop
+    n_after_first = se.read_bronze_tree(spark, root).count()
+    assert n_after_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()                                   # RESTART from checkpoint
+
+    out = se.read_bronze_tree(spark, root)
+    assert out.count() == events.count()         # no reprocessing, no loss
+    assert out.select("event_id").distinct().count() == events.count()
+    batch_ids = sorted(int(p.name.split("-")[1])
+                       for p in (tmp_path / "bronze").iterdir()
+                       if p.name.startswith("batch-"))
+    assert batch_ids == list(range(len(batch_ids)))   # ids continued, no gaps
