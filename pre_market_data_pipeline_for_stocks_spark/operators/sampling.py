@@ -1,0 +1,52 @@
+"""Deterministic sampling operators for training-data curation
+(extension scope, BASELINE.json north star).
+
+A 100 TB corpus is never consumed whole: pipelines carve reproducible
+subsets (ablations, eval splits, per-source caps). Spark's
+``df.sample`` is seed-dependent per partitioning — re-running after a
+repartition changes the sample — so these operators derive membership
+from ROW CONTENT via the shared 60-bit md5 hash (functions/hashing.py),
+making every sample stable across runs, partitionings, AND engines
+(the DuckDB oracle replays the same hash).
+
+- hash_sample      keep ~pct% of rows: hash(key) % 100 < pct. The
+                   standard deterministic bernoulli sample; map-side,
+                   no shuffle, pushdown-friendly.
+- stratified_cap   at most N rows per stratum, chosen by hash order —
+                   the per-source / per-language balancing cap. One
+                   shuffle on the strata key (the window), nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+
+def _sample_hash(key: Column, salt: str) -> Column:
+    return md5_i64(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+
+
+def hash_sample(df: DataFrame, keep_pct: int, key_col: str,
+                salt: str = "sample") -> DataFrame:
+    """Deterministic ~``keep_pct``% sample: rows whose salted key hash
+    lands below the cutoff. Same key + same salt -> same verdict,
+    forever; different salts draw independent samples (ablations)."""
+    if not 0 <= keep_pct <= 100:
+        raise ValueError("keep_pct must be in [0, 100]")
+    return df.filter(
+        _sample_hash(F.col(key_col), salt) % 100 < keep_pct)
+
+
+def stratified_cap(df: DataFrame, strata_cols: list[str], cap: int,
+                   key_col: str, salt: str = "strata") -> DataFrame:
+    """At most ``cap`` rows per stratum, picked by salted-hash order
+    (ties by key) — an unbiased, reproducible per-stratum quota. The
+    hot-stratum problem is bounded by construction: the window tops out
+    at ``cap`` rows per group regardless of stratum skew."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc())
+    return (df.withColumn("_sc_rn", F.row_number().over(w))
+            .filter(F.col("_sc_rn") <= cap).drop("_sc_rn"))

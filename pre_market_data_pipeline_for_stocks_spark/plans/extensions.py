@@ -115,3 +115,39 @@ def embedding_norms(spark, sf_dir):
         F.size("embedding").cast("long").alias("n_dims"),
         F.round(F.sqrt(dot), 4).alias("l2_norm"),
     )
+
+
+def corpus_hash_sample(spark, sf_dir):
+    from ..operators import sampling
+    return (sampling.hash_sample(_docs(spark, sf_dir), keep_pct=30,
+                                 key_col="doc_id")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+def corpus_stratified_cap(spark, sf_dir):
+    from ..operators import sampling
+    return (sampling.stratified_cap(_docs(spark, sf_dir),
+                                    ["lang", "source"], cap=20,
+                                    key_col="doc_id")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+def curated_corpus(spark, sf_dir):
+    """The composite curation pipeline a training-data run chains:
+    heuristic language ID == 'en', quality floor, normalized-dedup
+    keeper only, then a deterministic 50% hash sample — four §7.5
+    operators composed into ONE declarative plan (each also
+    oracle-checked standalone)."""
+    from ..operators import sampling
+    docs = _docs(spark, sf_dir)
+    lang = textstats.lang_id(docs).filter(F.col("lang_guess") == "en")
+    qual = (textstats.quality_score(docs)
+            .filter(F.col("quality") >= 0.3).select("doc_id", "quality"))
+    keep = (textstats.normalized_dedup(docs)
+            .select(F.col("keep_doc_id").alias("doc_id")))
+    curated = (docs.join(lang.select("doc_id"), "doc_id")
+               .join(qual, "doc_id")
+               .join(keep, "doc_id"))
+    return (sampling.hash_sample(curated, keep_pct=50, key_col="doc_id")
+            .select("doc_id", "lang", "source", "quality")
+            .orderBy("doc_id"))

@@ -265,6 +265,11 @@ LIMIT {k}
 """
 
 
+# Twin of textstats.normalize_text — shared by dedup_normalized and
+# curated_corpus.
+_NORM_TEXT = (r"trim(regexp_replace(regexp_replace(lower(text), "
+              r"'[^\w\s]', '', 'g'), '\s+', ' ', 'g'))")
+
 _STOP = {
     "en": "the|a|of|and|to", "es": "el|la|de|que|los",
     "de": "der|die|und|das|ein", "fr": "le|la|les|et|une",
@@ -830,6 +835,57 @@ SELECT {h} AS text_norm_hash,
 FROM documents GROUP BY 1
 """.format(h=_h(r"trim(regexp_replace(regexp_replace(lower(text), "
                r"'[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"))),
+
+    "corpus_hash_sample": QueryDef(X.corpus_hash_sample, f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_h("('sample:' || doc_id::VARCHAR)")} % 100 < 30
+ORDER BY doc_id
+"""),
+
+    "corpus_stratified_cap": QueryDef(X.corpus_stratified_cap, f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+           ORDER BY {_h("('strata:' || doc_id::VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 20 ORDER BY doc_id
+"""),
+
+    "curated_corpus": QueryDef(X.curated_corpus, f"""
+WITH c AS (SELECT doc_id, text,
+    {{en}} AS en_hits,
+    greatest({{en}}, {{es}}, {{de}}, {{fr}}, {{zh}}) AS best
+  FROM documents),
+en_docs AS (SELECT doc_id FROM c WHERE en_hits = best),
+q AS (
+  SELECT doc_id,
+         round(least(greatest(
+           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * greatest(0.0,
+               1 - round(punct / greatest(n_chars, 1), 6) * 10),
+           0.0), 1.0), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+           len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
+             AS stops
+    FROM documents)),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY {_h(_NORM_TEXT)})
+SELECT d.doc_id, d.lang, d.source, q.quality
+FROM documents d
+JOIN en_docs USING (doc_id)
+JOIN q USING (doc_id)
+JOIN keep USING (doc_id)
+WHERE q.quality >= 0.3
+  AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50
+ORDER BY d.doc_id
+""".format(**{k: f"len(regexp_extract_all(lower(text), '\\\\b({v})\\\\b'))"
+              for k, v in _STOP.items()})),
 
     "rollup_region_nation_revenue": QueryDef(R.rollup_region_nation_revenue, """
 SELECT r_name, n_name,

@@ -1,0 +1,62 @@
+"""Deterministic sampling operators (operators/sampling.py): stability
+across repartitioning is the whole point — pinned here."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import sampling
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+    load_testdata,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ["documents"])["documents"]
+
+
+def test_hash_sample_stable_across_partitionings(docs):
+    a = {r.doc_id for r in
+         sampling.hash_sample(docs, 30, "doc_id").collect()}
+    b = {r.doc_id for r in
+         sampling.hash_sample(docs.repartition(17), 30, "doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()
+    # ~30%: the md5 hash is uniform, so the rate lands near the target
+    assert abs(len(a) / docs.count() - 0.30) < 0.08
+
+
+def test_hash_sample_salts_draw_independent_samples(docs):
+    a = {r.doc_id for r in
+         sampling.hash_sample(docs, 30, "doc_id", salt="s1").collect()}
+    b = {r.doc_id for r in
+         sampling.hash_sample(docs, 30, "doc_id", salt="s2").collect()}
+    assert a != b
+    # independence: overlap near 30% of 30%, far from identity
+    assert len(a & b) < 0.6 * len(a)
+
+
+def test_hash_sample_rejects_bad_pct(docs):
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, 101, "doc_id")
+
+
+def test_stratified_cap_bounds_every_stratum(docs):
+    capped = sampling.stratified_cap(docs, ["lang", "source"], 5, "doc_id")
+    sizes = capped.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 5 for r in sizes)
+    # strata smaller than the cap pass through whole
+    orig = {(r.lang, r.source): r["count"] for r in
+            docs.groupBy("lang", "source").count().collect()}
+    got = {(r.lang, r.source): r["count"] for r in sizes}
+    for k, n in orig.items():
+        assert got.get(k, 0) == min(n, 5)
+
+
+def test_stratified_cap_deterministic(docs):
+    a = sorted(r.doc_id for r in
+               sampling.stratified_cap(docs, ["lang"], 7, "doc_id").collect())
+    b = sorted(r.doc_id for r in
+               sampling.stratified_cap(docs.repartition(13), ["lang"], 7,
+                                       "doc_id").collect())
+    assert a == b
