@@ -42,11 +42,20 @@ def _best_with_url(articles: DataFrame, aliases: DataFrame,
     (verify_phase4.py:73: ``[:60] + ".." if len > 62``)."""
     best = best_headline(articles, aliases, as_of_ts, lookback_hours)
     urls = articles.select(
-        "stock", F.trim(F.col("title")).alias("headline"),
-        F.col("provider").alias("news_source"),
-        F.col("published_at").alias("news_published_at"), "url")
-    return (best.join(urls, ["stock", "headline", "news_source",
-                             "news_published_at"], "left")
+        F.col("stock").alias("u_stock"),
+        F.trim(F.col("title")).alias("u_headline"),
+        F.col("provider").alias("u_source"),
+        F.col("published_at").alias("u_published_at"), "url")
+    # eqNullSafe on published_at: Google winners may carry a NULL
+    # publish time (P8 keeps undated entries) and null == null is false
+    # in a plain equi-join — the URL would silently report '(none)'.
+    return (best.join(
+        urls,
+        (F.col("stock") == F.col("u_stock"))
+        & (F.col("headline") == F.col("u_headline"))
+        & (F.col("news_source") == F.col("u_source"))
+        & F.col("news_published_at").eqNullSafe(F.col("u_published_at")),
+        "left")
             .groupBy("stock", "headline", "news_source",
                      "news_published_at")
             .agg(F.min("url").alias("url"),

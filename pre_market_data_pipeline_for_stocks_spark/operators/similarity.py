@@ -251,9 +251,6 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     cents = embeddings.sparkSession.createDataFrame(
         trained.collect(), schema="cent_id long, cent_vec array<double>")
 
-    def cos(a, b):
-        return _dot(a, b) / (_norm(a) * _norm(b))
-
     # embedding pre-cast to array<double> ONCE per row: the assign fold
     # evaluates the dot per centroid, so an in-lambda cast would repeat
     # |centroids| x 64 times per row (see _dot_precast).
@@ -264,13 +261,16 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                           _norm(F.col(vec_col)).alias("_nrm")),
         cents)
 
-    # Probe the nprobe cells nearest the query vector.
+    # Probe the nprobe cells nearest the query vector. _qvec is cast
+    # once here so the probe AND the per-row scan fold below both skip
+    # in-lambda casts (cent_vec and `embedding` are already double).
     q = (embeddings.filter(F.col(id_col) == query_vec_id)
-         .select(F.col(vec_col).alias("_qvec"),
+         .select(F.col(vec_col).cast("array<double>").alias("_qvec"),
                  _norm(F.col(vec_col)).alias("_qnrm")))
     probed = (
         cents.crossJoin(F.broadcast(q))
-        .withColumn("_qc", cos(F.col("cent_vec"), F.col("_qvec")))
+        .withColumn("_qc", _dot_precast(F.col("cent_vec"), F.col("_qvec"))
+                    / (_norm(F.col("cent_vec")) * F.col("_qnrm")))
         .orderBy(F.col("_qc").desc(), F.col("cent_id").asc())
         .limit(nprobe)
         .select(F.col("cent_id").alias("cell"))
@@ -282,7 +282,7 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
         .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "cell",
-                F.round(_dot(F.col("embedding"), F.col("_qvec"))
+                F.round(_dot_precast(F.col("embedding"), F.col("_qvec"))
                         / (F.col("_nrm") * F.col("_qnrm")), 4)
                 .alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())

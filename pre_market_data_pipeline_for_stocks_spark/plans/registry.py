@@ -833,8 +833,7 @@ SELECT {h} AS text_norm_hash,
        min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1
-""".format(h=_h(r"trim(regexp_replace(regexp_replace(lower(text), "
-               r"'[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"))),
+""".format(h=_h(_NORM_TEXT))),
 
     "corpus_hash_sample": QueryDef(X.corpus_hash_sample, f"""
 SELECT doc_id, lang, source FROM documents
@@ -884,7 +883,7 @@ JOIN keep USING (doc_id)
 WHERE q.quality >= 0.3
   AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50
 ORDER BY d.doc_id
-""".format(**{k: f"len(regexp_extract_all(lower(text), '\\\\b({v})\\\\b'))"
+""".format(**{k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
               for k, v in _STOP.items()})),
 
     "rollup_region_nation_revenue": QueryDef(R.rollup_region_nation_revenue, """

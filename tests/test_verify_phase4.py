@@ -69,3 +69,17 @@ def test_summary_line_format_and_truncation(report):
     assert infy.endswith("T" * 60 + "..")
     wipro = [ln for ln in summary if ln.startswith("  WIPRO")][0]
     assert "[default         ]" in wipro
+
+
+def test_null_pubdate_winner_still_reports_url(spark):
+    """A Google winner with NULL published_at (P8 keeps undated
+    entries) must still resolve its URL — the join-back is null-safe."""
+    articles = spark.createDataFrame([
+        ("TCS", "google", "name", "TCS undated headline", "wire",
+         "http://news/undated", None, ""),
+    ], schema=schemas.NEWS_ARTICLES)
+    aliases = spark.createDataFrame([("TCS", "Tata Consultancy Services")],
+                                    schema=schemas.STOCK_ALIASES)
+    report = build_report(articles, aliases, ["TCS"], "2026-01-09", AS_OF)
+    assert "  URL      : http://news/undated" in report
+    assert "  HEADLINE : TCS undated headline" in report
