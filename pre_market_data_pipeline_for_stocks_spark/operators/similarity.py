@@ -113,7 +113,8 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
                              bucket.alias("bucket"))
 
 
-def _assign_cells(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(vectors: DataFrame, cents: DataFrame,
+                  keep_score: bool = False) -> DataFrame:
     """Nearest-centroid cell assignment as a MAP-SIDE FOLD.
 
     ``vectors`` must carry (vec_id, embedding, _nrm); ``cents`` carries
@@ -149,23 +150,70 @@ def _assign_cells(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         F.struct(F.lit(float("-inf")).alias("cc"),
                  F.lit(-1).cast("long").alias("cell")),
         lambda acc, s: F.when(s["cc"] > acc["cc"], s).otherwise(acc))
-    return (vectors.crossJoin(F.broadcast(cent_list))
-            .withColumn("cell", best["cell"])
-            .drop("_cents"))
+    out = (vectors.crossJoin(F.broadcast(cent_list))
+           .withColumn("_best", best))
+    out = out.withColumn("cell", F.col("_best.cell"))
+    if keep_score:
+        out = out.withColumn("_cc", F.col("_best.cc"))
+    return out.drop("_cents", "_best")
+
+
+def costranked_seeds(sample: DataFrame, n_seeds: int,
+                     rounds: int = 2) -> DataFrame:
+    """Deterministic analog of k-means|| oversampled initialization:
+    (cent_id, cent_vec) seeds chosen by FARTHEST-COST RANKING.
+
+    k-means|| samples each point with probability proportional to its
+    distance-to-nearest-seed cost (Bahmani et al., VLDB'12); sampling
+    is not replayable across engines, so the deterministic analog takes
+    the TOP-(n_seeds/rounds) points by that same cost each round —
+    identical intent (seeds spread toward uncovered regions; provably
+    better-than-random coverage in the sampled variant), fully
+    reproducible. Each round is one broadcast argmin fold over the
+    sample (the _assign_cells machinery scoring nearest-seed cosine
+    DISTANCE) + one TakeOrdered: rounds x O(|sample| x |seeds|)
+    map-side work, no shuffle beyond the top-k.
+
+    ``sample`` must carry (vec_id, embedding) with embedding already
+    array<double>. Ties rank by vec_id asc; costs round to 6 dp so an
+    engine replaying the ranking agrees at the grain that matters."""
+    per_round = max(1, n_seeds // rounds)
+    first = (sample.orderBy("vec_id").limit(1)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    seeds = first
+    for _ in range(rounds):
+        scored = _assign_cells(
+            sample.withColumn("_nrm", _norm(F.col("embedding"))), seeds,
+            keep_score=True)
+        new = (scored
+               .join(seeds.select(F.col("cent_id").alias("vec_id")),
+                     "vec_id", "left_anti")
+               .withColumn("_cost", F.round(1 - F.col("_cc"), 6))
+               .orderBy(F.col("_cost").desc(), F.col("vec_id").asc())
+               .limit(per_round)
+               .select(F.col("vec_id").alias("cent_id"),
+                       F.col("embedding").alias("cent_vec")))
+        seeds = seeds.unionByName(new)
+    return seeds
 
 
 def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
                         iters: int = 2, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        sample_mod: int = 1) -> DataFrame:
+                        sample_mod: int = 1,
+                        init: str = "stride") -> DataFrame:
     """Deterministic Lloyd training for the IVF coarse quantizer:
     (cent_id, cent_vec) after ``iters`` assign/recompute rounds.
 
-    Seeding takes every ``centroid_stride``-th vector (the fixed-seed
-    stand-in for k-means||'s oversampled init — at 100 TB you would seed
-    from a distance-weighted sample, but the seeding must be replayable
-    by the DuckDB oracle, and a stride over a hash-ordered id column IS
-    a uniform sample). Training itself runs on the deterministic
+    Seeding (``init``): "stride" takes every ``centroid_stride``-th
+    vector — a uniform sample over a hash-ordered id column, trivially
+    replayable by the DuckDB oracle; "cost_ranked" takes the same
+    NUMBER of seeds via deterministic farthest-cost ranking
+    (costranked_seeds — the replayable analog of k-means||'s
+    distance-weighted oversampling), which spreads seeds toward
+    uncovered regions at the cost of ``rounds`` extra sample passes.
+    Training itself runs on the deterministic
     ``vec_id % sample_mod == 0`` sample — a quantizer needs a
     representative sample, not the corpus, so at 100 TB the training
     cost is 1/sample_mod of a full pass per iteration (require
@@ -194,14 +242,22 @@ def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
     if centroid_stride % sample_mod != 0:
         raise ValueError("centroid_stride must be a multiple of sample_mod "
                          "so seed vectors lie inside the training sample")
+    if init not in ("stride", "cost_ranked"):
+        raise ValueError(f"unknown init {init!r}")
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"))
     if sample_mod > 1:
         e = e.filter(F.col("vec_id") % sample_mod == 0)
-    cents = (e.filter(F.col("vec_id") % centroid_stride == 0)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_vec")))
+    if init == "cost_ranked":
+        # Same seed COUNT the stride would give; counting the sample is
+        # driver-side model fitting, the MLlib pattern, not a data path.
+        n_seeds = max(1, e.count() * sample_mod // centroid_stride)
+        cents = costranked_seeds(e, n_seeds)
+    else:
+        cents = (e.filter(F.col("vec_id") % centroid_stride == 0)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("embedding").alias("cent_vec")))
     for _ in range(iters):
         assigned = _assign_cells(
             e.withColumn("_nrm", _norm(F.col("embedding"))), cents)
@@ -221,6 +277,7 @@ def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              centroid_stride: int = 200, nprobe: int = 3,
              train_iters: int = 1, train_sample_mod: int = 2,
+             init: str = "stride",
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF ANN: train a coarse quantizer (Lloyd, ``train_iters`` rounds —
     see train_ivf_centroids), assign vectors to centroid cells, probe
@@ -247,7 +304,7 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     branches; measured 2x training cost at sf0.1)."""
     trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
                                   id_col, vec_col,
-                                  sample_mod=train_sample_mod)
+                                  sample_mod=train_sample_mod, init=init)
     cents = embeddings.sparkSession.createDataFrame(
         trained.collect(), schema="cent_id long, cent_vec array<double>")
 
