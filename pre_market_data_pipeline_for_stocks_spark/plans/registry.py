@@ -917,6 +917,13 @@ SELECT doc_id,
 FROM documents
 """),
 
+    "salted_agg_returnflag": QueryDef(R.salted_agg_returnflag, """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows, max(l_extendedprice) AS max_price,
+       min(l_extendedprice) AS min_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""),
+
     "multimodal_decoded_meta": QueryDef(R.multimodal_decoded_meta, """
 WITH m AS (
   SELECT doc_id,

@@ -595,6 +595,28 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.salted_agg)
+    oracle-checked: the rewrite must be semantically INVISIBLE — the
+    plain GROUP BY is the DuckDB twin, so any double-count or dropped
+    partial in the salt/merge phases hash-mismatches. l_returnflag is
+    a deliberately hot key (3 values over the whole table)."""
+    from ..operators.skew import salted_agg
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        ["l_returnflag"],
+        {"sum_qty": ("sum", "l_quantity"),
+         "n_rows": ("count", "*"),
+         "max_price": ("max", "l_extendedprice"),
+         "min_price": ("min", "l_extendedprice")},
+        salt=16)
+    return (out.select("l_returnflag",
+                       F.round("sum_qty", 2).alias("sum_qty"),
+                       "n_rows", "max_price", "min_price")
+            .orderBy("l_returnflag"))
+
+
 def multimodal_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode_media mapInPandas kernel ORACLE-CHECKED: the fake
     decoder derives (width, height, channels) from md5 digest bytes, so
