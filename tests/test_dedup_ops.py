@@ -76,3 +76,16 @@ def test_persist_escape_leaves_no_cache(spark, sf_dir):
     assert out.count() >= 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
     assert dd.release_shingle_caches() == 0
+
+
+def test_minhash_persist_escape(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    dd.release_shingle_caches()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert dd.minhash_lsh_pairs(docs, persist_shingles=False).count() >= 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+    assert dd.release_shingle_caches() == 0
