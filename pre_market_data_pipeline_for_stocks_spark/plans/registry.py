@@ -778,7 +778,7 @@ best AS (
      AND date_diff('day', o.o_orderdate::DATE, e.d) <= 365)
   WHERE rn = 1)
 SELECT e.event_id, e.user_id, b.o_orderkey,
-       date_diff('day', b.od, e.d) AS days_since_order
+       date_diff('day', b.od, e.d)::INT AS days_since_order
 FROM e LEFT JOIN best b USING (event_id)
 ORDER BY event_id
 """),
