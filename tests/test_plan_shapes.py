@@ -62,3 +62,27 @@ def test_premarket_fact_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the fact path must not collect/driver-loop: plan is pure Spark ops
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+def test_segment_rollup_broadcasts_dimension(spark, sf_dir, queries):
+    """The stream-static twin must keep the customer dim broadcast —
+    a shuffled dim join would re-shuffle the stream side every
+    micro-batch in the streaming execution."""
+    plan = _physical(queries["events_segment_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_curated_corpus_single_shuffle(spark, sf_dir, queries):
+    """The 4-stage curation composite: the only required shuffle is the
+    dedup groupBy; the doc_id joins must not add exchanges at fixture
+    scale (AQE broadcasts the derived relations)."""
+    plan = _physical(queries["curated_corpus"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_agg_keeps_content_salt(spark, sf_dir, queries):
+    """The two-phase rewrite must survive optimization: the
+    content-derived xxhash64 salt and BOTH aggregation phases (salted
+    partial + merge) appear in the physical plan."""
+    plan = _physical(queries["salted_agg_returnflag"](spark, sf_dir))
+    assert "xxhash64" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
