@@ -20,6 +20,14 @@ import sys
 import time
 from pathlib import Path
 
+# Fixed-cost calibration plan: a pure-codegen range scan+sum with NO file
+# I/O, shuffle or Python — its wall time depends only on the host (CPU
+# clock, steal, GC pressure), never on our query plans. Comparing this
+# scalar across rounds separates environmental drift from real plan
+# regressions ex post (the r3 +15% suite drift was indistinguishable
+# from a regression without it).
+CALIBRATION_ROWS = 2_000_000_000
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pre_market_data_pipeline_for_stocks_spark.plans.registry import (  # noqa: E402
@@ -38,9 +46,14 @@ def main() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # Warmup: touch an input table + fire codegen once on a tiny plan.
+    loadavg_start = os.getloadavg()
+
+    # Warmup: touch an input table + run the FIRST suite query once in
+    # full (uncounted). A limit(1) warmup leaves the first measured
+    # query paying one-off JVM/codegen/AQE costs its successors don't —
+    # flagship measured 0.3-0.7 s high under the old protocol.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    force(next(iter(suite.values()))(spark, sf_dir).limit(1))
+    force(next(iter(suite.values()))(spark, sf_dir))
 
     def sample(fn) -> float:
         # Drop persisted intermediates so one run's cache pressure
@@ -63,6 +76,17 @@ def main() -> None:
     for name in sorted(runs, key=lambda n: min(runs[n]))[-3:]:
         runs[name].append(sample(suite[name]))
 
+    def calibrate() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(spark.range(CALIBRATION_ROWS, numPartitions=32)
+              .selectExpr("sum(id % 7) AS s"))
+        return time.perf_counter() - t0
+
+    # First sample absorbs the plan's own codegen (measured 2x the
+    # steady-state cost); min-of-3 is the host-speed scalar.
+    cal_runs = [calibrate(), calibrate(), calibrate()]
+
     timings = {name: round(min(s), 3) for name, s in runs.items()}
     print(json.dumps({
         "metric": "headline_suite_wall_s",
@@ -70,6 +94,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": {n: [round(x, 3) for x in s] for n, s in runs.items()},
+        "calibration_range_sum_s": round(min(cal_runs), 3),
+        "calibration_runs": [round(x, 3) for x in cal_runs],
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
