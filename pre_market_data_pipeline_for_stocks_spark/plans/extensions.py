@@ -57,6 +57,15 @@ def dedup_simhash_pairs(spark, sf_dir):
                                         band_bits=24, max_hamming=3)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (MinHash-LSH, the 100 TB path) collapsed into
+    connected components with a min-id keeper per component — the step
+    that turns pair emission into actual document dropping."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
+                                    MINHASH_BANDS, 3, JACCARD_THRESHOLD)
+    return dedup.resolve_clusters(pairs)
+
+
 def ann_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: banded-LSH candidates verified with
     exact cosine (the dedup-by-embedding path). Threshold 0.4 sits at
@@ -135,9 +144,10 @@ def corpus_stratified_cap(spark, sf_dir):
 def curated_corpus(spark, sf_dir):
     """The composite curation pipeline a training-data run chains:
     heuristic language ID == 'en', quality floor, normalized-dedup
-    keeper only, then a deterministic 50% hash sample — four §7.5
-    operators composed into ONE declarative plan (each also
-    oracle-checked standalone)."""
+    keeper only, NEAR-dup cluster removal (MinHash-LSH pairs ->
+    connected components -> drop every non-keeper member), then a
+    deterministic 50% hash sample — five §7.5 operators composed into
+    ONE declarative plan (each also oracle-checked standalone)."""
     from ..operators import sampling
     docs = _docs(spark, sf_dir)
     lang = textstats.lang_id(docs).filter(F.col("lang_guess") == "en")
@@ -145,9 +155,15 @@ def curated_corpus(spark, sf_dir):
             .filter(F.col("quality") >= 0.3).select("doc_id", "quality"))
     keep = (textstats.normalized_dedup(docs)
             .select(F.col("keep_doc_id").alias("doc_id")))
+    near_pairs = dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS,
+                                         3, JACCARD_THRESHOLD)
+    near_drop = (dedup.resolve_clusters(near_pairs)
+                 .filter(F.col("doc_id") != F.col("cluster_id"))
+                 .select("doc_id"))
     curated = (docs.join(lang.select("doc_id"), "doc_id")
                .join(qual, "doc_id")
-               .join(keep, "doc_id"))
+               .join(keep, "doc_id")
+               .join(near_drop, "doc_id", "left_anti"))
     return (sampling.hash_sample(curated, keep_pct=50, key_col="doc_id")
             .select("doc_id", "lang", "source", "quality")
             .orderBy("doc_id"))

@@ -145,6 +145,32 @@ common AS (
 """
 
 
+def _clusters_ctes(pairs_sql: str) -> str:
+    """CTE chain (for a WITH RECURSIVE list) twinning
+    dedup.resolve_clusters over ``pairs_sql``: ends in
+    ``comp(doc_id, cluster_id)``. The recursive walk floods every label
+    through the symmetric edge set; min(label) per node is the
+    component min — the same fixpoint the Spark side's hash-min
+    label propagation reaches."""
+    return f"""
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) mh),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(doc_id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+def _clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()}
+SELECT doc_id, cluster_id FROM comp
+"""
+
+
 def _lsh_bucket_cte(planes: int = 8) -> str:
     """CTE fragment ending in ``bucket_t(vec_id, bucket)``."""
     projs = ",\n    ".join(
@@ -851,7 +877,9 @@ SELECT doc_id, lang, source FROM (
 """),
 
     "curated_corpus": QueryDef(X.curated_corpus, f"""
-WITH c AS (SELECT doc_id, text,
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
+near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+c AS (SELECT doc_id, text,
     {{en}} AS en_hits,
     greatest({{en}}, {{es}}, {{de}}, {{fr}}, {{zh}}) AS best
   FROM documents),
@@ -881,6 +909,7 @@ JOIN en_docs USING (doc_id)
 JOIN q USING (doc_id)
 JOIN keep USING (doc_id)
 WHERE q.quality >= 0.3
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
   AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50
 ORDER BY d.doc_id
 """.format(**{k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
@@ -957,6 +986,8 @@ common AS (
 
     "dedup_minhash_lsh": QueryDef(X.dedup_minhash_lsh, _minhash_band_sql(),
                                   headline=True),
+
+    "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
     "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
 WITH {_SHINGLES_CTE.strip()}

@@ -89,3 +89,61 @@ def test_minhash_persist_escape(spark, sf_dir):
     assert dd.minhash_lsh_pairs(docs, persist_shingles=False).count() >= 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
     assert dd.release_shingle_caches() == 0
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_resolve_clusters_chain_converges_to_one_component(spark):
+    # a-b, b-c, c-d: transitive closure must collapse the whole chain to
+    # keeper 1 — exactly the case pair-emission alone gets wrong.
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    out = dd.resolve_clusters(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_resolve_clusters_multiple_components_and_pair_order(spark):
+    # Two components, pairs listed in arbitrary order/direction; keeper is
+    # the min id per component regardless of emission order.
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    out = dd.resolve_clusters(
+        _pairs(spark, [(9, 7), (20, 30), (7, 5), (30, 25), (5, 9)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {5: 5, 7: 5, 9: 5, 20: 20, 25: 20, 30: 20}
+
+
+def test_resolve_clusters_long_chain_within_iteration_bound(spark):
+    # Path-halving: a 33-node chain needs O(log n) rounds, comfortably
+    # inside max_iters; plain propagation would need ~32.
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    chain = [(i, i + 1) for i in range(32)]
+    out = dd.resolve_clusters(_pairs(spark, chain), max_iters=10)
+    rows = out.collect()
+    assert len(rows) == 33
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_resolve_clusters_nonconvergence_is_loud(spark):
+    import pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.resolve_clusters(_pairs(spark, [(i, i + 1) for i in range(32)]),
+                            max_iters=1)
+
+
+def test_resolve_clusters_truncates_lineage_per_round(spark):
+    # Each round references the previous labels 3x, so an untruncated
+    # plan grows 3^rounds (Catalyst analysis dies ~round 7 — the long-
+    # chain test above would fail). The returned relation must be a
+    # checkpoint scan, not the nested iteration plan, and must add no
+    # tracked persist handles.
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    dd.release_shingle_caches()
+    out = dd.resolve_clusters(_pairs(spark, [(1, 2), (2, 3), (10, 11)]))
+    assert out.count() == 5
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan           # lineage truncated to a scan
+    assert dd.release_shingle_caches() == 0
