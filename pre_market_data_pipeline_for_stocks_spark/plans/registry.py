@@ -244,8 +244,9 @@ def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
     a{i}). Training CTEs read the deterministic ``vec_id % sample_mod``
     sample (es); the final assignment reads the full relation (e) —
     mirroring train_sample_mod. Centroid components round to 4 decimals
-    per recompute — the cross-engine determinism contract (see
-    train_ivf_centroids)."""
+    on the FINAL recompute only — the cross-engine determinism contract
+    (see train_ivf_centroids; intermediate rounds keep full
+    precision)."""
     cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
            "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
 
@@ -258,10 +259,11 @@ def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
              ORDER BY {c} DESC, c.cent_id ASC) AS rn
     FROM {src} e, {cents} c) WHERE rn = 1)"""
 
-    def recompute(name: str, assigned: str) -> str:
+    def recompute(name: str, assigned: str, final: bool) -> str:
+        mean = "round(avg(a.v[t.i]), 4)" if final else "avg(a.v[t.i])"
         return f"""{name} AS (
   SELECT cell AS cent_id, list(val ORDER BY dim) AS cv FROM (
-    SELECT a.cell, t.i AS dim, round(avg(a.v[t.i]), 4) AS val
+    SELECT a.cell, t.i AS dim, {mean} AS val
     FROM {assigned} a, UNNEST(range(1, len(a.v) + 1)) t(i)
     GROUP BY a.cell, t.i) GROUP BY cell)"""
 
@@ -271,7 +273,7 @@ def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
             f"WHERE vec_id % {stride} = 0)"]
     for i in range(iters):
         ctes.append(assign(f"a{i}", f"c{i}", "es"))
-        ctes.append(recompute(f"c{i + 1}", f"a{i}"))
+        ctes.append(recompute(f"c{i + 1}", f"a{i}", final=i == iters - 1))
     ctes.append(assign("assigned", f"c{iters}", "e"))
     probe_cos = cos.format(a="cv", b="qv")
     final_cos = cos.format(a="a.v", b="q.qv")
