@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -362,6 +362,88 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                 .alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   centroid_stride: int = 200, nprobe: int = 3,
+                   train_iters: int = 1, train_sample_mod: int = 2,
+                   init: str = "stride",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "query_id",
+                   q_vec_col: str = "query_vec") -> DataFrame:
+    """Batch-query IVF ANN: top-k corpus neighbors for EVERY query row —
+    (query_id, vec_id, cell, cosine). The production shape ivf_topk
+    lacks: score a whole query shard (a new crawl, a dedup probe set)
+    against the indexed corpus in one plan.
+
+    Same quantizer and assignment machinery as ivf_topk (trained once,
+    driver-resident model state; corpus assigned by the broadcast HOF
+    argmax fold — shuffle-free). Per-query probing replaces the
+    single-query TakeOrdered: queries x centroids are scored map-side
+    under a broadcast nested-loop join (|centroids| is model-sized),
+    projected to skinny (query_id, cent_id, score) rows BEFORE the
+    per-query row_number shuffle, so the probe shuffle is
+    O(|queries| x |centroids|) ids+doubles, never vectors. Candidate
+    generation is the (cell) equi-join of the assigned corpus against
+    broadcast (probed cells x query vectors) — a corpus row meets only
+    the queries probing its cell (~nprobe/|cells| of the query set),
+    NO corpus x queries cartesian anywhere. Final top-k is one
+    row_number per query over the rounded cosine with (cosine DESC,
+    vec_id ASC) tie-breaks — deterministic, oracle-matchable.
+
+    ``queries`` is assumed to be a shard that fits a broadcast (the
+    usual batch-scoring shape; the corpus is the big side). For a
+    query set too large to broadcast, drop the two broadcast hints and
+    the same plan runs as shuffle joins keyed on cell — the shape
+    survives, only the join strategy changes.
+
+    Rows where ``vec_id == query_id`` are excluded (self-match when
+    querying the corpus against itself); external query shards should
+    use an id space disjoint from the corpus ids."""
+    trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
+                                  id_col, vec_col,
+                                  sample_mod=train_sample_mod, init=init)
+    cents = embeddings.sparkSession.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+
+    assigned = _assign_cells(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).cast("array<double>")
+                          .alias("embedding"),
+                          _norm(F.col(vec_col)).alias("_nrm")),
+        cents)
+
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).cast("array<double>").alias("_qvec"),
+        _norm(F.col(q_vec_col)).alias("_qnrm"))
+
+    cents_n = cents.withColumn("_cnrm", _norm(F.col("cent_vec")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_qc").desc(), F.col("cent_id").asc())
+    probed = (
+        q.crossJoin(F.broadcast(cents_n))
+        .select("query_id", "cent_id",
+                (_dot_precast(F.col("cent_vec"), F.col("_qvec"))
+                 / (F.col("_cnrm") * F.col("_qnrm"))).alias("_qc"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        assigned.join(F.broadcast(probed.join(q, "query_id")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell",
+                F.round(_dot_precast(F.col("embedding"), F.col("_qvec"))
+                        / (F.col("_nrm") * F.col("_qnrm")), 4)
+                .alias("cosine"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -111,6 +111,19 @@ def ann_ivf_topk(spark, sf_dir):
                                train_iters=1, train_sample_mod=2)
 
 
+def ann_ivf_topk_batch(spark, sf_dir):
+    """Batch-query ANN: the corpus scored against its own deterministic
+    ``vec_id % 100 == 0`` shard (5 queries at sf0.01, 50 at sf0.1) —
+    top-10 per query through the trained IVF index."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return similarity.ivf_topk_batch(emb, queries, k=ANN_TOPK,
+                                     centroid_stride=200, nprobe=3,
+                                     train_iters=1, train_sample_mod=2)
+
+
 def embedding_norms(spark, sf_dir):
     """Array-function coverage: per-vector L2 norm + dim count (F.aggregate
     / zip_with JVM-side array math over array<float>)."""

@@ -293,6 +293,43 @@ LIMIT {k}
 """
 
 
+def _ivf_batch_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
+                   k: int = 10, sample_mod: int = 2,
+                   query_mod: int = 100) -> str:
+    """Oracle twin of similarity.ivf_topk_batch over the deterministic
+    ``vec_id % query_mod == 0`` query shard: same unrolled training CTEs
+    as _ivf_sql, then per-query probe (row_number <= nprobe) and
+    per-query top-k over the ROUNDED cosine with (cosine DESC, vec_id
+    ASC) tie-breaks — matching the Spark side ordering exactly."""
+    cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
+           "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
+    train = _ivf_sql(stride, nprobe, iters, k, sample_mod)
+    # Reuse the training CTE chain verbatim: everything up to and
+    # including the full-corpus `assigned` CTE.
+    body = train.split("q AS (SELECT v AS qv")[0].rstrip().rstrip(",")
+    probe_cos = cos.format(a="c.cv", b="q.qv")
+    final_cos = cos.format(a="a.v", b="q.qv")
+    return f"""{body},
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id % {query_mod} = 0),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {probe_cos} DESC, c.cent_id ASC) AS rn
+    FROM qs q, c{iters} c) WHERE rn <= {nprobe})
+SELECT query_id, vec_id, cell, cosine FROM (
+  SELECT q.query_id, a.vec_id, a.cell,
+         round({final_cos}, 4) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY round({final_cos}, 4) DESC, a.vec_id ASC) AS rn
+  FROM assigned a
+  JOIN probed p ON a.cell = p.cell
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE a.vec_id <> q.query_id) WHERE rn <= {k}
+"""
+
+
 # Twin of textstats.normalize_text — shared by dedup_normalized and
 # curated_corpus.
 _NORM_TEXT = (r"trim(regexp_replace(regexp_replace(lower(text), "
@@ -1069,6 +1106,8 @@ LIMIT 10
     "ann_lsh_buckets": QueryDef(X.ann_lsh_buckets, _lsh_bucket_sql()),
 
     "ann_ivf_topk": QueryDef(X.ann_ivf_topk, _ivf_sql(), headline=True),
+
+    "ann_ivf_topk_batch": QueryDef(X.ann_ivf_topk_batch, _ivf_batch_sql()),
 
     "embedding_norms": QueryDef(X.embedding_norms, """
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,

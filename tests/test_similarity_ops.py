@@ -138,3 +138,44 @@ def test_costranked_seeds_deterministic_and_counted(emb):
 def test_train_rejects_unknown_init(emb):
     with pytest.raises(ValueError):
         S.train_ivf_centroids(emb, init="random")
+
+
+def _queries(emb, mod=20):
+    return (emb.filter(F.col("vec_id") % mod == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def test_ivf_batch_matches_single_query_path(emb):
+    """Each query's batch result must equal the single-query ivf_topk
+    run with identical parameters — the batch plan changes the
+    orchestration, never the per-query semantics."""
+    out = S.ivf_topk_batch(emb, _queries(emb), k=5, centroid_stride=50,
+                           nprobe=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cell, r.cosine))
+    for qid, rows in by_q.items():
+        single = [(r.vec_id, r.cell, r.cosine) for r in
+                  S.ivf_topk(emb, query_vec_id=qid, k=5, centroid_stride=50,
+                             nprobe=3).collect()]
+        assert sorted(rows) == sorted(single), f"query {qid} diverges"
+    assert all(len(rows) == 5 for rows in by_q.values())
+    assert all(r.vec_id != r.query_id for r in out)   # self excluded
+
+
+def test_ivf_batch_no_cartesian_corpus_join(emb):
+    """VERDICT r3 item #3 plan contract: centroids/probed-cells reach
+    the corpus via broadcast hash join on cell; there is NO cartesian
+    (or nested-loop) product between the corpus and the query set —
+    the only nested-loop joins are against model-sized broadcast sides
+    (the packed centroid row and the centroid table)."""
+    plan = (S.ivf_topk_batch(emb, _queries(emb), k=5, centroid_stride=50,
+                             nprobe=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # assigned ⋈ probed on cell
+    # The corpus-side scan joins only through the hash join: a corpus
+    # relation appearing under BroadcastNestedLoopJoin with the query
+    # relation would be the |corpus| x |queries| explosion.
+    assert "Exchange hashpartitioning(vec_id" not in plan
