@@ -10,7 +10,9 @@ Entries tagged ``headline=True`` form the bench.py suite.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1188,13 +1190,55 @@ FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
 }
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """Per query, the round whose driver CORRECTNESS artifact last
+    recorded it fully green (rows+schema+hash, no err). Scanned from
+    CORRECTNESS_r*.json at the repo root; missing/unreadable artifacts
+    simply contribute nothing (fresh checkouts fall back to insertion
+    order)."""
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    try:
+        files = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return out
+    for f in files:
+        try:
+            rnd = int(f.stem.rsplit("_r", 1)[-1])
+            data = json.loads(f.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if (isinstance(row, dict) and row.get("err") is None
+                    and row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match", True)):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def _rotated_names() -> list[str]:
+    """Registry names ordered stalest-verification-first.
+
+    The driver's correctness harness checks ~50 queries per round in
+    dict order; the registry is past that, so a FIXED order would leave
+    the same tail unverified every round (the r3 VERDICT gap: 8 queries
+    carried only an r2 row). Ordering by last-green round ascending —
+    never-verified and just-rewritten queries first, most-recently-green
+    last — guarantees every query re-verifies within
+    ceil(|registry| / cap) rounds (2 at the current 60/50) with no
+    hand-maintained rotation list. Python's stable sort keeps insertion
+    order within a round cohort, so the ordering is deterministic."""
+    order = _last_green_rounds()
+    return sorted(REGISTRY, key=lambda n: order.get(n, -1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items()
-            if qd.oracle is not None}
+    return {name: REGISTRY[name].oracle for name in _rotated_names()
+            if REGISTRY[name].oracle is not None}
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -61,6 +61,26 @@ def test_entry_smoke(spark):
     assert len(df.schema) > 0
 
 
+def test_registry_rotation_orders_stale_first(monkeypatch):
+    """The driver's correctness window covers ~50 queries per round in
+    dict order; queries() must emit never-verified queries first, then
+    stalest-green ascending, stable (insertion order) within a cohort —
+    so nothing goes more than ceil(N/50) rounds unverified."""
+    from pre_market_data_pipeline_for_stocks_spark.plans import registry as reg
+    fake = {n: 3 for n in reg.REGISTRY}
+    fake.pop("dedup_exact")                     # never verified
+    fake["q1_pricing_summary"] = 1              # stalest green
+    monkeypatch.setattr(reg, "_last_green_rounds", lambda: fake)
+    names = list(reg.queries())
+    assert names[0] == "dedup_exact"
+    assert names[1] == "q1_pricing_summary"
+    assert set(names) == set(reg.REGISTRY)
+    cohort = [n for n in names[2:]]
+    assert cohort == [n for n in reg.REGISTRY if n in cohort]  # stable
+    assert list(reg.oracle_sql()) == [
+        n for n in names if reg.REGISTRY[n].oracle is not None]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF)
