@@ -33,34 +33,18 @@ def _best_with_url(articles: DataFrame, aliases: DataFrame,
                    as_of_ts: datetime, lookback_hours: int) -> DataFrame:
     """best_headline plus the winning article's URL.
 
-    ``best_headline`` deliberately outputs only the fact columns; the
-    console block also prints URL (verify_phase4.py:66). The winner is
-    joined back to bronze on its identifying columns; ``min(url)``
-    collapses same-title/same-time duplicates exactly as the ranking's
-    ``url asc`` tie-break would have chosen. The SUMMARY truncation is
-    the ported O4 ``truncate_display`` at the reference's width 62
+    The URL comes straight from the winning row (``keep_url=True``) —
+    the ranking already tie-breaks on ``url asc``, so this IS the url
+    of the article the chain selected. The previous re-join +
+    ``min(url)`` could surface a lower-priority duplicate's url when it
+    shared the winner's title/provider/timestamp under the other
+    query_kind (ADVICE r3). The SUMMARY truncation is the ported O4
+    ``truncate_display`` at the reference's width 62
     (verify_phase4.py:73: ``[:60] + ".." if len > 62``)."""
-    best = best_headline(articles, aliases, as_of_ts, lookback_hours)
-    urls = articles.select(
-        F.col("stock").alias("u_stock"),
-        F.trim(F.col("title")).alias("u_headline"),
-        F.col("provider").alias("u_source"),
-        F.col("published_at").alias("u_published_at"), "url")
-    # eqNullSafe on published_at: Google winners may carry a NULL
-    # publish time (P8 keeps undated entries) and null == null is false
-    # in a plain equi-join — the URL would silently report '(none)'.
-    return (best.join(
-        urls,
-        (F.col("stock") == F.col("u_stock"))
-        & (F.col("headline") == F.col("u_headline"))
-        & (F.col("news_source") == F.col("u_source"))
-        & F.col("news_published_at").eqNullSafe(F.col("u_published_at")),
-        "left")
-            .groupBy("stock", "headline", "news_source",
-                     "news_published_at")
-            .agg(F.min("url").alias("url"),
-                 F.min(truncate_display(F.col("headline"), 62))
-                 .alias("display_headline")))
+    return (best_headline(articles, aliases, as_of_ts, lookback_hours,
+                          keep_url=True)
+            .withColumn("display_headline",
+                        truncate_display(F.col("headline"), 62)))
 
 
 def build_report(articles: DataFrame, aliases: DataFrame, stocks: list[str],

@@ -45,13 +45,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     time ordering, making the pick deterministic when several right
     rows share the winning time (without them, ties are
     partition-order-dependent — unacceptable for an oracle-checked
-    plan). Right columns keep their names; callers pre-alias clashes.
+    plan). Right columns keep their names; callers pre-alias clashes —
+    and with ``how='left'`` a clash between the left-identifying
+    columns and the right's is refused up front (ValueError) because
+    the re-attach join could otherwise silently match right-side
+    values.
     """
     if direction not in DIRECTIONS:
         raise ValueError(f"direction must be one of {DIRECTIONS}")
     if direction == "nearest" and tolerance_days is None:
         raise ValueError("nearest as-of join requires tolerance_days "
                          "(unbounded nearest = per-key cross join)")
+    if how == "left":
+        back_on = on + [left_time] if left_id is None else left_id
+        clash = [c for c in back_on
+                 if c in right.columns and c not in on]
+        if clash:
+            # Refuse up front rather than letting the re-attach select
+            # silently pick the RIGHT-side column of the same name —
+            # that back-join would match against the matched right
+            # value and return wrong rows with no error (ADVICE r3).
+            raise ValueError(
+                "asof_join(how='left'): left-identifying column(s) "
+                f"{clash} collide with right columns; alias the right "
+                "side before joining")
 
     lt, rt = F.col(left_time), F.col(right_time)
     dist = F.datediff(rt, lt)          # right - left, in days
@@ -76,10 +93,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     best = joined.withColumn("_asof_rn", F.row_number().over(w)) \
                  .filter(F.col("_asof_rn") == 1).drop("_asof_rn")
     if how == "left":
-        # Re-attach unmatched left rows with null right columns.
+        # Re-attach unmatched left rows with null right columns
+        # (back_on validated collision-free at entry).
         back_on = on + [left_time] if left_id is None else left_id
         right_cols = [c for c in right.columns if c not in on]
-        keep = [c for c in back_on if c not in right_cols]
-        return left.join(best.select(*keep, *right_cols),
+        return left.join(best.select(*back_on, *right_cols),
                          on=back_on, how="left")
     return best

@@ -63,13 +63,18 @@ def _priority() -> "F.Column":
 
 
 def best_headline(articles: DataFrame, aliases: DataFrame,
-                  as_of_ts: datetime, lookback_hours: int = 72) -> DataFrame:
+                  as_of_ts: datetime, lookback_hours: int = 72,
+                  keep_url: bool = False) -> DataFrame:
     """Top-1 article per stock through the full provider-priority chain.
 
     Input: bronze ``news_articles`` (schemas.NEWS_ARTICLES) + ``stock_aliases``.
     Output: (stock, headline, news_source, news_published_at) — one row per
     stock that has ANY surviving article; stocks with none are simply absent
     (the assembly left-join fills the default article, F13).
+    ``keep_url=True`` appends the WINNING row's url — the value the
+    ranking itself tie-broke on, so consumers that display it (the
+    phase-4 console) never re-derive it with a weaker rule (ADVICE r3:
+    a min(url) over a re-join could surface a losing article's url).
 
     ``as_of_ts`` replaces the reference's wall-clock ``datetime.now()``
     (news.py:153) so runs are reproducible.
@@ -109,15 +114,18 @@ def best_headline(articles: DataFrame, aliases: DataFrame,
         F.col("url").asc_nulls_last(),
         F.col("title").asc(),
     )
+    cols = [
+        F.col("stock"),
+        F.col("title").alias("headline"),
+        F.col("provider").alias("news_source"),   # only google|newsdata survive here
+        F.col("published_at").alias("news_published_at"),
+    ]
+    if keep_url:
+        cols.append(F.col("url"))
     return (
         a.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            "stock",
-            F.col("title").alias("headline"),
-            F.col("provider").alias("news_source"),   # only google|newsdata survive here
-            F.col("published_at").alias("news_published_at"),
-        )
+        .select(*cols)
     )
 
 

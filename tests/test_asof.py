@@ -111,3 +111,26 @@ def test_tiebreakers_make_equal_time_pick_deterministic(spark):
                     tolerance_days=30, direction="backward",
                     left_id=["id"], tiebreakers=["rid"])
     assert [r.rid for r in out.collect()] == [3]
+
+
+def test_left_reattach_refuses_id_collision_with_right(spark):
+    """ADVICE r3: a left_id column sharing a RIGHT column's name used to
+    be silently dropped from the re-attach select — the back-join then
+    matched against the right-side value, producing wrong rows with no
+    error. Must refuse loudly instead."""
+    import datetime as dt
+
+    import pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.asof import (
+        asof_join,
+    )
+    d = dt.date.fromisoformat
+    left = spark.createDataFrame(
+        [(1, "K", d("2026-01-10"))], "id long, k string, lt date")
+    right = spark.createDataFrame(
+        [("K", d("2026-01-08"), 7)], "k string, rt date, id long")
+    with pytest.raises(ValueError, match="collide with right columns"):
+        asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                  tolerance_days=30, direction="backward", how="left",
+                  left_id=["id"])

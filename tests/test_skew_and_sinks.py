@@ -146,12 +146,12 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
         "spark.sql.sources.partitionOverwriteMode", "static") != "dynamic"
 
 
-def test_write_bucketed_bronze_roundtrip_no_shuffle_join(spark, tmp_path):
+def test_write_bucketed_bronze_roundtrip_no_shuffle_join(spark, sf_dir,
+                                                         tmp_path):
     from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
         load_testdata,
     )
-    tabs = load_testdata(spark, "/root/testdata/sf0.001",
-                         ["orders", "lineitem"])
+    tabs = load_testdata(spark, sf_dir, ["orders", "lineitem"])
     for t in ("sb_orders", "sb_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     try:
@@ -170,9 +170,13 @@ def test_write_bucketed_bronze_roundtrip_no_shuffle_join(spark, tmp_path):
             plan = joined._jdf.queryExecution().executedPlan().toString()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        join_part = plan.split("SortMergeJoin")[-0] if "SortMergeJoin" \
-            not in plan else plan[plan.index("SortMergeJoin"):]
-        assert "Exchange hashpartitioning" not in join_part
+        # Bucketed storage must make the join shuffle-free: assert the
+        # SMJ actually materialized, then scope the no-exchange check to
+        # the join subtree (the old `[-0]` slice was `[0]` — the whole
+        # PRE-join plan — which would have vacuously passed, ADVICE r3).
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in \
+            plan[plan.index("SortMergeJoin"):]
         assert joined.count() == tabs["orders"].join(
             tabs["lineitem"],
             tabs["orders"].o_orderkey == tabs["lineitem"].l_orderkey
