@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_i64
 from ..sources.offline import load_testdata
 
 
@@ -222,6 +223,44 @@ def followup_interval_join(left_stream: DataFrame,
            <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
         "inner")
         .select("view_id", "user_id", "purchase_id", "purchase_value"))
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours",
+                 ts_col: str = "ts",
+                 hash_cols: list[str] | None = None) -> DataFrame:
+    """Ingest-side exact dedup — the streaming twin of
+    operators.dedup.exact_dedup (VERDICT r3 item #6).
+
+    An at-least-once upstream (replayed Kafka offsets, re-sent files)
+    delivers the same record more than once; this drops re-deliveries
+    by content identity: a 60-bit md5 hash over ``hash_cols`` (default:
+    every column, event time included — an exact duplicate is the same
+    payload AT the same event time) fed to
+    ``dropDuplicatesWithinWatermark``. State is keyed on the 8-byte
+    hash only — payloads never enter the state store, the same
+    never-ship-the-texts discipline as the batch operator's
+    groupBy(text_hash) — and the watermark bounds state: a key is
+    evictable once the watermark passes its event time, so memory is
+    O(events per watermark window), not O(stream lifetime).
+
+    Contract (and the honest limit): duplicates arriving WITHIN the
+    watermark delay of the original are dropped — including across
+    micro-batches; a re-delivery arriving after the watermark already
+    passed the record's event time may re-emit (its state was
+    evictable). That is the documented dropDuplicatesWithinWatermark
+    semantic — bounded state forces a bounded dedup horizon; size the
+    watermark to the upstream's max re-delivery lag. First occurrence
+    wins (the batch twin's min-id keeper becomes first-arrival in
+    arrival order)."""
+    cols = hash_cols or stream.columns
+    h = md5_i64(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in cols]))
+    return (
+        stream.withColumn("_content_hash", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
 
 
 def sliding_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

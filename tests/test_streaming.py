@@ -261,3 +261,137 @@ def test_bronze_append_restart_from_checkpoint_no_duplicates(spark, sf_dir,
                        for p in (tmp_path / "bronze").iterdir()
                        if p.name.startswith("batch-"))
     assert batch_ids == list(range(len(batch_ids)))   # ids continued, no gaps
+
+
+def test_stream_dedup_matches_batch_and_drops_cross_batch_duplicates(
+        spark, sf_dir, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    content hash): re-deliveries arriving in a LATER micro-batch but
+    within the watermark are dropped, and the drained result equals the
+    batch exact-dedup of the same input (stream==batch, VERDICT r3 #6)."""
+    from pyspark.sql import functions as F
+
+    events = se.load_events_batch(spark, sf_dir).limit(200)
+    src = str(tmp_path / "src")
+    # batch 1: the full sample; batch 2: a re-delivery of 50 rows
+    # (same payload, same event time — exact duplicates).
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter("event_id % 4 = 0").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = se.dedup_stream(stream, watermark="2 hours")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM dedup_stream")
+    assert got.count() == events.count()          # duplicates all dropped
+    assert sorted(r.event_id for r in got.select("event_id").collect()) == \
+        sorted(r.event_id for r in events.select("event_id").collect())
+    # and the stream actually saw the duplicates (2 files, 2 batches)
+    assert spark.read.parquet(src).count() > events.count()
+
+
+def test_stream_dedup_keeps_distinct_rows_sharing_time(spark, tmp_path):
+    """Content identity, not time identity: two DIFFERENT payloads at
+    the same event time both survive; only the exact re-delivery drops."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 9, 10, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, ts, 7, "view", 1.0, "{}"), (2, ts, 7, "view", 1.0, "{}")],
+        schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [(1, ts, 7, "view", 1.0, "{}")],     # exact re-delivery of row 1
+        schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = se.dedup_stream(stream, watermark="2 hours")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_distinct").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT event_id FROM dedup_distinct").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_interval_join_restart_from_checkpoint_no_loss_no_dup(spark, sf_dir,
+                                                              tmp_path):
+    """VERDICT r3 item #7: kill the stream-stream interval join mid-
+    stream, restart from the checkpoint, and the union of emitted rows
+    must equal the batch twin — buffered join state (views awaiting
+    purchases) survives the restart, nothing is lost or re-emitted.
+
+    The input is split at the median event time so view->purchase pairs
+    straddle the boundary: their views are buffered in state during run
+    1 and can only match after the restart."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_followup_join,
+    )
+
+    events = se.load_events_batch(spark, sf_dir)
+    # Split strictly between one matched pair's view and purchase so at
+    # least one attribution is FORCED to straddle the restart.
+    pair = (events_followup_join(spark, sf_dir).alias("j")
+            .join(events.selectExpr("event_id AS view_id",
+                                    "cast(ts AS double) AS vt"), "view_id")
+            .join(events.selectExpr("event_id AS purchase_id",
+                                    "cast(ts AS double) AS pt"),
+                  "purchase_id")
+            .filter("pt > vt").limit(1).collect())
+    assert pair, "fixture has no strictly-ordered view->purchase pair"
+    mid = (pair[0]["vt"] + pair[0]["pt"]) / 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "out")
+    events.filter(f"cast(ts AS double) <= {mid}").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        joined = se.followup_interval_join(stream, stream)
+        q = (joined.writeStream.outputMode("append")
+             .foreachBatch(se.bronze_batch_writer(root))
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()                                   # first half, then stop
+    n_first = se.read_bronze_tree(spark, root).count()
+
+    events.filter(f"cast(ts AS double) > {mid}").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()                                   # RESTART from checkpoint
+
+    got = {(r.view_id, r.user_id, r.purchase_id, round(r.purchase_value, 2))
+           for r in se.read_bronze_tree(spark, root).collect()}
+    want = {(r.view_id, r.user_id, r.purchase_id, r.purchase_value)
+            for r in events_followup_join(spark, sf_dir).collect()}
+    assert got == want                           # no loss, no duplicates
+    assert len(got) > n_first                    # restart emitted new matches
+    # at least one attribution straddles the restart: view buffered in
+    # run-1 state, purchase arrived in run 2.
+    first_views = {r.event_id for r in events.filter(
+        f"cast(ts AS double) <= {mid} AND event_type = 'view'")
+        .select("event_id").collect()}
+    second_purch = {r.event_id for r in events.filter(
+        f"cast(ts AS double) > {mid} AND event_type = 'purchase'")
+        .select("event_id").collect()}
+    assert any(v in first_views and p in second_purch
+               for v, _, p, _ in got)
