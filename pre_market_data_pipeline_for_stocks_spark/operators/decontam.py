@@ -1,0 +1,72 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set.
+
+The standard LLM-training hygiene step (GPT-3 appendix C / PaLM-style
+n-gram collision checks): before training, any document sharing too
+many word n-grams with a held-out benchmark is dropped so the model is
+not evaluated on data it memorized. The reference pipeline has no
+analog — this is §7.5 extension scope, built on the same shingle
+machinery as operators.dedup so the DuckDB oracle twin reuses the
+shared shingle CTE.
+
+Scale shape (the asymmetry is the whole design): the corpus is the
+100 TB side, the benchmark is tiny (benchmarks are MBs — a few thousand
+eval documents). So the benchmark's distinct shingle-hash set is
+BROADCAST — the corpus-side probe is a map-side hash lookup, no shuffle
+of corpus shingles against benchmark shingles — and the only shuffle in
+the plan is the per-document hit count, a groupBy on doc_id over
+(doc_id, 8-byte hash) rows: identical currency to exact_dedup. Corpus
+texts never move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hashed_shingles
+
+
+def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
+                      n: int = 3, threshold: float = 0.1) -> DataFrame:
+    """Per-corpus-document benchmark n-gram overlap:
+    (doc_id, n_shingles, n_hit, overlap_ratio, contaminated).
+
+    ``n_hit`` counts the document's distinct word-``n``-gram shingles
+    that appear ANYWHERE in the benchmark (the union of benchmark
+    shingles — contamination is about the eval set as a whole, not one
+    eval doc); ``overlap_ratio = n_hit / n_shingles``;
+    ``contaminated = ratio >= threshold`` (compared UNROUNDED — the
+    rounded ratio is display-only, so a doc sitting exactly on the
+    threshold classifies identically in both engines).
+
+    Documents with no shingles (blank/whitespace text) produce no row —
+    they carry no n-grams to collide, and the caller's drop-filter is an
+    anti-join on flagged ids, which leaves absent rows untouched."""
+    corpus_sh = hashed_shingles(corpus, n)
+    bench_sh = (hashed_shingles(benchmark, n)
+                .select("sh").distinct()
+                .withColumn("_hit", F.lit(1)))
+    ratio = F.col("n_hit") / F.col("n_shingles")
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("long").alias("n_hit"))
+        .select("doc_id", "n_shingles", "n_hit",
+                F.round(ratio, 4).alias("overlap_ratio"),
+                (ratio >= F.lit(threshold)).alias("contaminated"))
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  n: int = 3, threshold: float = 0.1,
+                  id_col: str = "doc_id") -> DataFrame:
+    """The corpus minus contaminated documents — ``benchmark_overlap``
+    composed with the anti-join a curation run actually ships. Shingle-
+    free documents survive (see benchmark_overlap)."""
+    flagged = (benchmark_overlap(corpus, benchmark, n, threshold)
+               .filter(F.col("contaminated"))
+               .select(F.col("doc_id").alias(id_col)))
+    return corpus.join(flagged, id_col, "left_anti")

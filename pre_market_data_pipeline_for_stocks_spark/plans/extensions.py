@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, textstats
+from ..operators import decontam, dedup, similarity, textstats
 from ..sources.offline import load_testdata
 
 JACCARD_THRESHOLD = 0.5
@@ -64,6 +64,19 @@ def dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
                                     MINHASH_BANDS, 3, JACCARD_THRESHOLD)
     return dedup.resolve_clusters(pairs)
+
+
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination over the fixture: every 20th document
+    plays the held-out eval set, the rest are the training corpus; each
+    corpus doc is scored by the fraction of its 3-gram shingles found
+    anywhere in the benchmark (threshold 0.1 — the fixture's ratio
+    distribution spans 0..1 with ~9% flagged, so both branches of the
+    contaminated flag are exercised)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontam.benchmark_overlap(corpus, bench, n=3, threshold=0.1)
 
 
 def ann_cosine_near_dup(spark, sf_dir):

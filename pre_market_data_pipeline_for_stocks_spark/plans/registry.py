@@ -1030,6 +1030,24 @@ common AS (
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
+    # operators.decontam.benchmark_overlap: doc_id % 20 == 0 plays the
+    # benchmark; the contaminated flag compares the UNROUNDED ratio in
+    # both engines (rounded overlap_ratio is display-only).
+    "decontaminate_ngram_overlap": QueryDef(X.decontaminate_ngram_overlap, f"""
+WITH {_SHINGLES_CTE.strip()},
+bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, sh FROM shh WHERE doc_id % 20 <> 0),
+per AS (
+  SELECT c.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM corpus c LEFT JOIN bench b ON b.sh = c.sh
+  GROUP BY c.doc_id)
+SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
+       round(n_hit / n_shingles, 4) AS overlap_ratio,
+       (n_hit / n_shingles) >= 0.1 AS contaminated
+FROM per
+"""),
+
     "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
 WITH {_SHINGLES_CTE.strip()}
 SELECT doc_id,

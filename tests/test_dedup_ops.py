@@ -147,3 +147,60 @@ def test_resolve_clusters_truncates_lineage_per_round(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan           # lineage truncated to a scan
     assert dd.release_shingle_caches() == 0
+
+
+# --- decontamination (operators/decontam.py) ---------------------------------
+
+def _decontam_fixture(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),   # exact copy -> ratio 1.0
+         (2, "alpha beta gamma zeta eta theta"),  # 1 of 4 shingles hits
+         (3, "nothing shared here at all ok"),    # ratio 0.0
+         (4, "   ")],                             # no shingles -> no row
+        "doc_id int, text string")
+    return benchmark_overlap, bench, corpus
+
+
+def test_benchmark_overlap_ratios_and_flags(spark):
+    benchmark_overlap, bench, corpus = _decontam_fixture(spark)
+    rows = {r["doc_id"]: r for r in
+            benchmark_overlap(corpus, bench, n=3, threshold=0.25).collect()}
+    assert set(rows) == {1, 2, 3}            # blank doc 4 emits no row
+    assert rows[1]["overlap_ratio"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["n_shingles"] == 4 and rows[2]["n_hit"] == 1
+    assert rows[2]["overlap_ratio"] == 0.25 and rows[2]["contaminated"]
+    assert rows[3]["n_hit"] == 0 and not rows[3]["contaminated"]
+
+
+def test_threshold_is_compared_unrounded(spark):
+    benchmark_overlap, bench, corpus = _decontam_fixture(spark)
+    # doc 2 sits exactly ON a 0.25 threshold (contaminated above) and
+    # strictly below 0.26 (clean) -- >= semantics, unrounded.
+    at = {r["doc_id"]: r["contaminated"] for r in
+          benchmark_overlap(corpus, bench, threshold=0.25).collect()}
+    above = {r["doc_id"]: r["contaminated"] for r in
+             benchmark_overlap(corpus, bench, threshold=0.26).collect()}
+    assert at[2] is True and above[2] is False
+
+
+def test_decontaminate_drops_flagged_keeps_blank(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.decontam import (
+        decontaminate,
+    )
+    _, bench, corpus = _decontam_fixture(spark)
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, bench, threshold=0.25).collect())
+    assert kept == [3, 4]                    # 1, 2 dropped; blank 4 kept
+
+
+def test_benchmark_shingles_are_broadcast(spark):
+    benchmark_overlap, bench, corpus = _decontam_fixture(spark)
+    plan = (benchmark_overlap(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan       # bench side never shuffles
