@@ -1,0 +1,79 @@
+"""Token-budget shard packing: assign documents to training shards.
+
+A pre-training run doesn't feed raw files to trainers — it packs
+documents into fixed-token-budget shards so every data-loader worker
+streams about the same amount of work. §7.5 extension scope (no
+reference analog).
+
+Scale shape: a single GLOBAL cumulative sum is a one-partition window —
+the canonical anti-pattern at 100 TB. Real distributed shard writers
+pack per writer-group instead: documents are hash-assigned to
+``n_groups`` independent groups (content-derived hash — stable across
+engines, partitions and reruns, same discipline as
+operators.sampling), and each group packs ITS OWN deterministic
+sequence with a windowed running sum. The window partitions by
+pack_group, so Spark executes ``n_groups`` independent window states in
+parallel after one hash-partition shuffle — no global ordering, no
+single-reducer stage. Shard ids are (pack_group, shard_seq): globally
+unique without any cross-group coordination, exactly how parallel
+shard writers name their output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+
+def pack_shards(doc_tokens: DataFrame, budget: int, n_groups: int = 8,
+                id_col: str = "doc_id",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Pack (id, token-count) rows into ~``budget``-token shards:
+    (doc_id, n_tokens, pack_group, shard_seq, shard_id).
+
+    Within a group, documents are ordered by id and a document belongs
+    to shard ``exclusive_prefix_sum div budget`` — integer arithmetic
+    end to end (``div``, not float floor: a running sum past 2^53
+    tokens would silently round under double division; shard boundaries
+    must not). Quantized-prefix semantics, the scalable standard: a
+    shard's documents are consecutive, each shard closes once the
+    running sum crosses the budget, a shard may overshoot by at most
+    one document's tokens (the straddling document lands in the earlier
+    shard), and a single document larger than the budget occupies its
+    shard alone with following shard_seq values skipping past it — no
+    splitting, no rebalancing pass.
+
+    ``shard_id = pack_group * 1_000_000 + shard_seq`` is a globally
+    unique dense id as long as no group packs a million shards; callers
+    at larger scale should key on the (pack_group, shard_seq) pair."""
+    group = md5_i64(F.col(id_col).cast("string")) % n_groups
+    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        doc_tokens
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(tokens_col).cast("long").alias("n_tokens"),
+                group.alias("pack_group"))
+        .withColumn("_prefix", prefix)
+        .withColumn("shard_seq", F.expr(f"_prefix div {int(budget)}"))
+        .withColumn("shard_id",
+                    F.col("pack_group") * 1_000_000 + F.col("shard_seq"))
+        .drop("_prefix")
+    )
+
+
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """Per-shard manifest a writer job consumes:
+    (shard_id, pack_group, shard_seq, n_docs, shard_tokens,
+    first_doc_id, last_doc_id). One groupBy on shard_id — the doc->shard
+    assignment never re-shuffles wider than its own key."""
+    return (
+        packed.groupBy("shard_id", "pack_group", "shard_seq")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("shard_tokens"),
+             F.min("doc_id").alias("first_doc_id"),
+             F.max("doc_id").alias("last_doc_id"))
+    )

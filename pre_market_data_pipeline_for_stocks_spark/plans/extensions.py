@@ -66,6 +66,30 @@ def dedup_clusters(spark, sf_dir):
     return dedup.resolve_clusters(pairs)
 
 
+SHARD_BUDGET = 2000
+SHARD_GROUPS = 8
+
+
+def _packed_docs(spark, sf_dir):
+    from ..operators import sharding
+    tokens = (textstats.token_counts(_docs(spark, sf_dir))
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    return sharding.pack_shards(tokens, budget=SHARD_BUDGET,
+                                n_groups=SHARD_GROUPS)
+
+
+def shard_pack_token_budget(spark, sf_dir):
+    """Token-budget shard packing of the corpus: BPE-ish token counts,
+    hash-grouped into 8 writer groups, each packed into ~2000-token
+    shards by windowed prefix sum."""
+    return _packed_docs(spark, sf_dir)
+
+
+def shard_pack_manifest(spark, sf_dir):
+    from ..operators import sharding
+    return sharding.shard_manifest(_packed_docs(spark, sf_dir))
+
+
 def decontaminate_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination over the fixture: every 20th document
     plays the held-out eval set, the rest are the training corpus; each

@@ -1030,6 +1030,52 @@ common AS (
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
+    # operators.sharding.pack_shards: per-writer-group quantized-prefix
+    # packing; integer `div`/`//` end to end so shard boundaries never
+    # go through float rounding in either engine.
+    "shard_pack_token_budget": QueryDef(X.shard_pack_token_budget, f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           ::BIGINT AS n_tokens,
+         {_h('doc_id::VARCHAR')} % 8 AS pack_group
+  FROM documents),
+packed AS (
+  SELECT doc_id, n_tokens, pack_group,
+         (coalesce(sum(n_tokens) OVER (
+            PARTITION BY pack_group ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 2000)::BIGINT AS shard_seq
+  FROM tok)
+SELECT doc_id, n_tokens, pack_group, shard_seq,
+       (pack_group * 1000000 + shard_seq)::BIGINT AS shard_id
+FROM packed
+"""),
+
+    "shard_pack_manifest": QueryDef(X.shard_pack_manifest, f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           ::BIGINT AS n_tokens,
+         {_h('doc_id::VARCHAR')} % 8 AS pack_group
+  FROM documents),
+packed AS (
+  SELECT doc_id, n_tokens, pack_group,
+         (coalesce(sum(n_tokens) OVER (
+            PARTITION BY pack_group ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 2000)::BIGINT AS shard_seq
+  FROM tok)
+SELECT (pack_group * 1000000 + shard_seq)::BIGINT AS shard_id,
+       pack_group, shard_seq,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS shard_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM packed
+GROUP BY 1, 2, 3
+"""),
+
     # operators.decontam.benchmark_overlap: doc_id % 20 == 0 plays the
     # benchmark; the contaminated flag compares the UNROUNDED ratio in
     # both engines (rounded overlap_ratio is display-only).

@@ -1,0 +1,81 @@
+"""Token-budget shard packing (operators/sharding.py)."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators.sharding import (
+    pack_shards,
+    shard_manifest,
+)
+
+
+def _packed(spark, rows, budget, n_groups=1):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    return pack_shards(df, budget=budget, n_groups=n_groups)
+
+
+def test_quantized_prefix_boundaries(spark):
+    # tokens 600,600,600,600 @ budget 1000: prefixes 0,600,1200,1800
+    # -> shards 0,0,1,1. The straddling doc (prefix 600) lands in the
+    # EARLIER shard, which overshoots to 1200 tokens.
+    rows = [(i, 600) for i in range(4)]
+    got = {r["doc_id"]: r["shard_seq"]
+           for r in _packed(spark, rows, 1000).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_oversized_doc_gets_own_shard_and_seq_skips(spark):
+    # 100, 5000, 100 @ budget 1000: prefixes 0,100,5100 -> shards 0,0,5.
+    # The giant shares shard 0 with its predecessor (quantized-prefix
+    # semantics), and the NEXT doc skips to seq 5 — no shard is split.
+    rows = [(0, 100), (1, 5000), (2, 100)]
+    got = {r["doc_id"]: r["shard_seq"]
+           for r in _packed(spark, rows, 1000).collect()}
+    assert got == {0: 0, 1: 0, 2: 5}
+
+
+def test_groups_pack_independently_and_ids_are_disjoint(spark):
+    rows = [(i, 300) for i in range(64)]
+    packed = _packed(spark, rows, 900, n_groups=4).collect()
+    groups = {r["pack_group"] for r in packed}
+    assert groups == {0, 1, 2, 3}            # hash spreads 64 ids over all 4
+    # shard_id encodes (group, seq) disjointly
+    assert all(r["shard_id"] == r["pack_group"] * 1_000_000 + r["shard_seq"]
+               for r in packed)
+    # within a group, shard_seq is non-decreasing in doc_id order
+    for g in groups:
+        seqs = [r["shard_seq"] for r in sorted(
+            (x for x in packed if x["pack_group"] == g),
+            key=lambda x: x["doc_id"])]
+        assert seqs == sorted(seqs)
+
+
+def test_assignment_is_partitioning_invariant(spark):
+    rows = [(i, 100 + 7 * (i % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    one = {(r["doc_id"], r["shard_id"]) for r in
+           pack_shards(df.coalesce(1), 1000, n_groups=4).collect()}
+    many = {(r["doc_id"], r["shard_id"]) for r in
+            pack_shards(df.repartition(16), 1000, n_groups=4).collect()}
+    assert one == many
+
+
+def test_manifest_conserves_tokens_and_doc_ranges(spark):
+    rows = [(i, 150 + (i % 5) * 40) for i in range(100)]
+    packed = _packed(spark, rows, 1200, n_groups=2)
+    man = shard_manifest(packed).collect()
+    assert sum(r["shard_tokens"] for r in man) == \
+        sum(t for _, t in rows)                       # nothing lost
+    assert sum(r["n_docs"] for r in man) == len(rows)
+    for r in man:
+        assert r["first_doc_id"] <= r["last_doc_id"]
+
+
+def test_window_partitions_by_group_no_global_sort(spark):
+    # Scale guard: the window must partition by pack_group — a global
+    # (single-partition) running sum would show an empty partition spec.
+    df = spark.createDataFrame([(i, 10) for i in range(10)],
+                               "doc_id long, n_tokens long")
+    plan = (pack_shards(df, 100, n_groups=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partitionBy=[pack_group]" in plan.replace(" ", "") or \
+        "pack_group" in plan.split("Window")[1][:200]
