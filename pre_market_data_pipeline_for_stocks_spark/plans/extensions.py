@@ -114,6 +114,18 @@ def ann_cosine_near_dup(spark, sf_dir):
                                           threshold=0.4)
 
 
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-space near-dup removal, end to end: sign-LSH candidate
+    pairs verified by exact cosine (ann_cosine_near_dup's plan) collapsed
+    into connected components with a min-id keeper — the semantic-dedup
+    twin of dedup_clusters (which walks the lexical MinHash pairs)."""
+    pairs = similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
+                                           bands=4, planes_per_band=4,
+                                           threshold=0.4)
+    return (dedup.resolve_clusters(pairs, a_col="vec_a", b_col="vec_b")
+            .withColumnsRenamed({"doc_id": "vec_id"}))
+
+
 def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 

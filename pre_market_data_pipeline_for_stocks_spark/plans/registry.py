@@ -147,15 +147,16 @@ common AS (
 """
 
 
-def _clusters_ctes(pairs_sql: str) -> str:
+def _clusters_ctes(pairs_sql: str, a: str = "doc_a",
+                   b: str = "doc_b") -> str:
     """CTE chain (for a WITH RECURSIVE list) twinning
-    dedup.resolve_clusters over ``pairs_sql``: ends in
-    ``comp(doc_id, cluster_id)``. The recursive walk floods every label
-    through the symmetric edge set; min(label) per node is the
-    component min — the same fixpoint the Spark side's hash-min
-    label propagation reaches."""
+    dedup.resolve_clusters over ``pairs_sql`` (whose pair columns are
+    ``a``/``b``): ends in ``comp(doc_id, cluster_id)``. The recursive
+    walk floods every label through the symmetric edge set; min(label)
+    per node is the component min — the same fixpoint the Spark side's
+    hash-min label propagation reaches."""
     return f"""
-pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) mh),
+pairs AS (SELECT {a} AS doc_a, {b} AS doc_b FROM ({pairs_sql}) mh),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
 reach(doc_id, lbl) AS (
@@ -170,6 +171,14 @@ def _clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()}
 SELECT doc_id, cluster_id FROM comp
+"""
+
+
+def _embedding_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_ctes(_lsh_pairs_sql(4, 4, 0.4),
+                               a='vec_a', b='vec_b').strip()}
+SELECT doc_id AS vec_id, cluster_id FROM comp
 """
 
 
@@ -1108,6 +1117,9 @@ FROM shh GROUP BY doc_id
 
     "ann_cosine_near_dup": QueryDef(X.ann_cosine_near_dup,
                                     _lsh_pairs_sql(4, 4, 0.4), headline=True),
+
+    "dedup_embedding_clusters": QueryDef(X.dedup_embedding_clusters,
+                                         _embedding_clusters_sql()),
 
     "text_lang_id": QueryDef(X.text_lang_id, _lang_sql()),
 
