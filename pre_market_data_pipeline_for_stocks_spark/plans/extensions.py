@@ -27,6 +27,31 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ["events"])["events"]
+
+
+SCD2_AS_OF = "2024-01-15 12:00:00"
+
+
+def scd2_user_segments(spark, sf_dir):
+    """SCD2 history build: each user's event_type observations collapsed
+    into versioned regimes with half-open validity intervals (ties on ts
+    broken by event_id so the history is engine-deterministic)."""
+    from ..operators import scd
+    log = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                        "event_type")
+    return scd.scd2_from_changelog(log, "user_id", "ts", ["event_type"],
+                                   tiebreak_col="event_id")
+
+
+def scd2_segment_snapshot(spark, sf_dir):
+    """Point-in-time SCD2 lookup: every user's segment version in force
+    at SCD2_AS_OF (exactly one row per user active by then)."""
+    from ..operators import scd
+    return scd.scd2_snapshot(scd2_user_segments(spark, sf_dir), SCD2_AS_OF)
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 

@@ -366,6 +366,30 @@ SELECT doc_id, {ladder} AS lang_guess, best::BIGINT AS best_hits FROM c
 """
 
 
+# Twin of operators.scd.scd2_from_changelog over the events log
+# (key=user_id, attr=event_type, tiebreak=event_id): ends in
+# ``dim(user_id, event_type, valid_from, valid_to, version, is_current)``.
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+opens AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+dim AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         cast(row_number() OVER w2 AS BIGINT) AS version,
+         (lead(ts) OVER w2) IS NULL AS is_current
+  FROM opens
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1038,6 +1062,20 @@ common AS (
                                   headline=True),
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
+
+    # operators.scd.scd2_from_changelog: null-safe regime collapse, then
+    # valid_from/valid_to/version over the same (key, ts, id) ordering.
+    "scd2_user_segments": QueryDef(X.scd2_user_segments, _SCD2_SQL + """
+SELECT user_id, event_type, valid_from, valid_to, version, is_current
+FROM dim
+"""),
+
+    "scd2_segment_snapshot": QueryDef(X.scd2_segment_snapshot, _SCD2_SQL + """
+SELECT user_id, event_type, valid_from, valid_to, version, is_current
+FROM dim
+WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+"""),
 
     # operators.sharding.pack_shards: per-writer-group quantized-prefix
     # packing; integer `div`/`//` end to end so shard boundaries never

@@ -1,0 +1,72 @@
+"""SCD2 history build (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pre_market_data_pipeline_for_stocks_spark.operators.scd import (
+    scd2_from_changelog,
+    scd2_snapshot,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _dim(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, seg string")
+    return scd2_from_changelog(df, "user_id", "ts", ["seg"],
+                               tiebreak_col="event_id")
+
+
+def test_regimes_collapse_repeats_and_number_versions(spark):
+    rows = [(1, _ts(1), 10, "a"), (1, _ts(2), 11, "a"),   # repeat: no new ver
+            (1, _ts(3), 12, "b"), (1, _ts(4), 13, "a")]   # a->b->a: 3 regimes
+    got = sorted(_dim(spark, rows).collect(), key=lambda r: r["version"])
+    assert [(r["seg"], r["version"]) for r in got] == \
+        [("a", 1), ("b", 2), ("a", 3)]
+    # half-open chaining: each valid_to == next valid_from; last is open
+    assert got[0]["valid_to"] == got[1]["valid_from"] == _ts(3)
+    assert got[1]["valid_to"] == got[2]["valid_from"] == _ts(4)
+    assert got[2]["valid_to"] is None and got[2]["is_current"]
+    assert not got[0]["is_current"] and not got[1]["is_current"]
+
+
+def test_null_transitions_are_changes(spark):
+    rows = [(1, _ts(1), 1, "a"), (1, _ts(2), 2, None),
+            (1, _ts(3), 3, None), (1, _ts(4), 4, "a")]
+    segs = [r["seg"] for r in sorted(_dim(spark, rows).collect(),
+                                     key=lambda r: r["version"])]
+    assert segs == ["a", None, "a"]          # null<->value change, null repeat not
+
+
+def test_same_instant_ties_break_on_event_id(spark):
+    rows = [(1, _ts(1), 2, "b"), (1, _ts(1), 1, "a")]   # same ts
+    got = sorted(_dim(spark, rows).collect(), key=lambda r: r["version"])
+    assert [(r["seg"], r["version"]) for r in got] == [("a", 1), ("b", 2)]
+
+
+def test_snapshot_returns_one_version_per_key(spark):
+    rows = [(1, _ts(1), 1, "a"), (1, _ts(10), 2, "b"),
+            (2, _ts(5), 3, "x")]
+    dim = _dim(spark, rows)
+    snap = {r["user_id"]: r["seg"]
+            for r in scd2_snapshot(dim, _ts(7)).collect()}
+    assert snap == {1: "a", 2: "x"}
+    # boundary: as_of exactly at a regime start belongs to the NEW regime
+    at = {r["user_id"]: r["seg"]
+          for r in scd2_snapshot(dim, _ts(10)).collect()}
+    assert at[1] == "b"
+
+
+def test_single_exchange_for_both_window_passes(spark):
+    # Scale guard: regime collapse + validity windows share the same
+    # (key, ts) ordering -> exactly one shuffle on the key.
+    rows = [(1, _ts(1), 1, "a"), (1, _ts(2), 2, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, seg string")
+    plan = (scd2_from_changelog(df, "user_id", "ts", ["seg"], "event_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
