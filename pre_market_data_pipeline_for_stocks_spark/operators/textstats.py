@@ -137,3 +137,61 @@ def fingerprint(docs: DataFrame, window: int = 16, id_col: str = "doc_id",
         F.min(md5_i64(F.col("gram"))).alias("fingerprint"),
         F.count_distinct(F.col("gram")).alias("n_grams"),
     )
+
+
+def repetition(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, total_ngrams, distinct_ngrams, dup_ngram_ratio,
+    top_ngram_share): within-document n-gram repetition — the
+    Gopher-family quality signal (machine-generated and boilerplate
+    text repeats itself; high dup_ngram_ratio or a dominant single
+    n-gram flags it).
+
+    Counts every n-gram POSITION (word_shingles distinct=False), then
+    two aggregations: per (doc, shingle) occurrence counts, then per
+    doc totals. Both shuffles are keyed on (doc_id[, shingle]) — the
+    same currency as the dedup family; texts never move. Documents
+    with no n-grams emit no row (nothing to score)."""
+    from .dedup import word_shingles
+    per = (word_shingles(docs, n, id_col, text_col, distinct=False)
+           .groupBy("doc_id", "shingle")
+           .agg(F.count(F.lit(1)).alias("_cnt")))
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("_cnt").alias("total_ngrams"),
+             F.count(F.lit(1)).alias("distinct_ngrams"),
+             F.max("_cnt").alias("_top"))
+        .select(
+            "doc_id", "total_ngrams", "distinct_ngrams",
+            F.round(1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 4)
+            .alias("dup_ngram_ratio"),
+            F.round(F.col("_top") / F.col("total_ngrams"), 4)
+            .alias("top_ngram_share"))
+    )
+
+
+# PII patterns: Java regex (Spark) and RE2 (DuckDB oracle) agree on
+# this subset — character classes, bounded repeats, no lookaround.
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_text): redact emails then
+    phone numbers, keeping redaction counts — the standard pre-training
+    PII pass. Pure column expressions (regexp_extract_all / global
+    regexp_replace, JVM-side); emails are redacted before phones so a
+    number inside a matched email is counted once."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PHONE_PATTERN),
+                                    F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+        .alias("clean_text"),
+    )

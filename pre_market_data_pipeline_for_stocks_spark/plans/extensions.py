@@ -171,6 +171,26 @@ def text_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir), window=16)
 
 
+def text_repetition(spark, sf_dir):
+    return textstats.repetition(_docs(spark, sf_dir), n=3)
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus. The fixture text is digit- and
+    @-free, so every 5th document gets a deterministic synthetic
+    email + phone APPENDED inside the query (both engines apply the
+    same injection — the news_debug synthesized-articles pattern);
+    without it the scrub would pass vacuously on this fixture."""
+    docs = _docs(spark, sf_dir)
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" reach user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or call 555-123-4567"))
+    ).otherwise(F.col("text"))
+    return textstats.pii_scrub(docs.withColumn("text", injected))
+
+
 def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)
 

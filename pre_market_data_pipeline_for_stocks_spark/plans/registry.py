@@ -1206,6 +1206,51 @@ SELECT doc_id, min({_h('gram')}) AS fingerprint,
 FROM grams GROUP BY doc_id
 """),
 
+    # operators.textstats.repetition: n-gram POSITIONS (no distinct
+    # before the explode), twin aggregation chain.
+    "text_repetition": QueryDef(X.text_repetition, """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) t(i)
+  WHERE array_to_string(w[i:i+2], ' ') <> ''),
+per AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dn, max(cnt) AS top
+        FROM per GROUP BY 1)
+SELECT doc_id, total::BIGINT AS total_ngrams, dn::BIGINT AS distinct_ngrams,
+       round(1 - dn / total, 4) AS dup_ngram_ratio,
+       round(top / total, 4) AS top_ngram_share
+FROM agg
+"""),
+
+    # operators.textstats.pii_scrub over the synthetic-injection wrapper
+    # (see extensions.text_pii_scrub): emails redacted before phones.
+    "text_pii_scrub": QueryDef(X.text_pii_scrub, """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' reach user' || doc_id::VARCHAR
+                   || '@example.com or call 555-123-4567'
+              ELSE text END AS text
+  FROM documents),
+e AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                        '<EMAIL>', 'g') AS no_email
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(no_email,
+           '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phones,
+       regexp_replace(no_email, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                      '<PHONE>', 'g') AS clean_text
+FROM e
+"""),
+
     "ann_cosine_topk": QueryDef(X.ann_cosine_topk, """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -1,0 +1,58 @@
+"""Repetition scoring + PII scrubbing (operators/textstats.py)."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+    pii_scrub,
+    repetition,
+)
+
+
+def test_repetition_counts_positions_not_types(spark):
+    # "a b a b a b": 3-grams at 4 positions -> "a b a","b a b","a b a",
+    # "b a b" = 4 total, 2 distinct, top share 2/4.
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four five")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition(docs, n=3).collect()}
+    assert got[1]["total_ngrams"] == 4 and got[1]["distinct_ngrams"] == 2
+    assert got[1]["dup_ngram_ratio"] == 0.5
+    assert got[1]["top_ngram_share"] == 0.5
+    assert got[2]["dup_ngram_ratio"] == 0.0   # all distinct
+    assert got[2]["total_ngrams"] == 3
+
+
+def test_repetition_flags_degenerate_loop(spark):
+    docs = spark.createDataFrame([(1, "spam " * 50)],
+                                 "doc_id long, text string")
+    r = repetition(docs, n=3).collect()[0]
+    assert r["distinct_ngrams"] == 1          # "spam spam spam" only
+    assert r["top_ngram_share"] == 1.0
+    assert r["dup_ngram_ratio"] > 0.97
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a.user+x@sub.example.org or +1 555-123-4567 x"),
+         (2, "call 020-555-0199 twice: 020-555-0199"),
+         (3, "clean text, no pii here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["clean_text"]
+    assert "<PHONE>" in got[1]["clean_text"]
+    assert "example.org" not in got[1]["clean_text"]
+    assert got[2]["n_phones"] == 2            # global replace, both hits
+    assert got[2]["clean_text"].count("<PHONE>") == 2
+    assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
+    assert got[3]["clean_text"] == "clean text, no pii here"
+
+
+def test_pii_email_digits_not_double_counted_as_phone(spark):
+    # digits-with-separators INSIDE an email must not also count as a
+    # phone: emails are redacted before the phone pass runs.
+    docs = spark.createDataFrame(
+        [(1, "x 555-123-4567abc@mail.example.com y")],
+        "doc_id long, text string")
+    r = pii_scrub(docs).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 0
