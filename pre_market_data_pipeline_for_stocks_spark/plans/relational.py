@@ -381,8 +381,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # All arithmetic in whole microseconds (unix_micros / epoch_us) so the
-    # DuckDB twin is value-identical — no float seconds anywhere.
-    us = F.unix_micros(F.col("ts"))
+    # DuckDB twin is value-identical — no float seconds anywhere. The
+    # cast makes this NTZ-proof: parquet written with naive timestamps
+    # reads as TIMESTAMP_NTZ (Spark 4 infers NTZ by default) and
+    # unix_micros is type-strict; with the session pinned to UTC the
+    # NTZ->TIMESTAMP cast is a pure reinterpretation, no value shift.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = (
@@ -395,7 +399,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("ts").alias("session_start"),
-             F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000")
+             F.expr("(max(unix_micros(cast(ts as timestamp)))"
+                    " - min(unix_micros(cast(ts as timestamp)))) div 1000000")
              .alias("duration_s"))
         .orderBy("user_id", "session_id")
     )
