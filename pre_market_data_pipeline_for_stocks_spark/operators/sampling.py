@@ -40,6 +40,56 @@ def hash_sample(df: DataFrame, keep_pct: int, key_col: str,
         _sample_hash(F.col(key_col), salt) % 100 < keep_pct)
 
 
+def mixture_caps(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Per-stratum row quotas realizing a target mixture: normalize
+    ``weights``, apportion ``total`` by largest remainder (Hamilton's
+    method — quotas sum EXACTLY to ``total``, no float drift), ties on
+    remainder broken by stratum name for determinism."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    s = sum(weights.values())
+    if s <= 0:
+        raise ValueError("weights must sum to > 0")
+    exact = {k: w / s * total for k, w in weights.items()}
+    caps = {k: int(e) for k, e in exact.items()}
+    short = total - sum(caps.values())
+    for k in sorted(exact, key=lambda k: (-(exact[k] - caps[k]), k))[:short]:
+        caps[k] += 1
+    return caps
+
+
+def mixture_sample(df: DataFrame, stratum_col: str,
+                   weights: dict[str, float], total: int, key_col: str,
+                   salt: str = "mixture") -> DataFrame:
+    """Resample a corpus toward a target domain mixture: at most
+    ``mixture_caps(weights, total)[stratum]`` rows per stratum, chosen
+    by salted-hash order. The training-data mixing step (domain/language
+    reweighting a la The Pile / DoReMi-style fixed mixtures): quotas are
+    computed driver-side from plan-time constants (no data pass), strata
+    absent from ``weights`` are dropped, and a stratum with fewer rows
+    than its quota yields what it has — under-filled quotas are NOT
+    redistributed (redistribution needs a count pass first; callers who
+    care re-run with adjusted weights).
+
+    Same execution shape as stratified_cap — one shuffle on the stratum
+    key for the window, hash-rank selection, engine-portable — with the
+    cap looked up per-stratum from a literal CASE map, so the plan stays
+    a single whole-stage-codegen window pass at any corpus size."""
+    caps = mixture_caps(weights, total)
+    cap_expr = F.lit(None).cast("int")
+    for k, v in caps.items():
+        cap_expr = F.when(F.col(stratum_col) == k, v).otherwise(cap_expr)
+    w = Window.partitionBy(stratum_col).orderBy(
+        _sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc())
+    return (df.withColumn("_mx_cap", cap_expr)
+            .filter(F.col("_mx_cap").isNotNull())
+            .withColumn("_mx_rn", F.row_number().over(w))
+            .filter(F.col("_mx_rn") <= F.col("_mx_cap"))
+            .drop("_mx_cap", "_mx_rn"))
+
+
 def stratified_cap(df: DataFrame, strata_cols: list[str], cap: int,
                    key_col: str, salt: str = "strata") -> DataFrame:
     """At most ``cap`` rows per stratum, picked by salted-hash order

@@ -91,6 +91,36 @@ def dedup_clusters(spark, sf_dir):
     return dedup.resolve_clusters(pairs)
 
 
+def dedup_incremental(spark, sf_dir):
+    """New-shard-vs-corpus dedup: even doc_ids play the standing corpus
+    (the persisted signature index side), odd doc_ids the incoming
+    batch. Same constants as dedup_minhash_lsh so the thresholds and
+    collision behavior are directly comparable."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (dedup.incremental_minhash_dedup(
+        corpus, new, MINHASH_K, MINHASH_BANDS, 3, JACCARD_THRESHOLD)
+        .orderBy("new_doc_id", "corpus_doc_id"))
+
+
+MIXTURE_WEIGHTS = {"en": 0.40, "zh": 0.30, "es": 0.20, "fr": 0.10}
+MIXTURE_TOTAL = 300
+
+
+def corpus_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling on the language column: 'de' is
+    deliberately absent from the weights (dropped stratum), and at
+    sf0.01 the 'zh' quota (90) exceeds the stratum's 75 rows, so both
+    the drop and the under-fill (no redistribution) semantics are
+    exercised by the oracle."""
+    from ..operators import sampling
+    return (sampling.mixture_sample(_docs(spark, sf_dir), "lang",
+                                    MIXTURE_WEIGHTS, MIXTURE_TOTAL,
+                                    key_col="doc_id")
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 SHARD_BUDGET = 2000
 SHARD_GROUPS = 8
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
+from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
     news_debug_summary,
@@ -171,6 +172,47 @@ def _clusters_sql() -> str:
     return f"""
 WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()}
 SELECT doc_id, cluster_id FROM comp
+"""
+
+
+def _incremental_minhash_sql(k: int = 8, bands: int = 4) -> str:
+    """Twin of operators.dedup.incremental_minhash_dedup over the
+    even-corpus / odd-batch split in X.dedup_incremental: same band
+    machinery as _minhash_band_sql, but candidates pair the two SIDES
+    instead of doc_id-ordered self-pairs."""
+    rpb = k // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"sig_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS band_key FROM sigs"
+        for b in range(bands))
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sigs AS (SELECT doc_id,
+    {_minhash_sig_exprs(k)}
+  FROM shh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+common AS (
+  SELECT c.new_doc_id, c.corpus_doc_id, count(*) AS n_common
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.new_doc_id
+  JOIN shh b ON b.doc_id = c.corpus_doc_id AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT c.new_doc_id, c.corpus_doc_id,
+       round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
+         AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.new_doc_id
+JOIN sizes sb ON sb.doc_id = c.corpus_doc_id
+WHERE round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
+        >= 0.5
+ORDER BY new_doc_id, corpus_doc_id
 """
 
 
@@ -950,6 +992,24 @@ SELECT doc_id, lang, source FROM (
   FROM documents) WHERE rn <= 20 ORDER BY doc_id
 """),
 
+    # operators.sampling.mixture_sample: per-language quotas from
+    # mixture_caps (largest-remainder apportionment of the plan-time
+    # weights); a CASE with no ELSE nulls out unweighted strata, and
+    # rn <= NULL is false — the dropped-stratum path, same in both
+    # engines.
+    "corpus_mixture_sample": QueryDef(X.corpus_mixture_sample, f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {_h("('mixture:' || doc_id::VARCHAR)")} ASC,
+                    doc_id ASC) AS rn,
+         CASE lang {' '.join(
+             f"WHEN '{k}' THEN {v}" for k, v in sorted(
+                 _mixture_caps(X.MIXTURE_WEIGHTS, X.MIXTURE_TOTAL).items()))}
+         END AS cap
+  FROM documents) WHERE rn <= cap ORDER BY doc_id
+"""),
+
     "curated_corpus": QueryDef(X.curated_corpus, f"""
 WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
 near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
@@ -1062,6 +1122,9 @@ common AS (
                                   headline=True),
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
+
+    "dedup_incremental": QueryDef(X.dedup_incremental,
+                                  _incremental_minhash_sql()),
 
     # operators.scd.scd2_from_changelog: null-safe regime collapse, then
     # valid_from/valid_to/version over the same (key, ts, id) ordering.

@@ -204,3 +204,30 @@ def test_benchmark_shingles_are_broadcast(spark):
     plan = (benchmark_overlap(corpus, bench)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan       # bench side never shuffles
+
+
+def test_incremental_dedup_pairs_only_across_sides(spark):
+    # corpus: 0 and 2 near-identical (corpus-internal dup);
+    # batch: 1 duplicates corpus doc 0; 3 and 5 duplicate EACH OTHER
+    # but nothing in the corpus; 7 is novel.
+    mk = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, mk + " iota"),            # corpus
+        (2, mk + " iota"),            # corpus dup of 0 (must NOT appear)
+        (4, "totally different corpus text about unrelated things"),
+        (1, mk + " iota"),            # batch dup of corpus 0 and 2
+        (3, "batch internal duplicate pair one two three four five"),
+        (5, "batch internal duplicate pair one two three four five"),
+        (7, "novel single batch document nothing matches it at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    got = {(r.new_doc_id, r.corpus_doc_id, r.jaccard)
+           for r in incremental_minhash_dedup(corpus, batch).collect()}
+    # batch doc 1 hits both corpus copies at jaccard 1.0; no
+    # batch-internal (3,5) pair, no corpus-internal (0,2) pair, no 7.
+    assert got == {(1, 0, 1.0), (1, 2, 1.0)}

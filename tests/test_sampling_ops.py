@@ -60,3 +60,47 @@ def test_stratified_cap_deterministic(docs):
                sampling.stratified_cap(docs.repartition(13), ["lang"], 7,
                                        "doc_id").collect())
     assert a == b
+
+
+def test_mixture_caps_apportion_exactly():
+    # 0.4/0.3/0.2/0.1 of 300 are all integral
+    assert sampling.mixture_caps(
+        {"en": 0.4, "zh": 0.3, "es": 0.2, "fr": 0.1}, 300
+    ) == {"en": 120, "zh": 90, "es": 60, "fr": 30}
+    # fractional shares: largest remainder tops up, total exact
+    caps = sampling.mixture_caps({"a": 1, "b": 1, "c": 1}, 100)
+    assert sum(caps.values()) == 100 and sorted(caps.values()) == [33, 33, 34]
+    # remainder ties break by stratum name (deterministic)
+    caps = sampling.mixture_caps({"x": 1, "y": 1}, 3)
+    assert caps == {"x": 2, "y": 1}
+
+
+def test_mixture_caps_reject_bad_inputs():
+    for weights, total in [({}, 10), ({"a": -1}, 10), ({"a": 0}, 10)]:
+        with pytest.raises(ValueError):
+            sampling.mixture_caps(weights, total)
+    with pytest.raises(ValueError):
+        sampling.mixture_caps({"a": 1}, -1)
+
+
+def test_mixture_sample_quotas_drop_and_underfill(docs):
+    counts = {r.lang: r["count"] for r in
+              docs.groupBy("lang").count().collect()}
+    weights = {"en": 0.5, "zh": 0.5}
+    total = 2 * counts["zh"] + 10   # zh quota > |zh| -> under-filled
+    out = sampling.mixture_sample(docs, "lang", weights, total, "doc_id")
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    caps = sampling.mixture_caps(weights, total)
+    # quota respected, dropped strata absent, under-fill not redistributed
+    assert set(got) <= {"en", "zh"}
+    assert got["en"] == min(caps["en"], counts["en"])
+    assert got["zh"] == counts["zh"] < caps["zh"]
+
+
+def test_mixture_sample_stable_across_partitionings(docs):
+    weights = {"en": 0.6, "de": 0.4}
+    a = sorted(r.doc_id for r in sampling.mixture_sample(
+        docs, "lang", weights, 50, "doc_id").collect())
+    b = sorted(r.doc_id for r in sampling.mixture_sample(
+        docs.repartition(13), "lang", weights, 50, "doc_id").collect())
+    assert a == b and len(a) == 50
