@@ -40,7 +40,11 @@ def events_stream(spark: SparkSession, sf_dir: str,
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # Naive parquet timestamps read as TIMESTAMP_NTZ (round-4 fixture
+    # format); normalize to TIMESTAMP once at the source so watermarks,
+    # interval joins and epoch casts downstream see one type. Session tz
+    # is UTC, so the cast is a pure reinterpretation.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -128,7 +132,11 @@ def batch_stream_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, ["events"])["events"]
+    # Same TIMESTAMP normalization as events_stream — the batch twin
+    # must agree with the stream on ts type or stream==batch comparisons
+    # (and NTZ-rejecting casts in consumers) break.
+    return (load_testdata(spark, sf_dir, ["events"])["events"]
+            .withColumn("ts", F.col("ts").cast("timestamp")))
 
 
 def segment_rollup(events: DataFrame, customers: DataFrame) -> DataFrame:

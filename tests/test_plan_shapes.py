@@ -72,11 +72,16 @@ def test_segment_rollup_broadcasts_dimension(spark, sf_dir, queries):
 
 
 def test_curated_corpus_single_shuffle(spark, sf_dir, queries):
-    """The 4-stage curation composite: the only required shuffle is the
-    dedup groupBy; the doc_id joins must not add exchanges at fixture
-    scale (AQE broadcasts the derived relations)."""
+    """The 5-stage curation composite: the required shuffles are the
+    normalized-dedup groupBy plus the two sides of the near-dup
+    cluster-drop anti-join (its build side is resolve_clusters'
+    checkpointed output — no stats, so the STATIC plan can't prove it
+    broadcastable; AQE converts at runtime when the drop list is
+    small). The filter/quality/keeper doc_id joins must stay broadcast
+    and add no exchanges."""
     plan = _physical(queries["curated_corpus"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("BroadcastHashJoin") >= 3
 
 
 def test_salted_agg_keeps_content_salt(spark, sf_dir, queries):
