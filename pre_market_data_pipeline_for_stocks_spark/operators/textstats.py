@@ -195,3 +195,34 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
         F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
         .alias("clean_text"),
     )
+
+
+def vocabulary_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus heavy hitters: (token, tf, df) for the ``k`` most frequent
+    whitespace tokens (lowercased), ties broken by token ascending.
+
+    The vocabulary-analysis step before tokenizer training (BPE corpus
+    statistics, stopword discovery, boilerplate detection). tf counts
+    every occurrence; df counts documents containing the token at least
+    once — both EXACT, computed in one pass: explode is map-side,
+    then a first groupBy on (token, doc_id) gets per-doc term counts
+    (this is also the skew guard — a token repeated millions of times
+    inside one document collapses to one row before the global
+    aggregate), then a groupBy on token sums tf and counts rows for df.
+    Both shuffles carry (token-string, two longs) — no text. The top-k
+    is an orderBy+limit, which Spark executes as TakeOrdered (per-
+    partition heaps, no global sort materialization)."""
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = (tok.groupBy("token", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return (per_doc.groupBy("token")
+            .agg(F.sum("n").alias("tf"),
+                 F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("tf").desc(), F.col("token").asc())
+            .limit(k))

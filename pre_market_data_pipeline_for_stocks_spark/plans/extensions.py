@@ -205,6 +205,15 @@ def text_repetition(spark, sf_dir):
     return textstats.repetition(_docs(spark, sf_dir), n=3)
 
 
+def corpus_vocabulary(spark, sf_dir):
+    """Exact corpus heavy hitters (top-25 tokens by term frequency,
+    with document frequency) — the vocabulary-analysis step before
+    tokenizer training. k=25 cuts inside the fixture's 31-token
+    vocabulary so the limit boundary (and its token-asc tiebreak) is
+    actually exercised by the oracle."""
+    return textstats.vocabulary_topk(_docs(spark, sf_dir), k=25)
+
+
 def text_pii_scrub(spark, sf_dir):
     """PII redaction over the corpus. The fixture text is digit- and
     @-free, so every 5th document gets a deterministic synthetic

@@ -1271,6 +1271,23 @@ FROM grams GROUP BY doc_id
 
     # operators.textstats.repetition: n-gram POSITIONS (no distinct
     # before the explode), twin aggregation chain.
+    # operators.textstats.vocabulary_topk: exact tf/df heavy hitters;
+    # the (token, doc_id) pre-aggregation is the skew guard in both
+    # engines. Ties at the k boundary break by token ASC, so the cut is
+    # deterministic.
+    "corpus_vocabulary": QueryDef(X.corpus_vocabulary, """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS n FROM tok
+  WHERE token <> '' GROUP BY 1, 2)
+SELECT token, sum(n)::BIGINT AS tf, count(*) AS df
+FROM per_doc GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT 25
+"""),
+
     "text_repetition": QueryDef(X.text_repetition, """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w

@@ -56,3 +56,21 @@ def test_pii_email_digits_not_double_counted_as_phone(spark):
         "doc_id long, text string")
     r = pii_scrub(docs).collect()[0]
     assert r["n_emails"] == 1 and r["n_phones"] == 0
+
+
+def test_vocabulary_topk_exact_tf_df_and_tiebreak(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        vocabulary_topk,
+    )
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "Apple banana cherry"),      # lowercased -> same token
+         (3, "banana   cherry")],          # whitespace run
+        "doc_id long, text string")
+    rows = vocabulary_topk(docs, k=3).collect()
+    got = [(r.token, r.tf, r.df) for r in rows]
+    # apple tf=3 (2 in doc1 + 1 in doc2) df=2; banana tf=3 df=3 — tf tie
+    # breaks by token asc; cherry tf=2 df=2.
+    assert got == [("apple", 3, 2), ("banana", 3, 3), ("cherry", 2, 2)]
+    # k truncates deterministically
+    assert [r.token for r in vocabulary_topk(docs, k=1).collect()] == ["apple"]
