@@ -509,3 +509,42 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
             .alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    (vec_id, scale, qvec, recon_mse).
+
+    The memory-side path for ANN at scale: a float32 corpus quantized to
+    int8 is 4x smaller (100 TB of embeddings -> 25 TB resident), and
+    IVF/LSH probes score against ``qvec * scale / 127`` with ~1% recall
+    loss at typical distributions. ``scale = max(|x|)`` per vector
+    (symmetric, zero-point-free — dot products stay a single fused
+    multiply), ``q_i = round(x_i / scale * 127)``, and ``recon_mse``
+    measures the round-trip error. A zero vector quantizes to zeros
+    with scale 0 (guarded division).
+
+    Execution: pure per-row array expressions — map-side, no shuffle,
+    no UDF; the fold orders match the DuckDB twin so the MSE is
+    value-identical after rounding.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"))
+    quantized = staged.withColumn(
+        "qvec",
+        F.transform(F.col("_v"),
+                    lambda x: F.when(F.col("scale") > 0,
+                                     F.round(x / F.col("scale") * 127, 0))
+                               .otherwise(F.lit(0.0)).cast("int")))
+    sq_err = F.zip_with(
+        F.col("_v"), F.col("qvec"),
+        lambda x, qi: F.pow(x - qi.cast("double") * F.col("scale") / 127,
+                            F.lit(2.0)))
+    return (quantized
+            .withColumn("recon_mse",
+                        F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b)
+                        / F.size(F.col("_v")))
+            .select("vec_id", "scale", "qvec", "recon_mse"))

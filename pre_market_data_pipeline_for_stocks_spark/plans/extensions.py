@@ -181,6 +181,24 @@ def dedup_embedding_clusters(spark, sf_dir):
             .withColumnsRenamed({"doc_id": "vec_id"}))
 
 
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization checksummed to scalars: the oracle pins
+    the full quantized vector through q_l1/q_min/q_max (any element
+    changing by 1 moves q_l1) plus the reconstruction MSE, without
+    hashing raw arrays."""
+    q = similarity.quantize_int8(_emb(spark, sf_dir))
+    return (q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r6"),
+        F.aggregate(F.transform("qvec", lambda x: F.abs(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda a, b: a + b).alias("q_l1"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.round("recon_mse", 10).alias("mse_r10"))
+        .orderBy("vec_id"))
+
+
 def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 

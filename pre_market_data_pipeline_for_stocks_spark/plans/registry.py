@@ -1271,6 +1271,38 @@ FROM grams GROUP BY doc_id
 
     # operators.textstats.repetition: n-gram POSITIONS (no distinct
     # before the explode), twin aggregation chain.
+    # operators.similarity.quantize_int8 via the scalar-checksum
+    # projection (extensions.embedding_quantize_int8). Both engines
+    # round half-away-from-zero on doubles and fold the MSE
+    # left-to-right (F.aggregate / list_reduce), so the values agree
+    # bit-for-bit before the display rounding.
+    "embedding_quantize_int8": QueryDef(X.embedding_quantize_int8, """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, xs,
+         list_max(list_transform(xs, x -> abs(x))) AS scale
+  FROM v),
+q AS (
+  SELECT vec_id, xs, scale,
+         list_transform(xs, x -> CASE WHEN scale > 0
+             THEN round(x / scale * 127)::INTEGER ELSE 0 END) AS qv
+  FROM s),
+e AS (
+  SELECT vec_id, scale, qv,
+         list_reduce(
+           list_transform(range(1, len(xs) + 1),
+             i -> pow(xs[i] - qv[i]::DOUBLE * scale / 127, 2.0)),
+           (acc, x) -> acc + x) / len(xs) AS mse
+  FROM q)
+SELECT vec_id, round(scale, 6) AS scale_r6,
+       list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS q_l1,
+       list_min(qv) AS q_min, list_max(qv) AS q_max,
+       round(mse, 10) AS mse_r10
+FROM e ORDER BY vec_id
+"""),
+
     # operators.textstats.vocabulary_topk: exact tf/df heavy hitters;
     # the (token, doc_id) pre-aggregation is the skew guard in both
     # engines. Ties at the k boundary break by token ASC, so the cut is

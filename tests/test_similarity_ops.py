@@ -179,3 +179,27 @@ def test_ivf_batch_no_cartesian_corpus_join(emb):
     # relation appearing under BroadcastNestedLoopJoin with the query
     # relation would be the |corpus| x |queries| explosion.
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_quantize_int8_roundtrip_and_zero_guard(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        quantize_int8,
+    )
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (3, [2.0, 2.0, 2.0, 2.0]),          # constant vector -> exact
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    # scale is max|x|; q in [-127, 127]; the max-magnitude element hits
+    # exactly +-127
+    assert got[1].scale == 1.0
+    assert got[1].qvec == [64, -127, 32, 0]   # 0.5*127=63.5 rounds up
+    # reconstruction error bounded by (scale/254)^2 per element
+    assert 0 <= got[1].recon_mse <= (1.0 / 254) ** 2
+    # zero vector: scale 0, all-zero qvec, zero error
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0, 0]
+    assert got[2].recon_mse == 0.0
+    # constant vector quantizes exactly
+    assert got[3].qvec == [127, 127, 127, 127] and got[3].recon_mse == 0.0
