@@ -181,6 +181,13 @@ def dedup_embedding_clusters(spark, sf_dir):
             .withColumnsRenamed({"doc_id": "vec_id"}))
 
 
+def ann_cosine_topk_int8(spark, sf_dir):
+    """Quantized ANN end to end: top-k by cosine over int8-reconstructed
+    vectors (the 4x-smaller corpus a deployment actually scans)."""
+    return similarity.cosine_topk_int8(_emb(spark, sf_dir),
+                                       ANN_QUERY_ID, ANN_TOPK)
+
+
 def embedding_quantize_int8(spark, sf_dir):
     """Int8 scalar quantization checksummed to scalars: the oracle pins
     the full quantized vector through q_l1/q_min/q_max (any element

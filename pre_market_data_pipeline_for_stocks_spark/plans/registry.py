@@ -1376,6 +1376,35 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """, headline=True),
 
+    # operators.similarity.cosine_topk_int8: the quantized scan path.
+    # Reconstruction (qv[i]*scale/127) happens inside the scoring
+    # expression in both engines; cosine rounded to 4 dp like the exact
+    # twin above.
+    "ann_cosine_topk_int8": QueryDef(X.ann_cosine_topk_int8, """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xs
+  FROM embeddings),
+s AS (
+  SELECT vec_id, xs,
+         list_max(list_transform(xs, x -> abs(x))) AS scale
+  FROM v),
+r AS (
+  SELECT vec_id,
+         list_transform(xs, x -> CASE WHEN scale > 0
+             THEN round(x / scale * 127)::DOUBLE * scale / 127
+             ELSE 0.0 END) AS rvec
+  FROM s),
+qr AS (SELECT rvec AS qv FROM r WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(rvec, qv)
+             / (sqrt(list_inner_product(rvec, rvec))
+                * sqrt(list_inner_product(qv, qv))), 4) AS cosine_q
+FROM r, qr
+WHERE vec_id <> 0
+ORDER BY cosine_q DESC, vec_id ASC
+LIMIT 10
+"""),
+
     "ann_lsh_buckets": QueryDef(X.ann_lsh_buckets, _lsh_bucket_sql()),
 
     "ann_ivf_topk": QueryDef(X.ann_ivf_topk, _ivf_sql(), headline=True),

@@ -203,3 +203,19 @@ def test_quantize_int8_roundtrip_and_zero_guard(spark):
     assert got[2].recon_mse == 0.0
     # constant vector quantizes exactly
     assert got[3].qvec == [127, 127, 127, 127] and got[3].recon_mse == 0.0
+
+
+def test_cosine_topk_int8_recall_vs_exact(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    quant = {r.vec_id for r in cosine_topk_int8(emb, 0, 10).collect()}
+    # int8 reconstruction loses <1e-4 cosine on the fixture
+    # distribution — top-10 must be nearly unchanged.
+    assert len(exact & quant) >= 9
