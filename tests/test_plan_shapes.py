@@ -91,3 +91,29 @@ def test_salted_agg_keeps_content_salt(spark, sf_dir, queries):
     plan = _physical(queries["salted_agg_returnflag"](spark, sf_dir))
     assert "xxhash64" in plan
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_mixture_sample_prunes_dropped_strata_before_shuffle(spark, sf_dir,
+                                                             queries):
+    """The unweighted-stratum filter must reach below the window
+    exchange (Catalyst rewrites the null-cap filter to a lang IN-list
+    over the scan), so dropped strata never shuffle; one hash exchange
+    total (the window), and the scan reads only the 3 output columns."""
+    plan = _physical(queries["corpus_mixture_sample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    scan = plan[plan.index("Scan parquet"):]
+    assert "text" not in scan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_incremental_dedup_no_cartesian_two_sig_shuffles(spark, sf_dir,
+                                                         queries):
+    """Incremental dedup: the only required hash exchanges are the four
+    per-side doc_id aggregations (signature groupBy + shingle-size
+    groupBy, each side); the band/verify joins broadcast at fixture
+    scale (SMJ on their equi-keys at scale); candidates come from an
+    equi-join — a nested-loop/cartesian product anywhere is a plan
+    regression."""
+    plan = _physical(queries["dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 4

@@ -104,3 +104,18 @@ def test_mixture_sample_stable_across_partitionings(docs):
     b = sorted(r.doc_id for r in sampling.mixture_sample(
         docs.repartition(13), "lang", weights, 50, "doc_id").collect())
     assert a == b and len(a) == 50
+
+
+def test_mixture_caps_properties():
+    # largest-remainder apportionment invariants over a weight sweep
+    import itertools
+    for ws in itertools.product([0.1, 0.35, 1.0, 2.5], repeat=3):
+        weights = dict(zip("abc", ws))
+        for total in (0, 1, 7, 100):
+            caps = sampling.mixture_caps(weights, total)
+            assert sum(caps.values()) == total
+            s = sum(weights.values())
+            for k, w in weights.items():
+                exact = w / s * total
+                # each quota within 1 of its exact share (Hamilton bound)
+                assert abs(caps[k] - exact) < 1
