@@ -206,6 +206,42 @@ def embedding_quantize_int8(spark, sf_dir):
         .orderBy("vec_id"))
 
 
+TRAIN_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+TRAIN_MIX_TOTAL = 60
+TRAIN_SHARD_BUDGET = 256
+TRAIN_SHARD_GROUPS = 4
+
+
+def training_manifest(spark, sf_dir):
+    """The END-TO-END training-data build, one declarative plan:
+
+      curate (lang + quality + exact-dedup keeper + near-dup cluster
+      removal + 50% hash sample)
+      -> decontaminate against the held-out benchmark split
+      -> resample to the target source mixture
+      -> pack into token-budget shards
+      -> emit the per-shard manifest a writer job consumes.
+
+    Eight §7.5 operators composed across four pipeline stages — the
+    artifact a pre-training run actually hands to its data loader.
+    Catalyst sees ONE plan end to end (each stage is also
+    standalone-oracled at larger row counts), so filters/pruning cross
+    stage boundaries instead of materializing intermediates."""
+    from ..operators import sampling, sharding
+    docs = _docs(spark, sf_dir)
+    pool = docs.join(curated_corpus(spark, sf_dir).select("doc_id"),
+                     "doc_id")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    clean = decontam.decontaminate(pool, bench, n=3, threshold=0.1)
+    mixed = sampling.mixture_sample(clean, "source", TRAIN_MIX_WEIGHTS,
+                                    TRAIN_MIX_TOTAL, key_col="doc_id")
+    tokens = (textstats.token_counts(mixed)
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    packed = sharding.pack_shards(tokens, budget=TRAIN_SHARD_BUDGET,
+                                  n_groups=TRAIN_SHARD_GROUPS)
+    return sharding.shard_manifest(packed).orderBy("shard_id")
+
+
 def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 

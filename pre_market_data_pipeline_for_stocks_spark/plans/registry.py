@@ -175,6 +175,96 @@ SELECT doc_id, cluster_id FROM comp
 """
 
 
+def _training_manifest_sql() -> str:
+    """Twin of X.training_manifest: the full curate -> decontaminate ->
+    mixture -> shard-pack chain as one WITH RECURSIVE pipeline. Every
+    CTE reuses the fragment its standalone oracle uses (same hashes,
+    same thresholds), so a mismatch here isolates to the composition,
+    not the stages."""
+    from . import extensions as _X
+    counts = {k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
+              for k, v in _STOP.items()}
+    caps = _mixture_caps(_X.TRAIN_MIX_WEIGHTS, _X.TRAIN_MIX_TOTAL)
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(caps.items()))
+    return f"""
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
+near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+c AS (SELECT doc_id, text, {counts['en']} AS en_hits,
+      greatest({", ".join(counts.values())}) AS best FROM documents),
+en_docs AS (SELECT doc_id FROM c WHERE en_hits = best),
+q AS (
+  SELECT doc_id,
+         round(least(greatest(
+           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * greatest(0.0,
+               1 - round(punct / greatest(n_chars, 1), 6) * 10),
+           0.0), 1.0), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+           len(regexp_extract_all(lower(text), '\\b({_STOP["en"]})\\b'))
+             AS stops
+    FROM documents)),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY {_h(_NORM_TEXT)}),
+curated AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN en_docs USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN keep USING (doc_id)
+  WHERE q.quality >= 0.3
+    AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50),
+{_SHINGLES_CTE.strip()},
+bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 20 = 0),
+pool_sh AS (SELECT s.doc_id, s.sh FROM shh s JOIN curated USING (doc_id)),
+per AS (
+  SELECT p.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM pool_sh p LEFT JOIN bench b ON b.sh = p.sh
+  GROUP BY 1),
+contaminated AS (SELECT doc_id FROM per WHERE (n_hit / n_sh) >= 0.1),
+clean AS (
+  SELECT * FROM curated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+mixed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY {_h("('mixture:' || doc_id::VARCHAR)")} ASC,
+                      doc_id ASC) AS rn,
+           CASE source {case} END AS cap
+    FROM clean) WHERE rn <= cap),
+tok AS (
+  SELECT m.doc_id,
+         len(regexp_extract_all(lower(d.text),
+             '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens,
+         {_h('m.doc_id::VARCHAR')} % {_X.TRAIN_SHARD_GROUPS} AS pack_group
+  FROM mixed m JOIN documents d ON d.doc_id = m.doc_id),
+packed AS (
+  SELECT doc_id, n_tokens, pack_group,
+         (coalesce(sum(n_tokens) OVER (
+            PARTITION BY pack_group ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {_X.TRAIN_SHARD_BUDGET})::BIGINT AS shard_seq
+  FROM tok)
+SELECT (pack_group * 1000000 + shard_seq)::BIGINT AS shard_id,
+       pack_group, shard_seq,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS shard_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM packed
+GROUP BY 1, 2, 3
+ORDER BY shard_id
+"""
+
+
 def _incremental_minhash_sql(k: int = 8, bands: int = 4) -> str:
     """Twin of operators.dedup.incremental_minhash_dedup over the
     even-corpus / odd-batch split in X.dedup_incremental: same band
@@ -1048,6 +1138,12 @@ WHERE q.quality >= 0.3
 ORDER BY d.doc_id
 """.format(**{k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
               for k, v in _STOP.items()})),
+
+    # The end-to-end training-data build (see X.training_manifest):
+    # curate -> decontaminate -> mixture -> shard-pack, one plan, one
+    # oracle assembled from the stages' own fragments.
+    "training_manifest": QueryDef(X.training_manifest,
+                                  _training_manifest_sql()),
 
     "rollup_region_nation_revenue": QueryDef(R.rollup_region_nation_revenue, """
 SELECT r_name, n_name,
