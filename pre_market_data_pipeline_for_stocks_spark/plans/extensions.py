@@ -231,8 +231,13 @@ def training_manifest(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pool = docs.join(curated_corpus(spark, sf_dir).select("doc_id"),
                      "doc_id")
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    clean = decontam.decontaminate(pool, bench, n=3, threshold=0.1)
+    # 1% eval split + 0.3 threshold: the standalone decontam query uses
+    # the harsher 5%/0.1 to exercise its flag distribution; here the
+    # benchmark must stay realistic as sf grows or (with the fixtures'
+    # shared synthetic vocabulary) it would flag nearly the whole pool
+    # at sf0.1 and starve the downstream stages.
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    clean = decontam.decontaminate(pool, bench, n=3, threshold=0.3)
     mixed = sampling.mixture_sample(clean, "source", TRAIN_MIX_WEIGHTS,
                                     TRAIN_MIX_TOTAL, key_col="doc_id")
     tokens = (textstats.token_counts(mixed)

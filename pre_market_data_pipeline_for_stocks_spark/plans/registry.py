@@ -221,14 +221,14 @@ curated AS (
     AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
     AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50),
 {_SHINGLES_CTE.strip()},
-bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 20 = 0),
+bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 100 = 0),
 pool_sh AS (SELECT s.doc_id, s.sh FROM shh s JOIN curated USING (doc_id)),
 per AS (
   SELECT p.doc_id, count(*) AS n_sh,
          sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
   FROM pool_sh p LEFT JOIN bench b ON b.sh = p.sh
   GROUP BY 1),
-contaminated AS (SELECT doc_id FROM per WHERE (n_hit / n_sh) >= 0.1),
+contaminated AS (SELECT doc_id FROM per WHERE (n_hit / n_sh) >= 0.3),
 clean AS (
   SELECT * FROM curated
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
