@@ -1025,6 +1025,17 @@ FROM events v JOIN events p
 ORDER BY view_id, purchase_id
 """),
 
+    "events_followup_left": QueryDef(R.events_followup_left, """
+SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+       round(p.value, 2) AS purchase_value
+FROM events v LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+ORDER BY view_id, purchase_id
+"""),
+
     "events_sliding_quarter_hour": QueryDef(R.events_sliding_quarter_hour, """
 SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (t.k * INTERVAL 15 MINUTE)
          AS window_start,

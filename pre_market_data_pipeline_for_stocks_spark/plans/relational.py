@@ -456,6 +456,32 @@ def events_followup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("view_id", "purchase_id"))
 
 
+def events_followup_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER twin of events_followup_join: unconverted views kept
+    with null purchase columns — the batch formulation of the
+    streaming left-outer interval join's null-emission semantics
+    (streaming/events.py followup_interval_join how='left_outer')."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = (events.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("view_id"), "user_id",
+                 F.col("ts").alias("view_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value")))
+    return (v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer")
+        .select("view_id", "user_id", "purchase_id",
+                F.round("purchase_value", 2).alias("purchase_value"))
+        .orderBy("view_id", "purchase_id"))
+
+
 def events_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h length, 15 min slide): each event
     lands in 4 overlapping windows. Batch twin of the streaming

@@ -200,7 +200,8 @@ def read_bronze_tree(spark: SparkSession, root: str) -> DataFrame:
 def followup_interval_join(left_stream: DataFrame,
                            right_stream: DataFrame,
                            max_gap_minutes: int = 30,
-                           watermark: str = "2 hours") -> DataFrame:
+                           watermark: str = "2 hours",
+                           how: str = "inner") -> DataFrame:
     """STREAM-STREAM interval join: each "view" event joined to the
     same user's "purchase" events landing within (0, max_gap] minutes
     after it — the attribution/funnel shape.
@@ -208,10 +209,21 @@ def followup_interval_join(left_stream: DataFrame,
     Both sides carry watermarks and the join condition bounds the event
     time range, so Spark can size the join state buffer and evict rows
     older than watermark + interval — without the bound, stream-stream
-    join state grows forever. The batch twin is the same inner
-    self-join predicate over the static relation
-    (plans/relational.py events_followup_join), which the DuckDB
-    oracle checks; the streaming pytest checks stream==batch."""
+    join state grows forever. The batch twin is the same join
+    predicate over the static relation (plans/relational.py
+    events_followup_join / events_followup_left), which the DuckDB
+    oracle checks; the streaming pytest checks stream==batch.
+
+    ``how='left_outer'`` keeps unconverted views (null purchase
+    columns) — the funnel-analysis shape. Outer rows CANNOT emit
+    eagerly: a view is only provably unmatched once the watermark
+    passes ``view_ts + interval``, so they surface one-or-more
+    micro-batches late, and a tail view whose horizon the final
+    watermark never crosses stays buffered (the standard Structured
+    Streaming outer-join caveat; tests push the watermark with a
+    sentinel event to flush them)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     v = (left_stream.filter(F.col("event_type") == "view")
          .select(F.col("event_id").alias("view_id"),
                  F.col("user_id"),
@@ -229,7 +241,7 @@ def followup_interval_join(left_stream: DataFrame,
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts")
            <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
-        "inner")
+        how)
         .select("view_id", "user_id", "purchase_id", "purchase_value"))
 
 

@@ -3,6 +3,8 @@ oracles (Kappa contract) and handle watermark/session semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
     events_sessionization,
     events_tumbling_hourly,
@@ -395,3 +397,70 @@ def test_interval_join_restart_from_checkpoint_no_loss_no_dup(spark, sf_dir,
         .select("event_id").collect()}
     assert any(v in first_views and p in second_purch
                for v, _, p, _ in got)
+
+
+def test_stream_left_outer_interval_join_emits_nulls(spark, tmp_path):
+    """Left-outer stream-stream interval join: matches emit eagerly;
+    an unconverted view emits its null-purchase row only after the
+    watermark passes view_ts + interval (flushed here by a sentinel
+    event); a view whose horizon the watermark never crosses stays
+    buffered."""
+    import datetime as dt
+
+    base = [
+        # user 1: view -> purchase inside 30 min = eager match
+        (1, dt.datetime(2026, 1, 9, 10, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2026, 1, 9, 10, 10), 1, "purchase", 25.0, "{}"),
+        # user 2: purchase outside the interval = unconverted view
+        (3, dt.datetime(2026, 1, 9, 10, 0), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2026, 1, 9, 11, 30), 2, "purchase", 10.0, "{}"),
+    ]
+    # The query's watermark is the MIN across both sides' watermark
+    # operators, so the pusher must advance views AND purchases — a
+    # view-only sentinel leaves the purchase side at 11:30 and the
+    # global watermark at 9:30, short of the 10:30 outer horizon.
+    # Both at 20:00 -> global watermark 18:00; the sentinel view's own
+    # horizon (20:30) is never crossed, so it stays buffered.
+    sentinel = [(99, dt.datetime(2026, 1, 9, 20, 0), 9, "view", 1.0, "{}"),
+                (98, dt.datetime(2026, 1, 9, 20, 0), 8, "purchase",
+                 5.0, "{}")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(base, schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    def rd():
+        return (spark.readStream.schema(spark.read.parquet(src).schema)
+                .parquet(src))
+
+    joined = se.followup_interval_join(rd(), rd(), how="left_outer")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("left_outer_followups").start())
+    try:
+        q.processAllAvailable()
+        eager = {tuple(r) for r in spark.sql(
+            "SELECT * FROM left_outer_followups").collect()}
+        # before the watermark moves: only the inner match is out
+        assert eager == {(1, 1, 2, 25.0)}
+        spark.createDataFrame(sentinel, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # the watermark only moves at the END of the sentinel batch;
+        # outer rows emit in the NEXT micro-batch, so nudge one more.
+        spark.createDataFrame(
+            [(100, dt.datetime(2026, 1, 9, 20, 1), 9, "other", 1.0, "{}")],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql(
+        "SELECT * FROM left_outer_followups").collect()}
+    assert got == {(1, 1, 2, 25.0), (3, 2, None, None)}
+
+
+def test_followup_interval_join_rejects_bad_how(spark, sf_dir):
+    with pytest.raises(ValueError):
+        se.followup_interval_join(se.events_stream(spark, sf_dir),
+                                  se.events_stream(spark, sf_dir),
+                                  how="full_outer")
