@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 OHLCV_DDL = ("stock string, date date, open double, high double, "
@@ -129,6 +130,76 @@ class SyntheticOhlcvReader(DataSourceReader):
             day += dt.timedelta(days=1)
 
 
+class SyntheticOhlcvStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the OHLCV source: one TRADING DAY per
+    micro-batch — the daily-feed shape a live market connector has.
+
+    Offsets are ``{"day": <iso-date>}``; ``read`` emits that day's bars
+    for every ticker and advances one calendar day (weekends emit
+    nothing but still advance, so offsets stay dense and replayable).
+    Past ``end_date`` it returns no rows with an UNCHANGED offset —
+    the caught-up signal that lets processAllAvailable/availableNow
+    terminate, making the source bounded and test-drivable.
+    ``readBetweenOffsets`` re-generates deterministically for
+    checkpoint recovery (exactly the replay contract the simple-reader
+    API requires). Bar values recompute the SAME seeded walk as the
+    batch reader, so stream==batch row-for-row over any range."""
+
+    def __init__(self, options: dict):
+        self.stocks = [s for s in options.get("stocks", "").split(",") if s]
+        if not self.stocks:
+            raise ValueError("synthetic_ohlcv requires option 'stocks'")
+        self.start = dt.date.fromisoformat(
+            options.get("start_date", "2026-01-01"))
+        self.end = dt.date.fromisoformat(
+            options.get("end_date", "2026-01-31"))
+        self.seed = options.get("seed", "42")
+
+    def initialOffset(self) -> dict:
+        return {"day": self.start.isoformat()}
+
+    def _bars_for(self, day: dt.date) -> list[tuple]:
+        if day.isoweekday() > 5:
+            return []
+        rows = []
+        for stock in self.stocks:
+            # Replay the cumulative close walk from start_date — the
+            # stream must agree with the batch reader's path-dependent
+            # closes at every day, not just the first.
+            close = 50.0 + _u(self.seed, stock, "base") * 450.0
+            o = close
+            d = self.start
+            while d <= day:
+                if d.isoweekday() <= 5:
+                    ret = (_u(self.seed, stock, d, "ret") - 0.5) * 0.1
+                    o = close
+                    close = round(max(1.0, close * (1.0 + ret)), 2)
+                d += dt.timedelta(days=1)
+            hi = round(max(o, close)
+                       * (1 + _u(self.seed, stock, day, "h") * 0.02), 2)
+            lo = round(min(o, close)
+                       * (1 - _u(self.seed, stock, day, "l") * 0.02), 2)
+            vol = int(_u(self.seed, stock, day, "v") * 1_000_000)
+            rows.append((stock, day, round(o, 2), hi, lo, close, vol))
+        return rows
+
+    def read(self, start: dict):
+        day = dt.date.fromisoformat(start["day"])
+        if day > self.end:
+            return iter([]), start
+        nxt = {"day": (day + dt.timedelta(days=1)).isoformat()}
+        return iter(self._bars_for(day)), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        day = dt.date.fromisoformat(start["day"])
+        stop = dt.date.fromisoformat(end["day"])
+        rows: list[tuple] = []
+        while day < stop:
+            rows.extend(self._bars_for(day))
+            day += dt.timedelta(days=1)
+        return iter(rows)
+
+
 class SyntheticOhlcvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -139,6 +210,9 @@ class SyntheticOhlcvDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticOhlcvReader:
         return SyntheticOhlcvReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticOhlcvStreamReader:
+        return SyntheticOhlcvStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -103,3 +103,30 @@ def test_feeds_the_premarket_plan(spark, feed):
     rows = out.collect()
     assert len(rows) == 10                      # 2 stocks x 5 trading days
     assert all(r["Pct_Change"] is not None for r in rows)  # buffer fed lags
+
+
+def test_stream_reader_matches_batch_and_terminates(spark, tmp_path):
+    """The streaming half must replay the batch reader's path-dependent
+    walk exactly: draining the day-per-micro-batch stream over a range
+    yields the same rows as one batch read, and the bounded offset
+    contract (no rows + unchanged offset past end_date) lets
+    processAllAvailable return instead of spinning."""
+    ohlcv_datasource.register(spark)
+    opts = {"stocks": "AAA,BBB", "start_date": "2026-01-05",
+            "end_date": "2026-01-16", "seed": "7"}
+    reader = (spark.readStream.format("synthetic_ohlcv").options(**opts)
+              .load())
+    q = (reader.writeStream.format("memory").queryName("ohlcv_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM ohlcv_stream").collect()}
+    want = {tuple(r) for r in
+            spark.read.format("synthetic_ohlcv").options(**opts)
+            .load().collect()}
+    assert got == want
+    # 2 stocks x 10 trading days (Jan 5-16 2026 spans two full weeks)
+    assert len(got) == 20
