@@ -1,0 +1,49 @@
+"""Interval-containment (range) join via the BIN-REWRITE.
+
+Joining facts to ranges on ``lo <= value < hi`` has no equi-key, so
+Spark plans it as BroadcastNestedLoopJoin — every fact row tested
+against every range, O(|facts| x |ranges|), and only possible at all
+when one side broadcasts. The standard scalable rewrite decomposes the
+number line into fixed-width bins: each range explodes into the bins it
+covers (tiny — ranges are few and short), facts compute their single
+bin map-side, the join becomes an EQUI-join on the bin key, and the
+original predicate re-checks containment on the (bin-bounded) matches.
+Shuffle currency is the bin key; cost is O(|facts| + matches), the
+nested loop is gone, and at 100 TB the fact side partitions by bin like
+any other hash join. Ranges may overlap — a fact row lands in every
+range containing it, exactly the containment semantics.
+
+No reference analog (SURVEY §2.4 has only equi- and as-of joins);
+extension scope. DuckDB oracle twin: the plain BETWEEN join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_bin_join(facts: DataFrame, ranges: DataFrame,
+                      value_col: str = "value", lo_col: str = "lo",
+                      hi_col: str = "hi",
+                      bin_width: int = 25) -> DataFrame:
+    """Facts joined to every range with ``lo <= value < hi`` (half-open;
+    ``lo``/``hi`` integer-valued), rewritten as a bin equi-join.
+
+    ``bin_width`` trades bin-explosion rows (ranges side, ~span/width
+    per range) against false-positive matches filtered by the residual
+    predicate (facts side). Both sides' bin keys use the same width, so
+    a containing range always shares a bin with its facts — recall is
+    exact by construction."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    binned_ranges = ranges.withColumn(
+        "_bin", F.explode(F.sequence(
+            (F.col(lo_col) / bin_width).cast("long"),
+            ((F.col(hi_col) - 1) / bin_width).cast("long"))))
+    binned_facts = facts.withColumn(
+        "_bin", F.floor(F.col(value_col) / bin_width).cast("long"))
+    return (binned_facts.join(binned_ranges, "_bin")
+            .filter((F.col(value_col) >= F.col(lo_col))
+                    & (F.col(value_col) < F.col(hi_col)))
+            .drop("_bin"))

@@ -121,6 +121,27 @@ def corpus_mixture_sample(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+# Value tiers for the range-join query: uneven widths plus one tier
+# (id 7) that OVERLAPS tiers 0/1, so the containment (not bucketing)
+# semantics are exercised — a value in [5, 10) lands in 3 tiers.
+VALUE_TIERS = [(0, 0, 10), (1, 10, 25), (2, 25, 50), (3, 50, 100),
+               (4, 100, 200), (5, 200, 350), (6, 350, 500), (7, 5, 15)]
+
+
+def events_value_tiers(spark, sf_dir):
+    """Per-tier event rollup through the bin-rewrite range join:
+    (tier_id, n_events, sum_value). The plan must show an equi-join on
+    the bin key, never a nested loop (pinned in unit tests)."""
+    from ..operators import rangejoin
+    tiers = spark.createDataFrame(VALUE_TIERS, "tier_id int, lo int, hi int")
+    joined = rangejoin.interval_bin_join(
+        _events(spark, sf_dir).select("event_id", "value"), tiers)
+    return (joined.groupBy("tier_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("tier_id"))
+
+
 SHARD_BUDGET = 2000
 SHARD_GROUPS = 8
 

@@ -1036,6 +1036,17 @@ WHERE v.event_type = 'view'
 ORDER BY view_id, purchase_id
 """),
 
+    # operators.rangejoin.interval_bin_join (X.events_value_tiers):
+    # the oracle is the plain containment join the rewrite must equal.
+    "events_value_tiers": QueryDef(X.events_value_tiers, """
+WITH tiers(tier_id, lo, hi) AS (VALUES
+  (0, 0, 10), (1, 10, 25), (2, 25, 50), (3, 50, 100),
+  (4, 100, 200), (5, 200, 350), (6, 350, 500), (7, 5, 15))
+SELECT tier_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY tier_id ORDER BY tier_id
+"""),
+
     "events_sliding_quarter_hour": QueryDef(R.events_sliding_quarter_hour, """
 SELECT time_bucket(INTERVAL 15 MINUTE, ts) - (t.k * INTERVAL 15 MINUTE)
          AS window_start,

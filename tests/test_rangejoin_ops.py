@@ -1,0 +1,70 @@
+"""Bin-rewrite range join (operators/rangejoin.py): containment
+correctness vs the naive inequality join, plan shape (equi-join, never
+a nested loop), and edge behavior the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+    interval_bin_join,
+)
+
+
+def _fixture(spark):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 4.99), (3, 5.0), (4, 9.99), (5, 10.0),
+         (6, 14.99), (7, 24.99), (8, 25.0), (9, 499.99), (10, 500.0)],
+        "event_id long, value double")
+    ranges = spark.createDataFrame(
+        [(0, 0, 10), (1, 10, 25), (7, 5, 15), (6, 350, 500)],
+        "tier_id int, lo int, hi int")
+    return facts, ranges
+
+
+def test_matches_naive_containment_join(spark):
+    facts, ranges = _fixture(spark)
+    got = {(r.event_id, r.tier_id) for r in
+           interval_bin_join(facts, ranges).collect()}
+    naive = {(r.event_id, r.tier_id) for r in
+             facts.join(ranges, (facts.value >= ranges.lo)
+                        & (facts.value < ranges.hi)).collect()}
+    assert got == naive
+    # overlap: value 5.0 lands in tier 0 AND tier 7
+    assert {(3, 0), (3, 7)} <= got
+    # half-open: 10.0 leaves tier 0, enters tiers 1 and 7
+    assert (5, 0) not in got and {(5, 1), (5, 7)} <= got
+    # hi is exclusive even at the last bin edge
+    assert (9, 6) in got and (10, 6) not in got
+
+
+@pytest.mark.parametrize("width", [1, 7, 25, 1000])
+def test_exact_for_any_bin_width(spark, width):
+    facts, ranges = _fixture(spark)
+    got = {(r.event_id, r.tier_id) for r in
+           interval_bin_join(facts, ranges, bin_width=width).collect()}
+    naive = {(r.event_id, r.tier_id) for r in
+             facts.join(ranges, (facts.value >= ranges.lo)
+                        & (facts.value < ranges.hi)).collect()}
+    assert got == naive
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    facts, ranges = _fixture(spark)
+    plan = (interval_bin_join(facts, ranges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the naive formulation DOES nested-loop (BNLJ or a predicated
+    # cartesian, depending on stats) — the rewrite is the point
+    naive_plan = (facts.join(ranges, (facts.value >= ranges.lo)
+                             & (facts.value < ranges.hi))
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert ("BroadcastNestedLoopJoin" in naive_plan
+            or "CartesianProduct" in naive_plan)
+
+
+def test_rejects_bad_bin_width(spark):
+    facts, ranges = _fixture(spark)
+    with pytest.raises(ValueError):
+        interval_bin_join(facts, ranges, bin_width=0)
