@@ -71,9 +71,16 @@ def main(argv: list[str] | None = None) -> int:
         lexicon=lexicon,
     )
 
+    # Quality metrics ride the CSV write (no second pass): row count +
+    # blank counts for the columns the validator treats as required.
+    from ..operators.metrics import quality_observation
+    out, obs = quality_observation(
+        out, ["Date", "Stock", "Pct_Change", "Volume", "Headline"])
+
     dest = f"{cfg.output_dir}/pre_market_sentiment.csv"
     sinks.write_fact_csv(out, dest)
     print(f"SUCCESS: wrote {dest}")
+    print(f"METRICS: {obs.get}")
 
     if args.validate:
         report = validate_csv(spark, dest)

@@ -1,0 +1,42 @@
+"""Data-quality metrics that RIDE the sink action (``df.observe``).
+
+A production pipeline wants row counts and blank-cell counts for every
+run, but a separate ``count()``/aggregation pass re-reads the fact
+relation — at 100 TB that doubles the job. ``observe`` attaches the
+aggregates to the existing plan: they are computed incrementally by the
+same tasks that feed the sink, cost ~zero, and surface on the driver
+after the action through the ``Observation`` handle.
+
+Blank semantics match the validator's (SURVEY P10: "null" means empty
+or whitespace STRING cell, because the reference's CSV round-trip
+stringifies everything) so the observed numbers agree with what
+``validate_csv`` would report on the written file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def _blank(c: str):
+    col = F.col(c)
+    return F.when(col.isNull()
+                  | (F.trim(col.cast("string")) == ""), 1).otherwise(0)
+
+
+def quality_observation(df: DataFrame, required_cols: list[str],
+                        name: str = "quality") -> tuple[DataFrame, Observation]:
+    """Attach (n_rows, n_blank_<col>...) observation metrics to ``df``.
+
+    Returns the instrumented DataFrame (sink THIS one — metrics only
+    materialize through an action on it) and the Observation whose
+    ``.get`` yields the metric dict after that action completes."""
+    missing = [c for c in required_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in relation: {missing}")
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [F.sum(_blank(c)).cast("long").alias(f"n_blank_{c}")
+             for c in required_cols]
+    return df.observe(obs, *aggs), obs

@@ -1,0 +1,26 @@
+"""Observation-based quality metrics (operators/metrics.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators.metrics import (
+    quality_observation,
+)
+
+
+def test_metrics_ride_the_action(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "", None), (3, "  ", 1.5), (4, "d", 0.0)],
+        "id long, name string, score double")
+    inst, obs = quality_observation(df, ["name", "score"])
+    inst.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    m = obs.get
+    # blank = null OR empty/whitespace string (validator semantics)
+    assert m == {"n_rows": 4, "n_blank_name": 2, "n_blank_score": 1}
+
+
+def test_metrics_reject_unknown_columns(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        quality_observation(df, ["nope"])

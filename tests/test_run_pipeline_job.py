@@ -74,7 +74,13 @@ def test_main_runs_from_yaml_with_cache_tree_news(bronze_dirs, tmp_path,
 
     rc = run_pipeline.main(["--config", str(cfg_path), "--validate"])
     assert rc == 0
-    assert "SUCCESS" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "SUCCESS" in out
+    # the observe metrics ride the write: counted rows, no blank keys
+    mline = [ln for ln in out.splitlines() if ln.startswith("METRICS: ")][0]
+    metrics = eval(mline.removeprefix("METRICS: "))
+    assert metrics["n_rows"] == 2
+    assert metrics["n_blank_Date"] == 0 and metrics["n_blank_Stock"] == 0
 
     csv = glob.glob(f"{out_dir}/pre_market_sentiment.csv/*.csv")
     assert len(csv) == 1
