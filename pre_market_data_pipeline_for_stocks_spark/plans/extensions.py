@@ -104,6 +104,17 @@ def dedup_incremental(spark, sf_dir):
         .orderBy("new_doc_id", "corpus_doc_id"))
 
 
+def dedup_incremental_admit(spark, sf_dir):
+    """The admitted complement of dedup_incremental: odd-doc_id batch
+    documents with NO near-dup in the even-doc_id corpus."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (dedup.admit_new_docs(corpus, new, MINHASH_K, MINHASH_BANDS,
+                                 3, JACCARD_THRESHOLD)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.40, "zh": 0.30, "es": 0.20, "fr": 0.10}
 MIXTURE_TOTAL = 300
 

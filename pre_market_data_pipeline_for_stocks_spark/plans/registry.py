@@ -1244,6 +1244,13 @@ common AS (
     "dedup_incremental": QueryDef(X.dedup_incremental,
                                   _incremental_minhash_sql()),
 
+    "dedup_incremental_admit": QueryDef(X.dedup_incremental_admit, f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT new_doc_id FROM ({_incremental_minhash_sql()}) i)
+ORDER BY doc_id
+"""),
+
     # operators.scd.scd2_from_changelog: null-safe regime collapse, then
     # valid_from/valid_to/version over the same (key, ts, id) ordering.
     "scd2_user_segments": QueryDef(X.scd2_user_segments, _SCD2_SQL + """

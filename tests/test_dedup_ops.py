@@ -231,3 +231,19 @@ def test_incremental_dedup_pairs_only_across_sides(spark):
     # batch doc 1 hits both corpus copies at jaccard 1.0; no
     # batch-internal (3,5) pair, no corpus-internal (0,2) pair, no 7.
     assert got == {(1, 0, 1.0), (1, 2, 1.0)}
+
+
+def test_admit_new_docs_keeps_only_novel(spark):
+    mk = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, mk + " iota"), (4, "unrelated corpus text entirely different"),
+         (1, mk + " iota"),                      # dup of corpus 0 -> rejected
+         (7, "novel single batch document nothing matches it at all")],
+        "doc_id int, text string")
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        admit_new_docs,
+    )
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    got = sorted(r.doc_id for r in admit_new_docs(corpus, batch).collect())
+    assert got == [7]
