@@ -78,7 +78,8 @@ def test_main_runs_from_yaml_with_cache_tree_news(bronze_dirs, tmp_path,
     assert "SUCCESS" in out
     # the observe metrics ride the write: counted rows, no blank keys
     mline = [ln for ln in out.splitlines() if ln.startswith("METRICS: ")][0]
-    metrics = eval(mline.removeprefix("METRICS: "))
+    import ast
+    metrics = ast.literal_eval(mline.removeprefix("METRICS: "))
     assert metrics["n_rows"] == 2
     assert metrics["n_blank_Date"] == 0 and metrics["n_blank_Stock"] == 0
 
