@@ -100,3 +100,33 @@ def stratified_cap(df: DataFrame, strata_cols: list[str], cap: int,
         _sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc())
     return (df.withColumn("_sc_rn", F.row_number().over(w))
             .filter(F.col("_sc_rn") <= cap).drop("_sc_rn"))
+
+
+def split_assign(df: DataFrame, props: dict[str, float], key_col: str,
+                 salt: str = "split") -> DataFrame:
+    """Deterministic exclusive train/val/test assignment: adds a
+    ``split`` column placing each row in exactly one named split, with
+    expected proportions ``props`` (normalized). Membership derives
+    from the salted content hash mod 10000 against cumulative
+    basis-point thresholds — row-content-stable across runs,
+    partitionings and engines, and EXCLUSIVE by construction (interval
+    partition of the hash space), which per-split independent samples
+    are not. Split names assign their hash intervals in sorted-name
+    order so the mapping is reproducible from ``props`` alone."""
+    if not props or any(p < 0 for p in props.values()):
+        raise ValueError("props must be non-empty and non-negative")
+    total = sum(props.values())
+    if total <= 0:
+        raise ValueError("props must sum to > 0")
+    h = _sample_hash(F.col(key_col), salt) % 10000
+    expr = None
+    acc = 0.0
+    names = sorted(props)
+    for name in names[:-1]:
+        acc += props[name] / total * 10000
+        cond = h < F.lit(int(round(acc)))
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

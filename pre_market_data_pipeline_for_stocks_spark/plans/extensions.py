@@ -132,6 +132,18 @@ def corpus_mixture_sample(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+SPLIT_PROPS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def corpus_split_assign(spark, sf_dir):
+    """Deterministic exclusive train/val/test assignment over the
+    corpus — every doc in exactly one split, hash-interval membership."""
+    from ..operators import sampling
+    return (sampling.split_assign(_docs(spark, sf_dir), SPLIT_PROPS,
+                                  key_col="doc_id")
+            .select("doc_id", "lang", "split").orderBy("doc_id"))
+
+
 # Value tiers for the range-join query: uneven widths plus one tier
 # (id 7) that OVERLAPS tiers 0/1, so the containment (not bucketing)
 # semantics are exercised — a value in [5, 10) lands in 3 tiers.

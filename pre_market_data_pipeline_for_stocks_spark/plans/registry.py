@@ -175,6 +175,21 @@ SELECT doc_id, cluster_id FROM comp
 """
 
 
+def _split_case_sql(props: dict[str, float]) -> str:
+    """WHEN-chain twin of operators.sampling.split_assign's threshold
+    walk (same sorted-name interval order, same rounding)."""
+    h = _h("('split:' || doc_id::VARCHAR)") + " % 10000"
+    total = sum(props.values())
+    names = sorted(props)
+    acc = 0.0
+    parts = []
+    for name in names[:-1]:
+        acc += props[name] / total * 10000
+        parts.append(f"WHEN {h} < {int(round(acc))} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}'")
+    return " ".join(parts)
+
+
 def _training_manifest_sql() -> str:
     """Twin of X.training_manifest: the full curate -> decontaminate ->
     mixture -> shard-pack chain as one WITH RECURSIVE pipeline. Every
@@ -1102,6 +1117,16 @@ SELECT doc_id, lang, source FROM (
            ORDER BY {_h("('strata:' || doc_id::VARCHAR)")} ASC,
                     doc_id ASC) AS rn
   FROM documents) WHERE rn <= 20 ORDER BY doc_id
+"""),
+
+    # operators.sampling.split_assign: cumulative basis-point
+    # thresholds over the salted hash, split names in sorted order —
+    # the CASE is generated from the same constants the Spark side
+    # uses.
+    "corpus_split_assign": QueryDef(X.corpus_split_assign, f"""
+SELECT doc_id, lang,
+       CASE {_split_case_sql(X.SPLIT_PROPS)} END AS split
+FROM documents ORDER BY doc_id
 """),
 
     # operators.sampling.mixture_sample: per-language quotas from

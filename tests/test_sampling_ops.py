@@ -119,3 +119,30 @@ def test_mixture_caps_properties():
                 exact = w / s * total
                 # each quota within 1 of its exact share (Hamilton bound)
                 assert abs(caps[k] - exact) < 1
+
+
+def test_split_assign_exclusive_and_stable(docs):
+    props = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.split_assign(docs, props, "doc_id")
+    # exclusive: exactly one split per row, all rows kept
+    assert a.count() == docs.count()
+    counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    n = docs.count()
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    # stable across partitionings
+    b = sampling.split_assign(docs.repartition(13), props, "doc_id")
+    am = {r.doc_id: r.split for r in a.collect()}
+    bm = {r.doc_id: r.split for r in b.collect()}
+    assert am == bm
+
+
+def test_split_assign_rejects_bad_props(docs):
+    for props in [{}, {"a": -1.0}, {"a": 0.0}]:
+        with pytest.raises(ValueError):
+            sampling.split_assign(docs, props, "doc_id")
+
+
+def test_split_assign_single_split_takes_all(docs):
+    out = sampling.split_assign(docs, {"train": 1.0}, "doc_id")
+    assert out.filter("split != 'train'").count() == 0
