@@ -104,6 +104,20 @@ def dedup_incremental(spark, sf_dir):
         .orderBy("new_doc_id", "corpus_doc_id"))
 
 
+def dedup_incremental_index(spark, sf_dir):
+    """Corpus-scan-free incremental dedup: odd-doc_id batch vs the
+    PERSISTED signature index of the even-doc_id corpus, verified by
+    the MinHash Jaccard estimate (no corpus text read)."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.build_signature_index(
+        docs.filter(F.col("doc_id") % 2 == 0), MINHASH_K, 3)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return (dedup.incremental_index_dedup(index, new, MINHASH_K,
+                                          MINHASH_BANDS, 3,
+                                          JACCARD_THRESHOLD)
+            .orderBy("new_doc_id", "corpus_doc_id"))
+
+
 def dedup_incremental_admit(spark, sf_dir):
     """The admitted complement of dedup_incremental: odd-doc_id batch
     documents with NO near-dup in the even-doc_id corpus."""

@@ -280,6 +280,41 @@ ORDER BY shard_id
 """
 
 
+def _incremental_index_sql(k: int = 8, bands: int = 4) -> str:
+    """Twin of operators.dedup.incremental_index_dedup over the
+    even-index / odd-batch split: same band machinery, verification by
+    signature-component agreement (the MinHash Jaccard estimate)."""
+    rpb = k // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"sig_{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS band_key FROM sigs"
+        for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(k))
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+sigs AS (SELECT doc_id,
+    {_minhash_sig_exprs(k)}
+  FROM shh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0)
+SELECT c.new_doc_id, c.corpus_doc_id,
+       round(({agree}) / {k}.0, 4) AS est_jaccard
+FROM cand c
+JOIN sigs a ON a.doc_id = c.new_doc_id
+JOIN sigs b ON b.doc_id = c.corpus_doc_id
+WHERE round(({agree}) / {k}.0, 4) >= 0.5
+ORDER BY new_doc_id, corpus_doc_id
+"""
+
+
 def _incremental_minhash_sql(k: int = 8, bands: int = 4) -> str:
     """Twin of operators.dedup.incremental_minhash_dedup over the
     even-corpus / odd-batch split in X.dedup_incremental: same band
@@ -1268,6 +1303,9 @@ common AS (
 
     "dedup_incremental": QueryDef(X.dedup_incremental,
                                   _incremental_minhash_sql()),
+
+    "dedup_incremental_index": QueryDef(X.dedup_incremental_index,
+                                        _incremental_index_sql()),
 
     "dedup_incremental_admit": QueryDef(X.dedup_incremental_admit, f"""
 SELECT doc_id, lang, source FROM documents

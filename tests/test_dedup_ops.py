@@ -247,3 +247,30 @@ def test_admit_new_docs_keeps_only_novel(spark):
     batch = docs.filter("doc_id % 2 = 1")
     got = sorted(r.doc_id for r in admit_new_docs(corpus, batch).collect())
     assert got == [7]
+
+
+def test_signature_index_parquet_roundtrip(spark, tmp_path):
+    """The persisted-index workflow end to end: build the signature
+    index, WRITE it to parquet, read it back in a fresh relation, and
+    dedup an incoming batch against the stored copy — results identical
+    to using the live index, corpus text never consulted."""
+    mk = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(0, mk + " iota"), (2, "entirely different corpus content here")],
+        "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(1, mk + " iota"), (3, "novel text sharing nothing with corpus")],
+        "doc_id int, text string")
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        build_signature_index,
+        incremental_index_dedup,
+    )
+    live = build_signature_index(corpus)
+    p = str(tmp_path / "sig_index")
+    live.write.mode("overwrite").parquet(p)
+    stored = spark.read.parquet(p)
+    got_live = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard)
+                for r in incremental_index_dedup(live, batch).collect()}
+    got_stored = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard)
+                  for r in incremental_index_dedup(stored, batch).collect()}
+    assert got_live == got_stored == {(1, 0, 1.0)}
