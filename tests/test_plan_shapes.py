@@ -117,3 +117,18 @@ def test_incremental_dedup_no_cartesian_two_sig_shuffles(spark, sf_dir,
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 4
+
+
+def test_training_manifest_no_nested_loops_bounded_shuffles(spark, sf_dir,
+                                                            queries):
+    """The 4-stage composite must stay join-key-driven end to end: no
+    cartesian/nested-loop anywhere, the per-doc joins broadcast, and
+    the hash-exchange count stays at the stages' own aggregations
+    (curation dedup + near-dup anti-join sides + decontam counts +
+    mixture/pack windows) — a blowup here means a stage stopped
+    composing declaratively."""
+    plan = _physical(queries["training_manifest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 10
+    assert plan.count("BroadcastHashJoin") >= 6
