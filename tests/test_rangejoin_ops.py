@@ -68,3 +68,35 @@ def test_rejects_bad_bin_width(spark):
     facts, ranges = _fixture(spark)
     with pytest.raises(ValueError):
         interval_bin_join(facts, ranges, bin_width=0)
+
+
+def test_bin_join_is_streaming_compatible(spark, sf_dir):
+    """The rewrite is a stateless stream-static equi-join, so it runs
+    under Structured Streaming append mode with no watermark and no
+    state store — drained rows equal the batch join exactly. (The
+    naive inequality join would force a nested-loop against the
+    static side per micro-batch.)"""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        VALUE_TIERS,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.streaming import (
+        events as se,
+    )
+    tiers = spark.createDataFrame(VALUE_TIERS, "tier_id int, lo int, hi int")
+    stream = (se.events_stream(spark, sf_dir)
+              .select("event_id", "value"))
+    joined = interval_bin_join(stream, tiers).select("event_id", "tier_id")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("stream_tiers").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.event_id, r.tier_id) for r in
+           spark.sql("SELECT * FROM stream_tiers").collect()}
+    batch = (se.load_events_batch(spark, sf_dir)
+             .select("event_id", "value"))
+    want = {(r.event_id, r.tier_id) for r in
+            interval_bin_join(batch, tiers)
+            .select("event_id", "tier_id").collect()}
+    assert got == want and len(got) > 0
