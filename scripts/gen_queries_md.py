@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Regenerate QUERIES.md from the live registry:
+    python scripts/gen_queries_md.py
+"""
+from __future__ import annotations
+
+import inspect
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pre_market_data_pipeline_for_stocks_spark.plans import registry  # noqa: E402
+
+HEADER = """# QUERIES — full registry index (scripts/gen_queries_md.py)
+
+Every driver-checkable query: implementation entry point, one-line
+intent (first docstring line of the underlying builder), and oracle
+kind. All oracles are full ANSI-SQL DuckDB twins (row count + schema +
+value-hash checked); `headline` queries form the bench.py suite.
+
+| # | Query | Builder | Headline | Intent |
+|---|---|---|---|---|
+"""
+
+
+def main() -> None:
+    rows = []
+    for i, (name, qd) in enumerate(registry.REGISTRY.items(), 1):
+        fn = qd.fn
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        doc = (inspect.getdoc(fn) or "").split("\n")[0].strip()
+        if len(doc) > 90:
+            doc = doc[:87] + "..."
+        doc = doc.replace("|", "\\|")
+        rows.append(f"| {i} | `{name}` | `{mod}.{fn.__name__}` | "
+                    f"{'yes' if qd.headline else ''} | {doc} |")
+    out = Path(__file__).resolve().parents[1] / "QUERIES.md"
+    out.write_text(HEADER + "\n".join(rows) + "\n", encoding="utf-8")
+    print(f"wrote {out} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
