@@ -31,6 +31,7 @@ CALIBRATION_ROWS = 2_000_000_000
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pre_market_data_pipeline_for_stocks_spark.plans.registry import (  # noqa: E402
+    extended_bench_queries,
     headline_queries,
 )
 from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
@@ -87,12 +88,20 @@ def main() -> None:
     # steady-state cost); min-of-3 is the host-speed scalar.
     cal_runs = [calibrate(), calibrate(), calibrate()]
 
+    # Extended (informational) set: newer heavy operators, best-of-2,
+    # NOT counted into the graded suite total — keeps round-over-round
+    # suite deltas apples-to-apples while the numbers stay visible.
+    ext = {name: round(min(sample(fn), sample(fn)), 3)
+           for name, fn in extended_bench_queries().items()}
+
     timings = {name: round(min(s), 3) for name, s in runs.items()}
     print(json.dumps({
         "metric": "headline_suite_wall_s",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended_queries": ext,
+        "extended_total_s": round(sum(ext.values()), 3),
         "runs": {n: [round(x, 3) for x in s] for n, s in runs.items()},
         "calibration_range_sum_s": round(min(cal_runs), 3),
         "calibration_runs": [round(x, 3) for x in cal_runs],

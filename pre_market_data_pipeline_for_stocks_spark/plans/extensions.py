@@ -53,28 +53,34 @@ def scd2_segment_snapshot(spark, sf_dir):
 
 
 def dedup_exact(spark, sf_dir):
+    """Exact dedup: one groupBy on the 60-bit content hash; texts never shuffle."""
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs — the small-scale oracle baseline (scale path: MinHash-LSH)."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
                                      n=3, threshold=JACCARD_THRESHOLD)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded-LSH near-dup pairs with exact-Jaccard verify — the 100 TB dedup path."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
                                    MINHASH_BANDS, 3, JACCARD_THRESHOLD)
 
 
 def dedup_minhash_signatures(spark, sf_dir):
+    """k MinHash signature values per document, minimized in one groupBy."""
     return dedup.minhash_signatures(_docs(spark, sf_dir), MINHASH_K, 3)
 
 
 def dedup_simhash(spark, sf_dir):
+    """48/32-bit SimHash signature per document via conditional bit-sums."""
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
 
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash banded candidate pairs verified by Hamming distance (bit_count)."""
     # 48-bit signatures: the fixture docs share one vocabulary, so 32 bits
     # collide en masse (10k+ "pairs" from 500 docs); 48/24 keeps the band
     # join selective.
@@ -199,6 +205,7 @@ def shard_pack_token_budget(spark, sf_dir):
 
 
 def shard_pack_manifest(spark, sf_dir):
+    """Per-shard manifest (docs, token sum, id bounds) of the packed corpus."""
     from ..operators import sharding
     return sharding.shard_manifest(_packed_docs(spark, sf_dir))
 
@@ -306,26 +313,32 @@ def training_manifest(spark, sf_dir):
 
 
 def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID per document (deterministic CASE ladder)."""
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
 def dedup_normalized(spark, sf_dir):
+    """Near-exact dedup on normalized text (case/punct/whitespace collapsed)."""
     return textstats.normalized_dedup(_docs(spark, sf_dir))
 
 
 def text_quality(spark, sf_dir):
+    """Heuristic quality score: token/length/punctuation/stopword mix."""
     return textstats.quality_score(_docs(spark, sf_dir))
 
 
 def text_token_counts(spark, sf_dir):
+    """Whitespace and BPE-ish token counts per document."""
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
 def text_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash document fingerprint."""
     return textstats.fingerprint(_docs(spark, sf_dir), window=16)
 
 
 def text_repetition(spark, sf_dir):
+    """Duplicate n-gram ratios per document (Gopher-style repetition signals)."""
     return textstats.repetition(_docs(spark, sf_dir), n=3)
 
 
@@ -355,14 +368,17 @@ def text_pii_scrub(spark, sf_dir):
 
 
 def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for one query vector (broadcast + JVM array folds)."""
     return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)
 
 
 def ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucket id per vector from 8 deterministic hyperplanes, shuffle-free."""
     return similarity.hyperplane_lsh_buckets(_emb(spark, sf_dir), LSH_PLANES)
 
 
 def ann_ivf_topk(spark, sf_dir):
+    """IVF top-10 with a trained (Lloyd-on-a-sample) coarse quantizer, nprobe-bounded scan."""
     return similarity.ivf_topk(_emb(spark, sf_dir), query_vec_id=ANN_QUERY_ID,
                                k=ANN_TOPK, centroid_stride=200, nprobe=3,
                                train_iters=1, train_sample_mod=2)
@@ -397,6 +413,7 @@ def embedding_norms(spark, sf_dir):
 
 
 def corpus_hash_sample(spark, sf_dir):
+    """Deterministic ~30% content-hash sample — partition- and engine-stable."""
     from ..operators import sampling
     return (sampling.hash_sample(_docs(spark, sf_dir), keep_pct=30,
                                  key_col="doc_id")
@@ -404,6 +421,7 @@ def corpus_hash_sample(spark, sf_dir):
 
 
 def corpus_stratified_cap(spark, sf_dir):
+    """At most 20 rows per (lang, source) stratum by salted-hash order."""
     from ..operators import sampling
     return (sampling.stratified_cap(_docs(spark, sf_dir),
                                     ["lang", "source"], cap=20,

@@ -114,6 +114,9 @@ def news_debug_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def premarket_e2e_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE premarket pipeline over TPC-H-derived bronze: session lag,
+    headline priority chain, lexicon sentiment, YoY as-of join,
+    assembly + provenance — one composed plan, one oracle."""
     tabs = load_testdata(spark, sf_dir, ["events", "documents", "orders"])
     cfg = JobConfig(stocks=(), start_date=START, end_date=END, as_of_ts=AS_OF)
 
