@@ -132,3 +132,15 @@ def test_training_manifest_no_nested_loops_bounded_shuffles(spark, sf_dir,
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 10
     assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_index_dedup_no_cartesian(spark, sf_dir, queries):
+    """Scan-free index dedup: band + verify joins stay equi-keyed (a
+    nested loop is a regression); four hash exchanges = the signature
+    aggregation per side, re-derived for the band and verify uses (a
+    persisted-index deployment replaces both index subtrees with one
+    parquet scan)."""
+    plan = _physical(queries["dedup_incremental_index"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
