@@ -130,3 +130,31 @@ def split_assign(df: DataFrame, props: dict[str, float], key_col: str,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling without replacement: the ``n``
+    rows with the largest Efraimidis-Spirakis keys ``u^(1/w)`` —
+    inclusion probability proportional to ``weight_col`` — with the
+    uniform draw ``u`` derived from the salted content hash instead of
+    an RNG, so the sample is reproducible across runs, partitionings
+    and engines (the quality-weighted corpus-selection step).
+
+    Ranked in log space (``ln(u)/w``, monotone in the ES key) to avoid
+    overflow at tiny weights; rows with weight <= 0 are excluded (their
+    ES key is 0 — never sampled ahead of any positive weight). The
+    global top-n executes as TakeOrdered (per-partition heaps, no full
+    sort); ties break by key column for engine determinism."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    # u in (0, 1): (hash mod 1e6 + 1) / (1e6 + 1) — never 0 or 1, so
+    # ln(u) is finite and the oracle reproduces it exactly.
+    u = ((_sample_hash(F.col(key_col), salt) % 1_000_000 + 1)
+         / F.lit(1_000_001.0))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("_es_key", es_key)
+            .orderBy(F.col("_es_key").desc(), F.col(key_col).asc())
+            .limit(n)
+            .drop("_es_key"))

@@ -152,6 +152,23 @@ def corpus_mixture_sample(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+WSAMPLE_N = 100
+
+
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus selection: 100 docs sampled without
+    replacement with inclusion probability proportional to the
+    heuristic quality score (deterministic Efraimidis-Spirakis keys
+    from the content hash)."""
+    from ..operators import sampling
+    docs = _docs(spark, sf_dir)
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    return (sampling.weighted_sample(docs.join(q, "doc_id"), WSAMPLE_N,
+                                     weight_col="quality",
+                                     key_col="doc_id")
+            .select("doc_id", "lang", "quality").orderBy("doc_id"))
+
+
 SPLIT_PROPS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 

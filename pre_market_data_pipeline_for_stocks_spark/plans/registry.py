@@ -1154,6 +1154,38 @@ SELECT doc_id, lang, source FROM (
   FROM documents) WHERE rn <= 20 ORDER BY doc_id
 """),
 
+    # operators.sampling.weighted_sample over the quality score:
+    # Efraimidis-Spirakis keys ln(u)/w with u from the salted hash.
+    # ln/pow are libm doubles in both engines; a rank flip needs two
+    # keys within 1 ulp — not reachable with 60-bit-hash-derived u.
+    "corpus_weighted_sample": QueryDef(X.corpus_weighted_sample, f"""
+WITH q AS (
+  SELECT doc_id,
+         round(least(greatest(
+           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * greatest(0.0,
+               1 - round(punct / greatest(n_chars, 1), 6) * 10),
+           0.0), 1.0), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+           len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
+             AS stops
+    FROM documents)),
+keyed AS (
+  SELECT d.doc_id, d.lang, q.quality,
+         ln(({_h("('wsample:' || d.doc_id::VARCHAR)")} % 1000000 + 1)
+            / 1000001.0) / q.quality AS es_key
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality > 0)
+SELECT doc_id, lang, quality FROM (
+  SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {100})
+ORDER BY doc_id
+"""),
+
     # operators.sampling.split_assign: cumulative basis-point
     # thresholds over the salted hash, split names in sorted order —
     # the CASE is generated from the same constants the Spark side

@@ -146,3 +146,27 @@ def test_split_assign_rejects_bad_props(docs):
 def test_split_assign_single_split_takes_all(docs):
     out = sampling.split_assign(docs, {"train": 1.0}, "doc_id")
     assert out.filter("split != 'train'").count() == 0
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    # two weight classes, 10x apart: heavy rows must dominate the
+    # sample well beyond their 50% population share
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sampling.weighted_sample(df, 100, "w", "id").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.w == 10.0)
+    assert heavy > 75
+    # deterministic across partitionings
+    again = sampling.weighted_sample(df.repartition(17), 100, "w", "id")
+    assert sorted(r.id for r in got) == sorted(r.id for r in again.collect())
+
+
+def test_weighted_sample_edges(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0)], "id long, w double")
+    got = sampling.weighted_sample(df, 10, "w", "id").collect()
+    # nonpositive weights never sampled; n beyond population is fine
+    assert [r.id for r in got] == [1]
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, -1, "w", "id")
