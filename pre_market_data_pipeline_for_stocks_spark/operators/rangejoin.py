@@ -37,10 +37,14 @@ def interval_bin_join(facts: DataFrame, ranges: DataFrame,
     exact by construction."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    # F.floor on BOTH sides: a bare cast('long') truncates toward zero,
+    # which disagrees with the facts side's floor for negative bounds
+    # (e.g. lo=-10, width=25: cast gives bin 0, floor gives bin -1) and
+    # silently drops matches below zero (ADVICE r4).
     binned_ranges = ranges.withColumn(
         "_bin", F.explode(F.sequence(
-            (F.col(lo_col) / bin_width).cast("long"),
-            ((F.col(hi_col) - 1) / bin_width).cast("long"))))
+            F.floor(F.col(lo_col) / bin_width).cast("long"),
+            F.floor((F.col(hi_col) - 1) / bin_width).cast("long"))))
     binned_facts = facts.withColumn(
         "_bin", F.floor(F.col(value_col) / bin_width).cast("long"))
     return (binned_facts.join(binned_ranges, "_bin")

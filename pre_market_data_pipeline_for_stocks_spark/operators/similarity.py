@@ -449,7 +449,8 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
                         planes_per_band: int = 4,
-                        threshold: float = 0.4) -> DataFrame:
+                        threshold: float = 0.4,
+                        max_bucket: int | None = None) -> DataFrame:
     """Banded (OR-amplified) sign-LSH near-dup pairs verified with exact
     cosine: (vec_a, vec_b, cosine).
 
@@ -465,6 +466,14 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     weights are driver-precomputed literals and projections are map-side
     array folds (see _plane_weight) — candidate generation needs no
     shuffle before the bucket join itself.
+
+    ``max_bucket`` caps that size^2 term against hot buckets: a skewed
+    corpus (many near-identical embeddings — boilerplate docs, padding
+    vectors) can put m vectors in one band bucket and emit m^2/2
+    candidate rows. Buckets above the cap are dropped before the
+    self-join (same guard and recall trade-off as dedup.cap_band_buckets:
+    dropped-bucket members still pair via their other bands). None
+    (default) = exact (b, r) semantics.
     """
     dims = 64
     band_structs = []
@@ -481,6 +490,9 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     banded = embeddings.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("vec_id", "bk.band", "bk.band_key")
+    if max_bucket is not None:
+        from .dedup import cap_band_buckets
+        banded = cap_band_buckets(banded, max_bucket)
 
     x = banded.withColumnsRenamed({"vec_id": "vec_a"})
     y = banded.withColumnsRenamed({"vec_id": "vec_b"})

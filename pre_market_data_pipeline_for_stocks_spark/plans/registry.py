@@ -1172,7 +1172,7 @@ WITH q AS (
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
            length(text) AS n_chars,
            len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
-           len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
+           len(regexp_extract_all(lower(text), '\\b({_STOP["en"]})\\b'))
              AS stops
     FROM documents)),
 keyed AS (
@@ -1182,7 +1182,7 @@ keyed AS (
   FROM documents d JOIN q USING (doc_id)
   WHERE q.quality > 0)
 SELECT doc_id, lang, quality FROM (
-  SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {100})
+  SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {X.WSAMPLE_N})
 ORDER BY doc_id
 """),
 

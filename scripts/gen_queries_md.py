@@ -24,7 +24,10 @@ value-hash checked); `headline` queries form the bench.py suite.
 """
 
 
-def main() -> None:
+def render() -> str:
+    """The full QUERIES.md text. Single source of truth — main() writes
+    it and tests/test_entry_contract.py compares the file against it, so
+    the freshness guard can't drift from the generator (ADVICE r4)."""
     rows = []
     for i, (name, qd) in enumerate(registry.REGISTRY.items(), 1):
         fn = qd.fn
@@ -35,9 +38,13 @@ def main() -> None:
         doc = doc.replace("|", "\\|")
         rows.append(f"| {i} | `{name}` | `{mod}.{fn.__name__}` | "
                     f"{'yes' if qd.headline else ''} | {doc} |")
+    return HEADER + "\n".join(rows) + "\n"
+
+
+def main() -> None:
     out = Path(__file__).resolve().parents[1] / "QUERIES.md"
-    out.write_text(HEADER + "\n".join(rows) + "\n", encoding="utf-8")
-    print(f"wrote {out} ({len(rows)} queries)")
+    out.write_text(render(), encoding="utf-8")
+    print(f"wrote {out} ({len(render().splitlines()) - HEADER.count(chr(10))} queries)")
 
 
 if __name__ == "__main__":

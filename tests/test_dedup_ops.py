@@ -274,3 +274,64 @@ def test_signature_index_parquet_roundtrip(spark, tmp_path):
     got_stored = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard)
                   for r in incremental_index_dedup(stored, batch).collect()}
     assert got_live == got_stored == {(1, 0, 1.0)}
+
+
+def _clone_docs(spark, m=12, extras=2):
+    """m byte-identical boilerplate docs (co-bucketed in EVERY LSH band)
+    plus `extras` docs forming one genuine near-dup pair that shares no
+    bucket with the clones."""
+    rows = [(i, "common boiler plate text repeated over and over again")
+            for i in range(m)]
+    rows += [(100 + j,
+              f"entirely different subject matter discussing topic {j} "
+              "with mostly shared tail words alpha beta gamma delta")
+             for j in range(extras)]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """VERDICT r4 #1: one hot band bucket must not emit m^2/2 pairs.
+    12 identical docs co-bucket in all bands -> every bucket they touch
+    exceeds max_bucket=5 and is dropped; the non-hot near-dup pair
+    elsewhere in the corpus must survive."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    docs = _clone_docs(spark)
+    capped = minhash_lsh_pairs(docs, threshold=0.3, max_bucket=5,
+                               persist_shingles=False).collect()
+    clone_pairs = [r for r in capped if r["doc_a"] < 100 and r["doc_b"] < 100]
+    other_pairs = [r for r in capped if r["doc_a"] >= 100]
+    assert clone_pairs == []              # hot bucket dropped, not m^2/2
+    assert len(other_pairs) == 1          # recall outside hot buckets kept
+
+
+def test_lsh_cap_off_is_exact(spark):
+    """max_bucket=None (and a cap above the bucket size) reproduce the
+    unguarded result exactly — the oracle path is untouched."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    docs = _clone_docs(spark)
+    base = sorted(map(tuple, minhash_lsh_pairs(
+        docs, threshold=0.3, persist_shingles=False).collect()))
+    high = sorted(map(tuple, minhash_lsh_pairs(
+        docs, threshold=0.3, max_bucket=1000,
+        persist_shingles=False).collect()))
+    assert base == high
+    assert len([t for t in base if t[0] < 100 and t[1] < 100]) == 12 * 11 // 2
+
+
+def test_cap_band_buckets_row_bound(spark):
+    """Direct unit on the guard: buckets above the cap vanish, buckets
+    at/below it pass through untouched."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        cap_band_buckets,
+    )
+    rows = [(i, 0, "hot") for i in range(10)] + \
+           [(100 + i, 0, "cold") for i in range(3)]
+    banded = spark.createDataFrame(
+        rows, "doc_id int, band int, band_key string")
+    kept = cap_band_buckets(banded, max_bucket=5).collect()
+    assert {r["band_key"] for r in kept} == {"cold"}
+    assert len(kept) == 3

@@ -112,19 +112,7 @@ def test_queries_md_is_current():
         "gen_queries_md", root / "scripts" / "gen_queries_md.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    import inspect as _inspect
-
-    from pre_market_data_pipeline_for_stocks_spark.plans import registry
-    rows = []
-    for i, (name, qd) in enumerate(registry.REGISTRY.items(), 1):
-        fn = qd.fn
-        m = fn.__module__.rsplit(".", 1)[-1]
-        doc = (_inspect.getdoc(fn) or "").split("\n")[0].strip()
-        if len(doc) > 90:
-            doc = doc[:87] + "..."
-        doc = doc.replace("|", "\\|")
-        rows.append(f"| {i} | `{name}` | `{m}.{fn.__name__}` | "
-                    f"{'yes' if qd.headline else ''} | {doc} |")
-    expect = mod.HEADER + "\n".join(rows) + "\n"
-    assert (root / "QUERIES.md").read_text(encoding="utf-8") == expect, (
+    # Shared render() (ADVICE r4): the guard and the generator cannot
+    # produce different text by construction.
+    assert (root / "QUERIES.md").read_text(encoding="utf-8") == mod.render(), (
         "QUERIES.md stale — run python scripts/gen_queries_md.py")

@@ -100,3 +100,27 @@ def test_bin_join_is_streaming_compatible(spark, sf_dir):
             interval_bin_join(batch, tiers)
             .select("event_id", "tier_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_negative_domain_matches_naive_join(spark):
+    """ADVICE r4: cast('long') truncates toward zero so negative bounds
+    binned differently on the two sides, dropping e.g. value -5 from
+    range [-10, 20). Both sides now floor; the rewrite must equal the
+    naive containment join over a mixed-sign domain."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_bin_join,
+    )
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [-60, -30, -25, -10, -5, -1, 0, 1, 5, 19, 20, 24, 25, 49, 50])],
+        "fact_id int, value double")
+    ranges = spark.createDataFrame(
+        [(1, -10, 20), (2, -60, -25), (3, -1, 1), (4, 0, 50), (5, -100, 100)],
+        "tier_id int, lo int, hi int")
+    got = {(r.fact_id, r.tier_id) for r in
+           interval_bin_join(facts, ranges, bin_width=25).collect()}
+    want = {(f.fact_id, r.tier_id)
+            for f in facts.collect() for r in ranges.collect()
+            if r.lo <= f.value < r.hi}
+    assert (0, 5) in want and (4, 1) in want   # negative-bin cases live
+    assert got == want

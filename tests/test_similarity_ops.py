@@ -219,3 +219,27 @@ def test_cosine_topk_int8_recall_vs_exact(spark, sf_dir):
     # int8 reconstruction loses <1e-4 cosine on the fixture
     # distribution — top-10 must be nearly unchanged.
     assert len(exact & quant) >= 9
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """VERDICT r4 #1 (embedding side): m identical vectors co-bucket in
+    every band; max_bucket drops those buckets so the self-join stays
+    bounded, while a distinct near-dup pair in a cold bucket survives."""
+    import math
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+    dims = 64
+    hot = [[1.0 if d % 2 == 0 else 0.5 for d in range(dims)]] * 10
+    a = [math.sin(d * 0.7) for d in range(dims)]
+    b = [v + 0.01 for v in a]                       # near-dup of a
+    rows = [(i, v) for i, v in enumerate(hot)] + [(100, a), (101, b)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    capped = lsh_candidate_pairs(emb, threshold=0.4, max_bucket=5).collect()
+    assert [r for r in capped if r["vec_a"] < 100] == []
+    cold = [r for r in capped if r["vec_a"] == 100 and r["vec_b"] == 101]
+    assert len(cold) == 1 and cold[0]["cosine"] > 0.99
+
+    uncapped = lsh_candidate_pairs(emb, threshold=0.4).collect()
+    assert len([r for r in uncapped if r["vec_a"] < 100]) == 10 * 9 // 2
