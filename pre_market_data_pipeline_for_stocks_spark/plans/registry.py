@@ -226,15 +226,21 @@ q AS (
 keep AS (
   SELECT min(doc_id) AS doc_id FROM documents
   GROUP BY {_h(_NORM_TEXT)}),
-curated AS (
-  SELECT d.doc_id, d.source
+cpool AS (
+  SELECT d.doc_id, d.source, q.quality
   FROM documents d
   JOIN en_docs USING (doc_id)
   JOIN q USING (doc_id)
   JOIN keep USING (doc_id)
   WHERE q.quality >= 0.3
-    AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
-    AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50),
+    AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)),
+curated AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ln(({_h("('curate:' || doc_id::VARCHAR)")} % 1000000 + 1)
+              / 1000001.0) / quality AS es_key
+    FROM cpool WHERE quality > 0
+    ORDER BY es_key DESC, doc_id ASC LIMIT {_X.CURATE_N})),
 {_SHINGLES_CTE.strip()},
 bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 100 = 0),
 pool_sh AS (SELECT s.doc_id, s.sh FROM shh s JOIN curated USING (doc_id)),
@@ -1240,17 +1246,23 @@ q AS (
     FROM documents)),
 keep AS (
   SELECT min(doc_id) AS doc_id FROM documents
-  GROUP BY {_h(_NORM_TEXT)})
-SELECT d.doc_id, d.lang, d.source, q.quality
-FROM documents d
-JOIN en_docs USING (doc_id)
-JOIN q USING (doc_id)
-JOIN keep USING (doc_id)
-WHERE q.quality >= 0.3
-  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)
-  AND {_h("('sample:' || d.doc_id::VARCHAR)")} % 100 < 50
-ORDER BY d.doc_id
-""".format(**{k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
+  GROUP BY {_h(_NORM_TEXT)}),
+pool AS (
+  SELECT d.doc_id, d.lang, d.source, q.quality
+  FROM documents d
+  JOIN en_docs USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN keep USING (doc_id)
+  WHERE q.quality >= 0.3
+    AND d.doc_id NOT IN (SELECT doc_id FROM near_drop))
+SELECT doc_id, lang, source, quality FROM (
+  SELECT *, ln(({_h("('curate:' || doc_id::VARCHAR)")} % 1000000 + 1)
+               / 1000001.0) / quality AS es_key
+  FROM pool WHERE quality > 0
+  ORDER BY es_key DESC, doc_id ASC LIMIT {{curate_n}})
+ORDER BY doc_id
+""".format(curate_n=X.CURATE_N,
+           **{k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))"
               for k, v in _STOP.items()})),
 
     # The end-to-end training-data build (see X.training_manifest):

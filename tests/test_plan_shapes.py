@@ -72,16 +72,21 @@ def test_segment_rollup_broadcasts_dimension(spark, sf_dir, queries):
 
 
 def test_curated_corpus_single_shuffle(spark, sf_dir, queries):
-    """The 5-stage curation composite: the required shuffles are the
-    normalized-dedup groupBy plus the two sides of the near-dup
+    """The 6-stage curation composite: the required hash shuffles are
+    the normalized-dedup groupBy plus the two sides of the near-dup
     cluster-drop anti-join (its build side is resolve_clusters'
     checkpointed output — no stats, so the STATIC plan can't prove it
     broadcastable; AQE converts at runtime when the drop list is
     small). The filter/quality/keeper doc_id joins must stay broadcast
-    and add no exchanges."""
+    and add no exchanges. The r5 quality-weighted selection stage
+    (ES-key top-CURATE_N) executes as a global limit over a per-
+    partition-pruned sort — NOT a hash exchange and never a nested
+    loop, which this pin would catch."""
     plan = _physical(queries["curated_corpus"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_salted_agg_keeps_content_salt(spark, sf_dir, queries):
