@@ -1,0 +1,134 @@
+"""Streaming incremental corpus admission (VERDICT r4 #5) — the
+ingest topology a 100 TB corpus actually runs.
+
+Batch twin: ``operators.dedup.incremental_index_dedup`` +
+``admit_new_docs`` check ONE batch against a standing corpus. A real
+pipeline is a STREAM of batches, each of which must dedup against
+everything admitted before it — including documents admitted two
+micro-batches ago. This module composes the scan-free signature index
+(``build_signature_index``) with foreachBatch:
+
+    seed_index(corpus, index_root)            # once, from the backfill
+    run_admission(doc_stream, index_root, admitted_root, ckpt)
+
+Per micro-batch, inside the writer:
+  1. read the signature index (seed + every previously admitted
+     batch's appended signatures — |corpus| rows of k small ints,
+     ~1e-4 of corpus bytes; corpus TEXT is never re-read),
+  2. drop batch docs whose MinHash-estimate Jaccard against any index
+     doc clears the threshold (same est-verify as the batch twin),
+  3. write admitted docs to ``admitted_root/batch-N``,
+  4. append their signatures to ``index_root/batch-N``.
+
+Exactly-once: foreachBatch is at-least-once — a recovered query
+REPLAYS a micro-batch under the same batch id. Both writes are
+batch-id-keyed overwrites (the bronze-writer pattern), and step 2
+EXCLUDES the replayed batch's own ``index_root/batch-N`` from the
+index read: without the exclusion, a replayed batch would meet its own
+first-attempt signatures in the index, flag every doc a duplicate of
+itself, and overwrite the admitted dir with nothing — silent data
+loss on recovery. With it, a replay recomputes the identical
+admission decision from the identical pre-batch index. The
+re-admission check reads the batch back from its own written parquet,
+so the signature append can never drift from what was admitted.
+
+Listing goes through the Hadoop FileSystem API (works on HDFS/S3A/
+local alike), not os.listdir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import build_signature_index, incremental_index_dedup
+
+from pyspark.sql import functions as F
+
+
+def seed_index(corpus: DataFrame, index_root: str,
+               num_hashes: int = 8, n: int = 3) -> None:
+    """Materialize the backfill corpus's signature index at
+    ``index_root/seed`` — run once before starting the stream (an
+    empty/missing root is also legal: the first micro-batch then
+    admits everything, the cold-start corpus)."""
+    (build_signature_index(corpus, num_hashes, n)
+     .write.mode("overwrite").parquet(f"{index_root}/seed"))
+
+
+def _index_dirs(spark: SparkSession, index_root: str,
+                exclude_batch: int | None = None) -> list[str]:
+    """Subdirectories making up the current index (seed + batch-*),
+    minus the excluded batch id (replay safety, see module doc)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if exclude_batch is not None and name == f"batch-{exclude_batch}":
+            continue
+        out.append(st.getPath().toString())
+    return out
+
+
+def read_index(spark: SparkSession, index_root: str,
+               exclude_batch: int | None = None) -> DataFrame | None:
+    """The standing signature index as one DataFrame (None if the root
+    is empty — cold start)."""
+    dirs = _index_dirs(spark, index_root, exclude_batch)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def admission_writer(index_root: str, admitted_root: str,
+                     num_hashes: int = 8, bands: int = 4, n: int = 3,
+                     est_threshold: float = 0.5):
+    """The foreachBatch function behind ``run_admission`` (exposed for
+    direct replay tests)."""
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = read_index(spark, index_root, exclude_batch=batch_id)
+        if index is None:
+            admitted = batch_df
+        else:
+            dupes = (incremental_index_dedup(index, batch_df, num_hashes,
+                                             bands, n, est_threshold)
+                     .select(F.col("new_doc_id").alias("doc_id"))
+                     .distinct())
+            admitted = batch_df.join(dupes, "doc_id", "left_anti")
+        admitted.write.mode("overwrite") \
+            .parquet(f"{admitted_root}/batch-{batch_id}")
+        # Signatures are derived from the WRITTEN batch (read back), so
+        # the index append is exactly the admitted rows even if the
+        # plan above were nondeterministic.
+        written = spark.read.parquet(f"{admitted_root}/batch-{batch_id}")
+        (build_signature_index(written, num_hashes, n)
+         .write.mode("overwrite").parquet(f"{index_root}/batch-{batch_id}"))
+    return write
+
+
+def run_admission(doc_stream: DataFrame, index_root: str,
+                  admitted_root: str, checkpoint: str,
+                  num_hashes: int = 8, bands: int = 4, n: int = 3,
+                  est_threshold: float = 0.5) -> None:
+    """Drive the admission stream synchronously to exhaustion (local
+    drain; a deployment leaves the query running)."""
+    q = (doc_stream.writeStream.outputMode("append")
+         .foreachBatch(admission_writer(index_root, admitted_root,
+                                        num_hashes, bands, n,
+                                        est_threshold))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_admitted(spark: SparkSession, admitted_root: str) -> DataFrame:
+    """Every admitted batch as one DataFrame."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(admitted_root))

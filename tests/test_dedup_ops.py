@@ -335,3 +335,35 @@ def test_cap_band_buckets_row_bound(spark):
     kept = cap_band_buckets(banded, max_bucket=5).collect()
     assert {r["band_key"] for r in kept} == {"cold"}
     assert len(kept) == 3
+
+
+def test_shingle_cache_context_manager(spark):
+    """VERDICT r4 #8: `with shingle_cache():` frees exactly the caches
+    persisted inside the block and leaves pre-existing entries alone."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    dd.release_shingle_caches()
+    docs = _docs(spark, 8)
+
+    outside = dd.ngram_jaccard_pairs(docs, threshold=0.01)
+    outside.count()                       # persists one entry pre-scope
+    assert len(dd._PERSISTED_SHINGLES) == 1
+
+    with dd.shingle_cache():
+        dd.minhash_lsh_pairs(docs, threshold=0.01).count()
+        assert len(dd._PERSISTED_SHINGLES) == 2
+    assert len(dd._PERSISTED_SHINGLES) == 1   # scope released its own
+
+    assert dd.release_shingle_caches() == 1   # the pre-existing one
+
+
+def test_shingle_cache_releases_on_error(spark):
+    """The scope must free its caches even when the block raises."""
+    import pytest
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    dd.release_shingle_caches()
+    docs = _docs(spark, 8)
+    with pytest.raises(RuntimeError):
+        with dd.shingle_cache():
+            dd.ngram_jaccard_pairs(docs, threshold=0.01).count()
+            raise RuntimeError("boom")
+    assert dd._PERSISTED_SHINGLES == []

@@ -243,3 +243,23 @@ def test_embedding_lsh_hot_bucket_cap(spark):
 
     uncapped = lsh_candidate_pairs(emb, threshold=0.4).collect()
     assert len([r for r in uncapped if r["vec_a"] < 100]) == 10 * 9 // 2
+
+
+def test_ivf_recall_monotone_in_nprobe(emb):
+    """VERDICT r4 #7: the recall/nprobe curve a user tunes. More probed
+    cells can only ADD candidates (the probe set is top-nprobe by
+    centroid cosine, nested by construction), so recall@10 must be
+    non-decreasing in nprobe and reach the 0.9 class by nprobe=4 on
+    this fixture (deterministic data + training = pins, not floors).
+    The cost side of the trade-off is the scan fraction: ~nprobe/cells
+    of the corpus is dot-producted per query."""
+    brute = {r.vec_id for r in S.cosine_topk(emb, 0, 10).collect()}
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        ivf = {r.vec_id for r in
+               S.ivf_topk(emb, 0, 10, centroid_stride=50,
+                          train_iters=1, nprobe=nprobe).collect()}
+        recalls[nprobe] = len(brute & ivf) / 10
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[4] >= 0.9
+    assert recalls[1] >= 0.3   # even one cell finds the query's own cell

@@ -1,0 +1,136 @@
+"""Streaming incremental admission (VERDICT r4 #5): each micro-batch
+deduped scan-free against the persisted signature index, admitted docs
+appended to it — stream == sequential-batch fold, cross-micro-batch
+dedup, and foreachBatch replay idempotence (the at-least-once case)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+from pre_market_data_pipeline_for_stocks_spark.streaming import admission as adm
+
+UNIQUE_TEXT = ("an entirely synthetic paragraph about nothing in "
+               "particular that appears first in micro batch one and "
+               "then again verbatim in micro batch two")
+
+
+def _setup(spark, sf_dir, tmp_path):
+    """Seed corpus + two stream files with deterministic trigger order.
+
+    Docs 9001 (file 0) and 9002 (file 1) share UNIQUE_TEXT, unseen by
+    the seed — 9002 is droppable ONLY because 9001 was admitted one
+    micro-batch earlier, pinning the cross-batch index append."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = docs.columns
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def synth(doc_id):
+        row = {c: None for c in cols}
+        row.update(doc_id=doc_id, text=UNIQUE_TEXT)
+        if "lang" in row:
+            row["lang"] = "en"
+        if "source" in row:
+            row["source"] = "synth"
+        return spark.createDataFrame([row], docs.schema)
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 1).unionByName(synth(9001))
+    b1 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(synth(9002))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0.coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    # One data file per dir; move them up as two source files whose
+    # mtimes fix the micro-batch order (FileStreamSource triggers in
+    # mod-time order under maxFilesPerTrigger=1).
+    import glob
+    import shutil
+    for i, d in enumerate(("f0", "f1")):
+        part = glob.glob(f"{src}/{d}/part-*.parquet")[0]
+        dst = f"{src}/batchfile-{i}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(f"{src}/{d}")
+        os.utime(dst, (1_700_000_000 + 600 * i,) * 2)
+
+    index_root = str(tmp_path / "index")
+    admitted_root = str(tmp_path / "admitted")
+    adm.seed_index(seed, index_root)
+    return docs, seed, b0, b1, src, index_root, admitted_root
+
+
+def _stream(spark, src, schema):
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "batchfile-*.parquet")
+            .parquet(src))
+
+
+def _sequential_fold(seed, b0, b1):
+    """The batch twin: fold incremental_index_dedup over the batches in
+    trigger order, appending admitted signatures between steps."""
+    index = dd.build_signature_index(seed)
+    admitted = []
+    for batch in (b0, b1):
+        dupes = (dd.incremental_index_dedup(index, batch)
+                 .select(F.col("new_doc_id").alias("doc_id")).distinct())
+        adm_b = batch.join(dupes, "doc_id", "left_anti")
+        admitted.append(adm_b)
+        index = index.unionByName(dd.build_signature_index(adm_b))
+    out = admitted[0].unionByName(admitted[1])
+    return {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_stream_admission_matches_sequential_batch(spark, sf_dir, tmp_path):
+    docs, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    adm.run_admission(_stream(spark, src, docs.schema), index_root,
+                      admitted_root, str(tmp_path / "ckpt"))
+
+    got = {r.doc_id for r in
+           adm.read_admitted(spark, admitted_root).select("doc_id").collect()}
+    want = _sequential_fold(seed, b0, b1)
+    assert got == want and len(got) > 0
+
+    # The cross-micro-batch pin: 9001 admitted in batch 0; 9002 dropped
+    # in batch 1 purely by 9001's appended signatures (the seed never
+    # saw UNIQUE_TEXT).
+    assert 9001 in got and 9002 not in got
+    batch0 = {r.doc_id for r in
+              spark.read.parquet(f"{admitted_root}/batch-0").collect()}
+    assert 9001 in batch0
+
+    # The index now holds seed + one dir per micro-batch, and its row
+    # count is exactly seed + admitted (the append contract).
+    idx = adm.read_index(spark, index_root)
+    assert idx.count() == seed.count() + len(got)
+
+
+def test_stream_admission_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch replay (same batch id, same input, index already
+    containing the first attempt's appends) must reproduce the same
+    admitted set — the exclude-own-batch read is what prevents a
+    replayed batch from self-duplicating to an empty overwrite."""
+    docs, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    adm.run_admission(_stream(spark, src, docs.schema), index_root,
+                      admitted_root, str(tmp_path / "ckpt"))
+
+    before = sorted(r.doc_id for r in
+                    adm.read_admitted(spark, admitted_root)
+                    .select("doc_id").collect())
+    b0_rows = spark.createDataFrame(b0.collect(), docs.schema)
+    adm.admission_writer(index_root, admitted_root)(b0_rows, 0)  # replay
+    after = sorted(r.doc_id for r in
+                   adm.read_admitted(spark, admitted_root)
+                   .select("doc_id").collect())
+    assert after == before
+
+    # A FRESH batch under a new id still dedups against everything,
+    # including its own replayed predecessors: replaying batch 1's
+    # input as batch 2 admits nothing.
+    b1_rows = spark.createDataFrame(b1.collect(), docs.schema)
+    adm.admission_writer(index_root, admitted_root)(b1_rows, 2)
+    assert spark.read.parquet(f"{admitted_root}/batch-2").count() == 0
