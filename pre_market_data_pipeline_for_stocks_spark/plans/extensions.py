@@ -69,6 +69,19 @@ def dedup_minhash_lsh(spark, sf_dir):
                                    MINHASH_BANDS, 3, JACCARD_THRESHOLD)
 
 
+LSH_MAX_BUCKET = 2
+
+
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """LSH near-dup pairs under the hot-bucket guard (max_bucket=2,
+    chosen below the fixture's largest band bucket of 3 so the cap
+    provably drops buckets at sf0.01): candidate volume bounded
+    O(buckets x cap^2) — the skew-safe production configuration."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
+                                   MINHASH_BANDS, 3, JACCARD_THRESHOLD,
+                                   max_bucket=LSH_MAX_BUCKET)
+
+
 def dedup_minhash_signatures(spark, sf_dir):
     """k MinHash signature values per document, minimized in one groupBy."""
     return dedup.minhash_signatures(_docs(spark, sf_dir), MINHASH_K, 3)

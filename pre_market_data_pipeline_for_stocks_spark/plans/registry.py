@@ -120,7 +120,8 @@ def _minhash_sig_exprs(k: int) -> str:
         for i, (a, b) in enumerate(_minhash_params(k)))
 
 
-def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
+def _minhash_band_sql(k: int = 8, bands: int = 4,
+                      max_bucket: int | None = None) -> str:
     rpb = k // bands
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, ".format(b=b)
@@ -128,12 +129,22 @@ def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
             f"sig_{b * rpb + r}::VARCHAR" for r in range(rpb))
         + " AS band_key FROM sigs"
         for b in range(bands))
+    # Twin of dedup.cap_band_buckets: buckets above the cap removed
+    # before the self-join (anti-join on the hot-bucket set).
+    bands_cte = (f"bands0 AS ({band_selects}),\n"
+                 f"hot AS (SELECT band, band_key FROM bands0\n"
+                 f"  GROUP BY 1, 2 HAVING count(*) > {max_bucket}),\n"
+                 f"bands AS (SELECT b0.* FROM bands0 b0\n"
+                 f"  LEFT JOIN hot h USING (band, band_key)\n"
+                 f"  WHERE h.band IS NULL)"
+                 if max_bucket is not None
+                 else f"bands AS ({band_selects})")
     return f"""
 WITH {_SHINGLES_CTE.strip()},
 sigs AS (SELECT doc_id,
     {_minhash_sig_exprs(k)}
   FROM shh GROUP BY doc_id),
-bands AS ({band_selects}),
+{bands_cte},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
@@ -1342,6 +1353,10 @@ common AS (
 
     "dedup_minhash_lsh": QueryDef(X.dedup_minhash_lsh, _minhash_band_sql(),
                                   headline=True),
+
+    "dedup_minhash_lsh_capped": QueryDef(
+        X.dedup_minhash_lsh_capped,
+        _minhash_band_sql(max_bucket=X.LSH_MAX_BUCKET)),
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 

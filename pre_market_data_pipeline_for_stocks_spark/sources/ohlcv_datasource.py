@@ -154,27 +154,44 @@ class SyntheticOhlcvStreamReader(SimpleDataSourceStreamReader):
         self.end = dt.date.fromisoformat(
             options.get("end_date", "2026-01-31"))
         self.seed = options.get("seed", "42")
+        # Per-stock memo of the close walk: stock -> (day walked
+        # through, open, close). Draining an N-day stream advances each
+        # stock one day per call — O(N) total instead of the O(N^2)
+        # replay-from-start_date the ADVICE r4 nit flagged; a
+        # checkpoint-recovered reader (fresh instance) or a backward
+        # readBetweenOffsets just pays one full rebuild and re-memoizes.
+        self._walk: dict[str, tuple[dt.date, float, float]] = {}
 
     def initialOffset(self) -> dict:
         return {"day": self.start.isoformat()}
+
+    def _advance(self, stock: str, day: dt.date) -> tuple[float, float]:
+        """(open, close) of the seeded walk at ``day``, resuming from
+        the memoized position when it isn't past ``day``. The values
+        are path-dependent (each close compounds the previous), which
+        is exactly why the naive version had to replay the whole path."""
+        state = self._walk.get(stock)
+        if state is None or state[0] > day:
+            close = 50.0 + _u(self.seed, stock, "base") * 450.0
+            o, d = close, self.start
+        else:
+            d, o, close = (state[0] + dt.timedelta(days=1),
+                           state[1], state[2])
+        while d <= day:
+            if d.isoweekday() <= 5:
+                ret = (_u(self.seed, stock, d, "ret") - 0.5) * 0.1
+                o = close
+                close = round(max(1.0, close * (1.0 + ret)), 2)
+            d += dt.timedelta(days=1)
+        self._walk[stock] = (day, o, close)
+        return o, close
 
     def _bars_for(self, day: dt.date) -> list[tuple]:
         if day.isoweekday() > 5:
             return []
         rows = []
         for stock in self.stocks:
-            # Replay the cumulative close walk from start_date — the
-            # stream must agree with the batch reader's path-dependent
-            # closes at every day, not just the first.
-            close = 50.0 + _u(self.seed, stock, "base") * 450.0
-            o = close
-            d = self.start
-            while d <= day:
-                if d.isoweekday() <= 5:
-                    ret = (_u(self.seed, stock, d, "ret") - 0.5) * 0.1
-                    o = close
-                    close = round(max(1.0, close * (1.0 + ret)), 2)
-                d += dt.timedelta(days=1)
+            o, close = self._advance(stock, day)
             hi = round(max(o, close)
                        * (1 + _u(self.seed, stock, day, "h") * 0.02), 2)
             lo = round(min(o, close)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Generate an sf1-scale dataset (10x sf0.1) at .sf1/ for the
+scale-trend bench pass (VERDICT r4 #6):
+
+    python scripts/gen_sf1.py
+    SPARK_GRAFT_SF_DIR=/root/repo/.sf1 python bench.py
+
+The driver ships sf{0.001,0.01,0.1} only; this derives sf1 from sf0.1
+by 10x key-offset replication, built so each query's WORKLOAD CHARACTER
+scales linearly instead of degenerating:
+
+- fact/entity tables (lineitem, orders, customer, supplier, part,
+  events): copy i offsets every key column by i * (a round stride >
+  max key), so key uniqueness and every join relationship survive and
+  per-key group sizes stay constant (10x groups, not 10x-deeper
+  groups). Dates/values untouched. nation/region stay fixed — TPC-H
+  dimensions don't scale.
+- documents: verbatim copies would make every doc a 10-way exact/near
+  duplicate and inflate LSH candidate volume quadratically; instead
+  each copy applies a seeded per-doc WORD PERMUTATION — token/char/
+  stopword distributions (lang-ID, quality, token counts) are
+  preserved, while word-3-gram shingle sets decorrelate, so dedup
+  workloads scale like a real 10x corpus.
+- embeddings: verbatim copies would pair every vector with its 9
+  clones at cosine 1.0; instead copy i applies one fixed seeded
+  DIMENSION PERMUTATION + SIGN PATTERN (an orthogonal transform):
+  within-copy pairwise cosines are preserved EXACTLY (10x the sf0.1
+  near-dup structure), cross-copy cosines concentrate near 0 like
+  independent vectors, and norms are untouched.
+
+Deterministic end to end (numpy PCG64 seeded per copy/doc). ~170 MB.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".sf1")
+COPIES = 10
+STRIDE = 10_000_000  # > every sf0.1 key
+
+KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+FIXED = ["nation", "region"]
+
+
+def replicate_keys(name: str) -> None:
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    chunks = []
+    for i in range(COPIES):
+        cols = {}
+        for c in t.column_names:
+            col = t.column(c)
+            if c in KEY_COLS[name]:
+                col = pa.compute.add(col, i * STRIDE)
+            cols[c] = col
+        chunks.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(chunks), f"{DST}/{name}.parquet")
+
+
+def replicate_documents() -> None:
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    others = {c: t.column(c) for c in t.column_names
+              if c not in ("doc_id", "text")}
+    chunks = []
+    for i in range(COPIES):
+        if i == 0:
+            new_texts = texts
+        else:
+            new_texts = []
+            for did, txt in zip(doc_ids, texts):
+                words = txt.split(" ")
+                rng = np.random.default_rng((i << 32) ^ (did & 0xFFFFFFFF))
+                new_texts.append(" ".join(np.array(words, dtype=object)
+                                          [rng.permutation(len(words))]))
+        cols = {"doc_id": pa.compute.add(t.column("doc_id"), i * STRIDE),
+                "text": pa.array(new_texts, type=pa.string()), **others}
+        chunks.append(pa.table(cols).select(t.column_names))
+    pq.write_table(pa.concat_tables(chunks), f"{DST}/documents.parquet")
+
+
+def replicate_embeddings() -> None:
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    dims = vecs.shape[1]
+    etype = t.schema.field("embedding").type
+    chunks = []
+    for i in range(COPIES):
+        if i == 0:
+            tv = vecs
+        else:
+            rng = np.random.default_rng(1000 + i)
+            perm = rng.permutation(dims)
+            sign = rng.choice([-1.0, 1.0], size=dims).astype(np.float32)
+            tv = vecs[:, perm] * sign
+        cols = {"vec_id": pa.compute.add(t.column("vec_id"), i * STRIDE),
+                "embedding": pa.array([list(map(float, v)) for v in tv],
+                                      type=etype),
+                "label": t.column("label")}
+        chunks.append(pa.table(cols).select(t.column_names))
+    pq.write_table(pa.concat_tables(chunks), f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in FIXED:
+        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
+                       f"{DST}/{name}.parquet")
+    for name in KEY_COLS:
+        replicate_keys(name)
+        print(f"{name}: done")
+    replicate_documents()
+    print("documents: done")
+    replicate_embeddings()
+    print("embeddings: done")
+    for f in sorted(os.listdir(DST)):
+        print(f, round(os.path.getsize(os.path.join(DST, f)) / 1e6, 1), "MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,25 @@ def test_stream_reader_matches_batch_and_terminates(spark, tmp_path):
     assert got == want
     # 2 stocks x 10 trading days (Jan 5-16 2026 spans two full weeks)
     assert len(got) == 20
+
+
+def test_stream_reader_memoized_walk_matches_fresh_replay():
+    """ADVICE r4: the memoized close walk must equal the from-scratch
+    replay at every day and in any access order (forward drain, then a
+    backward re-read as in readBetweenOffsets recovery)."""
+    import datetime as dt
+    from pre_market_data_pipeline_for_stocks_spark.sources.ohlcv_datasource import (
+        SyntheticOhlcvStreamReader,
+    )
+    opts = {"stocks": "AAA,BBB", "start_date": "2026-01-01",
+            "end_date": "2026-03-31", "seed": "7"}
+    warm = SyntheticOhlcvStreamReader(opts)
+    days = [dt.date(2026, 1, 1) + dt.timedelta(days=i) for i in range(90)]
+    forward = [warm._bars_for(d) for d in days]          # memoized drain
+    backward = warm._bars_for(dt.date(2026, 1, 15))      # backward re-read
+
+    for i, d in enumerate(days):
+        fresh = SyntheticOhlcvStreamReader(opts)         # cold replay
+        assert forward[i] == fresh._bars_for(d), d
+    fresh = SyntheticOhlcvStreamReader(opts)
+    assert backward == fresh._bars_for(dt.date(2026, 1, 15))
