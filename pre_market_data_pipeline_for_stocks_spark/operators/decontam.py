@@ -21,6 +21,8 @@ texts never move.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,3 +72,79 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                .filter(F.col("contaminated"))
                .select(F.col("doc_id").alias(id_col)))
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = 3, threshold: float = 0.1,
+                        expected_items: int = 1_000_000,
+                        fpp: float = 0.01) -> DataFrame:
+    """Bloom-filter decontamination — the variant for when even the
+    benchmark's distinct-shingle SET outgrows a comfortable broadcast
+    (stacked benchmarks at 100 TB: hundreds of eval suites, ~1e9
+    shingles ≈ tens of GB as a set, ~1 GB as a Bloom filter at 1% fpp).
+
+    Same contract as ``decontaminate`` (returns the CLEAN corpus rows)
+    with one-sided error: the Bloom filter has NO false negatives, so
+    every document exact-decontamination would drop is dropped here
+    too — contamination never slips through; false positives
+    (probability ~``fpp`` per shingle probe) can only overcount a
+    document's hits and drop extra documents. Curation pipelines
+    accept that direction (losing a clean doc is cheap; training on a
+    benchmark is not).
+
+    Execution (public-API Bloom — Spark's bloom_filter_agg expression
+    is join-internal, not exposed to SQL/DataFrame): each benchmark
+    partition folds its shingle hashes into one packed num_bits/8-byte
+    bitset via mapInPandas; the driver ORs the per-partition bitsets
+    (a FIXED-SIZE sketch reduce — the same O(partitions x bits)
+    topology treeAggregate gives BloomFilter in Spark's JVM stat API,
+    and the one driver touch point a sketch build legitimately has);
+    the probe side is an Arrow-batched pandas_udf over the corpus
+    shingle hashes — map-side, corpus shingles never shuffle, and the
+    wire cost is O(bits) instead of O(distinct shingles). Bit
+    placement is classic double hashing (Kirsch-Mitzenmacher): k
+    probes at (h1 + i*h2) mod m from the two 30-bit halves of the
+    60-bit shingle hash — deterministic, partition-independent.
+    Not SQL-oracle-expressible (DuckDB has no Bloom surface): checked
+    by the subset property vs exact decontamination in unit tests."""
+    import math
+
+    num_bits = max(64, int(-expected_items * math.log(fpp)
+                           / (math.log(2) ** 2)))
+    num_k = max(1, round(num_bits / expected_items * math.log(2)))
+
+    def _positions(h: "np.ndarray") -> "np.ndarray":
+        # (len(h), k) bit positions; h is the 60-bit shingle hash.
+        h1 = (h & 0x3FFFFFFF).astype(np.int64)
+        h2 = ((h >> 30) & 0x3FFFFFFF).astype(np.int64) * 2 + 1  # odd
+        i = np.arange(num_k, dtype=np.int64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % num_bits
+
+    def _partition_bitsets(batches):
+        bits = np.zeros(num_bits, dtype=bool)
+        for pdf in batches:
+            if len(pdf):
+                bits[_positions(pdf["sh"].to_numpy(np.int64)).ravel()] = True
+        yield pd.DataFrame({"bitset": [np.packbits(bits).tobytes()]})
+
+    bench_hashes = hashed_shingles(benchmark, n).select("sh")
+    parts = bench_hashes.mapInPandas(_partition_bitsets,
+                                     "bitset binary").collect()
+    bloom = np.zeros(num_bits // 8 + 1, dtype=np.uint8)
+    for row in parts:
+        part = np.frombuffer(row["bitset"], dtype=np.uint8)
+        bloom[:len(part)] |= part
+
+    @F.pandas_udf("boolean")
+    def might_contain(sh: pd.Series) -> pd.Series:
+        bits = np.unpackbits(bloom)
+        pos = _positions(sh.to_numpy(np.int64))
+        return pd.Series(bits[pos].all(axis=1))
+
+    sh = hashed_shingles(corpus, n).withColumn("_hit", might_contain("sh"))
+    per_doc = (sh.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_sh"),
+                    F.sum(F.col("_hit").cast("int")).alias("n_hit")))
+    dirty = per_doc.filter(
+        (F.col("n_hit") / F.col("n_sh")) >= threshold).select("doc_id")
+    return corpus.join(dirty, "doc_id", "left_anti")

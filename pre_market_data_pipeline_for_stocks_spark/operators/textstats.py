@@ -226,3 +226,70 @@ def vocabulary_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("df"))
             .orderBy(F.col("tf").desc(), F.col("token").asc())
             .limit(k))
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking:
+    (doc_id, chunk_id, start_word, n_words, chunk_text).
+
+    The step before embedding/indexing long documents: fixed-size word
+    windows advancing by ``chunk_size - overlap`` words, so adjacent
+    chunks share ``overlap`` words of context (the retrieval-pipeline
+    convention). Chunk starts are 0, step, 2*step, ... while they fall
+    inside the document; the tail chunk may be shorter than
+    ``chunk_size``; a document shorter than one chunk yields exactly
+    one chunk. chunk_id numbers chunks per document from 0 in start
+    order — (doc_id, chunk_id) is the stable chunk key downstream
+    embedding tables join back on.
+
+    Execution: split + posexplode(sequence) + slice/array_join — pure
+    map-side column expressions, no UDF, no shuffle: chunking
+    parallelizes embarrassingly at 100 TB and Catalyst prunes unread
+    columns straight through the explode."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n_words - F.lit(chunk_size)) / step), F.lit(0))
+        .cast("int") * step,
+        F.lit(step))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"), words.alias("_w"),
+                    F.posexplode(starts).alias("chunk_id", "start_word"))
+            .select("doc_id", "chunk_id", "start_word",
+                    F.least(F.lit(chunk_size),
+                            F.size("_w") - F.col("start_word"))
+                    .alias("n_words"),
+                    F.array_join(
+                        F.slice("_w", F.col("start_word") + 1,
+                                F.lit(chunk_size)), " ")
+                    .alias("chunk_text")))
+
+
+def length_profile(docs: DataFrame, group_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """Per-group corpus length profile:
+    (group, n_docs, mean_tokens, p50, p90, p99).
+
+    The profiling pass a curation run does before choosing length
+    filters/packing budgets. EXACT interpolated percentiles
+    (`percentile`, the DuckDB quantile_cont twin) — correct at any
+    group cardinality but requires the group's values together; at
+    100 TB with high-cardinality groups swap in approx_percentile
+    (t-digest sketch, partial-aggregated map-side) — same plan shape,
+    bounded error. Group count here is |languages| (tiny), so exact is
+    also the scale-correct choice."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    pct = F.expr("percentile(_n, array(0.5, 0.9, 0.99))")
+    return (docs.select(F.col(group_col).alias("grp"), toks.alias("_n"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("_n"), 4).alias("mean_tokens"),
+                 F.round(pct.getItem(0), 4).alias("p50"),
+                 F.round(pct.getItem(1), 4).alias("p90"),
+                 F.round(pct.getItem(2), 4).alias("p99")))

@@ -397,6 +397,39 @@ def text_pii_scrub(spark, sf_dir):
     return textstats.pii_scrub(docs.withColumn("text", injected))
 
 
+CHUNK_SIZE = 24
+CHUNK_OVERLAP = 8
+
+
+def documents_chunked(spark, sf_dir):
+    """Sliding-window chunking of the corpus (24-word windows, 8-word
+    overlap — sized so fixture docs yield multiple chunks and a short
+    tail, exercising both boundaries)."""
+    return (textstats.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE,
+                                      CHUNK_OVERLAP)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def corpus_length_profile(spark, sf_dir):
+    """Per-language token-length profile: exact interpolated p50/p90/p99
+    + mean — the pre-curation length survey."""
+    return (textstats.length_profile(_docs(spark, sf_dir), "lang")
+            .orderBy("grp"))
+
+
+def decontaminate_bloom_clean(spark, sf_dir):
+    """Bloom-filter decontamination (same split as
+    decontaminate_ngram_overlap): clean-corpus doc ids surviving the
+    might_contain probe. No SQL oracle — DuckDB has no Bloom surface;
+    the subset-vs-exact property is unit-tested instead
+    (tests/test_textstats_ops.py)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return (decontam.decontaminate_bloom(corpus, bench, n=3, threshold=0.1)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for one query vector (broadcast + JVM array folds)."""
     return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)

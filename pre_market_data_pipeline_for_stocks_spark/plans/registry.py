@@ -1358,6 +1358,50 @@ common AS (
         X.dedup_minhash_lsh_capped,
         _minhash_band_sql(max_bucket=X.LSH_MAX_BUCKET)),
 
+    # operators.textstats.chunk_documents: both engines slice the same
+    # whitespace-split word array at the same 1-based offsets, so the
+    # chunk text is byte-identical, not just same-length.
+    "documents_chunked": QueryDef(X.documents_chunked, f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0,
+            greatest(ceil((len(words) - {X.CHUNK_SIZE})
+                          / {X.CHUNK_SIZE - X.CHUNK_OVERLAP}.0), 0)::BIGINT
+              * {X.CHUNK_SIZE - X.CHUNK_OVERLAP} + 1,
+            {X.CHUNK_SIZE - X.CHUNK_OVERLAP})) AS start_word
+  FROM w)
+SELECT doc_id,
+       (start_word / {X.CHUNK_SIZE - X.CHUNK_OVERLAP})::INT AS chunk_id,
+       start_word::INT AS start_word,
+       least({X.CHUNK_SIZE}, len(words) - start_word)::INT AS n_words,
+       array_to_string(
+         words[start_word + 1 : start_word + {X.CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""),
+
+    # operators.textstats.length_profile: Spark `percentile` and DuckDB
+    # `quantile_cont` both compute linearly interpolated exact
+    # percentiles; 4-dp rounding absorbs libm noise.
+    "corpus_length_profile": QueryDef(X.corpus_length_profile, """
+SELECT lang AS grp, count(*) AS n_docs,
+       round(avg(n), 4) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.9), 4) AS p90,
+       round(quantile_cont(n, 0.99), 4) AS p99
+FROM (SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents)
+GROUP BY lang ORDER BY grp
+"""),
+
+    # Bloom probe is not SQL-expressible (DuckDB has no Bloom surface):
+    # rows-only driver check; the subset-vs-exact property is the unit.
+    "decontaminate_bloom_clean": QueryDef(X.decontaminate_bloom_clean, None),
+
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
     "dedup_incremental": QueryDef(X.dedup_incremental,

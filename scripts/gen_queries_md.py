@@ -16,8 +16,11 @@ HEADER = """# QUERIES — full registry index (scripts/gen_queries_md.py)
 
 Every driver-checkable query: implementation entry point, one-line
 intent (first docstring line of the underlying builder), and oracle
-kind. All oracles are full ANSI-SQL DuckDB twins (row count + schema +
-value-hash checked); `headline` queries form the bench.py suite.
+kind. Oracles are full ANSI-SQL DuckDB twins (row count + schema +
+value-hash checked) for every query except `decontaminate_bloom_clean`
+(Bloom probes have no DuckDB surface — rows-only driver check; the
+subset-vs-exact property is unit-tested); `headline` queries form the
+bench.py suite.
 
 | # | Query | Builder | Headline | Intent |
 |---|---|---|---|---|

@@ -149,3 +149,18 @@ def test_index_dedup_no_cartesian(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_chunk_documents_is_map_side_only(spark, sf_dir, queries):
+    """Chunking is embarrassingly parallel: split + posexplode + slice
+    are pure map-side expressions — ANY Exchange in the chunk plan
+    (before the cosmetic output ordering) is a regression. The scan
+    must also prune to the two referenced columns."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        chunk_documents,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(chunk_documents(docs))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read and "source" not in read

@@ -74,3 +74,76 @@ def test_vocabulary_topk_exact_tf_df_and_tiebreak(spark):
     assert got == [("apple", 3, 2), ("banana", 3, 3), ("cherry", 2, 2)]
     # k truncates deterministically
     assert [r.token for r in vocabulary_topk(docs, k=1).collect()] == ["apple"]
+
+
+def test_chunk_documents_boundaries(spark):
+    """Windows advance by chunk_size-overlap; adjacent chunks share
+    `overlap` words; tail may be short; short docs yield ONE chunk."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        chunk_documents,
+    )
+    long_words = [f"w{i}" for i in range(25)]
+    rows = [(1, " ".join(long_words)), (2, "just three words"), (3, "one")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_size=10, overlap=4).collect()}
+
+    # doc 1: 25 words, step 6 -> starts 0,6,12,18 (ceil((25-10)/6)=3)
+    assert {c for d, c in out if d == 1} == {0, 1, 2, 3}
+    assert out[(1, 0)].chunk_text.split() == long_words[0:10]
+    assert out[(1, 1)].chunk_text.split() == long_words[6:16]
+    assert out[(1, 3)].chunk_text.split() == long_words[18:25]
+    assert out[(1, 3)].n_words == 7                      # short tail
+    # overlap: last 4 of chunk 0 == first 4 of chunk 1
+    assert long_words[6:10] == out[(1, 1)].chunk_text.split()[:4]
+
+    assert {c for d, c in out if d == 2} == {0}
+    assert out[(2, 0)].chunk_text == "just three words"
+    assert out[(2, 0)].n_words == 3
+    assert out[(3, 0)].chunk_text == "one"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        chunk_documents,
+    )
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_bloom_decontaminate_subset_of_exact(spark, sf_dir):
+    """One-sided error contract: Bloom has no false negatives, so its
+    CLEAN set is a subset of exact decontamination's clean set (false
+    positives may drop extra docs, never admit contaminated ones) —
+    and at the fixture's scale the fpp is low enough that the two
+    match exactly."""
+    from pyspark.sql import functions as F
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r.doc_id for r in
+             decontam.decontaminate(corpus, bench, n=3, threshold=0.1)
+             .select("doc_id").collect()}
+    bloom = {r.doc_id for r in
+             decontam.decontaminate_bloom(corpus, bench, n=3, threshold=0.1)
+             .select("doc_id").collect()}
+    assert bloom <= exact
+    assert len(bloom) >= len(exact) * 0.98   # fpp ~1e-2 per probe
+    assert len(bloom) > 0
+
+
+def test_length_profile_exact_percentiles(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        length_profile,
+    )
+    rows = [(i, "en", " ".join(["w"] * n)) for i, n in
+            enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    r = length_profile(docs, "lang").collect()[0]
+    assert r.grp == "en" and r.n_docs == 10
+    assert r.mean_tokens == 5.5
+    assert r.p50 == 5.5                       # interpolated exact
+    assert r.p90 == 9.1
