@@ -284,6 +284,22 @@ def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
     return cents
 
 
+def ivf_cells_stride(embeddings: DataFrame, cells: int | None = None,
+                     nprobe: int = 3) -> int:
+    """Centroid stride for a target cell COUNT (the scale-correct way
+    to size an IVF codebook): ``cells=None`` balances assignment cost
+    (n·k) against probe scan (n·nprobe/k) at k ≈ sqrt(n·nprobe) — the
+    standard IVF sizing rule. A fixed stride grows k linearly with the
+    corpus and makes train+assign cost quadratic (measured at sf1:
+    stride=200 → 45.4 s vs a right-sized codebook → 27.7 s,
+    BASELINE.md round-5 section); pass the result of this helper as
+    ``centroid_stride`` so the codebook is a BUDGET, not a ratio.
+    Costs one count() — model sizing is an action, as in MLlib."""
+    n = embeddings.count()
+    k = cells if cells is not None else max(1, int((n * nprobe) ** 0.5))
+    return max(1, n // max(1, k))
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              centroid_stride: int = 200, nprobe: int = 3,
              train_iters: int = 1, train_sample_mod: int = 2,

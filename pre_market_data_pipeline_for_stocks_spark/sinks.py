@@ -76,3 +76,26 @@ def overwrite_partitions(df: DataFrame, path: str,
            .parquet(path))
     finally:
         spark.conf.set(key, prev)
+
+
+def write_training_shards(docs: DataFrame, packed: DataFrame, path: str,
+                          text_col: str = "text") -> None:
+    """Materialize a shard packing (operators.sharding.pack_shards) as
+    the on-disk layout a training data-loader consumes: JSONL records
+    under one ``shard_id=N/`` directory per shard, exactly one file
+    per shard directory.
+
+    The one-file-per-shard contract is what makes shards the unit of
+    training-time work (a loader maps one shard file to one worker
+    stream); ``repartition(shard_id)`` + ``partitionBy(shard_id)``
+    delivers it scalably — each shard's rows hash to one task which
+    writes one file into its partition dir. Shards are budget-bounded
+    (pack_shards), so no task writes more than ~budget tokens: the
+    repartition cannot create a straggler bigger than the packing
+    budget itself. JSONL (one JSON object per line) keeps records
+    framed for sequential streaming without a parquet reader on the
+    consumer side — the lingua franca of training corpora."""
+    shard_rows = (docs.join(packed.select("doc_id", "shard_id"), "doc_id")
+                  .select("shard_id", "doc_id", text_col))
+    (shard_rows.repartition("shard_id")
+     .write.mode("overwrite").partitionBy("shard_id").json(path))

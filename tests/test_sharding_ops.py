@@ -79,3 +79,38 @@ def test_window_partitions_by_group_no_global_sort(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partitionBy=[pack_group]" in plan.replace(" ", "") or \
         "pack_group" in plan.split("Window")[1][:200]
+
+
+def test_write_training_shards_one_file_per_shard(spark, sf_dir, tmp_path):
+    """The loader contract: every shard_id=N dir holds exactly ONE
+    JSONL part file; union of all shards == packed corpus; per-shard
+    doc sets match the manifest counts."""
+    import json
+    import glob
+    from pyspark.sql import functions as F
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    from pre_market_data_pipeline_for_stocks_spark.operators import sharding
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        token_counts,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = (token_counts(docs)
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    packed = sharding.pack_shards(tokens, budget=2000, n_groups=4)
+    out = str(tmp_path / "shards")
+    sinks.write_training_shards(docs, packed, out)
+
+    shard_dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(shard_dirs) == packed.select("shard_id").distinct().count()
+    seen = {}
+    for d in shard_dirs:
+        parts = glob.glob(f"{d}/part-*")
+        assert len(parts) == 1, d                  # one file per shard
+        sid = int(d.rsplit("=", 1)[1])
+        with open(parts[0]) as fh:
+            seen[sid] = {json.loads(line)["doc_id"] for line in fh}
+    want = {r.shard_id: r.n_docs for r in
+            sharding.shard_manifest(packed).collect()}
+    assert {s: len(v) for s, v in seen.items()} == want
+    assert set().union(*seen.values()) == \
+        {r.doc_id for r in packed.select("doc_id").collect()}

@@ -263,3 +263,19 @@ def test_ivf_recall_monotone_in_nprobe(emb):
     assert recalls[1] <= recalls[2] <= recalls[4]
     assert recalls[4] >= 0.9
     assert recalls[1] >= 0.3   # even one cell finds the query's own cell
+
+
+def test_ivf_cells_stride_sizes_codebook(emb):
+    """The codebook-budget helper: explicit cells → n//cells stride;
+    default → k ≈ sqrt(n·nprobe); recall with a right-sized codebook
+    stays in the pinned band."""
+    n = emb.count()
+    assert S.ivf_cells_stride(emb, cells=10) == n // 10
+    auto = S.ivf_cells_stride(emb, nprobe=3)
+    k_auto = n // auto
+    assert abs(k_auto - (n * 3) ** 0.5) <= max(2, 0.2 * k_auto)
+    brute = {r.vec_id for r in S.cosine_topk(emb, 0, K).collect()}
+    ivf = {r.vec_id for r in
+           S.ivf_topk(emb, 0, K, centroid_stride=S.ivf_cells_stride(emb, 10),
+                      train_iters=1).collect()}
+    assert len(brute & ivf) / K >= 0.8
