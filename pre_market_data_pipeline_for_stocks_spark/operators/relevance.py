@@ -1,0 +1,117 @@
+"""Corpus relevance scoring: TF-IDF term weighting and BM25 search.
+
+Extension scope (BASELINE.json north star): the retrieval-side text
+statistics a training-data pipeline needs next to quality scoring —
+per-document salient terms (TF-IDF) and lexical search over the corpus
+(BM25, the Elasticsearch/Lucene default ranking) for curation queries
+("find docs about X") and retrieval-augmented eval-set building.
+
+Execution model (100 TB framing):
+- Tokenization is a map-side split/explode; texts never shuffle.
+- Term statistics are two cascaded aggregations keyed (token, doc_id)
+  then (token) — both partial-aggregated map-side, shuffling only
+  (string, long) pairs. Same currency as vocabulary_topk.
+- TF-IDF joins per-doc term counts with the document-frequency table
+  on token: a token-keyed shuffle join; the df side is vocabulary-
+  sized (sublinear in corpus), Catalyst/AQE broadcasts it when small.
+- BM25 prunes to the query's terms BEFORE any aggregation (map-side
+  ``isin`` filter), so corpus-wide cost is one scan + a tiny agg; the
+  per-term df and the single-row avgdl aggregate are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token): every token position, lowercased."""
+    return (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF:
+    (doc_id, token, tf, df, tfidf).
+
+    tfidf = tf * ln(N / df) with N the corpus document count and df the
+    number of documents containing the token — the classic sparse-
+    retrieval weighting. Ties break by token ascending, so the result
+    is deterministic.
+
+    Plan: per-(doc, token) tf agg → per-token df agg (vocabulary-sized)
+    → token-keyed join back → per-doc top-k window partitioned on
+    doc_id (no global window; per-partition heaps at every scale)."""
+    tf = (_tokens(docs, id_col, text_col)
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(df_t, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "token", "tf", "df",
+                      F.round(F.col("tf")
+                              * F.log(F.col("_n") / F.col("df")), 4)
+                      .alias("tfidf")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("tfidf").desc(), F.col("token").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank"))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 20,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25-ranked corpus search: (doc_id, n_matched, score) for the
+    ``top_n`` documents best matching ``query_terms``.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene
+    formulation (non-negative idf).
+
+    Plan: document length (dl) is a map-side expression; the token
+    stream is filtered to the query's terms BEFORE aggregation so the
+    shuffle carries only matching (doc, term) rows; df-per-term and the
+    single-row (N, avgdl) aggregate are broadcast; top_n is an
+    orderBy+limit (TakeOrdered). One corpus scan end to end."""
+    terms = sorted({t.lower() for t in query_terms})
+    dl = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))),
+                       r"\s+")).cast("double").alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (_tokens(docs, id_col, text_col)
+          .filter(F.col("token").isin(terms))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    df_t = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    idf = (df_t.crossJoin(F.broadcast(stats))
+           .select("token",
+                   F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5)).alias("idf")))
+    contrib = (tf.join(F.broadcast(idf), "token")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats.select("avgdl")))
+               .select(
+                   "doc_id",
+                   (F.col("idf") * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                           / F.col("avgdl"))))
+                   .alias("_c")))
+    return (contrib.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
+                 F.round(F.sum("_c"), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_n))

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import decontam, dedup, similarity, textstats
+from ..operators import decontam, dedup, relevance, similarity, textstats
 from ..sources.offline import load_testdata
 
 JACCARD_THRESHOLD = 0.5
@@ -395,6 +395,25 @@ def text_pii_scrub(spark, sf_dir):
                  F.lit("@example.com or call 555-123-4567"))
     ).otherwise(F.col("text"))
     return textstats.pii_scrub(docs.withColumn("text", injected))
+
+
+TFIDF_TOPK = 3
+BM25_QUERY = ["merge", "scan", "window"]
+BM25_TOPN = 20
+
+
+def corpus_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 salient terms by TF-IDF (ties token-asc) —
+    the sparse-retrieval weighting used for keyword extraction and
+    lexical curation filters."""
+    return relevance.tfidf_topk_terms(_docs(spark, sf_dir), k=TFIDF_TOPK)
+
+
+def text_bm25_search(spark, sf_dir):
+    """BM25 (Lucene formulation) lexical search for a fixed query over
+    the corpus; terms pruned map-side before any aggregation."""
+    return relevance.bm25_search(_docs(spark, sf_dir), BM25_QUERY,
+                                 BM25_TOPN)
 
 
 CHUNK_SIZE = 24

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
+from ..operators.relevance import BM25_B as _BM25_B, BM25_K1 as _BM25_K1
 from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
@@ -1609,6 +1610,58 @@ per_doc AS (
 SELECT token, sum(n)::BIGINT AS tf, count(*) AS df
 FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
+"""),
+
+    # operators.relevance.tfidf_topk_terms: tf * ln(N/df) per (doc,
+    # token), per-doc top-k window partitioned on doc_id. Ranking uses
+    # the ROUNDED tfidf in both engines so the cut is identical.
+    "corpus_tfidf_terms": QueryDef(X.corpus_tfidf_terms, f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token <> '' GROUP BY 1, 2),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         round(tf.tf * ln(n_docs / dft.df), 4) AS tfidf
+  FROM tf JOIN dft USING (token), n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored)
+SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rn <= {X.TFIDF_TOPK}
+"""),
+
+    # operators.relevance.bm25_search: Lucene-formulation BM25 for the
+    # fixed query X.BM25_QUERY; token stream pruned to the query terms
+    # before aggregation in both engines.
+    "text_bm25_search": QueryDef(X.text_bm25_search, f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok
+       WHERE token IN ('{"', '".join(X.BM25_QUERY)}') GROUP BY 1, 2),
+dft AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+idf AS (SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft, stats),
+contrib AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats)
+SELECT doc_id, count(*)::BIGINT AS n_matched, round(sum(c), 4) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 """),
 
     "text_repetition": QueryDef(X.text_repetition, """

@@ -1,0 +1,88 @@
+"""Ad-hoc oracle check for a subset of registry queries.
+
+Usage: python scripts/check_queries.py name1 name2 ... [--sf DIR]
+Mirrors tests/test_entry_contract.py's comparison (column-name-sorted,
+row-sorted, floats rounded to 9 dp) without the pytest session cost —
+the edit-loop harness while developing a new query.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _normalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm(row[i]) for i in order) for row in rows]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main() -> int:
+    sf = "/root/testdata/sf0.001"
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+
+    import __spark_entry__ as entry_mod
+    from pre_market_data_pipeline_for_stocks_spark.session import get_spark
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    spark = get_spark("check-queries", extra_conf={
+        "spark.sql.shuffle.partitions": "4"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    failed = []
+    for name in args or sorted(queries):
+        sdf = queries[name](spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows)")
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        problems = []
+        if sorted(sdf.columns) != sorted(ocols):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if not problems:
+            a = _normalize(sdf.columns, srows)
+            b = _normalize(ocols, orows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first: {diff}")
+        if problems:
+            failed.append(name)
+            print(f"{name}: FAIL — {'; '.join(problems)}")
+        else:
+            print(f"{name}: ok ({len(srows)} rows)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""operators/relevance.py: TF-IDF and BM25 semantics + plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import relevance
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    # 4 docs: "rare" appears only in doc 3; "the" in all.
+    rows = [
+        (0, "the cat sat"),
+        (1, "the cat ran far"),
+        (2, "the dog sat"),
+        (3, "the rare rare bird"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_hand_computed(tiny_docs):
+    out = {(r.doc_id, r.token): r for r in
+           relevance.tfidf_topk_terms(tiny_docs, k=10).collect()}
+    # "rare": tf=2 in doc 3, df=1, N=4 -> 2 * ln(4) rounded to 4
+    r = out[(3, "rare")]
+    assert r.tf == 2 and r.df == 1
+    assert r.tfidf == round(2 * math.log(4), 4)
+    # "the" has df=N -> tfidf 0 in every doc
+    assert out[(0, "the")].tfidf == 0.0
+
+
+def test_tfidf_topk_cut_is_deterministic(tiny_docs):
+    out = relevance.tfidf_topk_terms(tiny_docs, k=1).collect()
+    by_doc = {r.doc_id: r.token for r in out}
+    assert len(out) == 4                      # exactly one term per doc
+    assert by_doc[3] == "rare"                # unique max
+    # doc 0: cat/sat tie at df=2 -> token-asc tiebreak picks "cat"
+    assert by_doc[0] == "cat"
+
+
+def test_bm25_ranks_term_rich_doc_first(tiny_docs):
+    out = relevance.bm25_search(tiny_docs, ["rare", "cat"], top_n=10).collect()
+    assert out[0].doc_id == 3                 # two "rare" hits, rarest term
+    assert {r.doc_id for r in out} == {0, 1, 3}   # dog doc matches nothing
+    assert all(r.score > 0 for r in out)
+    # doc 0 and 1 both have one "cat"; shorter doc 0 scores higher (b>0)
+    d = {r.doc_id: r.score for r in out}
+    assert d[0] > d[1]
+
+
+def test_bm25_idf_is_nonnegative(tiny_docs):
+    # "the" appears in every doc -> Lucene idf ln(1 + 0.5/(N+0.5)) > 0,
+    # classic idf would be <= 0. Scores must stay positive.
+    out = relevance.bm25_search(tiny_docs, ["the"], top_n=10).collect()
+    assert len(out) == 4 and all(r.score > 0 for r in out)
+
+
+def test_tfidf_plan_windows_per_doc_and_prunes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(relevance.tfidf_topk_terms(docs, k=3))
+    # top-k window is partitioned on doc_id — never a global window
+    assert "windowspecdefinition(doc_id" in plan
+    # every scan prunes to (doc_id, text)
+    assert "lang:string" not in plan and "source:string" not in plan
+
+
+def test_bm25_plan_broadcasts_stats_and_prunes_terms(spark, sf_dir):
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(relevance.bm25_search(docs, ["merge", "scan"], 20))
+    # df/idf and the single-row stats aggregate join by broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 3
+    # the term filter runs on the exploded token column BEFORE any
+    # aggregation (map-side prune)
+    assert re.search(r"token#\d+ IN \(merge,scan\)", plan)
+    assert "TakeOrderedAndProject" in plan    # top_n, not a global sort
