@@ -158,3 +158,34 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str, key_col: str,
             .orderBy(F.col("_es_key").desc(), F.col(key_col).asc())
             .limit(n)
             .drop("_es_key"))
+
+
+def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
+                       props: dict[str, float], id_col: str = "doc_id",
+                       a_col: str = "doc_a", b_col: str = "doc_b",
+                       salt: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    never straddle a split boundary.
+
+    ``split_assign`` hashes each document independently, so two near-
+    duplicates can land in train and test — the classic eval-set
+    contamination path (a test doc whose 0.9-Jaccard twin was trained
+    on). Here the hash key is the document's duplicate-CLUSTER
+    representative (resolve_clusters over ``pairs``; docs in no pair
+    represent themselves), so every member of a near-dup cluster gets
+    the same split verdict. Adds ``rep_id`` and ``split``.
+
+    Plan: the cluster relation is |paired docs|-sized (usually a small
+    fraction of the corpus — AQE broadcasts it when small), joined on
+    the id key; the split CASE itself stays map-side. Expected
+    proportions hold over CLUSTERS, which is the statistically sound
+    unit once duplicates exist."""
+    from .dedup import resolve_clusters
+
+    reps = (resolve_clusters(pairs, a_col, b_col)
+            .withColumnRenamed("doc_id", id_col))
+    with_rep = (docs.join(reps, id_col, "left")
+                .withColumn("rep_id",
+                            F.coalesce(F.col("cluster_id"), F.col(id_col)))
+                .drop("cluster_id"))
+    return split_assign(with_rep, props, key_col="rep_id", salt=salt)

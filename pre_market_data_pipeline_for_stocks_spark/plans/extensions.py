@@ -194,6 +194,20 @@ def corpus_split_assign(spark, sf_dir):
             .select("doc_id", "lang", "split").orderBy("doc_id"))
 
 
+def corpus_split_leakage_safe(spark, sf_dir):
+    """Cluster-aware split: the hash key is the MinHash-LSH duplicate-
+    cluster representative, so near-duplicate documents never straddle
+    train/val/test — the eval-contamination guard corpus_split_assign
+    alone does not give."""
+    from ..operators import sampling
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS, 3,
+                                    JACCARD_THRESHOLD)
+    return (sampling.cluster_safe_split(docs, pairs, SPLIT_PROPS)
+            .select("doc_id", "lang", "rep_id", "split")
+            .orderBy("doc_id"))
+
+
 # Value tiers for the range-join query: uneven widths plus one tier
 # (id 7) that OVERLAPS tiers 0/1, so the containment (not bucketing)
 # semantics are exercised — a value in [5, 10) lands in 3 tiers.

@@ -187,10 +187,12 @@ SELECT doc_id, cluster_id FROM comp
 """
 
 
-def _split_case_sql(props: dict[str, float]) -> str:
+def _split_case_sql(props: dict[str, float], key: str = "doc_id") -> str:
     """WHEN-chain twin of operators.sampling.split_assign's threshold
-    walk (same sorted-name interval order, same rounding)."""
-    h = _h("('split:' || doc_id::VARCHAR)") + " % 10000"
+    walk (same sorted-name interval order, same rounding); ``key`` is
+    the hashed column (the cluster representative for the leakage-safe
+    variant)."""
+    h = _h(f"('split:' || {key}::VARCHAR)") + " % 10000"
     total = sum(props.values())
     names = sorted(props)
     acc = 0.0
@@ -1212,6 +1214,20 @@ ORDER BY doc_id
 SELECT doc_id, lang,
        CASE {_split_case_sql(X.SPLIT_PROPS)} END AS split
 FROM documents ORDER BY doc_id
+"""),
+
+    # operators.sampling.cluster_safe_split: split CASE keyed on the
+    # duplicate-cluster representative (comp from the same recursive
+    # closure as dedup_clusters; docs in no pair represent themselves).
+    "corpus_split_leakage_safe": QueryDef(X.corpus_split_leakage_safe, f"""
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
+rep AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(c.cluster_id, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, lang, rep_id,
+       CASE {_split_case_sql(X.SPLIT_PROPS, key='rep_id')} END AS split
+FROM rep ORDER BY doc_id
 """),
 
     # operators.sampling.mixture_sample: per-language quotas from

@@ -170,3 +170,34 @@ def test_weighted_sample_edges(spark):
     assert [r.id for r in got] == [1]
     with pytest.raises(ValueError):
         sampling.weighted_sample(df, -1, "w", "id")
+
+
+def test_cluster_safe_split_no_pair_straddles(spark):
+    # Clusters {0,1,2} (chain) and {10,11}; 20,21 are singletons.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["doc_a", "doc_b"])
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 20, 21)], ["doc_id"])
+    props = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = {r.doc_id: r for r in
+           sampling.cluster_safe_split(docs, pairs, props).collect()}
+    assert len(out) == 7
+    # every cluster member shares rep and split
+    assert {out[i].split for i in (0, 1, 2)} == {out[0].split}
+    assert out[0].rep_id == out[1].rep_id == out[2].rep_id == 0
+    assert out[10].split == out[11].split and out[10].rep_id == 10
+    # singletons fall back to plain split_assign on their own id
+    plain = {r.doc_id: r.split for r in sampling.split_assign(
+        docs, props, key_col="doc_id").collect()}
+    assert out[20].split == plain[20] and out[21].split == plain[21]
+
+
+def test_cluster_safe_split_stable_across_partitionings(docs, spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup
+    pairs = dedup.minhash_lsh_pairs(docs, 8, 4, 3, 0.5)
+    props = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {(r.doc_id, r.split) for r in
+         sampling.cluster_safe_split(docs, pairs, props).collect()}
+    b = {(r.doc_id, r.split) for r in sampling.cluster_safe_split(
+        docs.repartition(13), pairs, props).collect()}
+    assert a == b and len(a) == docs.count()
