@@ -148,3 +148,61 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     dirty = per_doc.filter(
         (F.col("n_hit") / F.col("n_sh")) >= threshold).select("doc_id")
     return corpus.join(dirty, "doc_id", "left_anti")
+
+
+def semantic_overlap(corpus_emb: DataFrame, bench_emb: DataFrame,
+                     threshold: float = 0.32, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space benchmark overlap: per corpus vector
+    (vec_id, max_cosine, n_bench_hits, contaminated) against the WHOLE
+    benchmark embedding set — the semantic sibling of
+    ``benchmark_overlap`` for paraphrase-level contamination that
+    n-gram collision misses (an eval question reworded shares no
+    3-grams but sits next to its source in embedding space).
+
+    ``contaminated`` compares the UNROUNDED max cosine (rounding is
+    display-only), matching benchmark_overlap's convention.
+
+    Scale shape: the benchmark side is tiny (eval suites are MBs), so
+    it is broadcast and the corpus×bench cosine fold runs map-side; the
+    per-vector max/count aggregate partial-aggregates before the
+    exchange, so the shuffle carries ONE row per corpus vector — corpus
+    embeddings are read once and never shuffled. At extreme benchmark
+    sizes, pre-filter candidates with lsh_candidate_pairs instead."""
+    from .similarity import _dot_precast, _norm
+
+    c = (corpus_emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"))
+        .withColumn("_cnrm", _norm(F.col("_cv"))))
+    b = (bench_emb.select(
+        F.col(vec_col).cast("array<double>").alias("_bv"))
+        .withColumn("_bnrm", _norm(F.col("_bv"))))
+    cos = (c.crossJoin(F.broadcast(b))
+           .select("vec_id",
+                   (_dot_precast(F.col("_cv"), F.col("_bv"))
+                    / (F.col("_cnrm") * F.col("_bnrm"))).alias("_cos")))
+    return (cos.groupBy("vec_id")
+            .agg(F.max("_cos").alias("_mx"),
+                 F.sum(F.when(F.col("_cos") >= threshold, 1).otherwise(0))
+                 .cast("long").alias("n_bench_hits"))
+            .select("vec_id", F.round(F.col("_mx"), 4).alias("max_cosine"),
+                    "n_bench_hits",
+                    (F.col("_mx") >= F.lit(threshold)).alias("contaminated")))
+
+
+def decontaminate_semantic(corpus: DataFrame, corpus_emb: DataFrame,
+                           bench_emb: DataFrame, threshold: float = 0.32,
+                           id_col: str = "doc_id",
+                           emb_id_col: str = "vec_id") -> DataFrame:
+    """The corpus minus semantically contaminated documents:
+    ``semantic_overlap`` flags vectors, the anti-join drops their
+    documents (``emb_id_col`` keys the corpus' embedding rows to
+    ``id_col``). Documents without an embedding row survive — they
+    carry no vector to collide, mirroring decontaminate's
+    shingle-free-doc semantics."""
+    flagged = (semantic_overlap(corpus_emb, bench_emb, threshold,
+                                id_col=emb_id_col)
+               .filter(F.col("contaminated"))
+               .select(F.col("vec_id").alias(id_col)))
+    return corpus.join(flagged, id_col, "left_anti")

@@ -463,6 +463,23 @@ def decontaminate_bloom_clean(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+SEM_DECON_THRESHOLD = 0.32
+
+
+def decontaminate_semantic_overlap(spark, sf_dir):
+    """Embedding-space decontamination audit (benchmark = every 20th
+    vector, same split as decontaminate_ngram_overlap): per corpus
+    vector, the max cosine against the broadcast benchmark set and the
+    contamination verdict. Catches paraphrase-level leakage n-gram
+    collision misses."""
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return (decontam.semantic_overlap(corpus, bench,
+                                      SEM_DECON_THRESHOLD)
+            .orderBy("vec_id"))
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for one query vector (broadcast + JVM array folds)."""
     return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)

@@ -1512,6 +1512,29 @@ SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
 FROM per
 """),
 
+    # operators.decontam.semantic_overlap: max cosine vs the broadcast
+    # benchmark embedding set; contaminated compares the UNROUNDED max
+    # (same convention as the n-gram twin above).
+    "decontaminate_semantic_overlap": QueryDef(
+        X.decontaminate_semantic_overlap, f"""
+WITH bench AS (
+  SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 20 = 0),
+corp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 20 <> 0),
+cos AS (
+  SELECT c.vec_id,
+         list_inner_product(c.cv, b.bv)
+           / (sqrt(list_inner_product(c.cv, c.cv))
+              * sqrt(list_inner_product(b.bv, b.bv))) AS cs
+  FROM corp c, bench b)
+SELECT vec_id, round(max(cs), 4) AS max_cosine,
+       sum(CASE WHEN cs >= {X.SEM_DECON_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+         AS n_bench_hits,
+       max(cs) >= {X.SEM_DECON_THRESHOLD} AS contaminated
+FROM cos GROUP BY vec_id ORDER BY vec_id
+"""),
+
     "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
 WITH {_SHINGLES_CTE.strip()}
 SELECT doc_id,

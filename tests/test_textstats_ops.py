@@ -147,3 +147,47 @@ def test_length_profile_exact_percentiles(spark):
     assert r.mean_tokens == 5.5
     assert r.p50 == 5.5                       # interpolated exact
     assert r.p90 == 9.1
+
+
+def test_semantic_overlap_flags_identical_vector(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [(0, [2.0, 0.0, 0.0]),        # parallel to bench 100 -> cos 1
+         (1, [0.0, 0.0, 5.0]),        # orthogonal to both -> cos 0
+         (2, [1.0, 1.0, 0.0])],       # cos 0.7071 vs both
+        ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in decontam.semantic_overlap(
+        corpus, bench, threshold=0.9).collect()}
+    assert out[0].contaminated and out[0].max_cosine == 1.0
+    assert out[0].n_bench_hits == 1
+    assert not out[1].contaminated and out[1].max_cosine == 0.0
+    assert not out[2].contaminated and out[2].max_cosine == 0.7071
+
+
+def test_decontaminate_semantic_drops_flagged_docs(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    bench = spark.createDataFrame([(9, [1.0, 0.0])], ["vec_id", "embedding"])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.0, 1.0])], ["vec_id", "embedding"])
+    docs = spark.createDataFrame(
+        [(0, "near dup of bench"), (1, "clean"), (2, "no embedding row")],
+        ["doc_id", "text"])
+    out = decontam.decontaminate_semantic(docs, emb, bench, threshold=0.9)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_semantic_overlap_plan_broadcasts_bench(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = decontam.semantic_overlap(emb.filter(F.col("vec_id") % 20 != 0),
+                                    emb.filter(F.col("vec_id") % 20 == 0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # bench side broadcast (no shuffle of corpus x bench rows) and the
+    # per-vector max partial-aggregates before the exchange
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "partial" in plan
