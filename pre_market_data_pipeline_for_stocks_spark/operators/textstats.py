@@ -293,3 +293,59 @@ def length_profile(docs: DataFrame, group_col: str = "lang",
                  F.round(pct.getItem(0), 4).alias("p50"),
                  F.round(pct.getItem(1), 4).alias("p90"),
                  F.round(pct.getItem(2), 4).alias("p99")))
+
+
+def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality scoring:
+    (doc_id, n_tokens, mean_logprob, ppl) — each document scored by the
+    mean token log-probability under a unigram LM trained on
+    ``model_docs`` (default: the corpus itself), ppl = exp(-mean).
+
+    The classic perplexity filter: documents far from the corpus
+    distribution (gibberish, wrong language, boilerplate symbol soup)
+    score low mean_logprob / high ppl and get cut at a chosen quantile.
+    Laplace (add-one) smoothing over the model vocabulary keeps unseen
+    tokens finite: p(t) = (c(t)+1) / (T+V).
+
+    Plan: one exploded token pass per side; the per-(doc, token) count
+    is the skew guard (a token repeated millions of times in one doc
+    collapses before the global agg — vocabulary_topk's shape); the
+    probability table is vocabulary-sized and joins on token (AQE
+    broadcasts it when small); (T, V) is a single-row broadcast. The
+    per-doc mean is Σ n_dt·ln p / Σ n_dt — partial-aggregated map-side,
+    one row per doc over the exchange."""
+    model_docs = docs if model_docs is None else model_docs
+
+    def _per_doc(src: DataFrame) -> DataFrame:
+        return (src.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                              r"\s+")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("n_dt")))
+
+    counts = (_per_doc(model_docs).groupBy("token")
+              .agg(F.sum("n_dt").alias("c_t")))
+    totals = counts.agg(F.sum("c_t").cast("double").alias("_T"),
+                        F.count(F.lit(1)).cast("double").alias("_V"))
+    probs = (counts.crossJoin(F.broadcast(totals))
+             .select("token",
+                     F.log((F.col("c_t") + 1.0)
+                           / (F.col("_T") + F.col("_V"))).alias("lp")))
+    # LEFT join: tokens absent from the model vocabulary score the
+    # unseen-mass probability 1/(T+V) instead of silently dropping.
+    scored = (_per_doc(docs).join(probs, "token", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("lp", F.coalesce(
+                  F.col("lp"),
+                  F.log(1.0 / (F.col("_T") + F.col("_V"))))))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n_dt").cast("long").alias("n_tokens"),
+                 (F.sum(F.col("n_dt") * F.col("lp"))
+                  / F.sum("n_dt")).alias("_m"))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("_m"), 4).alias("mean_logprob"),
+                    F.round(F.exp(-F.col("_m")), 4).alias("ppl")))

@@ -386,6 +386,13 @@ def text_repetition(spark, sf_dir):
     return textstats.repetition(_docs(spark, sf_dir), n=3)
 
 
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-filter scoring: every document's mean token log-prob
+    under the corpus's own add-one-smoothed unigram LM (CCNet-style
+    quality signal; cut at a quantile downstream)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Exact corpus heavy hitters (top-25 tokens by term frequency,
     with document frequency) — the vocabulary-analysis step before

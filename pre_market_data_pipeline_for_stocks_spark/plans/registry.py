@@ -1651,6 +1651,28 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.textstats.unigram_logprob: add-one-smoothed unigram LM
+    # trained on the corpus itself; per-doc mean token log-prob and
+    # perplexity. The per-(doc, token) pre-agg is the skew guard.
+    "text_unigram_logprob": QueryDef(X.text_unigram_logprob, """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+pd AS (SELECT doc_id, token, count(*) AS n_dt FROM tok
+       WHERE token <> '' GROUP BY 1, 2),
+cnt AS (SELECT token, sum(n_dt) AS c_t FROM pd GROUP BY 1),
+tot AS (SELECT sum(c_t)::DOUBLE AS t, count(*)::DOUBLE AS v FROM cnt),
+probs AS (SELECT token, ln((c_t + 1.0) / (t + v)) AS lp FROM cnt, tot),
+sc AS (SELECT pd.doc_id, pd.n_dt,
+              coalesce(p.lp, ln(1.0 / (tot.t + tot.v))) AS lp
+       FROM pd LEFT JOIN probs p USING (token), tot)
+SELECT doc_id, sum(n_dt)::BIGINT AS n_tokens,
+       round(sum(n_dt * lp) / sum(n_dt), 4) AS mean_logprob,
+       round(exp(-(sum(n_dt * lp) / sum(n_dt))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""),
+
     # operators.relevance.tfidf_topk_terms: tf * ln(N/df) per (doc,
     # token), per-doc top-k window partitioned on doc_id. Ranking uses
     # the ROUNDED tfidf in both engines so the cut is identical.

@@ -191,3 +191,45 @@ def test_semantic_overlap_plan_broadcasts_bench(spark, sf_dir):
     # per-vector max partial-aggregates before the exchange
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_max" in plan or "partial" in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b")], ["doc_id", "text"])
+    # model: c(a)=2, c(b)=2, T=4, V=2 -> p(a)=p(b)=3/6=0.5
+    out = {r.doc_id: r for r in textstats.unigram_logprob(docs).collect()}
+    lp = math.log(0.5)
+    assert out[0].n_tokens == 3
+    assert out[0].mean_logprob == round(lp, 4)
+    assert out[0].ppl == round(math.exp(-lp), 4) == 2.0
+    assert out[1].n_tokens == 1 and out[1].ppl == 2.0
+
+
+def test_unigram_logprob_unseen_token_uses_smoothing_mass(spark):
+    import math
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    model = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    target = spark.createDataFrame([(7, "zz")], ["doc_id", "text"])
+    out = textstats.unigram_logprob(target, model_docs=model).collect()
+    # T=3, V=1 -> unseen p = 1/(3+1)
+    assert out[0].mean_logprob == round(math.log(0.25), 4)
+
+
+def test_unigram_logprob_ranks_typical_doc_higher(spark, sf_dir):
+    # A doc made of the corpus's most common tokens must outscore one
+    # with rare tokens — the filter's whole point.
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    probe = docs.sparkSession.createDataFrame(
+        [(9001, "scan column window order"), (9002, "zzz qqq xxx www")],
+        ["doc_id", "text"]).unionByName(docs.select("doc_id", "text"))
+    out = {r.doc_id: r.mean_logprob for r in
+           textstats.unigram_logprob(probe).collect()}
+    assert out[9001] > out[9002]
