@@ -189,3 +189,39 @@ def cluster_safe_split(docs: DataFrame, pairs: DataFrame,
                             F.coalesce(F.col("cluster_id"), F.col(id_col)))
                 .drop("cluster_id"))
     return split_assign(with_rep, props, key_col="rep_id", salt=salt)
+
+
+def quantile_bucket(df: DataFrame, value_col: str, n_buckets: int = 4,
+                    out_col: str = "bucket") -> DataFrame:
+    """Exact-quantile bucketing WITHOUT a global sort: adds ``out_col``
+    in [0, n_buckets) placing each row by its ``value_col`` against the
+    exact interpolated quantile cutpoints — curriculum staging (easy →
+    hard by length/quality), tiering, and balanced-difficulty batch
+    construction.
+
+    NTILE over a partitionless window — the SQL-textbook spelling —
+    single-threads the whole relation through one reducer and dies at
+    scale. Here the cutpoints are ONE single-row exact `percentile`
+    aggregate (partial-aggregated, merge cost ∝ distinct values),
+    broadcast back, and the bucket is a map-side fold over the cut
+    array: no shuffle of the data rows at all. Unlike NTILE, equal
+    values always land in the same bucket (ties never split across
+    buckets — the statistically meaningful behavior for curricula).
+
+    Cutpoints are rounded to 6 dp before comparing so the boundary
+    verdict is reproducible across engines; bucket b holds rows with
+    cut_b < value <= cut_{b+1} (bucket populations may be uneven under
+    heavy ties — that is the tie-preserving trade)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    fracs = ", ".join(f"{i / n_buckets}" for i in range(1, n_buckets))
+    cuts = (df.agg(F.expr(
+        f"percentile({value_col}, array({fracs}))").alias("_cuts"))
+        .select(F.transform("_cuts",
+                            lambda c: F.round(c, 6)).alias("_cuts")))
+    bucket = F.aggregate(
+        F.col("_cuts"), F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0))
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn(out_col, bucket)
+            .drop("_cuts"))

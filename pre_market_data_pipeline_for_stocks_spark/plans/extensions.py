@@ -386,6 +386,24 @@ def text_repetition(spark, sf_dir):
     return textstats.repetition(_docs(spark, sf_dir), n=3)
 
 
+CURRICULUM_STAGES = 4
+
+
+def corpus_curriculum_stages(spark, sf_dir):
+    """Curriculum staging by document length: exact quartile cutpoints
+    (single-row broadcast aggregate, never an NTILE global window)
+    bucket every doc into stages 0-3, ties sharing a stage."""
+    from ..operators import sampling
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    return (sampling.quantile_bucket(toks, "n_tokens", CURRICULUM_STAGES,
+                                     out_col="stage")
+            .orderBy("doc_id"))
+
+
 def text_unigram_logprob(spark, sf_dir):
     """Perplexity-filter scoring: every document's mean token log-prob
     under the corpus's own add-one-smoothed unigram LM (CCNet-style

@@ -1651,6 +1651,27 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.sampling.quantile_bucket: exact interpolated quartile
+    # cuts (quantile_cont twin of Spark's `percentile`), rounded to
+    # 6 dp before the boundary compare; bucket = #cuts strictly below
+    # the value. No NTILE/global window in either engine.
+    "corpus_curriculum_stages": QueryDef(X.corpus_curriculum_stages, f"""
+WITH v AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+cuts AS (
+  SELECT quantile_cont(n_tokens, [{', '.join(
+      str(i / X.CURRICULUM_STAGES)
+      for i in range(1, X.CURRICULUM_STAGES))}]) AS cs
+  FROM v)
+SELECT doc_id, lang, n_tokens,
+       ({' + '.join(
+           f'CASE WHEN n_tokens > round(cs[{i}], 6) THEN 1 ELSE 0 END'
+           for i in range(1, X.CURRICULUM_STAGES))}) AS stage
+FROM v, cuts ORDER BY doc_id
+"""),
+
     # operators.textstats.unigram_logprob: add-one-smoothed unigram LM
     # trained on the corpus itself; per-doc mean token log-prob and
     # perplexity. The per-(doc, token) pre-agg is the skew guard.

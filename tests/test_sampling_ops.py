@@ -201,3 +201,35 @@ def test_cluster_safe_split_stable_across_partitionings(docs, spark):
     b = {(r.doc_id, r.split) for r in sampling.cluster_safe_split(
         docs.repartition(13), pairs, props).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_quantile_bucket_balanced_and_tie_preserving(spark):
+    rows = [(i, float(v)) for i, v in enumerate(
+        [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8])]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = sampling.quantile_bucket(df, "v", 4).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r.v, set()).add(r.bucket)
+    # ties never split across buckets
+    assert all(len(s) == 1 for s in by_val.values())
+    assert {r.bucket for r in out} == {0, 1, 2, 3}
+    # monotone: higher value -> same or higher bucket
+    pairs = sorted((r.v, r.bucket) for r in out)
+    assert all(b2 >= b1 for (_, b1), (_, b2) in zip(pairs, pairs[1:]))
+
+
+def test_quantile_bucket_rejects_single_bucket(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    with pytest.raises(ValueError):
+        sampling.quantile_bucket(df, "v", 1)
+
+
+def test_quantile_bucket_plan_has_no_global_window(docs, spark):
+    from pyspark.sql import functions as F
+    toks = docs.select("doc_id", F.size(F.split("text", r"\s+"))
+                       .cast("long").alias("n"))
+    out = sampling.quantile_bucket(toks, "n", 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan                 # no NTILE-style window
+    assert "BroadcastNestedLoopJoin" in plan    # cuts broadcast back
