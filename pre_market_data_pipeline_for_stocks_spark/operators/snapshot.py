@@ -1,0 +1,86 @@
+"""Corpus snapshot comparison: per-document diff and distribution drift.
+
+Extension scope (BASELINE.json north star): training corpora are
+re-crawled and re-curated continuously; before swapping snapshot v2 in
+for v1 a pipeline audits WHAT changed (per-document add/remove/change)
+and HOW MUCH the token distribution moved (drift — a large shift means
+re-tuning mixtures and filters, or a scraper regression).
+
+Execution model (100 TB framing): the diff is one full-outer join of
+two content-HASH relations keyed on doc_id — texts reduce to 8-byte
+hashes map-side and never shuffle. Drift reduces each snapshot to its
+vocabulary-sized token-share relation (per-(doc,token) pre-agg guards
+token skew, same shape as vocabulary_topk) and full-outer-joins the two
+share tables on token; totals are single-row broadcasts and the top-k
+movers run as TakeOrdered."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document snapshot diff: (doc_id, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — membership by id,
+    change by 60-bit content hash. One hash-relation full-outer join;
+    document text never shuffles."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   md5_i64(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   md5_i64(F.col(text_col)).alias("_nh"))
+    status = (F.when(F.col("_oh").isNull(), "added")
+              .when(F.col("_nh").isNull(), "removed")
+              .when(F.col("_oh") != F.col("_nh"), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, "doc_id", "full_outer")
+            .select("doc_id", status.alias("status")))
+
+
+def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token-distribution drift between two snapshots: the ``k`` tokens
+    with the largest absolute share change, plus the global total
+    variation distance —
+    (token, share_old, share_new, delta, tvd).
+
+    share_x = token occurrences / total occurrences in snapshot x
+    (0 for tokens absent from one side); delta = share_new − share_old;
+    tvd = 0.5·Σ|delta| over the UNION vocabulary (constant across
+    rows — the drift gauge a re-curation run alarms on; tvd≈0 means
+    the snapshots are interchangeable for mixture purposes). All
+    shares/deltas rounded to 6 dp; movers rank by rounded |delta|
+    descending, token ascending."""
+
+    def _shares(df: DataFrame, out: str) -> DataFrame:
+        tok = (df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                              r"\s+")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token", "doc_id")
+            .agg(F.count(F.lit(1)).alias("_n")))
+        counts = tok.groupBy("token").agg(F.sum("_n").alias("_c"))
+        total = counts.agg(F.sum("_c").cast("double").alias("_t"))
+        return (counts.crossJoin(F.broadcast(total))
+                .select("token", (F.col("_c") / F.col("_t")).alias(out)))
+
+    j = (_shares(old, "_so").join(_shares(new, "_sn"), "token",
+                                  "full_outer")
+         .select("token",
+                 F.coalesce(F.col("_so"), F.lit(0.0)).alias("_so"),
+                 F.coalesce(F.col("_sn"), F.lit(0.0)).alias("_sn"))
+         .withColumn("_d", F.col("_sn") - F.col("_so")))
+    tvd = j.agg(F.round(0.5 * F.sum(F.abs(F.col("_d"))), 6).alias("tvd"))
+    return (j.crossJoin(F.broadcast(tvd))
+            .select("token",
+                    F.round(F.col("_so"), 6).alias("share_old"),
+                    F.round(F.col("_sn"), 6).alias("share_new"),
+                    F.round(F.col("_d"), 6).alias("delta"),
+                    "tvd")
+            .orderBy(F.abs(F.col("delta")).desc(), F.col("token").asc())
+            .limit(k))

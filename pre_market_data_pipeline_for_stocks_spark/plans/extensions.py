@@ -386,6 +386,44 @@ def text_repetition(spark, sf_dir):
     return textstats.repetition(_docs(spark, sf_dir), n=3)
 
 
+def _docs_v2(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic snapshot v2 of the documents table (both
+    engines replay the same transform — the news_debug synthesis
+    pattern): doc_id%10==7 removed, doc_id%10==3 revised, one fresh doc
+    per doc_id%25==0 appended under id+100000."""
+    kept = (docs.filter(F.col("doc_id") % 10 != 7)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 10 == 3,
+                           F.concat(F.col("text"), F.lit(" revised")))
+                    .otherwise(F.col("text")).alias("text")))
+    added = (docs.filter(F.col("doc_id") % 25 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.concat(F.lit("fresh "), F.col("text"))
+                     .alias("text")))
+    return kept.unionByName(added)
+
+
+def corpus_snapshot_diff(spark, sf_dir):
+    """Per-document diff of snapshot v1 vs the synthesized v2: one
+    full-outer join of 8-byte content-hash relations — the audit run
+    before swapping a re-crawl in."""
+    from ..operators import snapshot
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (snapshot.snapshot_diff(docs, _docs_v2(docs))
+            .orderBy("doc_id"))
+
+
+VOCAB_DRIFT_TOPK = 20
+
+
+def corpus_vocab_drift(spark, sf_dir):
+    """Token-distribution drift v1 → v2: top-20 share movers plus the
+    global total-variation distance (the mixture-retuning alarm)."""
+    from ..operators import snapshot
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
+
+
 CURRICULUM_STAGES = 4
 
 

@@ -592,6 +592,17 @@ dim AS (
 """
 
 
+# Synthetic snapshot v2 of documents — twin of extensions._docs_v2.
+_V2_CTE = """v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' revised' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 10 <> 7
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'fresh ' || text AS text
+  FROM documents WHERE doc_id % 25 = 0)"""
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1649,6 +1660,50 @@ per_doc AS (
 SELECT token, sum(n)::BIGINT AS tf, count(*) AS df
 FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
+"""),
+
+    # operators.snapshot.snapshot_diff over the synthesized v2 snapshot
+    # (extensions._docs_v2: %10==7 removed, %10==3 revised, %25==0
+    # appended under id+100000) — status by id membership + 60-bit
+    # content-hash compare.
+    "corpus_snapshot_diff": QueryDef(X.corpus_snapshot_diff, f"""
+WITH {_V2_CTE},
+o AS (SELECT doc_id, {_h('text')} AS oh FROM documents),
+n AS (SELECT doc_id, {_h('text')} AS nh FROM v2)
+SELECT doc_id,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL JOIN n USING (doc_id)
+ORDER BY doc_id
+"""),
+
+    # operators.snapshot.vocab_drift v1 -> v2: token share deltas over
+    # the union vocabulary + global TVD; movers rank by rounded |delta|
+    # DESC, token ASC in both engines.
+    "corpus_vocab_drift": QueryDef(X.corpus_vocab_drift, f"""
+WITH {_V2_CTE},
+po AS (SELECT token, doc_id, count(*) AS n FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                '\\s+')) AS token FROM documents)
+       WHERE token <> '' GROUP BY 1, 2),
+pn AS (SELECT token, doc_id, count(*) AS n FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+                '\\s+')) AS token FROM v2)
+       WHERE token <> '' GROUP BY 1, 2),
+co AS (SELECT token, sum(n) AS c FROM po GROUP BY 1),
+cn AS (SELECT token, sum(n) AS c FROM pn GROUP BY 1),
+so AS (SELECT token, c / (SELECT sum(c)::DOUBLE FROM co) AS s FROM co),
+sn AS (SELECT token, c / (SELECT sum(c)::DOUBLE FROM cn) AS s FROM cn),
+d AS (SELECT token, coalesce(so.s, 0) AS so_, coalesce(sn.s, 0) AS sn_,
+             coalesce(sn.s, 0) - coalesce(so.s, 0) AS dd
+      FROM so FULL JOIN sn USING (token)),
+tvd AS (SELECT round(0.5 * sum(abs(dd)), 6) AS tvd FROM d)
+SELECT token, round(so_, 6) AS share_old, round(sn_, 6) AS share_new,
+       round(dd, 6) AS delta, tvd
+FROM d, tvd
+ORDER BY abs(round(dd, 6)) DESC, token ASC LIMIT {X.VOCAB_DRIFT_TOPK}
 """),
 
     # operators.sampling.quantile_bucket: exact interpolated quartile

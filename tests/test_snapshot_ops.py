@@ -1,0 +1,53 @@
+"""operators/snapshot.py: snapshot diff + vocabulary drift."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import snapshot
+
+
+@pytest.fixture(scope="module")
+def v1(spark):
+    return spark.createDataFrame(
+        [(0, "a b c"), (1, "x y"), (2, "gone soon")], ["doc_id", "text"])
+
+
+def test_snapshot_diff_statuses(spark, v1):
+    v2 = spark.createDataFrame(
+        [(0, "a b c"),            # unchanged
+         (1, "x y z"),            # changed
+         (3, "brand new")],       # added; 2 removed
+        ["doc_id", "text"])
+    out = {r.doc_id: r.status for r in
+           snapshot.snapshot_diff(v1, v2).collect()}
+    assert out == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_snapshot_diff_identical_snapshots(v1):
+    out = snapshot.snapshot_diff(v1, v1).collect()
+    assert {r.status for r in out} == {"unchanged"}
+    assert len(out) == 3
+
+
+def test_vocab_drift_zero_on_identical(v1):
+    out = snapshot.vocab_drift(v1, v1, k=5).collect()
+    assert all(r.tvd == 0.0 and r.delta == 0.0 for r in out)
+
+
+def test_vocab_drift_detects_mover(spark, v1):
+    # v2 doubles down on token 'a': share rises; tvd > 0
+    v2 = spark.createDataFrame(
+        [(0, "a a a a"), (1, "x y"), (2, "gone soon")], ["doc_id", "text"])
+    out = snapshot.vocab_drift(v1, v2, k=3).collect()
+    assert out[0].token == "a" and out[0].delta > 0
+    assert out[0].tvd > 0
+    # shares are proper distributions: old side 1/7 for 'a'
+    assert out[0].share_old == round(1 / 7, 6)
+
+
+def test_vocab_drift_plan_is_takeordered(spark, v1):
+    plan = (snapshot.vocab_drift(v1, v1, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
