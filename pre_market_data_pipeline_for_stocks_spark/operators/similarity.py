@@ -609,3 +609,44 @@ def cosine_topk_int8(embeddings: DataFrame, query_vec_id: int = 0,
     )
     return scored.orderBy(F.col("cosine_q").desc(),
                           F.col("vec_id").asc()).limit(k)
+
+
+def hard_negatives(embeddings: DataFrame, query_pred, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training:
+    (q_vec_id, neg_vec_id, cosine) — for each query vector (rows
+    matching ``query_pred``), the ``k`` corpus vectors MOST similar in
+    embedding space whose ``label_col`` DIFFERS from the query's. These
+    near-miss negatives are what make contrastive/embedding training
+    converge; random negatives are too easy.
+
+    Ranking uses the ROUNDED (4 dp) cosine with vec_id-asc ties so the
+    cut is engine-deterministic.
+
+    Scale shape: mining batches are small by design (a training epoch
+    mines for one batch of anchors at a time), so the query side —
+    vectors, labels, precomputed norms — broadcasts and the
+    corpus×query cosine fold runs map-side; the per-query top-k is a
+    window partitioned on q_vec_id (per-partition heaps). For huge
+    anchor sets, route candidate generation through ivf_topk_batch
+    first and anti-filter labels on its output instead."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("_v"))
+    q = (base.filter(query_pred)
+         .select(F.col("vec_id").alias("q_vec_id"),
+                 F.col("label").alias("_qlab"), F.col("_v").alias("_qv"))
+         .withColumn("_qnrm", _norm(F.col("_qv"))))
+    c = base.withColumn("_nrm", _norm(F.col("_v")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("label") != F.col("_qlab"))
+              .select("q_vec_id", F.col("vec_id").alias("neg_vec_id"),
+                      F.round(_dot_precast(F.col("_v"), F.col("_qv"))
+                              / (F.col("_nrm") * F.col("_qnrm")), 4)
+                      .alias("cosine")))
+    w = (Window.partitionBy("q_vec_id")
+         .orderBy(F.col("cosine").desc(), F.col("neg_vec_id").asc()))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

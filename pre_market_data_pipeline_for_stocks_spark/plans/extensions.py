@@ -573,6 +573,19 @@ def ann_ivf_topk_batch(spark, sf_dir):
                                      train_iters=1, train_sample_mod=2)
 
 
+HARDNEG_STRIDE = 50
+HARDNEG_K = 5
+
+
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each anchor (every 50th
+    vector), the 5 most-cosine-similar vectors with a DIFFERENT label —
+    broadcast anchors, map-side cosine, per-anchor top-k window."""
+    return similarity.hard_negatives(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % HARDNEG_STRIDE == 0, HARDNEG_K)
+
+
 def embedding_norms(spark, sf_dir):
     """Array-function coverage: per-vector L2 norm + dim count (F.aggregate
     / zip_with JVM-side array math over array<float>)."""

@@ -1857,6 +1857,26 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """, headline=True),
 
+    # operators.similarity.hard_negatives: per-anchor top-k by ROUNDED
+    # cosine among different-label vectors; anchors = every 50th id.
+    "ann_hard_negatives": QueryDef(X.ann_hard_negatives, f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, label AS qlab, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {X.HARDNEG_STRIDE} = 0),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+cos AS (
+  SELECT q.q_vec_id, c.vec_id AS neg_vec_id,
+         round(list_inner_product(c.cv, q.qv)
+               / (sqrt(list_inner_product(c.cv, c.cv))
+                  * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
+  FROM c JOIN q ON c.label <> q.qlab),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY cosine DESC, neg_vec_id ASC) AS rn
+  FROM cos)
+SELECT q_vec_id, neg_vec_id, cosine FROM ranked WHERE rn <= {X.HARDNEG_K}
+"""),
+
     # operators.similarity.cosine_topk_int8: the quantized scan path.
     # Reconstruction (qv[i]*scale/127) happens inside the scoring
     # expression in both engines; cosine rounded to 4 dp like the exact

@@ -279,3 +279,44 @@ def test_ivf_cells_stride_sizes_codebook(emb):
            S.ivf_topk(emb, 0, K, centroid_stride=S.ivf_cells_stride(emb, 10),
                       train_iters=1).collect()}
     assert len(brute & ivf) / K >= 0.8
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import similarity
+    rows = [
+        (0, [1.0, 0.0], 0),      # anchor, label 0
+        (1, [0.99, 0.1], 0),     # same label: NEVER a negative
+        (2, [0.9, 0.2], 1),      # hard negative (closest other-label)
+        (3, [0.0, 1.0], 1),      # easy negative
+        (4, [-1.0, 0.0], 2),     # anti-parallel
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negatives(emb, F.col("vec_id") == 0, k=2).collect()
+    assert all(r.q_vec_id == 0 for r in out)
+    ids = [r.neg_vec_id for r in out]
+    assert ids == [2, 3]                  # ranked by cosine desc
+    assert 1 not in ids                   # same-label excluded
+    assert out[0].cosine > out[1].cosine
+
+
+def test_hard_negatives_k_bounds_per_anchor(spark):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = (similarity.hard_negatives(emb, F.col("vec_id") % 100 == 0, k=3)
+           .groupBy("q_vec_id").count().collect())
+    assert len(out) == 5 and all(r["count"] == 3 for r in out)
+
+
+def test_hard_negatives_plan_broadcasts_anchors(spark):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (similarity.hard_negatives(emb, F.col("vec_id") % 100 == 0, 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "windowspecdefinition(q_vec_id" in plan
