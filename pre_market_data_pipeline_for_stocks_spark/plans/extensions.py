@@ -424,6 +424,26 @@ def corpus_vocab_drift(spark, sf_dir):
     return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
 
 
+TRENDING_TOPK = 3
+
+
+def corpus_trending_terms(spark, sf_dir):
+    """Batch twin of streaming/corpus.trending_term_counts + the top-k
+    finisher: documents given synthetic hourly arrival times (doc_id %
+    48 hours — both engines replay it), 1-hour tumbling token counts,
+    top-3 tokens per window (count desc, token asc)."""
+    from ..streaming import corpus as scorpus
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("timestamp '2024-01-19 00:00:00'"
+               " + make_interval(0, 0, 0, 0, doc_id % 48, 0, 0)")
+        .alias("ts"),
+        "text")
+    counts = scorpus.batch_term_counts(d)
+    return (scorpus.topk_trending(counts, TRENDING_TOPK)
+            .orderBy("window_start", "token"))
+
+
 CURRICULUM_STAGES = 4
 
 

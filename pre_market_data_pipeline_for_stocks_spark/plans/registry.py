@@ -1662,6 +1662,29 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # streaming/corpus.batch_term_counts + topk_trending (batch twin of
+    # the trending-terms stream; stream==batch pinned in
+    # tests/test_streaming_corpus.py): synthetic hourly arrivals,
+    # 1-hour tumbling token counts, top-3 per window.
+    "corpus_trending_terms": QueryDef(X.corpus_trending_terms, f"""
+WITH d AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-19 00:00:00' + to_hours(doc_id % 48) AS ts,
+         text
+  FROM documents),
+tok AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM d),
+c AS (SELECT window_start, token, count(*) AS n FROM tok
+      WHERE token <> '' GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, token ASC) AS rn
+      FROM c)
+SELECT window_start, token, n FROM r WHERE rn <= {X.TRENDING_TOPK}
+ORDER BY window_start, token
+"""),
+
     # operators.snapshot.snapshot_diff over the synthesized v2 snapshot
     # (extensions._docs_v2: %10==7 removed, %10==3 revised, %25==0
     # appended under id+100000) — status by id membership + 60-bit

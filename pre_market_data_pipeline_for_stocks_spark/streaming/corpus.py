@@ -1,0 +1,69 @@
+"""Structured Streaming over a document/text stream (greenfield
+extension, the live-ingest side of the corpus operators).
+
+``streaming/events.py`` covers the numeric event stream; this module
+covers TEXT arriving over time — the trending-terms monitor a crawl or
+social ingest runs: windowed per-token counts with event-time
+watermarks, plus the batch top-k finisher (a second, non-time
+aggregation is not expressible inside an append-mode stream, so the
+serving layer ranks the materialized counts — the standard split).
+
+Scale shape: tokenization is a stateless map-side explode; the only
+stateful operator is the windowed (window, token) count whose state is
+vocabulary-×-open-windows-sized and watermark-bounded. Shuffle currency
+is (token, long) — document text never enters state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_stream(docs_stream: DataFrame, ts_col: str = "ts",
+                 text_col: str = "text") -> DataFrame:
+    """(ts, token): the exploded lowercase token stream — stateless,
+    map-side, schema-stable for downstream windowed aggs."""
+    return (docs_stream.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+        .filter(F.col("token") != ""))
+
+
+def trending_term_counts(docs_stream: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts",
+                         text_col: str = "text") -> DataFrame:
+    """Streaming windowed token counts:
+    (window_start, token, n) — the state behind a trending-terms board.
+    Late text beyond ``watermark`` is dropped with the same event-time
+    contract as streaming/events.tumbling_hourly."""
+    return (token_stream(docs_stream, ts_col, text_col)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "token", "n"))
+
+
+def batch_term_counts(docs: DataFrame, window: str = "1 hour",
+                      ts_col: str = "ts",
+                      text_col: str = "text") -> DataFrame:
+    """Batch twin of trending_term_counts (identical logical agg, no
+    watermark) — the backfill path and the stream==batch test anchor."""
+    return (token_stream(docs, ts_col, text_col)
+            .groupBy(F.window("ts", window).alias("w"), "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "token", "n"))
+
+
+def topk_trending(term_counts: DataFrame, k: int = 5) -> DataFrame:
+    """Serving-side finisher: per window, the ``k`` highest-count
+    tokens (count desc, token asc — deterministic). Runs over the
+    MATERIALIZED counts (memory/Delta/parquet sink of
+    trending_term_counts), per-window window function, no global
+    sort."""
+    w = (Window.partitionBy("window_start")
+         .orderBy(F.col("n").desc(), F.col("token").asc()))
+    return (term_counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

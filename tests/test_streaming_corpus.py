@@ -1,0 +1,85 @@
+"""streaming/corpus.py: trending terms — stream==batch, late drop,
+top-k finisher."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pre_market_data_pipeline_for_stocks_spark.streaming import corpus as sc
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _rows():
+    t0 = dt.datetime(2026, 1, 9, 10, 0)
+    return [
+        (0, t0, "spark scan spark"),
+        (1, t0 + dt.timedelta(minutes=20), "scan merge"),
+        (2, t0 + dt.timedelta(hours=1, minutes=5), "merge merge window"),
+        (3, t0 + dt.timedelta(hours=3), "window"),
+    ]
+
+
+def test_trending_counts_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = spark.createDataFrame(_rows(), SCHEMA)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sc.trending_term_counts(stream).writeStream
+         .outputMode("complete").format("memory")
+         .queryName("trending").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.window_start, r.token, r.n)
+           for r in spark.sql("SELECT * FROM trending").collect()}
+    want = {(r.window_start, r.token, r.n)
+            for r in sc.batch_term_counts(batch_df).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_trending_late_token_dropped(spark, tmp_path):
+    src = str(tmp_path / "late")
+    t0 = dt.datetime(2026, 1, 9, 10, 0)
+    on_time = [(0, t0, "spark"),
+               (1, dt.datetime(2026, 1, 9, 20, 0), "advancer")]
+    spark.createDataFrame(on_time, SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    q = (sc.trending_term_counts(stream, watermark="2 hours").writeStream
+         .outputMode("append").format("memory")
+         .queryName("trending_late").start())
+    try:
+        q.processAllAvailable()
+        # late arrival into the already-finalized 10:00 window
+        spark.createDataFrame([(2, t0, "spark")], SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.window_start, r.token): r.n
+           for r in spark.sql("SELECT * FROM trending_late").collect()}
+    assert got.get((t0, "spark")) == 1          # late copy excluded
+
+
+def test_topk_trending_ranks_per_window(spark):
+    counts = sc.batch_term_counts(spark.createDataFrame(_rows(), SCHEMA))
+    top1 = sc.topk_trending(counts, k=1).collect()
+    t0 = dt.datetime(2026, 1, 9, 10, 0)
+    by_win = {r.window_start: r.token for r in top1}
+    assert by_win[t0] == "scan"                         # 2 scans vs 2 sparks? -> tie
+    assert by_win[t0 + dt.timedelta(hours=1)] == "merge"
+
+
+def test_topk_trending_tie_breaks_by_token(spark):
+    # window 10:00 has spark=2, scan=2 -> token-asc picks "scan"
+    counts = sc.batch_term_counts(spark.createDataFrame(_rows(), SCHEMA))
+    t0 = dt.datetime(2026, 1, 9, 10, 0)
+    rows = [r for r in sc.topk_trending(counts, k=2).collect()
+            if r.window_start == t0]
+    assert [r.token for r in rows] == ["scan", "spark"]
+    assert [r.n for r in rows] == [2, 2]
