@@ -99,3 +99,24 @@ def write_training_shards(docs: DataFrame, packed: DataFrame, path: str,
                   .select("shard_id", "doc_id", text_col))
     (shard_rows.repartition("shard_id")
      .write.mode("overwrite").partitionBy("shard_id").json(path))
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_cols: list[str] | None = None) -> None:
+    """Columnar interchange sink in ORC — the Hive-ecosystem twin of
+    the parquet paths, for consumers (Hive/Trino/legacy warehouses)
+    that mount ORC only. Same layout contracts as the parquet writers:
+    optional hive-style partition dirs, zlib block compression,
+    overwrite idempotence. Spark's built-in vectorized ORC
+    reader/writer keeps scans predicate-pushed and column-pruned
+    exactly like parquet (pinned in tests/test_skew_and_sinks.py)."""
+    w = df.write.mode("overwrite").option("compression", "zlib")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """Read an ORC tree written by write_orc (partition dirs become
+    columns, schema from the footer)."""
+    return spark.read.orc(path)

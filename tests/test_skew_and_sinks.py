@@ -184,3 +184,46 @@ def test_write_bucketed_bronze_roundtrip_no_shuffle_join(spark, sf_dir,
     finally:
         for t in ("sb_orders", "sb_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_orc_round_trip_preserves_schema_and_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    rows = [
+        (0, "alpha doc", "en", dt.datetime(2026, 1, 9, 10, 0), [1.0, 2.0]),
+        (1, "beta doc", "es", dt.datetime(2026, 1, 9, 11, 0), [3.0, 4.0]),
+        (2, "gamma doc", "en", dt.datetime(2026, 1, 9, 12, 0), [5.0, 6.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, ts timestamp, "
+              "emb array<double>")
+    path = str(tmp_path / "orc_tree")
+    sinks.write_orc(df, path, partition_cols=["lang"])
+    back = sinks.read_orc(spark, path)
+    assert {f.name: f.dataType.simpleString() for f in back.schema} \
+        == {f.name: f.dataType.simpleString() for f in df.schema}
+    assert sorted(tuple(r) for r in back.select(*df.columns).collect()) \
+        == sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_scan_pushes_down_filters_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"))
+    path = str(tmp_path / "orc_pd")
+    sinks.write_orc(df, path, partition_cols=["lang"])
+    q = (sinks.read_orc(spark, path)
+         .filter((F.col("lang") == "1") & (F.col("doc_id") > 50))
+         .select("doc_id"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: only the lang=1 dir is read
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # predicate pushdown reaches the ORC scan; text column pruned
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,50)]" in plan
+    assert "text" not in plan.split("ReadSchema")[-1]
+    assert q.count() == 16
