@@ -285,7 +285,7 @@ def train_ivf_centroids(embeddings: DataFrame, centroid_stride: int = 50,
 
 
 def ivf_cells_stride(embeddings: DataFrame, cells: int | None = None,
-                     nprobe: int = 3) -> int:
+                     nprobe: int = 3, sample_mod: int = 2) -> int:
     """Centroid stride for a target cell COUNT (the scale-correct way
     to size an IVF codebook): ``cells=None`` balances assignment cost
     (n·k) against probe scan (n·nprobe/k) at k ≈ sqrt(n·nprobe) — the
@@ -294,10 +294,14 @@ def ivf_cells_stride(embeddings: DataFrame, cells: int | None = None,
     stride=200 → 45.4 s vs a right-sized codebook → 27.7 s,
     BASELINE.md round-5 section); pass the result of this helper as
     ``centroid_stride`` so the codebook is a BUDGET, not a ratio.
-    Costs one count() — model sizing is an action, as in MLlib."""
+    Costs one count() — model sizing is an action, as in MLlib.
+    The result snaps DOWN to a multiple of ``sample_mod`` (never below
+    it) so stride-init seed vectors lie inside the training sample —
+    train_ivf_centroids' precondition."""
     n = embeddings.count()
     k = cells if cells is not None else max(1, int((n * nprobe) ** 0.5))
-    return max(1, n // max(1, k))
+    stride = max(1, n // max(1, k))
+    return max(sample_mod, stride // sample_mod * sample_mod)
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,

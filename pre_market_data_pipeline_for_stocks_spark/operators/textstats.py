@@ -349,3 +349,31 @@ def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
             .select("doc_id", "n_tokens",
                     F.round(F.col("_m"), 4).alias("mean_logprob"),
                     F.round(F.exp(-F.col("_m")), 4).alias("ppl")))
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Adjacent-token-pair statistics: (pair, n_pairs, df) for the ``k``
+    most frequent ADJACENT token pairs — the selection statistic of the
+    first BPE/WordPiece merge step, and the phrase/collocation signal
+    tokenizer-training corpora are profiled with before vocabulary
+    fitting. Ties break by pair ascending.
+
+    Execution: pairs are built MAP-SIDE from each document's token
+    array (transform over positions — never a positional self-join),
+    then the vocabulary_topk aggregation shape: per-(pair, doc) pre-agg
+    (the skew guard), global (tf, df) agg, TakeOrdered top-k. Shuffle
+    currency is (pair-string, two longs)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)))
+    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(pairs).alias("pair"))
+               .groupBy("pair", "doc_id")
+               .agg(F.count(F.lit(1)).alias("_n")))
+    return (per_doc.groupBy("pair")
+            .agg(F.sum("_n").alias("n_pairs"),
+                 F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+            .limit(k))

@@ -462,6 +462,29 @@ def corpus_curriculum_stages(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+BPE_PAIRS_TOPK = 40
+
+
+def corpus_bpe_pairs(spark, sf_dir):
+    """Adjacent-token-pair heavy hitters (first BPE merge statistic):
+    top-40 pairs by occurrence with document frequency, pairs built
+    map-side from each doc's token array (no positional self-join)."""
+    return textstats.bpe_pair_counts(_docs(spark, sf_dir), BPE_PAIRS_TOPK)
+
+
+def ann_ivf_topk_auto(spark, sf_dir):
+    """IVF ANN with the codebook sized by the budget rule
+    (k ≈ sqrt(n·nprobe), stride = n // k — ivf_cells_stride): the
+    configuration a deployment should run, vs ann_ivf_topk's fixed
+    stride. The oracle pins the sizing at the n=500 correctness
+    fixture (stride 13); other corpus sizes re-size on the Spark side
+    by construction."""
+    emb = _emb(spark, sf_dir)
+    stride = similarity.ivf_cells_stride(emb, nprobe=3)
+    return similarity.ivf_topk(emb, ANN_QUERY_ID, ANN_TOPK,
+                               centroid_stride=stride, nprobe=3)
+
+
 def text_unigram_logprob(spark, sf_dir):
     """Perplexity-filter scoring: every document's mean token log-prob
     under the corpus's own add-one-smoothed unigram LM (CCNet-style

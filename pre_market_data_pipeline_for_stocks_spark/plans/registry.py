@@ -1750,6 +1750,28 @@ SELECT doc_id, lang, n_tokens,
 FROM v, cuts ORDER BY doc_id
 """),
 
+    # operators.textstats.bpe_pair_counts: adjacent token pairs built
+    # positionally (1-based list index twin of the map-side transform);
+    # vocabulary_topk aggregation shape.
+    "corpus_bpe_pairs": QueryDef(X.corpus_bpe_pairs, f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS pair
+  FROM toks, UNNEST(range(1, len(w))) t(i)),
+per AS (SELECT pair, doc_id, count(*) AS n FROM g GROUP BY 1, 2)
+SELECT pair, sum(n)::BIGINT AS n_pairs, count(*) AS df
+FROM per GROUP BY pair
+ORDER BY n_pairs DESC, pair ASC LIMIT {X.BPE_PAIRS_TOPK}
+"""),
+
+    # extensions.ann_ivf_topk_auto: the budget-sized codebook
+    # (ivf_cells_stride: k = sqrt(n*nprobe), snapped to the sample
+    # modulus) — stride pinned at 12 for the n=500 correctness
+    # fixtures; see the wrapper docstring.
+    "ann_ivf_topk_auto": QueryDef(X.ann_ivf_topk_auto, _ivf_sql(stride=12)),
+
     # operators.textstats.unigram_logprob: add-one-smoothed unigram LM
     # trained on the corpus itself; per-doc mean token log-prob and
     # perplexity. The per-(doc, token) pre-agg is the skew guard.

@@ -233,3 +233,28 @@ def test_unigram_logprob_ranks_typical_doc_higher(spark, sf_dir):
     out = {r.doc_id: r.mean_logprob for r in
            textstats.unigram_logprob(probe).collect()}
     assert out[9001] > out[9002]
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")], ["doc_id", "text"])
+    out = {r.pair: r for r in textstats.bpe_pair_counts(docs, k=10).collect()}
+    # "a b": doc0 has 2 (pos 0-1, 2-3), doc1 has 1 -> tf 3, df 2
+    assert out["a b"].n_pairs == 3 and out["a b"].df == 2
+    assert out["b a"].n_pairs == 1 and out["b a"].df == 1
+    assert "solo" not in out          # single-token doc emits no pair
+    assert set(out) == {"a b", "b a"}
+
+
+def test_bpe_pair_counts_plan_has_no_selfjoin(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    plan = (textstats.bpe_pair_counts(docs, 40)
+            ._jdf.queryExecution().executedPlan().toString())
+    # pairs are built map-side from the token array: one scan, no join
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
