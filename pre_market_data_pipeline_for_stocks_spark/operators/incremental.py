@@ -1,0 +1,63 @@
+"""Incremental aggregate maintenance: refresh a rollup from a delta
+batch without rescanning history.
+
+Extension scope (BASELINE.json north star): a 100 TB events table is
+never re-aggregated from scratch per day — the standing rollup (a tiny
+keys×partials relation) is MERGED with the new partition's partials.
+This is the materialized-view maintenance pattern every warehouse
+ships; in Spark it falls out of algebra: sums/counts/min/max are
+associative, so "union the partial relations and re-aggregate" is
+exactly the map-side-combine plan Catalyst already runs inside one
+query, lifted across query BOUNDARIES.
+
+Derived statistics (avg) are computed at READ time from the partials —
+never stored — so merges stay lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_partials(rows: DataFrame, keys: list[str],
+                    value_col: str = "value") -> DataFrame:
+    """Aggregate raw rows into the mergeable partial form:
+    (keys..., n, sum_v, min_v, max_v). This is both the bootstrap
+    (first full build) and the per-batch delta aggregation."""
+    return (rows.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(value_col).alias("sum_v"),
+                 F.min(value_col).alias("min_v"),
+                 F.max(value_col).alias("max_v")))
+
+
+def merge_rollup(base: DataFrame, delta: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Merge two partial relations (same schema as rollup_partials
+    output) into one — associative, so base ∪ delta re-aggregates with
+    sums of sums / min of mins. Cost ∝ |keys present|, never ∝ history
+    rows: the 100 TB table is not touched."""
+    return (base.unionByName(delta)
+            .groupBy(*keys)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_v").alias("sum_v"),
+                 F.min("min_v").alias("min_v"),
+                 F.max("max_v").alias("max_v")))
+
+
+def rollup_report(partials: DataFrame) -> DataFrame:
+    """Serving projection over the partials: rounded sum/min/max — the
+    read-time face of the rollup. Derived ratios (avg = sum_value/n)
+    belong to the CONSUMER's query, not the stored report: a 2-decimal
+    sum divided by small integer n lands on exact decimal midpoints
+    (e.g. .37875) where binary and shortest-representation rounding
+    disagree, so persisting a rounded quotient would make the report
+    engine-sensitive; the partials themselves are midpoint-free."""
+    return partials.select(
+        *[c for c in partials.columns
+          if c not in ("n", "sum_v", "min_v", "max_v")],
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 2).alias("sum_value"),
+        F.round("min_v", 2).alias("min_value"),
+        F.round("max_v", 2).alias("max_value"))

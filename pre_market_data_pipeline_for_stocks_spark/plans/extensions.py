@@ -424,6 +424,29 @@ def corpus_vocab_drift(spark, sf_dir):
     return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
 
 
+ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+
+def events_rollup_incremental(spark, sf_dir):
+    """Materialized-rollup maintenance: the standing per-(event_type,
+    day) rollup built from history (< cutoff) merged with the new
+    batch's partials (>= cutoff) — and the ORACLE is the full-scan
+    aggregation, proving incremental == recompute."""
+    from ..operators import incremental
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    keyed = ev.select("event_type", F.to_date("ts").alias("day"), "value")
+    cut = F.lit(ROLLUP_CUTOFF).cast("date")
+    base = incremental.rollup_partials(
+        keyed.filter(F.col("day") < cut), ["event_type", "day"])
+    delta = incremental.rollup_partials(
+        keyed.filter(F.col("day") >= cut), ["event_type", "day"])
+    merged = incremental.merge_rollup(base, delta, ["event_type", "day"])
+    return (incremental.rollup_report(merged)
+            .orderBy("event_type", "day"))
+
+
 TRENDING_TOPK = 3
 
 

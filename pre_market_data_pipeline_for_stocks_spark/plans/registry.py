@@ -1662,6 +1662,20 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.incremental: base(<cutoff) partials merged with
+    # delta(>=cutoff) partials. The oracle is deliberately the
+    # FULL-SCAN aggregation — the check asserts incremental == batch
+    # recompute, the defining property of the maintenance pattern.
+    "events_rollup_incremental": QueryDef(X.events_rollup_incremental, """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY 1, 2 ORDER BY event_type, day
+"""),
+
     # streaming/corpus.batch_term_counts + topk_trending (batch twin of
     # the trending-terms stream; stream==batch pinned in
     # tests/test_streaming_corpus.py): synthetic hourly arrivals,

@@ -1,0 +1,54 @@
+"""operators/incremental.py: mergeable rollup maintenance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import incremental
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 5.0), ("b", -1.0)]
+    return spark.createDataFrame(rows, ["k", "value"])
+
+
+def test_merge_equals_full_recompute(raw):
+    base = incremental.rollup_partials(raw.filter(F.col("value") < 4), ["k"])
+    delta = incremental.rollup_partials(raw.filter(F.col("value") >= 4), ["k"])
+    merged = {r.k: r for r in incremental.merge_rollup(
+        base, delta, ["k"]).collect()}
+    full = {r.k: r for r in incremental.rollup_partials(raw, ["k"]).collect()}
+    assert merged == full
+    assert merged["a"].n == 3 and merged["a"].sum_v == 13.0
+    assert merged["a"].min_v == 1.0 and merged["a"].max_v == 10.0
+
+
+def test_merge_is_associative_and_handles_new_keys(spark, raw):
+    base = incremental.rollup_partials(raw, ["k"])
+    newk = incremental.rollup_partials(
+        spark.createDataFrame([("c", 7.0)], ["k", "value"]), ["k"])
+    merged = {r.k: r for r in incremental.merge_rollup(
+        base, newk, ["k"]).collect()}
+    assert set(merged) == {"a", "b", "c"}
+    assert merged["c"].n == 1 and merged["c"].sum_v == 7.0
+
+
+def test_merge_cost_is_partials_sized(raw):
+    base = incremental.rollup_partials(raw, ["k"])
+    delta = incremental.rollup_partials(raw.limit(1), ["k"])
+    plan = (incremental.merge_rollup(base, delta, ["k"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # merge is a union + re-aggregate with map-side partials: no join,
+    # and partial aggregation happens before the exchange
+    assert "Join" not in plan
+    assert "partial" in plan
+
+
+def test_report_shapes_partials(raw):
+    rep = incremental.rollup_report(
+        incremental.rollup_partials(raw, ["k"]))
+    assert rep.columns == ["k", "n", "sum_value", "min_value", "max_value"]
+    a = {r.k: r for r in rep.collect()}["a"]
+    assert a.sum_value == 13.0 and a.min_value == 1.0
