@@ -1,0 +1,96 @@
+"""Retrieval-index build: chunk → featurize → cosine search, end to end.
+
+Extension scope (BASELINE.json north star): the indexing pipeline a
+RAG / retrieval deployment runs over a corpus — split documents into
+overlapping chunks (textstats.chunk_documents), embed each chunk, and
+serve nearest-chunk queries. The embedder here is FEATURE HASHING (the
+"hashing trick": each token adds a signed pseudo-random contribution
+to every dimension, seeded by the dimension index) — deterministic,
+vocabulary-free, engine-replayable, and a legitimate sparse-projection
+baseline; swap in a neural encoder via the same mapInPandas plumbing
+as operators/sentiment.py U1 where the model library exists.
+
+Numerical design: contributions are kept INTEGER (h % 2001 − 1000, in
+[−1000, 1000]) so per-dimension sums, dot products and squared norms
+are all exact int64 arithmetic — no float summation order anywhere
+until the final sqrt/divide, which makes the cosine bit-identical
+across engines and partitionings.
+
+Scale shape: chunking and embedding are pure map-side column
+expressions (no shuffle, no UDF); the query vector is a driver-side
+constant (tiny, like the IVF centroid model state); search is one scan
++ TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+HASH_EMBED_DIMS = 8
+_MOD = 2001          # contributions in [-1000, 1000]
+
+
+def hash_embed(chunks: DataFrame, dims: int = HASH_EMBED_DIMS,
+               text_col: str = "chunk_text",
+               keep_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+               out_col: str = "embedding") -> DataFrame:
+    """Feature-hashing embedder: adds ``out_col`` = array<long> of
+    ``dims`` signed token-hash sums. Map-side only; empty tokens
+    contribute nothing (an all-whitespace chunk embeds to the zero
+    vector, which search excludes — no direction to compare)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def dim(j: int):
+        return F.aggregate(
+            words, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.when(w == "", F.lit(0).cast("long"))
+            .otherwise(md5_i64(w, seed=j) % _MOD - (_MOD - 1) // 2))
+
+    return chunks.select(
+        *keep_cols, F.array(*[dim(j) for j in range(dims)]).alias(out_col))
+
+
+def hash_embed_text(text: str, dims: int = HASH_EMBED_DIMS) -> list[int]:
+    """Driver-side twin of hash_embed for a query string — same md5
+    seeding, same integer contributions (query vectors are model-state
+    constants, like IVF centroids)."""
+    tokens = [t for t in text.strip().lower().split() if t]
+    vec = [0] * dims
+    for j in range(dims):
+        for t in tokens:
+            h = int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
+            vec[j] += h % _MOD - (_MOD - 1) // 2
+    return vec
+
+
+def retrieval_topk(chunk_emb: DataFrame, query_text: str, k: int = 10,
+                   dims: int = HASH_EMBED_DIMS,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Nearest chunks for a query string:
+    (doc_id, chunk_id, cosine) — cosine of the integer-exact hash
+    embeddings, ROUNDED to 4 dp for a deterministic cut, zero-norm
+    chunks excluded, ties by (doc_id, chunk_id). One scan +
+    TakeOrdered."""
+    qv = hash_embed_text(query_text, dims)
+    qnrm = math.sqrt(sum(x * x for x in qv))
+    if qnrm == 0:
+        raise ValueError("query embeds to the zero vector")
+    e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
+    dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)),
+              F.lit(0.0))
+    nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
+    return (chunk_emb
+            .withColumn("_nrm2", nrm2)
+            .filter(F.col("_nrm2") > 0)
+            .select("doc_id", "chunk_id",
+                    F.round(dot / (F.sqrt(F.col("_nrm2")) * qnrm), 4)
+                    .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("doc_id").asc(),
+                     F.col("chunk_id").asc())
+            .limit(k))

@@ -572,6 +572,23 @@ def documents_chunked(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+RETRIEVAL_QUERY = "scan merge window"
+RETRIEVAL_TOPK = 10
+
+
+def retrieval_chunk_search(spark, sf_dir):
+    """End-to-end retrieval index: sliding-window chunking →
+    feature-hash embedding (integer-exact) → cosine top-10 chunks for
+    a fixed query string. The full RAG indexing pipeline in one
+    Catalyst plan — chunking and embedding map-side, search a single
+    TakeOrdered scan."""
+    from ..operators import retrieval
+    chunks = textstats.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE,
+                                       CHUNK_OVERLAP)
+    emb = retrieval.hash_embed(chunks)
+    return retrieval.retrieval_topk(emb, RETRIEVAL_QUERY, RETRIEVAL_TOPK)
+
+
 def corpus_length_profile(spark, sf_dir):
     """Per-language token-length profile: exact interpolated p50/p90/p99
     + mean — the pre-curation length survey."""

@@ -592,6 +592,60 @@ dim AS (
 """
 
 
+def _retrieval_sql() -> str:
+    """Twin of extensions.retrieval_chunk_search: chunking (the
+    documents_chunked CTE), integer feature-hash dims, cosine top-k
+    against the query vector computed by the SAME driver-side code the
+    Spark wrapper uses (operators.retrieval.hash_embed_text)."""
+    import math
+
+    from ..operators.retrieval import (
+        HASH_EMBED_DIMS as D,
+        hash_embed_text,
+    )
+    qv = hash_embed_text(X.RETRIEVAL_QUERY, D)
+    qnrm = math.sqrt(sum(v * v for v in qv))
+    step = X.CHUNK_SIZE - X.CHUNK_OVERLAP
+    dim_exprs = ",\n         ".join(
+        f"sum(CASE WHEN t <> '' THEN "
+        f"({_h('t', seed=j)} % 2001 - 1000) ELSE 0 END) AS d{j}"
+        for j in range(D))
+    dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
+    nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0,
+            greatest(ceil((len(words) - {X.CHUNK_SIZE}) / {step}.0),
+                     0)::BIGINT * {step} + 1, {step})) AS start_word
+  FROM w),
+chunks AS (
+  SELECT doc_id, (start_word / {step})::INT AS chunk_id,
+         array_to_string(
+           words[start_word + 1 : start_word + {X.CHUNK_SIZE}], ' ')
+           AS chunk_text
+  FROM s),
+tokc AS (
+  SELECT doc_id, chunk_id,
+         unnest(string_split_regex(trim(lower(chunk_text)), '\\s+')) AS t
+  FROM chunks),
+dims AS (
+  SELECT doc_id, chunk_id,
+         {dim_exprs}
+  FROM tokc GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, chunk_id, ({dot}) AS dot, ({nrm2}) AS nrm2 FROM dims)
+SELECT doc_id, chunk_id,
+       round(dot / (sqrt(nrm2) * {qnrm!r}), 4) AS cosine
+FROM scored WHERE nrm2 > 0
+ORDER BY cosine DESC, doc_id ASC, chunk_id ASC
+LIMIT {X.RETRIEVAL_TOPK}
+"""
+
+
 # Synthetic snapshot v2 of documents — twin of extensions._docs_v2.
 _V2_CTE = """v2 AS (
   SELECT doc_id,
@@ -1410,6 +1464,13 @@ SELECT doc_id,
          AS chunk_text
 FROM s ORDER BY doc_id, chunk_id
 """),
+
+    # operators.retrieval: chunk CTE (twin of documents_chunked) →
+    # integer feature-hash dims (order-free exact sums) → cosine vs the
+    # driver-computed query vector. See retrieval.py's numerical-design
+    # note: everything before sqrt/divide is exact int64.
+    "retrieval_chunk_search": QueryDef(
+        X.retrieval_chunk_search, _retrieval_sql()),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

@@ -1,0 +1,53 @@
+"""operators/retrieval.py: feature-hash embedding + chunk search."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import retrieval
+
+
+def test_hash_embed_matches_driver_twin(spark):
+    chunks = spark.createDataFrame(
+        [(0, 0, "Scan Merge window"), (0, 1, "")],
+        ["doc_id", "chunk_id", "chunk_text"])
+    out = {(r.doc_id, r.chunk_id): list(r.embedding)
+           for r in retrieval.hash_embed(chunks).collect()}
+    assert out[(0, 0)] == retrieval.hash_embed_text("scan merge window")
+    assert out[(0, 1)] == [0] * retrieval.HASH_EMBED_DIMS   # empty -> zero
+
+
+def test_retrieval_topk_self_match_is_perfect(spark):
+    chunks = spark.createDataFrame(
+        [(0, 0, "scan merge window"), (1, 0, "totally different words"),
+         (2, 0, "   ")],
+        ["doc_id", "chunk_id", "chunk_text"])
+    emb = retrieval.hash_embed(chunks)
+    out = retrieval.retrieval_topk(emb, "scan merge window", k=5).collect()
+    # identical chunk -> cosine 1.0 and ranked first
+    assert out[0].doc_id == 0 and out[0].cosine == 1.0
+    # zero-vector (whitespace) chunk excluded entirely
+    assert all(r.doc_id != 2 for r in out)
+
+
+def test_retrieval_topk_rejects_empty_query(spark):
+    chunks = spark.createDataFrame(
+        [(0, 0, "a b")], ["doc_id", "chunk_id", "chunk_text"])
+    emb = retrieval.hash_embed(chunks)
+    with pytest.raises(ValueError):
+        retrieval.retrieval_topk(emb, "   ")
+
+
+def test_retrieval_plan_is_map_side_plus_takeordered(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    emb = retrieval.hash_embed(textstats.chunk_documents(docs, 24, 8))
+    q = retrieval.retrieval_topk(emb, "scan merge", k=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # chunk -> embed -> score is one map-side pipeline: no join, no
+    # aggregate exchange; the only ordering is the top-k heap
+    assert "Join" not in plan and "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
