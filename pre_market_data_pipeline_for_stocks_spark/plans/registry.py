@@ -2173,6 +2173,9 @@ EXTENDED_BENCH = [
     "dedup_clusters", "dedup_incremental", "dedup_incremental_index",
     "training_manifest", "corpus_vocabulary", "events_value_tiers",
     "embedding_quantize_int8", "ann_cosine_topk_int8", "ann_ivf_topk_batch",
+    # round-5 additions
+    "corpus_tfidf_terms", "text_unigram_logprob", "retrieval_chunk_search",
+    "corpus_vocab_drift", "ann_ivf_topk_auto", "corpus_split_leakage_safe",
 ]
 
 
