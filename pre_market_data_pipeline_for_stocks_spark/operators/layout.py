@@ -1,0 +1,66 @@
+"""Multi-dimensional data layout: Z-order clustered writes.
+
+Extension scope (BASELINE.json north star): parquet data skipping is
+driven by per-file min/max statistics, and a file layout sorted on ONE
+column skips nothing for predicates on another. Interleaving the bits
+of several columns' quantile ranks (a Z-/Morton curve) and range-
+partitioning on that value gives every file a tight bounding box in
+ALL the interleaved dimensions — the Delta/Iceberg OPTIMIZE ZORDER
+technique, built here from public Spark primitives.
+
+Scale shape: ranks come from quantile_bucket (single-row exact-
+percentile aggregate broadcast back — no global sort for RANKING);
+the only shuffle is the repartitionByRange on the z-value that every
+clustered write pays, sized to the target file count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import quantile_bucket
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 8,
+           out_col: str = "_z") -> DataFrame:
+    """Adds ``out_col``: the Morton interleave of each column's
+    ``2**bits``-bucket exact-quantile rank. Quantile ranks (not raw
+    values) make the curve scale-free — skew in one dimension cannot
+    starve the others' bits."""
+    if not cols or bits < 1:
+        raise ValueError("need at least one column and bits >= 1")
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        rc = f"_zr_{c}"
+        ranked = quantile_bucket(ranked, c, 2 ** bits, out_col=rc)
+        rank_cols.append(rc)
+
+    def bit(col: Column, b: int) -> Column:
+        return F.shiftright(col, b).bitwiseAND(F.lit(1))
+
+    z = reduce(
+        lambda acc, term: acc + term,
+        (F.shiftleft(bit(F.col(rc).cast("long"), b),
+                     b * len(cols) + i)
+         for b in range(bits) for i, rc in enumerate(rank_cols)))
+    return ranked.withColumn(out_col, z.cast("long")).drop(*rank_cols)
+
+
+def zorder_write(df: DataFrame, path: str, cols: list[str],
+                 bits: int = 8, target_files: int = 8) -> None:
+    """Write ``df`` as ``target_files`` parquet files clustered along
+    the Z-curve of ``cols``: range-partition on the z-value (so files
+    tile the curve) and sort within each partition (so row groups
+    inside a file are tight too). Readers filtering on ANY of ``cols``
+    skip files/row-groups via min/max stats — pinned empirically in
+    tests/test_layout_ops.py as a bounding-box shrink vs a hash
+    layout."""
+    z = zvalue(df, cols, bits)
+    (z.repartitionByRange(target_files, "_z")
+     .sortWithinPartitions("_z")
+     .drop("_z")
+     .write.mode("overwrite").parquet(path))

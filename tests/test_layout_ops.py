@@ -1,0 +1,73 @@
+"""operators/layout.py: Z-order clustering — bounding boxes must
+shrink vs a hash layout, or the write buys nothing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import layout
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    # Two independent pseudo-uniform dimensions derived from id (not
+    # correlated with each other: multiplicative hashing mod primes).
+    return spark.range(4096).select(
+        "id",
+        ((F.col("id") * 2654435761) % 997).cast("double").alias("x"),
+        ((F.col("id") * 40503) % 1009).cast("double").alias("y"))
+
+
+def _avg_box_area(spark, path) -> float:
+    areas = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        r = (spark.read.parquet(f)
+             .agg(F.max("x") - F.min("x"), F.max("y") - F.min("y"))
+             .collect()[0])
+        areas.append((r[0] or 0.0) * (r[1] or 0.0))
+    assert len(areas) >= 4
+    return sum(areas) / len(areas)
+
+
+def test_zorder_shrinks_file_bounding_boxes(spark, xy, tmp_path):
+    zpath = str(tmp_path / "zorder")
+    hpath = str(tmp_path / "hashed")
+    layout.zorder_write(xy, zpath, ["x", "y"], bits=8, target_files=16)
+    xy.repartition(16).write.parquet(hpath)
+    z_area = _avg_box_area(spark, zpath)
+    h_area = _avg_box_area(spark, hpath)
+    # hash layout: every file spans ~the full domain. Z-order: each of
+    # 16 files covers ~1/16 of the plane -> area shrinks dramatically.
+    assert z_area < 0.25 * h_area
+    # nothing lost
+    assert spark.read.parquet(zpath).count() == 4096
+
+
+def test_zvalue_orders_locality(spark, xy):
+    # points close in BOTH dims get closer z-values than points close
+    # in only one: corners of the domain must land far apart
+    z = {r.id: r._z for r in layout.zvalue(xy, ["x", "y"], bits=4)
+         .select("id", "_z").collect()}
+    vals = (xy.select("id", "x", "y").collect())
+    lo = min(vals, key=lambda r: r.x + r.y)
+    hi = max(vals, key=lambda r: r.x + r.y)
+    assert abs(z[lo.id] - z[hi.id]) > 2 ** 6   # opposite curve ends
+
+
+def test_zvalue_rejects_bad_args(xy):
+    with pytest.raises(ValueError):
+        layout.zvalue(xy, [], bits=4)
+    with pytest.raises(ValueError):
+        layout.zvalue(xy, ["x"], bits=0)
+
+
+def test_zvalue_plan_has_no_global_sort_for_ranking(spark, xy):
+    plan = (layout.zvalue(xy, ["x", "y"], bits=6)
+            ._jdf.queryExecution().executedPlan().toString())
+    # ranks come from broadcast quantile cuts, not rank()/ntile()
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
