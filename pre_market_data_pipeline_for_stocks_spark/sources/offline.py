@@ -80,3 +80,14 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture as a temp view for spark.sql queries."""
     for name, df in load_testdata(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_evolving_tree(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet tree whose schema evolved across writes (columns
+    ADDED over time — the additive-evolution contract): ``mergeSchema``
+    unions all file footers, older files surface the newer columns as
+    NULL, and writers never rewrite history. The ingest-read for any
+    long-lived bronze tree; breaking changes (renames, type changes)
+    belong in a versioned-directory migration instead, which this
+    deliberately does not paper over."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -171,3 +171,37 @@ def test_no_api_key_skips_newsdata_queries(spark, tmp_path):
         "2026-01-09", api_key=None, http_get=_chain_http_get(calls))
     assert set(out) == {("google", "name"), ("google", "ticker")}
     assert all("news.google.com" in u for u in calls)
+
+
+def test_read_evolving_tree_unions_added_columns(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        read_evolving_tree,
+    )
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(0, "a")], "doc_id long, text string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(1, "b", "en")], "doc_id long, text string, lang string") \
+        .write.mode("append").parquet(path)
+    out = {r.doc_id: r for r in read_evolving_tree(spark, path).collect()}
+    assert set(out[0].asDict()) == {"doc_id", "text", "lang"}
+    assert out[0].lang is None and out[1].lang == "en"
+    # a plain read may bind to one footer and miss the added column on
+    # some files — mergeSchema is the contract, not luck
+    assert len(out) == 2
+
+
+def test_approx_percentile_matches_exact_within_bound(spark, sf_dir):
+    """length_profile documents approx_percentile as the high-
+    cardinality swap for exact `percentile` — pin that the swap's
+    error is actually small on the fixture."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.size(F.split(F.trim("text"), r"\s+"))
+                       .cast("double").alias("n"))
+    row = toks.agg(
+        F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.expr("approx_percentile(n, array(0.5, 0.9, 0.99), 10000)")
+        .alias("approx")).collect()[0]
+    for e, a in zip(row.exact, row.approx):
+        assert abs(e - a) <= max(2.0, 0.05 * e)
