@@ -45,3 +45,26 @@ def with_session_pct_change(ohlcv: DataFrame,
         df = df.filter(F.col("date").between(F.lit(start), F.lit(end)))
     return df.select("stock", "date", "open", "high", "low", "close",
                      "volume", "pct_change")
+
+
+def forward_fill(df: DataFrame, partition_col: str, order_col: str,
+                 value_cols: list[str],
+                 suffix: str = "_ff") -> DataFrame:
+    """Time-series gap fill: for each ``value_cols`` column, add
+    ``<col>_ff`` carrying the last non-null value at or before this row
+    within the partition — the standard fill for non-trading days /
+    missed observations after a calendar-grid left join (J3/J4 leave
+    nulls exactly where a session is missing).
+
+    `last(..., ignorenulls=True)` over an unbounded-preceding running
+    window. Same partitioning discipline as with_session_pct_change:
+    the window keys on the entity (per-ticker/user history is bounded),
+    never a global window. Leading nulls (no prior observation) stay
+    null — fabricating a value would be lookahead."""
+    w = (Window.partitionBy(partition_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c + suffix,
+                             F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -6,6 +6,7 @@ has a stable DuckDB oracle twin in plans/registry.py."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import decontam, dedup, relevance, similarity, textstats
@@ -422,6 +423,36 @@ def corpus_vocab_drift(spark, sf_dir):
     from ..operators import snapshot
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
+
+
+FFILL_START, FFILL_END = "2024-01-01", "2024-01-30"
+
+
+def events_daily_ffill(spark, sf_dir):
+    """Calendar-grid gap fill: per user, a full January day grid left-
+    joined with the day's LAST event value (ties ts desc, event_id
+    desc), then forward-filled — the W-family fill for days with no
+    observation. Leading nulls stay null (no lookahead)."""
+    from ..operators.market import forward_fill
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value")
+    daily = (ev.withColumn("day", F.to_date("ts"))
+             .withColumn("_rn", F.row_number().over(
+                 W.partitionBy("user_id", "day")
+                 .orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+             .filter(F.col("_rn") == 1)
+             .select("user_id", "day",
+                     F.round("value", 2).alias("close_value")))
+    grid = (ev.select("user_id").distinct()
+            .crossJoin(spark.range(1).select(F.explode(F.sequence(
+                F.lit(FFILL_START).cast("date"),
+                F.lit(FFILL_END).cast("date"))).alias("day"))))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return (forward_fill(joined, "user_id", "day", ["close_value"])
+            .select("user_id", "day", "close_value",
+                    F.col("close_value_ff"))
+            .orderBy("user_id", "day"))
 
 
 ROLLUP_CUTOFF = "2024-01-20 00:00:00"

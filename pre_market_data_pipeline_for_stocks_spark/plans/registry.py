@@ -1723,6 +1723,36 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.market.forward_fill over the user x day grid: last
+    # non-null at-or-before within the partition (IGNORE NULLS running
+    # window in both engines); leading nulls preserved.
+    "events_daily_ffill": QueryDef(X.events_daily_ffill, f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, value FROM events),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(value, 2) AS close_value
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u,
+       (SELECT unnest(generate_series(DATE '{X.FFILL_START}',
+                                      DATE '{X.FFILL_END}',
+                                      INTERVAL 1 DAY))::DATE AS day) d),
+j AS (
+  SELECT g.user_id, g.day, daily.close_value
+  FROM grid g LEFT JOIN daily USING (user_id, day))
+SELECT user_id, day, close_value,
+       last_value(close_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS close_value_ff
+FROM j ORDER BY user_id, day
+"""),
+
     # operators.incremental: base(<cutoff) partials merged with
     # delta(>=cutoff) partials. The oracle is deliberately the
     # FULL-SCAN aggregation — the check asserts incremental == batch

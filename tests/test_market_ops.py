@@ -66,3 +66,43 @@ def test_per_stock_partitioning_is_independent(spark):
            for r in with_session_pct_change(df).collect()}
     assert out[("B", "2026-01-05")] is None           # B's first session
     assert out[("A", "2026-01-05")] == 1.0
+
+
+def test_forward_fill_carries_last_nonnull(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.market import (
+        forward_fill,
+    )
+    d = dt.date
+    rows = [
+        ("A", d(2026, 1, 5), None),     # leading null stays null
+        ("A", d(2026, 1, 6), 10.0),
+        ("A", d(2026, 1, 7), None),     # -> 10.0
+        ("A", d(2026, 1, 8), 12.0),
+        ("B", d(2026, 1, 5), 5.0),
+        ("B", d(2026, 1, 6), None),     # -> 5.0, never A's values
+    ]
+    df = spark.createDataFrame(rows, "stock string, day date, v double")
+    out = {(r.stock, r.day): r.v_ff for r in
+           forward_fill(df, "stock", "day", ["v"]).collect()}
+    assert out[("A", d(2026, 1, 5))] is None
+    assert out[("A", d(2026, 1, 7))] == 10.0
+    assert out[("A", d(2026, 1, 8))] == 12.0
+    assert out[("B", d(2026, 1, 6))] == 5.0
+
+
+def test_forward_fill_multiple_columns_and_partition_window(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.market import (
+        forward_fill,
+    )
+    df = spark.createDataFrame(
+        [("A", dt.date(2026, 1, 5), 1.0, None),
+         ("A", dt.date(2026, 1, 6), None, "x")],
+        "stock string, day date, a double, b string")
+    out = forward_fill(df, "stock", "day", ["a", "b"])
+    assert {"a_ff", "b_ff"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(stock" in plan   # never a global window
