@@ -206,3 +206,38 @@ def decontaminate_semantic(corpus: DataFrame, corpus_emb: DataFrame,
                .filter(F.col("contaminated"))
                .select(F.col("vec_id").alias(id_col)))
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def benchmark_overlap_by_suite(corpus: DataFrame, benchmark: DataFrame,
+                               suite_col: str = "suite", n: int = 3,
+                               threshold: float = 0.1) -> DataFrame:
+    """Per-suite contamination matrix:
+    (doc_id, suite, n_shingles, n_hit, overlap_ratio, contaminated) —
+    one row per (corpus document, benchmark SUITE) with at least one
+    colliding shingle. Stacked eval sets are the production reality
+    (dozens of suites, each with its own threshold policy and each
+    needing its own leakage report for the model card); the pooled
+    ``benchmark_overlap`` can only say "contaminated by something".
+
+    Same asymmetric shape as the pooled op: the (sh, suite) relation is
+    distinct-per-suite (a few MB per suite), broadcast; hits aggregate
+    per (doc, suite) — corpus shingles are read once, text never
+    shuffles. A shingle shared by k suites probes k rows, counting
+    toward each suite independently (suite reports must not dilute
+    each other)."""
+    corpus_sh = hashed_shingles(corpus, n)
+    sizes = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    bench_sh = (hashed_shingles(benchmark, n)
+                .join(benchmark.select(F.col("doc_id"),
+                                       F.col(suite_col).alias("suite")),
+                      "doc_id")
+                .select("sh", "suite").distinct())
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "sh")
+            .groupBy("doc_id", "suite")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    ratio = F.col("n_hit") / F.col("n_shingles")
+    return (hits.join(sizes, "doc_id")
+            .select("doc_id", "suite", "n_shingles", "n_hit",
+                    F.round(ratio, 4).alias("overlap_ratio"),
+                    (ratio >= F.lit(threshold)).alias("contaminated")))

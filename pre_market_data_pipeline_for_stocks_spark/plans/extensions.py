@@ -640,6 +640,20 @@ def decontaminate_bloom_clean(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+def decontaminate_suite_matrix(spark, sf_dir):
+    """Per-suite contamination matrix (benchmark = every 20th doc,
+    striped into 3 suites by doc_id % 3): each corpus doc's overlap
+    against EACH suite independently — the per-eval-set leakage report
+    a model card needs."""
+    docs = _docs(spark, sf_dir)
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .withColumn("suite", F.concat(
+                 F.lit("s"), (F.col("doc_id") % 3).cast("string"))))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return (decontam.benchmark_overlap_by_suite(corpus, bench)
+            .orderBy("doc_id", "suite"))
+
+
 SEM_DECON_THRESHOLD = 0.32
 
 

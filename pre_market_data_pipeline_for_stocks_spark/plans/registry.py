@@ -1584,6 +1584,26 @@ SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
 FROM per
 """),
 
+    # operators.decontam.benchmark_overlap_by_suite: per-(doc, suite)
+    # distinct-shingle hits; a shingle in k suites counts toward each.
+    "decontaminate_suite_matrix": QueryDef(
+        X.decontaminate_suite_matrix, f"""
+WITH {_SHINGLES_CTE.strip()},
+bench AS (
+  SELECT DISTINCT shh.sh, 's' || (shh.doc_id % 3)::VARCHAR AS suite
+  FROM shh WHERE shh.doc_id % 20 = 0),
+corpus AS (SELECT doc_id, sh FROM shh WHERE doc_id % 20 <> 0),
+hits AS (
+  SELECT c.doc_id, b.suite, count(*) AS n_hit
+  FROM corpus c JOIN bench b ON b.sh = c.sh GROUP BY 1, 2)
+SELECT h.doc_id, h.suite, s.n_shingles::BIGINT AS n_shingles,
+       h.n_hit::BIGINT AS n_hit,
+       round(h.n_hit / s.n_shingles, 4) AS overlap_ratio,
+       (h.n_hit / s.n_shingles) >= 0.1 AS contaminated
+FROM hits h JOIN sizes s USING (doc_id)
+ORDER BY doc_id, suite
+"""),
+
     # operators.decontam.semantic_overlap: max cosine vs the broadcast
     # benchmark embedding set; contaminated compares the UNROUNDED max
     # (same convention as the n-gram twin above).

@@ -258,3 +258,49 @@ def test_bpe_pair_counts_plan_has_no_selfjoin(spark, sf_dir):
     # pairs are built map-side from the token array: one scan, no join
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_suite_matrix_counts_each_suite_independently(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),    # shares 3-gram with both suites
+         (1, "nothing shared here at all")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma", "sA"),
+         (101, "beta gamma delta", "sB")],
+        ["doc_id", "text", "suite"])
+    out = {(r.doc_id, r.suite): r for r in
+           decontam.benchmark_overlap_by_suite(
+               corpus, bench, threshold=0.4).collect()}
+    # doc 0 has shingles {a b g, b g d}: one hits sA, one hits sB
+    assert out[(0, "sA")].n_hit == 1 and out[(0, "sB")].n_hit == 1
+    assert out[(0, "sA")].overlap_ratio == 0.5
+    assert out[(0, "sA")].contaminated
+    # clean doc emits no rows at all
+    assert all(d != 1 for d, _ in out)
+
+
+def test_suite_matrix_agrees_with_pooled_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import decontam
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    bench = (docs.filter(F.col("doc_id") % 20 == 0)
+             .withColumn("suite", F.concat(
+                 F.lit("s"), (F.col("doc_id") % 3).cast("string"))))
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    per_suite = decontam.benchmark_overlap_by_suite(corpus, bench)
+    pooled = decontam.benchmark_overlap(corpus, bench)
+    # a doc hits the pooled benchmark iff it hits >= 1 suite; the
+    # pooled hit count is bounded by the per-suite sum (a shingle in
+    # two suites counts twice per-suite, once pooled)
+    ps = {r.doc_id: r for r in per_suite.groupBy("doc_id")
+          .agg(F.sum("n_hit").alias("s")).collect()}
+    pl = {r.doc_id: r.n_hit for r in pooled.filter(F.col("n_hit") > 0)
+          .collect()}
+    assert set(ps) == set(pl)
+    assert all(pl[d] <= ps[d].s for d in pl)
