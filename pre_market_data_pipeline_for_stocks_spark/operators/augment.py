@@ -1,0 +1,49 @@
+"""Deterministic text augmentation for training-data generation.
+
+Extension scope (BASELINE.json north star): contrastive pretraining
+and robustness evals consume PERTURBED copies of corpus text (token
+dropout, span masking). At 100 TB the augmentation must be a pure
+function of the row — an RNG seeded per-task changes output under
+retries, speculative execution and repartitioning, silently breaking
+caching and making bugs irreproducible. Every decision here derives
+from the shared md5 hash of (salt, doc_id, position), so the same
+corpus always yields the same augmented corpus, on any engine.
+
+Execution: array higher-order functions over the token array — fully
+map-side, no explode, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+
+def word_dropout(docs: DataFrame, rate_pct: int = 10,
+                 salt: str = "drop", id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Token-dropout augmentation:
+    (doc_id, n_tokens, n_dropped, aug_text) — each token dropped iff
+    hash(salt:doc_id:position) % 100 < rate_pct, so ~rate_pct% of
+    positions drop, decided per POSITION (the same word keeps other
+    occurrences). Different ``salt`` values give independent augmented
+    epochs of the same corpus."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def keep(w, i):
+        h = md5_i64(F.concat(F.lit(f"{salt}:"),
+                             F.col(id_col).cast("string"),
+                             F.lit(":"), i.cast("string")))
+        return (w != "") & (h % 100 >= rate_pct)
+
+    kept = F.filter(words, keep)
+    n_tokens = F.size(F.filter(words, lambda w: w != ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens - F.size(kept)).cast("long").alias("n_dropped"),
+        F.array_join(kept, " ").alias("aug_text"))

@@ -571,6 +571,18 @@ def text_pii_scrub(spark, sf_dir):
     return textstats.pii_scrub(docs.withColumn("text", injected))
 
 
+DROPOUT_RATE_PCT = 15
+
+
+def corpus_word_dropout(spark, sf_dir):
+    """Deterministic token-dropout augmentation (~15% of positions,
+    hash-decided per position): the reproducible perturbed-copy
+    generator for contrastive epochs and robustness evals."""
+    from ..operators import augment
+    return (augment.word_dropout(_docs(spark, sf_dir), DROPOUT_RATE_PCT)
+            .orderBy("doc_id"))
+
+
 TFIDF_TOPK = 3
 BM25_QUERY = ["merge", "scan", "window"]
 BM25_TOPN = 20

@@ -1875,6 +1875,34 @@ SELECT doc_id, lang, n_tokens,
 FROM v, cuts ORDER BY doc_id
 """),
 
+    # operators.augment.word_dropout: position-hash dropout (0-based
+    # position in Spark's filter lambda -> i-1 here); kept tokens
+    # rejoin in position order.
+    "corpus_word_dropout": QueryDef(X.corpus_word_dropout, f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) t(i)),
+nt AS (SELECT doc_id, count(*) FILTER (tok <> '') AS n_tokens
+       FROM pos GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, i, tok FROM pos
+  WHERE tok <> ''
+    AND {_h("('drop:' || doc_id::VARCHAR || ':' || (i - 1)::VARCHAR)")}
+        % 100 >= {X.DROPOUT_RATE_PCT}),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS aug_text
+  FROM kept GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens::BIGINT AS n_tokens,
+       (nt.n_tokens - coalesce(agg.n_kept, 0))::BIGINT AS n_dropped,
+       coalesce(agg.aug_text, '') AS aug_text
+FROM nt LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""),
+
     # operators.textstats.bpe_pair_counts: adjacent token pairs built
     # positionally (1-based list index twin of the map-side transform);
     # vocabulary_topk aggregation shape.

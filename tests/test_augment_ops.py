@@ -1,0 +1,54 @@
+"""operators/augment.py: deterministic augmentation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import augment
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+def test_dropout_rate_and_subsequence(docs):
+    out = augment.word_dropout(docs, rate_pct=20).collect()
+    total = sum(r.n_tokens for r in out)
+    dropped = sum(r.n_dropped for r in out)
+    assert 0.15 < dropped / total < 0.25          # ~20%
+    # augmented text is a subsequence of the original tokens
+    orig = {r.doc_id: r.text.strip().lower().split() for r in docs.collect()}
+    for r in out[:50]:
+        kept = r.aug_text.split() if r.aug_text else []
+        it = iter(orig[r.doc_id])
+        assert all(any(tok == o for o in it) for tok in kept)
+        assert len(kept) == r.n_tokens - r.n_dropped
+
+
+def test_dropout_is_stable_but_salt_varies(docs):
+    a = {r.doc_id: r.aug_text for r in
+         augment.word_dropout(docs, 20).collect()}
+    b = {r.doc_id: r.aug_text for r in
+         augment.word_dropout(docs.repartition(13), 20).collect()}
+    c = {r.doc_id: r.aug_text for r in
+         augment.word_dropout(docs, 20, salt="epoch2").collect()}
+    assert a == b                  # partitioning-stable
+    assert a != c                  # new salt -> new epoch
+
+
+def test_dropout_edges(spark):
+    df = spark.createDataFrame([(0, "one two")], ["doc_id", "text"])
+    keep_all = augment.word_dropout(df, 0).collect()[0]
+    assert keep_all.n_dropped == 0 and keep_all.aug_text == "one two"
+    drop_all = augment.word_dropout(df, 100).collect()[0]
+    assert drop_all.n_dropped == 2 and drop_all.aug_text == ""
+    with pytest.raises(ValueError):
+        augment.word_dropout(df, 101)
+
+
+def test_dropout_plan_is_map_side(docs):
+    plan = (augment.word_dropout(docs, 20)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
