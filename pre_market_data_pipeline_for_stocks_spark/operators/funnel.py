@@ -1,0 +1,73 @@
+"""Behavioral analytics over the event stream: ordered funnels and
+cohort retention.
+
+Extension scope (BASELINE.json north star): the two aggregate shapes
+every product-analytics warehouse runs on its event table. Both are
+strictly order/time-dependent — not expressible as one flat groupBy —
+and both stay user-keyed end to end: every shuffle in these plans
+carries (user_id, timestamp)-sized rows, so the plans scale with the
+event table under the same partitioning discipline as sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per user that entered the funnel,
+    (user_id, t_1..t_k, stage) — ``t_i`` is the FIRST completion of
+    step i occurring STRICTLY AFTER ``t_{i-1}`` (the order matters: a
+    purchase before the first view does not advance the funnel), and
+    ``stage`` counts steps completed in order.
+
+    Cascade of conditional-min aggregations: pass i filters to step
+    i's events, joins the users who reached stage i-1 (user-keyed
+    join), and takes min(ts) past the gate. k passes over the event
+    relation — each pruned map-side to one event type before its
+    shuffle — is the standard warehouse funnel plan; a per-user
+    sort+scan (sessionization-style) does it in one pass but gives up
+    the pruning; at k ≤ a handful the cascade wins."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).cast("timestamp").alias("ts"),
+                       F.col(type_col).alias("_t"))
+    out = (ev.filter(F.col("_t") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t_1")))
+    for i, step in enumerate(steps[1:], start=2):
+        gate = out.select("user_id", F.col(f"t_{i - 1}").alias("_gate"))
+        nxt = (ev.filter(F.col("_t") == step)
+               .join(gate, "user_id")
+               .filter(F.col("ts") > F.col("_gate"))
+               .groupBy("user_id").agg(F.min("ts").alias(f"t_{i}")))
+        out = out.join(nxt, "user_id", "left")
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(stage)
+    return out.withColumn("stage", stage.cast("int"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, n_users) —
+    users grouped by the week of their FIRST event, counted once per
+    later week they were active. The classic retention triangle.
+
+    Two user-keyed aggregations (first-seen, distinct user-weeks) and
+    one user-keyed join; the output is |weeks|² rows regardless of
+    event volume."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+        .cast("date").alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (active.join(first, "user_id")
+            .groupBy("cohort_week",
+                     (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+                     .cast("int").alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))

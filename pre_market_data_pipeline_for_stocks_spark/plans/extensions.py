@@ -425,6 +425,24 @@ def corpus_vocab_drift(spark, sf_dir):
     return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user: first completion of
+    each step strictly after the previous one, plus the stage reached."""
+    from ..operators import funnel
+    return (funnel.funnel_stages(_events(spark, sf_dir), FUNNEL_STEPS)
+            .orderBy("user_id"))
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the events table."""
+    from ..operators import funnel
+    return (funnel.cohort_retention(_events(spark, sf_dir))
+            .orderBy("cohort_week", "week_offset"))
+
+
 FFILL_START, FFILL_END = "2024-01-01", "2024-01-30"
 
 

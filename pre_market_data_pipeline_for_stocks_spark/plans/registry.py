@@ -1743,6 +1743,41 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.funnel.funnel_stages: cascade of gated conditional
+    # mins; each t_i strictly after t_{i-1}.
+    "events_funnel": QueryDef(X.events_funnel, """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY e.user_id)
+SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+       (CASE WHEN s3.t_3 IS NOT NULL THEN 3
+             WHEN s2.t_2 IS NOT NULL THEN 2
+             ELSE 1 END)::INT AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""),
+
+    # operators.funnel.cohort_retention: weekly retention triangle.
+    "events_cohort_retention": QueryDef(X.events_cohort_retention, """
+WITH ev AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+  FROM events),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+SELECT f.cohort_week,
+       (date_diff('day', f.cohort_week, e.wk) / 7)::INT AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""),
+
     # operators.market.forward_fill over the user x day grid: last
     # non-null at-or-before within the partition (IGNORE NULLS running
     # window in both engines); leading nulls preserved.

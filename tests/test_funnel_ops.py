@@ -1,0 +1,68 @@
+"""operators/funnel.py: ordered funnels + cohort retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import funnel
+
+TS = "user_id long, ts timestamp, event_type string"
+
+
+def t(h):
+    return dt.datetime(2026, 1, 1, h)
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase BEFORE view -> stage stops at click
+        (2, t(0), "purchase"), (2, t(1), "view"), (2, t(2), "click"),
+        # user 3: click only, no view -> not in the funnel at all
+        (3, t(1), "click"),
+        # user 4: view only
+        (4, t(1), "view"),
+    ]
+    ev = spark.createDataFrame(rows, TS)
+    out = {r.user_id: r for r in funnel.funnel_stages(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out[1].stage == 3 and out[1].t_3 == t(3)
+    assert out[2].stage == 2 and out[2].t_3 is None
+    assert 3 not in out                       # never entered
+    assert out[4].stage == 1
+
+
+def test_funnel_first_qualifying_not_first_overall(spark):
+    # the gate must pick the first click AFTER the first view
+    rows = [(1, t(1), "click"), (1, t(2), "view"), (1, t(5), "click")]
+    ev = spark.createDataFrame(rows, TS)
+    out = funnel.funnel_stages(ev, ["view", "click"]).collect()[0]
+    assert out.t_2 == t(5)                    # not the t(1) click
+
+
+def test_funnel_rejects_short_step_list(spark):
+    ev = spark.createDataFrame([(1, t(1), "view")], TS)
+    with pytest.raises(ValueError):
+        funnel.funnel_stages(ev, ["view"])
+
+
+def test_cohort_retention_triangle(spark):
+    w0 = dt.datetime(2026, 1, 5)              # a Monday
+    rows = [
+        (1, w0, "view"), (1, w0 + dt.timedelta(days=7), "view"),
+        (2, w0, "view"),
+        (3, w0 + dt.timedelta(days=7), "view"),
+        (3, w0 + dt.timedelta(days=21), "view"),
+    ]
+    ev = spark.createDataFrame(rows, TS)
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in funnel.cohort_retention(ev).collect()}
+    wk0 = w0.date()
+    wk1 = wk0 + dt.timedelta(days=7)
+    assert out[(wk0, 0)] == 2                 # users 1,2 in cohort 0
+    assert out[(wk0, 1)] == 1                 # only user 1 returned
+    assert out[(wk1, 0)] == 1 and out[(wk1, 2)] == 1   # user 3
+    assert (wk0, 2) not in out
