@@ -377,3 +377,35 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("df"))
             .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
             .limit(k))
+
+
+def source_report(docs: DataFrame, source_col: str = "source",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-source curation dashboard: (source, n_docs, n_distinct_texts,
+    dup_ratio, total_tokens, total_quality) — composition, exact-dup
+    rate and aggregate quality per provenance bucket. This is the
+    table a curation run reviews before setting per-source caps
+    (stratified_cap) and mixture weights (mixture_sample): a source
+    with a high dup_ratio or low quality-per-doc gets capped or
+    down-weighted.
+
+    One doc-keyed join (quality metrics onto the hash projection) and
+    one source-keyed aggregate; count_distinct on the 8-byte content
+    hash, never on text. Quality is reported as a per-source SUM of
+    the 4-dp per-doc scores: sums of fixed-precision values round
+    reproducibly across engines, while a stored mean lands on decimal
+    midpoints (see incremental.rollup_report)."""
+    q = quality_score(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "quality")
+    base = docs.select(F.col(source_col).alias("source"),
+                       F.col(id_col).alias("doc_id"),
+                       md5_i64(F.col(text_col)).alias("_h"))
+    return (base.join(q, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("_h").alias("n_distinct_texts"),
+                 F.round(1 - F.count_distinct("_h") / F.count(F.lit(1)), 4)
+                 .alias("dup_ratio"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.sum("quality"), 4).alias("total_quality")))

@@ -557,6 +557,14 @@ def ann_ivf_topk_auto(spark, sf_dir):
                                centroid_stride=stride, nprobe=3)
 
 
+def corpus_source_report(spark, sf_dir):
+    """Per-source curation dashboard: composition, exact-dup rate and
+    aggregate quality per provenance bucket — the review table before
+    setting per-source caps and mixture weights."""
+    return (textstats.source_report(_docs(spark, sf_dir))
+            .orderBy("source"))
+
+
 def text_unigram_logprob(spark, sf_dir):
     """Perplexity-filter scoring: every document's mean token log-prob
     under the corpus's own add-one-smoothed unigram LM (CCNet-style

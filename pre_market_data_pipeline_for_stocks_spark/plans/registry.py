@@ -657,6 +657,35 @@ _V2_CTE = """v2 AS (
   FROM documents WHERE doc_id % 25 = 0)"""
 
 
+# Shared quality-score SQL (operators.textstats.quality_score twin),
+# used by text_quality and corpus_source_report.
+_QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
+           AS stops,
+         len(regexp_extract_all(lower(text), '\\s')) AS n_ws
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, n_chars, n_ws,
+         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(stops / greatest(n_tokens, 1), 6) AS stopword_ratio
+  FROM m)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_chars - n_ws) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       punct_ratio, stopword_ratio,
+       round(least(greatest(
+         0.4 * least(stopword_ratio * 5, 1.0)
+         + 0.3 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * greatest(0.0, 1 - punct_ratio * 10), 0.0), 1.0), 4)
+         AS quality
+FROM r
+"""
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1647,30 +1676,21 @@ FROM shh GROUP BY doc_id
 
     "text_lang_id": QueryDef(X.text_lang_id, _lang_sql()),
 
-    "text_quality": QueryDef(X.text_quality, """
-WITH m AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         length(text) AS n_chars,
-         len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
-         len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
-           AS stops,
-         len(regexp_extract_all(lower(text), '\\s')) AS n_ws
-  FROM documents),
-r AS (
-  SELECT doc_id, n_tokens, n_chars, n_ws,
-         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
-         round(stops / greatest(n_tokens, 1), 6) AS stopword_ratio
-  FROM m)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round((n_chars - n_ws) / greatest(n_tokens, 1), 4) AS avg_token_len,
-       punct_ratio, stopword_ratio,
-       round(least(greatest(
-         0.4 * least(stopword_ratio * 5, 1.0)
-         + 0.3 * least(n_tokens / 100.0, 1.0)
-         + 0.3 * greatest(0.0, 1 - punct_ratio * 10), 0.0), 1.0), 4)
-         AS quality
-FROM r
+    "text_quality": QueryDef(X.text_quality, _QUALITY_SQL),
+
+    # operators.textstats.source_report: per-provenance composition /
+    # dup-rate / aggregate-quality dashboard. Quality reported as the
+    # SUM of 4-dp per-doc scores (midpoint-free; see rollup_report).
+    "corpus_source_report": QueryDef(X.corpus_source_report, f"""
+WITH q AS ({_QUALITY_SQL.strip()}),
+b AS (SELECT source, doc_id, {_h('text')} AS h FROM documents)
+SELECT b.source, count(*) AS n_docs,
+       count(DISTINCT b.h) AS n_distinct_texts,
+       round(1 - count(DISTINCT b.h) / count(*), 4) AS dup_ratio,
+       sum(q.n_tokens)::BIGINT AS total_tokens,
+       round(sum(q.quality), 4) AS total_quality
+FROM b JOIN q USING (doc_id)
+GROUP BY b.source ORDER BY b.source
 """),
 
     "text_token_counts": QueryDef(X.text_token_counts, """

@@ -304,3 +304,22 @@ def test_suite_matrix_agrees_with_pooled_overlap(spark, sf_dir):
           .collect()}
     assert set(ps) == set(pl)
     assert all(pl[d] <= ps[d].s for d in pl)
+
+
+def test_source_report_dup_and_quality_columns(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat", "sa"),
+         (1, "the cat sat on the mat", "sa"),     # exact dup in sa
+         (2, "unique text here", "sa"),
+         (3, "only doc", "sb")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in textstats.source_report(docs).collect()}
+    assert out["sa"].n_docs == 3 and out["sa"].n_distinct_texts == 2
+    assert out["sa"].dup_ratio == round(1 - 2 / 3, 4)
+    assert out["sb"].dup_ratio == 0.0
+    # totals are sums of the per-doc metrics
+    q = {r.doc_id: r for r in textstats.quality_score(docs).collect()}
+    assert out["sa"].total_tokens == sum(q[i].n_tokens for i in (0, 1, 2))
+    assert out["sa"].total_quality == round(
+        sum(q[i].quality for i in (0, 1, 2)), 4)
