@@ -102,6 +102,18 @@ def dedup_simhash_pairs(spark, sf_dir):
                                         band_bits=24, max_hamming=3)
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric (quote/subset) duplicate pairs: containment =
+    |A∩B| / min(|A|,|B|) with Jaccard alongside, so one-way inclusions
+    a symmetric measure cannot see are surfaced."""
+    return (dedup.ngram_containment_pairs(_docs(spark, sf_dir), 3,
+                                          CONTAINMENT_THRESHOLD)
+            .orderBy("doc_a", "doc_b"))
+
+
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs (MinHash-LSH, the 100 TB path) collapsed into
     connected components with a min-id keeper per component — the step

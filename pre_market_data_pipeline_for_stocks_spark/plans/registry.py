@@ -1656,6 +1656,27 @@ SELECT vec_id, round(max(cs), 4) AS max_cosine,
 FROM cos GROUP BY vec_id ORDER BY vec_id
 """),
 
+    # operators.dedup.ngram_containment_pairs: |A∩B| / min(|A|,|B|)
+    # over the shared shingle join — the one-way-inclusion detector.
+    "dedup_ngram_containment": QueryDef(X.dedup_ngram_containment, f"""
+WITH {_SHINGLES_CTE.strip()},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(c.n_common / least(sa.n_shingles, sb.n_shingles), 4)
+         AS containment,
+       round(c.n_common
+             / (sa.n_shingles + sb.n_shingles - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(c.n_common / least(sa.n_shingles, sb.n_shingles), 4)
+      >= {X.CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""),
+
     "dedup_minhash_signatures": QueryDef(X.dedup_minhash_signatures, f"""
 WITH {_SHINGLES_CTE.strip()}
 SELECT doc_id,

@@ -367,3 +367,34 @@ def test_shingle_cache_releases_on_error(spark):
             dd.ngram_jaccard_pairs(docs, threshold=0.01).count()
             raise RuntimeError("boom")
     assert dd._PERSISTED_SHINGLES == []
+
+
+def test_containment_sees_subset_jaccard_misses(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup
+    short = "alpha beta gamma delta epsilon"          # 3 shingles
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, long), (1, short), (2, "unrelated text entirely here")],
+        ["doc_id", "text"])
+    cont = {(r.doc_a, r.doc_b): r for r in
+            dedup.ngram_containment_pairs(docs, 3, 0.9).collect()}
+    jac = dedup.ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    dedup.release_shingle_caches()
+    # the short doc is fully contained -> containment 1.0
+    assert cont[(0, 1)].containment == 1.0
+    # but its Jaccard is tiny: the symmetric measure misses the pair
+    assert cont[(0, 1)].jaccard < 0.1
+    assert (0, 1) not in {(r.doc_a, r.doc_b) for r in jac}
+    assert (0, 2) not in cont and (1, 2) not in cont
+
+
+def test_containment_respects_max_df_guard(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup
+    boiler = "terms of service apply here now"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(6)] + [(9, "something else here")],
+        ["doc_id", "text"])
+    # every boiler shingle has df=6 > 3 -> dropped before the self-join
+    out = dedup.ngram_containment_pairs(docs, 3, 0.5, max_df=3).collect()
+    dedup.release_shingle_caches()
+    assert out == []
