@@ -68,3 +68,27 @@ def forward_fill(df: DataFrame, partition_col: str, order_col: str,
         out = out.withColumn(c + suffix,
                              F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def rolling_range_sum(daily: DataFrame, partition_col: str,
+                      day_col: str, value_col: str,
+                      days: int = 7) -> DataFrame:
+    """Trailing ``days``-day rolling aggregate over a DAILY relation:
+    adds ``rolling_sum`` and ``n_active_days`` covering the half-open
+    trailing window [day − days + 1, day] BY CALENDAR TIME — a RANGE
+    frame over the day number, so gaps count as absent days (a
+    rows-frame window would silently stretch the lookback across
+    gaps, the classic moving-average bug on sparse series).
+
+    The window partitions on the entity and the frame is bounded
+    (≤ ``days`` rows), so state is constant per row at any scale.
+    Feed it pre-aggregated per-(entity, day) values — never raw
+    events — so the window's sort is over days, not event volume."""
+    day_num = F.datediff(F.col(day_col), F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy(partition_col).orderBy(day_num)
+         .rangeBetween(-(days - 1), 0))
+    return (daily
+            .withColumn("rolling_sum",
+                        F.round(F.sum(value_col).over(w), 2))
+            .withColumn("n_active_days",
+                        F.count(F.lit(1)).over(w).cast("long")))

@@ -71,3 +71,29 @@ def scd2_snapshot(dim: DataFrame, as_of, ts_from: str = "valid_from",
     return dim.filter(
         (F.col(ts_from) <= F.lit(as_of))
         & (F.col(ts_to).isNull() | (F.col(ts_to) > F.lit(as_of))))
+
+
+def temporal_join(facts: DataFrame, dim: DataFrame, key_col: str,
+                  ts_col: str = "ts") -> DataFrame:
+    """Point-in-time (temporal) dimension join: each fact row joined to
+    the dimension VERSION in force at the fact's own timestamp —
+    valid_from <= ts < valid_to (half-open; valid_to NULL = current).
+    The join every SCD2 history exists to serve: "what segment was
+    this user in WHEN the event happened", not "what segment are they
+    in now" (joining current attributes to historical facts is the
+    classic silent-lookahead bug in training-data builds).
+
+    Plan shape: an equi-join on the dimension key with the interval
+    predicate as a residual filter — per-key version counts are small
+    (bounded by change frequency), so the residual scans a handful of
+    rows per fact and the join stays a hash/sort-merge join on the
+    key, never a nested loop. Facts with no version in force (before
+    the key's first regime, or an unknown key) are kept with null
+    dimension columns — dropping history-less facts silently would
+    bias the output."""
+    fact_ts = F.col(ts_col).cast("timestamp")
+    cond = ((facts[key_col] == dim[key_col])
+            & (fact_ts >= dim["valid_from"])
+            & (dim["valid_to"].isNull() | (fact_ts < dim["valid_to"])))
+    joined = facts.join(dim, cond, "left")
+    return joined.drop(dim[key_col])

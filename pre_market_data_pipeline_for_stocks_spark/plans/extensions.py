@@ -437,6 +437,37 @@ def corpus_vocab_drift(spark, sf_dir):
     return snapshot.vocab_drift(docs, _docs_v2(docs), VOCAB_DRIFT_TOPK)
 
 
+def events_rolling_7d(spark, sf_dir):
+    """Trailing 7-calendar-day rolling sum per user over the daily
+    value series (RANGE frame on the day number — gaps count as absent
+    days, unlike a rows frame)."""
+    from ..operators.market import rolling_range_sum
+    daily = (_events(spark, sf_dir)
+             .select("user_id", F.to_date(F.col("ts").cast("timestamp"))
+                     .alias("day"), "value")
+             .groupBy("user_id", "day")
+             .agg(F.round(F.sum("value"), 2).alias("day_value")))
+    return (rolling_range_sum(daily, "user_id", "day", "day_value", 7)
+            .orderBy("user_id", "day"))
+
+
+def events_temporal_join(spark, sf_dir):
+    """Point-in-time dimension join: each event joined to the SCD2
+    segment version in force AT THE EVENT'S TIMESTAMP (not the current
+    one — joining current attributes to historical facts is the classic
+    silent-lookahead bug)."""
+    from ..operators import scd
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"))
+    dim = (scd2_user_segments(spark, sf_dir)
+           .select("user_id", F.col("event_type").alias("segment"),
+                   "valid_from", "valid_to", "version"))
+    return (scd.temporal_join(ev, dim, "user_id")
+            .select("event_id", "user_id", "ts", "segment", "version")
+            .orderBy("event_id"))
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 

@@ -1549,6 +1549,40 @@ WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
 """),
 
+    # operators.market.rolling_range_sum: RANGE frame over the day
+    # number (gaps = absent days); rolling sum of 2-dp day values is
+    # midpoint-free.
+    "events_rolling_7d": QueryDef(X.events_rolling_7d, """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, day_value,
+       round(sum(day_value) OVER (
+         PARTITION BY user_id
+         ORDER BY date_diff('day', DATE '1970-01-01', day)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum,
+       count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY date_diff('day', DATE '1970-01-01', day)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_active_days
+FROM daily ORDER BY user_id, day
+"""),
+
+    # operators.scd.temporal_join: equi-join on user_id with the
+    # half-open interval residual; every event finds its own regime
+    # (the dim derives from the same log).
+    "events_temporal_join": QueryDef(X.events_temporal_join,
+                                     _SCD2_SQL + """
+SELECT e.event_id, e.user_id, e.ts, d.event_type AS segment, d.version
+FROM events e
+LEFT JOIN dim d
+  ON d.user_id = e.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+ORDER BY event_id
+"""),
+
     # operators.sharding.pack_shards: per-writer-group quantized-prefix
     # packing; integer `div`/`//` end to end so shard boundaries never
     # go through float rounding in either engine.

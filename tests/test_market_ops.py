@@ -106,3 +106,26 @@ def test_forward_fill_multiple_columns_and_partition_window(spark):
     assert {"a_ff", "b_ff"} <= set(out.columns)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(stock" in plan   # never a global window
+
+
+def test_rolling_range_frame_respects_calendar_gaps(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.market import (
+        rolling_range_sum,
+    )
+    d = dt.date
+    daily = spark.createDataFrame(
+        [(1, d(2026, 1, 1), 1.0),
+         (1, d(2026, 1, 2), 2.0),
+         (1, d(2026, 1, 20), 4.0),    # 18-day gap
+         (2, d(2026, 1, 1), 9.0)],
+        "user_id long, day date, day_value double")
+    out = {(r.user_id, r.day): r for r in
+           rolling_range_sum(daily, "user_id", "day", "day_value",
+                             7).collect()}
+    assert out[(1, d(2026, 1, 2))].rolling_sum == 3.0
+    # after the gap the window must NOT reach back across it
+    assert out[(1, d(2026, 1, 20))].rolling_sum == 4.0
+    assert out[(1, d(2026, 1, 20))].n_active_days == 1
+    assert out[(2, d(2026, 1, 1))].rolling_sum == 9.0   # per-entity

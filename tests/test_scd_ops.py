@@ -70,3 +70,28 @@ def test_single_exchange_for_both_window_passes(spark):
     plan = (scd2_from_changelog(df, "user_id", "ts", ["seg"], "event_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_temporal_join_picks_version_in_force(spark):
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import scd
+    t = lambda h: dt.datetime(2026, 1, 1, h)
+    dim = spark.createDataFrame(
+        [(1, "bronze", t(0), t(10), 1),
+         (1, "gold", t(10), None, 2)],
+        "user_id long, segment string, valid_from timestamp, "
+        "valid_to timestamp, version long")
+    facts = spark.createDataFrame(
+        [(100, 1, t(5)),        # bronze era
+         (101, 1, t(10)),       # boundary: half-open -> gold
+         (102, 1, t(20)),       # current regime
+         (103, 2, t(5))],       # unknown key -> kept, null dim
+        "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r for r in
+           scd.temporal_join(facts, dim, "user_id").collect()}
+    assert out[100].segment == "bronze" and out[100].version == 1
+    assert out[101].segment == "gold"        # valid_from inclusive
+    assert out[102].segment == "gold"
+    assert out[103].segment is None          # no silent drop
+    assert len(out) == 4                     # exactly one row per fact
