@@ -409,3 +409,78 @@ def source_report(docs: DataFrame, source_col: str = "source",
                  .alias("dup_ratio"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.round(F.sum("quality"), 4).alias("total_quality")))
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text",
+             vocab_col: str = "token") -> DataFrame:
+    """Vocabulary-coverage analysis:
+    (doc_id, n_tokens, n_oov, oov_rate) — per document, the fraction of
+    token POSITIONS not covered by ``vocab`` (e.g. vocabulary_topk's
+    output, or a tokenizer's word list). The go/no-go check before
+    freezing a tokenizer: a domain slice with high OOV will fragment
+    into bytes and train poorly.
+
+    The vocabulary relation is vocabulary-sized (sublinear in corpus) —
+    broadcast LEFT join onto the exploded token stream, then one
+    per-doc aggregate; token strings shuffle only as (doc_id, flag)
+    pairs after the per-(doc, token) pre-count."""
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("_n")))
+    v = vocab.select(F.col(vocab_col).alias("token")).distinct() \
+        .withColumn("_in", F.lit(1))
+    return (toks.join(F.broadcast(v), "token", "left")
+            .groupBy("doc_id")
+            .agg(F.sum("_n").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), F.col("_n"))
+                       .otherwise(0)).cast("long").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 4)))
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 spirit —
+# adapted to the fixture's scale): the canonical heuristic filter.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MAX_DUP_NGRAM = 0.55
+GOPHER_MIN_STOPWORD = 0.0
+GOPHER_MAX_TOP_NGRAM = 0.20
+
+
+def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The composed rules filter every curation run starts from:
+    (doc_id, n_tokens, dup_ngram_ratio, top_ngram_share,
+    stopword_ratio, keep, fail_reason) — length bounds, repetition
+    caps and a stopword floor, with the FIRST failing rule named
+    (reviewers tune thresholds by reading reject histograms, so the
+    reason column is the product).
+
+    One doc_id-keyed join of the quality and repetition relations;
+    docs too short to have any 3-gram fail the length rule before the
+    repetition columns are consulted (left join keeps them)."""
+    q = quality_score(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "stopword_ratio")
+    r = repetition(docs, 3, id_col, text_col).select(
+        "doc_id", "dup_ngram_ratio", "top_ngram_share")
+    j = q.join(r, "doc_id", "left")
+    reason = (
+        F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > GOPHER_MAX_TOKENS, "too_long")
+        .when(F.col("dup_ngram_ratio") > GOPHER_MAX_DUP_NGRAM,
+              "repetitive")
+        .when(F.col("top_ngram_share") > GOPHER_MAX_TOP_NGRAM,
+              "dominant_ngram")
+        .when(F.col("stopword_ratio") <= GOPHER_MIN_STOPWORD,
+              "no_stopwords")
+        .otherwise(F.lit(None).cast("string")))
+    return (j.withColumn("fail_reason", reason)
+            .withColumn("keep", F.col("fail_reason").isNull())
+            .select("doc_id", "n_tokens", "dup_ngram_ratio",
+                    "top_ngram_share", "stopword_ratio", "keep",
+                    "fail_reason"))

@@ -600,6 +600,25 @@ def ann_ivf_topk_auto(spark, sf_dir):
                                centroid_stride=stride, nprobe=3)
 
 
+OOV_VOCAB_K = 15
+
+
+def corpus_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage check: per-doc OOV token-position rate
+    against the corpus's own top-15 vocabulary (cuts inside the
+    fixture's 31-token vocabulary, so real OOV mass exists)."""
+    docs = _docs(spark, sf_dir)
+    vocab = textstats.vocabulary_topk(docs, OOV_VOCAB_K)
+    return textstats.oov_rate(docs, vocab).orderBy("doc_id")
+
+
+def corpus_gopher_filter(spark, sf_dir):
+    """Gopher-style composed rules filter: length bounds, repetition
+    caps, stopword floor — keep verdict plus the FIRST failing rule
+    (the reject histogram curation reviewers actually read)."""
+    return textstats.gopher_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def corpus_source_report(spark, sf_dir):
     """Per-source curation dashboard: composition, exact-dup rate and
     aggregate quality per provenance bucket — the review table before

@@ -657,6 +657,26 @@ _V2_CTE = """v2 AS (
   FROM documents WHERE doc_id % 25 = 0)"""
 
 
+# Shared repetition SQL (operators.textstats.repetition twin), used
+# by text_repetition and corpus_gopher_filter.
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) t(i)
+  WHERE array_to_string(w[i:i+2], ' ') <> ''),
+per AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dn, max(cnt) AS top
+        FROM per GROUP BY 1)
+SELECT doc_id, total::BIGINT AS total_ngrams, dn::BIGINT AS distinct_ngrams,
+       round(1 - dn / total, 4) AS dup_ngram_ratio,
+       round(top / total, 4) AS top_ngram_share
+FROM agg
+"""
+
+
 # Shared quality-score SQL (operators.textstats.quality_score twin),
 # used by text_quality and corpus_source_report.
 _QUALITY_SQL = """
@@ -2109,21 +2129,56 @@ FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 """),
 
-    "text_repetition": QueryDef(X.text_repetition, """
-WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    "text_repetition": QueryDef(X.text_repetition, _REPETITION_SQL),
+
+    # operators.textstats.oov_rate vs the corpus's own top-K
+    # vocabulary; OOV counts token POSITIONS, not types.
+    "corpus_oov_rate": QueryDef(X.corpus_oov_rate, f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
-g AS (
-  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) t(i)
-  WHERE array_to_string(w[i:i+2], ' ') <> ''),
-per AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2),
-agg AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dn, max(cnt) AS top
-        FROM per GROUP BY 1)
-SELECT doc_id, total::BIGINT AS total_ngrams, dn::BIGINT AS distinct_ngrams,
-       round(1 - dn / total, 4) AS dup_ngram_ratio,
-       round(top / total, 4) AS top_ngram_share
-FROM agg
+pd AS (SELECT doc_id, token, count(*) AS n FROM tok
+       WHERE token <> '' GROUP BY 1, 2),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, sum(n) AS tf FROM pd GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT {X.OOV_VOCAB_K})),
+agg AS (
+  SELECT pd.doc_id, sum(pd.n) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN pd.n ELSE 0 END) AS n_oov
+  FROM pd LEFT JOIN vocab v USING (token) GROUP BY pd.doc_id)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
+       round(n_oov / n_tokens, 4) AS oov_rate
+FROM agg ORDER BY doc_id
+"""),
+
+    # operators.textstats.gopher_filter: first-failing-rule CASE over
+    # the shared quality + repetition relations.
+    "corpus_gopher_filter": QueryDef(X.corpus_gopher_filter, f"""
+WITH q AS ({_QUALITY_SQL.strip()}),
+r AS ({_REPETITION_SQL.strip()}),
+j AS (
+  SELECT q.doc_id, q.n_tokens, q.stopword_ratio,
+         r.dup_ngram_ratio, r.top_ngram_share
+  FROM q LEFT JOIN r USING (doc_id)),
+v AS (
+  SELECT *,
+         CASE WHEN n_tokens < {X.textstats.GOPHER_MIN_TOKENS}
+                THEN 'too_short'
+              WHEN n_tokens > {X.textstats.GOPHER_MAX_TOKENS}
+                THEN 'too_long'
+              WHEN dup_ngram_ratio > {X.textstats.GOPHER_MAX_DUP_NGRAM}
+                THEN 'repetitive'
+              WHEN top_ngram_share > {X.textstats.GOPHER_MAX_TOP_NGRAM}
+                THEN 'dominant_ngram'
+              WHEN stopword_ratio <= {X.textstats.GOPHER_MIN_STOPWORD}
+                THEN 'no_stopwords'
+              ELSE NULL END AS fail_reason
+  FROM j)
+SELECT doc_id, n_tokens, dup_ngram_ratio, top_ngram_share,
+       stopword_ratio, (fail_reason IS NULL) AS keep, fail_reason
+FROM v ORDER BY doc_id
 """),
 
     # operators.textstats.pii_scrub over the synthetic-injection wrapper

@@ -323,3 +323,37 @@ def test_source_report_dup_and_quality_columns(spark):
     assert out["sa"].total_tokens == sum(q[i].n_tokens for i in (0, 1, 2))
     assert out["sa"].total_quality == round(
         sum(q[i].quality for i in (0, 1, 2)), 4)
+
+
+def test_oov_rate_counts_positions(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb zz zz zz")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("aa",), ("bb",)], ["token"])
+    out = textstats.oov_rate(docs, vocab).collect()[0]
+    assert out.n_tokens == 6 and out.n_oov == 3     # zz x3 positions
+    assert out.oov_rate == 0.5
+
+
+def test_gopher_filter_names_first_failing_rule(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(0, "too short"),                                    # < 20 tokens
+         (1, " ".join(["the spam spam"] * 20)),               # repetitive
+         (2, "the quick brown fox jumps over a lazy dog and "
+             "then runs far away to find some other good "
+             "things to do today")],                          # keeps
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.gopher_filter(docs).collect()}
+    assert out[0].fail_reason == "too_short" and not out[0].keep
+    assert out[1].fail_reason == "repetitive"
+    assert out[2].keep and out[2].fail_reason is None
+
+
+def test_gopher_filter_short_doc_fails_length_rule_first(spark):
+    # the length rule precedes the repetition rules in the CASE, so a
+    # tiny doc reads "too_short" regardless of its repetition columns
+    from pre_market_data_pipeline_for_stocks_spark.operators import textstats
+    docs = spark.createDataFrame([(0, "hi there")], ["doc_id", "text"])
+    out = textstats.gopher_filter(docs).collect()[0]
+    assert out.fail_reason == "too_short" and not out.keep
