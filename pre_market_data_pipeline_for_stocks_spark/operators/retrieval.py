@@ -34,38 +34,69 @@ from ..functions.hashing import md5_i64
 
 HASH_EMBED_DIMS = 8
 _MOD = 2001          # contributions in [-1000, 1000]
+_PRIME = 1073741789  # same affine-family prime as operators.dedup
+
+
+def embed_params(dims: int) -> list[tuple[int, int]]:
+    """Affine constants (a_j, b_j) deriving all ``dims`` contributions
+    from ONE md5 per token: c_j = ((h mod P)·a_j + b_j mod P) mod 2001
+    − 1000. The MinHash-family trick (dedup.minhash_params): one hash
+    plus dims cheap int ops beats dims md5 evaluations ~8× (measured
+    9.6 s → see BASELINE.md round-5 notes); products stay < 2^60, no
+    overflow. Distinct multipliers from the dedup family so the two
+    hash families are independent."""
+    return [((((j + 1) * 2246822519) % _PRIME) | 1,
+             ((j + 1) * 3266489917 + 11) % _PRIME)
+            for j in range(dims)]
 
 
 def hash_embed(chunks: DataFrame, dims: int = HASH_EMBED_DIMS,
                text_col: str = "chunk_text",
                keep_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
                out_col: str = "embedding") -> DataFrame:
-    """Feature-hashing embedder: adds ``out_col`` = array<long> of
-    ``dims`` signed token-hash sums. Map-side only; empty tokens
-    contribute nothing (an all-whitespace chunk embeds to the zero
-    vector, which search excludes — no direction to compare)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """Feature-hashing embedder: (keep_cols..., ``out_col`` =
+    array<long> of ``dims`` signed token-hash sums) — one md5 per
+    token, dims affine maps (embed_params). Chunks with no tokens emit
+    no row (a zero vector has no direction to compare; search excludes
+    it anyway).
 
-    def dim(j: int):
-        return F.aggregate(
-            words, F.lit(0).cast("long"),
-            lambda acc, w: acc + F.when(w == "", F.lit(0).cast("long"))
-            .otherwise(md5_i64(w, seed=j) % _MOD - (_MOD - 1) // 2))
-
-    return chunks.select(
-        *keep_cols, F.array(*[dim(j) for j in range(dims)]).alias(out_col))
+    Formulation note: explode + groupBy with ``dims`` SUM expressions,
+    NOT array higher-order folds — HOF lambdas are interpreted per
+    element while explode/hash/sum stay inside whole-stage codegen:
+    warm sf0.1 runs measured 9.6 s (md5 inside each of 8 folds) →
+    6.6 s (md5 hoisted to one transform) → 1.5 s (this formulation).
+    The md5 evaluates ONCE per token into a column the dim
+    sums share, and the groupBy partial-aggregates map-side, so the
+    only shuffle carries one row per CHUNK (dims longs), not per
+    token."""
+    params = embed_params(dims)
+    tok = (chunks.select(
+        *keep_cols,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("_w"))
+        .filter(F.col("_w") != "")
+        .withColumn("_h", md5_i64(F.col("_w")) % _PRIME))
+    half = (_MOD - 1) // 2
+    aggs = [F.sum((F.col("_h") * a + b) % _PRIME % _MOD - half)
+            .cast("long").alias(f"_d{j}")
+            for j, (a, b) in enumerate(params)]
+    return (tok.groupBy(*keep_cols).agg(*aggs)
+            .select(*keep_cols,
+                    F.array(*[F.col(f"_d{j}") for j in range(dims)])
+                    .alias(out_col)))
 
 
 def hash_embed_text(text: str, dims: int = HASH_EMBED_DIMS) -> list[int]:
-    """Driver-side twin of hash_embed for a query string — same md5
-    seeding, same integer contributions (query vectors are model-state
-    constants, like IVF centroids)."""
+    """Driver-side twin of hash_embed for a query string — same md5 +
+    affine family, same integer contributions (query vectors are
+    model-state constants, like IVF centroids)."""
     tokens = [t for t in text.strip().lower().split() if t]
+    params = embed_params(dims)
     vec = [0] * dims
-    for j in range(dims):
-        for t in tokens:
-            h = int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
-            vec[j] += h % _MOD - (_MOD - 1) // 2
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _PRIME
+        for j, (a, b) in enumerate(params):
+            vec[j] += (h * a + b) % _PRIME % _MOD - (_MOD - 1) // 2
     return vec
 
 

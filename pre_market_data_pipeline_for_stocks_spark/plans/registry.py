@@ -601,6 +601,9 @@ def _retrieval_sql() -> str:
 
     from ..operators.retrieval import (
         HASH_EMBED_DIMS as D,
+        _MOD,
+        _PRIME,
+        embed_params,
         hash_embed_text,
     )
     qv = hash_embed_text(X.RETRIEVAL_QUERY, D)
@@ -608,8 +611,9 @@ def _retrieval_sql() -> str:
     step = X.CHUNK_SIZE - X.CHUNK_OVERLAP
     dim_exprs = ",\n         ".join(
         f"sum(CASE WHEN t <> '' THEN "
-        f"({_h('t', seed=j)} % 2001 - 1000) ELSE 0 END) AS d{j}"
-        for j in range(D))
+        f"((({_h('t')} % {_PRIME}) * {a} + {b}) % {_PRIME} % {_MOD}"
+        f" - {(_MOD - 1) // 2}) ELSE 0 END) AS d{j}"
+        for j, (a, b) in enumerate(embed_params(D)))
     dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
     nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
     return f"""

@@ -14,7 +14,7 @@ def test_hash_embed_matches_driver_twin(spark):
     out = {(r.doc_id, r.chunk_id): list(r.embedding)
            for r in retrieval.hash_embed(chunks).collect()}
     assert out[(0, 0)] == retrieval.hash_embed_text("scan merge window")
-    assert out[(0, 1)] == [0] * retrieval.HASH_EMBED_DIMS   # empty -> zero
+    assert (0, 1) not in out            # token-free chunk emits no row
 
 
 def test_retrieval_topk_self_match_is_perfect(spark):
@@ -47,7 +47,9 @@ def test_retrieval_plan_is_map_side_plus_takeordered(spark, sf_dir):
     emb = retrieval.hash_embed(textstats.chunk_documents(docs, 24, 8))
     q = retrieval.retrieval_topk(emb, "scan merge", k=10)
     plan = q._jdf.queryExecution().executedPlan().toString()
-    # chunk -> embed -> score is one map-side pipeline: no join, no
-    # aggregate exchange; the only ordering is the top-k heap
+    # chunk -> embed -> score: no join, no window; the per-chunk dim
+    # aggregate partial-aggregates before its exchange and the only
+    # ordering is the top-k heap
     assert "Join" not in plan and "Window" not in plan
+    assert "partial" in plan
     assert "TakeOrderedAndProject" in plan
