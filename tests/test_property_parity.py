@@ -155,3 +155,65 @@ def test_asof_join_matches_bruteforce(spark, left, right, direction, tol):
     want = _ref_asof(lrows, rrows if rrows else [(0, "nope", _BASE)],
                      direction, tol)
     assert got == want
+
+
+# --- round-5 operator properties -----------------------------------------
+
+DOC_TEXT = st.lists(st.sampled_from(
+    ["the", "cat", "sat", "mat", "dog", "ran", "far", "zz"]),
+    min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(DOC_TEXT, min_size=1, max_size=6))
+def test_word_dropout_subsequence_property(spark, texts):
+    from pre_market_data_pipeline_for_stocks_spark.operators import augment
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in augment.word_dropout(docs, 30).collect()}
+    for i, txt in enumerate(texts):
+        orig = txt.strip().lower().split() if txt.strip() else []
+        r = out[i]
+        kept = r.aug_text.split() if r.aug_text else []
+        assert r.n_tokens == len([w for w in orig if w])
+        assert r.n_dropped == r.n_tokens - len(kept)
+        # kept tokens form a subsequence of the original
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=8))
+def test_cluster_safe_split_never_straddles_property(spark, edges):
+    from pre_market_data_pipeline_for_stocks_spark.operators import sampling
+    nodes = sorted({n for e in edges for n in e})
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        ["doc_a", "doc_b"])
+    docs = spark.createDataFrame([(n,) for n in nodes] or [(0,)],
+                                 ["doc_id"])
+    out = {r.doc_id: r.split for r in sampling.cluster_safe_split(
+        docs, pairs, {"train": 0.7, "test": 0.3}).collect()}
+    for a, b in edges:
+        if a in out and b in out:
+            assert out[a] == out[b]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False), min_size=4, max_size=30),
+       st.integers(2, 5))
+def test_quantile_bucket_monotone_property(spark, values, n_buckets):
+    from pre_market_data_pipeline_for_stocks_spark.operators import sampling
+    df = spark.createDataFrame(list(enumerate(values)), ["id", "v"])
+    rows = sampling.quantile_bucket(df, "v", n_buckets).collect()
+    by_val = sorted((r.v, r.bucket) for r in rows)
+    # monotone in value; buckets within range; ties share a bucket
+    assert all(0 <= b < n_buckets for _, b in by_val)
+    assert all(b2 >= b1 for (_, b1), (_, b2) in zip(by_val, by_val[1:]))
+    seen = {}
+    for v, b in by_val:
+        assert seen.setdefault(v, b) == b
