@@ -297,3 +297,57 @@ def sliding_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "sum_value")
     )
+
+
+def stateful_anomaly_scores(stream: DataFrame,
+                            z_threshold: float = 3.0) -> DataFrame:
+    """Online per-user anomaly detection via applyInPandasWithState:
+    each event's value scored against the user's OWN running mean/
+    variance (Welford accumulators in GroupState), emitting events
+    whose |z| exceeds ``z_threshold`` — the live-monitoring shape
+    (fraud spikes, sensor faults, bot bursts) where the baseline must
+    adapt per entity and survive across micro-batches.
+
+    Scoring uses the state BEFORE each event (an event never justifies
+    itself), in (ts, event_id) order so replays are deterministic; the
+    first two observations per user are unscored (variance undefined).
+    State is three numbers per user — constant per entity at any
+    scale, the same cost class as the built-in windowed aggs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = {"user_id": [], "event_id": [], "value": [], "z": []}
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(row.value)
+                if n >= 2:
+                    var = m2 / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / var ** 0.5
+                        if abs(z) >= z_threshold:
+                            out["user_id"].append(key[0])
+                            out["event_id"].append(row.event_id)
+                            out["value"].append(v)
+                            out["z"].append(round(z, 4))
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=("user_id bigint, event_id bigint, "
+                              "value double, z double"),
+            stateStructType="n bigint, mean double, m2 double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -464,3 +464,39 @@ def test_followup_interval_join_rejects_bad_how(spark, sf_dir):
         se.followup_interval_join(se.events_stream(spark, sf_dir),
                                   se.events_stream(spark, sf_dir),
                                   how="full_outer")
+
+
+def test_stateful_anomaly_scores_across_microbatches(spark, tmp_path):
+    """The Welford baseline must carry across micro-batches: a spike in
+    batch 2 is judged against state built in batch 1, scoring uses the
+    state BEFORE the event, and calm values never alert."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 9, 10, m)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    calm = [(i, t(i), 1, "view", 10.0 + (i % 2), "{}") for i in range(8)]
+    src = str(tmp_path / "anomaly_src")
+    spark.createDataFrame(calm, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    agg = se.stateful_anomaly_scores(stream, z_threshold=3.0)
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("anomaly").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM anomaly").count() == 0   # calm
+        spike = [(100, t(30), 1, "view", 500.0, "{}"),
+                 (101, t(31), 1, "view", 10.0, "{}"),
+                 (102, t(32), 2, "view", 500.0, "{}")]  # user 2: no hist
+        spark.createDataFrame(spike, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM anomaly").collect()
+    assert [r.event_id for r in rows] == [100]   # spike flagged
+    assert abs(rows[0].z) > 3
+    # user 2's single event had no baseline -> unscored, not flagged
