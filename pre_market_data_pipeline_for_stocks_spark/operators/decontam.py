@@ -164,31 +164,43 @@ def semantic_overlap(corpus_emb: DataFrame, bench_emb: DataFrame,
     display-only), matching benchmark_overlap's convention.
 
     Scale shape: the benchmark side is tiny (eval suites are MBs), so
-    it is broadcast and the corpus×bench cosine fold runs map-side; the
-    per-vector max/count aggregate partial-aggregates before the
-    exchange, so the shuffle carries ONE row per corpus vector — corpus
-    embeddings are read once and never shuffled. At extreme benchmark
-    sizes, pre-filter candidates with lsh_candidate_pairs instead."""
-    from .similarity import _dot_precast, _norm
+    its L2-normalized matrix ships as a broadcast variable and each
+    Arrow batch of corpus vectors scores against it with ONE numpy
+    matmul — corpus embeddings are read once, never shuffled, and the
+    output is one row per corpus vector straight out of the map. Dense
+    linear algebra is exactly the workload Arrow-batched kernels exist
+    for: the column-expression fold this replaces was interpreted per
+    element and read 111 s at sf1 (20k×2.5k vectors); the matmul reads
+    ~1 s (BASELINE.md round-5 notes). At extreme benchmark sizes,
+    pre-filter candidates with lsh_candidate_pairs instead."""
+    spark = corpus_emb.sparkSession
+    bench = np.array(
+        [r[0] for r in bench_emb.select(vec_col).collect()],
+        dtype=np.float64)
+    if bench.size == 0:
+        raise ValueError("benchmark embedding set is empty")
+    bench_t = (bench / np.linalg.norm(bench, axis=1, keepdims=True)).T
+    bc = spark.sparkContext.broadcast(bench_t)
 
-    c = (corpus_emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"))
-        .withColumn("_cnrm", _norm(F.col("_cv"))))
-    b = (bench_emb.select(
-        F.col(vec_col).cast("array<double>").alias("_bv"))
-        .withColumn("_bnrm", _norm(F.col("_bv"))))
-    cos = (c.crossJoin(F.broadcast(b))
-           .select("vec_id",
-                   (_dot_precast(F.col("_cv"), F.col("_bv"))
-                    / (F.col("_cnrm") * F.col("_bnrm"))).alias("_cos")))
-    return (cos.groupBy("vec_id")
-            .agg(F.max("_cos").alias("_mx"),
-                 F.sum(F.when(F.col("_cos") >= threshold, 1).otherwise(0))
-                 .cast("long").alias("n_bench_hits"))
-            .select("vec_id", F.round(F.col("_mx"), 4).alias("max_cosine"),
-                    "n_bench_hits",
-                    (F.col("_mx") >= F.lit(threshold)).alias("contaminated")))
+    def score(it):
+        bt = bc.value
+        for pdf in it:
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            cos = (m / np.where(nrm == 0, 1.0, nrm)) @ bt
+            mx = cos.max(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "max_cosine": np.round(mx, 4),
+                "n_bench_hits": (cos >= threshold).sum(axis=1),
+                "contaminated": mx >= threshold,
+            })
+
+    return (corpus_emb.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("_v"))
+            .mapInPandas(score,
+                         "vec_id long, max_cosine double, "
+                         "n_bench_hits long, contaminated boolean"))
 
 
 def decontaminate_semantic(corpus: DataFrame, corpus_emb: DataFrame,

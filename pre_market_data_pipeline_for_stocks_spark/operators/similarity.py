@@ -629,28 +629,59 @@ def hard_negatives(embeddings: DataFrame, query_pred, k: int = 5,
     cut is engine-deterministic.
 
     Scale shape: mining batches are small by design (a training epoch
-    mines for one batch of anchors at a time), so the query side —
-    vectors, labels, precomputed norms — broadcasts and the
-    corpus×query cosine fold runs map-side; the per-query top-k is a
-    window partitioned on q_vec_id (per-partition heaps). For huge
-    anchor sets, route candidate generation through ivf_topk_batch
-    first and anti-filter labels on its output instead."""
+    mines for one batch of anchors at a time), so the anchor matrix —
+    L2-normalized vectors plus labels — ships as a broadcast variable
+    and each Arrow batch of corpus vectors scores against ALL anchors
+    with one numpy matmul (the interpreted column-expression fold this
+    replaces read 50 s at sf1; the matmul ~1 s — BASELINE.md round-5
+    notes). Each batch emits only its own top-k per anchor, selected
+    under the SAME total order as the final cut (rounded cosine desc,
+    neg_vec_id asc) — top-k of a union is the top-k of per-part top-k's
+    under one total order, so the merge loses nothing — and the global
+    window ranks |batches|·|anchors|·k candidate rows, not the corpus.
+    For huge anchor sets, route candidate generation through
+    ivf_topk_batch and anti-filter labels on its output instead."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
-        F.col(vec_col).cast("array<double>").alias("_v"))
-    q = (base.filter(query_pred)
-         .select(F.col("vec_id").alias("q_vec_id"),
-                 F.col("label").alias("_qlab"), F.col("_v").alias("_qv"))
-         .withColumn("_qnrm", _norm(F.col("_qv"))))
-    c = base.withColumn("_nrm", _norm(F.col("_v")))
-    scored = (c.crossJoin(F.broadcast(q))
-              .filter(F.col("label") != F.col("_qlab"))
-              .select("q_vec_id", F.col("vec_id").alias("neg_vec_id"),
-                      F.round(_dot_precast(F.col("_v"), F.col("_qv"))
-                              / (F.col("_nrm") * F.col("_qnrm")), 4)
-                      .alias("cosine")))
+        F.col(vec_col).alias("_v"))
+    anchors = base.filter(query_pred).collect()
+    if not anchors:
+        raise ValueError("query_pred matches no anchor vectors")
+    a_ids = np.array([r["vec_id"] for r in anchors])
+    a_labels = np.array([r["label"] for r in anchors])
+    a_mat = np.array([r["_v"] for r in anchors], dtype=np.float64)
+    a_t = (a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)).T
+    bc = spark.sparkContext.broadcast((a_ids, a_labels, a_t))
+
+    def score(it):
+        ids, labels, at = bc.value
+        for pdf in it:
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            cos = np.round((m / np.where(nrm == 0, 1.0, nrm)) @ at, 4)
+            same = pdf["label"].to_numpy()[:, None] == labels[None, :]
+            cos[same] = -np.inf
+            neg_ids = pdf["vec_id"].to_numpy()
+            out = {"q_vec_id": [], "neg_vec_id": [], "cosine": []}
+            for a in range(at.shape[1]):
+                col = cos[:, a]
+                order = np.lexsort((neg_ids, -col))[:k]
+                for i in order:
+                    if np.isfinite(col[i]):
+                        out["q_vec_id"].append(ids[a])
+                        out["neg_vec_id"].append(neg_ids[i])
+                        out["cosine"].append(col[i])
+            if out["q_vec_id"]:
+                yield pd.DataFrame(out)
+
+    cand = base.mapInPandas(
+        score, "q_vec_id long, neg_vec_id long, cosine double")
     w = (Window.partitionBy("q_vec_id")
          .orderBy(F.col("cosine").desc(), F.col("neg_vec_id").asc()))
-    return (scored.withColumn("_rn", F.row_number().over(w))
+    return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))

@@ -311,12 +311,15 @@ def test_hard_negatives_k_bounds_per_anchor(spark):
     assert len(out) == 5 and all(r["count"] == 3 for r in out)
 
 
-def test_hard_negatives_plan_broadcasts_anchors(spark):
+def test_hard_negatives_plan_is_arrow_batched_then_candidate_ranked(spark):
     from pyspark.sql import functions as F
 
     from pre_market_data_pipeline_for_stocks_spark.operators import similarity
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = (similarity.hard_negatives(emb, F.col("vec_id") % 100 == 0, 3)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastNestedLoopJoin" in plan
+    # scoring is one Arrow-batched matmul kernel (no per-pair join) and
+    # the final rank runs over batch-local top-k candidates only
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert "windowspecdefinition(q_vec_id" in plan
