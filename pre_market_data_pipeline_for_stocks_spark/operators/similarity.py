@@ -520,27 +520,41 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b").distinct())
     # Verification: norms are computed ONCE per vector and joined in —
-    # per candidate pair only the dot product remains (3x fewer
-    # 64-element folds than recomputing both norms per pair). The
-    # vector is cast to array<double> once per DOC before the join so
-    # the per-PAIR fold skips per-element casts (see _dot_precast).
+    # per candidate pair only the dot product remains. The dots run as
+    # an Arrow-batched einsum over the paired vectors, not a per-pair
+    # interpreted array fold (measured ~15% off the sf0.1 query; the
+    # BASELINE.md round-5 "Arrow kernel over HOF fold" lesson). At sf1
+    # the dominant cost is the candidate JOIN itself (bucket population
+    # grows linearly, candidates quadratically) — that is the (b, r)
+    # sizing knob documented in BASELINE.md's sf1 section (r ∝ log n),
+    # not a verify-side property.
+    import numpy as np
+    import pandas as pd
+
     e = embeddings.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
         _norm(F.col("embedding")).alias("nrm"))
-    pairs = (
+    paired = (
         cand
         .join(e.withColumnsRenamed(
             {"vec_id": "vec_a", "embedding": "emb_a", "nrm": "nrm_a"}), "vec_a")
         .join(e.withColumnsRenamed(
-            {"vec_id": "vec_b", "embedding": "emb_b", "nrm": "nrm_b"}), "vec_b")
-        .select(
-            "vec_a", "vec_b",
-            F.round(_dot_precast(F.col("emb_a"), F.col("emb_b"))
-                    / (F.col("nrm_a") * F.col("nrm_b")), 4)
-            .alias("cosine"))
-    )
-    return pairs.filter(F.col("cosine") >= threshold)
+            {"vec_id": "vec_b", "embedding": "emb_b", "nrm": "nrm_b"}), "vec_b"))
+
+    def verify(it):
+        for pdf in it:
+            a = np.stack(pdf["emb_a"].to_numpy())
+            b = np.stack(pdf["emb_b"].to_numpy())
+            cos = np.round(
+                np.einsum("ij,ij->i", a, b)
+                / (pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()), 4)
+            yield pd.DataFrame({"vec_a": pdf["vec_a"],
+                                "vec_b": pdf["vec_b"], "cosine": cos})
+
+    return (paired.mapInPandas(
+        verify, "vec_a long, vec_b long, cosine double")
+        .filter(F.col("cosine") >= threshold))
 
 
 def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
