@@ -1,0 +1,67 @@
+"""Declarative data-quality expectations over any relation.
+
+Extension scope (BASELINE.json north star): every production table
+ships with a contract — keys unique, facts non-null, enums closed,
+measures in range — and the pipeline gates on a VIOLATION REPORT, not
+on scattered asserts (the Great-Expectations/dbt-test shape). The
+reference's validator (operators/validate.py) checks its one CSV
+contract; this generalizes the idea to arbitrary relations.
+
+Execution: every expectation compiles into a conditional aggregate
+over ONE full-scan aggregation (single row, partial-aggregated
+map-side), then explodes into one report row per expectation — the
+whole report costs one pass over the table regardless of how many
+expectations are declared. Uniqueness counts duplicate rows as
+``count(*) − count(distinct keys)`` inside the same pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Expectation = tuple[str, str, dict]
+
+
+def check_expectations(df: DataFrame,
+                       expectations: list[Expectation]) -> DataFrame:
+    """Evaluate ``expectations`` — (name, kind, params) with kind in
+    {'not_null', 'unique', 'accepted_values', 'in_range'} — returning
+    (expectation, kind, n_rows, n_violations, passed), one row per
+    expectation, in one scan.
+
+    Kinds: not_null(col); unique(cols: list) — duplicate ROWS beyond
+    the first per key count as violations; accepted_values(col,
+    values) — NULL is a violation (declare a separate not_null to
+    distinguish); in_range(col, lo, hi) — inclusive bounds, NULLs
+    violate."""
+    if not expectations:
+        raise ValueError("no expectations declared")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (name, kind, p) in enumerate(expectations):
+        if kind == "not_null":
+            v = F.sum(F.when(F.col(p["col"]).isNull(), 1).otherwise(0))
+        elif kind == "unique":
+            v = (F.count(F.lit(1))
+                 - F.count_distinct(*[F.col(c) for c in p["cols"]]))
+        elif kind == "accepted_values":
+            v = F.sum(F.when(
+                F.col(p["col"]).isin(list(p["values"])), 0).otherwise(1))
+        elif kind == "in_range":
+            c = F.col(p["col"])
+            ok = c.isNotNull() & (c >= p["lo"]) & (c <= p["hi"])
+            v = F.sum(F.when(ok, 0).otherwise(1))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(v.cast("long").alias(f"_v{i}"))
+    row = df.agg(*aggs)
+    report = F.array(*[
+        F.struct(F.lit(name).alias("expectation"),
+                 F.lit(kind).alias("kind"),
+                 F.col("_n").cast("long").alias("n_rows"),
+                 F.col(f"_v{i}").alias("n_violations"),
+                 (F.col(f"_v{i}") == 0).alias("passed"))
+        for i, (name, kind, _) in enumerate(expectations)])
+    return (row.select(F.explode(report).alias("e"))
+            .select("e.expectation", "e.kind", "e.n_rows",
+                    "e.n_violations", "e.passed"))

@@ -471,6 +471,28 @@ def events_temporal_join(spark, sf_dir):
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+EVENTS_EXPECTATIONS = [
+    ("event_id_present", "not_null", {"col": "event_id"}),
+    ("event_id_unique", "unique", {"cols": ["event_id"]}),
+    ("known_event_types", "accepted_values",
+     {"col": "event_type",
+      "values": ["view", "click", "purchase", "signup", "error"]}),
+    ("value_in_range", "in_range", {"col": "value", "lo": 0.0,
+                                    "hi": 1000.0}),
+    ("user_present", "not_null", {"col": "user_id"}),
+]
+
+
+def events_expectations(spark, sf_dir):
+    """Data-contract report over the events table: five declared
+    expectations evaluated in ONE scan (single-row conditional
+    aggregate exploded into a report row per expectation)."""
+    from ..operators import expectations as ex
+    return (ex.check_expectations(_events(spark, sf_dir),
+                                  EVENTS_EXPECTATIONS)
+            .orderBy("expectation"))
+
+
 def events_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel per user: first completion of
     each step strictly after the previous one, plus the stage reached."""

@@ -1842,6 +1842,40 @@ FROM per_doc GROUP BY token
 ORDER BY tf DESC, token ASC LIMIT 25
 """),
 
+    # operators.expectations.check_expectations: each declared rule is
+    # one conditional aggregate in a single scan; the oracle evaluates
+    # the same five rules as plain aggregations.
+    "events_expectations": QueryDef(X.events_expectations, """
+WITH a AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_idnull,
+         count(*) - count(DISTINCT event_id) AS v_dup,
+         sum(CASE WHEN event_type IN
+               ('view', 'click', 'purchase', 'signup', 'error')
+             THEN 0 ELSE 1 END) AS v_type,
+         sum(CASE WHEN value IS NOT NULL AND value >= 0.0
+                   AND value <= 1000.0 THEN 0 ELSE 1 END) AS v_range,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_user
+  FROM events)
+SELECT * FROM (
+  SELECT 'event_id_present' AS expectation, 'not_null' AS kind,
+         n::BIGINT AS n_rows, v_idnull::BIGINT AS n_violations,
+         v_idnull = 0 AS passed FROM a
+  UNION ALL
+  SELECT 'event_id_unique', 'unique', n::BIGINT, v_dup::BIGINT,
+         v_dup = 0 FROM a
+  UNION ALL
+  SELECT 'known_event_types', 'accepted_values', n::BIGINT,
+         v_type::BIGINT, v_type = 0 FROM a
+  UNION ALL
+  SELECT 'value_in_range', 'in_range', n::BIGINT, v_range::BIGINT,
+         v_range = 0 FROM a
+  UNION ALL
+  SELECT 'user_present', 'not_null', n::BIGINT, v_user::BIGINT,
+         v_user = 0 FROM a)
+ORDER BY expectation
+"""),
+
     # operators.funnel.funnel_stages: cascade of gated conditional
     # mins; each t_i strictly after t_{i-1}.
     "events_funnel": QueryDef(X.events_funnel, """

@@ -1,0 +1,65 @@
+"""operators/expectations.py: declarative data-contract checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.operators import expectations
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        (1, "view", 10.0),
+        (1, "view", 20.0),          # duplicate id
+        (None, "click", -5.0),      # null id, out-of-range value
+        (3, "bogus", None),         # bad enum, null value
+    ]
+    return spark.createDataFrame(rows, "id long, kind string, v double")
+
+
+def test_expectations_report_counts(dirty):
+    exp = [
+        ("id_present", "not_null", {"col": "id"}),
+        ("id_unique", "unique", {"cols": ["id"]}),
+        ("kind_enum", "accepted_values",
+         {"col": "kind", "values": ["view", "click"]}),
+        ("v_range", "in_range", {"col": "v", "lo": 0.0, "hi": 100.0}),
+    ]
+    out = {r.expectation: r for r in
+           expectations.check_expectations(dirty, exp).collect()}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["id_present"].n_violations == 1
+    # 4 rows, 3 distinct ids (1, null?, 3): count_distinct ignores null
+    # -> 4 - 2 = 2 "duplicates" (the null id is surfaced by not_null)
+    assert out["id_unique"].n_violations == 2
+    assert out["kind_enum"].n_violations == 1
+    assert out["v_range"].n_violations == 2     # -5 and NULL
+    assert not any(r.passed for r in out.values())
+
+
+def test_expectations_pass_on_clean_data(spark):
+    clean = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    exp = [("id_unique", "unique", {"cols": ["id"]}),
+           ("v_range", "in_range", {"col": "v", "lo": 0.0, "hi": 10.0})]
+    out = expectations.check_expectations(clean, exp).collect()
+    assert all(r.passed and r.n_violations == 0 for r in out)
+
+
+def test_expectations_single_scan_plan(dirty):
+    exp = [("a", "not_null", {"col": "id"}),
+           ("b", "in_range", {"col": "v", "lo": 0.0, "hi": 1.0}),
+           ("c", "unique", {"cols": ["id", "kind"]})]
+    plan = (expectations.check_expectations(dirty, exp)
+            ._jdf.queryExecution().executedPlan().toString())
+    # all expectations fold into ONE aggregation over one scan
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_expectations_reject_bad_input(dirty):
+    with pytest.raises(ValueError):
+        expectations.check_expectations(dirty, [])
+    with pytest.raises(ValueError):
+        expectations.check_expectations(
+            dirty, [("x", "nope", {})]).collect()
