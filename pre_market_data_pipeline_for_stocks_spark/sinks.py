@@ -11,6 +11,7 @@ one-file-per-stock loop.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_fact_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
@@ -163,3 +164,40 @@ def compact_parquet_tree(spark, path: str,
     for root, _dirs, files in os.walk(path):
         written += sum(1 for f in files if f.endswith(".parquet"))
     return written
+
+
+def merge_upsert(spark, target_path: str, updates: DataFrame,
+                 key_cols: list[str],
+                 delete_col: str | None = None) -> None:
+    """Batch CDC apply (MERGE INTO for a plain parquet tree): rows in
+    ``updates`` replace target rows with the same key, new keys append,
+    and — when ``delete_col`` names a boolean column — rows flagged
+    true are deleted instead of upserted. The upsert every warehouse
+    sync needs; on table formats with transaction logs (Delta/Iceberg)
+    use their native MERGE, this is the format-free equivalent with
+    the same write-temp + directory-rename swap as
+    compact_parquet_tree (readers see old or new, never a mix).
+
+    Plan: one left-anti join of target against the update KEYS (the
+    update side is the small side of a CDC batch — AQE broadcasts it),
+    then a union with the surviving updates. Cost is one target
+    rewrite, which is what parquet-without-a-log fundamentally costs;
+    partition the tree and feed per-partition batches to
+    overwrite_partitions when only few partitions change."""
+    import os
+    import shutil
+
+    target = spark.read.parquet(target_path)
+    if delete_col is not None:
+        survivors = (updates.filter(~F.coalesce(F.col(delete_col),
+                                                F.lit(False)))
+                     .drop(delete_col))
+    else:
+        survivors = updates
+    kept = target.join(updates.select(*key_cols).distinct(),
+                       key_cols, "left_anti")
+    merged = kept.unionByName(survivors)
+    tmp = target_path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target_path)
+    os.replace(tmp, target_path)

@@ -261,3 +261,32 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.groupBy("lang").count().count() == 3
+
+
+def test_merge_upsert_updates_inserts_deletes(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, v double").write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0, False),      # update
+         (4, "d", 4.0, False),        # insert
+         (3, "c", 0.0, True)],        # delete
+        "id long, name string, v double, is_deleted boolean")
+    sinks.merge_upsert(spark, path, updates, ["id"],
+                       delete_col="is_deleted")
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 4: ("d", 4.0)}
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    path = str(tmp_path / "target2")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    updates = spark.createDataFrame([(1, 9.0), (2, 2.0)],
+                                    "id long, v double")
+    for _ in range(2):                      # replaying the batch is a no-op
+        sinks.merge_upsert(spark, path, updates, ["id"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 9.0), (2, 2.0)]
