@@ -1007,6 +1007,30 @@ FROM (SELECT *, lag(value) OVER (PARTITION BY user_id
 WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
 """),
 
+    # plans.relational.w_revenue_pareto: windows over the aggregated
+    # relation; shares divide 2-dp-rounded revenues (order-stable).
+    "w_revenue_pareto": QueryDef(R.w_revenue_pareto, """
+WITH base AS (
+  SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY r_name), 4)
+         AS share,
+       round(sum(revenue) OVER (
+               PARTITION BY r_name
+               ORDER BY revenue DESC, n_name ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(revenue) OVER (PARTITION BY r_name), 4) AS cum_share
+FROM base
+ORDER BY r_name, revenue DESC, n_name ASC
+"""),
+
     "j5_asof_nearest_order_yoy": QueryDef(R.j5_asof_nearest_order_yoy, """
 WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
                   o_totalprice, o_orderkey FROM orders),

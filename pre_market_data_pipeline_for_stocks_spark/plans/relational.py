@@ -759,3 +759,38 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(late.subtract(early)
                      .select("o_custkey", F.lit("late_only").alias("cohort")))
     )
+
+
+def w_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family over aggregates: per-region nation revenue with its
+    within-region share and the running (Pareto) cumulative share in
+    revenue order — the "which nations make up 80% of the region"
+    analysis. The windows run over the AGGREGATED relation (|nations|
+    rows), partitioned by region: windows-after-agg costs nothing at
+    any scale because aggregation shrank the data first. Shares divide
+    the 2-dp-rounded revenues so the ratio inputs are order-stable."""
+    nation, region, cust, orders, li = _t(
+        spark, sf_dir, "nation", "region", "customer", "orders",
+        "lineitem")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue")))
+    wreg = Window.partitionBy("r_name")
+    wrun = (Window.partitionBy("r_name")
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum("revenue").over(wreg)
+    return (base
+            .withColumn("share", F.round(F.col("revenue") / total, 4))
+            .withColumn("cum_share",
+                        F.round(F.sum("revenue").over(wrun) / total, 4))
+            .orderBy("r_name", F.col("revenue").desc(),
+                     F.col("n_name").asc()))
