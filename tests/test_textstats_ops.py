@@ -179,7 +179,7 @@ def test_decontaminate_semantic_drops_flagged_docs(spark):
     assert {r.doc_id for r in out.collect()} == {1, 2}
 
 
-def test_semantic_overlap_plan_broadcasts_bench(spark, sf_dir):
+def test_semantic_overlap_plan_is_single_arrow_pass(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from pre_market_data_pipeline_for_stocks_spark.operators import decontam
@@ -187,10 +187,10 @@ def test_semantic_overlap_plan_broadcasts_bench(spark, sf_dir):
     out = decontam.semantic_overlap(emb.filter(F.col("vec_id") % 20 != 0),
                                     emb.filter(F.col("vec_id") % 20 == 0))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # bench side broadcast (no shuffle of corpus x bench rows) and the
-    # per-vector max partial-aggregates before the exchange
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_max" in plan or "partial" in plan
+    # one Arrow-batched matmul pass over the corpus: no join, no
+    # aggregate exchange — output rows come straight out of the map
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_unigram_logprob_hand_computed(spark):
