@@ -91,3 +91,20 @@ def read_evolving_tree(spark: SparkSession, path: str) -> DataFrame:
     belong in a versioned-directory migration instead, which this
     deliberately does not paper over."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read a training-shard tree written by sinks.write_training_shards
+    back into (shard_id, doc_id, text) — the loader-side contract: the
+    JSONL records stream schema-first (explicit schema, no inference
+    scan over 100 TB of shards), and the hive `shard_id=N` partition
+    dirs come back as the shard_id column."""
+    from pyspark.sql import functions as F
+
+    schema = "doc_id long, text string"
+    return (spark.read.schema(schema)
+            .option("basePath", path).json(path + "/shard_id=*")
+            .withColumn("shard_id",
+                        F.regexp_extract(F.input_file_name(),
+                                         r"shard_id=(\d+)", 1)
+                        .cast("long")))

@@ -114,3 +114,35 @@ def test_write_training_shards_one_file_per_shard(spark, sf_dir, tmp_path):
     assert {s: len(v) for s, v in seen.items()} == want
     assert set().union(*seen.values()) == \
         {r.doc_id for r in packed.select("doc_id").collect()}
+
+
+def test_read_training_shards_round_trip(spark, sf_dir, tmp_path):
+    """Writer -> reader closes the loop: every (shard_id, doc_id, text)
+    written comes back identically, with shard_id recovered from the
+    partition dirs."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark import sinks
+    from pre_market_data_pipeline_for_stocks_spark.operators import sharding
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        token_counts,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        read_training_shards,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = (token_counts(docs)
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    packed = sharding.pack_shards(tokens, budget=2000, n_groups=4)
+    out = str(tmp_path / "shards_rt")
+    sinks.write_training_shards(docs, packed, out)
+
+    back = read_training_shards(spark, out)
+    assert set(back.columns) == {"shard_id", "doc_id", "text"}
+    want = {(r.shard_id, r.doc_id) for r in
+            packed.select("shard_id", "doc_id").collect()}
+    got = {(r.shard_id, r.doc_id) for r in back.collect()}
+    assert got == want
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sample = back.limit(20).collect()
+    assert all(r.text == texts[r.doc_id] for r in sample)
