@@ -351,3 +351,48 @@ def stateful_anomaly_scores(stream: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_funnel_stages(stream: DataFrame,
+                           steps: list[str]) -> DataFrame:
+    """Streaming twin of operators.funnel.funnel_stages: per-user
+    ordered-funnel progress carried across micro-batches in GroupState.
+    Each event advances the funnel at most one step, only when it
+    matches the NEXT step and lands strictly after the gate (the
+    previous step's completion time) — the same strict-order semantics
+    as the batch cascade, so a live funnel board and a batch backfill
+    agree (pinned stream==batch in tests/test_streaming.py).
+
+    State is (stage, gate_micros) per user — two numbers, the same
+    constant-per-entity cost class as the other stateful operators.
+    Events are processed in (ts, event_id) order within each batch for
+    deterministic replays; emits one (user_id, stage) update row per
+    user per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        stage, gate = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                if stage >= len(steps):
+                    break
+                ts_us = row.ts.value // 1000
+                if (row.event_type == steps[stage]
+                        and (stage == 0 or ts_us > gate)):
+                    stage += 1
+                    gate = ts_us
+        state.update((stage, gate))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, stage int",
+            stateStructType="stage int, gate bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -500,3 +500,50 @@ def test_stateful_anomaly_scores_across_microbatches(spark, tmp_path):
     assert [r.event_id for r in rows] == [100]   # spike flagged
     assert abs(rows[0].z) > 3
     # user 2's single event had no baseline -> unscored, not flagged
+
+
+def test_stateful_funnel_matches_batch_across_microbatches(spark, tmp_path):
+    """The live funnel must agree with the batch cascade even when the
+    steps arrive in different micro-batches, and must NOT count a step
+    that arrived before its gate."""
+    import datetime as dt
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import funnel
+
+    t = lambda h: dt.datetime(2026, 1, 9, h)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    batch1 = [
+        (1, t(1), 1, "view", 1.0, "{}"),
+        (2, t(0), 2, "purchase", 1.0, "{}"),   # before u2's view: no gate
+        (3, t(1), 2, "view", 1.0, "{}"),
+    ]
+    batch2 = [
+        (4, t(2), 1, "click", 1.0, "{}"),      # u1 advances cross-batch
+        (5, t(3), 1, "purchase", 1.0, "{}"),
+        (6, t(2), 2, "click", 1.0, "{}"),      # u2 stops at click
+    ]
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    steps = ["view", "click", "purchase"]
+    q = (se.stateful_funnel_stages(stream, steps).writeStream
+         .outputMode("update").format("memory")
+         .queryName("live_funnel").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # stage is monotone per user, so the max update is the live verdict
+    # (the memory sink keeps every update row, in no guaranteed order)
+    live = {r.user_id: r.stage for r in spark.sql(
+        "SELECT user_id, max(stage) AS stage FROM live_funnel"
+        " GROUP BY user_id").collect()}
+    batch = {r.user_id: r.stage for r in funnel.funnel_stages(
+        spark.createDataFrame(batch1 + batch2, schema), steps).collect()}
+    assert live == batch == {1: 3, 2: 2}
