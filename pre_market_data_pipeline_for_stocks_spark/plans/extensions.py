@@ -114,6 +114,15 @@ def dedup_ngram_containment(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def dedup_simhash_clusters(spark, sf_dir):
+    """SimHash pairs collapsed into connected components — the third
+    cluster family (next to MinHash and embedding clusters), showing
+    resolve_clusters composes over ANY pair emitter."""
+    pairs = dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), bits=48,
+                                         band_bits=24, max_hamming=3)
+    return dedup.resolve_clusters(pairs)
+
+
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs (MinHash-LSH, the 100 TB path) collapsed into
     connected components with a min-id keeper per component — the step

@@ -1771,6 +1771,13 @@ FROM shh GROUP BY doc_id
     "dedup_simhash_pairs": QueryDef(X.dedup_simhash_pairs,
                                     _simhash_pairs_sql(48, 24, 3)),
 
+    # dedup.resolve_clusters over the SimHash pair emitter — the same
+    # recursive-closure oracle as the MinHash/embedding cluster twins.
+    "dedup_simhash_clusters": QueryDef(X.dedup_simhash_clusters, f"""
+WITH RECURSIVE {_clusters_ctes(_simhash_pairs_sql(48, 24, 3)).strip()}
+SELECT doc_id, cluster_id FROM comp
+"""),
+
     "ann_cosine_near_dup": QueryDef(X.ann_cosine_near_dup,
                                     _lsh_pairs_sql(4, 4, 0.4), headline=True),
 
