@@ -345,7 +345,36 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
                                   sample_mod=train_sample_mod, init=init)
     cents = embeddings.sparkSession.createDataFrame(
         trained.collect(), schema="cent_id long, cent_vec array<double>")
+    return ivf_topk_with_index(embeddings, cents, query_vec_id, k, nprobe,
+                               id_col, vec_col)
 
+
+def save_ivf_index(cents: DataFrame, path: str) -> None:
+    """Persist a trained IVF codebook (cent_id, cent_vec) — the model
+    artifact an ANN deployment trains ONCE and serves many queries
+    from, exactly like dedup.build_signature_index persists the
+    dedup-side index. A codebook is k rows of small arrays: one parquet
+    file."""
+    cents.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    """Read a codebook written by save_ivf_index, restoring the exact
+    (cent_id, array<double>) relation searches expect."""
+    return (spark.read.parquet(path)
+            .select(F.col("cent_id").cast("long"),
+                    F.col("cent_vec").cast("array<double>")))
+
+
+def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
+                        query_vec_id: int = 0, k: int = 10,
+                        nprobe: int = 3, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """IVF search against an EXISTING codebook (train once via
+    train_ivf_centroids/save_ivf_index, serve many) — the deployment
+    topology where query latency never pays training. Same assign →
+    probe → in-cell brute-force plan as ivf_topk, byte-identical
+    results for the same codebook (pinned in tests)."""
     # embedding pre-cast to array<double> ONCE per row: the assign fold
     # evaluates the dot per centroid, so an in-lambda cast would repeat
     # |centroids| x 64 times per row (see _dot_precast).

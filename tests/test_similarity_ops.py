@@ -323,3 +323,24 @@ def test_hard_negatives_plan_is_arrow_batched_then_candidate_ranked(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "windowspecdefinition(q_vec_id" in plan
+
+
+def test_ivf_index_save_load_serve_matches_inline(spark, tmp_path):
+    """Train once, persist the codebook, serve from the loaded index:
+    results must be byte-identical to the inline train+search path."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S2,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inline = S2.ivf_topk(emb, 0, 10, centroid_stride=50).collect()
+
+    # same training config ivf_topk uses internally
+    trained = S2.train_ivf_centroids(emb, centroid_stride=50, iters=1,
+                                     sample_mod=2)
+    cents = spark.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    path = str(tmp_path / "ivf_index")
+    S2.save_ivf_index(cents, path)
+    served = S2.ivf_topk_with_index(
+        emb, S2.load_ivf_index(spark, path), 0, 10).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
