@@ -78,6 +78,43 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def classifier_score(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", scale: float = 4.0,
+                     seed: str = "clf") -> DataFrame:
+    """fastText-style linear quality classifier over hashed bag-of-words:
+    (doc_id, n_tokens, score, label).
+
+    score = sigmoid(scale * mean(w[h(token)])) where w maps each hashed
+    token to an integer weight in [-1000, 1000] (here derived from the
+    token hash so the DuckDB oracle is closed-form; a real deployment
+    swaps the derivation for a broadcast-joined trained weight table —
+    the plan shape is identical). ``label`` is keep/drop at 0.5.
+
+    This is the model-based filtering stage of a curation pipeline
+    (quality_score is the heuristic stage): explode -> hash -> weight is
+    all whole-stage-codegen'd column arithmetic, the per-doc reduction
+    is a partial-aggregated sum/count — one shuffle keyed on doc_id,
+    integer-exact up to the final sigmoid, no UDF anywhere. At 100 TB
+    the shuffled bytes are (doc_id, int) pairs, never the text.
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                      r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    w = md5_i64(F.concat(F.lit(seed + ":"), F.col("token"))) % 2001 - 1000
+    agg = (toks.withColumn("_w", w)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("_w").alias("_sw")))
+    margin = F.col("_sw") / (F.col("n_tokens") * F.lit(1000.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-scale * margin)), 6)
+    return agg.select(
+        "doc_id", "n_tokens", score.alias("score"),
+        F.when(score >= 0.5, "keep").otherwise("drop").alias("label"))
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens): whitespace tokenization plus

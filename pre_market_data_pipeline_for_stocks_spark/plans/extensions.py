@@ -132,6 +132,36 @@ def dedup_clusters(spark, sf_dir):
     return dedup.resolve_clusters(pairs)
 
 
+def dedup_clusters_keep_best(spark, sf_dir):
+    """dedup_clusters with the keeper re-elected by quality score:
+    the curation-grade policy (keep the cleanest copy of each near-dup
+    cluster, not the lowest-id one). Composes the same MinHash-LSH pair
+    emitter + resolve_clusters closure with elect_cluster_keepers."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS, 3,
+                                    JACCARD_THRESHOLD)
+    labels = dedup.resolve_clusters(pairs)
+    scores = textstats.quality_score(docs)
+    return (dedup.elect_cluster_keepers(labels, scores)
+            .orderBy("doc_id"))
+
+
+def text_duplication_density(spark, sf_dir):
+    """Per-doc boilerplate density: fraction of a doc's distinct word
+    3-grams shared with >=2 corpus documents (catches template debris
+    that stays under every pair-wise near-dup threshold)."""
+    return (dedup.shingle_duplication_density(_docs(spark, sf_dir),
+                                              n=3, min_df=2)
+            .orderBy("doc_id"))
+
+
+def text_classifier_score(spark, sf_dir):
+    """Hashed-bag-of-words linear classifier scoring (the model-based
+    filter stage; weights hash-derived so the oracle is closed-form)."""
+    return (textstats.classifier_score(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def dedup_incremental(spark, sf_dir):
     """New-shard-vs-corpus dedup: even doc_ids play the standing corpus
     (the persisted signature index side), odd doc_ids the incoming

@@ -710,6 +710,28 @@ FROM r
 """
 
 
+# Shared quality-score CTE fragment ``q(doc_id, quality)`` (twin of
+# operators.textstats.quality_score's final score), interpolated into
+# every oracle that consumes the score (weighted sample, keeper
+# election) so the formula lives in exactly one place.
+_QUALITY_Q_CTE = f"""q AS (
+  SELECT doc_id,
+         round(least(greatest(
+           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * greatest(0.0,
+               1 - round(punct / greatest(n_chars, 1), 6) * 10),
+           0.0), 1.0), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+           len(regexp_extract_all(lower(text), '\\b({_STOP["en"]})\\b'))
+             AS stops
+    FROM documents))"""
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1210,6 +1232,29 @@ SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """, headline=True),
 
+    # Native session_window twin: an event exactly ``gap`` after its
+    # predecessor MERGES (measured and unit-pinned in
+    # test_session_window_exact_gap_merges) — identical gap semantics to
+    # the lag-gap query above; session_end is last_event + gap.
+    "events_session_window_native": QueryDef(
+        R.events_session_window_native, """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""),
+
     "asof_backward_event_order": QueryDef(R.asof_backward_event_order, """
 WITH e AS (SELECT event_id, user_id, ts::DATE AS d FROM events),
 best AS (
@@ -1321,22 +1366,7 @@ SELECT doc_id, lang, source FROM (
     # ln/pow are libm doubles in both engines; a rank flip needs two
     # keys within 1 ulp — not reachable with 60-bit-hash-derived u.
     "corpus_weighted_sample": QueryDef(X.corpus_weighted_sample, f"""
-WITH q AS (
-  SELECT doc_id,
-         round(least(greatest(
-           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
-           + 0.3 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * greatest(0.0,
-               1 - round(punct / greatest(n_chars, 1), 6) * 10),
-           0.0), 1.0), 4) AS quality
-  FROM (
-    SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           length(text) AS n_chars,
-           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
-           len(regexp_extract_all(lower(text), '\\b({_STOP["en"]})\\b'))
-             AS stops
-    FROM documents)),
+WITH {_QUALITY_Q_CTE},
 keyed AS (
   SELECT d.doc_id, d.lang, q.quality,
          ln(({_h("('wsample:' || d.doc_id::VARCHAR)")} % 1000000 + 1)
@@ -1569,6 +1599,59 @@ GROUP BY lang ORDER BY grp
     "decontaminate_bloom_clean": QueryDef(X.decontaminate_bloom_clean, None),
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
+
+    # dedup.elect_cluster_keepers: same recursive closure as
+    # dedup_clusters, keeper re-elected as argmax(quality, min doc_id).
+    "dedup_clusters_keep_best": QueryDef(X.dedup_clusters_keep_best, f"""
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
+{_QUALITY_Q_CTE},
+lq AS (
+  SELECT c.doc_id, c.cluster_id, q.quality
+  FROM comp c JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, quality,
+       first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS keeper_id
+FROM lq ORDER BY doc_id
+"""),
+
+    # dedup.shingle_duplication_density: document frequency per 3-gram
+    # shingle hash, rolled up to a per-doc shared-shingle fraction.
+    "text_duplication_density": QueryDef(X.text_duplication_density, f"""
+WITH {_SHINGLES_CTE.strip()},
+df AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_shingles,
+       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_ratio
+FROM shh s JOIN df USING (sh)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""),
+
+    # textstats.classifier_score: hashed-BoW linear model, integer
+    # weights in [-1000, 1000]; the sum is integer-exact so the only
+    # float op is the final sigmoid (libm exp in both engines).
+    "text_classifier_score": QueryDef(X.text_classifier_score, f"""
+WITH toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> ''),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum({_h("('clf:' || token)")} % 2001 - 1000) AS sw
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))), 6)
+         AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))),
+                       6) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS label
+FROM agg ORDER BY doc_id
+"""),
 
     "dedup_incremental": QueryDef(X.dedup_incremental,
                                   _incremental_minhash_sql()),

@@ -406,6 +406,43 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window_native(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE session_window operator — the
+    batch run of the exact expression streaming/events.py:session_windows
+    executes incrementally, oracle-checked here so the streaming twin's
+    semantics have a DuckDB-verified anchor.
+
+    session_window merges events whose [ts, ts+gap] envelopes touch: an
+    event arriving EXACTLY ``gap`` after its predecessor merges into
+    the same session (measured, pinned by
+    test_session_window_exact_gap_merges) — the same boundary the
+    lag-gap formulation's ``>`` comparison produces, so the two
+    formulations are exact twins and share gap semantics;
+    ``session_end`` is last_event + gap. Single hash aggregation keyed
+    on (user_id, merged window) — Spark plans it as a per-user-partition
+    sort + session assembly, no self-join, streaming-compatible.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    gap_s = 1800
+    agg = (
+        events
+        .groupBy("user_id",
+                 F.session_window(F.col("ts").cast("timestamp"),
+                                  f"{gap_s} seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def asof_backward_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join, BACKWARD + LEFT flavor (the J5 operator's
     other half, oracle-checked): each event matched to its user's

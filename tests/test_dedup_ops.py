@@ -398,3 +398,40 @@ def test_containment_respects_max_df_guard(spark):
     out = dedup.ngram_containment_pairs(docs, 3, 0.5, max_df=3).collect()
     dedup.release_shingle_caches()
     assert out == []
+
+
+def test_elect_cluster_keepers_prefers_quality_over_min_id(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        elect_cluster_keepers,
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.5)],
+        "doc_id long, quality double")
+    out = {r["doc_id"]: r for r in
+           elect_cluster_keepers(labels, scores).collect()}
+    # cluster 1: doc 2 and 3 tie on quality 0.9 -> smaller doc_id wins,
+    # NOT the component min (doc 1, quality 0.2).
+    assert out[1]["keeper_id"] == 2
+    assert out[2]["keeper_id"] == 2 and out[3]["keeper_id"] == 2
+    # flat-quality cluster degrades to the min-id convention.
+    assert out[7]["keeper_id"] == 7 and out[9]["keeper_id"] == 7
+
+
+def test_shingle_duplication_density_hand_computed(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        shingle_duplication_density,
+    )
+    # docs 0/1 share their full 4-word prefix (two shared 3-shingles);
+    # doc 2 is entirely unique.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e0 f0"), (1, "a b c d e1 f1"), (2, "p q r s t u")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           shingle_duplication_density(docs, n=3, min_df=2).collect()}
+    # each doc: 4 distinct 3-shingles; docs 0/1 share 'a b c','b c d'.
+    assert out[0]["n_shingles"] == 4 and out[0]["dup_shingles"] == 2
+    assert out[0]["dup_ratio"] == 0.5 and out[1]["dup_ratio"] == 0.5
+    assert out[2]["dup_shingles"] == 0 and out[2]["dup_ratio"] == 0.0

@@ -547,3 +547,23 @@ def test_stateful_funnel_matches_batch_across_microbatches(spark, tmp_path):
     batch = {r.user_id: r.stage for r in funnel.funnel_stages(
         spark.createDataFrame(batch1 + batch2, schema), steps).collect()}
     assert live == batch == {1: 3, 2: 2}
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pins the boundary semantics events_session_window_native's oracle
+    relies on: an event EXACTLY ``gap`` after its predecessor merges
+    into the same session — session_window shares the lag-gap
+    formulation's ``>`` boundary, so the two are exact twins."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=1800)),
+            (2, base), (2, base + dt.timedelta(seconds=1799))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    agg = (df.groupBy("user_id",
+                      F.session_window("ts", "1800 seconds").alias("sw"))
+           .count().groupBy("user_id").count().collect())
+    sessions = {r["user_id"]: r["count"] for r in agg}
+    assert sessions == {1: 1, 2: 1}

@@ -357,3 +357,35 @@ def test_gopher_filter_short_doc_fails_length_rule_first(spark):
     docs = spark.createDataFrame([(0, "hi there")], ["doc_id", "text"])
     out = textstats.gopher_filter(docs).collect()[0]
     assert out.fail_reason == "too_short" and not out.keep
+
+
+def test_classifier_score_bounds_and_label(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        classifier_score,
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha alpha alpha"), (2, "  zz  ")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classifier_score(docs).collect()}
+    for r in rows.values():
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["label"] == ("keep" if r["score"] >= 0.5 else "drop")
+    # token multiplicity matters (bag, not set): a doc of one repeated
+    # token scores exactly sigmoid(4 * w/1000) for that token's weight.
+    assert rows[1]["n_tokens"] == 3
+    # whitespace-only doc still tokenizes to its trimmed word
+    assert rows[2]["n_tokens"] == 1
+
+
+def test_classifier_score_partition_invariant(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        classifier_score,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared words here tok{i + 1}") for i in range(40)],
+        "doc_id long, text string")
+    a = {r["doc_id"]: r["score"]
+         for r in classifier_score(docs.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in classifier_score(docs.repartition(7)).collect()}
+    assert a == b  # integer-exact sums -> identical to the last digit
