@@ -65,6 +65,63 @@ def pack_shards(doc_tokens: DataFrame, budget: int, n_groups: int = 8,
     )
 
 
+def pack_sequences(doc_tokens: DataFrame, seq_len: int,
+                   n_groups: int = 8, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Fixed-length SEQUENCE packing (GPT-style concat-and-chunk):
+    (doc_id, pack_group, seq_id, doc_offset, seq_offset, len_in_seq).
+
+    pack_shards assigns whole documents to elastic shards; a trainer's
+    data loader needs the next level down — documents concatenated into
+    a token stream and cut into EXACTLY ``seq_len``-token sequences,
+    with documents split across sequence boundaries and the emitted
+    spans carrying enough geometry (offset into the doc, offset into
+    the sequence, span length) to materialize input_ids and the
+    attention-mask / document-boundary tensor for any sequence.
+
+    Same per-writer-group discipline as pack_shards (content-hash
+    groups, per-group windowed exclusive prefix sum — no global
+    single-reducer window). A document starting at stream position
+    ``start`` with ``n`` tokens spans sequences
+    ``start div L .. (start+n-1) div L``; the span list is generated
+    map-side with ``sequence`` + ``explode`` — the explosion per doc is
+    ceil(n/L)+1 rows at most, bounded by the doc's own length, and all
+    arithmetic is integer (``div``, never float floor).
+
+    A data-loader worker reconstructs sequence k of a group by reading
+    its spans ordered by seq_offset: token j of the sequence is token
+    ``doc_offset + (j - seq_offset)`` of the span's document. Every
+    sequence is exactly full except each group's last.
+    """
+    L = int(seq_len)
+    group = md5_i64(F.col(id_col).cast("string")) % n_groups
+    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    spans = (
+        doc_tokens
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(tokens_col).cast("long").alias("n_tokens"),
+                group.alias("pack_group"))
+        .withColumn("_start", start)
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_k", F.explode(F.sequence(
+            F.expr(f"_start div {L}"),
+            F.expr(f"(_start + n_tokens - 1) div {L}"))))
+    )
+    span_start = F.greatest(F.col("_start"), F.col("_k") * L)
+    span_end = F.least(F.col("_start") + F.col("n_tokens"),
+                       (F.col("_k") + 1) * L)
+    return (
+        spans.select(
+            "doc_id", "pack_group",
+            (F.col("pack_group") * 1_000_000 + F.col("_k")).alias("seq_id"),
+            (span_start - F.col("_start")).alias("doc_offset"),
+            (span_start - F.col("_k") * L).alias("seq_offset"),
+            (span_end - span_start).alias("len_in_seq"))
+    )
+
+
 def shard_manifest(packed: DataFrame) -> DataFrame:
     """Per-shard manifest a writer job consumes:
     (shard_id, pack_group, shard_seq, n_docs, shard_tokens,

@@ -496,8 +496,29 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def auto_planes_per_band(n: int, target_bucket: int = 256,
+                         min_planes: int = 4, max_planes: int = 16) -> int:
+    """Size sign-LSH band width to the corpus: r = ceil(log2(n/target)),
+    clamped to [min_planes, max_planes].
+
+    With r random hyperplanes a band has 2^r buckets, so expected
+    occupancy is n/2^r; fixing r while n grows makes the band self-join
+    quadratic (measured: the sf1 24x degrader in BASELINE.md, where
+    r=8 at 10x data restored near-linear cost). Holding occupancy at
+    ``target_bucket`` instead makes candidate volume O(n * target) —
+    linear in the corpus. The price is per-pair recall (p^r per band
+    falls as r grows); deployments hold recall by raising ``bands``
+    alongside (recall = 1-(1-p^r)^b), which multiplies candidate cost
+    linearly, not quadratically — the right direction at scale."""
+    import math
+    if n <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes,
+                               math.ceil(math.log2(n / target_bucket))))
+
+
 def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
-                        planes_per_band: int = 4,
+                        planes_per_band: int | str = 4,
                         threshold: float = 0.4,
                         max_bucket: int | None = None) -> DataFrame:
     """Banded (OR-amplified) sign-LSH near-dup pairs verified with exact
@@ -523,7 +544,14 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     self-join (same guard and recall trade-off as dedup.cap_band_buckets:
     dropped-bucket members still pair via their other bands). None
     (default) = exact (b, r) semantics.
+
+    ``planes_per_band="auto"`` sizes r from the corpus count via
+    auto_planes_per_band (one count() action — model sizing, like IVF
+    centroid training), keeping expected bucket occupancy constant as
+    the corpus grows instead of letting the self-join go quadratic.
     """
+    if planes_per_band == "auto":
+        planes_per_band = auto_planes_per_band(embeddings.count())
     dims = 64
     band_structs = []
     for b in range(bands):

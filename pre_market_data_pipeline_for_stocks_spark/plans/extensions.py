@@ -306,6 +306,22 @@ def shard_pack_manifest(spark, sf_dir):
     return sharding.shard_manifest(_packed_docs(spark, sf_dir))
 
 
+SEQ_LEN = 256
+
+
+def sequence_pack_spans(spark, sf_dir):
+    """Fixed-length sequence packing (concat-and-chunk at 256 tokens):
+    every document's spans across the training sequences of its writer
+    group, with doc/sequence offsets — the loader-facing geometry for
+    materializing input_ids + document-boundary masks."""
+    from ..operators import sharding
+    tokens = (textstats.token_counts(_docs(spark, sf_dir))
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    return (sharding.pack_sequences(tokens, seq_len=SEQ_LEN,
+                                    n_groups=SHARD_GROUPS)
+            .orderBy("doc_id", "seq_id"))
+
+
 def decontaminate_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination over the fixture: every 20th document
     plays the held-out eval set, the rest are the training corpus; each

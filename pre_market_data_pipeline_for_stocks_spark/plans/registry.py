@@ -1736,6 +1736,36 @@ SELECT doc_id, n_tokens, pack_group, shard_seq,
 FROM packed
 """),
 
+    # sharding.pack_sequences: per-group exclusive prefix sum -> span
+    # explode over the covered sequence indices; integer floor division
+    # on both sides.
+    "sequence_pack_spans": QueryDef(X.sequence_pack_spans, f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           ::BIGINT AS n_tokens,
+         {_h('doc_id::VARCHAR')} % 8 AS pack_group
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens, pack_group,
+         coalesce(sum(n_tokens) OVER (
+            PARTITION BY pack_group ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS strt
+  FROM tok WHERE n_tokens > 0),
+spans AS (
+  SELECT doc_id, pack_group, n_tokens, strt,
+         unnest(range(strt // 256, (strt + n_tokens - 1) // 256 + 1)) AS k
+  FROM p)
+SELECT doc_id, pack_group,
+       (pack_group * 1000000 + k)::BIGINT AS seq_id,
+       (greatest(strt, k * 256) - strt)::BIGINT AS doc_offset,
+       (greatest(strt, k * 256) - k * 256)::BIGINT AS seq_offset,
+       (least(strt + n_tokens, (k + 1) * 256)
+        - greatest(strt, k * 256))::BIGINT AS len_in_seq
+FROM spans ORDER BY doc_id, seq_id
+"""),
+
     "shard_pack_manifest": QueryDef(X.shard_pack_manifest, f"""
 WITH tok AS (
   SELECT doc_id,

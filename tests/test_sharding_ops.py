@@ -146,3 +146,52 @@ def test_read_training_shards_round_trip(spark, sf_dir, tmp_path):
     texts = {r.doc_id: r.text for r in docs.collect()}
     sample = back.limit(20).collect()
     assert all(r.text == texts[r.doc_id] for r in sample)
+
+
+def test_pack_sequences_tiles_docs_and_sequences(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.sharding import (
+        pack_sequences,
+    )
+    rows = [(i, 1 + (i * 37) % 300) for i in range(60)]  # some docs > L
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    L = 128
+    spans = pack_sequences(docs, seq_len=L, n_groups=4).collect()
+    n_by_doc = dict(rows)
+
+    # (1) per doc: spans cover [0, n_tokens) contiguously, in seq order
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda r: r["seq_id"])
+        pos = 0
+        for s in ss:
+            assert s["doc_offset"] == pos
+            assert 0 <= s["seq_offset"] < L
+            assert s["len_in_seq"] >= 1
+            assert s["seq_offset"] + s["len_in_seq"] <= L
+            pos += s["len_in_seq"]
+        assert pos == n_by_doc[doc_id]
+
+    # (2) per sequence: spans tile [0, L) exactly; only each group's
+    # LAST sequence may be short
+    by_seq = {}
+    for r in spans:
+        by_seq.setdefault((r["pack_group"], r["seq_id"]), []).append(r)
+    last_seq = {}
+    for (g, sid) in by_seq:
+        last_seq[g] = max(last_seq.get(g, -1), sid)
+    for (g, sid), ss in by_seq.items():
+        ss.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in ss:
+            assert s["seq_offset"] == pos
+            pos += s["len_in_seq"]
+        if sid != last_seq[g]:
+            assert pos == L
+        else:
+            assert 0 < pos <= L
+
+    # (3) long docs actually straddle boundaries
+    assert any(len(ss) > 1 for ss in by_doc.values())

@@ -344,3 +344,41 @@ def test_ivf_index_save_load_serve_matches_inline(spark, tmp_path):
     served = S2.ivf_topk_with_index(
         emb, S2.load_ivf_index(spark, path), 0, 10).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+
+
+def test_auto_planes_per_band_sizing():
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        auto_planes_per_band,
+    )
+    # floor at min_planes for small corpora
+    assert auto_planes_per_band(100) == 4
+    assert auto_planes_per_band(256) == 4
+    # the measured sf1 remedy: ~50k vectors -> r = 8 (BASELINE.md)
+    assert auto_planes_per_band(50_000) == 8
+    # monotone non-decreasing in n, capped at max_planes
+    last = 0
+    for n in [10, 1_000, 10_000, 100_000, 10_000_000, 10**12]:
+        r = auto_planes_per_band(n)
+        assert r >= last
+        last = r
+    assert auto_planes_per_band(10**12) == 16
+    # occupancy bound: n / 2^r <= target for unclamped n
+    for n in [1_000, 50_000, 3_000_000]:
+        r = auto_planes_per_band(n, max_planes=64)
+        assert n / (1 << r) <= 256
+
+
+def test_lsh_pairs_auto_equals_min_planes_on_small_corpus(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    auto = lsh_candidate_pairs(emb, bands=4, planes_per_band="auto",
+                               threshold=0.4)
+    fixed = lsh_candidate_pairs(emb, bands=4, planes_per_band=4,
+                                threshold=0.4)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, fixed.collect()))
