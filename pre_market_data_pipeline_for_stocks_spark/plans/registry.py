@@ -2610,6 +2610,10 @@ EXTENDED_BENCH = [
     # round-5 additions
     "corpus_tfidf_terms", "text_unigram_logprob", "retrieval_chunk_search",
     "corpus_vocab_drift", "ann_ivf_topk_auto", "corpus_split_leakage_safe",
+    # round-5 second-continuation additions
+    "dedup_clusters_keep_best", "text_duplication_density",
+    "text_classifier_score", "sequence_pack_spans",
+    "events_session_window_native",
 ]
 
 

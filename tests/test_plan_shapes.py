@@ -164,3 +164,40 @@ def test_chunk_documents_is_map_side_only(spark, sf_dir, queries):
     assert "Exchange" not in plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read and "lang" not in read and "source" not in read
+
+
+def test_classifier_score_single_shuffle_no_udf(spark, sf_dir, queries):
+    """The model-based filter must stay whole-stage-codegen'd: one
+    Exchange (the per-doc reduction), partial aggregation before it,
+    no Python evaluation anywhere."""
+    plan = _physical(queries["text_classifier_score"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the per-doc groupBy is the ONLY width-changing shuffle besides
+    # the final orderBy's range partitioning
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in body or "partial_sum" in body
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_duplication_density_shuffles_hashes_not_text(spark, sf_dir,
+                                                      queries):
+    plan = _physical(queries["text_duplication_density"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # after the scan projects text away, no exchange carries the text
+    # column — the shuffle currency is (doc_id, sh) pairs
+    for segment in body.split("Exchange")[1:]:
+        first_line = segment.split("\n")[0]
+        assert "text" not in first_line
+    assert "BatchEvalPython" not in body
+
+
+def test_pack_sequences_single_group_shuffle(spark, sf_dir, queries):
+    """Sequence packing must stay per-writer-group: one hash exchange
+    on pack_group for the window, the span explode map-side after it,
+    and no global (single-partition) window anywhere."""
+    plan = _physical(queries["sequence_pack_spans"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "pack_group" in body
+    assert "Exchange SinglePartition" not in body
+    assert "Generate explode" in body
