@@ -128,6 +128,34 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy:
+    (doc_id, n_chars, char_entropy).
+
+    A low-entropy document is padding, repeated symbols, or binary
+    junk; a far-out-of-band entropy is the cheap first-pass filter
+    quality pipelines (CCNet, Gopher lineage) run before anything
+    model-based. Computed in ONE aggregation pass per grain via the
+    identity H = log2(n) - (sum_c c*log2(c))/n over per-(doc, char)
+    counts c — no second join to bring the total back. Shuffle
+    currency is (doc_id, char, count) then (doc_id, two doubles).
+    Empty-string chars are dropped, so empty documents vanish from the
+    output in both engines."""
+    ch = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.split(F.col(text_col), "")).alias("ch"))
+          .filter(F.col("ch") != ""))
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_chars"),
+             F.sum(F.col("c") * F.log2("c")).alias("_sl"))
+        .select("doc_id", "n_chars",
+                F.round(F.log2("n_chars") - F.col("_sl") / F.col("n_chars"),
+                        4).alias("char_entropy"))
+    )
+
+
 def normalize_text(text):
     """Canonical LLM-prep text normalization: lowercase, strip
     punctuation/symbols, collapse whitespace runs, trim. A column

@@ -162,6 +162,29 @@ def text_classifier_score(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (the cheap junk /
+    padding / binary-noise first-pass filter)."""
+    return (textstats.char_entropy(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def events_hll_daily_users(spark, sf_dir):
+    """Mergeable HLL distinct-user counts: daily sketch partials per
+    event_type unioned up to per-type totals — the never-rescan
+    maintenance topology. At the oracle's check scale the sketches are
+    in exact (sparse) mode, so the estimates equal COUNT(DISTINCT);
+    past ~2^lg_k distinct values they are ~1.6%-rse approximations
+    (the merge==direct invariant is scale-independent and unit-pinned)."""
+    from ..operators import sketches
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp")))
+    partials = sketches.hll_partials(ev, ["event_type", "day"], "user_id")
+    return (sketches.hll_rollup(partials, ["event_type"],
+                                estimate_col="approx_users")
+            .orderBy("event_type"))
+
+
 def dedup_incremental(spark, sf_dir):
     """New-shard-vs-corpus dedup: even doc_ids play the standing corpus
     (the persisted signature index side), odd doc_ids the incoming

@@ -2313,6 +2313,27 @@ ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 
     "text_repetition": QueryDef(X.text_repetition, _REPETITION_SQL),
 
+    # textstats.char_entropy: H = log2(n) - sum(c*log2 c)/n over
+    # per-(doc, char) counts; identical identity on both sides.
+    "text_char_entropy": QueryDef(X.text_char_entropy, """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+c AS (
+  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""),
+
+    # sketches.hll_partials + hll_rollup: exact (sparse-mode) at this
+    # scale, so COUNT(DISTINCT) is the oracle; the scale-independent
+    # invariant (merge of partials == direct sketch) is unit-pinned in
+    # tests/test_sketch_ops.py.
+    "events_hll_daily_users": QueryDef(X.events_hll_daily_users, """
+SELECT event_type, count(DISTINCT user_id) AS approx_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""),
+
     # operators.textstats.oov_rate vs the corpus's own top-K
     # vocabulary; OOV counts token POSITIONS, not types.
     "corpus_oov_rate": QueryDef(X.corpus_oov_rate, f"""

@@ -1,0 +1,77 @@
+"""HLL sketch invariants the DuckDB oracle can't express: losslessness
+of partial merging (any grain), parquet persistence of sketch state,
+incremental maintenance, and the dense-mode error bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import sketches
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+    load_testdata,
+)
+
+
+def _events(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ["events"])["events"]
+
+
+def test_hll_merge_of_partials_equals_direct(spark, sf_dir):
+    """Register-wise max is associative/commutative/idempotent: daily
+    partials rolled up == one-shot sketch over the raw rows — at any
+    scale, not just where sketches are exact."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp")))
+    partials = sketches.hll_partials(ev, ["event_type", "day"], "user_id")
+    merged = {r["event_type"]: r["estimate"]
+              for r in sketches.hll_rollup(partials, ["event_type"]).collect()}
+    direct = {r["event_type"]: r["estimate"]
+              for r in sketches.hll_distinct(
+                  ev, ["event_type"], "user_id").collect()}
+    assert merged == direct
+
+
+def test_hll_exact_in_sparse_mode(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    est = {r["event_type"]: r["estimate"]
+           for r in sketches.hll_distinct(
+               ev, ["event_type"], "user_id").collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert est == exact  # well below 2^lg_k distinct -> sparse == exact
+
+
+def test_hll_partials_persist_and_append_incrementally(spark, sf_dir,
+                                                       tmp_path):
+    """The never-rescan contract: persist day-1 partials to parquet,
+    sketch ONLY the day-2 rows later, union both — equals a full
+    recompute over all rows."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp")))
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    old, new = ev.filter(F.col("day") <= cut), ev.filter(F.col("day") > cut)
+
+    path = str(tmp_path / "hll_partials")
+    sketches.hll_partials(old, ["event_type", "day"], "user_id") \
+        .write.parquet(path)
+    stored = spark.read.parquet(path)
+    combined = stored.unionByName(
+        sketches.hll_partials(new, ["event_type", "day"], "user_id"))
+    inc = {r["event_type"]: r["estimate"]
+           for r in sketches.hll_rollup(combined, ["event_type"]).collect()}
+    full = {r["event_type"]: r["estimate"]
+            for r in sketches.hll_distinct(
+                ev, ["event_type"], "user_id").collect()}
+    assert inc == full
+
+
+def test_hll_dense_mode_error_bound(spark):
+    """Past sparse mode (200k distinct >> 2^12 registers) the estimate
+    must land within a few rse of the truth (~1.6% at lg_k=12)."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
+    est = sketches.hll_distinct(df, ["g"], "v").first()["estimate"]
+    assert abs(est - n) / n < 0.05

@@ -389,3 +389,17 @@ def test_classifier_score_partition_invariant(spark):
     b = {r["doc_id"]: r["score"]
          for r in classifier_score(docs.repartition(7)).collect()}
     assert a == b  # integer-exact sums -> identical to the last digit
+
+
+def test_char_entropy_hand_computed(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        char_entropy,
+    )
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "aabb"), (2, "abcd")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[0]["char_entropy"] == 0.0      # one symbol
+    assert out[1]["char_entropy"] == 1.0      # two equiprobable
+    assert out[2]["char_entropy"] == 2.0      # four equiprobable
+    assert out[1]["n_chars"] == 4
