@@ -1255,6 +1255,22 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
+    "events_unpivot_daily_metrics": QueryDef(
+        R.events_unpivot_daily_metrics, """
+WITH w AS (
+  SELECT ts::DATE AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS n_click,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_purchase,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+           AS n_view
+  FROM events GROUP BY 1)
+SELECT day, metric, value
+FROM w UNPIVOT (value FOR metric IN (n_click, n_purchase, n_view))
+ORDER BY day, metric
+"""),
+
     "asof_backward_event_order": QueryDef(R.asof_backward_event_order, """
 WITH e AS (SELECT event_id, user_id, ts::DATE AS d FROM events),
 best AS (

@@ -443,6 +443,28 @@ def events_session_window_native(spark: SparkSession,
     )
 
 
+def events_unpivot_daily_metrics(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (the inverse of pivot_priority_by_year's
+    long-to-wide): per-day conditional counts melted back to
+    (day, metric, value) with the relational unpivot operator — melt
+    is a metadata-only projection (Expand node), no shuffle beyond the
+    aggregation that built the wide relation."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    metrics = ["click", "purchase", "view"]
+    wide = (
+        events.groupBy(day.alias("day"))
+        .agg(*[F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+               .cast("long").alias(f"n_{t}") for t in metrics])
+    )
+    return (
+        wide.unpivot(["day"], [f"n_{t}" for t in metrics],
+                     "metric", "value")
+        .orderBy("day", "metric")
+    )
+
+
 def asof_backward_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join, BACKWARD + LEFT flavor (the J5 operator's
     other half, oracle-checked): each event matched to its user's

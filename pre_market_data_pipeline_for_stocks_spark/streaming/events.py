@@ -76,6 +76,21 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame,
+                          key: str = "user_id",
+                          how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch equi-joined
+    against a (small) static dimension relation.
+
+    The static side is re-planned per micro-batch, so a broadcast hint
+    keeps every batch's join map-side — the streaming counterpart of
+    the batch pipeline's broadcast dimension joins (J3/J6). For slowly
+    changing dimensions, pass the SCD2 CURRENT snapshot; version-true
+    enrichment at event time is the batch temporal join
+    (scd.temporal_join), which stream-stream semantics don't cover."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def run_to_memory(agg: DataFrame, query_name: str,
                   output_mode: str = "complete") -> None:
     """Drive a streaming aggregation to completion against the fixture

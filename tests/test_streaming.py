@@ -567,3 +567,27 @@ def test_session_window_exact_gap_merges(spark):
            .count().groupBy("user_id").count().collect())
     sessions = {r["user_id"]: r["count"] for r in agg}
     assert sessions == {1: 1, 2: 1}
+
+
+def test_stream_static_dimension_enrichment(spark, sf_dir):
+    """Stream-static broadcast join: enriched streaming counts per
+    dimension attribute equal the batch join's."""
+    from pyspark.sql import functions as F
+
+    dim = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 3).cast("long").alias("tier"))
+    enriched = se.enrich_with_dimension(se.events_stream(spark, sf_dir), dim)
+    agg = enriched.groupBy("tier").count()
+    se.run_to_memory(agg, "stream_enriched", "complete")
+    stream = {r["tier"]: r["count"]
+              for r in spark.sql("SELECT * FROM stream_enriched").collect()}
+
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    ev = load_testdata(spark, sf_dir, ["events"])["events"]
+    batch = {r["tier"]: r["count"]
+             for r in ev.join(dim, "user_id", "left")
+             .groupBy("tier").count().collect()}
+    assert stream == batch
