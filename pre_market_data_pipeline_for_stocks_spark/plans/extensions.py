@@ -169,6 +169,16 @@ def text_char_entropy(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def events_value_mad_outliers(spark, sf_dir):
+    """Robust per-event-type outlier summary (median/MAD with the
+    1.4826 consistency constant, k=3) — the contamination-tolerant
+    counterpart of mean/stddev rules."""
+    from ..operators import robust
+    return (robust.mad_outliers(_events(spark, sf_dir),
+                                "event_type", "value")
+            .orderBy("event_type"))
+
+
 def events_hll_daily_users(spark, sf_dir):
     """Mergeable HLL distinct-user counts: daily sketch partials per
     event_type unioned up to per-type totals — the never-rescan

@@ -2345,6 +2345,28 @@ FROM c GROUP BY doc_id ORDER BY doc_id
     # scale, so COUNT(DISTINCT) is the oracle; the scale-independent
     # invariant (merge of partials == direct sketch) is unit-pinned in
     # tests/test_sketch_ops.py.
+    # robust.mad_outliers: exact interpolated medians (quantile_cont
+    # twin, the length_profile convention); unrounded med/MAD drive the
+    # outlier comparison on both sides.
+    "events_value_mad_outliers": QueryDef(X.events_value_mad_outliers, """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY 1)
+SELECT d.event_type, count(*) AS n,
+       round(any_value(d.med), 4) AS med_value,
+       round(any_value(mm.mad), 4) AS mad_value,
+       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * mm.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad mm USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""),
+
     "events_hll_daily_users": QueryDef(X.events_hll_daily_users, """
 SELECT event_type, count(DISTINCT user_id) AS approx_users
 FROM events GROUP BY event_type ORDER BY event_type

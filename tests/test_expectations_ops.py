@@ -63,3 +63,21 @@ def test_expectations_reject_bad_input(dirty):
     with pytest.raises(ValueError):
         expectations.check_expectations(
             dirty, [("x", "nope", {})]).collect()
+
+
+def test_mad_outliers_hand_computed(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        mad_outliers,
+    )
+    # group 'a': values 1..9 plus a gross outlier 1000.
+    # median = 5.5, deviations {0.5..4.5, 994.5} -> MAD = 2.5;
+    # cutoff 3*1.4826*2.5 = 11.12 -> only 1000 is flagged. A stddev
+    # rule (sigma ~ 314) would flag NOTHING — the point of MAD.
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    rows += [("b", 7.0), ("b", 7.0), ("b", 7.0)]  # MAD = 0, no outliers
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in mad_outliers(df, "grp", "value").collect()}
+    assert out["a"]["med_value"] == 5.5
+    assert out["a"]["mad_value"] == 2.5
+    assert out["a"]["n_outliers"] == 1
+    assert out["b"]["mad_value"] == 0.0 and out["b"]["n_outliers"] == 0
