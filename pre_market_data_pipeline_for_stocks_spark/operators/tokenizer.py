@@ -1,0 +1,113 @@
+"""Iterative BPE-style tokenizer training and application.
+
+``textstats.bpe_pair_counts`` is the selection statistic of ONE merge
+step; this module runs the actual training loop — repeatedly electing
+the most frequent adjacent token pair and merging it corpus-wide — and
+applies a learned merge list to new text. Word-level granularity (the
+module's token unit throughout): merges learn phrases/collocations,
+the same algorithm BPE runs on characters.
+
+The crucial design choice is HOW a merge is applied. The textbook
+formulation is an imperative left-to-right scan per document (a Python
+UDF — the slow path). Instead, merging pair (a, b) is done as pure
+string algebra, fully whole-stage-codegen'd and expressible
+identically in the DuckDB oracle:
+
+1. normalize to single-space-joined tokens;
+2. pad:  ' ' + replace(t, ' ', '  ') + ' '  — every token now owns a
+   private space on each side, so adjacent pair occurrences no longer
+   share a boundary character;
+3. replace ' a  b ' -> ' a<US>b ' (plain non-overlapping left-to-right
+   replace — which, thanks to the padding, is EXACTLY BPE's greedy
+   non-overlapping semantics, e.g. 'x x x' + (x,x) -> ['x x', 'x']);
+4. collapse whitespace runs back to single spaces.
+
+``<US>`` (unit separator, chr(31)) joins merged tokens; it cannot
+occur in whitespace-tokenized text. Per training round the driver
+collects ONE row (the elected pair) — model state, like IVF centroids.
+
+The merge loop is a per-round scan of a localCheckpoint'ed working
+relation: cost = n_merges scans, no shuffle at all (the pair count is
+a map-side-partial groupBy; the merge application is a projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+US = "\x1f"
+
+
+def _norm(text_col):
+    return F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+
+
+def _merge_expr(text_col, left: str, right: str):
+    """Apply one merge (left, right) -> left<US>right to a
+    single-space-joined token string. Pure string ops (see module
+    docstring for why this equals the greedy scan)."""
+    padded = F.concat(F.lit(" "),
+                      F.replace(text_col, F.lit(" "), F.lit("  ")),
+                      F.lit(" "))
+    merged = F.replace(padded,
+                       F.lit(f" {left}  {right} "),
+                       F.lit(f" {left}{US}{right} "))
+    return F.trim(F.regexp_replace(merged, " +", " "))
+
+
+def _pair_counts(t: DataFrame) -> DataFrame:
+    """(l, r, n) adjacent-pair counts over the working column ``t``."""
+    w = F.col("_w")
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
+                       lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    return (t.withColumn("_w", F.split(F.col("t"), " "))
+            .select(F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = 4,
+              text_col: str = "text", min_count: int = 2) -> list[dict]:
+    """Train ``n_merges`` BPE merges over the corpus. Returns
+    [{merge_rank, left_tok, right_tok, n_pairs}, ...] with <US> in
+    learned tokens rendered back to spaces (display form).
+
+    Election is deterministic: max count, ties by the pair string
+    ascending. Stops early if the best pair occurs < ``min_count``
+    times (merging singletons is noise) — degenerate corpora only;
+    callers pinning a fixed-round oracle should size n_merges well
+    inside the corpus's frequent-pair range."""
+    t = docs.select(_norm(F.col(text_col)).alias("t")).localCheckpoint()
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        top = (_pair_counts(t)
+               .orderBy(F.col("n").desc(),
+                        F.concat(F.col("l"), F.lit(" "), F.col("r")).asc())
+               .limit(1).collect())
+        if not top or top[0]["n"] < min_count:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append({"merge_rank": rank,
+                       "left_tok": left.replace(US, " "),
+                       "right_tok": right.replace(US, " "),
+                       "n_pairs": n})
+        t = t.select(_merge_expr(F.col("t"), left, right).alias("t")) \
+             .localCheckpoint()
+    return merges
+
+
+def apply_bpe(docs: DataFrame, merges: list[dict],
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tokenize with a learned merge list: (doc_id, tokens, n_tokens).
+    Merges apply in rank order — one chained string projection, no
+    UDF; emitted tokens render <US> back to spaces."""
+    t = _norm(F.col(text_col))
+    for m in sorted(merges, key=lambda m: m["merge_rank"]):
+        t = _merge_expr(t, m["left_tok"].replace(" ", US),
+                        m["right_tok"].replace(" ", US))
+    toks = F.transform(F.split(t, " "),
+                       lambda x: F.replace(x, F.lit(US), F.lit(" ")))
+    return docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"),
+                       F.size(toks).cast("long").alias("n_tokens"))

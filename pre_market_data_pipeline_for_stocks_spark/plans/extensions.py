@@ -169,6 +169,24 @@ def text_char_entropy(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+BPE_MERGES = 4
+
+
+def corpus_bpe_learned_merges(spark, sf_dir):
+    """Iterative BPE training (4 rounds) over the corpus: each round
+    elects the most frequent adjacent pair and merges it corpus-wide
+    before the next count — the actual trainer, where corpus_bpe_pairs
+    is only round 1's statistic. min_count=1 pins the fixed-round
+    contract the staged oracle replays."""
+    from ..operators import tokenizer
+    rows = tokenizer.learn_bpe(_docs(spark, sf_dir), BPE_MERGES,
+                               min_count=1)
+    return spark.createDataFrame(
+        [(r["merge_rank"], r["left_tok"], r["right_tok"], r["n_pairs"])
+         for r in rows],
+        "merge_rank int, left_tok string, right_tok string, n_pairs long")
+
+
 def events_value_mad_outliers(spark, sf_dir):
     """Robust per-event-type outlier summary (median/MAD with the
     1.4826 consistency constant, k=3) — the contamination-tolerant

@@ -710,6 +710,38 @@ FROM r
 """
 
 
+def _bpe_learn_sql(k: int) -> str:
+    """Staged oracle for tokenizer.learn_bpe(n_merges=k, min_count=1):
+    round i counts adjacent pairs of d_i, elects (n DESC, pair ASC),
+    and d_{i+1} applies the merge with the identical padded-replace
+    string algebra (chr(31) joins merged tokens)."""
+    parts = [
+        "d1 AS (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+        " AS t FROM documents)"]
+    for i in range(1, k + 1):
+        parts.append(f"""p{i} AS (
+  SELECT w[i] AS l, w[i + 1] AS r, count(*) AS n
+  FROM (SELECT string_split(t, ' ') AS w FROM d{i}),
+       unnest(range(1, len(w))) u(i)
+  GROUP BY 1, 2)""")
+        parts.append(f"t{i} AS (SELECT l, r, n FROM p{i} "
+                     f"ORDER BY n DESC, l || ' ' || r ASC LIMIT 1)")
+        if i < k:
+            parts.append(f"""d{i + 1} AS (
+  SELECT trim(regexp_replace(replace(
+    ' ' || replace(t, ' ', '  ') || ' ',
+    ' ' || (SELECT l FROM t{i}) || '  ' || (SELECT r FROM t{i}) || ' ',
+    ' ' || (SELECT l FROM t{i}) || chr(31) || (SELECT r FROM t{i}) || ' '),
+    ' +', ' ', 'g')) AS t
+  FROM d{i})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, replace(l, chr(31), ' ') AS left_tok,"
+        f" replace(r, chr(31), ' ') AS right_tok, n AS n_pairs FROM t{i}"
+        for i in range(1, k + 1))
+    return ("WITH " + ",\n".join(parts) + "\n" + selects
+            + "\nORDER BY merge_rank")
+
+
 # Shared quality-score CTE fragment ``q(doc_id, quality)`` (twin of
 # operators.textstats.quality_score's final score), interpolated into
 # every oracle that consumes the score (weighted sample, keeper
@@ -2345,6 +2377,14 @@ FROM c GROUP BY doc_id ORDER BY doc_id
     # scale, so COUNT(DISTINCT) is the oracle; the scale-independent
     # invariant (merge of partials == direct sketch) is unit-pinned in
     # tests/test_sketch_ops.py.
+    # tokenizer.learn_bpe: K staged rounds, each re-counting pairs over
+    # the text produced by the previous round's merge (scalar-subquery
+    # election + the same padded-replace merge algebra the Spark side
+    # runs — see operators/tokenizer.py for why plain replace on the
+    # doubled-space form IS greedy BPE).
+    "corpus_bpe_learned_merges": QueryDef(
+        X.corpus_bpe_learned_merges, _bpe_learn_sql(4)),
+
     # robust.mad_outliers: exact interpolated medians (quantile_cont
     # twin, the length_profile convention); unrounded med/MAD drive the
     # outlier comparison on both sides.

@@ -1,0 +1,50 @@
+"""BPE trainer/applier semantics: greedy merge behavior, determinism,
+and the learn->apply contract."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators import tokenizer as tk
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b c"), (2, "x x x")],
+        "doc_id long, text string")
+
+
+def test_learn_bpe_elects_and_cascades(spark):
+    m = tk.learn_bpe(_docs(spark), 3)
+    assert [(r["left_tok"], r["right_tok"], r["n_pairs"]) for r in m] == [
+        ("a", "b", 3),       # most frequent pair
+        ("a b", "c", 2),     # round 2 counts pairs of MERGED tokens
+        ("x", "x", 2),       # pre-merge occurrence count (BPE stat)
+    ]
+
+
+def test_apply_bpe_greedy_non_overlapping(spark):
+    m = tk.learn_bpe(_docs(spark), 3)
+    out = {r["doc_id"]: r["tokens"]
+           for r in tk.apply_bpe(_docs(spark), m).collect()}
+    assert out[0] == ["a b", "a b c"]
+    assert out[1] == ["a b c"]
+    # 'x x x' merges LEFTMOST pair only — greedy non-overlap
+    assert out[2] == ["x x", "x"]
+
+
+def test_apply_bpe_order_matters_and_no_merges_is_identity(spark):
+    docs = _docs(spark)
+    out = {r["doc_id"]: r["tokens"] for r in tk.apply_bpe(docs, []).collect()}
+    assert out[0] == ["a", "b", "a", "b", "c"]
+    # applying only the round-2 merge without round 1 matches nothing
+    m2 = [{"merge_rank": 1, "left_tok": "a b", "right_tok": "c",
+           "n_pairs": 2}]
+    out2 = {r["doc_id"]: r["tokens"]
+            for r in tk.apply_bpe(docs, m2).collect()}
+    assert out2[1] == ["a", "b", "c"]
+
+
+def test_learn_bpe_min_count_stops(spark):
+    docs = spark.createDataFrame([(0, "p q r s")], "doc_id long, text string")
+    assert tk.learn_bpe(docs, 5, min_count=2) == []  # every pair unique
+    assert len(tk.learn_bpe(docs, 5, min_count=1)) == 5 or \
+        len(tk.learn_bpe(docs, 5, min_count=1)) >= 3  # keeps merging
