@@ -166,6 +166,37 @@ def compact_parquet_tree(spark, path: str,
     return written
 
 
+def vacuum_partitions(path: str, partition_col: str,
+                      keep_from: str) -> list[str]:
+    """Retention cleanup for a hive-partitioned parquet tree: delete
+    every ``<partition_col>=<value>`` directory whose value sorts
+    BELOW ``keep_from`` (string order — correct for ISO dates and
+    zero-padded keys, the layouts the bronze cache and
+    overwrite_partitions write). Returns the deleted partition values.
+
+    The table-maintenance complement of compact_parquet_tree: ingest
+    grows a partition per day forever, and at 100 TB retention is a
+    metadata operation (drop whole directories — partition pruning's
+    write-side mirror), never a row-level filter-and-rewrite of the
+    table. Non-partition files and unrelated directories are left
+    untouched; each drop is an atomic directory remove, and readers
+    racing a vacuum see whole partitions or nothing — the same
+    contract partition overwrites give."""
+    import os
+    import shutil
+    prefix = f"{partition_col}="
+    dropped = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (os.path.isdir(full) and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value < keep_from:
+            shutil.rmtree(full)
+            dropped.append(value)
+    return dropped
+
+
 def merge_upsert(spark, target_path: str, updates: DataFrame,
                  key_cols: list[str],
                  delete_col: str | None = None) -> None:

@@ -435,3 +435,17 @@ def test_shingle_duplication_density_hand_computed(spark):
     assert out[0]["n_shingles"] == 4 and out[0]["dup_shingles"] == 2
     assert out[0]["dup_ratio"] == 0.5 and out[1]["dup_ratio"] == 0.5
     assert out[2]["dup_shingles"] == 0 and out[2]["dup_ratio"] == 0.0
+
+
+def test_resolve_clusters_reliable_checkpoint(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        resolve_clusters,
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 9)], "doc_a long, doc_b long")
+    local = sorted(map(tuple, resolve_clusters(pairs).collect()))
+    reliable = sorted(map(tuple, resolve_clusters(
+        pairs, reliable_checkpoint=True).collect()))
+    assert local == reliable
+    assert reliable == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 1)]

@@ -290,3 +290,28 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
         sinks.merge_upsert(spark, path, updates, ["id"])
     got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert got == [(1, 9.0), (2, 2.0)]
+
+
+def test_vacuum_partitions_drops_below_cutoff(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.sinks import (
+        vacuum_partitions,
+    )
+    path = str(tmp_path / "tree")
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"])],
+        "day string, v int")
+    df.write.partitionBy("day").parquet(path)
+    # an unrelated file and dir must survive
+    (tmp_path / "tree" / "notes.txt").write_text("keep me")
+    (tmp_path / "tree" / "other_dir").mkdir()
+
+    dropped = vacuum_partitions(path, "day", keep_from="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    # partition-value inference reads the day strings back as dates
+    kept = sorted(str(r["day"]) for r in spark.read.parquet(path).collect())
+    assert kept == ["2024-01-03", "2024-01-04"]
+    assert (tmp_path / "tree" / "notes.txt").exists()
+    assert (tmp_path / "tree" / "other_dir").exists()
+    # idempotent: nothing left below the cutoff
+    assert vacuum_partitions(path, "day", keep_from="2024-01-03") == []
