@@ -1,0 +1,141 @@
+"""Custom PySpark DataSource WRITER (Spark 4 Python data-source API):
+a JSONL audit sink with task-temp + driver-commit atomicity, in both
+batch and streaming roles.
+
+The reader half of the custom-connector surface lives in
+ohlcv_datasource.py; this is the writer half, built on the same
+two-phase protocol every serious sink uses:
+
+- each TASK serializes its partition to a private temp file and
+  returns a commit message (path + row count) — no task ever writes a
+  final name, so a failed/zombie task leaves only garbage temps;
+- the DRIVER's ``commit`` renames temps to final ``part-N.jsonl``
+  names and drops a ``_SUCCESS`` manifest (JSON: file list + row
+  count) — readers treat the manifest as the table's existence, so a
+  crashed job is invisible;
+- ``abort`` deletes the temps.
+
+The STREAMING role adds exactly-once on top: every epoch commits into
+its own ``epoch=<id>/`` directory, and a replayed epoch (same id after
+failure recovery — the foreachBatch idempotence problem, solved at the
+sink layer) is detected by its existing manifest and skipped, temps
+discarded. Rename-based commits assume a posix-rename filesystem
+(local/HDFS); object-store deployments swap the rename for a
+manifest-pointer flip, same protocol.
+
+Usage:
+    spark.dataSource.register(JsonlAuditDataSource)
+    df.write.format("jsonl_audit").option("path", p).mode("append").save()
+    stream.writeStream.format("jsonl_audit").option("path", p)...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_SUCCESS"
+
+
+class _Commit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+def _write_task_tmp(out_dir: str, it) -> _Commit:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex}")
+    n = 0
+    with open(tmp, "w") as f:
+        for row in it:
+            f.write(json.dumps(row.asDict(), default=str,
+                               sort_keys=True) + "\n")
+            n += 1
+    return _Commit(tmp, n)
+
+
+def _finalize(out_dir: str, messages) -> None:
+    files, total = [], 0
+    for i, m in enumerate(m for m in messages if m is not None):
+        final = os.path.join(out_dir, f"part-{i:05d}.jsonl")
+        os.replace(m.tmp_path, final)
+        files.append(os.path.basename(final))
+        total += m.n_rows
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump({"files": files, "n_rows": total}, f)
+
+
+def _discard(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.tmp_path):
+            os.remove(m.tmp_path)
+
+
+class JsonlBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, it) -> _Commit:           # executor-side
+        return _write_task_tmp(self.path, it)
+
+    def commit(self, messages) -> None:       # driver-side
+        _finalize(self.path, messages)
+
+    def abort(self, messages) -> None:
+        _discard(messages)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def _epoch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"epoch={batch_id}")
+
+    def write(self, it) -> _Commit:
+        # Temps land in the ROOT (epoch unknown executor-side); the
+        # driver moves them into the epoch dir at commit.
+        return _write_task_tmp(self.path, it)
+
+    def commit(self, messages, batchId: int) -> None:
+        epoch = self._epoch_dir(batchId)
+        if os.path.exists(os.path.join(epoch, MANIFEST)):
+            _discard(messages)                # replayed epoch: no-op
+            return
+        os.makedirs(epoch, exist_ok=True)
+        moved = []
+        for m in messages:
+            if m is None:
+                continue
+            dst = os.path.join(epoch, os.path.basename(m.tmp_path))
+            os.replace(m.tmp_path, dst)
+            moved.append(_Commit(dst, m.n_rows))
+        _finalize(epoch, moved)
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard(messages)
+
+
+class JsonlAuditDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema, overwrite: bool) -> JsonlBatchWriter:
+        return JsonlBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlAuditDataSource)

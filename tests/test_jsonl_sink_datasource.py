@@ -1,0 +1,98 @@
+"""Writer half of the custom-connector surface: batch + streaming
+JSONL sink with two-phase commit and epoch idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.sources import (
+    jsonl_sink_datasource as sink,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    sink.register(spark)
+
+
+def test_batch_write_round_trip_with_manifest(spark, tmp_path):
+    p = str(tmp_path / "audit")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket"))
+    df.write.format("jsonl_audit").option("path", p).mode("append").save()
+
+    manifest = json.load(open(os.path.join(p, sink.MANIFEST)))
+    assert manifest["n_rows"] == 100
+    assert all(f.startswith("part-") for f in manifest["files"])
+    # no stray temps
+    assert not [f for f in os.listdir(p) if f.startswith("_tmp-")]
+
+    back = spark.read.json(os.path.join(p, "part-*.jsonl"))
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_stream_write_epochs_and_round_trip(spark, sf_dir, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.streaming.events import (
+        events_stream,
+    )
+    out = str(tmp_path / "stream_out")
+    ck = str(tmp_path / "ck")
+    q = (events_stream(spark, sf_dir)
+         .select("event_id", "event_type")
+         .writeStream.format("jsonl_audit")
+         .option("path", out).option("checkpointLocation", ck)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert epochs
+    back = spark.read.json(os.path.join(out, "epoch=*", "part-*.jsonl"))
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    n = load_testdata(spark, sf_dir, ["events"])["events"].count()
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+
+
+def test_stream_commit_is_idempotent_per_epoch(tmp_path):
+    """A replayed epoch (failure recovery re-running a committed batch)
+    must be a no-op: same directory, same manifest, temps discarded."""
+    root = str(tmp_path / "idem")
+    os.makedirs(root)
+    w = sink.JsonlStreamWriter({"path": root})
+
+    def tmp_with(content: str) -> sink._Commit:
+        p = os.path.join(root, f"_tmp-{content}")
+        with open(p, "w") as f:
+            f.write('{"v": "%s"}\n' % content)
+        return sink._Commit(p, 1)
+
+    w.commit([tmp_with("a"), tmp_with("b")], batchId=7)
+    epoch = os.path.join(root, "epoch=7")
+    first = json.load(open(os.path.join(epoch, sink.MANIFEST)))
+    assert first["n_rows"] == 2
+
+    # replay with fresh temps: skipped, temps cleaned, manifest intact
+    w.commit([tmp_with("c")], batchId=7)
+    again = json.load(open(os.path.join(epoch, sink.MANIFEST)))
+    assert again == first
+    assert not [f for f in os.listdir(root) if f.startswith("_tmp-")]
+
+
+def test_batch_abort_discards_temps(tmp_path):
+    root = str(tmp_path / "abort")
+    os.makedirs(root)
+    w = sink.JsonlBatchWriter({"path": root})
+    p = os.path.join(root, "_tmp-x")
+    open(p, "w").write("{}\n")
+    w.abort([sink._Commit(p, 1)])
+    assert not os.path.exists(p)
+    assert not os.path.exists(os.path.join(root, sink.MANIFEST))
