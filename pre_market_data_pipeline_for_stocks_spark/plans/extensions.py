@@ -187,6 +187,32 @@ def corpus_bpe_learned_merges(spark, sf_dir):
         "merge_rank int, left_tok string, right_tok string, n_pairs long")
 
 
+def corpus_quality_panel(spark, sf_dir):
+    """The full per-document quality dashboard in one relation:
+    heuristic quality, model (classifier) score, character entropy,
+    duplication density and language guess joined on doc_id, plus the
+    combined keep/drop decision a curation run applies. Five
+    aggregation pipelines over the same scan, equi-joined on the
+    document key — the review table that precedes threshold setting."""
+    docs = _docs(spark, sf_dir)
+    from ..operators import dedup as _dd
+    q = textstats.quality_score(docs).select("doc_id", "n_tokens",
+                                             "quality")
+    c = textstats.classifier_score(docs).select(
+        "doc_id", F.col("score").alias("clf_score"),
+        F.col("label").alias("clf_label"))
+    e = textstats.char_entropy(docs).select("doc_id", "char_entropy")
+    d = _dd.shingle_duplication_density(docs).select("doc_id", "dup_ratio")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_guess")
+    panel = (q.join(c, "doc_id").join(e, "doc_id")
+             .join(d, "doc_id").join(lang, "doc_id"))
+    decision = F.when(
+        (F.col("clf_label") == "keep") & (F.col("quality") >= 0.2)
+        & (F.col("char_entropy") >= 2.0) & (F.col("dup_ratio") <= 0.9),
+        "keep").otherwise("drop")
+    return panel.withColumn("decision", decision).orderBy("doc_id")
+
+
 def events_value_mad_outliers(spark, sf_dir):
     """Robust per-event-type outlier summary (median/MAD with the
     1.4826 consistency constant, k=3) — the contamination-tolerant

@@ -2634,6 +2634,25 @@ FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
 """),
 }
 
+# The quality-panel composite reuses the component oracles verbatim as
+# subqueries (defined post-hoc so it can reference REGISTRY entries):
+# a panel mismatch therefore isolates to the JOIN/decision layer, never
+# to a drifted copy of a component formula.
+REGISTRY["corpus_quality_panel"] = QueryDef(X.corpus_quality_panel, f"""
+SELECT q.doc_id, q.n_tokens, q.quality,
+       c.score AS clf_score, c.label AS clf_label,
+       e.char_entropy, d.dup_ratio, l.lang_guess,
+       CASE WHEN c.label = 'keep' AND q.quality >= 0.2
+                 AND e.char_entropy >= 2.0 AND d.dup_ratio <= 0.9
+            THEN 'keep' ELSE 'drop' END AS decision
+FROM ({REGISTRY["text_quality"].oracle}) q
+JOIN ({REGISTRY["text_classifier_score"].oracle}) c USING (doc_id)
+JOIN ({REGISTRY["text_char_entropy"].oracle}) e USING (doc_id)
+JOIN ({REGISTRY["text_duplication_density"].oracle}) d USING (doc_id)
+JOIN ({REGISTRY["text_lang_id"].oracle}) l USING (doc_id)
+ORDER BY q.doc_id
+""")
+
 
 def _last_green_rounds() -> dict[str, int]:
     """Per query, the round whose driver CORRECTNESS artifact last
