@@ -92,6 +92,13 @@ def pack_sequences(doc_tokens: DataFrame, seq_len: int,
     its spans ordered by seq_offset: token j of the sequence is token
     ``doc_offset + (j - seq_offset)`` of the span's document. Every
     sequence is exactly full except each group's last.
+
+    ``seq_id = pack_group << 40 | k``: sequences are 3-4 orders of
+    magnitude finer-grained than shards, so pack_shards' 1e6 stride
+    would collide at ~seq_len * 1e6 tokens per group (a few hundred MB
+    of text — trivially exceeded at target scale). 2^40 sequences per
+    group ≈ 10^12 * seq_len tokens before collision, and the composite
+    still fits a long for any plausible group count.
     """
     L = int(seq_len)
     group = md5_i64(F.col(id_col).cast("string")) % n_groups
@@ -115,7 +122,8 @@ def pack_sequences(doc_tokens: DataFrame, seq_len: int,
     return (
         spans.select(
             "doc_id", "pack_group",
-            (F.col("pack_group") * 1_000_000 + F.col("_k")).alias("seq_id"),
+            (F.shiftleft(F.col("pack_group"), 40) + F.col("_k"))
+            .alias("seq_id"),
             (span_start - F.col("_start")).alias("doc_offset"),
             (span_start - F.col("_k") * L).alias("seq_offset"),
             (span_end - span_start).alias("len_in_seq"))

@@ -22,9 +22,13 @@ identically in the DuckDB oracle:
    non-overlapping semantics, e.g. 'x x x' + (x,x) -> ['x x', 'x']);
 4. collapse whitespace runs back to single spaces.
 
-``<US>`` (unit separator, chr(31)) joins merged tokens; it cannot
-occur in whitespace-tokenized text. Per training round the driver
-collects ONE row (the elected pair) — model state, like IVF centroids.
+``<US>`` (unit separator, chr(31)) joins merged tokens. chr(31) is NOT
+regex whitespace, so input text could smuggle it through tokenization
+and forge a merged-looking token — ``_norm`` therefore rewrites any
+input chr(31) to a space (a control char in text is junk; splitting on
+it is the conservative reading), making the marker genuinely
+unambiguous. Per training round the driver collects ONE row (the
+elected pair) — model state, like IVF centroids.
 
 The merge loop is a per-round scan of a localCheckpoint'ed working
 relation: cost = n_merges scans, no shuffle at all (the pair count is
@@ -40,7 +44,8 @@ US = "\x1f"
 
 
 def _norm(text_col):
-    return F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+    cleaned = F.replace(text_col, F.lit(US), F.lit(" "))
+    return F.regexp_replace(F.trim(F.lower(cleaned)), r"\s+", " ")
 
 
 def _merge_expr(text_col, left: str, right: str):

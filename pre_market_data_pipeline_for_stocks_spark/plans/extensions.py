@@ -204,8 +204,13 @@ def corpus_quality_panel(spark, sf_dir):
     e = textstats.char_entropy(docs).select("doc_id", "char_entropy")
     d = _dd.shingle_duplication_density(docs).select("doc_id", "dup_ratio")
     lang = textstats.lang_id(docs).select("doc_id", "lang_guess")
-    panel = (q.join(c, "doc_id").join(e, "doc_id")
-             .join(d, "doc_id").join(lang, "doc_id"))
+    # LEFT joins from quality_score (which emits a row for EVERY doc):
+    # classifier/entropy/density produce no row for empty or
+    # whitespace-only documents, and exactly those junk docs must
+    # surface in the panel as 'drop', not silently vanish. A null
+    # signal fails every keep condition, so missing -> 'drop'.
+    panel = (q.join(c, "doc_id", "left").join(e, "doc_id", "left")
+             .join(d, "doc_id", "left").join(lang, "doc_id", "left"))
     decision = F.when(
         (F.col("clf_label") == "keep") & (F.col("quality") >= 0.2)
         & (F.col("char_entropy") >= 2.0) & (F.col("dup_ratio") <= 0.9),

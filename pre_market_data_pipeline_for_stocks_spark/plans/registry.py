@@ -716,7 +716,8 @@ def _bpe_learn_sql(k: int) -> str:
     and d_{i+1} applies the merge with the identical padded-replace
     string algebra (chr(31) joins merged tokens)."""
     parts = [
-        "d1 AS (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+        "d1 AS (SELECT regexp_replace(trim(lower("
+        "replace(text, chr(31), ' '))), '\\s+', ' ', 'g')"
         " AS t FROM documents)"]
     for i in range(1, k + 1):
         parts.append(f"""p{i} AS (
@@ -1655,10 +1656,11 @@ WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
 {_QUALITY_Q_CTE},
 lq AS (
   SELECT c.doc_id, c.cluster_id, q.quality
-  FROM comp c JOIN q USING (doc_id))
+  FROM comp c LEFT JOIN q USING (doc_id))
 SELECT doc_id, cluster_id, quality,
        first_value(doc_id) OVER (
-         PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+         PARTITION BY cluster_id
+         ORDER BY quality DESC NULLS LAST, doc_id ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS keeper_id
 FROM lq ORDER BY doc_id
@@ -1806,7 +1808,7 @@ spans AS (
          unnest(range(strt // 256, (strt + n_tokens - 1) // 256 + 1)) AS k
   FROM p)
 SELECT doc_id, pack_group,
-       (pack_group * 1000000 + k)::BIGINT AS seq_id,
+       (pack_group * 1099511627776 + k)::BIGINT AS seq_id,  -- group << 40
        (greatest(strt, k * 256) - strt)::BIGINT AS doc_offset,
        (greatest(strt, k * 256) - k * 256)::BIGINT AS seq_offset,
        (least(strt + n_tokens, (k + 1) * 256)
@@ -2646,10 +2648,10 @@ SELECT q.doc_id, q.n_tokens, q.quality,
                  AND e.char_entropy >= 2.0 AND d.dup_ratio <= 0.9
             THEN 'keep' ELSE 'drop' END AS decision
 FROM ({REGISTRY["text_quality"].oracle}) q
-JOIN ({REGISTRY["text_classifier_score"].oracle}) c USING (doc_id)
-JOIN ({REGISTRY["text_char_entropy"].oracle}) e USING (doc_id)
-JOIN ({REGISTRY["text_duplication_density"].oracle}) d USING (doc_id)
-JOIN ({REGISTRY["text_lang_id"].oracle}) l USING (doc_id)
+LEFT JOIN ({REGISTRY["text_classifier_score"].oracle}) c USING (doc_id)
+LEFT JOIN ({REGISTRY["text_char_entropy"].oracle}) e USING (doc_id)
+LEFT JOIN ({REGISTRY["text_duplication_density"].oracle}) d USING (doc_id)
+LEFT JOIN ({REGISTRY["text_lang_id"].oracle}) l USING (doc_id)
 ORDER BY q.doc_id
 """)
 

@@ -179,20 +179,33 @@ def vacuum_partitions(path: str, partition_col: str,
     metadata operation (drop whole directories — partition pruning's
     write-side mirror), never a row-level filter-and-rewrite of the
     table. Non-partition files and unrelated directories are left
-    untouched; each drop is an atomic directory remove, and readers
-    racing a vacuum see whole partitions or nothing — the same
-    contract partition overwrites give."""
+    untouched. Each drop is a two-step rename-then-delete: the
+    partition dir is first os.replace'd to a hidden ``.__trash-*``
+    name (one atomic rename — from that instant no lister sees the
+    partition, and Spark/Hive readers skip dot-prefixed paths, so a
+    reader racing the slow recursive delete can never observe a
+    half-deleted partition), then the trash dir is removed. A crash
+    between the two steps leaves only an invisible trash dir for the
+    next vacuum to sweep."""
     import os
     import shutil
+    import uuid
     prefix = f"{partition_col}="
     dropped = []
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
-        if not (os.path.isdir(full) and name.startswith(prefix)):
+        if not os.path.isdir(full):
+            continue
+        if name.startswith(".__trash-"):      # crashed earlier vacuum
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        if not name.startswith(prefix):
             continue
         value = name[len(prefix):]
         if value < keep_from:
-            shutil.rmtree(full)
+            trash = os.path.join(path, f".__trash-{uuid.uuid4().hex}")
+            os.replace(full, trash)           # atomic disappearance
+            shutil.rmtree(trash)
             dropped.append(value)
     return dropped
 

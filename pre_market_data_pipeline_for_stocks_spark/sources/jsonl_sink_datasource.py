@@ -63,15 +63,29 @@ def _write_task_tmp(out_dir: str, it) -> _Commit:
     return _Commit(tmp, n)
 
 
-def _finalize(out_dir: str, messages) -> None:
+def _finalize(out_dir: str, messages, merge_existing: bool) -> None:
+    """Rename temps to final names and publish the manifest ATOMICALLY
+    (manifest written to a temp, then os.replace — readers see the old
+    manifest or the new one, never a torn write). Final names carry a
+    per-commit token so two commits into the same directory (append
+    mode) can never collide or clobber; with ``merge_existing`` the new
+    manifest is the union of the previous one and this commit."""
+    commit_id = uuid.uuid4().hex[:8]
     files, total = [], 0
+    manifest_path = os.path.join(out_dir, MANIFEST)
+    if merge_existing and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        files, total = list(prev["files"]), int(prev["n_rows"])
     for i, m in enumerate(m for m in messages if m is not None):
-        final = os.path.join(out_dir, f"part-{i:05d}.jsonl")
+        final = os.path.join(out_dir, f"part-{i:05d}-{commit_id}.jsonl")
         os.replace(m.tmp_path, final)
         files.append(os.path.basename(final))
         total += m.n_rows
-    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+    tmp_manifest = manifest_path + f".{commit_id}"
+    with open(tmp_manifest, "w") as f:
         json.dump({"files": files, "n_rows": total}, f)
+    os.replace(tmp_manifest, manifest_path)
 
 
 def _discard(messages) -> None:
@@ -88,7 +102,7 @@ class JsonlBatchWriter(DataSourceWriter):
         return _write_task_tmp(self.path, it)
 
     def commit(self, messages) -> None:       # driver-side
-        _finalize(self.path, messages)
+        _finalize(self.path, messages, merge_existing=True)
 
     def abort(self, messages) -> None:
         _discard(messages)
@@ -111,6 +125,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         if os.path.exists(os.path.join(epoch, MANIFEST)):
             _discard(messages)                # replayed epoch: no-op
             return
+        # A retry of a crashed commit (epoch dir exists, no manifest —
+        # the crash landed between some renames and the manifest
+        # publish) starts from an EMPTY directory, so stale part files
+        # from the failed attempt can't survive next to a manifest
+        # that doesn't list them.
+        if os.path.isdir(epoch):
+            for leftover in os.listdir(epoch):
+                os.remove(os.path.join(epoch, leftover))
         os.makedirs(epoch, exist_ok=True)
         moved = []
         for m in messages:
@@ -119,7 +141,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             dst = os.path.join(epoch, os.path.basename(m.tmp_path))
             os.replace(m.tmp_path, dst)
             moved.append(_Commit(dst, m.n_rows))
-        _finalize(epoch, moved)
+        _finalize(epoch, moved, merge_existing=False)
 
     def abort(self, messages, batchId: int) -> None:
         _discard(messages)

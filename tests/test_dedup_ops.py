@@ -449,3 +449,20 @@ def test_resolve_clusters_reliable_checkpoint(spark, tmp_path):
         pairs, reliable_checkpoint=True).collect()))
     assert local == reliable
     assert reliable == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 1)]
+
+
+def test_elect_cluster_keepers_keeps_unscored_members(spark):
+    """Partial scoring upstream must not shrink clusters: unscored
+    members survive with null score and never outrank scored ones."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        elect_cluster_keepers,
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    scores = spark.createDataFrame(
+        [(3, 0.4)], "doc_id long, quality double")   # 1 and 2 unscored
+    out = {r["doc_id"]: r for r in
+           elect_cluster_keepers(labels, scores).collect()}
+    assert set(out) == {1, 2, 3}                     # nobody dropped
+    assert all(r["keeper_id"] == 3 for r in out.values())
+    assert out[1]["quality"] is None

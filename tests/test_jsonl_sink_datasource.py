@@ -96,3 +96,39 @@ def test_batch_abort_discards_temps(tmp_path):
     w.abort([sink._Commit(p, 1)])
     assert not os.path.exists(p)
     assert not os.path.exists(os.path.join(root, sink.MANIFEST))
+
+
+def test_batch_append_twice_merges_not_clobbers(spark, tmp_path):
+    """Two append commits into one directory: unique per-commit file
+    names and a merged manifest — never interleaved/overwritten parts."""
+    p = str(tmp_path / "audit2")
+    spark.range(40).write.format("jsonl_audit") \
+        .option("path", p).mode("append").save()
+    spark.range(40, 45).write.format("jsonl_audit") \
+        .option("path", p).mode("append").save()
+    manifest = json.load(open(os.path.join(p, sink.MANIFEST)))
+    assert manifest["n_rows"] == 45
+    on_disk = [f for f in os.listdir(p) if f.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(manifest["files"])
+    back = spark.read.json(os.path.join(p, "part-*.jsonl"))
+    assert sorted(r["id"] for r in back.collect()) == list(range(45))
+
+
+def test_stream_commit_retry_clears_stale_parts(tmp_path):
+    """Crash between renames and manifest publish: the retry must not
+    leave the failed attempt's files next to a manifest that doesn't
+    list them."""
+    root = str(tmp_path / "retry")
+    epoch = os.path.join(root, "epoch=3")
+    os.makedirs(epoch)
+    # stale part from a crashed attempt, no manifest
+    open(os.path.join(epoch, "part-00000-dead.jsonl"), "w").write(
+        '{"v": "stale"}\n')
+    w = sink.JsonlStreamWriter({"path": root})
+    t = os.path.join(root, "_tmp-retry")
+    open(t, "w").write('{"v": "fresh"}\n')
+    w.commit([sink._Commit(t, 1)], batchId=3)
+    manifest = json.load(open(os.path.join(epoch, sink.MANIFEST)))
+    files = [f for f in os.listdir(epoch) if f.endswith(".jsonl")]
+    assert sorted(files) == sorted(manifest["files"])
+    assert manifest["n_rows"] == 1
