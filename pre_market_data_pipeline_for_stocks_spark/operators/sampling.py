@@ -90,6 +90,55 @@ def mixture_sample(df: DataFrame, stratum_col: str,
             .drop("_mx_cap", "_mx_rn"))
 
 
+def temperature_mixture_sample(df: DataFrame, stratum_col: str,
+                               total: int, temperature: float,
+                               key_col: str,
+                               salt: str = "tmix") -> DataFrame:
+    """Temperature-scaled mixture resampling: stratum i gets a quota
+    proportional to n_i^(1/T) — the multilingual-pretraining standard
+    (T=1 keeps natural proportions, T→∞ approaches uniform), which
+    up-weights low-resource strata without hand-written weights.
+
+    Unlike mixture_sample (plan-time constant weights), the quotas here
+    are DATA-dependent, so the whole Hamilton apportionment (shares,
+    floors, largest-remainder top-up) runs IN-PLAN over the stratum
+    count relation: the unpartitioned windows touch |strata| rows (the
+    stratum vocabulary — languages/domains, never documents), then the
+    quota relation broadcasts back onto the corpus for the same
+    hash-ranked selection mixture_sample uses. One corpus shuffle (the
+    per-stratum window), one tiny aggregation — no driver round-trip,
+    no second scan.
+
+    Quotas sum exactly to ``total`` when every stratum has enough rows;
+    an under-populated stratum yields what it has (no redistribution —
+    same contract as mixture_sample)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    wq = Window.partitionBy(F.lit(1))
+    wr = wq.orderBy(F.col("_rem").desc(), F.col(stratum_col).asc())
+    quotas = (
+        counts
+        .withColumn("_w", F.pow(F.col("_n").cast("double"),
+                                F.lit(1.0 / temperature)))
+        .withColumn("_share",
+                    F.col("_w") / F.sum("_w").over(wq) * F.lit(float(total)))
+        .withColumn("_base", F.floor("_share").cast("long"))
+        .withColumn("_rem", F.col("_share") - F.col("_base"))
+        .withColumn("_short", F.lit(total) - F.sum("_base").over(wq))
+        .withColumn("_rk", F.row_number().over(wr))
+        .select(stratum_col,
+                (F.col("_base") + F.when(F.col("_rk") <= F.col("_short"), 1)
+                 .otherwise(0)).alias("_quota"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        _sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc())
+    return (df.join(F.broadcast(quotas), stratum_col)
+            .withColumn("_tmx_rn", F.row_number().over(w))
+            .filter(F.col("_tmx_rn") <= F.col("_quota"))
+            .drop("_quota", "_tmx_rn"))
+
+
 def stratified_cap(df: DataFrame, strata_cols: list[str], cap: int,
                    key_col: str, salt: str = "strata") -> DataFrame:
     """At most ``cap`` rows per stratum, picked by salted-hash order

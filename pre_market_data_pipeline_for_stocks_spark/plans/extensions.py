@@ -299,6 +299,21 @@ def corpus_mixture_sample(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+TMIX_TOTAL = 300
+TMIX_T = 2.0
+
+
+def corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled (T=2) language mixture: quotas ∝ n^(1/2),
+    apportioned in-plan by largest remainder — low-resource languages
+    up-weighted relative to their natural share without fixed weights."""
+    from ..operators import sampling
+    return (sampling.temperature_mixture_sample(
+        _docs(spark, sf_dir), "lang", TMIX_TOTAL, TMIX_T,
+        key_col="doc_id")
+        .select("doc_id", "lang").orderBy("doc_id"))
+
+
 WSAMPLE_N = 100
 
 

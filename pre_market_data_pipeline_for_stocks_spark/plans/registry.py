@@ -1469,6 +1469,37 @@ SELECT doc_id, lang, source FROM (
   FROM documents) WHERE rn <= cap ORDER BY doc_id
 """),
 
+    # sampling.temperature_mixture_sample: the Hamilton apportionment
+    # over n^(1/T) runs in SQL exactly as the Spark plan runs it —
+    # shares/floors/remainder-rank over the stratum relation, then the
+    # hash-ranked selection. pow/floor are libm doubles in both engines
+    # (same caveat class as the ES-key note above).
+    "corpus_mixture_temperature": QueryDef(
+        X.corpus_mixture_temperature, f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+sh AS (
+  SELECT lang, n,
+         pow(n, 1.0 / {X.TMIX_T}) / sum(pow(n, 1.0 / {X.TMIX_T})) OVER ()
+           * {X.TMIX_TOTAL} AS share
+  FROM c),
+b AS (
+  SELECT lang, floor(share)::BIGINT AS base, share - floor(share) AS rem,
+         {X.TMIX_TOTAL} - sum(floor(share)::BIGINT) OVER () AS short,
+         row_number() OVER (ORDER BY share - floor(share) DESC, lang ASC)
+           AS rk
+  FROM sh),
+q AS (SELECT lang,
+             base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS quota
+      FROM b)
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY {_h("('tmix:' || doc_id::VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents d JOIN q USING (lang))
+WHERE rn <= quota ORDER BY doc_id
+"""),
+
     "curated_corpus": QueryDef(X.curated_corpus, f"""
 WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
 near_drop AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),

@@ -233,3 +233,41 @@ def test_quantile_bucket_plan_has_no_global_window(docs, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan                 # no NTILE-style window
     assert "BroadcastNestedLoopJoin" in plan    # cuts broadcast back
+
+
+def test_temperature_mixture_quotas_and_flattening(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    # 80 'big' vs 20 'small' rows.
+    rows = [(i, "big") for i in range(80)] + [(100 + i, "small")
+                                             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def quotas(t):
+        out = temperature_mixture_sample(df, "lang", 50, t, "doc_id")
+        c = {r["lang"]: r["count"]
+             for r in out.groupBy("lang").count().collect()}
+        return c.get("big", 0), c.get("small", 0)
+
+    # T=1: natural proportions (80/20 -> 40/10)
+    assert quotas(1.0) == (40, 10)
+    # T=2: sqrt flattening (sqrt80:sqrt20 = 2:1 -> ~33/17)
+    big2, small2 = quotas(2.0)
+    assert big2 + small2 == 50
+    assert small2 > 10 and big2 < 40        # flattened toward uniform
+    # T=4 flattens far enough that 'small' earns quota 21 > its 20
+    # rows: it yields what it has, no redistribution (the documented
+    # mixture_sample contract)
+    assert quotas(4.0) == (29, 20)
+
+
+def test_temperature_mixture_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        temperature_mixture_sample(df, "lang", 10, 0.0, "doc_id")
