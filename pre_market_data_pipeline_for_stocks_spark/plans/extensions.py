@@ -244,6 +244,42 @@ def events_hll_daily_users(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram of the near-dup graph: (cluster_size,
+    n_clusters) — the first diagnostic a dedup rollout reads (a fat
+    tail of huge clusters means boilerplate/templates, a sea of pairs
+    means crawl duplicates; the histogram is |distinct sizes| rows no
+    matter the corpus)."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
+                                    MINHASH_BANDS, 3, JACCARD_THRESHOLD)
+    labels = dedup.resolve_clusters(pairs)
+    return (labels.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
+def dedup_pair_triangles(spark, sf_dir):
+    """Triangle count over the near-dup pair graph — the density
+    diagnostic separating chainy clusters (transitive drift: A~B~C
+    with A!~C, triangles ≈ 0) from clique-like ones (true co-duplicate
+    groups). Edges are already oriented (doc_a < doc_b from the pair
+    emitter), so the count is one edge-keyed self-join producing open
+    wedges plus one semi-join closing them — the standard distributed
+    node-iterator shape, skew-bounded by the emitters' bucket guards."""
+    pairs = (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
+                                     MINHASH_BANDS, 3, JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b").localCheckpoint())
+    wedges = (pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+              .join(pairs.withColumnsRenamed({"doc_a": "b", "doc_b": "c"}),
+                    "b"))
+    closed = wedges.join(
+        pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "c"}),
+        ["a", "c"], "leftsemi")
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 def dedup_incremental(spark, sf_dir):
     """New-shard-vs-corpus dedup: even doc_ids play the standing corpus
     (the persisted signature index side), odd doc_ids the incoming

@@ -1680,6 +1680,26 @@ GROUP BY lang ORDER BY grp
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
+    "dedup_cluster_sizes": QueryDef(X.dedup_cluster_sizes, f"""
+WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""),
+
+    # Triangle closure over the oriented (doc_a < doc_b) pair edges:
+    # wedge join + closing semi-join, identical shape to the Spark plan.
+    "dedup_pair_triangles": QueryDef(X.dedup_pair_triangles, f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_band_sql()}) mh)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.doc_a = e1.doc_b
+WHERE EXISTS (SELECT 1 FROM pairs e3
+              WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+"""),
+
     # dedup.elect_cluster_keepers: same recursive closure as
     # dedup_clusters, keeper re-elected as argmax(quality, min doc_id).
     "dedup_clusters_keep_best": QueryDef(X.dedup_clusters_keep_best, f"""

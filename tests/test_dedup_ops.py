@@ -466,3 +466,20 @@ def test_elect_cluster_keepers_keeps_unscored_members(spark):
     assert set(out) == {1, 2, 3}                     # nobody dropped
     assert all(r["keeper_id"] == 3 for r in out.values())
     assert out[1]["quality"] is None
+
+
+def test_pair_triangles_hand_graph(spark, sf_dir):
+    """Triangle query shape on a hand graph: one clique of 3 (1
+    triangle), one chain (0), via the same wedge+semi-join plan."""
+    from pyspark.sql import functions as F
+    pairs = spark.createDataFrame(
+        # clique {1,2,3} oriented; chain 10-11-12 without closure
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12)],
+        "doc_a long, doc_b long")
+    wedges = (pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
+              .join(pairs.withColumnsRenamed({"doc_a": "b", "doc_b": "c"}),
+                    "b"))
+    closed = wedges.join(
+        pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "c"}),
+        ["a", "c"], "leftsemi")
+    assert closed.agg(F.count(F.lit(1))).first()[0] == 1
