@@ -2784,7 +2784,8 @@ EXTENDED_BENCH = [
     # round-5 second-continuation additions
     "dedup_clusters_keep_best", "text_duplication_density",
     "text_classifier_score", "sequence_pack_spans",
-    "events_session_window_native",
+    "events_session_window_native", "corpus_quality_panel",
+    "corpus_bpe_learned_merges", "corpus_mixture_temperature",
 ]
 
 

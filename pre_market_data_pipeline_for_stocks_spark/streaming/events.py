@@ -76,6 +76,28 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+def hourly_approx_users(stream: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming distinct-user estimates per (hour, event_type) via the
+    mergeable HLL sketch aggregate (operators/sketches.py is the batch
+    side). Exact COUNT(DISTINCT) is unsupported in streaming for a
+    reason — its state is the value set; the sketch's state is a
+    fixed-size register array per group, and merging across
+    micro-batches is register-max, which is exactly how Spark maintains
+    it incrementally. Estimates are deterministic, so stream == batch
+    holds exactly (unit-pinned), not just approximately."""
+    return (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+            .cast("long").alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "approx_users")
+    )
+
+
 def enrich_with_dimension(stream: DataFrame, dim: DataFrame,
                           key: str = "user_id",
                           how: str = "left") -> DataFrame:

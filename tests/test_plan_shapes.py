@@ -201,3 +201,26 @@ def test_pack_sequences_single_group_shuffle(spark, sf_dir, queries):
     assert "pack_group" in body
     assert "Exchange SinglePartition" not in body
     assert "Generate explode" in body
+
+
+def test_temperature_mixture_windows_stay_on_stratum_relation(
+        spark, sf_dir, queries):
+    """The Hamilton apportionment must run over the tiny stratum count
+    relation and broadcast back: corpus rows see ONE window (the
+    per-stratum rank), and the quota join is a broadcast."""
+    plan = _physical(queries["corpus_mixture_temperature"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "BroadcastHashJoin" in body
+    # the single-partition windows exist but only downstream of the
+    # stratum aggregate (5 rows), never over the documents scan
+    assert body.count("Exchange SinglePartition") <= 2
+    assert "BatchEvalPython" not in body
+
+
+def test_quality_panel_no_python_eval(spark, sf_dir, queries):
+    plan = _physical(queries["corpus_quality_panel"](spark, sf_dir))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    # five signal pipelines joined on doc_id: joins must be hash joins
+    # on the key, not nested loops
+    assert "CartesianProduct" not in body and "BroadcastNestedLoop" not in body

@@ -75,3 +75,27 @@ def test_hll_dense_mode_error_bound(spark):
         F.lit("g").alias("g"), F.col("id").cast("string").alias("v"))
     est = sketches.hll_distinct(df, ["g"], "v").first()["estimate"]
     assert abs(est - n) / n < 0.05
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir):
+    """HLL estimates are deterministic, so the streaming hourly sketch
+    aggregation equals the batch computation EXACTLY — the sketch
+    family's Kappa contract."""
+    from pre_market_data_pipeline_for_stocks_spark.streaming import (
+        events as se,
+    )
+    agg = se.hourly_approx_users(se.events_stream(spark, sf_dir))
+    se.run_to_memory(agg, "stream_hll", "complete")
+    stream = {(str(r["window_start"]), r["event_type"]): r["approx_users"]
+              for r in spark.sql("SELECT * FROM stream_hll").collect()}
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    batch_df = (ev.groupBy(F.window("ts", "1 hour").alias("w"),
+                           "event_type")
+                .agg(F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+                    .cast("long").alias("approx_users")))
+    batch = {(str(r["w"]["start"]), r["event_type"]): r["approx_users"]
+             for r in batch_df.collect()}
+    assert stream == batch and len(stream) > 0
