@@ -1288,6 +1288,18 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
+    "events_growth_accounting": QueryDef(R.events_growth_accounting, """
+WITH active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+fs AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY 1)
+SELECT a.day,
+       CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM active a JOIN fs f USING (user_id)
+GROUP BY a.day ORDER BY a.day
+"""),
+
     "events_unpivot_daily_metrics": QueryDef(
         R.events_unpivot_daily_metrics, """
 WITH w AS (

@@ -443,6 +443,30 @@ def events_session_window_native(spark: SparkSession,
     )
 
 
+def events_growth_accounting(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Daily growth accounting: (day, n_new, n_returning) — active
+    users split by whether the day is their first-seen day. One
+    aggregation to first-seen per user (hash-keyed), one distinct
+    (user, day) activity relation, and a map-side comparison at the
+    join — the standard new/returning decomposition, no window over
+    the full activity history."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    active = events.select("user_id", day.alias("day")).distinct()
+    first_seen = active.groupBy("user_id").agg(
+        F.min("day").alias("_first"))
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(F.sum(F.when(F.col("day") == F.col("_first"), 1).otherwise(0))
+             .cast("long").alias("n_new"),
+             F.sum(F.when(F.col("day") > F.col("_first"), 1).otherwise(0))
+             .cast("long").alias("n_returning"))
+        .orderBy("day")
+    )
+
+
 def events_unpivot_daily_metrics(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Wide-to-long UNPIVOT (the inverse of pivot_priority_by_year's
