@@ -114,6 +114,8 @@ def temperature_mixture_sample(df: DataFrame, stratum_col: str,
     same contract as mixture_sample)."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
+    if total < 0:
+        raise ValueError("total must be >= 0")
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
     wq = Window.partitionBy(F.lit(1))
     wr = wq.orderBy(F.col("_rem").desc(), F.col(stratum_col).asc())

@@ -271,13 +271,7 @@ def dedup_pair_triangles(spark, sf_dir):
     pairs = (dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,
                                      MINHASH_BANDS, 3, JACCARD_THRESHOLD)
              .select("doc_a", "doc_b").localCheckpoint())
-    wedges = (pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
-              .join(pairs.withColumnsRenamed({"doc_a": "b", "doc_b": "c"}),
-                    "b"))
-    closed = wedges.join(
-        pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "c"}),
-        ["a", "c"], "leftsemi")
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return dedup.pair_triangles(pairs)
 
 
 def dedup_incremental(spark, sf_dir):

@@ -95,14 +95,26 @@ def _discard(messages) -> None:
 
 
 class JsonlBatchWriter(DataSourceWriter):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, it) -> _Commit:           # executor-side
         return _write_task_tmp(self.path, it)
 
     def commit(self, messages) -> None:       # driver-side
-        _finalize(self.path, messages, merge_existing=True)
+        if self.overwrite:
+            # Overwrite replaces the PREVIOUS commit: drop the files
+            # the old manifest lists (only those — stranger files are
+            # not ours to delete), then publish a fresh manifest.
+            manifest_path = os.path.join(self.path, MANIFEST)
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    for name in json.load(f)["files"]:
+                        stale = os.path.join(self.path, name)
+                        if os.path.exists(stale):
+                            os.remove(stale)
+        _finalize(self.path, messages, merge_existing=not self.overwrite)
 
     def abort(self, messages) -> None:
         _discard(messages)
@@ -153,7 +165,7 @@ class JsonlAuditDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema, overwrite: bool) -> JsonlBatchWriter:
-        return JsonlBatchWriter(self.options)
+        return JsonlBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
         return JsonlStreamWriter(self.options)

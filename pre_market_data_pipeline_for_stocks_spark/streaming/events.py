@@ -85,13 +85,16 @@ def hourly_approx_users(stream: DataFrame,
     fixed-size register array per group, and merging across
     micro-batches is register-max, which is exactly how Spark maintains
     it incrementally. Estimates are deterministic, so stream == batch
-    holds exactly (unit-pinned), not just approximately."""
+    holds exactly (unit-pinned), not just approximately. Precision is
+    sketches.DEFAULT_LG_K — shared with the batch family so a tuning
+    change cannot silently split the two."""
+    from ..operators.sketches import DEFAULT_LG_K
     return (
         stream
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+            F.hll_sketch_agg(F.col("user_id"), F.lit(DEFAULT_LG_K)))
             .cast("long").alias("approx_users"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "approx_users")

@@ -468,18 +468,19 @@ def test_elect_cluster_keepers_keeps_unscored_members(spark):
     assert out[1]["quality"] is None
 
 
-def test_pair_triangles_hand_graph(spark, sf_dir):
-    """Triangle query shape on a hand graph: one clique of 3 (1
-    triangle), one chain (0), via the same wedge+semi-join plan."""
-    from pyspark.sql import functions as F
+def test_pair_triangles_hand_graph(spark):
+    """dedup.pair_triangles (the operator the registry query calls) on
+    a hand graph: one clique of 3 (1 triangle), one chain (0)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        pair_triangles,
+    )
     pairs = spark.createDataFrame(
         # clique {1,2,3} oriented; chain 10-11-12 without closure
         [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12)],
         "doc_a long, doc_b long")
-    wedges = (pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "b"})
-              .join(pairs.withColumnsRenamed({"doc_a": "b", "doc_b": "c"}),
-                    "b"))
-    closed = wedges.join(
-        pairs.withColumnsRenamed({"doc_a": "a", "doc_b": "c"}),
-        ["a", "c"], "leftsemi")
-    assert closed.agg(F.count(F.lit(1))).first()[0] == 1
+    assert pair_triangles(pairs).first()["n_triangles"] == 1
+    # two cliques sharing an edge: {1,2,3} + {2,3,4} -> 2 triangles
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+        "doc_a long, doc_b long")
+    assert pair_triangles(pairs2).first()["n_triangles"] == 2

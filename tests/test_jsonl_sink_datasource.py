@@ -132,3 +132,17 @@ def test_stream_commit_retry_clears_stale_parts(tmp_path):
     files = [f for f in os.listdir(epoch) if f.endswith(".jsonl")]
     assert sorted(files) == sorted(manifest["files"])
     assert manifest["n_rows"] == 1
+
+
+def test_batch_overwrite_replaces_previous_commit(spark, tmp_path):
+    p = str(tmp_path / "ow")
+    spark.range(40).write.format("jsonl_audit") \
+        .option("path", p).mode("append").save()
+    spark.range(100, 105).write.format("jsonl_audit") \
+        .option("path", p).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(p, sink.MANIFEST)))
+    assert manifest["n_rows"] == 5
+    on_disk = [f for f in os.listdir(p) if f.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(manifest["files"])
+    back = spark.read.json(os.path.join(p, "part-*.jsonl"))
+    assert sorted(r["id"] for r in back.collect()) == list(range(100, 105))
