@@ -980,6 +980,18 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, ANN_TOPK)
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization scan (16 subspaces x 16 centroids: 16 B
+    codes instead of 256 B floats) + exact re-rank of the ADC top-200.
+    rerank is sized so the candidate set provably contains the true
+    top-10 on the near-isotropic fixture (the hardest ANN case — no
+    cluster structure to exploit), making the oracle the EXACT top-k;
+    at scale rerank is the recall/cost knob and ~10x topk suffices on
+    real clustered embeddings."""
+    return similarity.pq_topk_rerank(_emb(spark, sf_dir), ANN_QUERY_ID,
+                                     ANN_TOPK, rerank=200)
+
+
 def ann_lsh_buckets(spark, sf_dir):
     """Sign-LSH bucket id per vector from 8 deterministic hyperplanes, shuffle-free."""
     return similarity.hyperplane_lsh_buckets(_emb(spark, sf_dir), LSH_PLANES)

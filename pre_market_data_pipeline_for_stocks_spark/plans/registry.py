@@ -2566,6 +2566,23 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """, headline=True),
 
+    # similarity.pq_topk_rerank: ADC candidates + exact re-rank. The
+    # oracle is the exact top-k (identical to ann_cosine_topk's) — the
+    # checked-against-exact pattern the LSH family uses; candidate
+    # containment at this scale is unit-pinned.
+    "ann_pq_topk": QueryDef(X.ann_pq_topk, """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                * sqrt(list_inner_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""),
+
     # operators.similarity.hard_negatives: per-anchor top-k by ROUNDED
     # cosine among different-label vectors; anchors = every 50th id.
     "ann_hard_negatives": QueryDef(X.ann_hard_negatives, f"""

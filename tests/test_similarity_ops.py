@@ -382,3 +382,72 @@ def test_lsh_pairs_auto_equals_min_planes_on_small_corpus(spark, sf_dir):
                                 threshold=0.4)
     assert sorted(map(tuple, auto.collect())) == \
         sorted(map(tuple, fixed.collect()))
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
+    import numpy as np
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    a = train_pq_codebooks(emb, m=8, k=16)
+    b = train_pq_codebooks(emb.repartition(7), m=8, k=16)
+    assert a.shape == (8, 16, 8)
+    assert np.array_equal(a, b)   # id-ordered sample -> partition-proof
+
+
+def test_pq_encode_code_range_and_determinism(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = train_pq_codebooks(emb, m=16, k=16)
+    codes = {r["vec_id"]: list(r["code"])
+             for r in pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(len(c) == 16 and all(0 <= x < 16 for x in c)
+               for c in codes.values())
+    codes2 = {r["vec_id"]: list(r["code"])
+              for r in pq_encode(emb.repartition(5), books).collect()}
+    assert codes == codes2
+
+
+def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
+    """Candidate containment at fixture scale: the ADC top-200 holds
+    the true top-10, so the re-ranked result EQUALS the exact scan —
+    the property the ann_pq_topk oracle relies on."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        cosine_topk, pq_topk_rerank,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, 0, 10).collect()]
+    pq = [(r["vec_id"], r["cosine"])
+          for r in pq_topk_rerank(emb, 0, 10, rerank=200).collect()]
+    assert pq == exact
+
+
+def test_pq_adc_recall_without_rerank(spark, sf_dir):
+    """Raw ADC ordering is approximate: codes are 16 B vs 256 B floats
+    and still place a usable majority of the true neighbors in the
+    ADC top-50 on isotropic vectors (the worst case for PQ)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        cosine_topk, pq_topk,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()}
+    cand = {r["vec_id"]
+            for r in pq_topk(emb, 0, 50, m=16, k=16).collect()}
+    assert len(exact & cand) >= 5
