@@ -992,6 +992,16 @@ def ann_pq_topk(spark, sf_dir):
                                      ANN_TOPK, rerank=200)
 
 
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (the full FAISS composition): coarse cells prune rows,
+    PQ codes prune bytes, exact re-rank finishes. Knobs (nprobe=8,
+    rerank=200) sized for provable candidate containment at oracle
+    scale — the exact top-k is the oracle; production knobs trade that
+    recall for cost (the standalone units pin the floor)."""
+    return similarity.ivfpq_topk(_emb(spark, sf_dir), ANN_QUERY_ID,
+                                 ANN_TOPK, nprobe=8, rerank=200)
+
+
 def ann_lsh_buckets(spark, sf_dir):
     """Sign-LSH bucket id per vector from 8 deterministic hyperplanes, shuffle-free."""
     return similarity.hyperplane_lsh_buckets(_emb(spark, sf_dir), LSH_PLANES)

@@ -2583,6 +2583,22 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """),
 
+    # similarity.ivfpq_topk: same checked-against-exact pattern — the
+    # composed pruning (cells x codes) + exact re-rank reproduces the
+    # exact top-k at the verified knobs.
+    "ann_ivfpq_topk": QueryDef(X.ann_ivfpq_topk, """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_inner_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                * sqrt(list_inner_product(qv, qv))), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""),
+
     # operators.similarity.hard_negatives: per-anchor top-k by ROUNDED
     # cosine among different-label vectors; anchors = every 50th id.
     "ann_hard_negatives": QueryDef(X.ann_hard_negatives, f"""
@@ -2815,6 +2831,7 @@ EXTENDED_BENCH = [
     "text_classifier_score", "sequence_pack_spans",
     "events_session_window_native", "corpus_quality_panel",
     "corpus_bpe_learned_merges", "corpus_mixture_temperature",
+    "ann_pq_topk", "ann_ivfpq_topk",
 ]
 
 

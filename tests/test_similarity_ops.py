@@ -451,3 +451,26 @@ def test_pq_adc_recall_without_rerank(spark, sf_dir):
     cand = {r["vec_id"]
             for r in pq_topk(emb, 0, 50, m=16, k=16).collect()}
     assert len(exact & cand) >= 5
+
+
+def test_ivfpq_composed_recall(spark, sf_dir):
+    """IVF-PQ at production-ish knobs (nprobe=4, rerank=100) keeps a
+    recall floor on isotropic vectors; at the oracle knobs (nprobe=8,
+    rerank=200) the candidate set provably contains the true top-10 so
+    the result EQUALS the exact scan."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, 0, 10).collect()]
+    prod = {r["vec_id"]
+            for r in ivfpq_topk(emb, 0, 10, nprobe=4, rerank=100).collect()}
+    assert len({v for v, _ in exact} & prod) >= 8
+    oracle = [(r["vec_id"], r["cosine"])
+              for r in ivfpq_topk(emb, 0, 10, nprobe=8,
+                                  rerank=200).collect()]
+    assert oracle == exact
