@@ -996,3 +996,30 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
         "leftsemi")
     return cosine_topk(subset, query_vec_id=query_vec_id, k=topk,
                        id_col=id_col, vec_col=vec_col)
+
+
+def save_pq_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks ((m, k, sd) numpy) as a parquet relation
+    (subspace, code, centroid) — train once, encode/serve many, the
+    same artifact contract as save_ivf_index."""
+    m, k, _sd = codebooks.shape
+    rows = [(int(j), int(c), [float(x) for x in codebooks[j][c]])
+            for j in range(m) for c in range(k)]
+    (spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>")
+        .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_pq_codebooks(spark, path: str):
+    """Read codebooks written by save_pq_codebooks, restoring the
+    exact (m, k, sd) array pq_encode/pq_topk expect — byte-identical
+    codes to the in-memory training run (round-trip unit-pinned)."""
+    import numpy as np
+    rows = spark.read.parquet(path).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    sd = len(rows[0]["centroid"])
+    books = np.empty((m, k, sd))
+    for r in rows:
+        books[r["subspace"]][r["code"]] = r["centroid"]
+    return books

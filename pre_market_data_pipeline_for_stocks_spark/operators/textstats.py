@@ -262,6 +262,39 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+AWS_KEY_PATTERN = r"AKIA[0-9A-Z]{16}"
+PEM_PATTERN = r"-----BEGIN [A-Z ]+PRIVATE KEY-----"
+SECRET_ASSIGN_PATTERN = r"(api_key|secret|token)[:=][^\s]+"
+
+
+def secret_scan(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_aws_keys, n_private_keys, n_key_assignments,
+    clean_text): credential scrubbing for code/web corpora — the
+    security sibling of pii_scrub (a model that memorizes a leaked AWS
+    key is an incident, not a quality problem). Three pattern families
+    redacted sequentially (AWS access-key ids, PEM private-key headers,
+    key=value credential assignments), each counted AFTER the previous
+    redaction so overlapping matches count once. Pure column regexes,
+    RE2-compatible (no lookarounds) so the DuckDB oracle runs them
+    verbatim."""
+    t = F.col(text_col)
+    no_aws = F.regexp_replace(t, AWS_KEY_PATTERN, "<AWSKEY>")
+    no_pem = F.regexp_replace(no_aws, PEM_PATTERN, "<PRIVKEY>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(AWS_KEY_PATTERN), F.lit(0)))
+        .cast("long").alias("n_aws_keys"),
+        F.size(F.regexp_extract_all(no_aws, F.lit(PEM_PATTERN), F.lit(0)))
+        .cast("long").alias("n_private_keys"),
+        F.size(F.regexp_extract_all(no_pem,
+                                    F.lit(SECRET_ASSIGN_PATTERN), F.lit(0)))
+        .cast("long").alias("n_key_assignments"),
+        F.regexp_replace(no_pem, SECRET_ASSIGN_PATTERN, "<SECRET>")
+        .alias("clean_text"),
+    )
+
+
 def vocabulary_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Corpus heavy hitters: (token, tf, df) for the ``k`` most frequent

@@ -474,3 +474,23 @@ def test_ivfpq_composed_recall(spark, sf_dir):
               for r in ivfpq_topk(emb, 0, 10, nprobe=8,
                                   rerank=200).collect()]
     assert oracle == exact
+
+
+def test_pq_codebook_parquet_round_trip(spark, sf_dir, tmp_path):
+    import numpy as np
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        load_pq_codebooks, pq_encode, save_pq_codebooks,
+        train_pq_codebooks,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = train_pq_codebooks(emb, m=8, k=16)
+    p = str(tmp_path / "pq_books")
+    save_pq_codebooks(spark, books, p)
+    back = load_pq_codebooks(spark, p)
+    assert np.array_equal(books, back)
+    a = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, back).collect()}
+    assert a == b
