@@ -773,10 +773,12 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
     This is the FAISS workflow: train on a driver-resident sample
     (deterministic ``id % sample_mod == 0``, id-ordered — a quantizer
     needs a representative sample, not the corpus; the collect is
-    model state exactly like the IVF centroid collect), apply
-    distributed. Training is plain Lloyd per subspace with stride
-    seeding and an empty-cluster keep-old guard — fully deterministic,
-    no RNG."""
+    model state exactly like the IVF centroid collect, and at real
+    scale callers MUST size ``sample_mod`` so the sample fits the
+    driver), apply distributed. Training is plain Lloyd per subspace
+    with stride seeding and an empty-cluster keep-old guard — fully
+    deterministic, no RNG. Distances use the ||c||^2 - 2 x.c expansion
+    (no (n, k, sd) broadcast temp — same trick as pq_encode)."""
     import numpy as np
     rows = (embeddings
             .filter(F.col(id_col) % sample_mod == 0)
@@ -797,8 +799,8 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
         if len(cents) < k:                     # tiny sample: pad by wrap
             cents = np.resize(cents, (k, sd))
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            scores = (cents ** 2).sum(axis=1)[None, :] - 2.0 * sub @ cents.T
+            assign = scores.argmin(axis=1)
             for c in range(k):
                 mask = assign == c
                 if mask.any():                 # empty cluster: keep old
@@ -842,6 +844,55 @@ def pq_encode(embeddings: DataFrame, codebooks,
     return src.mapInPandas(enc, "vec_id long, code array<int>")
 
 
+def _normalized_query(embeddings: DataFrame, query_vec_id: int,
+                      id_col: str, vec_col: str):
+    """Fetch + L2-normalize one query vector to the driver (numpy)."""
+    import numpy as np
+    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(F.col(vec_col).cast("array<double>")).first())
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = np.asarray(qrow[0], dtype=np.float64)
+    return q / max(float(np.linalg.norm(q)), 1e-12)
+
+
+def _adc_scores(codes: DataFrame, books, qn) -> DataFrame:
+    """(vec_id, adc_cosine): score PQ codes against one normalized
+    query via per-subspace lookup tables — m table lookups + adds per
+    row, touching only the codes."""
+    import numpy as np
+    import pandas as pd
+
+    sd = books.shape[2]
+    lut = np.stack([qn[j * sd:(j + 1) * sd] @ books[j].T
+                    for j in range(books.shape[0])])   # (m, k)
+
+    def score(it):
+        for pdf in it:
+            cs = np.stack(pdf["code"].to_numpy())      # (n, m)
+            s = lut[np.arange(lut.shape[0])[None, :], cs].sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "adc_cosine": np.round(s, 4)})
+
+    return codes.mapInPandas(score, "vec_id long, adc_cosine double")
+
+
+def _exact_rerank(embeddings: DataFrame, cand_ids: DataFrame,
+                  query_vec_id: int, topk: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Exact re-score of a candidate id set: semi-join the float
+    vectors of the candidates (plus the query row, whose vector the
+    re-scorer reads from the subset) and run the exact top-k."""
+    cand = cand_ids.select("vec_id").unionByName(
+        embeddings.sparkSession.createDataFrame(
+            [(query_vec_id,)], "vec_id long"))
+    subset = embeddings.join(
+        F.broadcast(cand), embeddings[id_col] == cand["vec_id"],
+        "leftsemi")
+    return cosine_topk(subset, query_vec_id=query_vec_id, k=topk,
+                       id_col=id_col, vec_col=vec_col)
+
+
 def pq_topk(embeddings: DataFrame, query_vec_id: int = 0, topk: int = 10,
             m: int = 8, k: int = 16, iters: int = 5,
             sample_mod: int = 1, id_col: str = "vec_id",
@@ -857,33 +908,13 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 0, topk: int = 10,
     recall (codebook resolution) for a ~32x smaller working set than
     float vectors and ~4x smaller than int8. Recall@10 vs the exact
     scan is pinned in tests; IVF composes in front for the
-    cluster-pruned variant exactly as ivf_topk does."""
-    import numpy as np
-    import pandas as pd
-
+    cluster-pruned variant (ivfpq_topk)."""
     books = train_pq_codebooks(embeddings, m, k, iters, sample_mod,
                                id_col, vec_col)
-    sd = books.shape[2]
-    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
-            .select(F.col(vec_col).cast("array<double>")).first())
-    if qrow is None:
-        raise ValueError(f"query vec_id {query_vec_id} not found")
-    q = np.asarray(qrow[0], dtype=np.float64)
-    q /= max(float(np.linalg.norm(q)), 1e-12)
-    lut = np.stack([q[j * sd:(j + 1) * sd] @ books[j].T
-                    for j in range(books.shape[0])])   # (m, k)
-
+    qn = _normalized_query(embeddings, query_vec_id, id_col, vec_col)
     codes = pq_encode(embeddings, books, id_col, vec_col)
-
-    def score(it):
-        for pdf in it:
-            cs = np.stack(pdf["code"].to_numpy())      # (n, m)
-            s = lut[np.arange(lut.shape[0])[None, :], cs].sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "adc_cosine": np.round(s, 4)})
-
-    scored = codes.mapInPandas(score, "vec_id long, adc_cosine double")
-    return (scored.filter(F.col("vec_id") != query_vec_id)
+    return (_adc_scores(codes, books, qn)
+            .filter(F.col("vec_id") != query_vec_id)
             .select(F.lit(query_vec_id).alias("query_id"), "vec_id",
                     "adc_cosine")
             .orderBy(F.col("adc_cosine").desc(), F.col("vec_id").asc())
@@ -907,24 +938,17 @@ def pq_topk_rerank(embeddings: DataFrame, query_vec_id: int = 0,
     candidate set provably contains the true top-k (unit-pinned
     recall=1.0 at rerank=100), making the oracle an equality, while at
     larger scales ``rerank`` is the documented recall/cost knob."""
-    cand = (pq_topk(embeddings, query_vec_id, rerank, m, k, iters,
-                    sample_mod, id_col, vec_col)
-            .select("vec_id")
-            # the query row itself must survive the semi-join: the
-            # re-scoring stage reads its vector from the subset
-            .unionByName(embeddings.sparkSession.createDataFrame(
-                [(query_vec_id,)], "vec_id long")))
-    subset = embeddings.join(
-        F.broadcast(cand),
-        embeddings[id_col] == cand["vec_id"], "leftsemi")
-    return cosine_topk(subset, query_vec_id=query_vec_id, k=topk,
-                       id_col=id_col, vec_col=vec_col)
+    cand = pq_topk(embeddings, query_vec_id, rerank, m, k, iters,
+                   sample_mod, id_col, vec_col)
+    return _exact_rerank(embeddings, cand, query_vec_id, topk,
+                         id_col, vec_col)
 
 
 def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                topk: int = 10, nprobe: int = 4, rerank: int = 100,
                centroid_stride: int = 50, m: int = 16, k: int = 16,
-               iters: int = 5, id_col: str = "vec_id",
+               iters: int = 5, sample_mod: int = 1,
+               id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ: the full FAISS composition — coarse quantizer prunes to
     ``nprobe`` cells, PQ codes ADC-score ONLY the surviving vectors,
@@ -934,18 +958,17 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     The two compressions multiply: IVF cuts the scanned ROWS to
     ~nprobe/k_cells of the corpus, PQ cuts the scanned BYTES per row
     ~16x — at 100 TB that product is what makes interactive ANN
-    possible. Both models (centroids, codebooks) are driver-resident
-    and broadcast; the scan side never shuffles anything wider than
-    (vec_id, code). Recall stacks the two knobs (nprobe, rerank), each
-    already unit-pinned in its standalone operator; here the composed
-    recall floor is pinned instead."""
+    possible. Both models (centroids, codebooks — each trained on the
+    deterministic ``sample_mod`` driver sample) are broadcast; the
+    scan side never shuffles anything wider than (vec_id, code).
+    Recall stacks the two knobs (nprobe, rerank); the composed floor
+    and the exact-equality knobs are unit-pinned."""
     import numpy as np
-    import pandas as pd
 
-    trained = train_ivf_centroids(embeddings, centroid_stride, 2,
-                                  id_col, vec_col)
+    crows = train_ivf_centroids(embeddings, centroid_stride, 2,
+                                id_col, vec_col).collect()
     cents = embeddings.sparkSession.createDataFrame(
-        trained.collect(), schema="cent_id long, cent_vec array<double>")
+        crows, schema="cent_id long, cent_vec array<double>")
     assigned = _assign_cells(
         embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).cast("array<double>")
@@ -953,49 +976,25 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                           _norm(F.col(vec_col)).alias("_nrm")),
         cents)
 
-    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
-            .select(F.col(vec_col).cast("array<double>")).first())
-    if qrow is None:
-        raise ValueError(f"query vec_id {query_vec_id} not found")
-    q = np.asarray(qrow[0], dtype=np.float64)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    crows = cents.collect()
+    qn = _normalized_query(embeddings, query_vec_id, id_col, vec_col)
     cv = np.stack([np.asarray(r["cent_vec"]) for r in crows])
     cv = cv / np.maximum(np.linalg.norm(cv, axis=1, keepdims=True), 1e-12)
     sims = cv @ qn
     order = sorted(range(len(crows)),
                    key=lambda i: (-sims[i], crows[i]["cent_id"]))
     probed = [crows[i]["cent_id"] for i in order[:nprobe]]
-
     in_cells = assigned.filter(F.col("cell").isin(probed)) \
         .select("vec_id", "embedding")
 
-    books = train_pq_codebooks(embeddings, m, k, iters, 1,
+    books = train_pq_codebooks(embeddings, m, k, iters, sample_mod,
                                id_col, vec_col)
-    sd = books.shape[2]
-    lut = np.stack([qn[j * sd:(j + 1) * sd] @ books[j].T
-                    for j in range(books.shape[0])])
     codes = pq_encode(in_cells, books, "vec_id", "embedding")
-
-    def score(it):
-        for pdf in it:
-            cs = np.stack(pdf["code"].to_numpy())
-            s = lut[np.arange(lut.shape[0])[None, :], cs].sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "adc_cosine": np.round(s, 4)})
-
-    cand = (codes.mapInPandas(score, "vec_id long, adc_cosine double")
+    cand = (_adc_scores(codes, books, qn)
             .filter(F.col("vec_id") != query_vec_id)
             .orderBy(F.col("adc_cosine").desc(), F.col("vec_id").asc())
-            .limit(rerank)
-            .select("vec_id")
-            .unionByName(embeddings.sparkSession.createDataFrame(
-                [(query_vec_id,)], "vec_id long")))
-    subset = embeddings.join(
-        F.broadcast(cand), embeddings[id_col] == cand["vec_id"],
-        "leftsemi")
-    return cosine_topk(subset, query_vec_id=query_vec_id, k=topk,
-                       id_col=id_col, vec_col=vec_col)
+            .limit(rerank))
+    return _exact_rerank(embeddings, cand, query_vec_id, topk,
+                         id_col, vec_col)
 
 
 def save_pq_codebooks(spark, codebooks, path: str) -> None:
@@ -1016,8 +1015,16 @@ def load_pq_codebooks(spark, path: str):
     codes to the in-memory training run (round-trip unit-pinned)."""
     import numpy as np
     rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no PQ codebook rows at {path}")
     m = max(r["subspace"] for r in rows) + 1
     k = max(r["code"] for r in rows) + 1
+    if len(rows) != m * k:
+        # a gap would leave np.empty garbage centroids -> wrong codes
+        # with no error; fail loudly instead
+        raise ValueError(
+            f"codebook at {path} is not a dense (m={m}, k={k}) grid: "
+            f"{len(rows)} rows")
     sd = len(rows[0]["centroid"])
     books = np.empty((m, k, sd))
     for r in rows:

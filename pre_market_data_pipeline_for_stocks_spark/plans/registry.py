@@ -2527,8 +2527,6 @@ SELECT doc_id, n_tokens, dup_ngram_ratio, top_ngram_share,
 FROM v ORDER BY doc_id
 """),
 
-    # operators.textstats.pii_scrub over the synthetic-injection wrapper
-    # (see extensions.text_pii_scrub): emails redacted before phones.
     # textstats.secret_scan with the same in-query synthetic-injection
     # pattern as text_pii_scrub (fixture is secret-free).
     "text_secret_scan": QueryDef(X.text_secret_scan, """
@@ -2552,14 +2550,14 @@ s AS (
   FROM aug),
 p AS (
   SELECT doc_id, text, no_aws,
-         regexp_replace(no_aws, '-----BEGIN [A-Z ]+PRIVATE KEY-----',
+         regexp_replace(no_aws, '-----BEGIN[A-Z ]* PRIVATE KEY-----',
                         '<PRIVKEY>', 'g') AS no_pem
   FROM s)
 SELECT doc_id,
        len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))::BIGINT
          AS n_aws_keys,
        len(regexp_extract_all(no_aws,
-           '-----BEGIN [A-Z ]+PRIVATE KEY-----'))::BIGINT
+           '-----BEGIN[A-Z ]* PRIVATE KEY-----'))::BIGINT
          AS n_private_keys,
        len(regexp_extract_all(no_pem,
            '(api_key|secret|token)[:=][^\\s]+'))::BIGINT
@@ -2569,6 +2567,8 @@ SELECT doc_id,
 FROM p ORDER BY doc_id
 """),
 
+    # operators.textstats.pii_scrub over the synthetic-injection wrapper
+    # (see extensions.text_pii_scrub): emails redacted before phones.
     "text_pii_scrub": QueryDef(X.text_pii_scrub, """
 WITH aug AS (
   SELECT doc_id,

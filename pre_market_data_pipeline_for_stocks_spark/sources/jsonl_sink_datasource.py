@@ -103,18 +103,27 @@ class JsonlBatchWriter(DataSourceWriter):
         return _write_task_tmp(self.path, it)
 
     def commit(self, messages) -> None:       # driver-side
-        if self.overwrite:
-            # Overwrite replaces the PREVIOUS commit: drop the files
-            # the old manifest lists (only those — stranger files are
-            # not ours to delete), then publish a fresh manifest.
-            manifest_path = os.path.join(self.path, MANIFEST)
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    for name in json.load(f)["files"]:
-                        stale = os.path.join(self.path, name)
-                        if os.path.exists(stale):
-                            os.remove(stale)
+        # Overwrite PUBLISHES FIRST, deletes after: the new commit's
+        # file names can't collide (per-commit token), so the atomic
+        # manifest replace flips readers to the new data, and only
+        # then are the files the OLD manifest listed removed (only
+        # those — stranger files are not ours to delete). A crash
+        # between publish and cleanup leaves unreferenced stale files,
+        # never a manifest pointing at deleted data.
+        old_files: list[str] = []
+        manifest_path = os.path.join(self.path, MANIFEST)
+        if self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                old_files = json.load(f)["files"]
         _finalize(self.path, messages, merge_existing=not self.overwrite)
+        if self.overwrite:
+            with open(manifest_path) as f:
+                keep = set(json.load(f)["files"])
+            for name in old_files:
+                if name not in keep:
+                    stale = os.path.join(self.path, name)
+                    if os.path.exists(stale):
+                        os.remove(stale)
 
     def abort(self, messages) -> None:
         _discard(messages)
