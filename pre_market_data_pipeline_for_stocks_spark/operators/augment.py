@@ -47,3 +47,63 @@ def word_dropout(docs: DataFrame, rate_pct: int = 10,
         n_tokens.cast("long").alias("n_tokens"),
         (n_tokens - F.size(kept)).cast("long").alias("n_dropped"),
         F.array_join(kept, " ").alias("aug_text"))
+
+
+def span_corrupt(docs: DataFrame, start_rate_pct: int = 5,
+                 span_len: int = 3, salt: str = "span",
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """T5-style span corruption:
+    (doc_id, n_tokens, n_masked, n_spans, corrupted_text, target_text).
+
+    A position STARTS a masked span iff
+    hash(salt:doc_id:pos) % 100 < start_rate_pct; a span covers
+    ``span_len`` consecutive positions, so a position is masked iff
+    any of the ``span_len`` positions ending at it started a span
+    (overlapping spans merge, exactly like T5's noise mask). Each
+    maximal masked run collapses to ONE ``<mask>`` sentinel in the
+    corrupted text; the target is the masked tokens in order — the
+    (inputs, targets) pair a denoising objective trains on.
+
+    Same determinism contract as word_dropout (pure function of the
+    row — retry/speculation/repartition-proof) and same execution
+    shape: array HOFs + one regexp collapse, map-side only. The
+    per-position hash is re-derivable from the position index alone,
+    so the oracle computes the mask without windowed state."""
+    if not 0 <= start_rate_pct <= 100:
+        raise ValueError("start_rate_pct must be in [0, 100]")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda w: w != "")
+
+    def start(i):
+        h = md5_i64(F.concat(F.lit(f"{salt}:"),
+                             F.col(id_col).cast("string"),
+                             F.lit(":"), i.cast("string")))
+        return h % 100 < start_rate_pct
+
+    def masked(i):
+        cond = start(i)
+        for back in range(1, span_len):
+            cond = cond | ((i >= back) & start(i - back))
+        return cond
+
+    mapped = F.transform(
+        toks, lambda w, i: F.when(masked(i), "<mask>").otherwise(w))
+    hit = F.filter(
+        F.transform(toks, lambda w, i: F.struct(
+            w.alias("w"), masked(i).alias("m"))),
+        lambda s: s["m"])
+    corrupted = F.regexp_replace(F.array_join(mapped, " "),
+                                 "<mask>( <mask>)+", "<mask>")
+    n_spans = F.size(F.regexp_extract_all(corrupted, F.lit("<mask>"),
+                                          F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(hit).cast("long").alias("n_masked"),
+        n_spans.cast("long").alias("n_spans"),
+        corrupted.alias("corrupted_text"),
+        F.array_join(F.transform(hit, lambda s: s["w"]), " ")
+        .alias("target_text"))

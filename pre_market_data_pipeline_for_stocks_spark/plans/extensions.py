@@ -896,6 +896,20 @@ def corpus_word_dropout(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+SPAN_RATE_PCT = 5
+SPAN_LEN = 3
+
+
+def corpus_span_corrupt(spark, sf_dir):
+    """T5-style span corruption (~5% span starts, length-3 spans,
+    overlaps merged): the (inputs, targets) pair generator for
+    denoising objectives, deterministic per row."""
+    from ..operators import augment
+    return (augment.span_corrupt(_docs(spark, sf_dir), SPAN_RATE_PCT,
+                                 SPAN_LEN)
+            .orderBy("doc_id"))
+
+
 TFIDF_TOPK = 3
 BM25_QUERY = ["merge", "scan", "window"]
 BM25_TOPN = 20

@@ -2303,6 +2303,54 @@ FROM v, cuts ORDER BY doc_id
     # operators.augment.word_dropout: position-hash dropout (0-based
     # position in Spark's filter lambda -> i-1 here); kept tokens
     # rejoin in position order.
+    # augment.span_corrupt: mask decided per FILTERED position (dense
+    # row_number over non-empty tokens), re-derivable from the index
+    # alone — no windowed state; run-collapse via the same global
+    # regexp on both sides.
+    "corpus_span_corrupt": QueryDef(X.corpus_span_corrupt, f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok
+  FROM toks, UNNEST(range(1, len(w) + 1)) t(i)),
+f AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM pos WHERE tok <> ''),
+m AS (
+  SELECT doc_id, tok, p,
+         ({_h("('span:' || doc_id::VARCHAR || ':' || p::VARCHAR)")}
+            % 100 < {X.SPAN_RATE_PCT}
+          OR (p >= 1 AND
+              {_h("('span:' || doc_id::VARCHAR || ':' || (p - 1)::VARCHAR)")}
+                % 100 < {X.SPAN_RATE_PCT})
+          OR (p >= 2 AND
+              {_h("('span:' || doc_id::VARCHAR || ':' || (p - 2)::VARCHAR)")}
+                % 100 < {X.SPAN_RATE_PCT})) AS msk
+  FROM f),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (msk) AS n_masked,
+         regexp_replace(
+           string_agg(CASE WHEN msk THEN '<mask>' ELSE tok END,
+                      ' ' ORDER BY p),
+           '<mask>( <mask>)+', '<mask>', 'g') AS corrupted_text,
+         coalesce(string_agg(CASE WHEN msk THEN tok END,
+                             ' ' ORDER BY p), '') AS target_text
+  FROM m GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_masked, 0)::BIGINT AS n_masked,
+       coalesce(len(regexp_extract_all(a.corrupted_text, '<mask>')),
+                0)::BIGINT AS n_spans,
+       coalesce(a.corrupted_text, '') AS corrupted_text,
+       coalesce(a.target_text, '') AS target_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""),
+
     "corpus_word_dropout": QueryDef(X.corpus_word_dropout, f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w

@@ -52,3 +52,40 @@ def test_dropout_plan_is_map_side(docs):
     plan = (augment.word_dropout(docs, 20)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_span_corrupt_properties(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.augment import (
+        span_corrupt,
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 4)
+         for i in range(30)],
+        "doc_id long, text string")
+    out = span_corrupt(docs, start_rate_pct=10, span_len=3).collect()
+    assert len(out) == 30
+    for r in out:
+        # corrupted never holds two adjacent sentinels (runs collapse)
+        assert "<mask> <mask>" not in r["corrupted_text"]
+        assert r["n_spans"] == r["corrupted_text"].split().count("<mask>")
+        # unmasked tokens survive in order; counts reconcile
+        kept = [w for w in r["corrupted_text"].split() if w != "<mask>"]
+        assert len(kept) + r["n_masked"] == r["n_tokens"]
+        assert len(r["target_text"].split()) == r["n_masked"]
+        # each collapsed run covers >= 1 masked position (runs may be
+        # LONGER than span_len when adjacent spans merge)
+        assert r["n_spans"] <= r["n_masked"] or r["n_masked"] == 0
+    assert any(r["n_masked"] > 0 for r in out)
+
+
+def test_span_corrupt_rate_extremes(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.augment import (
+        span_corrupt,
+    )
+    docs = spark.createDataFrame([(0, "a b c d e")],
+                                 "doc_id long, text string")
+    z = span_corrupt(docs, start_rate_pct=0).first()
+    assert z["corrupted_text"] == "a b c d e" and z["n_masked"] == 0
+    full = span_corrupt(docs, start_rate_pct=100).first()
+    assert full["corrupted_text"] == "<mask>"
+    assert full["target_text"] == "a b c d e" and full["n_spans"] == 1
