@@ -125,3 +125,51 @@ def retrieval_topk(chunk_emb: DataFrame, query_text: str, k: int = 10,
             .orderBy(F.col("cosine").desc(), F.col("doc_id").asc(),
                      F.col("chunk_id").asc())
             .limit(k))
+
+
+def maxsim_topk(chunk_emb: DataFrame, query_terms: list[str],
+                k: int = 10, dims: int = HASH_EMBED_DIMS,
+                vec_col: str = "embedding") -> DataFrame:
+    """ColBERT-style late interaction over the chunk index:
+    (doc_id, maxsim) — each query TERM is embedded separately and a
+    document scores sum over terms of the MAX cosine across its
+    chunks. Late interaction keeps per-term signal a single pooled
+    query vector destroys (a doc matching 'merge' in chunk 2 and
+    'window' in chunk 9 outranks one matching both weakly in one
+    chunk) — the retrieval-quality step between single-vector dense
+    search (retrieval_topk) and a cross-encoder.
+
+    Execution: |terms| cosine columns over ONE chunk scan (the term
+    vectors are driver-side constants, like the single-query path),
+    then one per-doc aggregation taking the max of each and summing —
+    no join, no explode, shuffle carries (doc_id, |terms| doubles).
+    Per-chunk cosines round to 4 before the max (the deterministic-cut
+    convention); zero-norm chunks are excluded, zero-norm terms
+    rejected."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qvs = []
+    for t in query_terms:
+        qv = hash_embed_text(t, dims)
+        qn = math.sqrt(sum(x * x for x in qv))
+        if qn == 0:
+            raise ValueError(f"term {t!r} embeds to the zero vector")
+        qvs.append((qv, qn))
+    e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
+    nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
+    scored = chunk_emb.withColumn("_nrm2", nrm2).filter(F.col("_nrm2") > 0)
+    cos_cols = []
+    for i, (qv, qn) in enumerate(qvs):
+        dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)),
+                  F.lit(0.0))
+        cos_cols.append(
+            F.round(dot / (F.sqrt(F.col("_nrm2")) * qn), 4)
+            .alias(f"_c{i}"))
+    scored = scored.select("doc_id", *cos_cols)
+    maxes = [F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvs))]
+    total = sum((F.col(f"_m{i}") for i in range(len(qvs))),
+                F.lit(0.0))
+    return (scored.groupBy("doc_id").agg(*maxes)
+            .select("doc_id", F.round(total, 4).alias("maxsim"))
+            .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+            .limit(k))

@@ -946,6 +946,17 @@ RETRIEVAL_QUERY = "scan merge window"
 RETRIEVAL_TOPK = 10
 
 
+def retrieval_maxsim_search(spark, sf_dir):
+    """ColBERT-style late interaction over the same chunk index and
+    the same three-term query BM25 uses — the dense per-term
+    counterpart of text_bm25_search on identical inputs."""
+    from ..operators import retrieval
+    chunks = textstats.chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE,
+                                       CHUNK_OVERLAP)
+    emb = retrieval.hash_embed(chunks)
+    return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
+
+
 def retrieval_chunk_search(spark, sf_dir):
     """End-to-end retrieval index: sliding-window chunking →
     feature-hash embedding (integer-exact) → cosine top-10 chunks for

@@ -592,32 +592,19 @@ dim AS (
 """
 
 
-def _retrieval_sql() -> str:
-    """Twin of extensions.retrieval_chunk_search: chunking (the
-    documents_chunked CTE), integer feature-hash dims, cosine top-k
-    against the query vector computed by the SAME driver-side code the
-    Spark wrapper uses (operators.retrieval.hash_embed_text)."""
-    import math
-
-    from ..operators.retrieval import (
-        HASH_EMBED_DIMS as D,
-        _MOD,
-        _PRIME,
-        embed_params,
-        hash_embed_text,
-    )
-    qv = hash_embed_text(X.RETRIEVAL_QUERY, D)
-    qnrm = math.sqrt(sum(v * v for v in qv))
+def _chunk_dims_cte() -> str:
+    """Shared CTE chain for the retrieval oracles: chunking (the
+    documents_chunked shape) + integer feature-hash dims, ending in
+    ``dims(doc_id, chunk_id, d0..dD)``."""
+    from ..operators.retrieval import _MOD, _PRIME, embed_params
+    from ..operators.retrieval import HASH_EMBED_DIMS as D
     step = X.CHUNK_SIZE - X.CHUNK_OVERLAP
     dim_exprs = ",\n         ".join(
         f"sum(CASE WHEN t <> '' THEN "
         f"((({_h('t')} % {_PRIME}) * {a} + {b}) % {_PRIME} % {_MOD}"
         f" - {(_MOD - 1) // 2}) ELSE 0 END) AS d{j}"
         for j, (a, b) in enumerate(embed_params(D)))
-    dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
-    nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
   FROM documents),
 s AS (
@@ -639,13 +626,64 @@ tokc AS (
 dims AS (
   SELECT doc_id, chunk_id,
          {dim_exprs}
-  FROM tokc GROUP BY 1, 2),
+  FROM tokc GROUP BY 1, 2)"""
+
+
+def _retrieval_sql() -> str:
+    """Twin of extensions.retrieval_chunk_search: shared chunk/dims
+    CTEs + cosine top-k against the query vector computed by the SAME
+    driver-side code the Spark wrapper uses (hash_embed_text)."""
+    import math
+
+    from ..operators.retrieval import HASH_EMBED_DIMS as D
+    from ..operators.retrieval import hash_embed_text
+    qv = hash_embed_text(X.RETRIEVAL_QUERY, D)
+    qnrm = math.sqrt(sum(v * v for v in qv))
+    dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
+    nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
+    return f"""
+WITH {_chunk_dims_cte()},
 scored AS (
   SELECT doc_id, chunk_id, ({dot}) AS dot, ({nrm2}) AS nrm2 FROM dims)
 SELECT doc_id, chunk_id,
        round(dot / (sqrt(nrm2) * {qnrm!r}), 4) AS cosine
 FROM scored WHERE nrm2 > 0
 ORDER BY cosine DESC, doc_id ASC, chunk_id ASC
+LIMIT {X.RETRIEVAL_TOPK}
+"""
+
+
+def _maxsim_sql() -> str:
+    """Twin of extensions.retrieval_maxsim_search: per-term cosines
+    over the shared chunk/dims CTEs, per-doc max of each term, summed
+    — each per-chunk cosine rounded to 4 BEFORE the max, exactly as
+    the Spark side does."""
+    import math
+
+    from ..operators.retrieval import HASH_EMBED_DIMS as D
+    from ..operators.retrieval import hash_embed_text
+    terms = []
+    for t in X.BM25_QUERY:
+        qv = hash_embed_text(t, D)
+        terms.append((qv, math.sqrt(sum(v * v for v in qv))))
+    nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
+    cos_exprs = ",\n         ".join(
+        "round((" + " + ".join(f"d{j} * {qv[j]}" for j in range(D))
+        + f") / (sqrt(nrm2) * {qn!r}), 4) AS c{i}"
+        for i, (qv, qn) in enumerate(terms))
+    maxes = ", ".join(f"max(c{i}) AS m{i}" for i in range(len(terms)))
+    total = " + ".join(f"m{i}" for i in range(len(terms)))
+    return f"""
+WITH {_chunk_dims_cte()},
+n AS (SELECT doc_id, chunk_id, ({nrm2}) AS nrm2,
+             dims.* FROM dims),
+scored AS (
+  SELECT doc_id,
+         {cos_exprs}
+  FROM n WHERE nrm2 > 0),
+m AS (SELECT doc_id, {maxes} FROM scored GROUP BY doc_id)
+SELECT doc_id, round({total}, 4) AS maxsim
+FROM m ORDER BY maxsim DESC, doc_id ASC
 LIMIT {X.RETRIEVAL_TOPK}
 """
 
@@ -1670,6 +1708,11 @@ FROM s ORDER BY doc_id, chunk_id
     # note: everything before sqrt/divide is exact int64.
     "retrieval_chunk_search": QueryDef(
         X.retrieval_chunk_search, _retrieval_sql()),
+
+    # retrieval.maxsim_topk: late interaction on the same index/query
+    # as text_bm25_search.
+    "retrieval_maxsim_search": QueryDef(
+        X.retrieval_maxsim_search, _maxsim_sql()),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

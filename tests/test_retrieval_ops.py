@@ -53,3 +53,35 @@ def test_retrieval_plan_is_map_side_plus_takeordered(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
     assert "partial" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_maxsim_beats_pooled_on_split_terms(spark):
+    """The defining late-interaction property: a doc matching each
+    query term in a DIFFERENT chunk outranks a doc matching only one
+    term, which single-pooled-vector scoring can miss."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        hash_embed, maxsim_topk,
+    )
+    chunks = spark.createDataFrame(
+        [(1, 0, "merge merge merge"), (1, 1, "window window window"),
+         (2, 0, "merge merge merge"), (2, 1, "other words here")],
+        "doc_id long, chunk_id int, chunk_text string")
+    emb = hash_embed(chunks)
+    out = {r["doc_id"]: r["maxsim"]
+           for r in maxsim_topk(emb, ["merge", "window"], k=10).collect()}
+    assert out[1] > out[2]
+    # doc 1 nails both terms exactly: maxsim == 2.0 (1.0 + 1.0)
+    assert abs(out[1] - 2.0) < 1e-9
+
+
+def test_maxsim_rejects_empty_and_zero_queries(spark):
+    import pytest as _pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        hash_embed, maxsim_topk,
+    )
+    chunks = spark.createDataFrame([(1, 0, "a b c")],
+                                   "doc_id long, chunk_id int, chunk_text string")
+    emb = hash_embed(chunks)
+    with _pytest.raises(ValueError):
+        maxsim_topk(emb, [])
