@@ -69,13 +69,20 @@ def span_corrupt(docs: DataFrame, start_rate_pct: int = 5,
     row — retry/speculation/repartition-proof) and same execution
     shape: array HOFs + one regexp collapse, map-side only. The
     per-position hash is re-derivable from the position index alone,
-    so the oracle computes the mask without windowed state."""
+    so the oracle computes the mask without windowed state.
+
+    The start flags are materialized ONCE into an array column and the
+    mask reads them back with element_at: HOF lambdas are interpreted
+    per element, so inlining the hash into the mask re-evaluated the
+    md5 2*span_len times per token (the hash_embed lesson, BASELINE.md
+    round 5) — measured 6.7 s -> 0.7 s warm at sf0.1."""
     if not 0 <= start_rate_pct <= 100:
         raise ValueError("start_rate_pct must be in [0, 100]")
     if span_len < 1:
         raise ValueError("span_len must be >= 1")
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                    lambda w: w != "")
+    toks_expr = F.filter(F.split(F.trim(F.lower(F.col(text_col))),
+                                 r"\s+"),
+                         lambda w: w != "")
 
     def start(i):
         h = md5_i64(F.concat(F.lit(f"{salt}:"),
@@ -83,10 +90,20 @@ def span_corrupt(docs: DataFrame, start_rate_pct: int = 5,
                              F.lit(":"), i.cast("string")))
         return h % 100 < start_rate_pct
 
+    base = (docs.withColumn("_sc_toks", toks_expr)
+            .withColumn("_sc_starts", F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size(F.col("_sc_toks")) - 1,
+                                      F.lit(0))),
+                start)))
+    toks = F.col("_sc_toks")
+
     def masked(i):
-        cond = start(i)
+        # element_at is 1-based; starts[i+1] is position i's flag
+        cond = F.element_at(F.col("_sc_starts"), i + 1)
         for back in range(1, span_len):
-            cond = cond | ((i >= back) & start(i - back))
+            cond = cond | ((i >= back) & F.element_at(
+                F.col("_sc_starts"), i - back + 1))
         return cond
 
     mapped = F.transform(
@@ -99,7 +116,7 @@ def span_corrupt(docs: DataFrame, start_rate_pct: int = 5,
                                  "<mask>( <mask>)+", "<mask>")
     n_spans = F.size(F.regexp_extract_all(corrupted, F.lit("<mask>"),
                                           F.lit(0)))
-    return docs.select(
+    return base.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(hit).cast("long").alias("n_masked"),

@@ -2962,7 +2962,8 @@ EXTENDED_BENCH = [
     "text_classifier_score", "sequence_pack_spans",
     "events_session_window_native", "corpus_quality_panel",
     "corpus_bpe_learned_merges", "corpus_mixture_temperature",
-    "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_ivfpq_topk", "retrieval_maxsim_search",
+    "corpus_span_corrupt",
 ]
 
 
