@@ -67,7 +67,8 @@ def pack_shards(doc_tokens: DataFrame, budget: int, n_groups: int = 8,
 
 def pack_sequences(doc_tokens: DataFrame, seq_len: int,
                    n_groups: int = 8, id_col: str = "doc_id",
-                   tokens_col: str = "n_tokens") -> DataFrame:
+                   tokens_col: str = "n_tokens",
+                   order: str = "id") -> DataFrame:
     """Fixed-length SEQUENCE packing (GPT-style concat-and-chunk):
     (doc_id, pack_group, seq_id, doc_offset, seq_offset, len_in_seq).
 
@@ -99,10 +100,24 @@ def pack_sequences(doc_tokens: DataFrame, seq_len: int,
     of text — trivially exceeded at target scale). 2^40 sequences per
     group ≈ 10^12 * seq_len tokens before collision, and the composite
     still fits a long for any plausible group count.
+
+    ``order``: "id" concatenates documents in id order (deterministic
+    but CORRELATED — crawl neighbors sit in the same sequences);
+    "hash" orders by the salted content hash of the id, the
+    pretraining-realistic shuffle (decorrelates sequence composition)
+    while staying exactly as deterministic and engine-replayable.
     """
+    if order not in ("id", "hash"):
+        raise ValueError("order must be 'id' or 'hash'")
     L = int(seq_len)
     group = md5_i64(F.col(id_col).cast("string")) % n_groups
-    w = (Window.partitionBy("pack_group").orderBy("doc_id")
+    if order == "hash":
+        sort_keys = [md5_i64(F.concat(F.lit("seq:"),
+                                      F.col("doc_id").cast("string"))).asc(),
+                     F.col("doc_id").asc()]
+    else:
+        sort_keys = [F.col("doc_id").asc()]
+    w = (Window.partitionBy("pack_group").orderBy(*sort_keys)
          .rowsBetween(Window.unboundedPreceding, -1))
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     spans = (

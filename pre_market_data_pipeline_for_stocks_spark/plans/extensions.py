@@ -449,6 +449,19 @@ def sequence_pack_spans(spark, sf_dir):
             .orderBy("doc_id", "seq_id"))
 
 
+def sequence_pack_shuffled(spark, sf_dir):
+    """sequence_pack_spans with the pretraining-realistic SHUFFLED
+    concatenation order (salted-hash within each writer group):
+    decorrelates sequence composition from crawl adjacency while
+    staying deterministic and oracle-replayable."""
+    from ..operators import sharding
+    tokens = (textstats.token_counts(_docs(spark, sf_dir))
+              .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
+    return (sharding.pack_sequences(tokens, seq_len=SEQ_LEN,
+                                    n_groups=SHARD_GROUPS, order="hash")
+            .orderBy("doc_id", "seq_id"))
+
+
 def decontaminate_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination over the fixture: every 20th document
     plays the held-out eval set, the rest are the training corpus; each

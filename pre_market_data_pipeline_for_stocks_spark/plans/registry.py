@@ -1326,6 +1326,20 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
+    "events_transition_matrix": QueryDef(R.events_transition_matrix, """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS share
+FROM c ORDER BY from_type, to_type
+"""),
+
     "events_growth_accounting": QueryDef(R.events_growth_accounting, """
 WITH active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
 fs AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY 1)
@@ -1906,6 +1920,36 @@ p AS (
   SELECT doc_id, n_tokens, pack_group,
          coalesce(sum(n_tokens) OVER (
             PARTITION BY pack_group ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS strt
+  FROM tok WHERE n_tokens > 0),
+spans AS (
+  SELECT doc_id, pack_group, n_tokens, strt,
+         unnest(range(strt // 256, (strt + n_tokens - 1) // 256 + 1)) AS k
+  FROM p)
+SELECT doc_id, pack_group,
+       (pack_group * 1099511627776 + k)::BIGINT AS seq_id,  -- group << 40
+       (greatest(strt, k * 256) - strt)::BIGINT AS doc_offset,
+       (greatest(strt, k * 256) - k * 256)::BIGINT AS seq_offset,
+       (least(strt + n_tokens, (k + 1) * 256)
+        - greatest(strt, k * 256))::BIGINT AS len_in_seq
+FROM spans ORDER BY doc_id, seq_id
+"""),
+
+    # pack_sequences(order="hash"): same span algebra, the window
+    # ordered by the salted id hash (then id) within each group.
+    "sequence_pack_shuffled": QueryDef(X.sequence_pack_shuffled, f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           ::BIGINT AS n_tokens,
+         {_h('doc_id::VARCHAR')} % 8 AS pack_group,
+         {_h("('seq:' || doc_id::VARCHAR)")} AS ord_key
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens, pack_group,
+         coalesce(sum(n_tokens) OVER (
+            PARTITION BY pack_group ORDER BY ord_key, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
            AS strt
   FROM tok WHERE n_tokens > 0),

@@ -443,6 +443,30 @@ def events_session_window_native(spark: SparkSession,
     )
 
 
+def events_transition_matrix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type, to_type, n, share) — the user-journey
+    transition matrix (which step follows which, normalized per
+    source state). One lag window per user (hash-partitioned on
+    user_id), one |types|^2-bounded aggregation — the output is the
+    square of the type vocabulary regardless of corpus size."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .withColumn("_prev", F.lag("event_type").over(w))
+             .filter(F.col("_prev").isNotNull())
+             .select(F.col("_prev").alias("from_type"),
+                     F.col("event_type").alias("to_type")))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("share",
+                        F.round(F.col("n") / F.sum("n").over(w_from), 4))
+            .orderBy("from_type", "to_type"))
+
+
 def events_growth_accounting(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Daily growth accounting: (day, n_new, n_returning) — active

@@ -195,3 +195,28 @@ def test_pack_sequences_tiles_docs_and_sequences(spark):
 
     # (3) long docs actually straddle boundaries
     assert any(len(ss) > 1 for ss in by_doc.values())
+
+
+def test_pack_sequences_hash_order_tiles_and_differs(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.sharding import (
+        pack_sequences,
+    )
+    rows = [(i, 1 + (i * 37) % 300) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    by_id = pack_sequences(docs, seq_len=128, n_groups=4).collect()
+    by_hash = pack_sequences(docs, seq_len=128, n_groups=4,
+                             order="hash").collect()
+    # same tiling invariants: per-doc coverage is order-independent
+    def doc_cover(spans):
+        out = {}
+        for r in spans:
+            out[r["doc_id"]] = out.get(r["doc_id"], 0) + r["len_in_seq"]
+        return out
+    assert doc_cover(by_id) == doc_cover(by_hash)
+    # ...but the composition genuinely shuffles: some doc's offsets move
+    key = lambda rows_: sorted((r["doc_id"], r["seq_id"], r["doc_offset"])
+                               for r in rows_)
+    assert key(by_id) != key(by_hash)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=128, order="random")
