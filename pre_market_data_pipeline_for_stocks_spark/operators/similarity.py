@@ -946,8 +946,9 @@ def pq_topk_rerank(embeddings: DataFrame, query_vec_id: int = 0,
 
 def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                topk: int = 10, nprobe: int = 4, rerank: int = 100,
-               centroid_stride: int = 50, m: int = 16, k: int = 16,
-               iters: int = 5, sample_mod: int = 1,
+               centroid_stride: int | None = None, m: int = 16,
+               k: int = 16, iters: int = 5, sample_mod: int = 1,
+               train_iters: int = 1, train_sample_mod: int = 2,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ: the full FAISS composition — coarse quantizer prunes to
@@ -962,11 +963,23 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     deterministic ``sample_mod`` driver sample) are broadcast; the
     scan side never shuffles anything wider than (vec_id, code).
     Recall stacks the two knobs (nprobe, rerank); the composed floor
-    and the exact-equality knobs are unit-pinned."""
+    and the exact-equality knobs are unit-pinned.
+
+    ``centroid_stride=None`` (default) sizes the coarse codebook as a
+    BUDGET via ivf_cells_stride (k ≈ sqrt(n·nprobe)) — a fixed stride
+    grows the centroid count linearly with the corpus and made this
+    composition quadratic (the exact trap ann_ivf_topk_auto fixed for
+    plain IVF) — and coarse training runs ivf_topk's measured sweet
+    spot (1 Lloyd round on the half sample): together 145 s → 8.6 s
+    at sf1, see BASELINE.md."""
     import numpy as np
 
-    crows = train_ivf_centroids(embeddings, centroid_stride, 2,
-                                id_col, vec_col).collect()
+    if centroid_stride is None:
+        centroid_stride = ivf_cells_stride(embeddings, nprobe=nprobe,
+                                           sample_mod=train_sample_mod)
+    crows = train_ivf_centroids(embeddings, centroid_stride,
+                                train_iters, id_col, vec_col,
+                                sample_mod=train_sample_mod).collect()
     cents = embeddings.sparkSession.createDataFrame(
         crows, schema="cent_id long, cent_vec array<double>")
     assigned = _assign_cells(

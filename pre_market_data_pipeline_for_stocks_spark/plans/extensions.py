@@ -1054,11 +1054,14 @@ def ann_pq_topk(spark, sf_dir):
 def ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ (the full FAISS composition): coarse cells prune rows,
     PQ codes prune bytes, exact re-rank finishes. Knobs (nprobe=8,
-    rerank=200) sized for provable candidate containment at oracle
-    scale — the exact top-k is the oracle; production knobs trade that
-    recall for cost (the standalone units pin the floor)."""
+    rerank=200, stride=50 → ~10 coarse cells) sized for provable
+    candidate containment at oracle scale — the exact top-k is the
+    oracle; the OPERATOR default sizes the codebook as a budget
+    (ivf_cells_stride) instead, the scale-safe setting, trading that
+    equality for bounded cost (the standalone units pin the floor)."""
     return similarity.ivfpq_topk(_emb(spark, sf_dir), ANN_QUERY_ID,
-                                 ANN_TOPK, nprobe=8, rerank=200)
+                                 ANN_TOPK, nprobe=8, rerank=200,
+                                 centroid_stride=50)
 
 
 def ann_lsh_buckets(spark, sf_dir):
