@@ -595,3 +595,73 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
             .select("doc_id", "n_tokens", "dup_ngram_ratio",
                     "top_ngram_share", "stopword_ratio", "keep",
                     "fail_reason"))
+
+
+def bigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
+                   backoff: float = 0.4, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff:
+    (doc_id, n_bigrams, mean_logprob, ppl).
+
+    The next rung above unigram_logprob on the LM-filter ladder: a
+    document of real phrases scores much better under a bigram model
+    than shuffled-word soup with the same unigram profile — exactly
+    the junk the unigram filter cannot see. Seen bigrams score
+    ln(c(w1,w2)/c(w1·)) with the history count as the bigram-table
+    marginal; unseen bigrams take Brants-style stupid backoff:
+    ln(backoff) + the add-one unigram log-probability of w2 (finite
+    everywhere, no discounting pass — the standard web-scale choice).
+
+    Plan shape mirrors unigram_logprob: per-(doc, bigram) pre-agg as
+    the skew guard, model tables keyed on the pair/history/token (AQE
+    broadcasts the small ones), totals a single-row broadcast, one
+    doc-keyed reduction. Bigram positions are built map-side with the
+    zip_with-shifted-slice trick (bpe_pair_counts) — no positional
+    self-join anywhere."""
+    model_docs = docs if model_docs is None else model_docs
+
+    def _pair_counts_per_doc(src: DataFrame) -> DataFrame:
+        w = F.col("_w")
+        n1 = F.greatest(F.size(w) - 1, F.lit(0))
+        pairs = F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
+                           lambda a, b: F.struct(a.alias("w1"),
+                                                 b.alias("w2")))
+        return (src.withColumn("_w", F.split(
+            F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(pairs).alias("p"))
+            .select("doc_id", "p.w1", "p.w2")
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_dp")))
+
+    mbp = (_pair_counts_per_doc(model_docs)
+           .groupBy("w1", "w2").agg(F.sum("n_dp").alias("c12")))
+    mh = mbp.groupBy("w1").agg(F.sum("c12").alias("ch"))
+    mu = (model_docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("w2"))
+        .filter(F.col("w2") != "")
+        .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
+    totals = mu.agg(F.sum("cu").cast("double").alias("_T"),
+                    F.count(F.lit(1)).cast("double").alias("_V"))
+
+    lp = F.when(
+        F.col("c12").isNotNull(),
+        F.log(F.col("c12") / F.col("ch"))
+    ).otherwise(
+        F.log(F.lit(float(backoff)))
+        + F.log((F.coalesce(F.col("cu"), F.lit(0)) + 1.0)
+                / (F.col("_T") + F.col("_V"))))
+    scored = (_pair_counts_per_doc(docs)
+              .join(mbp, ["w1", "w2"], "left")
+              .join(mh, "w1", "left")
+              .join(mu, "w2", "left")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("_lp", lp))
+    mean = F.sum(F.col("n_dp") * F.col("_lp")) / F.sum("n_dp")
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n_dp").cast("long").alias("n_bigrams"),
+                 F.round(mean, 4).alias("mean_logprob"),
+                 F.round(F.exp(-mean), 4).alias("ppl"))
+            .orderBy("doc_id"))

@@ -162,6 +162,16 @@ def text_classifier_score(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM scoring with stupid backoff: the model trains on the
+    even-doc_id half (the standing-corpus convention of the dedup
+    family), every document is scored — odd docs hit unseen bigrams,
+    so BOTH the seen-bigram and the backoff branch are oracle-exercised."""
+    docs = _docs(spark, sf_dir)
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    return textstats.bigram_logprob(docs, model_docs=model)
+
+
 def text_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document (the cheap junk /
     padding / binary-noise first-pass filter)."""

@@ -2561,6 +2561,40 @@ ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 
     "text_repetition": QueryDef(X.text_repetition, _REPETITION_SQL),
 
+    # textstats.bigram_logprob: model on even docs, all docs scored;
+    # seen bigrams ln(c12/ch), unseen ln(0.4) + add-one unigram lp.
+    "text_bigram_logprob": QueryDef(X.text_bigram_logprob, """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+bp AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM tok, unnest(range(1, len(w))) u(i)
+  WHERE w[i] <> '' AND w[i + 1] <> ''),
+mbp AS (
+  SELECT w1, w2, count(*) AS c12 FROM bp WHERE doc_id % 2 = 0
+  GROUP BY 1, 2),
+mh AS (SELECT w1, sum(c12) AS ch FROM mbp GROUP BY 1),
+mu AS (
+  SELECT t AS w2, count(*) AS cu FROM (
+    SELECT doc_id, unnest(w) AS t FROM tok WHERE doc_id % 2 = 0)
+  WHERE t <> '' GROUP BY 1),
+tot AS (SELECT sum(cu)::DOUBLE AS t_, count(*)::DOUBLE AS v_ FROM mu),
+sc AS (
+  SELECT b.doc_id,
+         CASE WHEN m.c12 IS NOT NULL THEN ln(m.c12 / h.ch)
+              ELSE ln(0.4)
+                   + ln((coalesce(u.cu, 0) + 1) / (t.t_ + t.v_)) END AS lp
+  FROM bp b
+  LEFT JOIN mbp m USING (w1, w2)
+  LEFT JOIN mh h USING (w1)
+  LEFT JOIN mu u USING (w2), tot t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 4) AS mean_logprob,
+       round(exp(-avg(lp)), 4) AS ppl
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""),
+
     # textstats.char_entropy: H = log2(n) - sum(c*log2 c)/n over
     # per-(doc, char) counts; identical identity on both sides.
     "text_char_entropy": QueryDef(X.text_char_entropy, """

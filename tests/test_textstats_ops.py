@@ -443,3 +443,48 @@ def test_secret_scan_catches_pkcs8_header(spark):
     assert out[0]["n_private_keys"] == 1
     assert "BEGIN PRIVATE" not in out[0]["clean_text"]
     assert out[1]["n_private_keys"] == 1
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        bigram_logprob,
+    )
+    # model: 'a b' x2 and 'a c' x1 histories from one doc
+    model = spark.createDataFrame([(0, "a b a b a c")],
+                                  "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "z z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in bigram_logprob(docs, model_docs=model).collect()}
+    # model bigrams: (a,b):2 (b,a):2 (a,c):1 -> ch(a)=3, ch(b)=2
+    assert out[1]["mean_logprob"] == round(math.log(2 / 3), 4)
+    assert out[2]["mean_logprob"] == round(math.log(1 / 3), 4)
+    # unseen bigram (z,z): backoff ln(0.4) + add-one unigram of z.
+    # model unigrams: a:3 b:2 c:1 -> T=6, V=3; cu(z)=0
+    expected = math.log(0.4) + math.log(1 / 9)
+    assert out[3]["mean_logprob"] == round(expected, 4)
+    assert out[3]["ppl"] == round(math.exp(-expected), 4)
+
+
+def test_bigram_beats_unigram_on_shuffled_text(spark):
+    """The reason to climb the LM ladder: word-shuffled text keeps its
+    unigram profile but loses its bigrams, so only the bigram model
+    separates it."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        bigram_logprob, unigram_logprob,
+    )
+    phrase = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the lazy fox brown jumps quick over the"
+    model = spark.createDataFrame(
+        [(i, phrase) for i in range(20)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(100, phrase), (101, shuffled)], "doc_id long, text string")
+    bi = {r["doc_id"]: r["mean_logprob"]
+          for r in bigram_logprob(docs, model_docs=model).collect()}
+    uni = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob(docs, model_docs=model).collect()}
+    assert bi[100] > bi[101] + 1.0          # bigram: wide separation
+    assert abs(uni[100] - uni[101]) < 0.2   # unigram: barely moves
