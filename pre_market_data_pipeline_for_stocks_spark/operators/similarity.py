@@ -977,6 +977,13 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     if centroid_stride is None:
         centroid_stride = ivf_cells_stride(embeddings, nprobe=nprobe,
                                            sample_mod=train_sample_mod)
+    else:
+        # explicit strides snap DOWN to a multiple of train_sample_mod
+        # (the ivf_cells_stride convention) so stride-init seeds lie
+        # inside the training sample instead of raising
+        centroid_stride = max(
+            train_sample_mod,
+            centroid_stride // train_sample_mod * train_sample_mod)
     crows = train_ivf_centroids(embeddings, centroid_stride,
                                 train_iters, id_col, vec_col,
                                 sample_mod=train_sample_mod).collect()

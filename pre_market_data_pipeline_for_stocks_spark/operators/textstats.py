@@ -400,6 +400,33 @@ def length_profile(docs: DataFrame, group_col: str = "lang",
                  F.round(pct.getItem(2), 4).alias("p99")))
 
 
+def _per_doc_token_counts(src: DataFrame, id_col: str,
+                          text_col: str) -> DataFrame:
+    """(doc_id, token, n_dt): per-document term counts — the
+    skew-guard pre-aggregation every LM operator starts from."""
+    return (src.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n_dt")))
+
+
+def _unigram_model(model_docs: DataFrame, id_col: str,
+                   text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared unigram model state: (counts(token, c_t),
+    totals(_T, _V)). unigram_logprob scores with it directly and
+    bigram_logprob's backoff branch MUST use the identical add-one
+    formula for the LM-ladder comparison to mean anything — one
+    construction, no drift."""
+    counts = (_per_doc_token_counts(model_docs, id_col, text_col)
+              .groupBy("token").agg(F.sum("n_dt").alias("c_t")))
+    totals = counts.agg(F.sum("c_t").cast("double").alias("_T"),
+                        F.count(F.lit(1)).cast("double").alias("_V"))
+    return counts, totals
+
+
 def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -424,18 +451,9 @@ def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
     model_docs = docs if model_docs is None else model_docs
 
     def _per_doc(src: DataFrame) -> DataFrame:
-        return (src.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                              r"\s+")).alias("token"))
-            .filter(F.col("token") != "")
-            .groupBy("doc_id", "token")
-            .agg(F.count(F.lit(1)).alias("n_dt")))
+        return _per_doc_token_counts(src, id_col, text_col)
 
-    counts = (_per_doc(model_docs).groupBy("token")
-              .agg(F.sum("n_dt").alias("c_t")))
-    totals = counts.agg(F.sum("c_t").cast("double").alias("_T"),
-                        F.count(F.lit(1)).cast("double").alias("_V"))
+    counts, totals = _unigram_model(model_docs, id_col, text_col)
     probs = (counts.crossJoin(F.broadcast(totals))
              .select("token",
                      F.log((F.col("c_t") + 1.0)
@@ -638,13 +656,11 @@ def bigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
     mbp = (_pair_counts_per_doc(model_docs)
            .groupBy("w1", "w2").agg(F.sum("n_dp").alias("c12")))
     mh = mbp.groupBy("w1").agg(F.sum("c12").alias("ch"))
-    mu = (model_docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
-                          r"\s+")).alias("w2"))
-        .filter(F.col("w2") != "")
-        .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
-    totals = mu.agg(F.sum("cu").cast("double").alias("_T"),
-                    F.count(F.lit(1)).cast("double").alias("_V"))
+    # the backoff distribution IS unigram_logprob's model (shared
+    # construction — the add-one formula cannot drift between rungs)
+    ucounts, totals = _unigram_model(model_docs, id_col, text_col)
+    mu = ucounts.select(F.col("token").alias("w2"),
+                        F.col("c_t").alias("cu"))
 
     lp = F.when(
         F.col("c12").isNotNull(),

@@ -675,8 +675,7 @@ def _maxsim_sql() -> str:
     total = " + ".join(f"m{i}" for i in range(len(terms)))
     return f"""
 WITH {_chunk_dims_cte()},
-n AS (SELECT doc_id, chunk_id, ({nrm2}) AS nrm2,
-             dims.* FROM dims),
+n AS (SELECT dims.*, ({nrm2}) AS nrm2 FROM dims),
 scored AS (
   SELECT doc_id,
          {cos_exprs}

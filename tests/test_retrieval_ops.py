@@ -85,3 +85,17 @@ def test_maxsim_rejects_empty_and_zero_queries(spark):
     emb = hash_embed(chunks)
     with _pytest.raises(ValueError):
         maxsim_topk(emb, [])
+
+
+def test_maxsim_rejects_zero_vector_term(spark):
+    import pytest as _pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        hash_embed, maxsim_topk,
+    )
+    chunks = spark.createDataFrame(
+        [(1, 0, "a b c")], "doc_id long, chunk_id int, chunk_text string")
+    emb = hash_embed(chunks)
+    # an all-whitespace term tokenizes to nothing -> zero vector
+    with _pytest.raises(ValueError, match="zero vector"):
+        maxsim_topk(emb, ["a", "   "])
