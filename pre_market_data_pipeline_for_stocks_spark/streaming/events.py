@@ -128,6 +128,57 @@ def run_to_memory(agg: DataFrame, query_name: str,
         q.stop()
 
 
+def stateful_transitions(stream: DataFrame) -> DataFrame:
+    """Streaming event-transition counting (the incremental twin of
+    plans.relational.events_transition_matrix): GroupState carries each
+    user's LAST event (ts, type), every micro-batch sorts its rows by
+    event time, stitches the carried event in front, and emits the
+    (from_type, to_type) pair counts it observed — cross-batch
+    transitions included, which a stateless per-batch lag would drop.
+
+    Emitted rows are per-(user, micro-batch) PARTIAL counts; the
+    consumer sums them (the mergeable-partials contract of
+    operators/incremental.py — see the stream==batch unit, which folds
+    the partials and matches the batch matrix exactly). Caveat shared
+    with every last-value stitcher: per-user events must arrive in
+    event-time order ACROSS micro-batches (true for replayed ordered
+    sources; out-of-order arrival needs a watermarked buffer first)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        types = rows["event_type"].tolist()
+        if state.exists:
+            (last_type,) = state.get
+            types = [last_type] + types
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if rows.shape[0]:
+            state.update((types[-1],))
+        if pairs:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(pairs),
+                 "from_type": [k[0] for k in pairs],
+                 "to_type": [k[1] for k in pairs],
+                 "n": list(pairs.values())})
+
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, from_type string, "
+                             "to_type string, n long",
+            stateStructType="last_type string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (event count, value total) carried across micro-batches in

@@ -591,3 +591,30 @@ def test_stream_static_dimension_enrichment(spark, sf_dir):
              for r in ev.join(dim, "user_id", "left")
              .groupBy("tier").count().collect()}
     assert stream == batch
+
+
+def test_stateful_transitions_match_batch(spark, sf_dir):
+    """Partial transition counts folded across micro-batches equal the
+    batch lag-window matrix EXACTLY — including transitions that span
+    a micro-batch boundary (the case a stateless per-batch lag drops;
+    maxFilesPerTrigger=1 still splits per-user sequences across
+    triggers when the fixture has multiple row groups)."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_transition_matrix,
+    )
+
+    agg = se.stateful_transitions(se.events_stream(spark, sf_dir))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("stream_transitions").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = {(r["from_type"], r["to_type"]): r["n"] for r in spark.sql(
+        "SELECT from_type, to_type, sum(n) AS n FROM stream_transitions "
+        "GROUP BY 1, 2").collect()}
+    batch = {(r["from_type"], r["to_type"]): r["n"]
+             for r in events_transition_matrix(spark, sf_dir).collect()}
+    assert stream == batch
