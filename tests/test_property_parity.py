@@ -217,3 +217,49 @@ def test_quantile_bucket_monotone_property(spark, values, n_buckets):
     seen = {}
     for v, b in by_val:
         assert seen.setdefault(v, b) == b
+
+
+# --- sequence packing: tiling invariants on generated workloads ---------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=700),
+                min_size=1, max_size=80),
+       st.sampled_from([32, 128, 256]))
+def test_pack_sequences_tiling_property(spark, lengths, seq_len):
+    """For ANY token-length workload and sequence length: every doc's
+    spans cover [0, n) contiguously, every sequence tiles [0, L) with
+    only each group's last short — the invariant a loader depends on."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.sharding import (
+        pack_sequences,
+    )
+    rows = [(i, n) for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    spans = pack_sequences(docs, seq_len=seq_len, n_groups=4).collect()
+
+    by_doc: dict[int, list] = {}
+    by_seq: dict[tuple, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault((r["pack_group"], r["seq_id"]), []).append(r)
+    # zero-token docs emit nothing; all others are fully covered
+    assert set(by_doc) == {i for i, n in rows if n > 0}
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda r: r["seq_id"])
+        pos = 0
+        for s in ss:
+            assert s["doc_offset"] == pos
+            assert 0 <= s["seq_offset"] < seq_len
+            assert 1 <= s["len_in_seq"] <= seq_len - s["seq_offset"]
+            pos += s["len_in_seq"]
+        assert pos == dict(rows)[doc_id]
+    last = {}
+    for (g, sid) in by_seq:
+        last[g] = max(last.get(g, -1), sid)
+    for (g, sid), ss in by_seq.items():
+        ss.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in ss:
+            assert s["seq_offset"] == pos
+            pos += s["len_in_seq"]
+        assert pos == seq_len or sid == last[g]
