@@ -1,0 +1,71 @@
+"""Training-data curation job entry point — the production wiring of
+the composite plan the registry checks piecewise:
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.run_curation \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/curated_run
+
+One invocation runs training_manifest (curate → decontaminate →
+mixture → shard-pack, one Catalyst plan), writes the packed documents
+as one JSONL file per shard (sinks.write_training_shards), verifies
+the tree by reading it back through the loader-side reader, and
+prints ONE JSON metrics line — the operational contract a scheduler
+scrapes (row counts in/out, shard count, token totals, wall time).
+
+Every stage is an already-oracle-checked operator; this module only
+sequences them and owns the exit code: non-zero when the read-back
+disagrees with the manifest (a torn write), so orchestration retries
+instead of shipping a corrupt tree to trainers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..plans import extensions as X
+from ..session import get_spark
+from ..sources.offline import load_testdata, read_training_shards
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="corpus curation -> shards")
+    ap.add_argument("--sf-dir", required=True,
+                    help="directory with documents.parquet")
+    ap.add_argument("--out", required=True,
+                    help="output directory for the shard tree")
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    spark = get_spark("curation-job")
+    docs = load_testdata(spark, args.sf_dir, ["documents"])["documents"]
+    n_in = docs.count()
+
+    packed = X.training_packed(spark, args.sf_dir)
+    sinks.write_training_shards(docs, packed, args.out)
+
+    back = read_training_shards(spark, args.out)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.sum("n_tokens").alias("total_tokens")).first()
+    n_back = back.count()
+    ok = n_back == stats["n_docs"]
+    print(json.dumps({
+        "n_input_docs": n_in,
+        "n_curated_docs": stats["n_docs"],
+        "n_shards": stats["n_shards"],
+        "total_tokens": stats["total_tokens"],
+        "n_read_back": n_back,
+        "read_back_ok": ok,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -554,6 +554,16 @@ def training_manifest(spark, sf_dir):
     Catalyst sees ONE plan end to end (each stage is also
     standalone-oracled at larger row counts), so filters/pruning cross
     stage boundaries instead of materializing intermediates."""
+    from ..operators import sharding
+    return (sharding.shard_manifest(training_packed(spark, sf_dir))
+            .orderBy("shard_id"))
+
+
+def training_packed(spark, sf_dir):
+    """The per-DOCUMENT packing relation behind training_manifest
+    (doc_id, n_tokens, pack_group, shard_seq, shard_id) — what a shard
+    WRITER consumes (jobs/run_curation.py); training_manifest is its
+    per-shard roll-up."""
     from ..operators import sampling, sharding
     docs = _docs(spark, sf_dir)
     pool = docs.join(curated_corpus(spark, sf_dir).select("doc_id"),
@@ -569,9 +579,8 @@ def training_manifest(spark, sf_dir):
                                     TRAIN_MIX_TOTAL, key_col="doc_id")
     tokens = (textstats.token_counts(mixed)
               .select("doc_id", F.col("bpe_ish_tokens").alias("n_tokens")))
-    packed = sharding.pack_shards(tokens, budget=TRAIN_SHARD_BUDGET,
-                                  n_groups=TRAIN_SHARD_GROUPS)
-    return sharding.shard_manifest(packed).orderBy("shard_id")
+    return sharding.pack_shards(tokens, budget=TRAIN_SHARD_BUDGET,
+                                n_groups=TRAIN_SHARD_GROUPS)
 
 
 def text_lang_id(spark, sf_dir):

@@ -1,0 +1,27 @@
+"""End-to-end curation job: one CLI invocation runs the composite
+plan, writes the shard tree, and verifies it by read-back."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_run_curation_job(spark, sf_dir, tmp_path, capsys):
+    from pre_market_data_pipeline_for_stocks_spark.jobs.run_curation import (
+        main,
+    )
+    out = str(tmp_path / "curated")
+    rc = main(["--sf-dir", sf_dir, "--out", out])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["read_back_ok"] is True
+    assert 0 < metrics["n_curated_docs"] <= metrics["n_input_docs"]
+    assert metrics["n_shards"] > 0
+    assert metrics["n_read_back"] == metrics["n_curated_docs"]
+
+    # the tree is loader-consumable: shard dirs + one manifest roll-up
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        training_manifest,
+    )
+    manifest = training_manifest(spark, sf_dir)
+    assert manifest.count() == metrics["n_shards"]
