@@ -197,6 +197,27 @@ def corpus_bpe_learned_merges(spark, sf_dir):
         "merge_rank int, left_tok string, right_tok string, n_pairs long")
 
 
+def corpus_datacard(spark, sf_dir):
+    """One-row dataset card: corpus composition, token total, exact-dup
+    ratio and mean quality — the stat block a dataset release publishes
+    and a pipeline regression-checks between snapshots."""
+    docs = _docs(spark, sf_dir)
+    q = (textstats.quality_score(docs)
+         .agg(F.round(F.avg("quality"), 4).alias("mean_quality"),
+              F.sum("n_tokens").alias("total_tokens")))
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("distinct_texts"))
+    return (base.crossJoin(q)
+            .select("n_docs", "n_langs", "n_sources", "total_tokens",
+                    "distinct_texts",
+                    F.round(1 - F.col("distinct_texts")
+                            / F.col("n_docs"), 4).alias("dup_ratio"),
+                    "mean_quality"))
+
+
 def corpus_quality_panel(spark, sf_dir):
     """The full per-document quality dashboard in one relation:
     heuristic quality, model (classifier) score, character entropy,

@@ -1325,6 +1325,26 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
+    # R.events_zscore_anomalies: expanding no-lookahead window; both
+    # engines compute exact sample stddev of the same preceding set
+    # (round-3 absorbs accumulation-order ulps).
+    "events_zscore_anomalies": QueryDef(R.events_zscore_anomalies, """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n_prev,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, round(value, 2) AS value,
+       round((value - mu) / sd, 3) AS zscore,
+       CASE WHEN abs((value - mu) / sd) > 3 THEN 'anomaly'
+            ELSE 'normal' END AS flag
+FROM s WHERE n_prev >= 5 AND sd IS NOT NULL AND (value - mu) / sd IS NOT NULL
+ORDER BY event_id
+"""),
+
     "events_transition_matrix": QueryDef(R.events_transition_matrix, """
 WITH p AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -2610,6 +2630,24 @@ FROM c GROUP BY doc_id ORDER BY doc_id
     # scale, so COUNT(DISTINCT) is the oracle; the scale-independent
     # invariant (merge of partials == direct sketch) is unit-pinned in
     # tests/test_sketch_ops.py.
+    # extensions.corpus_datacard: one-row release stat block; mean
+    # quality over the shared q CTE.
+    "corpus_datacard": QueryDef(X.corpus_datacard, f"""
+WITH {_QUALITY_Q_CTE},
+m AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT text) AS distinct_texts,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents),
+mq AS (SELECT round(avg(quality), 4) AS mean_quality FROM q)
+SELECT n_docs, n_langs, n_sources, total_tokens, distinct_texts,
+       round(1 - distinct_texts / n_docs, 4) AS dup_ratio, mean_quality
+FROM m, mq
+"""),
+
     # tokenizer.learn_bpe: K staged rounds, each re-counting pairs over
     # the text produced by the previous round's merge (scalar-subquery
     # election + the same padded-replace merge algebra the Spark side

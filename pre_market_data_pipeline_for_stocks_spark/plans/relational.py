@@ -443,6 +443,32 @@ def events_session_window_native(spark: SparkSession,
     )
 
 
+def events_zscore_anomalies(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.stateful_anomaly_scores: each
+    event z-scored against the mean/stddev of its user's STRICTLY
+    PRECEDING events (the online contract — no lookahead), emitted
+    once at least 5 priors exist. One expanding window per user; the
+    anomaly flag at |z| > 3. This gives the anomaly family an
+    oracle-checked batch anchor (the streaming side carries Welford
+    accumulators in GroupState and is unit-pinned against replay)."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    z = (F.col("value") - F.avg("value").over(w)) \
+        / F.stddev_samp("value").over(w)
+    return (events
+            .withColumn("_n_prev", F.count(F.lit(1)).over(w))
+            .withColumn("_z", z)
+            .filter((F.col("_n_prev") >= 5) & F.col("_z").isNotNull())
+            .select("event_id", "user_id",
+                    F.round("value", 2).alias("value"),
+                    F.round("_z", 3).alias("zscore"),
+                    F.when(F.abs(F.col("_z")) > 3, "anomaly")
+                    .otherwise("normal").alias("flag"))
+            .orderBy("event_id"))
+
+
 def events_transition_matrix(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's event

@@ -618,3 +618,35 @@ def test_stateful_transitions_match_batch(spark, sf_dir):
     batch = {(r["from_type"], r["to_type"]): r["n"]
              for r in events_transition_matrix(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_batch_zscore_matches_streaming_anomaly_contract(spark, sf_dir):
+    """The batch z-score anchor and the streaming Welford scorer agree
+    on the online contract: scores use only STRICTLY PRECEDING events,
+    emitted after >= 5 priors. Spot-check one user's scores against a
+    hand Welford fold."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.relational import (
+        events_zscore_anomalies,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    ev = load_testdata(spark, sf_dir, ["events"])["events"]
+    uid = ev.select("user_id").first()["user_id"]
+    rows = sorted(
+        ev.filter(ev.user_id == uid)
+        .select("event_id", "ts", "value").collect(),
+        key=lambda r: (r["ts"], r["event_id"]))
+    import statistics
+    expected = {}
+    for i, r in enumerate(rows):
+        prev = [x["value"] for x in rows[:i]]
+        if len(prev) >= 5:
+            sd = statistics.stdev(prev)
+            expected[r["event_id"]] = round(
+                (r["value"] - statistics.fmean(prev)) / sd, 3)
+    from pyspark.sql import functions as F
+    got = {r["event_id"]: r["zscore"]
+           for r in events_zscore_anomalies(spark, sf_dir)
+           .filter(F.col("user_id") == uid).collect()}
+    assert got == expected and len(got) > 0
