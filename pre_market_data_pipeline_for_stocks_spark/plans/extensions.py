@@ -102,6 +102,21 @@ def dedup_simhash_pairs(spark, sf_dir):
                                         band_bits=24, max_hamming=3)
 
 
+SPAN_SEG_WORDS = 8
+SPAN_MAX_DF = 1
+
+
+def dedup_span_removal(spark, sf_dir):
+    """Span-level boilerplate removal: every 8-word segment occurring
+    more than once corpus-wide is stripped and the documents
+    reassembled — the Lee-et-al. paragraph-dedup pass at the
+    granularity the single-line fixture docs support."""
+    return (dedup.remove_duplicate_spans(_docs(spark, sf_dir),
+                                         seg_words=SPAN_SEG_WORDS,
+                                         max_df=SPAN_MAX_DF)
+            .orderBy("doc_id"))
+
+
 CONTAINMENT_THRESHOLD = 0.6
 
 

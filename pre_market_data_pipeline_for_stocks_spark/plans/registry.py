@@ -1710,6 +1710,38 @@ common AS (
         X.dedup_minhash_lsh_capped,
         _minhash_band_sql(max_bucket=X.LSH_MAX_BUCKET)),
 
+    # operators.dedup.remove_duplicate_spans: non-overlapping
+    # chunk_documents windows (step = width, same slice math as the
+    # documents_chunked twin), df counted on the shared 60-bit segment
+    # hash in BOTH engines, surviving segments re-joined in seg order.
+    "dedup_span_removal": QueryDef(X.dedup_span_removal, f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(range(0,
+            greatest(ceil((len(words) - {X.SPAN_SEG_WORDS})
+                          / {X.SPAN_SEG_WORDS}.0), 0)::BIGINT
+              * {X.SPAN_SEG_WORDS} + 1,
+            {X.SPAN_SEG_WORDS})) AS st
+  FROM w),
+h AS (
+  SELECT doc_id, (st / {X.SPAN_SEG_WORDS})::INT AS seg_id,
+         array_to_string(words[st + 1 : st + {X.SPAN_SEG_WORDS}], ' ')
+           AS seg
+  FROM s),
+hh AS (SELECT doc_id, seg_id, seg, {_H.format(x='seg')} AS sh FROM h),
+f AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1)
+SELECT hh.doc_id,
+       coalesce(string_agg(CASE WHEN f.df <= {X.SPAN_MAX_DF} THEN hh.seg END,
+                           ' ' ORDER BY hh.seg_id), '') AS clean_text,
+       count(*) AS n_segments,
+       count(CASE WHEN f.df > {X.SPAN_MAX_DF} THEN 1 END) AS n_removed
+FROM hh JOIN f USING (sh)
+GROUP BY 1 ORDER BY 1
+"""),
+
     # operators.textstats.chunk_documents: both engines slice the same
     # whitespace-split word array at the same 1-based offsets, so the
     # chunk text is byte-identical, not just same-length.

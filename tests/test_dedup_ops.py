@@ -484,3 +484,63 @@ def test_pair_triangles_hand_graph(spark):
         [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
         "doc_a long, doc_b long")
     assert pair_triangles(pairs2).first()["n_triangles"] == 2
+
+
+# ---------------------------------------------------------------- spans
+
+def _span_docs(spark):
+    # Segment width 4: docs 1-3 share the boilerplate segment
+    # "nav home about contact"; every other 4-word segment is unique.
+    rows = [
+        (1, "nav home about contact alpha beta gamma delta"),
+        (2, "nav home about contact epsilon zeta eta theta"),
+        (3, "iota kappa lam mu nav home about contact"),
+        (4, "nu xi omicron pi rho sigma tau upsilon"),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_remove_duplicate_spans_strips_boilerplate(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(_span_docs(spark), seg_words=4,
+                                  max_df=1).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[3]["clean_text"] == "iota kappa lam mu"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (2, 1)
+    # untouched doc survives byte-identical, order preserved
+    assert out[4]["clean_text"] == "nu xi omicron pi rho sigma tau upsilon"
+    assert out[4]["n_removed"] == 0
+    # short doc = one segment, unique -> kept whole
+    assert out[5]["clean_text"] == "tiny doc"
+    assert (out[5]["n_segments"], out[5]["n_removed"]) == (1, 0)
+
+
+def test_remove_duplicate_spans_all_removed_yields_empty(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b c d")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, seg_words=4, max_df=1).collect()}
+    assert all(out[i]["clean_text"] == "" for i in (1, 2, 3))
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
+
+
+def test_remove_duplicate_spans_max_df_keeps_below_threshold(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    # df=3 boilerplate survives max_df=3, dies at max_df=2.
+    docs = _span_docs(spark)
+    lax = {r["doc_id"]: r["n_removed"] for r in
+           remove_duplicate_spans(docs, seg_words=4, max_df=3).collect()}
+    assert all(v == 0 for v in lax.values())
+    strict = {r["doc_id"]: r["n_removed"] for r in
+              remove_duplicate_spans(docs, seg_words=4, max_df=2).collect()}
+    assert (strict[1], strict[2], strict[3], strict[4]) == (1, 1, 1, 0)
