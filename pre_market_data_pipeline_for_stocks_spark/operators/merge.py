@@ -1,0 +1,60 @@
+"""CDC MERGE / upsert: apply a changelog batch to a keyed fact table.
+
+The Delta-Lake ``MERGE INTO`` triad — matched UPDATE, not-matched
+INSERT, matched DELETE — expressed as a plain-DataFrame operator so the
+pattern works on any keyed relation (the reference pipeline's analogue
+is its SQLite ``INSERT OR REPLACE`` cache upsert, run_pipeline.py's
+bronze refresh; here it generalizes to fact maintenance at scale).
+
+Scale design (100 TB target, CDC batch << target):
+- The target is never shuffled: matched keys are removed with a
+  LEFT ANTI join against the (small) change-batch keys — broadcast by
+  default, so the probe is map-side — and surviving change rows are
+  UNION ALLed in (a map-side concatenation, no shuffle).
+- Multi-change batches collapse to one winner per key FIRST (a window
+  over the batch only, never the target), so applying a day of CDC in
+  one call equals applying its micro-batches in order.
+- Pair with ``sinks.overwrite_partitions`` for the write-back: only
+  partitions containing changed keys need rewriting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_change_per_key(changes: DataFrame, key_cols: list[str],
+                          seq_col: str, op_col: str = "op") -> DataFrame:
+    """One winner per key: the change with the highest ``seq_col``.
+    Ties prefer the delete (a delete+upsert at the same seq reads as a
+    delete — the conservative interpretation of a torn batch), then
+    fall back to ``op_col`` ascending so the winner is deterministic."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+        F.col(op_col).asc())
+    return (changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def merge_upsert(target: DataFrame, changes: DataFrame,
+                 key_cols: list[str], op_col: str = "op",
+                 seq_col: str | None = None,
+                 broadcast_changes: bool = True) -> DataFrame:
+    """Apply a changelog to ``target``: rows with ``op_col`` in
+    ('I','U') replace/append by key; op 'D' removes the key.
+
+    ``changes`` must carry the full target schema plus ``op_col`` (and
+    ``seq_col`` when given). Returns the merged relation with the
+    target's columns.
+    """
+    if seq_col is not None:
+        changes = latest_change_per_key(changes, key_cols, seq_col, op_col)
+    keys = changes.select(*key_cols)
+    if broadcast_changes:
+        keys = F.broadcast(keys)
+    untouched = target.join(keys, key_cols, "left_anti")
+    applied = (changes.filter(F.col(op_col) != "D")
+               .select(*target.columns))
+    return untouched.unionByName(applied)

@@ -1742,6 +1742,47 @@ FROM hh JOIN f USING (sh)
 GROUP BY 1 ORDER BY 1
 """),
 
+    # operators.merge.merge_upsert: Delta-style MERGE triad with
+    # last-writer-wins (delete preferred on seq ties). The NOT EXISTS
+    # is the left-anti twin; UNION ALL is the applied-changes append.
+    "merge_upsert_orders": QueryDef(R.merge_upsert_orders, """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice * 1.1, 4) AS o_totalprice, o_orderpriority,
+         'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 10 = 3),
+del AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority, 'D' AS op, 2 AS seq
+  FROM orders WHERE o_orderkey % 97 = 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         'P' AS o_orderstatus, CAST(1.0 AS DOUBLE) AS o_totalprice,
+         o_orderpriority, 'I' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 50 = 7),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        UNION ALL SELECT * FROM ins),
+best AS (
+  SELECT * FROM (
+    SELECT chg.*, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY seq DESC,
+               CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC, op ASC) AS rn
+    FROM chg) WHERE rn = 1),
+merged AS (
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+         t.o_orderpriority
+  FROM orders t WHERE NOT EXISTS (
+    SELECT 1 FROM best b WHERE b.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM best WHERE op <> 'D')
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 4) AS o_totalprice, o_orderpriority
+FROM merged ORDER BY o_orderkey
+"""),
+
     # operators.textstats.chunk_documents: both engines slice the same
     # whitespace-split word array at the same 1-based offsets, so the
     # chunk text is byte-identical, not just same-length.

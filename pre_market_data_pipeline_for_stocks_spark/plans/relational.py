@@ -927,3 +927,29 @@ def w_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.sum("revenue").over(wrun) / total, 4))
             .orderBy("r_name", F.col("revenue").desc(),
                      F.col("n_name").asc()))
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE over orders: a deterministic changelog (price updates
+    for keys %10==3 at seq 1, deletes for %97==0 at seq 2, inserts at
+    offset keys) applied via operators.merge.merge_upsert — the
+    Delta-style upsert triad with per-key last-writer-wins resolution.
+    A key hit by both U(seq1) and D(seq2) must come out deleted."""
+    from ..operators import merge as M
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    o = _t(spark, sf_dir, "orders")[0].select(*cols)
+    upd = (o.filter(F.col("o_orderkey") % 10 == 3)
+           .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+           .withColumn("op", F.lit("U")).withColumn("seq", F.lit(1)))
+    dele = (o.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("op", F.lit("D")).withColumn("seq", F.lit(2)))
+    ins = (o.filter(F.col("o_orderkey") % 50 == 7)
+           .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+           .withColumn("o_orderstatus", F.lit("P"))
+           .withColumn("o_totalprice", F.lit(1.0))
+           .withColumn("op", F.lit("I")).withColumn("seq", F.lit(1)))
+    chg = upd.unionByName(dele).unionByName(ins)
+    merged = M.merge_upsert(o, chg, ["o_orderkey"], seq_col="seq")
+    return (merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+            .orderBy("o_orderkey"))

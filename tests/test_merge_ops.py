@@ -1,0 +1,77 @@
+"""CDC MERGE operator checks: the upsert triad, last-writer-wins
+resolution, idempotence, and the broadcast-anti plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators.merge import (
+    latest_change_per_key,
+    merge_upsert,
+)
+
+
+def _target(spark):
+    rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    return spark.createDataFrame(rows, "k int, name string, v double")
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows,
+                                 "k int, name string, v double, op string")
+
+
+def test_merge_triad(spark):
+    t = _target(spark)
+    chg = _chg(spark, [(2, "b2", 22.0, "U"),      # matched update
+                       (3, "c", 30.0, "D"),       # matched delete
+                       (9, "z", 90.0, "I")])      # not-matched insert
+    out = {r["k"]: r for r in merge_upsert(t, chg, ["k"]).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["v"] == 10.0                    # untouched
+    assert (out[2]["name"], out[2]["v"]) == ("b2", 22.0)
+    assert out[9]["name"] == "z"
+
+
+def test_merge_delete_absent_key_is_noop(spark):
+    t = _target(spark)
+    chg = _chg(spark, [(42, "x", 0.0, "D")])
+    assert sorted(r["k"] for r in
+                  merge_upsert(t, chg, ["k"]).collect()) == [1, 2, 3]
+
+
+def test_merge_is_idempotent_for_upserts(spark):
+    t = _target(spark)
+    chg = _chg(spark, [(2, "b2", 22.0, "U"), (9, "z", 90.0, "I")])
+    once = merge_upsert(t, chg, ["k"])
+    twice = merge_upsert(once, chg, ["k"])
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+
+
+def test_seq_resolution_last_writer_wins(spark):
+    t = _target(spark)
+    rows = [(2, "u1", 21.0, "U", 1), (2, "u2", 22.0, "U", 5),
+            (3, "c", 30.0, "U", 1), (3, "c", 30.0, "D", 2)]
+    chg = spark.createDataFrame(
+        rows, "k int, name string, v double, op string, seq int")
+    out = {r["k"]: r for r in
+           merge_upsert(t, chg, ["k"], seq_col="seq").collect()}
+    assert out[2]["name"] == "u2"                 # highest seq wins
+    assert 3 not in out                           # delete at seq 2 wins
+
+
+def test_seq_tie_prefers_delete(spark):
+    rows = [(1, "a", 1.0, "U", 7), (1, "a", 1.0, "D", 7)]
+    chg = spark.createDataFrame(
+        rows, "k int, name string, v double, op string, seq int")
+    best = latest_change_per_key(chg, ["k"], "seq").collect()
+    assert len(best) == 1 and best[0]["op"] == "D"
+
+
+def test_merge_plan_broadcasts_change_keys(spark):
+    t = _target(spark)
+    chg = _chg(spark, [(2, "b2", 22.0, "U")])
+    plan = merge_upsert(t, chg, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
