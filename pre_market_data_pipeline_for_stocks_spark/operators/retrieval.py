@@ -27,7 +27,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i64
@@ -173,3 +173,65 @@ def maxsim_topk(chunk_emb: DataFrame, query_terms: list[str],
             .select("doc_id", F.round(total, 4).alias("maxsim"))
             .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def retrieval_doc_scores(chunk_emb: DataFrame, query_text: str,
+                         top_n: int = 20, dims: int = HASH_EMBED_DIMS,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Document-level dense ranking: (doc_id, dense) for the ``top_n``
+    documents whose BEST chunk is nearest the query — the doc-pooling
+    step between chunk search (retrieval_topk) and rank fusion.
+
+    Same integer-exact scoring as retrieval_topk (per-chunk cosine
+    rounded to 4 before the max, zero-norm chunks excluded); the
+    per-doc max is one partial-aggregated groupBy shuffling
+    (doc_id, double), then a TakeOrdered cut."""
+    qv = hash_embed_text(query_text, dims)
+    qnrm = math.sqrt(sum(x * x for x in qv))
+    if qnrm == 0:
+        raise ValueError("query embeds to the zero vector")
+    e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
+    dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)), F.lit(0.0))
+    nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
+    return (chunk_emb
+            .withColumn("_nrm2", nrm2)
+            .filter(F.col("_nrm2") > 0)
+            .select("doc_id",
+                    F.round(dot / (F.sqrt(F.col("_nrm2")) * qnrm), 4)
+                    .alias("_c"))
+            .groupBy("doc_id")
+            .agg(F.max("_c").alias("dense"))
+            .orderBy(F.col("dense").desc(), F.col("doc_id").asc())
+            .limit(top_n))
+
+
+def rrf_fuse(rankings: list[DataFrame], key_col: str = "doc_id",
+             score_col: str = "_score", k0: int = 60,
+             top_n: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of ranked lists:
+    (doc_id, rrf, n_lists) with rrf = Σ_lists 1/(k0 + rank).
+
+    The standard hybrid-search combiner (Elasticsearch/Vespa default)
+    for lexical BM25 + dense ANN: rank-based, so the incomparable
+    score scales never need calibration. Each input must be a BOUNDED
+    ranked list (top-N) with unique keys and a ``score_col``; ranks
+    are assigned 1-based by (score desc, key asc).
+
+    Scale note: the rank window is a global (unpartitioned) sort, safe
+    ONLY because inputs are already top-N cuts (tiny by contract —
+    this operator fuses result lists, not corpora); the union +
+    groupBy then touches O(lists × N) rows."""
+    ranked = []
+    for lst in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        ranked.append(lst.select(
+            key_col, F.row_number().over(w).alias("_r")))
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (u.groupBy(key_col)
+            .agg(F.round(F.sum(1.0 / (F.lit(k0) + F.col("_r"))), 6)
+                 .alias("rrf"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.col("rrf").desc(), F.col(key_col).asc())
+            .limit(top_n))

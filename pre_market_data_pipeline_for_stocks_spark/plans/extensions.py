@@ -1025,6 +1025,27 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+RRF_K0 = 60
+RRF_POOL = 20
+RRF_TOPK = 10
+
+
+def retrieval_rrf_hybrid(spark, sf_dir):
+    """Hybrid search: BM25 (lexical) and best-chunk dense cosine
+    (semantic) top-20 lists for the SAME three-term query, fused by
+    reciprocal-rank — the production hybrid-retrieval topology
+    (rank-based, so the two score scales never need calibration)."""
+    from ..operators import retrieval
+    docs = _docs(spark, sf_dir)
+    lex = (relevance.bm25_search(docs, BM25_QUERY, RRF_POOL)
+           .select("doc_id", F.col("score").alias("_score")))
+    chunks = textstats.chunk_documents(docs, CHUNK_SIZE, CHUNK_OVERLAP)
+    den = (retrieval.retrieval_doc_scores(retrieval.hash_embed(chunks),
+                                          " ".join(BM25_QUERY), RRF_POOL)
+           .select("doc_id", F.col("dense").alias("_score")))
+    return retrieval.rrf_fuse([lex, den], k0=RRF_K0, top_n=RRF_TOPK)
+
+
 def retrieval_chunk_search(spark, sf_dir):
     """End-to-end retrieval index: sliding-window chunking →
     feature-hash embedding (integer-exact) → cosine top-10 chunks for

@@ -687,6 +687,62 @@ LIMIT {X.RETRIEVAL_TOPK}
 """
 
 
+def _rrf_sql() -> str:
+    """Twin of extensions.retrieval_rrf_hybrid: the bm25 CTE chain and
+    a best-chunk dense ranking over the shared chunk/dims CTEs, ranked
+    independently (row_number on score desc, doc_id asc — the operator's
+    tie rule) and fused by Σ 1/(k0 + rank)."""
+    import math
+
+    from ..operators.retrieval import HASH_EMBED_DIMS as D
+    from ..operators.retrieval import hash_embed_text
+    qv = hash_embed_text(" ".join(X.BM25_QUERY), D)
+    qnrm = math.sqrt(sum(v * v for v in qv))
+    dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
+    nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
+    terms = "', '".join(X.BM25_QUERY)
+    return f"""
+WITH {_chunk_dims_cte()},
+densedoc AS (
+  SELECT doc_id, max(round(({dot}) / (sqrt({nrm2}) * {qnrm!r}), 4)) AS ds
+  FROM dims WHERE ({nrm2}) > 0 GROUP BY 1
+  ORDER BY ds DESC, doc_id ASC LIMIT {X.RRF_POOL}),
+dl AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+  FROM documents),
+bstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+btok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+btf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM btok
+        WHERE token IN ('{terms}') GROUP BY 1, 2),
+bdft AS (SELECT token, count(*)::DOUBLE AS df FROM btf GROUP BY 1),
+bidf AS (SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+         FROM bdft, bstats),
+bcontrib AS (
+  SELECT btf.doc_id,
+         bidf.idf * (btf.tf * ({_BM25_K1} + 1))
+           / (btf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * dl.dl / bstats.avgdl)) AS c
+  FROM btf JOIN bidf USING (token) JOIN dl USING (doc_id), bstats),
+bm AS (
+  SELECT doc_id, round(sum(c), 4) AS score FROM bcontrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {X.RRF_POOL}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm),
+dnr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY ds DESC, doc_id ASC) AS r
+        FROM densedoc),
+u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM dnr)
+SELECT doc_id, round(sum(1.0 / ({X.RRF_K0} + r)), 6) AS rrf,
+       count(*) AS n_lists
+FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id ASC LIMIT {X.RRF_TOPK}
+"""
+
+
 # Synthetic snapshot v2 of documents — twin of extensions._docs_v2.
 _V2_CTE = """v2 AS (
   SELECT doc_id,
@@ -1819,6 +1875,10 @@ FROM s ORDER BY doc_id, chunk_id
     # as text_bm25_search.
     "retrieval_maxsim_search": QueryDef(
         X.retrieval_maxsim_search, _maxsim_sql()),
+
+    # operators.retrieval.rrf_fuse over bm25_search + retrieval_doc_scores.
+    "retrieval_rrf_hybrid": QueryDef(
+        X.retrieval_rrf_hybrid, _rrf_sql()),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

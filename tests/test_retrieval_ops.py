@@ -99,3 +99,59 @@ def test_maxsim_rejects_zero_vector_term(spark):
     # an all-whitespace term tokenizes to nothing -> zero vector
     with _pytest.raises(ValueError, match="zero vector"):
         maxsim_topk(emb, ["a", "   "])
+
+
+# ---------------------------------------------------------------- RRF
+
+def test_rrf_fuse_math_and_partial_membership(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id int, _score double")
+    den = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id int, _score double")
+    out = {r["doc_id"]: r for r in
+           rrf_fuse([lex, den], k0=60, top_n=10).collect()}
+    # doc 2: rank 2 lexically, rank 1 densely
+    assert abs(out[2]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[2]["n_lists"] == 2
+    # doc 4 only in the dense list at rank 2
+    assert abs(out[4]["rrf"] - round(1 / 62, 6)) < 1e-9
+    assert out[4]["n_lists"] == 1
+    # fusion puts the doubly-ranked doc first
+    top = rrf_fuse([lex, den], k0=60, top_n=10).collect()[0]
+    assert top["doc_id"] == 2
+
+
+def test_rrf_fuse_tie_ranks_by_key(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    lst = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0)], "doc_id int, _score double")
+    out = rrf_fuse([lst], k0=60, top_n=2).collect()
+    # equal scores -> lower doc_id takes rank 1
+    assert out[0]["doc_id"] == 3 and abs(out[0]["rrf"] - round(1 / 61, 6)) < 1e-9
+
+
+def test_retrieval_doc_scores_pools_best_chunk(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.retrieval import (
+        hash_embed,
+        retrieval_doc_scores,
+        retrieval_topk,
+    )
+    chunks = spark.createDataFrame(
+        [(1, 0, "merge scan window"), (1, 1, "unrelated words here"),
+         (2, 0, "scan scan scan")],
+        "doc_id int, chunk_id int, chunk_text string")
+    emb = hash_embed(chunks)
+    per_chunk = {(r["doc_id"], r["chunk_id"]): r["cosine"]
+                 for r in retrieval_topk(emb, "merge scan window",
+                                         k=10).collect()}
+    docs = {r["doc_id"]: r["dense"]
+            for r in retrieval_doc_scores(emb, "merge scan window",
+                                          top_n=10).collect()}
+    for d in (1, 2):
+        best = max(v for (doc, _), v in per_chunk.items() if doc == d)
+        assert abs(docs[d] - best) < 1e-9
