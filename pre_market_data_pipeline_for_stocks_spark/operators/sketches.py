@@ -67,3 +67,99 @@ def hll_distinct(df: DataFrame, keys: list[str], value_col: str,
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))))
         .cast("long").alias(estimate_col))
+
+
+# ---------------------------------------------------------------- CMS
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_slot(i_col, value_col, width: int):
+    """depth-row bucket: md5 over "<i>:<value>" (the seeded-hash
+    convention of functions.hashing.md5_i64, with the row index as the
+    seed) modulo width. Positive 60-bit hash, so % is engine-portable."""
+    h = F.conv(F.substring(F.md5(F.concat(i_col.cast("string"), F.lit(":"),
+                                          value_col.cast("string"))),
+                           1, 15), 16, 10).cast("long")
+    return h % width
+
+
+def cms_slot_py(i: int, value: str, width: int) -> int:
+    """Driver-side twin of :func:`_cms_slot` for probe-term lookups."""
+    import hashlib
+    h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16)
+    return h % width
+
+
+def cms_partials(df: DataFrame, keys: list[str], value_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Per-key count-min sketch: (keys..., cms array<long> of depth*width).
+
+    The frequency twin of hll_partials: fixed-size state per key, built
+    at the finest maintenance grain and stored; counter[i][j] (at array
+    slot i*width + j) holds the total multiplicity of values hashing to
+    bucket j under seed-i. The shuffle carries (keys, slot, count) —
+    at most depth*width rows per key regardless of input size."""
+    i = F.col("_i")
+    slots = (df.select(*keys, F.col(value_col).alias("_v"),
+                       F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                       .alias("_i"))
+             .select(*keys,
+                     (i * width + _cms_slot(i, F.col("_v"), width))
+                     .cast("int").alias("_slot"))
+             .groupBy(*keys, "_slot")
+             .agg(F.count(F.lit(1)).alias("_c")))
+    m = F.map_from_entries(F.collect_list(F.struct("_slot", "_c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(depth * width - 1)),
+        lambda p: F.coalesce(F.element_at(m, p.cast("int")), F.lit(0))
+        .cast("long"))
+    grouped = slots.groupBy(*keys) if keys else slots.groupBy()
+    return grouped.agg(dense.alias("cms"))
+
+
+def cms_merge(partials: DataFrame, keys: list[str],
+              cms_col: str = "cms") -> DataFrame:
+    """Merge sketches to a coarser grain: element-wise sum.
+
+    Associative + commutative, so any partial grouping (per-day,
+    per-shard, per-backfill) merges to exactly the sketch of the raw
+    union — merge==direct is unit-pinned like the HLL twin."""
+    ex = partials.select(*keys, F.posexplode(F.col(cms_col))
+                         .alias("_p", "_v"))
+    summed = (ex.groupBy(*keys, "_p") if keys else ex.groupBy("_p"))
+    summed = summed.agg(F.sum("_v").alias("_s"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("_p", "_s"))),
+        lambda s: s["_s"])
+    grouped = summed.groupBy(*keys) if keys else summed.groupBy()
+    return grouped.agg(arr.alias(cms_col))
+
+
+def cms_estimate_terms(sketches: DataFrame, terms: list[str],
+                       depth: int = CMS_DEPTH,
+                       width: int = CMS_WIDTH,
+                       cms_col: str = "cms") -> DataFrame:
+    """Point queries against each sketch row: one output row per
+    (sketch keys..., term) with ``estimate`` = min over depth rows of
+    the term's counter — the CMS upper-bound estimate (>= true count,
+    == when no bucket collision; the overestimate-only property is
+    unit-pinned).
+
+    Probe slots are driver-side constants (cms_slot_py), so the probe
+    is a literal explode + array lookups — no join, no shuffle."""
+    probes = F.array(*[
+        F.struct(
+            F.lit(t).alias("term"),
+            F.array(*[F.lit(i * width + cms_slot_py(i, t, width))
+                      for i in range(depth)]).alias("slots"))
+        for t in terms])
+    return (sketches
+            .select("*", F.explode(probes).alias("_probe"))
+            .select(*[c for c in sketches.columns if c != cms_col],
+                    F.col("_probe.term").alias("term"),
+                    F.array_min(F.transform(
+                        F.col("_probe.slots"),
+                        lambda s: F.element_at(F.col(cms_col), s + 1)))
+                    .alias("estimate")))

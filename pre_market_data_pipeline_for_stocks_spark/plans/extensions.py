@@ -1025,6 +1025,28 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+CMS_PROBE_TERMS = ["a", "merge", "of", "scan", "table", "the",
+                   "window", "zzyzx"]
+
+
+def corpus_cms_term_counts(spark, sf_dir):
+    """Count-min-sketch term frequencies, built MERGEABLY: one sketch
+    per source (the maintenance grain a sharded ingest would persist),
+    element-wise-summed to the corpus sketch, then point-probed for a
+    fixed term list. The frequency twin of events_hll_daily_users —
+    fixed-size state, shuffle carries counters, never raw tokens."""
+    from ..operators import sketches as SK
+    tok = (_docs(spark, sf_dir)
+           .select("source",
+                   F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                     r"\s+")).alias("t"))
+           .filter(F.col("t") != ""))
+    parts = SK.cms_partials(tok, ["source"], "t")
+    merged = SK.cms_merge(parts, [])
+    return (SK.cms_estimate_terms(merged, CMS_PROBE_TERMS)
+            .orderBy("term"))
+
+
 RRF_K0 = 60
 RRF_POOL = 20
 RRF_TOPK = 10

@@ -743,6 +743,31 @@ FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id ASC LIMIT {X.RRF_TOPK}
 """
 
 
+def _cms_sql() -> str:
+    """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
+    probe_rows = ", ".join(
+        f"('{t}', {i}, {cms_slot_py(i, t, CMS_WIDTH)})"
+        for t in X.CMS_PROBE_TERMS for i in range(CMS_DEPTH))
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents),
+tk AS (SELECT t FROM tok WHERE t <> ''),
+d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+b AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || t), 1, 15))::BIGINT
+           % {CMS_WIDTH} AS j,
+         count(*) AS c
+  FROM tk CROSS JOIN d GROUP BY 1, 2),
+probe(term, i, j) AS (VALUES {probe_rows})
+SELECT term, min(coalesce(c, 0))::BIGINT AS estimate
+FROM probe LEFT JOIN b USING (i, j)
+GROUP BY term ORDER BY term
+"""
+
+
 # Synthetic snapshot v2 of documents — twin of extensions._docs_v2.
 _V2_CTE = """v2 AS (
   SELECT doc_id,
@@ -1879,6 +1904,12 @@ FROM s ORDER BY doc_id, chunk_id
     # operators.retrieval.rrf_fuse over bm25_search + retrieval_doc_scores.
     "retrieval_rrf_hybrid": QueryDef(
         X.retrieval_rrf_hybrid, _rrf_sql()),
+
+    # operators.sketches.cms_*: the oracle computes the counter table
+    # directly (merge is element-wise sum, so per-source partials
+    # merged == one global count) and probes the SAME driver-computed
+    # (term, i, j) slots the Spark estimate uses.
+    "corpus_cms_term_counts": QueryDef(X.corpus_cms_term_counts, _cms_sql()),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

@@ -99,3 +99,67 @@ def test_streaming_hll_equals_batch(spark, sf_dir):
     batch = {(str(r["w"]["start"]), r["event_type"]): r["approx_users"]
              for r in batch_df.collect()}
     assert stream == batch and len(stream) > 0
+
+
+# ---------------------------------------------------------------- CMS
+
+def _tok(spark):
+    rows = [("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "x"),
+            ("s2", "z"), ("s2", "z"), ("s2", "z"), ("s3", "w")]
+    return spark.createDataFrame(rows, "source string, t string")
+
+
+def test_cms_merge_equals_direct(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    tok = _tok(spark)
+    merged = SK.cms_merge(SK.cms_partials(tok, ["source"], "t",
+                                          depth=3, width=16), [])
+    direct = SK.cms_partials(tok, [], "t", depth=3, width=16)
+    assert merged.collect()[0]["cms"] == direct.collect()[0]["cms"]
+
+
+def test_cms_estimates_are_upper_bounds_and_exact_when_wide(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    tok = _tok(spark)
+    truth = {"x": 3, "y": 1, "z": 3, "w": 1, "absent": 0}
+    sk = SK.cms_partials(tok, [], "t", depth=4, width=64)
+    est = {r["term"]: r["estimate"] for r in
+           SK.cms_estimate_terms(sk, list(truth), depth=4,
+                                 width=64).collect()}
+    # CMS never underestimates...
+    assert all(est[t] >= c for t, c in truth.items())
+    # ...and with width >> distinct values there are no collisions here
+    assert est == truth
+
+
+def test_cms_narrow_width_still_upper_bounds(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    tok = _tok(spark)
+    truth = {"x": 3, "y": 1, "z": 3, "w": 1}
+    sk = SK.cms_partials(tok, [], "t", depth=2, width=2)
+    est = {r["term"]: r["estimate"] for r in
+           SK.cms_estimate_terms(sk, list(truth), depth=2,
+                                 width=2).collect()}
+    assert all(est[t] >= c for t, c in truth.items())
+    # total mass bound: no estimate exceeds the full stream length
+    assert all(v <= 8 for v in est.values())
+
+
+def test_cms_partial_roundtrips_through_parquet(spark, tmp_path):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    tok = _tok(spark)
+    p = SK.cms_partials(tok, ["source"], "t", depth=2, width=8)
+    path = str(tmp_path / "cms")
+    p.write.parquet(path)
+    back = spark.read.parquet(path)
+    a = SK.cms_merge(p, []).collect()[0]["cms"]
+    b = SK.cms_merge(back, []).collect()[0]["cms"]
+    assert a == b
