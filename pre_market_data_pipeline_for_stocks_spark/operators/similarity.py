@@ -1050,3 +1050,70 @@ def load_pq_codebooks(spark, path: str):
     for r in rows:
         books[r["subspace"]][r["code"]] = r["centroid"]
     return books
+
+
+def semantic_dedup(embeddings: DataFrame, tau: float = 0.4,
+                   centroid_stride: int = 200, train_iters: int = 1,
+                   sample_mod: int = 2, max_cell: int | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-prune semantic
+    dedup. Returns every vector as (vec_id, cell, cent_cos, kept) —
+    ``kept=false`` marks vectors with a MORE CENTRAL near-duplicate.
+
+    Rule: within its k-means cell, a vector v is dropped iff some
+    u != v in the same cell has round(cos(u, v), 4) >= tau and ranks
+    above v by (cent_cos desc, vec_id asc), where cent_cos is the
+    4-dp-rounded cosine to the cell centroid. Ranking by centrality
+    keeps the most prototypical member of each duplicate
+    neighborhood (the paper's keep-rule); the strict ordering makes
+    the survivor set deterministic and engine-portable.
+
+    Scale design: the quadratic pair space is confined to k-means
+    cells (the whole point of SemDeDup — cells are the candidate
+    blocks), sized by ``centroid_stride``/``ivf_cells_stride``; the
+    join is an equi-join on cell. ``max_cell`` is the hot-cell guard
+    (the cap_band_buckets pattern): cells larger than the cap skip
+    pruning entirely — conservative, nothing is dropped — bounding
+    the join at O(cells x max_cell^2) on skewed corpora.
+
+    Reference scope: no ANN/semantic surface in the reference; LLM
+    extension (BASELINE.json north star)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"))
+    cents = train_ivf_centroids(embeddings, centroid_stride, train_iters,
+                                id_col=id_col, vec_col=vec_col,
+                                sample_mod=sample_mod)
+    a = _assign_cells(e.withColumn("_nrm", _norm(F.col("embedding"))),
+                      cents, keep_score=True)
+    a = a.select("vec_id", "embedding", "_nrm", "cell",
+                 F.round("_cc", 4).alias("cent_cos"))
+    pairable = a
+    if max_cell is not None:
+        sizes = (a.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+                 .filter(F.col("_csz") > max_cell).select("cell"))
+        pairable = a.join(F.broadcast(sizes), "cell", "left_anti")
+    u = pairable.select(F.col("cell").alias("cell"),
+                        F.col("vec_id").alias("u_id"),
+                        F.col("embedding").alias("u_v"),
+                        F.col("_nrm").alias("u_n"),
+                        F.col("cent_cos").alias("u_c"))
+    v = pairable.select(F.col("cell").alias("cell"),
+                        F.col("vec_id").alias("v_id"),
+                        F.col("embedding").alias("v_v"),
+                        F.col("_nrm").alias("v_n"),
+                        F.col("cent_cos").alias("v_c"))
+    better = (F.col("u_c") > F.col("v_c")) | (
+        (F.col("u_c") == F.col("v_c")) & (F.col("u_id") < F.col("v_id")))
+    sim = F.round(_dot_precast(F.col("u_v"), F.col("v_v"))
+                  / (F.col("u_n") * F.col("v_n")), 4) >= tau
+    dropped = (u.join(v, "cell")
+               .filter((F.col("u_id") != F.col("v_id")) & better & sim)
+               .select(F.col("v_id").alias("vec_id"))
+               .distinct()
+               .withColumn("_drop", F.lit(1)))
+    return (a.join(dropped, "vec_id", "left")
+            .select("vec_id", "cell", "cent_cos",
+                    F.col("_drop").isNull().alias("kept"))
+            .orderBy("vec_id"))

@@ -1025,6 +1025,21 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+SEMDEDUP_TAU = 0.4
+SEMDEDUP_STRIDE = 200
+
+
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup cluster-then-prune over the embeddings table: k-means
+    cells from the shared IVF trainer (stride-200 seeding, the
+    ann_ivf_topk configuration), then each cell pruned of vectors
+    having a more-central near-duplicate at cosine >= 0.4 (the
+    fixture's near-dup band — its max pairwise cosine is ~0.51)."""
+    return similarity.semantic_dedup(_emb(spark, sf_dir),
+                                     tau=SEMDEDUP_TAU,
+                                     centroid_stride=SEMDEDUP_STRIDE)
+
+
 CMS_PROBE_TERMS = ["a", "merge", "of", "scan", "table", "the",
                    "window", "zzyzx"]
 

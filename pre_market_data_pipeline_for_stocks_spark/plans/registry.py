@@ -743,6 +743,35 @@ FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id ASC LIMIT {X.RRF_TOPK}
 """
 
 
+def _semdedup_sql(tau: float, stride: int = 200, iters: int = 1,
+                  sample_mod: int = 2) -> str:
+    """Twin of similarity.semantic_dedup: reuses _ivf_sql's training
+    chain verbatim through the full-corpus ``assigned`` CTE (the
+    _ivf_batch_sql pattern), then the centrality-prune EXISTS rule on
+    4-dp-rounded cosines."""
+    cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
+           "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
+    train = _ivf_sql(stride, 3, iters, 10, sample_mod)
+    body = train.split("q AS (SELECT v AS qv")[0].rstrip().rstrip(",")
+    cc = cos.format(a="a.v", b="c.cv")
+    uv = cos.format(a="u.v", b="v.v")
+    return f"""{body},
+cellcos AS (
+  SELECT a.vec_id, a.v, a.cell, round({cc}, 4) AS cent_cos
+  FROM assigned a JOIN c{iters} c ON a.cell = c.cent_id),
+dropped AS (
+  SELECT DISTINCT v.vec_id
+  FROM cellcos u JOIN cellcos v
+    ON u.cell = v.cell AND u.vec_id <> v.vec_id
+  WHERE round({uv}, 4) >= {tau}
+    AND (u.cent_cos > v.cent_cos
+         OR (u.cent_cos = v.cent_cos AND u.vec_id < v.vec_id)))
+SELECT c.vec_id, c.cell, c.cent_cos, (d.vec_id IS NULL) AS kept
+FROM cellcos c LEFT JOIN dropped d USING (vec_id)
+ORDER BY c.vec_id
+"""
+
+
 def _cms_sql() -> str:
     """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
@@ -1910,6 +1939,12 @@ FROM s ORDER BY doc_id, chunk_id
     # merged == one global count) and probes the SAME driver-computed
     # (term, i, j) slots the Spark estimate uses.
     "corpus_cms_term_counts": QueryDef(X.corpus_cms_term_counts, _cms_sql()),
+
+    # similarity.semantic_dedup (SemDeDup): shared IVF training CTEs +
+    # centrality-prune rule.
+    "dedup_semantic_prune": QueryDef(
+        X.dedup_semantic_prune,
+        _semdedup_sql(X.SEMDEDUP_TAU, X.SEMDEDUP_STRIDE)),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

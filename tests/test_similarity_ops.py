@@ -506,3 +506,53 @@ def test_pq_codebook_parquet_round_trip(spark, sf_dir, tmp_path):
     a = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, books).collect()}
     b = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, back).collect()}
     assert a == b
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def _sem_emb(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+        (4, [0.0, 1.0]), (5, [0.0, 1.0]), (3, [0.1, 0.9]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_drops_less_central_duplicate(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(_sem_emb(spark), tau=0.999, centroid_stride=4,
+                          sample_mod=2).collect()}
+    assert len(out) == 6
+    # exact-dup pairs (0,1) and (4,5): centrality ties -> lower id kept
+    assert out[0]["kept"] and not out[1]["kept"]
+    assert out[4]["kept"] and not out[5]["kept"]
+    # near-but-below-tau members survive
+    assert out[2]["kept"] and out[3]["kept"]
+
+
+def test_semantic_dedup_max_cell_guard_is_conservative(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    out = semantic_dedup(_sem_emb(spark), tau=0.999, centroid_stride=4,
+                         sample_mod=2, max_cell=1).collect()
+    # every cell exceeds the cap -> pruning skipped, nothing dropped
+    assert all(r["kept"] for r in out)
+
+
+def test_semantic_dedup_lower_tau_prunes_more(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    strict = semantic_dedup(_sem_emb(spark), tau=0.999, centroid_stride=4,
+                            sample_mod=2)
+    lax = semantic_dedup(_sem_emb(spark), tau=0.9, centroid_stride=4,
+                         sample_mod=2)
+    n_strict = sum(not r["kept"] for r in strict.collect())
+    n_lax = sum(not r["kept"] for r in lax.collect())
+    assert n_lax >= n_strict
+    # at tau=0.9 the (0.9,0.1)-style satellites also fold in
+    assert n_lax == 4
