@@ -1117,3 +1117,86 @@ def semantic_dedup(embeddings: DataFrame, tau: float = 0.4,
             .select("vec_id", "cell", "cent_cos",
                     F.col("_drop").isNull().alias("kept"))
             .orderBy("vec_id"))
+
+
+def _mmr_greedy(rows: list, k: int, lmb: float) -> list:
+    """Sequential MMR selection over one candidate group (driver of the
+    applyInPandas kernel, exposed for unit tests). ``rows`` is
+    [(vec_id, rel, vec)]; returns [(rank, vec_id, rel)].
+
+    Numerical contract: pairwise cosines use the same SEQUENTIAL
+    left-fold dot product as the column-side ``_dot`` / DuckDB's
+    ``list_inner_product`` (bit-identical on identical input — a numpy
+    BLAS dot would reorder the sum), rounded HALF-AWAY to 4 dp (the
+    engines' round(); Python's round() is banker's and would diverge
+    on exact boundaries)."""
+    import math
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def r4(x):
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+    norms = {vid: math.sqrt(dot(v, v)) for vid, _, v in rows}
+    vecs = {vid: v for vid, _, v in rows}
+    rels = {vid: rel for vid, rel, _ in rows}
+
+    def sim(a, b):
+        return r4(dot(vecs[a], vecs[b]) / (norms[a] * norms[b]))
+
+    first = max(rows, key=lambda t: (t[1], -t[0]))[0]
+    selected = [first]
+    while len(selected) < min(k, len(rows)):
+        best, best_key = None, None
+        for vid in rels:
+            if vid in selected:
+                continue
+            maxsim = max(sim(vid, s) for s in selected)
+            score = lmb * rels[vid] - (1 - lmb) * maxsim
+            key = (score, -vid)
+            if best_key is None or key > best_key:
+                best, best_key = vid, key
+        selected.append(best)
+    return [(i + 1, vid, rels[vid]) for i, vid in enumerate(selected)]
+
+
+def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
+               n_candidates: int = 20, k: int = 8, lmb: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k:
+    (rank, vec_id, relevance) — the post-retrieval re-rank that trades
+    relevance against redundancy (Carbonell & Goldstein):
+    argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), seeded with
+    the most relevant candidate; ties by lower vec_id.
+
+    Execution: candidate generation is the distributed cosine top-N
+    (one scan + TakeOrdered); the greedy selection is inherently
+    sequential, so it runs as an applyInPandas kernel over ONE
+    bounded group of n_candidates rows — the standard shape for
+    per-query rerankers (for query BATCHES, group by query_id: each
+    group stays O(n_candidates), parallelism comes from the queries).
+    The corpus is never shuffled; only the top-N candidates move."""
+    import pandas as pd
+
+    cands = cosine_topk(embeddings, query_vec_id, n_candidates,
+                        id_col, vec_col)
+    withv = cands.join(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v")),
+        "vec_id")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = [(int(vid), float(rel), list(v)) for vid, rel, v in
+                pdf[["vec_id", "cosine", "_v"]]
+                .itertuples(index=False, name=None)]
+        out = _mmr_greedy(rows, k, lmb)
+        return pd.DataFrame(out, columns=["rank", "vec_id", "relevance"])
+
+    return (withv.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(kernel, "rank int, vec_id long, relevance double")
+            .orderBy("rank"))

@@ -1025,6 +1025,21 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+MMR_CANDIDATES = 20
+MMR_K = 8
+MMR_LAMBDA = 0.7
+
+
+def ann_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank of the cosine top-20 for the standard
+    query vector: λ=0.7, k=8 — the redundancy-aware result list a
+    retrieval endpoint actually serves."""
+    return similarity.mmr_rerank(_emb(spark, sf_dir),
+                                 query_vec_id=ANN_QUERY_ID,
+                                 n_candidates=MMR_CANDIDATES,
+                                 k=MMR_K, lmb=MMR_LAMBDA)
+
+
 SEMDEDUP_TAU = 0.4
 SEMDEDUP_STRIDE = 200
 

@@ -772,6 +772,48 @@ ORDER BY c.vec_id
 """
 
 
+def _mmr_sql(n: int, k: int, lmb: float) -> str:
+    """Twin of similarity.mmr_rerank: candidate top-n + pairwise sims
+    as CTEs, then the greedy selection unrolled as a RECURSIVE CTE
+    carrying the selected-id list; each step's argmax is the same
+    (score desc, vec_id asc) rule the Python kernel applies, on the
+    same 4-dp-rounded cosines."""
+    mu = 1 - lmb
+    cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
+           "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
+    return f"""
+WITH RECURSIVE
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         round({cos.format(a='embedding::DOUBLE[]', b='qv')}, 4) AS rel
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id ASC LIMIT {n}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round({cos.format(a='a.v', b='b.v')}, 4) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+pick(i, ids) AS (
+  SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC
+              LIMIT 1)]
+  UNION ALL
+  SELECT i + 1, list_append(ids, (
+    SELECT c.vec_id FROM cand c
+    WHERE NOT list_contains(p.ids, c.vec_id)
+    ORDER BY ({lmb} * c.rel - {mu} * (
+       SELECT max(s.s) FROM sims s
+       WHERE s.ia = c.vec_id AND list_contains(p.ids, s.ib))) DESC,
+       c.vec_id ASC
+    LIMIT 1))
+  FROM pick p WHERE i < {k}),
+final AS (SELECT ids FROM pick WHERE i = {k})
+SELECT t.i::INT AS rank, f.ids[t.i] AS vec_id, c.rel AS relevance
+FROM final f, UNNEST(range(1, {k} + 1)) t(i)
+JOIN cand c ON c.vec_id = f.ids[t.i]
+ORDER BY rank
+"""
+
+
 def _cms_sql() -> str:
     """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
@@ -1945,6 +1987,11 @@ FROM s ORDER BY doc_id, chunk_id
     "dedup_semantic_prune": QueryDef(
         X.dedup_semantic_prune,
         _semdedup_sql(X.SEMDEDUP_TAU, X.SEMDEDUP_STRIDE)),
+
+    # similarity.mmr_rerank: recursive-CTE greedy twin.
+    "ann_mmr_rerank": QueryDef(
+        X.ann_mmr_rerank,
+        _mmr_sql(X.MMR_CANDIDATES, X.MMR_K, X.MMR_LAMBDA)),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

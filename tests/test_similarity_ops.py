@@ -556,3 +556,44 @@ def test_semantic_dedup_lower_tau_prunes_more(spark):
     assert n_lax >= n_strict
     # at tau=0.9 the (0.9,0.1)-style satellites also fold in
     assert n_lax == 4
+
+
+# ----------------------------------------------------------------- MMR
+
+def test_mmr_greedy_diversifies_redundant_candidates():
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        _mmr_greedy,
+    )
+    # two near-identical highly relevant vectors + one distinct weaker
+    rows = [(1, 0.95, [1.0, 0.0]), (2, 0.94, [0.999, 0.01]),
+            (3, 0.50, [0.0, 1.0])]
+    out = _mmr_greedy(rows, k=2, lmb=0.5)
+    # rank 1 = most relevant; rank 2 = the ORTHOGONAL candidate, not
+    # the redundant near-copy that pure relevance would pick
+    assert [vid for _, vid, _ in out] == [1, 3]
+
+
+def test_mmr_greedy_lambda_one_is_pure_relevance():
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        _mmr_greedy,
+    )
+    rows = [(1, 0.95, [1.0, 0.0]), (2, 0.94, [0.999, 0.01]),
+            (3, 0.50, [0.0, 1.0])]
+    out = _mmr_greedy(rows, k=3, lmb=1.0)
+    assert [vid for _, vid, _ in out] == [1, 2, 3]
+
+
+def test_mmr_rerank_end_to_end(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        mmr_rerank,
+    )
+    rows = [(0, [1.0, 1.0]),                       # query
+            (1, [1.0, 0.9]), (2, [1.0, 0.89]),     # redundant pair
+            (3, [0.9, 1.0])]                       # distinct direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(emb, query_vec_id=0, n_candidates=3, k=3, lmb=0.5) \
+        .collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    picked = [r["vec_id"] for r in out]
+    # the diverse candidate must outrank the redundant near-copy
+    assert picked.index(3) < picked.index(2)
