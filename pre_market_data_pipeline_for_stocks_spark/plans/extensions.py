@@ -64,6 +64,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                      n=3, threshold=JACCARD_THRESHOLD)
 
 
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard pairs via All-Pairs/PPJoin prefix filtering —
+    same results as dedup_ngram_jaccard from a candidate join over
+    each doc's rarest shingles only (hot boilerplate never joins)."""
+    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir),
+                                      n=3, threshold=JACCARD_THRESHOLD)
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded-LSH near-dup pairs with exact-Jaccard verify — the 100 TB dedup path."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), MINHASH_K,

@@ -1855,6 +1855,19 @@ common AS (
 {_JACCARD_TAIL}
 """, headline=True),
 
+    # dedup.jaccard_prefix_pairs: prefix filtering is RESULT-exact, so
+    # the oracle is the same exact-Jaccard SQL as dedup_ngram_jaccard —
+    # what changes is the Spark plan (candidates from rare-prefix
+    # shingles only), pinned in tests/test_dedup_ops.py.
+    "dedup_jaccard_prefix": QueryDef(X.dedup_jaccard_prefix, f"""
+WITH {_SHINGLES_CTE.strip()},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+{_JACCARD_TAIL}
+"""),
+
     "dedup_minhash_lsh": QueryDef(X.dedup_minhash_lsh, _minhash_band_sql(),
                                   headline=True),
 

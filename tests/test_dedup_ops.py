@@ -544,3 +544,44 @@ def test_remove_duplicate_spans_max_df_keeps_below_threshold(spark):
     strict = {r["doc_id"]: r["n_removed"] for r in
               remove_duplicate_spans(docs, seg_words=4, max_df=2).collect()}
     assert (strict[1], strict[2], strict[3], strict[4]) == (1, 1, 1, 0)
+
+
+# -------------------------------------------------------- prefix filter
+
+def test_prefix_pairs_equal_naive_jaccard(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    docs = _docs(spark)
+    for t in (0.15, 0.2, 0.5):
+        naive = sorted(map(tuple, ngram_jaccard_pairs(
+            docs, n=3, threshold=t, persist_shingles=False).collect()))
+        pref = sorted(map(tuple, jaccard_prefix_pairs(
+            docs, n=3, threshold=t, persist_shingles=False).collect()))
+        assert pref == naive, f"threshold {t}"
+
+
+def test_prefix_filter_excludes_hot_shingles_from_candidates(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        _prefix_shingles,
+        hashed_shingles,
+    )
+    docs = _docs(spark)
+    sh = hashed_shingles(docs, 3)
+    # fixture: 6 shingles/doc, 2 of them hot (df=20). At t=0.5 the
+    # prefix keeps 6-3+1=4 — exactly the rare tail shingles, so the
+    # hot ones never reach the candidate join.
+    from pyspark.sql import functions as F
+    pref = _prefix_shingles(sh, 0.5)
+    dfreq = {r["sh"]: r["cnt"] for r in
+             sh.groupBy("sh").agg(F.count("*").alias("cnt")).collect()}
+    hot = {s for s, c in dfreq.items() if c == 20}
+    kept = {r["sh"] for r in pref.collect()}
+    assert hot and not (hot & kept)
+    # candidate join volume: zero shared prefix shingles -> zero pairs
+    x = pref.alias("a")
+    y = pref.alias("b")
+    ncand = (x.join(y, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))).count())
+    assert ncand == 0   # naive join would have 2 * C(20,2) = 380 rows
