@@ -220,6 +220,23 @@ def corpus_bpe_learned_merges(spark, sf_dir):
         "merge_rank int, left_tok string, right_tok string, n_pairs long")
 
 
+def corpus_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the 4 learned merges (the apply side
+    of the trainer above): per doc, token count after merging and how
+    many emitted tokens are merged units — the compression effect a
+    tokenizer change has on the training token budget."""
+    from ..operators import tokenizer
+    docs = _docs(spark, sf_dir)
+    merges = tokenizer.learn_bpe(docs, BPE_MERGES, min_count=1)
+    enc = tokenizer.apply_bpe(docs, merges)
+    return (enc.select(
+        "doc_id", "n_tokens",
+        F.size(F.filter(F.col("tokens"),
+                        lambda t: t.contains(" "))).cast("long")
+        .alias("n_merged_tokens"))
+        .orderBy("doc_id"))
+
+
 def corpus_datacard(spark, sf_dir):
     """One-row dataset card: corpus composition, token total, exact-dup
     ratio and mean quality — the stat block a dataset release publishes

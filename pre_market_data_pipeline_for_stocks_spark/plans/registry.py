@@ -932,6 +932,40 @@ def _bpe_learn_sql(k: int) -> str:
             + "\nORDER BY merge_rank")
 
 
+def _bpe_encode_sql(k: int) -> str:
+    """Twin of extensions.corpus_bpe_encode: the _bpe_learn_sql round
+    chain carrying doc_id through every merge application (including
+    round k's), ending in per-doc token counts."""
+    parts = [
+        "d1 AS (SELECT doc_id, regexp_replace(trim(lower("
+        "replace(text, chr(31), ' '))), '\\s+', ' ', 'g')"
+        " AS t FROM documents)"]
+    for i in range(1, k + 1):
+        parts.append(f"""p{i} AS (
+  SELECT w[i] AS l, w[i + 1] AS r, count(*) AS n
+  FROM (SELECT string_split(t, ' ') AS w FROM d{i}),
+       unnest(range(1, len(w))) u(i)
+  GROUP BY 1, 2)""")
+        parts.append(f"t{i} AS (SELECT l, r, n FROM p{i} "
+                     f"ORDER BY n DESC, l || ' ' || r ASC LIMIT 1)")
+        parts.append(f"""d{i + 1} AS (
+  SELECT doc_id, trim(regexp_replace(replace(
+    ' ' || replace(t, ' ', '  ') || ' ',
+    ' ' || (SELECT l FROM t{i}) || '  ' || (SELECT r FROM t{i}) || ' ',
+    ' ' || (SELECT l FROM t{i}) || chr(31) || (SELECT r FROM t{i}) || ' '),
+    ' +', ' ', 'g')) AS t
+  FROM d{i})""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT doc_id,
+       len(string_split(t, ' '))::BIGINT AS n_tokens,
+       len(list_filter(string_split(t, ' '),
+                       x -> contains(x, chr(31))))::BIGINT
+         AS n_merged_tokens
+FROM d{k + 1} ORDER BY doc_id
+"""
+
+
 # Shared quality-score CTE fragment ``q(doc_id, quality)`` (twin of
 # operators.textstats.quality_score's final score), interpolated into
 # every oracle that consumes the score (weighted sample, keeper
@@ -2005,6 +2039,11 @@ FROM s ORDER BY doc_id, chunk_id
     "ann_mmr_rerank": QueryDef(
         X.ann_mmr_rerank,
         _mmr_sql(X.MMR_CANDIDATES, X.MMR_K, X.MMR_LAMBDA)),
+
+    # tokenizer.apply_bpe over learn_bpe's merges: staged round chain
+    # with per-doc carry-through.
+    "corpus_bpe_encode": QueryDef(
+        X.corpus_bpe_encode, _bpe_encode_sql(X.BPE_MERGES)),
 
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact

@@ -48,3 +48,21 @@ def test_learn_bpe_min_count_stops(spark):
     assert tk.learn_bpe(docs, 5, min_count=2) == []  # every pair unique
     assert len(tk.learn_bpe(docs, 5, min_count=1)) == 5 or \
         len(tk.learn_bpe(docs, 5, min_count=1)) >= 3  # keeps merging
+
+
+def test_apply_bpe_counts_merged_tokens(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.tokenizer import (
+        apply_bpe,
+        learn_bpe,
+    )
+    docs = spark.createDataFrame(
+        [(1, "big data big data pipeline"), (2, "big data lake")],
+        "doc_id int, text string")
+    merges = learn_bpe(docs, n_merges=1, min_count=1)
+    assert (merges[0]["left_tok"], merges[0]["right_tok"]) == ("big", "data")
+    out = {r["doc_id"]: r for r in apply_bpe(docs, merges).collect()}
+    # doc 1: [big data, big data, pipeline]; doc 2: [big data, lake]
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["tokens"][0] == "big data"
+    n_merged_1 = sum(1 for t in out[1]["tokens"] if " " in t)
+    assert n_merged_1 == 2
