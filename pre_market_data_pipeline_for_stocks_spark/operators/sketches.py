@@ -163,3 +163,93 @@ def cms_estimate_terms(sketches: DataFrame, terms: list[str],
                         F.col("_probe.slots"),
                         lambda s: F.element_at(F.col(cms_col), s + 1)))
                     .alias("estimate")))
+
+
+# ---------------------------------------------------------- histograms
+
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BINS = 50
+
+
+def _hist_bin(value_col, lo: float, hi: float, bins: int):
+    """Bin index with under/overflow clamped into the edge bins —
+    fixed-range equi-width binning, the portable mergeable-quantile
+    state (a t-digest adapts its bins to the data but has no
+    cross-engine twin; fixed edges make partials from different shards
+    MERGEABLE BY CONSTRUCTION and the estimate engine-exact)."""
+    width = (hi - lo) / bins
+    raw = F.floor((value_col - lo) / width).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+
+
+def hist_partials(df: DataFrame, keys: list[str], value_col: str,
+                  lo: float = HIST_LO, hi: float = HIST_HI,
+                  bins: int = HIST_BINS) -> DataFrame:
+    """Per-key fixed-range histogram: (keys..., hist array<long>[bins]).
+    Build at the finest maintenance grain; the shuffle carries at most
+    ``bins`` (key, bin, count) rows per key."""
+    b = (df.select(*keys, _hist_bin(F.col(value_col), lo, hi, bins)
+                   .alias("_b"))
+         .groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_c")))
+    m = F.map_from_entries(F.collect_list(F.struct("_b", "_c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda p: F.coalesce(F.element_at(m, p.cast("int")), F.lit(0))
+        .cast("long"))
+    grouped = b.groupBy(*keys) if keys else b.groupBy()
+    return grouped.agg(dense.alias("hist"))
+
+
+def hist_merge(partials: DataFrame, keys: list[str],
+               hist_col: str = "hist") -> DataFrame:
+    """Element-wise sum to a coarser grain (associative/commutative:
+    any partial grouping merges to the direct histogram)."""
+    ex = partials.select(*keys, F.posexplode(F.col(hist_col))
+                         .alias("_p", "_v"))
+    summed = (ex.groupBy(*keys, "_p") if keys else ex.groupBy("_p"))
+    summed = summed.agg(F.sum("_v").alias("_s"))
+    arr = F.transform(F.array_sort(F.collect_list(F.struct("_p", "_s"))),
+                      lambda s: s["_s"])
+    grouped = summed.groupBy(*keys) if keys else summed.groupBy()
+    return grouped.agg(arr.alias(hist_col))
+
+
+def hist_quantiles(hists: DataFrame, qs: list[float],
+                   lo: float = HIST_LO, hi: float = HIST_HI,
+                   bins: int = HIST_BINS,
+                   hist_col: str = "hist") -> DataFrame:
+    """Quantile estimates from histogram state: one row per
+    (keys..., q, estimate) with estimate = bin lower edge +
+    width * (target - cum_before) / bin_count at 1-based rank
+    target = q*(n-1)+1 — error bounded by one bin width regardless
+    of n, and EXACTLY reproducible from merged partials (unlike
+    percentile_approx, whose t-digest has no cross-engine twin).
+
+    Pure column algebra: a cumulative-count array (O(bins^2) tiny
+    in-row work), first-crossing via array_position, linear
+    interpolation — identical in the SQL twin; rounded to 4 dp."""
+    width = (hi - lo) / bins
+    h = F.col(hist_col)
+    cum = F.transform(
+        F.sequence(F.lit(1), F.lit(bins)),
+        lambda i: F.aggregate(F.slice(h, 1, i), F.lit(0).cast("long"),
+                              lambda a, v: a + v))
+    keys = [c for c in hists.columns if c != hist_col]
+    staged = hists.withColumn("_cum", cum) \
+                  .withColumn("_n", F.element_at("_cum", bins)
+                              .cast("double"))
+    out = None
+    for q in qs:
+        target = F.lit(q) * (F.col("_n") - 1) + 1
+        k = F.array_position(
+            F.transform(F.col("_cum"), lambda c: c >= target), True)
+        prev = F.when(k == 1, F.lit(0).cast("long")) \
+                .otherwise(F.element_at("_cum", (k - 1).cast("int")))
+        cnt = F.element_at(h, k.cast("int"))
+        est = (F.lit(lo) + F.lit(width) * (k - 1)
+               + F.lit(width) * (target - prev) / cnt)
+        row = staged.select(*keys, F.lit(q).alias("q"),
+                            F.round(est, 4).alias("estimate"))
+        out = row if out is None else out.unionByName(row)
+    return out

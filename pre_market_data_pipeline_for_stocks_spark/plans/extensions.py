@@ -1050,6 +1050,26 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+HIST_QS = [0.5, 0.9, 0.99]
+
+
+def events_value_hist_quantiles(spark, sf_dir):
+    """Mergeable quantile estimates: per-(event_type, day) fixed-range
+    histograms (the maintenance grain a daily job persists) merged to
+    per-type state, then p50/p90/p99 read off the counts — the
+    portable alternative to percentile_approx whose merged result is
+    exactly reproducible (error <= one bin width)."""
+    from ..operators import sketches as SK
+    ev = (_events(spark, sf_dir)
+          .select("event_type",
+                  F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                  "value"))
+    parts = SK.hist_partials(ev, ["event_type", "day"], "value")
+    merged = SK.hist_merge(parts, ["event_type"])
+    return (SK.hist_quantiles(merged, HIST_QS)
+            .orderBy("event_type", "q"))
+
+
 MMR_CANDIDATES = 20
 MMR_K = 8
 MMR_LAMBDA = 0.7

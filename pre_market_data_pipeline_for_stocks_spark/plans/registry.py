@@ -2045,6 +2045,37 @@ FROM s ORDER BY doc_id, chunk_id
     "corpus_bpe_encode": QueryDef(
         X.corpus_bpe_encode, _bpe_encode_sql(X.BPE_MERGES)),
 
+    # sketches.hist_* family: the oracle computes bin counts directly
+    # (merge = sum), finds the first crossing bin per (type, q) and
+    # applies the same linear interpolation. width = (500-0)/50 = 10.
+    "events_value_hist_quantiles": QueryDef(
+        X.events_value_hist_quantiles, f"""
+WITH b AS (
+  SELECT event_type,
+         least(greatest(floor((value - 0.0) / 10.0)::INT, 0), 49) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM b),
+n AS (SELECT event_type, sum(c)::DOUBLE AS n FROM b GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(f"{q}::DOUBLE" for q in X.HIST_QS)}]) AS q),
+cand AS (
+  SELECT cum.event_type, qs.q, qs.q * (n.n - 1) + 1 AS target,
+         cum.bin, cum.c, cum.cum
+  FROM cum JOIN n USING (event_type) CROSS JOIN qs
+  WHERE cum.cum >= qs.q * (n.n - 1) + 1),
+sel AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, q
+                               ORDER BY bin) AS rn
+  FROM cand)
+SELECT event_type, q,
+       round(0.0 + 10.0 * bin + 10.0 * (target - (cum - c)) / c, 4)
+         AS estimate
+FROM sel WHERE rn = 1 ORDER BY event_type, q
+"""),
+
     # operators.textstats.length_profile: Spark `percentile` and DuckDB
     # `quantile_cont` both compute linearly interpolated exact
     # percentiles; 4-dp rounding absorbs libm noise.

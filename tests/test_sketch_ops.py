@@ -163,3 +163,48 @@ def test_cms_partial_roundtrips_through_parquet(spark, tmp_path):
     a = SK.cms_merge(p, []).collect()[0]["cms"]
     b = SK.cms_merge(back, []).collect()[0]["cms"]
     assert a == b
+
+
+# ----------------------------------------------------------- histogram
+
+def _vals(spark):
+    rows = [("a", float(v)) for v in range(1, 101)]
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_hist_merge_equals_direct(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = _vals(spark)
+    h1 = SK.hist_partials(df.filter("v <= 50"), [], "v", 0.0, 100.0, 10)
+    h2 = SK.hist_partials(df.filter("v > 50"), [], "v", 0.0, 100.0, 10)
+    m = SK.hist_merge(h1.unionByName(h2), [])
+    d = SK.hist_partials(df, [], "v", 0.0, 100.0, 10)
+    assert m.collect()[0]["hist"] == d.collect()[0]["hist"]
+
+
+def test_hist_quantiles_within_one_bin_width(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    import statistics
+    df = _vals(spark)
+    h = SK.hist_partials(df, ["k"], "v", 0.0, 100.0, 10)
+    est = {r["q"]: r["estimate"] for r in
+           SK.hist_quantiles(h, [0.5, 0.9], 0.0, 100.0, 10).collect()}
+    vals = list(range(1, 101))
+    true_p50 = statistics.quantiles(vals, n=100)[49]
+    true_p90 = statistics.quantiles(vals, n=100)[89]
+    assert abs(est[0.5] - true_p50) <= 10.0     # one bin width
+    assert abs(est[0.9] - true_p90) <= 10.0
+
+
+def test_hist_overflow_clamps_to_edge_bins(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 999.0), ("a", 50.0)], "k string, v double")
+    h = SK.hist_partials(df, ["k"], "v", 0.0, 100.0, 10).collect()[0]["hist"]
+    assert h[0] == 1 and h[9] == 1 and h[5] == 1 and sum(h) == 3
