@@ -65,3 +65,28 @@ def check_expectations(df: DataFrame,
     return (row.select(F.explode(report).alias("e"))
             .select("e.expectation", "e.kind", "e.n_rows",
                     "e.n_violations", "e.passed"))
+
+
+def referential_orphans(edges: list[tuple[str, DataFrame, str,
+                                          DataFrame, str]]) -> DataFrame:
+    """Referential-integrity audit over FK edges:
+    one row per (relationship, n_rows, n_orphans).
+
+    ``edges`` = [(name, child_df, fk_col, parent_df, pk_col), ...].
+    Each edge costs one LEFT ANTI join on the key — the parent key set
+    is a broadcast candidate when small, else a shuffled anti join;
+    either way only (key) columns move, never payloads. The audit a
+    warehouse load runs before publishing a snapshot (the reference's
+    validator checks per-CELL contracts, validate.py A2-A5; this is
+    the cross-TABLE contract)."""
+    out = None
+    for name, child, fk, parent, pk in edges:
+        keys = child.select(F.col(fk).alias("_k"))
+        pkeys = parent.select(F.col(pk).alias("_k")).distinct()
+        row = (keys.join(pkeys, "_k", "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_orphans"))
+               .crossJoin(keys.agg(F.count(F.lit(1)).alias("n_rows")))
+               .select(F.lit(name).alias("relationship"), "n_rows",
+                       "n_orphans"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1941,6 +1941,32 @@ FROM hh JOIN f USING (sh)
 GROUP BY 1 ORDER BY 1
 """),
 
+    # operators.expectations.referential_orphans: one NOT EXISTS per
+    # FK edge.
+    "dq_referential_orphans": QueryDef(R.dq_referential_orphans, """
+SELECT 'customer.nationkey->nation' AS relationship,
+       (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+          SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders.custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'supplier.nationkey->nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS (
+          SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+ORDER BY relationship
+"""),
+
     # operators.merge.merge_upsert: Delta-style MERGE triad with
     # last-writer-wins (delete preferred on seq ties). The NOT EXISTS
     # is the left-anti twin; UNION ALL is the applied-changes append.

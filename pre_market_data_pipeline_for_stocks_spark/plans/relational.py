@@ -953,3 +953,20 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = M.merge_upsert(o, chg, ["o_orderkey"], seq_col="seq")
     return (merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
             .orderBy("o_orderkey"))
+
+
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential audit of the warehouse snapshot: orphan
+    counts for every FK edge in the TPC-H subset (operators.
+    expectations.referential_orphans). All-zero orphans on the driver
+    fixtures; the value is the contract — a torn load shows up here
+    before any query does."""
+    from ..operators.expectations import referential_orphans
+    li, o, c, n, s = _t(spark, sf_dir, "lineitem", "orders", "customer",
+                        "nation", "supplier")
+    return referential_orphans([
+        ("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("supplier.nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]).orderBy("relationship")

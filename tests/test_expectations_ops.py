@@ -81,3 +81,32 @@ def test_mad_outliers_hand_computed(spark):
     assert out["a"]["mad_value"] == 2.5
     assert out["a"]["n_outliers"] == 1
     assert out["b"]["mad_value"] == 0.0 and out["b"]["n_outliers"] == 0
+
+
+def test_referential_orphans_counts(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.expectations import (
+        referential_orphans,
+    )
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99)], "id int, fk int")
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = referential_orphans(
+        [("child.fk->parent", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["relationship"], r["n_rows"], r["n_orphans"]) == \
+        ("child.fk->parent", 4, 1)
+
+
+def test_referential_orphans_multi_edge_union(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.expectations import (
+        referential_orphans,
+    )
+    a = spark.createDataFrame([(1, 1)], "id int, fk int")
+    p = spark.createDataFrame([(1,)], "pk int")
+    out = referential_orphans([
+        ("clean", a, "fk", p, "pk"),
+        ("broken", a, "id", p.filter("pk > 5"), "pk"),
+    ]).collect()
+    by = {r["relationship"]: r["n_orphans"] for r in out}
+    assert by == {"clean": 0, "broken": 1}
