@@ -112,6 +112,24 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 SPAN_SEG_WORDS = 8
 SPAN_MAX_DF = 1
+CDC_MASK_BITS = 3
+
+
+def documents_cdc_segments(spark, sf_dir):
+    """Content-defined segmentation of the corpus (boundaries where a
+    token's hash is 0 mod 8 — expected ~8-word segments): the
+    shift-robust alternative to fixed-window chunking."""
+    return (dedup.cdc_segments(_docs(spark, sf_dir), CDC_MASK_BITS)
+            .orderBy("doc_id", "seg_id"))
+
+
+def dedup_cdc_spans(spark, sf_dir):
+    """Span dedup over content-defined segments: boilerplate repeated
+    at DIFFERENT word offsets still hashes to identical segments and
+    is stripped — the shift-robust twin of dedup_span_removal."""
+    return (dedup.remove_duplicate_cdc_spans(_docs(spark, sf_dir),
+                                             CDC_MASK_BITS, SPAN_MAX_DF)
+            .orderBy("doc_id"))
 
 
 def dedup_span_removal(spark, sf_dir):

@@ -814,6 +814,32 @@ ORDER BY rank
 """
 
 
+# Shared CTE chain for the CDC-segmentation twins: token explode with
+# positions, hash-boundary flags (0 mod 2^CDC_MASK_BITS ends a
+# segment), per-doc cumulative segment ids, ordered reassembly into
+# ``segs(doc_id, sid, n_words, seg)``.
+_CDC_SEGS_CTE = f"""w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents),
+t AS (
+  SELECT doc_id, i::INT AS pos, words[i] AS tok
+  FROM w, UNNEST(range(1, len(words) + 1)) u(i)),
+fl AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN {_H.format(x='tok')} % {1 << X.CDC_MASK_BITS} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t),
+sg AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+  FROM fl),
+segs AS (
+  SELECT doc_id, sid, count(*)::BIGINT AS n_words,
+         string_agg(tok, ' ' ORDER BY pos) AS seg
+  FROM sg GROUP BY 1, 2)"""
+
+
 def _cms_sql() -> str:
     """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
@@ -1965,6 +1991,31 @@ SELECT 'supplier.nationkey->nation',
        (SELECT count(*) FROM supplier s WHERE NOT EXISTS (
           SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
 ORDER BY relationship
+"""),
+
+    # operators.dedup.cdc_segments: token-hash boundaries, per-doc
+    # cumulative segment ids, ordered reassembly — identical in both
+    # engines via the shared md5 hash.
+    "documents_cdc_segments": QueryDef(X.documents_cdc_segments, f"""
+WITH {_CDC_SEGS_CTE}
+SELECT doc_id, sid::INT AS seg_id, n_words, seg
+FROM segs ORDER BY doc_id, seg_id
+"""),
+
+    # operators.dedup.remove_duplicate_cdc_spans: the span-removal
+    # tail of dedup_span_removal over CDC segments.
+    "dedup_cdc_spans": QueryDef(X.dedup_cdc_spans, f"""
+WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, seg, {_H.format(x='seg')} AS sh FROM segs),
+fr AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1)
+SELECT hh.doc_id,
+       coalesce(string_agg(CASE WHEN fr.df <= {X.SPAN_MAX_DF}
+                                THEN hh.seg END,
+                           ' ' ORDER BY hh.sid), '') AS clean_text,
+       count(*) AS n_segments,
+       count(CASE WHEN fr.df > {X.SPAN_MAX_DF} THEN 1 END) AS n_removed
+FROM hh JOIN fr USING (sh)
+GROUP BY 1 ORDER BY 1
 """),
 
     # operators.merge.merge_upsert: Delta-style MERGE triad with

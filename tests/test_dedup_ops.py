@@ -585,3 +585,66 @@ def test_prefix_filter_excludes_hot_shingles_from_candidates(spark):
     ncand = (x.join(y, (F.col("a.sh") == F.col("b.sh"))
                     & (F.col("a.doc_id") < F.col("b.doc_id"))).count())
     assert ncand == 0   # naive join would have 2 * C(20,2) = 380 rows
+
+
+# ------------------------------------------------------------ CDC spans
+
+def _is_boundary(tok, mask_bits=3):
+    import hashlib
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) \
+        % (1 << mask_bits) == 0
+
+
+def test_cdc_segments_boundaries_are_content_defined(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        cdc_segments,
+    )
+    words = [f"w{i}" for i in range(40)]
+    doc = " ".join(words)
+    segs = cdc_segments(
+        spark.createDataFrame([(1, doc)], "doc_id int, text string"),
+        mask_bits=3).orderBy("seg_id").collect()
+    # reconstruct: concatenation of segments == original
+    assert " ".join(r["seg"] for r in segs) == doc
+    # every segment ends with a boundary token (except possibly the tail)
+    for r in segs[:-1]:
+        assert _is_boundary(r["seg"].split()[-1])
+    # non-final tokens inside a segment are never boundaries
+    for r in segs:
+        for t in r["seg"].split()[:-1]:
+            assert not _is_boundary(t)
+
+
+def test_cdc_span_dedup_is_shift_robust(spark):
+    """The signature CDC property: identical boilerplate at DIFFERENT
+    word offsets still dedups (fixed windows slice it differently and
+    see nothing)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        remove_duplicate_cdc_spans,
+        remove_duplicate_spans,
+    )
+    # boilerplate with at least one interior boundary token so an
+    # entire interior segment lies inside it
+    pool = [f"x{i}" for i in range(200)]
+    bounds = [t for t in pool if _is_boundary(t)]
+    plain = [t for t in pool if not _is_boundary(t)]
+    boiler = " ".join([plain[0], plain[1], bounds[0], plain[2], plain[3],
+                       bounds[1], plain[4]])
+    docs = spark.createDataFrame(
+        [(1, f"{plain[10]} {boiler} {plain[11]}"),
+         (2, f"{plain[20]} {plain[21]} {plain[22]} {boiler} {plain[23]}")],
+        "doc_id int, text string")
+    cdc = {r["doc_id"]: r for r in
+           remove_duplicate_cdc_spans(docs, mask_bits=3,
+                                      max_df=1).collect()}
+    # the interior boilerplate segment repeats despite the 1-vs-3 word
+    # offset difference -> stripped from both docs
+    assert cdc[1]["n_removed"] >= 1 and cdc[2]["n_removed"] >= 1
+    interior = f"{plain[2]} {plain[3]} {bounds[1]}"
+    assert interior not in cdc[1]["clean_text"]
+    assert interior not in cdc[2]["clean_text"]
+    # fixed 8-word windows slice the shifted copies differently: nothing
+    # repeats, nothing is removed
+    fixed = {r["doc_id"]: r["n_removed"] for r in
+             remove_duplicate_spans(docs, seg_words=8, max_df=1).collect()}
+    assert fixed == {1: 0, 2: 0}
