@@ -49,3 +49,32 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
              F.sum(F.when(F.col("_ad") > k * MAD_SIGMA * F.col("_mad"), 1)
                    .otherwise(0)).cast("long").alias("n_outliers"))
     )
+
+
+def ewma(df: DataFrame, group_col: str, order_cols: list[str],
+         value_col: str, alpha: float = 0.3, taps: int = 8,
+         out_col: str = "ewma") -> DataFrame:
+    """Per-group exponentially weighted moving average with a bounded
+    tap count: y_t = Σ_{j<taps} (1−α)^j·x_{t−j} / Σ_{j<taps} (1−α)^j
+    over available lags (pandas ``ewm(adjust=True)`` truncated to
+    ``taps`` terms — the weight of the dropped tail is (1−α)^taps,
+    <6% at the defaults).
+
+    Execution: ``taps`` window LAG columns combined map-side — no
+    self-join, no collect_list buffering, ONE per-group sort-window
+    (the same shuffle any per-entity ordering pays). Bounded taps are
+    what make the smoother distributable: the recursive textbook form
+    carries unbounded state; a fixed FIR approximation restores
+    data-parallelism and gives the SQL twin a closed form. Rounded to
+    4 dp (fixed-order 8-term sum — engine-portable)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    v = F.col(value_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(taps):
+        lj = v if j == 0 else F.lag(v, j).over(w)
+        wj = (1.0 - alpha) ** j
+        num = num + F.coalesce(lj * wj, F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(0.0)
+    return df.withColumn(out_col, F.round(num / den, 4))

@@ -1068,6 +1068,25 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+EWMA_ALPHA = 0.3
+EWMA_TAPS = 8
+
+
+def events_value_ewma(spark, sf_dir):
+    """Per-user EWMA smoothing of event values (bounded-tap FIR form,
+    α=0.3, 8 taps): the denoised per-entity signal monitoring rules
+    threshold on — one sort-window, no self-join, no unbounded
+    state."""
+    from ..operators import robust
+    ev = (_events(spark, sf_dir)
+          .select("event_id", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "value"))
+    return (robust.ewma(ev, "user_id", ["ts", "event_id"], "value",
+                        alpha=EWMA_ALPHA, taps=EWMA_TAPS)
+            .select("event_id", "user_id", "value", "ewma")
+            .orderBy("event_id"))
+
+
 HIST_QS = [0.5, 0.9, 0.99]
 
 

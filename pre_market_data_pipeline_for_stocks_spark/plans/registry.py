@@ -840,6 +840,25 @@ segs AS (
   FROM sg GROUP BY 1, 2)"""
 
 
+def _ewma_sql(alpha: float, taps: int) -> str:
+    """Twin of robust.ewma over events: the identical lag-tap chain in
+    the identical textual order, so the 8-term sums are bit-equal."""
+    num, den = ["value * 1.0"], ["1.0"]
+    for j in range(1, taps):
+        wj = (1.0 - alpha) ** j
+        num.append(f"coalesce(lag(value, {j}) OVER w * {wj!r}, 0.0)")
+        den.append(f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL "
+                   f"THEN {wj!r} ELSE 0.0 END")
+    return f"""
+SELECT event_id, user_id, value,
+       round(({' + '.join(num)})
+             / ({' + '.join(den)}), 4) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 def _cms_sql() -> str:
     """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
@@ -2121,6 +2140,10 @@ FROM s ORDER BY doc_id, chunk_id
     # with per-doc carry-through.
     "corpus_bpe_encode": QueryDef(
         X.corpus_bpe_encode, _bpe_encode_sql(X.BPE_MERGES)),
+
+    # robust.ewma: identical lag-tap chain in both engines.
+    "events_value_ewma": QueryDef(
+        X.events_value_ewma, _ewma_sql(X.EWMA_ALPHA, X.EWMA_TAPS)),
 
     # sketches.hist_* family: the oracle computes bin counts directly
     # (merge = sum), finds the first crossing bin per (type, q) and
