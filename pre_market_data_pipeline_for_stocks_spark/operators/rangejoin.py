@@ -51,3 +51,47 @@ def interval_bin_join(facts: DataFrame, ranges: DataFrame,
             .filter((F.col(value_col) >= F.col(lo_col))
                     & (F.col(value_col) < F.col(hi_col)))
             .drop("_bin"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str = "l_lo", l_hi: str = "l_hi",
+                          r_lo: str = "r_lo", r_hi: str = "r_hi",
+                          bin_width: int = 25) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: every (left, right) pair of
+    half-open intervals with ``l_lo < r_hi AND r_lo < l_hi``, plus an
+    ``overlap`` column (``least(hi) - greatest(lo)``).
+
+    Same bin-rewrite as interval_bin_join, applied to BOTH sides: each
+    interval explodes into its covered bins, the join is an equi-join
+    on the bin key, and the overlap predicate re-checks on the
+    bin-bounded matches. Two overlapping intervals share every bin
+    their intersection covers — to emit each pair EXACTLY ONCE without
+    a distinct() (a full extra shuffle of the result), a match is kept
+    only in its OWNER bin, the bin containing the overlap's start
+    (``floor(greatest(l_lo, r_lo) / width)``). That bin is covered by
+    both intervals whenever they overlap, so no pair is lost.
+
+    F.floor on both sides (not a bare cast) so negative-domain
+    intervals bin identically — the interval_bin_join ADVICE-r4
+    contract."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin", F.explode(F.sequence(
+                F.floor(F.col(lo) / bin_width).cast("long"),
+                F.floor((F.col(hi) - 1) / bin_width).cast("long"))))
+
+    lb = binned(left, l_lo, l_hi)
+    rb = binned(right, r_lo, r_hi)
+    owner = F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / bin_width) \
+        .cast("long")
+    return (lb.join(rb, "_bin")
+            .filter((F.col(l_lo) < F.col(r_hi))
+                    & (F.col(r_lo) < F.col(l_hi))
+                    & (F.col("_bin") == owner))
+            .drop("_bin")
+            .withColumn("overlap",
+                        F.least(F.col(l_hi), F.col(r_hi))
+                        - F.greatest(F.col(l_lo), F.col(r_lo))))

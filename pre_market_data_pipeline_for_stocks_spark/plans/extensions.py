@@ -1068,6 +1068,30 @@ def retrieval_maxsim_search(spark, sf_dir):
     return retrieval.maxsim_topk(emb, BM25_QUERY, RETRIEVAL_TOPK)
 
 
+def events_session_window_overlap(spark, sf_dir):
+    """Interval x interval overlap join: per-(user, day) activity
+    spans (minutes-of-day) against the 24 hourly first-15-minute
+    maintenance windows — bin-rewritten to an equi-join with the
+    owner-bin emit-once rule (no distinct)."""
+    from ..operators import rangejoin
+    ev = (_events(spark, sf_dir)
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    m = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    sess = (ev.select("user_id", F.to_date("ts").alias("day"),
+                      m.alias("_m"))
+            .groupBy("user_id", "day")
+            .agg(F.min("_m").alias("l_lo"),
+                 (F.max("_m") + 1).alias("l_hi")))
+    wins = (spark.range(24)
+            .select(F.col("id").cast("int").alias("win_id"),
+                    (F.col("id") * 60).alias("r_lo"),
+                    (F.col("id") * 60 + 15).alias("r_hi")))
+    out = rangejoin.interval_overlap_join(sess, wins, bin_width=60)
+    return (out.select("user_id", "day", "win_id", "l_lo", "l_hi",
+                       "overlap")
+            .orderBy("user_id", "day", "win_id"))
+
+
 EWMA_ALPHA = 0.3
 EWMA_TAPS = 8
 

@@ -2141,6 +2141,25 @@ FROM s ORDER BY doc_id, chunk_id
     "corpus_bpe_encode": QueryDef(
         X.corpus_bpe_encode, _bpe_encode_sql(X.BPE_MERGES)),
 
+    # rangejoin.interval_overlap_join: the oracle is the plain overlap
+    # theta-join; the Spark plan is the binned equi-join (owner-bin
+    # emit-once, pinned in tests/test_rangejoin_ops.py).
+    "events_session_window_overlap": QueryDef(
+        X.events_session_window_overlap, """
+WITH e AS (
+  SELECT user_id, ts::DATE AS day,
+         (hour(ts) * 60 + minute(ts))::BIGINT AS m
+  FROM events),
+s AS (SELECT user_id, day, min(m) AS l_lo, max(m) + 1 AS l_hi
+      FROM e GROUP BY 1, 2),
+w AS (SELECT i::INT AS win_id, i * 60 AS r_lo, i * 60 + 15 AS r_hi
+      FROM range(24) t(i))
+SELECT s.user_id, s.day, w.win_id, s.l_lo, s.l_hi,
+       least(s.l_hi, w.r_hi) - greatest(s.l_lo, w.r_lo) AS overlap
+FROM s JOIN w ON s.l_lo < w.r_hi AND w.r_lo < s.l_hi
+ORDER BY user_id, day, win_id
+"""),
+
     # robust.ewma: identical lag-tap chain in both engines.
     "events_value_ewma": QueryDef(
         X.events_value_ewma, _ewma_sql(X.EWMA_ALPHA, X.EWMA_TAPS)),

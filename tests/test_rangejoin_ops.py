@@ -124,3 +124,54 @@ def test_negative_domain_matches_naive_join(spark):
             if r.lo <= f.value < r.hi}
     assert (0, 5) in want and (4, 1) in want   # negative-bin cases live
     assert got == want
+
+
+# ------------------------------------------------------- interval overlap
+
+def _iv(spark, rows, lo, hi, extra="id int"):
+    return spark.createDataFrame(rows, f"{extra}, {lo} long, {hi} long")
+
+
+def test_overlap_join_matches_naive_and_emits_once(spark):
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    left = _iv(spark, [(1, 0, 100), (2, 95, 105), (3, 200, 210)],
+               "l_lo", "l_hi")
+    right = _iv(spark, [(10, 90, 98), (11, 104, 300), (12, -50, 5)],
+                "r_lo", "r_hi", extra="rid int")
+    out = interval_overlap_join(left, right, bin_width=7)
+    got = sorted((r["id"], r["rid"], r["overlap"]) for r in out.collect())
+    naive = (left.crossJoin(right)
+             .filter((F.col("l_lo") < F.col("r_hi"))
+                     & (F.col("r_lo") < F.col("l_hi")))
+             .withColumn("overlap",
+                         F.least("l_hi", "r_hi")
+                         - F.greatest("l_lo", "r_lo")))
+    want = sorted((r["id"], r["rid"], r["overlap"]) for r in naive.collect())
+    assert got == want
+    # wide mutual overlap (2 x 11 share bins 13-14 at width 7) appears once
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_overlap_join_negative_domain(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    left = _iv(spark, [(1, -30, -10)], "l_lo", "l_hi")
+    right = _iv(spark, [(9, -15, -5), (8, -100, -40)], "r_lo", "r_hi",
+                extra="rid int")
+    got = [(r["rid"], r["overlap"]) for r in
+           interval_overlap_join(left, right, bin_width=25).collect()]
+    assert got == [(9, 5)]
+
+
+def test_overlap_join_adjacent_halfopen_do_not_match(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    left = _iv(spark, [(1, 0, 10)], "l_lo", "l_hi")
+    right = _iv(spark, [(2, 10, 20)], "r_lo", "r_hi", extra="rid int")
+    assert interval_overlap_join(left, right, bin_width=5).count() == 0
