@@ -6,6 +6,13 @@ pattern works on any keyed relation (the reference pipeline's analogue
 is its SQLite ``INSERT OR REPLACE`` cache upsert, run_pipeline.py's
 bronze refresh; here it generalizes to fact maintenance at scale).
 
+Division of labor with ``sinks.merge_upsert``: that function is the
+STORAGE step (apply pre-resolved updates to a parquet tree with an
+atomic directory swap); this module is the PLAN step — explicit
+I/U/D op codes and per-key last-writer-wins resolution over a raw
+changelog, returning a DataFrame you can feed to any sink (including
+sinks.merge_upsert / overwrite_partitions).
+
 Scale design (100 TB target, CDC batch << target):
 - The target is never shuffled: matched keys are removed with a
   LEFT ANTI join against the (small) change-batch keys — broadcast by

@@ -1,0 +1,73 @@
+"""Streaming sketch maintenance: per-micro-batch mergeable partials.
+
+The batch sketch families (operators/sketches.py: HLL, count-min,
+fixed-range histograms) are mergeable BY CONSTRUCTION — which is
+exactly what a streaming ingest needs: each micro-batch reduces to a
+fixed-size partial written once, and any later reader merges partials
+into the current estimate without ever re-reading raw events. This
+module is the foreachBatch glue (the bronze_batch_writer/admission
+pattern of streaming/events.py):
+
+- one parquet dir per micro-batch, named by batch_id and written with
+  overwrite — an at-least-once retry of batch N clobbers its own
+  partial instead of double counting (idempotent sink contract);
+- estimates are computed at READ time by merging whatever partials
+  exist, so the stored state is append-only and O(batches), not
+  O(events) — the 100 TB property.
+
+stream==batch: the merged streaming estimate equals the one-shot batch
+sketch over the same rows (pinned in tests/test_streaming.py's
+pattern) because merge is associative/commutative over any batch
+split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sketches as SK
+
+
+def hist_batch_writer(root: str, keys: list[str], value_col: str,
+                      lo: float = SK.HIST_LO, hi: float = SK.HIST_HI,
+                      bins: int = SK.HIST_BINS):
+    """foreachBatch function: reduce the micro-batch to per-key
+    histogram partials and overwrite ``<root>/batch-<id>``."""
+    def write(batch: DataFrame, batch_id: int) -> None:
+        part = SK.hist_partials(batch, keys, value_col, lo, hi, bins)
+        (part.write.mode("overwrite")
+             .parquet(os.path.join(root, f"batch-{batch_id:05d}")))
+    return write
+
+
+def run_hist_append(stream: DataFrame, root: str, checkpoint: str,
+                    keys: list[str], value_col: str,
+                    lo: float = SK.HIST_LO, hi: float = SK.HIST_HI,
+                    bins: int = SK.HIST_BINS) -> None:
+    """Drain ``stream`` synchronously through hist_batch_writer."""
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(hist_batch_writer(root, keys, value_col,
+                                         lo, hi, bins))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_hist_partials(spark: SparkSession, root: str) -> DataFrame:
+    """All batch partials under ``root`` (one row per batch per key)."""
+    return spark.read.parquet(os.path.join(root, "batch-*"))
+
+
+def read_hist_quantiles(spark: SparkSession, root: str, keys: list[str],
+                        qs: list[float],
+                        lo: float = SK.HIST_LO, hi: float = SK.HIST_HI,
+                        bins: int = SK.HIST_BINS) -> DataFrame:
+    """Current quantile estimates: merge all stored partials, then the
+    batch estimator — identical math to the one-shot batch path."""
+    merged = SK.hist_merge(read_hist_partials(spark, root), keys)
+    return SK.hist_quantiles(merged, qs, lo, hi, bins)

@@ -650,3 +650,48 @@ def test_batch_zscore_matches_streaming_anomaly_contract(spark, sf_dir):
            for r in events_zscore_anomalies(spark, sf_dir)
            .filter(F.col("user_id") == uid).collect()}
     assert got == expected and len(got) > 0
+
+
+def test_streaming_hist_partials_match_batch_estimates(spark, sf_dir,
+                                                       tmp_path):
+    """Mergeable-sketch streaming: per-micro-batch histogram partials,
+    merged at read time, must equal the one-shot batch sketch — and an
+    at-least-once REPLAY of a batch must not double count (overwrite
+    idempotence)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.streaming import (
+        sketches as SS,
+    )
+    events = se.load_events_batch(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches at maxFilesPerTrigger=1
+    events.filter("event_id % 2 = 0").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    events.filter("event_id % 2 = 1").coalesce(1) \
+        .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    root = str(tmp_path / "hist")
+    SS.run_hist_append(stream, root, str(tmp_path / "ckpt"),
+                       ["event_type"], "value")
+    streamed = {(r["event_type"], r["q"]): r["estimate"] for r in
+                SS.read_hist_quantiles(spark, root, ["event_type"],
+                                       [0.5, 0.9]).collect()}
+    direct = SK.hist_quantiles(
+        SK.hist_partials(events, ["event_type"], "value"), [0.5, 0.9])
+    batch = {(r["event_type"], r["q"]): r["estimate"]
+             for r in direct.collect()}
+    assert streamed == batch
+    # replay one batch: writer overwrites its own dir, estimate unchanged
+    import os
+    bdir = sorted(os.listdir(root))[0]
+    bid = int(bdir.split("-")[1])
+    SS.hist_batch_writer(root, ["event_type"], "value")(
+        events.filter("event_id % 2 = 0"), bid)
+    replayed = {(r["event_type"], r["q"]): r["estimate"] for r in
+                SS.read_hist_quantiles(spark, root, ["event_type"],
+                                       [0.5, 0.9]).collect()}
+    assert replayed == batch
