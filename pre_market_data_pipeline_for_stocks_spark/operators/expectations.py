@@ -90,3 +90,20 @@ def referential_orphans(edges: list[tuple[str, DataFrame, str,
                        "n_orphans"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def k_anonymity_suppression(df: DataFrame, quasi_cols: list[str],
+                            k: int = 5) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier combination occurring
+    fewer than ``k`` times — the groups a release must suppress or
+    generalize (re-identification risk concentrates exactly there).
+    Output: (quasi_cols..., n_rows) for the sub-k groups only.
+
+    One partial-aggregated groupBy on the quasi columns; the output is
+    the RARE tail, so it is small by construction regardless of input
+    size. Complements the content-level privacy passes
+    (textstats.pii_scrub / secret_scan) with the tabular-release
+    contract."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") < k))

@@ -1986,6 +1986,18 @@ FROM hh JOIN f USING (sh)
 GROUP BY 1 ORDER BY 1
 """),
 
+    # operators.expectations.k_anonymity_suppression over bucketed
+    # event quasi-identifiers.
+    "privacy_k_anonymity": QueryDef(R.privacy_k_anonymity, """
+SELECT event_type, ts::DATE AS day,
+       (floor(value / 50) * 50)::BIGINT AS value_bucket,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+ORDER BY event_type, day, value_bucket
+"""),
+
     # operators.expectations.referential_orphans: one NOT EXISTS per
     # FK edge.
     "dq_referential_orphans": QueryDef(R.dq_referential_orphans, """

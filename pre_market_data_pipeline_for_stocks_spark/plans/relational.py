@@ -970,3 +970,21 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
         ("supplier.nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
     ]).orderBy("relationship")
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression list over events: quasi-identifiers =
+    (event_type, day, value bucketed to 50s); combinations seen fewer
+    than 5 times are the re-identification tail a data release must
+    generalize away (operators.expectations.k_anonymity_suppression)."""
+    from ..operators.expectations import k_anonymity_suppression
+    ev = _t(spark, sf_dir, "events")[0]
+    quasi = ev.select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        (F.floor(F.col("value") / 50) * 50).cast("long")
+        .alias("value_bucket"))
+    return (k_anonymity_suppression(quasi,
+                                    ["event_type", "day", "value_bucket"],
+                                    k=5)
+            .orderBy("event_type", "day", "value_bucket"))

@@ -110,3 +110,14 @@ def test_referential_orphans_multi_edge_union(spark):
     ]).collect()
     by = {r["relationship"]: r["n_orphans"] for r in out}
     assert by == {"clean": 0, "broken": 1}
+
+
+def test_k_anonymity_flags_only_sub_k_groups(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.expectations import (
+        k_anonymity_suppression,
+    )
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    out = {(r["q1"], r["q2"]): r["n_rows"] for r in
+           k_anonymity_suppression(df, ["q1", "q2"], k=5).collect()}
+    assert out == {("b", 1): 2, ("c", 2): 1}
