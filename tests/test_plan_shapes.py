@@ -224,3 +224,47 @@ def test_quality_panel_no_python_eval(spark, sf_dir, queries):
     # five signal pipelines joined on doc_id: joins must be hash joins
     # on the key, not nested loops
     assert "CartesianProduct" not in body and "BroadcastNestedLoop" not in body
+
+
+def test_span_removal_probes_hot_set_by_broadcast(spark, sf_dir, queries):
+    plan = _physical(queries["dedup_span_removal"](spark, sf_dir))
+    # hot-segment probe must be a broadcast join (documents never
+    # shuffle for the probe); the only wide text shuffle is the
+    # per-doc reassembly aggregate.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_span_removal_probes_hot_set_by_broadcast(spark, sf_dir,
+                                                      queries):
+    plan = _physical(queries["dedup_cdc_spans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_join_is_equi_not_nested_loop(spark, sf_dir,
+                                                     queries):
+    plan = _physical(queries["dedup_jaccard_prefix"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_binned_equi_join(spark, sf_dir, queries):
+    plan = _physical(queries["events_session_window_overlap"](spark,
+                                                              sf_dir))
+    # the rewrite's whole point: no nested-loop theta join survives
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_pipeline_has_no_joins(spark, sf_dir, queries):
+    # build + merge + probe are groupBys and literal lookups only —
+    # any Join would mean the probe regressed to a shuffle.
+    plan = _physical(queries["corpus_cms_term_counts"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_ewma_is_single_window_no_join(spark, sf_dir, queries):
+    plan = _physical(queries["events_value_ewma"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
