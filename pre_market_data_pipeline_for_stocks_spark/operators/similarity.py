@@ -1088,7 +1088,11 @@ def semantic_dedup(embeddings: DataFrame, tau: float = 0.4,
     a = _assign_cells(e.withColumn("_nrm", _norm(F.col("embedding"))),
                       cents, keep_score=True)
     a = a.select("vec_id", "embedding", "_nrm", "cell",
-                 F.round("_cc", 4).alias("cent_cos"))
+                 # + 0.0 canonicalizes IEEE -0.0 to +0.0: the engines
+                 # round tiny negative cosines to differently-signed
+                 # zeros, which compare equal but SORT apart in the
+                 # driver's string-keyed row ordering.
+                 (F.round("_cc", 4) + F.lit(0.0)).alias("cent_cos"))
     pairable = a
     if max_cell is not None:
         sizes = (a.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))

@@ -667,6 +667,22 @@ def text_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def corpus_lang_mismatch(spark, sf_dir):
+    """Declared-vs-detected language audit: docs whose metadata ``lang``
+    disagrees with the stopword-profile guess, with the evidence count.
+    The metadata-trust check a multilingual curation pass runs before
+    using declared tags for stratification (mislabeled docs poison
+    per-language quality thresholds and mixture quotas)."""
+    docs = _docs(spark, sf_dir)
+    guess = textstats.lang_id(docs)
+    return (docs.select("doc_id", "lang", "source")
+            .join(guess, "doc_id")
+            .filter(F.col("lang") != F.col("lang_guess"))
+            .select("doc_id", "lang", F.col("lang_guess"), "best_hits",
+                    "source")
+            .orderBy("doc_id"))
+
+
 def dedup_normalized(spark, sf_dir):
     """Near-exact dedup on normalized text (case/punct/whitespace collapsed)."""
     return textstats.normalized_dedup(_docs(spark, sf_dir))

@@ -757,7 +757,7 @@ def _semdedup_sql(tau: float, stride: int = 200, iters: int = 1,
     uv = cos.format(a="u.v", b="v.v")
     return f"""{body},
 cellcos AS (
-  SELECT a.vec_id, a.v, a.cell, round({cc}, 4) AS cent_cos
+  SELECT a.vec_id, a.v, a.cell, round({cc}, 4) + 0.0 AS cent_cos
   FROM assigned a JOIN c{iters} c ON a.cell = c.cent_id),
 dropped AS (
   SELECT DISTINCT v.vec_id
@@ -2170,6 +2170,16 @@ SELECT s.user_id, s.day, w.win_id, s.l_lo, s.l_hi,
        least(s.l_hi, w.r_hi) - greatest(s.l_lo, w.r_lo) AS overlap
 FROM s JOIN w ON s.l_lo < w.r_hi AND w.r_lo < s.l_hi
 ORDER BY user_id, day, win_id
+"""),
+
+    # extensions.corpus_lang_mismatch: the _lang_sql guess joined back
+    # to declared metadata.
+    "corpus_lang_mismatch": QueryDef(X.corpus_lang_mismatch, f"""
+WITH g AS ({_lang_sql().strip()})
+SELECT d.doc_id, d.lang, g.lang_guess, g.best_hits, d.source
+FROM documents d JOIN g USING (doc_id)
+WHERE d.lang <> g.lang_guess
+ORDER BY d.doc_id
 """),
 
     # robust.ewma: identical lag-tap chain in both engines.
