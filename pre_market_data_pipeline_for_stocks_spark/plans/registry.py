@@ -1986,6 +1986,19 @@ FROM hh JOIN f USING (sh)
 GROUP BY 1 ORDER BY 1
 """),
 
+    # relational.entity_part_name_dedup: canonical token-set key +
+    # exact_dedup twin.
+    "entity_part_name_dedup": QueryDef(R.entity_part_name_dedup, f"""
+WITH canon AS (
+  SELECT p_partkey,
+         array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(p_name)), '\\s+'))), ' ') AS c
+  FROM part),
+h AS (SELECT p_partkey, {_H.format(x='c')} AS text_hash FROM canon)
+SELECT text_hash, min(p_partkey) AS keep_doc_id, count(*) AS n_copies
+FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+"""),
+
     # operators.expectations.k_anonymity_suppression over bucketed
     # event quasi-identifiers.
     "privacy_k_anonymity": QueryDef(R.privacy_k_anonymity, """

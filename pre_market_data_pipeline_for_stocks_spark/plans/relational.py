@@ -988,3 +988,23 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ["event_type", "day", "value_bucket"],
                                     k=5)
             .orderBy("event_type", "day", "value_bucket"))
+
+
+def entity_part_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names via an ORDER-INSENSITIVE
+    canonical key: lowercase, token-split, de-dup, sort, re-join — so
+    'purple burnished metallic' and 'metallic purple burnished' (TPC-H
+    names permute a small color vocabulary) collapse to one key, then
+    exact_dedup on the key hash. Output: duplicate groups only
+    (text_hash, keep_doc_id, n_copies). The sorted-neighborhood-key
+    blocking step of record linkage, run as one map-side expression +
+    one hash groupBy — no pair explosion at any scale."""
+    from ..operators import dedup
+    parts = _t(spark, sf_dir, "part")[0]
+    canon = F.array_join(F.array_sort(F.array_distinct(
+        F.split(F.trim(F.lower(F.col("p_name"))), r"\s+"))), " ")
+    keyed = parts.select(F.col("p_partkey").alias("doc_id"),
+                         canon.alias("text"))
+    return (dedup.exact_dedup(keyed)
+            .filter(F.col("n_copies") > 1)
+            .orderBy("text_hash"))

@@ -648,3 +648,23 @@ def test_cdc_span_dedup_is_shift_robust(spark):
     fixed = {r["doc_id"]: r["n_removed"] for r in
              remove_duplicate_spans(docs, seg_words=8, max_df=1).collect()}
     assert fixed == {1: 0, 2: 0}
+
+
+def test_canonical_key_dedup_is_order_insensitive(spark):
+    """Entity blocking key: permuted token order and repeated tokens
+    collapse to one canonical key; distinct vocab does not."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        exact_dedup,
+    )
+    rows = [(1, "purple burnished metallic"),
+            (2, "metallic purple burnished"),
+            (3, "metallic metallic purple burnished"),
+            (4, "plain different name")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    canon = F.array_join(F.array_sort(F.array_distinct(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"))), " ")
+    out = exact_dedup(docs.select("doc_id", canon.alias("text"))).collect()
+    groups = sorted((r["n_copies"], r["keep_doc_id"]) for r in out)
+    assert groups == [(1, 4), (3, 1)]
