@@ -1,0 +1,106 @@
+"""Warehouse maintenance job entry point — the nightly table-care
+sweep composed from already-tested operators:
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.run_maintenance \
+        --sf-dir /root/testdata/sf0.01 --work /tmp/maint_run \
+        [--retain-from 2024-01-10]
+
+One invocation:
+1. snapshots the events table into a day-partitioned parquet tree
+   under ``--work`` (the stand-in for the production fact tree this
+   job would normally be pointed at),
+2. compacts its small files (sinks.compact_parquet_tree),
+3. applies retention (sinks.vacuum_partitions) when ``--retain-from``
+   is given,
+4. audits referential integrity across the TPC-H FK edges
+   (expectations.referential_orphans) and k-anonymity of the event
+   quasi-identifiers (expectations.k_anonymity_suppression),
+and prints ONE JSON metrics line. Exit code: non-zero when any FK
+edge has orphans or the compacted tree lost rows — orchestration
+alerts instead of silently serving a torn snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..operators.expectations import (
+    k_anonymity_suppression,
+    referential_orphans,
+)
+from ..session import get_spark
+from ..sources.offline import load_testdata
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="warehouse maintenance sweep")
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--work", required=True,
+                    help="working directory for the partitioned tree")
+    ap.add_argument("--retain-from", default=None,
+                    help="drop day partitions below this ISO date")
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    spark = get_spark("maintenance-job")
+    t = load_testdata(spark, args.sf_dir,
+                      ["events", "lineitem", "orders", "customer",
+                       "nation", "supplier"])
+
+    ev = t["events"].withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp")).cast("string"))
+    tree = f"{args.work}/events"
+    # deliberately fragmented write (one file per input partition per
+    # day) so compaction has real work on every run
+    ev.write.mode("overwrite").partitionBy("day").parquet(tree)
+    n_before = spark.read.parquet(tree).count()
+
+    compacted = sinks.compact_parquet_tree(spark, tree,
+                                           partition_cols=["day"])
+    dropped = (sinks.vacuum_partitions(tree, "day", args.retain_from)
+               if args.retain_from else [])
+    after = spark.read.parquet(tree)
+    n_after = after.count()
+    expected = (n_before if not args.retain_from
+                else ev.filter(F.col("day") >= args.retain_from).count())
+
+    orphans = referential_orphans([
+        ("lineitem.orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("orders.custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("customer.nationkey->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+        ("supplier.nationkey->nation", t["supplier"], "s_nationkey",
+         t["nation"], "n_nationkey"),
+    ]).collect()
+    n_orphans = sum(r["n_orphans"] for r in orphans)
+
+    quasi = ev.select("event_type", "day",
+                      (F.floor(F.col("value") / 50) * 50).cast("long")
+                      .alias("value_bucket"))
+    n_sub_k = k_anonymity_suppression(
+        quasi, ["event_type", "day", "value_bucket"], k=5).count()
+
+    ok = n_after == expected and n_orphans == 0
+    print(json.dumps({
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "compaction": compacted,
+        "partitions_vacuumed": len(dropped),
+        "fk_orphans": n_orphans,
+        "k_anonymity_sub_k_groups": n_sub_k,
+        "ok": ok,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3562,6 +3562,12 @@ EXTENDED_BENCH = [
     "corpus_bpe_learned_merges", "corpus_mixture_temperature",
     "ann_pq_topk", "ann_ivfpq_topk", "retrieval_maxsim_search",
     "corpus_span_corrupt",
+    # round-6 additions
+    "dedup_span_removal", "dedup_cdc_spans", "dedup_jaccard_prefix",
+    "dedup_semantic_prune", "ann_mmr_rerank", "retrieval_rrf_hybrid",
+    "corpus_cms_term_counts", "events_value_hist_quantiles",
+    "events_value_ewma", "events_session_window_overlap",
+    "merge_upsert_orders", "entity_part_name_dedup",
 ]
 
 

@@ -1,0 +1,44 @@
+"""End-to-end contract of the maintenance job CLI: one JSON metrics
+line, compaction + retention effects visible in the tree, exit code
+reflects the audits."""
+
+from __future__ import annotations
+
+import io
+import json
+from contextlib import redirect_stdout
+
+
+def _run(argv):
+    from pre_market_data_pipeline_for_stocks_spark.jobs.run_maintenance import (
+        main,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        code = main(argv)
+    return code, json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_maintenance_job_metrics_and_exit(sf_dir, tmp_path):
+    code, m = _run(["--sf-dir", sf_dir, "--work", str(tmp_path / "w")])
+    assert code == 0 and m["ok"] is True
+    assert m["rows_before"] == m["rows_after"] > 0
+    assert m["fk_orphans"] == 0
+    assert m["compaction"] >= 1
+    assert m["partitions_vacuumed"] == 0
+
+
+def test_maintenance_job_retention_drops_partitions(sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    # find a cutoff that actually drops something: read the min day
+    import duckdb
+    lo, hi = duckdb.connect().execute(
+        f"SELECT min(ts::DATE), max(ts::DATE) "
+        f"FROM '{sf_dir}/events.parquet'").fetchone()
+    cutoff = (lo + (hi - lo) / 2).isoformat()
+    code, m = _run(["--sf-dir", sf_dir, "--work", str(tmp_path / "w"),
+                    "--retain-from", cutoff])
+    assert code == 0 and m["ok"] is True
+    assert m["partitions_vacuumed"] >= 1
+    assert m["rows_after"] < m["rows_before"]
