@@ -1,0 +1,86 @@
+"""Retrieval index build job — train once, serve many:
+
+    python -m pre_market_data_pipeline_for_stocks_spark.jobs.run_index \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/index_run
+
+One invocation:
+1. sizes the IVF codebook as a budget (similarity.ivf_cells_stride —
+   k ~ sqrt(n*nprobe), the fix for the fixed-stride quadratic trap
+   measured at sf1),
+2. trains + persists the coarse quantizer (save_ivf_index) and the PQ
+   codebooks (save_pq_codebooks),
+3. RELOADS both from disk and serves a smoke query through
+   ivf_topk_with_index — the deployment path, so the verification
+   covers the round trip, not the in-memory model,
+4. measures recall@10 of the reloaded index against the exact
+   brute-force top-10,
+and prints ONE JSON metrics line. Exit non-zero when recall falls
+below ``--min-recall`` (default 0.8) — a torn/mis-sized index fails
+the build instead of shipping."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from ..operators import similarity as S
+from ..session import get_spark
+from ..sources.offline import load_testdata
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="ANN index build + verify")
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--nprobe", type=int, default=3)
+    ap.add_argument("--cells", type=int, default=None,
+                    help="IVF cell budget; default sizes for the "
+                         "recall gate (4*nprobe -> ~25%% probe "
+                         "coverage). Pass the sqrt(n*nprobe) "
+                         "throughput sizing explicitly for serving "
+                         "builds where latency dominates.")
+    ap.add_argument("--min-recall", type=float, default=0.8)
+    args = ap.parse_args(argv)
+
+    t0 = time.time()
+    spark = get_spark("index-job")
+    emb = load_testdata(spark, args.sf_dir, ["embeddings"])["embeddings"]
+    n = emb.count()
+
+    cells = args.cells if args.cells else max(8, 4 * args.nprobe)
+    stride = S.ivf_cells_stride(emb, cells=cells, nprobe=args.nprobe)
+    cents = S.train_ivf_centroids(emb, centroid_stride=stride,
+                                  iters=1, sample_mod=2)
+    S.save_ivf_index(cents, f"{args.out}/ivf")
+    books = S.train_pq_codebooks(emb)
+    S.save_pq_codebooks(spark, books, f"{args.out}/pq")
+
+    cents2 = S.load_ivf_index(spark, f"{args.out}/ivf")
+    n_cells = cents2.count()
+    approx = {r["vec_id"] for r in
+              S.ivf_topk_with_index(emb, cents2, query_vec_id=0, k=10,
+                                    nprobe=args.nprobe).collect()}
+    exact = {r["vec_id"] for r in
+             S.cosine_topk(emb, query_vec_id=0, k=10).collect()}
+    recall = len(approx & exact) / max(len(exact), 1)
+
+    books2 = S.load_pq_codebooks(spark, f"{args.out}/pq")
+    pq_ok = len(books2) == len(books)
+
+    ok = recall >= args.min_recall and pq_ok
+    print(json.dumps({
+        "n_vectors": n,
+        "ivf_stride": stride,
+        "n_cells": n_cells,
+        "recall_at_10": round(recall, 3),
+        "pq_codebooks_roundtrip": pq_ok,
+        "ok": ok,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,34 @@
+"""Index-build job contract: one JSON metrics line, served-from-disk
+verification, recall gate controls the exit code."""
+
+from __future__ import annotations
+
+import io
+import json
+from contextlib import redirect_stdout
+
+
+def _run(argv):
+    from pre_market_data_pipeline_for_stocks_spark.jobs.run_index import main
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        code = main(argv)
+    return code, json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_index_job_builds_and_verifies(sf_dir, tmp_path):
+    code, m = _run(["--sf-dir", sf_dir, "--out", str(tmp_path / "ix")])
+    assert code == 0 and m["ok"] is True
+    assert m["recall_at_10"] >= 0.8
+    assert m["pq_codebooks_roundtrip"] is True
+    assert m["n_cells"] >= 8
+    # artifacts actually exist on disk (the served path reloads them)
+    assert (tmp_path / "ix" / "ivf").exists()
+    assert (tmp_path / "ix" / "pq").exists()
+
+
+def test_index_job_recall_gate_fails_loud(sf_dir, tmp_path):
+    # an impossible recall bar must flip the exit code, not the metrics
+    code, m = _run(["--sf-dir", sf_dir, "--out", str(tmp_path / "ix2"),
+                    "--min-recall", "1.01"])
+    assert code == 1 and m["ok"] is False
