@@ -18,7 +18,7 @@ approx_percentile and the same plan shape holds with bounded error.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAD_SIGMA = 1.4826  # consistency constant: sigma estimate for normals
@@ -78,3 +78,78 @@ def ewma(df: DataFrame, group_col: str, order_cols: list[str],
         num = num + F.coalesce(lj * wj, F.lit(0.0))
         den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(0.0)
     return df.withColumn(out_col, F.round(num / den, 4))
+
+
+def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
+              lo: float, hi: float, bins: int = 10,
+              eps: float = 1e-4) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column: one row (psi, n_old, n_new, n_bins_hit).
+
+    PSI = Σ_bins (p_new − p_old)·ln(p_new/p_old) over fixed-range
+    equi-width bins (the sketches.hist_partials binning, under/overflow
+    clamped), with ``eps`` flooring both shares so an empty bin on one
+    side contributes a large-but-finite term (the standard industry
+    convention; <0.1 stable, 0.1-0.25 drifting, >0.25 shifted).
+
+    Execution: two bin-count aggregations + a |bins|-row full outer
+    join — each input is scanned once, shuffle currency is (bin,
+    count). The monitoring pass an ML feature pipeline runs per
+    deploy; pairs with snapshot_diff (row-level) and vocab_drift
+    (token-level) as the DISTRIBUTION-level drift check."""
+    width = (hi - lo) / bins
+
+    def _binned(df, name):
+        raw = F.floor((F.col(value_col) - lo) / width).cast("int")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        return (df.select(b.alias("_b"))
+                .groupBy("_b").agg(F.count(F.lit(1)).alias(name)))
+
+    o = _binned(old, "n_old_b")
+    n = _binned(new, "n_new_b")
+    j = o.join(n, "_b", "full_outer").select(
+        F.coalesce("n_old_b", F.lit(0)).alias("n_old_b"),
+        F.coalesce("n_new_b", F.lit(0)).alias("n_new_b"))
+    tot = j.agg(F.sum("n_old_b").alias("t_old"),
+                F.sum("n_new_b").alias("t_new"),
+                F.count(F.lit(1)).alias("n_bins_hit"))
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "n_old_b", "n_new_b", "t_old", "t_new", "n_bins_hit",
+        F.greatest(F.col("n_old_b") / F.col("t_old"), F.lit(eps))
+        .alias("p"),
+        F.greatest(F.col("n_new_b") / F.col("t_new"), F.lit(eps))
+        .alias("q"))
+    return (scored.groupBy("t_old", "t_new", "n_bins_hit")
+            .agg(F.round(F.sum((F.col("q") - F.col("p"))
+                               * F.log(F.col("q") / F.col("p"))), 6)
+                 .alias("psi"))
+            .select("psi", F.col("t_old").alias("n_old"),
+                    F.col("t_new").alias("n_new"), "n_bins_hit"))
+
+
+def ranked_auc(scored: DataFrame, score_col: str,
+               label_col: str) -> DataFrame:
+    """ROC-AUC from scores + binary labels via the rank formulation:
+    AUC = (Σ ranks(positives) − n_pos(n_pos+1)/2) / (n_pos·n_neg),
+    with average ranks for score ties (the exact Mann-Whitney U) —
+    one global rank window + one aggregate, no pairwise join.
+
+    The eval harness for any scorer in the engine (classifier_score,
+    quality panels): a near-0.5 AUC says the scorer carries no signal
+    for the label. Output: one row (auc, n_pos, n_neg). The global
+    sort-rank is the same cost class as any orderBy; at extreme scale
+    swap in a binned approximation (hist_partials per class)."""
+    w = Window.orderBy(F.col(score_col).asc())
+    ranked = scored.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.avg(F.row_number().over(w)).over(
+            Window.partitionBy(score_col)).alias("_r"))
+    return (ranked.agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_sr"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(1 - F.col("_y")).alias("n_neg"))
+        .select(
+            F.round((F.col("_sr") - F.col("n_pos")
+                     * (F.col("n_pos") + 1) / 2)
+                    / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+            "n_pos", "n_neg"))

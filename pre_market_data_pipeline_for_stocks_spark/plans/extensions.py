@@ -1108,6 +1108,37 @@ def events_session_window_overlap(spark, sf_dir):
             .orderBy("user_id", "day", "win_id"))
 
 
+PSI_SPLIT_DATE = "2024-01-15"
+
+
+def events_value_psi_drift(spark, sf_dir):
+    """Population Stability Index of event values across the
+    mid-January split: the distribution-level drift check (PSI<0.1
+    stable / >0.25 shifted) next to snapshot_diff (row-level) and
+    vocab_drift (token-level). Two bin-count scans + a bins-sized
+    join."""
+    from ..operators import robust
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    old = ev.filter(F.to_date("ts") < PSI_SPLIT_DATE)
+    new = ev.filter(F.to_date("ts") >= PSI_SPLIT_DATE)
+    return robust.psi_drift(old, new, "value", 0.0, 500.0, bins=10)
+
+
+def eval_classifier_auc(spark, sf_dir):
+    """ROC-AUC of the model-based quality scorer against the
+    declared-English label — the eval harness that says whether a
+    scorer carries signal (rank/Mann-Whitney formulation, exact under
+    ties, no pairwise join)."""
+    from ..operators import robust
+    docs = _docs(spark, sf_dir)
+    scored = textstats.classifier_score(docs)
+    lab = docs.select("doc_id",
+                      (F.col("lang") == "en").cast("int").alias("y"))
+    j = scored.join(lab, "doc_id").select("score", "y")
+    return robust.ranked_auc(j, "score", "y")
+
+
 EWMA_ALPHA = 0.3
 EWMA_TAPS = 8
 

@@ -2195,6 +2195,30 @@ WHERE d.lang <> g.lang_guess
 ORDER BY d.doc_id
 """),
 
+    # robust.psi_drift over the mid-January value split: same bins,
+    # same eps floor, 6-dp round.
+    "events_value_psi_drift": QueryDef(X.events_value_psi_drift, f"""
+WITH o AS (
+  SELECT least(greatest(floor((value - 0.0) / 50.0)::INT, 0), 9) AS b
+  FROM events WHERE ts::DATE < DATE '{X.PSI_SPLIT_DATE}'),
+n AS (
+  SELECT least(greatest(floor((value - 0.0) / 50.0)::INT, 0), 9) AS b
+  FROM events WHERE ts::DATE >= DATE '{X.PSI_SPLIT_DATE}'),
+ob AS (SELECT b, count(*) AS c FROM o GROUP BY 1),
+nb AS (SELECT b, count(*) AS c FROM n GROUP BY 1),
+j AS (SELECT coalesce(ob.c, 0) AS co, coalesce(nb.c, 0) AS cn
+      FROM ob FULL OUTER JOIN nb USING (b)),
+t AS (SELECT sum(co) AS t_old, sum(cn) AS t_new,
+             count(*) AS n_bins_hit FROM j)
+SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+       t_old AS n_old, t_new AS n_new, n_bins_hit
+FROM (SELECT greatest(co / t.t_old, 0.0001) AS p,
+             greatest(cn / t.t_new, 0.0001) AS q,
+             t.t_old, t.t_new, t.n_bins_hit
+      FROM j, t)
+GROUP BY t_old, t_new, n_bins_hit
+"""),
+
     # robust.ewma: identical lag-tap chain in both engines.
     "events_value_ewma": QueryDef(
         X.events_value_ewma, _ewma_sql(X.EWMA_ALPHA, X.EWMA_TAPS)),
@@ -3478,6 +3502,25 @@ LEFT JOIN ({REGISTRY["text_char_entropy"].oracle}) e USING (doc_id)
 LEFT JOIN ({REGISTRY["text_duplication_density"].oracle}) d USING (doc_id)
 LEFT JOIN ({REGISTRY["text_lang_id"].oracle}) l USING (doc_id)
 ORDER BY q.doc_id
+""")
+
+# robust.ranked_auc over classifier_score vs the declared-English
+# label: rank formulation with averaged tie ranks. Post-dict so it can
+# reuse the classifier oracle verbatim (the quality-panel pattern).
+REGISTRY["eval_classifier_auc"] = QueryDef(X.eval_classifier_auc, f"""
+WITH s AS ({REGISTRY["text_classifier_score"].oracle}),
+lab AS (SELECT s.doc_id, s.score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM s JOIN documents d USING (doc_id)),
+r AS (SELECT y, avg(rn) OVER (PARTITION BY score) AS r
+      FROM (SELECT y, score,
+                   row_number() OVER (ORDER BY score ASC) AS rn
+            FROM lab))
+SELECT round((sum(CASE WHEN y = 1 THEN r END)
+              - sum(y) * (sum(y) + 1) / 2)
+             / (sum(y) * sum(1 - y)), 6) AS auc,
+       sum(y) AS n_pos, sum(1 - y) AS n_neg
+FROM r
 """)
 
 

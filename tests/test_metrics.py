@@ -58,3 +58,57 @@ def test_ewma_groups_are_independent(spark):
            ewma(df, "g", ["t"], "v").collect()}
     assert abs(out[("a", 2)] - 1.0) < 1e-9
     assert abs(out[("b", 2)] - 100.0) < 1e-9
+
+
+# ----------------------------------------------------------- PSI / AUC
+
+def test_psi_zero_for_identical_distributions(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        psi_drift,
+    )
+    df = spark.createDataFrame([(float(v),) for v in range(100)],
+                               "v double")
+    r = psi_drift(df, df, "v", 0.0, 100.0, 10).collect()[0]
+    assert r["psi"] == 0.0 and r["n_old"] == r["n_new"] == 100
+
+
+def test_psi_grows_with_shift(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        psi_drift,
+    )
+    base = spark.createDataFrame([(float(v),) for v in range(100)],
+                                 "v double")
+    small = spark.createDataFrame([(float(v) + 10,) for v in range(100)],
+                                  "v double")
+    big = spark.createDataFrame([(float(v) + 50,) for v in range(100)],
+                                "v double")
+    p_small = psi_drift(base, small, "v", 0.0, 100.0, 10).collect()[0]["psi"]
+    p_big = psi_drift(base, big, "v", 0.0, 100.0, 10).collect()[0]["psi"]
+    assert 0 < p_small < p_big
+    assert p_big > 0.25          # a half-range shift reads as "shifted"
+
+
+def test_auc_perfect_and_random_and_ties(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        ranked_auc,
+    )
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int")
+    assert ranked_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "s double, y int")
+    assert ranked_auc(inverted, "s", "y").collect()[0]["auc"] == 0.0
+    # all-tied scores -> exactly 0.5 (average ranks)
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int")
+    assert ranked_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_matches_hand_computed_mann_whitney(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        ranked_auc,
+    )
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.5, 0), (0.4, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = ranked_auc(df, "s", "y").collect()[0]
+    assert abs(r["auc"] - round(8 / 9, 6)) < 1e-9
