@@ -840,6 +840,39 @@ segs AS (
   FROM sg GROUP BY 1, 2)"""
 
 
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Twin of relational.graph_supplier_pagerank: the iteration
+    unrolled as (d_i dangling mass, c_i contributions, p_{i+1} rank)
+    CTE triples with the operator's 8-dp per-iteration rounding."""
+    parts = [
+        """e AS (SELECT DISTINCT o_custkey AS src,
+                l_suppkey + 1000000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1)",
+        "p0 AS (SELECT node, round(1.0 / nn.n, 8) AS pr FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        parts.append(f"""d{i} AS (
+  SELECT coalesce(sum(pr), 0) AS m FROM p{i}
+  WHERE node NOT IN (SELECT src FROM od))""")
+        parts.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum(p.pr / od.deg) AS s
+  FROM e JOIN p{i} p ON p.node = e.src JOIN od ON od.src = e.src
+  GROUP BY 1)""")
+        parts.append(f"""p{i + 1} AS (
+  SELECT n.node,
+         round((1 - {damping}) / nn.n
+               + {damping} * (coalesce(c.s, 0) + d{i}.m / nn.n), 8) AS pr
+  FROM nodes n LEFT JOIN c{i} c USING (node), nn, d{i})""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT node, round(pr, 6) AS pr FROM p{iters} ORDER BY node
+"""
+
+
 def _ewma_sql(alpha: float, taps: int) -> str:
     """Twin of robust.ewma over events: the identical lag-tap chain in
     the identical textual order, so the 8-term sums are bit-equal."""
@@ -2194,6 +2227,10 @@ FROM documents d JOIN g USING (doc_id)
 WHERE d.lang <> g.lang_guess
 ORDER BY d.doc_id
 """),
+
+    # operators.graph.pagerank: unrolled-iteration twin.
+    "graph_supplier_pagerank": QueryDef(
+        R.graph_supplier_pagerank, _pagerank_sql()),
 
     # robust.psi_drift over the mid-January value split: same bins,
     # same eps floor, 6-dp round.

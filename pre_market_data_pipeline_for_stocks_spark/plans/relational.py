@@ -972,6 +972,22 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]).orderBy("relationship")
 
 
+def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier trade graph (distinct
+    edges via orders x lineitem; supplier nodes offset by 1e6): the
+    importance measure for entity graphs, 5 fixed iterations with
+    dangling-mass redistribution (operators/graph.py). Suppliers are
+    pure sinks here, so rank concentrates on heavily-traded suppliers
+    — the non-trivial stationary structure the oracle replays."""
+    from ..operators.graph import pagerank
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1000000).alias("dst")))
+    return pagerank(edges, iters=5).orderBy("node")
+
+
 def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppression list over events: quasi-identifiers =
     (event_type, day, value bucketed to 50s); combinations seen fewer

@@ -1,0 +1,37 @@
+"""PageRank operator checks: mass conservation, known stationary
+structure, dangling handling, damping degeneracy."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators.graph import pagerank
+
+
+def _pr(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["pr"] for r in pagerank(e, **kw).collect()}
+
+
+def test_pagerank_mass_conserved_and_hub_dominates(spark):
+    out = _pr(spark, [(2, 1), (3, 1), (4, 1)], iters=10)
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[1] > 3 * out[2]
+    assert out[2] == out[3] == out[4]          # symmetric spokes
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    out = _pr(spark, [(1, 2), (2, 3), (3, 1)], iters=10)
+    vals = list(out.values())
+    assert max(vals) - min(vals) < 1e-6        # symmetric cycle
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # 1 -> 2; 2 dangles. Without redistribution total rank decays.
+    out = _pr(spark, [(1, 2)], iters=20)
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[2] > out[1]
+
+
+def test_pagerank_damping_zero_is_uniform(spark):
+    out = _pr(spark, [(2, 1), (3, 1), (4, 1)], iters=5, damping=0.0)
+    vals = set(out.values())
+    assert len(vals) == 1                       # pure teleport
