@@ -3648,6 +3648,8 @@ EXTENDED_BENCH = [
     "corpus_cms_term_counts", "events_value_hist_quantiles",
     "events_value_ewma", "events_session_window_overlap",
     "merge_upsert_orders", "entity_part_name_dedup",
+    "graph_supplier_pagerank", "events_value_psi_drift",
+    "eval_classifier_auc", "corpus_lang_mismatch", "corpus_bpe_encode",
 ]
 
 
