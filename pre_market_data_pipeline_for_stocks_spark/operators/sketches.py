@@ -253,3 +253,30 @@ def hist_quantiles(hists: DataFrame, qs: list[float],
                             F.round(est, 4).alias("estimate"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def psi_from_hists(old_hist: DataFrame, new_hist: DataFrame,
+                   eps: float = 1e-4,
+                   hist_col: str = "hist") -> DataFrame:
+    """Population Stability Index computed FROM STORED SKETCHES: two
+    single-row histogram states (hist_partials/hist_merge output) in,
+    one row (psi, n_old, n_new) out — the raw data is never rescanned,
+    so a drift gate can compare today's ingest against any archived
+    day's sketch at sketch cost. Same binning/eps/round contract as
+    robust.psi_drift (equality unit-pinned)."""
+    o = old_hist.select(F.posexplode(F.col(hist_col)).alias("_p", "_o"))
+    n = new_hist.select(F.posexplode(F.col(hist_col)).alias("_p", "_n"))
+    j = o.join(n, "_p", "full_outer").select(
+        F.coalesce("_o", F.lit(0)).alias("_o"),
+        F.coalesce("_n", F.lit(0)).alias("_n"))
+    tot = j.agg(F.sum("_o").alias("t_old"), F.sum("_n").alias("t_new"))
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "t_old", "t_new",
+        F.greatest(F.col("_o") / F.col("t_old"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("_n") / F.col("t_new"), F.lit(eps)).alias("q"))
+    return (scored.groupBy("t_old", "t_new")
+            .agg(F.round(F.sum((F.col("q") - F.col("p"))
+                               * F.log(F.col("q") / F.col("p"))), 6)
+                 .alias("psi"))
+            .select("psi", F.col("t_old").alias("n_old"),
+                    F.col("t_new").alias("n_new")))

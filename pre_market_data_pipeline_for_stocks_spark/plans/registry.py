@@ -2228,6 +2228,24 @@ WHERE d.lang <> g.lang_guess
 ORDER BY d.doc_id
 """),
 
+    # relational.events_value_streaks: date minus row_number islands.
+    "events_value_streaks": QueryDef(R.events_value_streaks, """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, max(value) AS mx
+  FROM events GROUP BY 1, 2 HAVING max(value) > 250),
+g AS (SELECT user_id, day,
+        day - CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS INT) AS grp
+      FROM daily),
+s AS (SELECT user_id, grp, count(*) AS len,
+        min(day) AS start_day, max(day) AS end_day
+      FROM g GROUP BY 1, 2),
+b AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY len DESC, start_day ASC) AS rn FROM s)
+SELECT user_id, len AS streak_days, start_day, end_day
+FROM b WHERE rn = 1 ORDER BY user_id
+"""),
+
     # operators.graph.pagerank: unrolled-iteration twin.
     "graph_supplier_pagerank": QueryDef(
         R.graph_supplier_pagerank, _pagerank_sql()),

@@ -1024,3 +1024,32 @@ def entity_part_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.exact_dedup(keyed)
             .filter(F.col("n_copies") > 1)
             .orderBy("text_hash"))
+
+
+def events_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days with a daily max value above 250 — the date minus
+    dense-rank-of-date trick groups consecutive days into islands with
+    one window + one aggregation, no self-join (the classic streak
+    pattern; sessionization is its event-time sibling)."""
+    ev = _t(spark, sf_dir, "events")[0]
+    daily = (ev.select("user_id",
+                       F.to_date(F.col("ts").cast("timestamp"))
+                       .alias("day"), "value")
+             .groupBy("user_id", "day")
+             .agg(F.max("value").alias("mx"))
+             .filter(F.col("mx") > 250))
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = daily.withColumn(
+        "_grp", F.date_sub(F.col("day"), F.row_number().over(w)))
+    streaks = (grouped.groupBy("user_id", "_grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("start_day"),
+                    F.max("day").alias("end_day")))
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day").asc())
+    return (streaks.withColumn("_rn", F.row_number().over(best))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", F.col("len").alias("streak_days"),
+                    "start_day", "end_day")
+            .orderBy("user_id"))

@@ -208,3 +208,26 @@ def test_hist_overflow_clamps_to_edge_bins(spark):
         [("a", -5.0), ("a", 999.0), ("a", 50.0)], "k string, v double")
     h = SK.hist_partials(df, ["k"], "v", 0.0, 100.0, 10).collect()[0]["hist"]
     assert h[0] == 1 and h[9] == 1 and h[5] == 1 and sum(h) == 3
+
+
+def test_psi_from_hists_equals_raw_psi(spark):
+    """Sketch-space drift == raw-data drift: PSI computed from two
+    stored histogram states must equal robust.psi_drift over the rows
+    that built them (bin mass is identical by construction — only
+    within-bin detail is lost, which PSI never uses)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        psi_drift,
+    )
+    old = spark.createDataFrame([(float(v),) for v in range(100)],
+                                "v double")
+    new = spark.createDataFrame([(float(v) + 30,) for v in range(100)],
+                                "v double")
+    raw = psi_drift(old, new, "v", 0.0, 100.0, 10).collect()[0]
+    sk = SK.psi_from_hists(
+        SK.hist_partials(old, [], "v", 0.0, 100.0, 10),
+        SK.hist_partials(new, [], "v", 0.0, 100.0, 10)).collect()[0]
+    assert sk["psi"] == raw["psi"]
+    assert (sk["n_old"], sk["n_new"]) == (raw["n_old"], raw["n_new"])
