@@ -1204,3 +1204,41 @@ def mmr_rerank(embeddings: DataFrame, query_vec_id: int = 0,
     return (withv.groupBy(F.lit(1).alias("_g"))
             .applyInPandas(kernel, "rank int, vec_id long, relevance double")
             .orderBy("rank"))
+
+
+def mmr_rerank_batch(embeddings: DataFrame, candidates: DataFrame,
+                     k: int = 5, lmb: float = 0.7,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Batch MMR: diversified top-k per query over a candidate table
+    (query_id, vec_id, cosine) — e.g. ivf_topk_batch output. Returns
+    (query_id, rank, vec_id, relevance).
+
+    The batch topology the single-query mmr_rerank documents: ONE
+    applyInPandas over groupBy(query_id) — every group is a bounded
+    candidate list (the ANN k), so per-group work is constant and
+    parallelism scales with the number of queries, which is the axis
+    that grows in production (reranking a day of search traffic).
+    Same sequential-fold/half-away-rounding kernel (_mmr_greedy), so
+    batch results are engine-portable like the single-query path."""
+    import pandas as pd
+
+    withv = candidates.join(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v")),
+        "vec_id")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = [(int(vid), float(rel), list(v)) for vid, rel, v in
+                pdf[["vec_id", "cosine", "_v"]]
+                .itertuples(index=False, name=None)]
+        out = _mmr_greedy(rows, k, lmb)
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame([(qid, r, vid, rel) for r, vid, rel in out],
+                            columns=["query_id", "rank", "vec_id",
+                                     "relevance"])
+
+    return (withv.groupBy("query_id")
+            .applyInPandas(kernel, "query_id long, rank int, "
+                                   "vec_id long, relevance double")
+            .orderBy("query_id", "rank"))

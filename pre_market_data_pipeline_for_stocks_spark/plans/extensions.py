@@ -1193,6 +1193,26 @@ def ann_mmr_rerank(spark, sf_dir):
                                  k=MMR_K, lmb=MMR_LAMBDA)
 
 
+MMR_BATCH_K = 5
+
+
+def ann_mmr_rerank_batch(spark, sf_dir):
+    """Batch MMR: every query in the deterministic % 100 shard gets a
+    diversified top-5 from its IVF top-20 candidates — ONE
+    applyInPandas over groupBy(query_id), constant work per group,
+    parallelism from the query axis (the production rerank topology)."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    cand = similarity.ivf_topk_batch(emb, queries, k=MMR_CANDIDATES,
+                                     centroid_stride=200, nprobe=3,
+                                     train_iters=1, train_sample_mod=2)
+    return similarity.mmr_rerank_batch(
+        emb, cand.select("query_id", "vec_id", "cosine"),
+        k=MMR_BATCH_K, lmb=MMR_LAMBDA)
+
+
 SEMDEDUP_TAU = 0.4
 SEMDEDUP_STRIDE = 200
 

@@ -892,6 +892,53 @@ ORDER BY event_id
 """
 
 
+def _mmr_batch_sql(n: int, k: int, lmb: float) -> str:
+    """Twin of extensions.ann_mmr_rerank_batch: _ivf_batch_sql's
+    candidate list per query (nested WITH in a derived table), then
+    the _mmr_sql greedy advanced for ALL queries per recursive step
+    (one row per query carries its selected-id list)."""
+    mu = 1 - lmb
+    cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
+           "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
+    inner = _ivf_batch_sql(k=n)
+    return f"""
+WITH RECURSIVE
+cand AS (SELECT query_id, vec_id, cosine FROM ({inner}) t),
+cv AS (
+  SELECT c.query_id, c.vec_id, c.cosine AS rel,
+         e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e USING (vec_id)),
+sims AS (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         round({cos.format(a='a.v', b='b.v')}, 4) AS s
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+pick(query_id, i, ids) AS (
+  SELECT query_id, 1, [vec_id] FROM (
+    SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cv) WHERE rn = 1
+  UNION ALL
+  SELECT p.query_id, p.i + 1, list_append(p.ids, (
+    SELECT c.vec_id FROM cv c
+    WHERE c.query_id = p.query_id
+      AND NOT list_contains(p.ids, c.vec_id)
+    ORDER BY ({lmb} * c.rel - {mu} * (
+       SELECT max(s.s) FROM sims s
+       WHERE s.query_id = p.query_id AND s.ia = c.vec_id
+         AND list_contains(p.ids, s.ib))) DESC,
+       c.vec_id ASC
+    LIMIT 1))
+  FROM pick p WHERE p.i < {k}),
+fin AS (SELECT query_id, ids FROM pick WHERE i = {k})
+SELECT f.query_id, t.i::INT AS rank, f.ids[t.i] AS vec_id,
+       c.rel AS relevance
+FROM fin f, UNNEST(range(1, {k} + 1)) t(i)
+JOIN cv c ON c.query_id = f.query_id AND c.vec_id = f.ids[t.i]
+ORDER BY f.query_id, rank
+"""
+
+
 def _cms_sql() -> str:
     """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
@@ -2193,6 +2240,11 @@ FROM s ORDER BY doc_id, chunk_id
     "ann_mmr_rerank": QueryDef(
         X.ann_mmr_rerank,
         _mmr_sql(X.MMR_CANDIDATES, X.MMR_K, X.MMR_LAMBDA)),
+
+    # similarity.mmr_rerank_batch over ivf_topk_batch candidates.
+    "ann_mmr_rerank_batch": QueryDef(
+        X.ann_mmr_rerank_batch,
+        _mmr_batch_sql(X.MMR_CANDIDATES, X.MMR_BATCH_K, X.MMR_LAMBDA)),
 
     # tokenizer.apply_bpe over learn_bpe's merges: staged round chain
     # with per-doc carry-through.

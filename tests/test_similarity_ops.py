@@ -597,3 +597,37 @@ def test_mmr_rerank_end_to_end(spark):
     picked = [r["vec_id"] for r in out]
     # the diverse candidate must outrank the redundant near-copy
     assert picked.index(3) < picked.index(2)
+
+
+def test_mmr_rerank_batch_groups_are_independent(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_batch,
+    )
+    rows = [(0, [1.0, 1.0]), (100, [1.0, -1.0]),
+            (1, [1.0, 0.9]), (2, [1.0, 0.89]), (3, [0.9, 1.0]),
+            (4, [1.0, -0.9]), (5, [1.0, -0.89]), (6, [0.9, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # build candidate lists per query via exact cosine (deterministic)
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql import functions as F
+    cands = None
+    for q in (0, 100):
+        c = (cosine_topk(emb.filter(F.col("vec_id") != (100 - q)),
+                         query_vec_id=q, k=3)
+             .withColumn("query_id", F.lit(q)))
+        cands = c if cands is None else cands.unionByName(c)
+    out = mmr_rerank_batch(emb, cands.select("query_id", "vec_id",
+                                             "cosine"),
+                           k=3, lmb=0.5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    # each query's batch result equals its single-query rerank
+    for q in (0, 100):
+        single = mmr_rerank(emb.filter(F.col("vec_id") != (100 - q)),
+                            query_vec_id=q, n_candidates=3, k=3,
+                            lmb=0.5).collect()
+        assert per_q[q] == [r["vec_id"] for r in single]
