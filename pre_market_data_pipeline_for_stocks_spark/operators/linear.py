@@ -1,0 +1,91 @@
+"""In-engine linear-model training over hashed text features.
+
+classifier_score (textstats.py) SCORES documents with a fixed weight
+table; this module TRAINS that table — batch gradient descent for
+logistic regression, run entirely as DataFrame ops so the training
+loop shares the engine's scale properties instead of shipping data to
+a separate ML system:
+
+- features: hashed bag-of-words (token -> md5 % dims), term counts
+  normalized per doc, plus a constant bias feature — the fastText
+  recipe, built map-side from one token explode;
+- per iteration: margins = one broadcast join of the (dims+1)-row
+  weight relation against the feature table + a doc-keyed sum;
+  gradient = one feature-keyed sum of x·(y − σ(margin)); weights
+  update driver-free in-plan. Two shuffles per iteration, both keyed
+  on ids, payloads are (id, double) pairs at any corpus size;
+- determinism: fixed iteration count, weights rounded to 8 dp per
+  iteration in BOTH engines — each iteration then starts from
+  IDENTICAL inputs, so cross-engine float drift never compounds (the
+  pagerank contract). The DuckDB twin unrolls the iterations as CTEs.
+
+The trained table drops into classifier_score's broadcast-join slot —
+train here, filter at 100 TB with the scored twin.
+
+Reference scope: none (the reference has no training surface);
+north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i64
+
+LOGREG_DIMS = 64
+
+
+def hashed_features(docs: DataFrame, dims: int = LOGREG_DIMS,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, dim, x): L1-normalized hashed term counts plus the
+    bias feature at index ``dims`` with x = 1."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                          r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = (toks.withColumn("dim", (md5_i64(F.col("token")) % dims)
+                          .cast("int"))
+          .groupBy("doc_id", "dim")
+          .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    nt = tf.groupBy("doc_id").agg(F.sum("_c").alias("_n"))
+    x = (tf.join(nt, "doc_id")
+         .select("doc_id", "dim", (F.col("_c") / F.col("_n")).alias("x")))
+    bias = nt.select("doc_id", F.lit(dims).alias("dim"),
+                     F.lit(1.0).alias("x"))
+    return x.unionByName(bias)
+
+
+def train_logreg(docs: DataFrame, labels: DataFrame, iters: int = 3,
+                 lr: float = 1.0, dims: int = LOGREG_DIMS,
+                 id_col: str = "doc_id",
+                 label_col: str = "y") -> DataFrame:
+    """Batch-GD logistic regression: (dim, weight) after ``iters``
+    full-gradient steps from zero weights. ``labels`` carries
+    (doc_id, y) with y in {0, 1}."""
+    spark = docs.sparkSession
+    feats = hashed_features(docs, dims, id_col).localCheckpoint()
+    y = labels.select(F.col(id_col).alias("doc_id"),
+                      F.col(label_col).cast("double").alias("y"))
+    n_row = F.broadcast(y.agg(F.count(F.lit(1)).cast("double")
+                              .alias("_n")))
+    w = spark.range(dims + 1).select(F.col("id").cast("int").alias("dim"),
+                                     F.lit(0.0).alias("w"))
+    for _ in range(iters):
+        margins = (feats.join(F.broadcast(w), "dim")
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("x") * F.col("w")).alias("_m")))
+        p = margins.select(
+            "doc_id", (1.0 / (1.0 + F.exp(-F.col("_m")))).alias("_p"))
+        grad = (feats.join(p, "doc_id").join(y, "doc_id")
+                .groupBy("dim")
+                .agg(F.sum(F.col("x") * (F.col("y") - F.col("_p")))
+                     .alias("_g")))
+        w = (w.join(grad, "dim", "left").crossJoin(n_row)
+             .select("dim",
+                     F.round(F.col("w") + lr
+                             * F.coalesce(F.col("_g"), F.lit(0.0))
+                             / F.col("_n"), 8).alias("w"))
+             .localCheckpoint())
+    return w.select("dim", F.round("w", 6).alias("weight")).orderBy("dim")

@@ -1108,6 +1108,21 @@ def events_session_window_overlap(spark, sf_dir):
             .orderBy("user_id", "day", "win_id"))
 
 
+LOGREG_ITERS = 3
+
+
+def train_logreg_weights(spark, sf_dir):
+    """In-engine model training: 3 batch-gradient-descent steps of
+    logistic regression (hashed BoW + bias, L1-normalized) against
+    the declared-English label — producing the trained weight table
+    classifier_score's broadcast-join slot consumes."""
+    from ..operators import linear
+    docs = _docs(spark, sf_dir)
+    labels = docs.select("doc_id",
+                         (F.col("lang") == "en").cast("int").alias("y"))
+    return linear.train_logreg(docs, labels, iters=LOGREG_ITERS)
+
+
 PSI_SPLIT_DATE = "2024-01-15"
 
 

@@ -892,6 +892,49 @@ ORDER BY event_id
 """
 
 
+def _logreg_sql(iters: int, lr: float = 1.0, dims: int = 64) -> str:
+    """Twin of linear.train_logreg: feature/label CTEs + (m_i, p_i,
+    g_i, w_{i+1}) CTE quads per gradient step, weights rounded to 8 dp
+    per iteration so both engines step from identical inputs."""
+    parts = [f"""tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents)""",
+             f"""tf AS (
+  SELECT doc_id, ({_H.format(x='token')} % {dims})::INT AS dim,
+         count(*)::DOUBLE AS c
+  FROM tok WHERE token <> '' GROUP BY 1, 2)""",
+             "nt AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)",
+             f"""x AS (
+  SELECT doc_id, dim, c / n AS x FROM tf JOIN nt USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dims} AS dim, 1.0 AS x FROM nt)""",
+             """lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+             "nn AS (SELECT count(*)::DOUBLE AS n FROM lab)",
+             f"""w0 AS (
+  SELECT unnest(range({dims + 1}))::INT AS dim, 0.0 AS w)"""]
+    for i in range(iters):
+        parts.append(f"""m{i} AS (
+  SELECT x.doc_id, sum(x.x * w.w) AS mg
+  FROM x JOIN w{i} w USING (dim) GROUP BY 1)""")
+        parts.append(f"""p{i} AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-mg)) AS p FROM m{i})""")
+        parts.append(f"""g{i} AS (
+  SELECT x.dim, sum(x.x * (lab.y - p.p)) AS g
+  FROM x JOIN p{i} p USING (doc_id) JOIN lab USING (doc_id)
+  GROUP BY 1)""")
+        parts.append(f"""w{i + 1} AS (
+  SELECT w.dim, round(w.w + {lr} * coalesce(g.g, 0) / nn.n, 8) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (dim), nn)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT dim, round(w, 6) AS weight FROM w{iters} ORDER BY dim
+"""
+
+
 def _mmr_batch_sql(n: int, k: int, lmb: float) -> str:
     """Twin of extensions.ann_mmr_rerank_batch: _ivf_batch_sql's
     candidate list per query (nested WITH in a derived table), then
@@ -2245,6 +2288,10 @@ FROM s ORDER BY doc_id, chunk_id
     "ann_mmr_rerank_batch": QueryDef(
         X.ann_mmr_rerank_batch,
         _mmr_batch_sql(X.MMR_CANDIDATES, X.MMR_BATCH_K, X.MMR_LAMBDA)),
+
+    # linear.train_logreg: unrolled gradient-step twin.
+    "train_logreg_weights": QueryDef(
+        X.train_logreg_weights, _logreg_sql(X.LOGREG_ITERS)),
 
     # tokenizer.apply_bpe over learn_bpe's merges: staged round chain
     # with per-doc carry-through.

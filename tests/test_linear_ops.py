@@ -1,0 +1,61 @@
+"""In-engine logistic-regression training checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators.linear import (
+    hashed_features,
+    train_logreg,
+)
+
+
+def _fixture(spark):
+    # perfectly separable by vocabulary: positives say "good", negatives
+    # say "bad" (plus shared filler tokens)
+    rows = []
+    for i in range(20):
+        rows.append((i, "good good filler common", 1))
+    for i in range(20, 40):
+        rows.append((i, "bad bad filler common", 0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    return df.select("doc_id", "text"), df.select("doc_id", "y")
+
+
+def test_hashed_features_normalized_with_bias(spark):
+    docs, _ = _fixture(spark)
+    f = hashed_features(docs, dims=16)
+    one = f.filter(F.col("doc_id") == 0).collect()
+    bias = [r for r in one if r["dim"] == 16]
+    assert len(bias) == 1 and bias[0]["x"] == 1.0
+    assert abs(sum(r["x"] for r in one if r["dim"] < 16) - 1.0) < 1e-9
+
+
+def test_train_logreg_reduces_loss_and_separates(spark):
+    docs, labels = _fixture(spark)
+    w = {r["dim"]: r["weight"] for r in
+         train_logreg(docs, labels, iters=5, lr=4.0, dims=16).collect()}
+    feats = hashed_features(docs, dims=16)
+    margins = {r["doc_id"]: r["m"] for r in
+               (feats.withColumn("w", F.udf(lambda d: w[d], "double")
+                                 (F.col("dim")))
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("x") * F.col("w")).alias("m"))).collect()}
+    ys = {r["doc_id"]: r["y"] for r in labels.collect()}
+    # every positive doc must out-score every negative doc
+    pos = [m for d, m in margins.items() if ys[d] == 1]
+    neg = [m for d, m in margins.items() if ys[d] == 0]
+    assert min(pos) > max(neg)
+    # and the mean logistic loss must beat the w=0 baseline ln(2)
+    loss = sum(-(ys[d] * math.log(1 / (1 + math.exp(-m)))
+                 + (1 - ys[d]) * math.log(1 - 1 / (1 + math.exp(-m))))
+               for d, m in margins.items()) / len(margins)
+    assert loss < math.log(2) * 0.9
+
+
+def test_train_logreg_zero_iters_is_zero_weights(spark):
+    docs, labels = _fixture(spark)
+    w = train_logreg(docs, labels, iters=0, dims=16).collect()
+    assert all(r["weight"] == 0.0 for r in w)
