@@ -3767,6 +3767,8 @@ EXTENDED_BENCH = [
     "merge_upsert_orders", "entity_part_name_dedup",
     "graph_supplier_pagerank", "events_value_psi_drift",
     "eval_classifier_auc", "corpus_lang_mismatch", "corpus_bpe_encode",
+    "events_value_streaks", "ann_mmr_rerank_batch",
+    "train_logreg_weights",
 ]
 
 
