@@ -1,0 +1,62 @@
+"""Co-occurrence recommendation over a (user, item) interaction log.
+
+The item-item "customers who bought X also bought Y" primitive:
+cosine = co / sqrt(n_a · n_b) over DISTINCT user-item interactions —
+the Amazon-style neighborhood model that needs no training loop and
+beats factorization below massive density.
+
+Scale design: the quadratic term is the per-user self-join, driven by
+each user's item count — ``max_user_items`` drops power users (a user
+interacting with everything contributes no signal but n² pair rows;
+the max_df/hot-bucket guard pattern applied to the bipartite graph).
+The pair aggregation shuffles (item, item) keys only; top-k per item
+is a bounded window over the (items × k)-sized result.
+
+Reference scope: none; north-star extension (the retrieval/similarity
+family's collaborative sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cooccurrence_similar_items(interactions: DataFrame,
+                               user_col: str = "user_id",
+                               item_col: str = "item_id",
+                               k: int = 5, min_co: int = 2,
+                               max_user_items: int | None = None
+                               ) -> DataFrame:
+    """Top-``k`` similar items per item:
+    (item_a, item_b, n_co, cosine) — co-interaction cosine over
+    distinct (user, item) pairs, pairs below ``min_co`` pruned,
+    ties by item_b ascending."""
+    ui = (interactions.select(F.col(user_col).alias("u"),
+                              F.col(item_col).alias("i"))
+          .distinct())
+    if max_user_items is not None:
+        heavy = (ui.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
+                 .filter(F.col("_n") > max_user_items).select("u"))
+        ui = ui.join(F.broadcast(heavy), "u", "left_anti")
+    sizes = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a = ui.select("u", F.col("i").alias("item_a"))
+    b = ui.select("u", F.col("i").alias("item_b"))
+    co = (a.join(b, "u")
+          .filter(F.col("item_a") != F.col("item_b"))
+          .groupBy("item_a", "item_b")
+          .agg(F.count(F.lit(1)).alias("n_co"))
+          .filter(F.col("n_co") >= min_co))
+    scored = (co
+              .join(sizes.withColumnsRenamed({"i": "item_a", "n": "na"}),
+                    "item_a")
+              .join(sizes.withColumnsRenamed({"i": "item_b", "n": "nb"}),
+                    "item_b")
+              .select("item_a", "item_b", "n_co",
+                      F.round(F.col("n_co")
+                              / F.sqrt(F.col("na") * F.col("nb")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))

@@ -2345,6 +2345,27 @@ SELECT user_id, len AS streak_days, start_day, end_day
 FROM b WHERE rn = 1 ORDER BY user_id
 """),
 
+    # operators.reco.cooccurrence_similar_items over the trade graph.
+    "reco_similar_suppliers": QueryDef(R.reco_similar_suppliers, """
+WITH ui AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+sz AS (SELECT i, count(*) AS n FROM ui GROUP BY 1),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_co
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+scored AS (
+  SELECT co.item_a, co.item_b, co.n_co,
+         round(co.n_co / sqrt(sa.n * sb.n), 4) AS cosine
+  FROM co JOIN sz sa ON sa.i = co.item_a
+          JOIN sz sb ON sb.i = co.item_b),
+r AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        ORDER BY cosine DESC, item_b ASC) AS rn FROM scored)
+SELECT item_a, item_b, n_co, cosine FROM r WHERE rn <= 5
+ORDER BY item_a, cosine DESC, item_b
+"""),
+
     # operators.graph.pagerank: unrolled-iteration twin.
     "graph_supplier_pagerank": QueryDef(
         R.graph_supplier_pagerank, _pagerank_sql()),

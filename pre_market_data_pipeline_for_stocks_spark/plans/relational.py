@@ -1053,3 +1053,18 @@ def events_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("len").alias("streak_days"),
                     "start_day", "end_day")
             .orderBy("user_id"))
+
+
+def reco_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought from X also bought from Y': top-5 similar
+    suppliers per supplier by co-customer cosine over the orders x
+    lineitem bipartite graph (operators/reco.py) — the neighborhood
+    recommender primitive."""
+    from ..operators.reco import cooccurrence_similar_items
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    inter = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .select(F.col("o_custkey").alias("user_id"),
+                     F.col("l_suppkey").alias("item_id")))
+    return (cooccurrence_similar_items(inter, k=5, min_co=2)
+            .orderBy("item_a", F.col("cosine").desc(), "item_b"))

@@ -1,0 +1,48 @@
+"""Co-occurrence recommender checks."""
+
+from __future__ import annotations
+
+from pre_market_data_pipeline_for_stocks_spark.operators.reco import (
+    cooccurrence_similar_items,
+)
+
+
+def _inter(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, item_id int")
+
+
+def test_cooccurrence_cosine_and_topk(spark):
+    # items 1,2 share both users; item 3 shares one user with item 1
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (10, 3)]
+    out = {(r["item_a"], r["item_b"]): r for r in
+           cooccurrence_similar_items(_inter(spark, rows), k=5,
+                                      min_co=1).collect()}
+    assert out[(1, 2)]["n_co"] == 2
+    assert abs(out[(1, 2)]["cosine"] - 1.0) < 1e-9        # 2/sqrt(2*2)
+    assert abs(out[(1, 3)]["cosine"] - round(1 / 2 ** 0.5, 4)) < 1e-9
+    # symmetry: both directions emitted
+    assert (2, 1) in out and (3, 1) in out
+
+
+def test_cooccurrence_min_co_prunes(spark):
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (10, 3)]
+    out = cooccurrence_similar_items(_inter(spark, rows), k=5,
+                                     min_co=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_cooccurrence_duplicate_interactions_collapse(spark):
+    rows = [(10, 1), (10, 1), (10, 2), (10, 2)]
+    out = cooccurrence_similar_items(_inter(spark, rows), k=5,
+                                     min_co=1).collect()
+    assert all(r["n_co"] == 1 for r in out)
+
+
+def test_cooccurrence_power_user_guard(spark):
+    # user 99 interacts with everything: with the guard its pairs vanish
+    rows = [(10, 1), (11, 1), (10, 2), (11, 2)] + \
+        [(99, i) for i in range(1, 8)]
+    capped = cooccurrence_similar_items(_inter(spark, rows), k=5,
+                                        min_co=1, max_user_items=5)
+    got = {(r["item_a"], r["item_b"]) for r in capped.collect()}
+    assert got == {(1, 2), (2, 1)}   # only the organic co-signal remains
