@@ -62,6 +62,8 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     if broadcast_changes:
         keys = F.broadcast(keys)
     untouched = target.join(keys, key_cols, "left_anti")
-    applied = (changes.filter(F.col(op_col) != "D")
+    # null-safe: only a literal 'D' deletes — a NULL op is an upsert
+    # (a bare != would evaluate NULL and silently DROP the row).
+    applied = (changes.filter(~F.col(op_col).eqNullSafe("D"))
                .select(*target.columns))
     return untouched.unionByName(applied)

@@ -78,7 +78,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         raise ValueError("bin_width must be positive")
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
+        # empty intervals (lo >= hi) are dropped BEFORE binning: they
+        # contain nothing so half-open overlap semantics exclude them,
+        # and their descending bin sequence would otherwise explode
+        # into wrong bins (F.sequence auto-steps -1).
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
             "_bin", F.explode(F.sequence(
                 F.floor(F.col(lo) / bin_width).cast("long"),
                 F.floor((F.col(hi) - 1) / bin_width).cast("long"))))

@@ -102,6 +102,9 @@ def cms_partials(df: DataFrame, keys: list[str], value_col: str,
     bucket j under seed-i. The shuffle carries (keys, slot, count) —
     at most depth*width rows per key regardless of input size."""
     i = F.col("_i")
+    # NULL values would hash to a NULL slot the dense array (and any
+    # probe) can never read back — exclude them from the sketch.
+    df = df.filter(F.col(value_col).isNotNull())
     slots = (df.select(*keys, F.col(value_col).alias("_v"),
                        F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
                        .alias("_i"))
@@ -188,9 +191,11 @@ def hist_partials(df: DataFrame, keys: list[str], value_col: str,
                   bins: int = HIST_BINS) -> DataFrame:
     """Per-key fixed-range histogram: (keys..., hist array<long>[bins]).
     Build at the finest maintenance grain; the shuffle carries at most
-    ``bins`` (key, bin, count) rows per key."""
-    b = (df.select(*keys, _hist_bin(F.col(value_col), lo, hi, bins)
-                   .alias("_b"))
+    ``bins`` (key, bin, count) rows per key. NULL values are excluded
+    (a NULL bin is unreadable from the dense array)."""
+    b = (df.filter(F.col(value_col).isNotNull())
+         .select(*keys, _hist_bin(F.col(value_col), lo, hi, bins)
+                 .alias("_b"))
          .groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_c")))
     m = F.map_from_entries(F.collect_list(F.struct("_b", "_c")))
     dense = F.transform(

@@ -75,3 +75,13 @@ def test_merge_plan_broadcasts_change_keys(spark):
     plan = merge_upsert(t, chg, ["k"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_null_op_is_upsert_not_dropped(spark):
+    t = _target(spark)
+    chg = spark.createDataFrame([(2, "b2", 22.0, None), (9, "z", 9.0, "I")],
+                                "k int, name string, v double, op string")
+    out = {r["k"]: r for r in merge_upsert(t, chg, ["k"]).collect()}
+    # NULL op must behave as upsert — a bare != 'D' would DROP row 2
+    assert out[2]["name"] == "b2"
+    assert set(out) == {1, 2, 3, 9}

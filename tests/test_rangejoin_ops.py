@@ -175,3 +175,16 @@ def test_overlap_join_adjacent_halfopen_do_not_match(spark):
     left = _iv(spark, [(1, 0, 10)], "l_lo", "l_hi")
     right = _iv(spark, [(2, 10, 20)], "r_lo", "r_hi", extra="rid int")
     assert interval_overlap_join(left, right, bin_width=5).count() == 0
+
+
+def test_overlap_join_empty_intervals_never_match(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    left = _iv(spark, [(1, 5, 5)], "l_lo", "l_hi")           # empty
+    right = _iv(spark, [(9, 0, 10)], "r_lo", "r_hi", extra="rid int")
+    assert interval_overlap_join(left, right, bin_width=3).count() == 0
+    # and an empty RIGHT side with a reversed range must not explode
+    left2 = _iv(spark, [(1, 0, 10)], "l_lo", "l_hi")
+    right2 = _iv(spark, [(9, 50, 20)], "r_lo", "r_hi", extra="rid int")
+    assert interval_overlap_join(left2, right2, bin_width=3).count() == 0

@@ -231,3 +231,19 @@ def test_psi_from_hists_equals_raw_psi(spark):
         SK.hist_partials(new, [], "v", 0.0, 100.0, 10)).collect()[0]
     assert sk["psi"] == raw["psi"]
     assert (sk["n_old"], sk["n_new"]) == (raw["n_old"], raw["n_new"])
+
+
+def test_sketches_exclude_null_values(spark):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    tok = spark.createDataFrame([("a", "x"), ("a", None), ("a", "x")],
+                                "k string, t string")
+    est = SK.cms_estimate_terms(SK.cms_partials(tok, [], "t",
+                                                depth=2, width=8),
+                                ["x"], depth=2, width=8).collect()
+    assert est[0]["estimate"] == 2
+    vals = spark.createDataFrame([("a", 1.0), ("a", None), ("a", 2.0)],
+                                 "k string, v double")
+    h = SK.hist_partials(vals, [], "v", 0.0, 10.0, 5).collect()[0]["hist"]
+    assert sum(h) == 2
