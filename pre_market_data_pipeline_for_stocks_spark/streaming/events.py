@@ -487,3 +487,48 @@ def stateful_funnel_stages(stream: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_ewma(stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user recursive EWMA via applyInPandasWithState:
+    y_t = α·x_t + (1−α)·y_{t−1}, the IIR form whose unbounded state
+    makes it data-parallel-hostile in BATCH (robust.ewma swaps in a
+    bounded FIR approximation there) but EXACTLY ONE NUMBER of
+    GroupState per user in STREAMING — the two operators are the same
+    smoother on the two execution models' natural terms.
+
+    Events process in (ts, event_id) order within and across
+    micro-batches (replay-deterministic); each event emits its
+    post-update smoothed value rounded to 6 dp. The batch twin for
+    the stream==batch test is the same recursion folded over the
+    sorted history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        y = state.get[0] if state.exists else None
+        out = {"user_id": [], "event_id": [], "value": [], "ewma": []}
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(row.value)
+                y = v if y is None else alpha * v + (1 - alpha) * y
+                out["user_id"].append(key[0])
+                out["event_id"].append(row.event_id)
+                out["value"].append(v)
+                out["ewma"].append(round(y, 6))
+        state.update((float(y),))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=("user_id bigint, event_id bigint, "
+                              "value double, ewma double"),
+            stateStructType="y double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -695,3 +695,40 @@ def test_streaming_hist_partials_match_batch_estimates(spark, sf_dir,
                 SS.read_hist_quantiles(spark, root, ["event_type"],
                                        [0.5, 0.9]).collect()}
     assert replayed == batch
+
+
+def test_stateful_ewma_matches_recursion_across_microbatches(spark,
+                                                             tmp_path):
+    """The EWMA state must carry across micro-batches: smoothing a
+    split stream equals folding the recursion over the full sorted
+    history, and the first observation seeds y with itself."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2026, 1, 9, 10, m)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    first = [(i, t(i), 1, "view", float(10 + i), "{}") for i in range(4)]
+    second = [(i, t(i), 1, "view", float(10 + i), "{}")
+              for i in range(4, 8)]
+    src = str(tmp_path / "ewma_src")
+    spark.createDataFrame(first, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    q = (se.stateful_ewma(stream, alpha=0.5)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sewma").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(second, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.ewma for r in
+           spark.sql("SELECT * FROM sewma").collect()}
+    y = None
+    for i in range(8):
+        v = float(10 + i)
+        y = v if y is None else 0.5 * v + 0.5 * y
+        assert abs(got[i] - round(y, 6)) < 1e-9, f"event {i}"
