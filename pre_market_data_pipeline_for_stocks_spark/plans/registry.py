@@ -2345,6 +2345,19 @@ SELECT user_id, len AS streak_days, start_day, end_day
 FROM b WHERE rn = 1 ORDER BY user_id
 """),
 
+    # relational.q17_small_quantity_revenue: the oracle keeps the
+    # CORRELATED scalar subquery; Spark runs the decorrelated join.
+    "q17_small_quantity_revenue": QueryDef(
+        R.q17_small_quantity_revenue, """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""),
+
     # operators.reco.cooccurrence_similar_items over the trade graph.
     "reco_similar_suppliers": QueryDef(R.reco_similar_suppliers, """
 WITH ui AS (

@@ -1068,3 +1068,22 @@ def reco_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l_suppkey").alias("item_id")))
     return (cooccurrence_similar_items(inter, k=5, min_co=2)
             .orderBy("item_a", F.col("cosine").desc(), "item_b"))
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-scalar-subquery pattern
+    ("rows below 20% of THEIR group's average"), expressed as the
+    decorrelated per-part average join Catalyst would rewrite to
+    anyway: one partial-aggregated per-part avg, broadcast-joined
+    back, one filtered sum. The oracle keeps the CORRELATED form, so
+    the hash match certifies the decorrelation equivalence."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("p_key"))
+             .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (li.join(part.filter(F.col("p_brand") == "Brand#4"),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(avg_q, F.col("l_partkey") == F.col("p_key"))
+            .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
