@@ -1,0 +1,62 @@
+"""Streaming CDC apply: a changelog stream MERGEd into a parquet tree.
+
+The streaming twin of operators/merge.py + sinks.merge_upsert: each
+micro-batch of (row..., op, seq) changes is resolved to one winner per
+key (operators.merge.latest_change_per_key — last-writer-wins, deletes
+preferred on seq ties) and applied to the target tree with the
+atomic-swap upsert. Sequential foreachBatch invocations make the
+cross-batch ordering explicit: batch N+1's changes see batch N's
+applied state, so draining a split changelog equals one batch apply of
+the concatenated log (pinned in tests/test_streaming.py's pattern).
+
+At-least-once note: merge_upsert is idempotent for upserts and
+deletes-of-absent-keys alike (re-applying a batch reproduces the same
+tree), so a replayed micro-batch converges — the same contract as the
+bronze/admission/sketch writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import sinks
+from ..operators.merge import latest_change_per_key
+
+
+def cdc_batch_applier(target_path: str, key_cols: list[str],
+                      op_col: str = "op", seq_col: str | None = "seq"):
+    """foreachBatch function: resolve the micro-batch's changelog and
+    merge it into ``target_path``."""
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        changes = batch
+        if seq_col is not None:
+            changes = latest_change_per_key(changes, key_cols, seq_col,
+                                            op_col)
+        deletes = changes.withColumn(
+            "_del", changes[op_col].eqNullSafe("D"))
+        payload = deletes.drop(op_col, *( [seq_col] if seq_col else [] ))
+        sinks.merge_upsert(batch.sparkSession, target_path, payload,
+                           key_cols, delete_col="_del")
+    return apply
+
+
+def run_cdc_apply(change_stream: DataFrame, target_path: str,
+                  checkpoint: str, key_cols: list[str],
+                  op_col: str = "op",
+                  seq_col: str | None = "seq") -> None:
+    """Drain ``change_stream`` synchronously through cdc_batch_applier."""
+    q = (change_stream.writeStream.outputMode("append")
+         .foreachBatch(cdc_batch_applier(target_path, key_cols,
+                                         op_col, seq_col))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_target(spark: SparkSession, target_path: str) -> DataFrame:
+    return spark.read.parquet(target_path)

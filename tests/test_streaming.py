@@ -732,3 +732,41 @@ def test_stateful_ewma_matches_recursion_across_microbatches(spark,
         v = float(10 + i)
         y = v if y is None else 0.5 * v + 0.5 * y
         assert abs(got[i] - round(y, 6)) < 1e-9, f"event {i}"
+
+
+def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
+    """Draining a changelog split across micro-batches through the
+    foreachBatch MERGE must equal one batch merge_upsert of the full
+    log — updates land, deletes land, later batches see earlier
+    batches' state."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.merge import (
+        merge_upsert,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.streaming import cdc
+
+    target = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double")
+    base.write.parquet(target)
+
+    chg_schema = "k long, name string, v double, op string, seq long"
+    batch1 = [(2, "b2", 22.0, "U", 1), (9, "z", 90.0, "I", 1)]
+    batch2 = [(3, "c", 30.0, "D", 2), (2, "b3", 23.0, "U", 3)]
+    src = str(tmp_path / "chg")
+    spark.createDataFrame(batch1, chg_schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, chg_schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    cdc.run_cdc_apply(stream, target, str(tmp_path / "ckpt"), ["k"])
+
+    got = sorted(map(tuple, cdc.read_target(spark, target).collect()))
+    want = sorted(map(tuple, merge_upsert(
+        base, spark.createDataFrame(batch1 + batch2, chg_schema),
+        ["k"], seq_col="seq").collect()))
+    assert got == want
+    by_k = {r[0]: r for r in got}
+    assert by_k[2][1] == "b3" and 3 not in by_k and 9 in by_k
