@@ -255,6 +255,30 @@ def corpus_bpe_encode(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def corpus_dedup_report(spark, sf_dir):
+    """One-row dedup panorama: exact-dup redundancy, near-dup pair
+    volume (MinHash-LSH at the registry knobs) and span-level
+    boilerplate mass — the three granularities' headline numbers in
+    one composite, the section a datacard's dedup paragraph cites."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1)
+    e = exact.agg(
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).cast("long")
+        .alias("n_exact_redundant"),
+        F.count(F.lit(1)).alias("n_exact_groups"))
+    near = (dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS, 3,
+                                    JACCARD_THRESHOLD)
+            .agg(F.count(F.lit(1)).alias("n_near_dup_pairs")))
+    spans = (dedup.remove_duplicate_spans(docs, SPAN_SEG_WORDS,
+                                          SPAN_MAX_DF)
+             .agg(F.sum("n_removed").alias("n_spans_removed"),
+                  F.sum("n_segments").alias("n_segments")))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (n.crossJoin(e).crossJoin(near).crossJoin(spans)
+            .select("n_docs", "n_exact_redundant", "n_exact_groups",
+                    "n_near_dup_pairs", "n_spans_removed", "n_segments"))
+
+
 def corpus_datacard(spark, sf_dir):
     """One-row dataset card: corpus composition, token total, exact-dup
     ratio and mean quality — the stat block a dataset release publishes

@@ -3692,6 +3692,24 @@ LEFT JOIN ({REGISTRY["text_lang_id"].oracle}) l USING (doc_id)
 ORDER BY q.doc_id
 """)
 
+# extensions.corpus_dedup_report: scalar subqueries over the exact /
+# minhash / span oracles verbatim — mismatches isolate to composition.
+REGISTRY["corpus_dedup_report"] = QueryDef(X.corpus_dedup_report, f"""
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT coalesce(sum(n_copies - 1), 0)::BIGINT
+   FROM ({REGISTRY["dedup_exact"].oracle}) e WHERE n_copies > 1)
+    AS n_exact_redundant,
+  (SELECT count(*) FROM ({REGISTRY["dedup_exact"].oracle}) e
+   WHERE n_copies > 1) AS n_exact_groups,
+  (SELECT count(*) FROM ({REGISTRY["dedup_minhash_lsh"].oracle}) m)
+    AS n_near_dup_pairs,
+  (SELECT sum(n_removed) FROM ({REGISTRY["dedup_span_removal"].oracle}) s)
+    AS n_spans_removed,
+  (SELECT sum(n_segments) FROM ({REGISTRY["dedup_span_removal"].oracle}) s)
+    AS n_segments
+""")
+
 # robust.ranked_auc over classifier_score vs the declared-English
 # label: rank formulation with averaged tie ranks. Post-dict so it can
 # reuse the classifier oracle verbatim (the quality-panel pattern).
