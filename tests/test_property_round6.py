@@ -1,0 +1,147 @@
+"""Property-based invariants for the round-6 operators (hypothesis):
+structural guarantees that must hold on ANY input, beyond the
+example-based tests."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_HC = [HealthCheck.function_scoped_fixture, HealthCheck.too_slow]
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_text = st.lists(_words, min_size=1, max_size=24).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(_text, min_size=1, max_size=8), st.integers(2, 5))
+def test_span_removal_partitions_every_segment(spark, texts, seg):
+    """Every segment is either kept (appears in clean_text, in order)
+    or removed: kept + removed == total, and clean_text is exactly the
+    in-order concatenation of the non-hot segments."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        chunk_documents,
+    )
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id int, text string")
+    segs = chunk_documents(docs, seg, 0).collect()
+    df = {}
+    for r in segs:
+        df[r["chunk_text"]] = df.get(r["chunk_text"], 0) + 1
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, seg_words=seg, max_df=1).collect()}
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"]))
+    for d, row in out.items():
+        ordered = [t for _, t in sorted(by_doc[d])]
+        kept = [t for t in ordered if df[t] <= 1]
+        assert row["clean_text"] == " ".join(kept)
+        assert row["n_segments"] == len(ordered)
+        assert row["n_removed"] == len(ordered) - len(kept)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(_text, min_size=1, max_size=8), st.integers(2, 4))
+def test_cdc_segments_reconstruct_documents(spark, texts, mask_bits):
+    """CDC segmentation is a PARTITION of the token stream: in-order
+    concatenation reproduces each document exactly."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        cdc_segments,
+    )
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id int, text string")
+    segs = cdc_segments(docs, mask_bits=mask_bits).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append((r["seg_id"], r["seg"]))
+    for d, text in enumerate(texts):
+        got = " ".join(s for _, s in sorted(by_doc[d]))
+        assert got == " ".join(text.split())
+
+
+_iv = st.tuples(st.integers(-50, 50), st.integers(1, 40)).map(
+    lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=_HC)
+@given(st.lists(_iv, min_size=1, max_size=6),
+       st.lists(_iv, min_size=1, max_size=6),
+       st.integers(1, 30))
+def test_overlap_join_equals_naive_on_random_intervals(spark, ls, rs,
+                                                       width):
+    from pre_market_data_pipeline_for_stocks_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    left = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ls)],
+        "id int, l_lo long, l_hi long")
+    right = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(rs)],
+        "rid int, r_lo long, r_hi long")
+    got = sorted((r["id"], r["rid"]) for r in
+                 interval_overlap_join(left, right,
+                                       bin_width=width).collect())
+    want = sorted((i, j)
+                  for i, (a, b) in enumerate(ls)
+                  for j, (c, d) in enumerate(rs)
+                  if a < d and c < b)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40))
+def test_cms_never_underestimates(spark, stream):
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    from collections import Counter
+    truth = Counter(stream)
+    df = spark.createDataFrame([(s,) for s in stream], "t string")
+    sk = SK.cms_partials(df, [], "t", depth=2, width=4)
+    est = {r["term"]: r["estimate"] for r in
+           SK.cms_estimate_terms(sk, sorted(set(stream)), depth=2,
+                                 width=4).collect()}
+    assert all(est[t] >= c for t, c in truth.items())
+    assert all(v <= len(stream) for v in est.values())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(st.tuples(st.integers(1, 6), st.sampled_from("IUD"),
+                          st.integers(1, 9)),
+                min_size=1, max_size=12))
+def test_merge_upsert_matches_sequential_replay(spark, log):
+    """Applying a changelog in ONE merge (seq resolution) equals
+    replaying it change-by-change in seq order (ties: delete first,
+    matching the operator's documented tie rule)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.merge import (
+        merge_upsert,
+    )
+    target = {1: 100.0, 2: 200.0}
+    base = spark.createDataFrame(list(target.items()), "k int, v double")
+    rows = [(k, float(seq * 10 + k), op, seq)
+            for (k, op, seq) in log]
+    chg = spark.createDataFrame(rows, "k int, v double, op string, seq int")
+    got = {r["k"]: r["v"] for r in
+           merge_upsert(base, chg, ["k"], seq_col="seq").collect()}
+    # sequential replay: order by (seq, delete-before-upsert, op)
+    state = dict(target)
+    winner = {}
+    for k, v, op, seq in rows:
+        key = (seq, 0 if op == "D" else 1, op)
+        if k not in winner or key > winner[k][0]:
+            winner[k] = (key, v, op)
+    for k, (_, v, op) in winner.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
