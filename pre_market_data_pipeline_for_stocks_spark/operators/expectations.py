@@ -79,6 +79,8 @@ def referential_orphans(edges: list[tuple[str, DataFrame, str,
     warehouse load runs before publishing a snapshot (the reference's
     validator checks per-CELL contracts, validate.py A2-A5; this is
     the cross-TABLE contract)."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
     out = None
     for name, child, fk, parent, pk in edges:
         keys = child.select(F.col(fk).alias("_k"))

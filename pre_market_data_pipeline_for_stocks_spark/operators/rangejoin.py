@@ -58,8 +58,13 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                           r_lo: str = "r_lo", r_hi: str = "r_hi",
                           bin_width: int = 25) -> DataFrame:
     """INTERVAL x INTERVAL overlap join: every (left, right) pair of
-    half-open intervals with ``l_lo < r_hi AND r_lo < l_hi``, plus an
-    ``overlap`` column (``least(hi) - greatest(lo)``).
+    half-open INTEGER-valued intervals with ``l_lo < r_hi AND
+    r_lo < l_hi``, plus an ``overlap`` column
+    (``least(hi) - greatest(lo)``). Integer bounds are a precondition
+    (the interval_bin_join contract): the ``hi - 1`` last-bin formula
+    under-covers fractional endpoints, silently dropping pairs whose
+    overlap lies inside the final partial bin — scale fractional
+    domains (e.g. epoch seconds with millis) to integers first.
 
     Same bin-rewrite as interval_bin_join, applied to BOTH sides: each
     interval explodes into its covered bins, the join is an equi-join

@@ -221,6 +221,8 @@ def rrf_fuse(rankings: list[DataFrame], key_col: str = "doc_id",
     ONLY because inputs are already top-N cuts (tiny by contract —
     this operator fuses result lists, not corpora); the union +
     groupBy then touches O(lists × N) rows."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     ranked = []
     for lst in rankings:
         w = Window.orderBy(F.col(score_col).desc(), F.col(key_col).asc())

@@ -67,7 +67,6 @@ def ewma(df: DataFrame, group_col: str, order_cols: list[str],
     carries unbounded state; a fixed FIR approximation restores
     data-parallelism and gives the SQL twin a closed form. Rounded to
     4 dp (fixed-order 8-term sum — engine-portable)."""
-    from pyspark.sql import Window
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     v = F.col(value_col)
     num = F.lit(0.0)
@@ -97,11 +96,12 @@ def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
     count). The monitoring pass an ML feature pipeline runs per
     deploy; pairs with snapshot_diff (row-level) and vocab_drift
     (token-level) as the DISTRIBUTION-level drift check."""
-    width = (hi - lo) / bins
+    from .sketches import _hist_bin
 
     def _binned(df, name):
-        raw = F.floor((F.col(value_col) - lo) / width).cast("int")
-        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        # the sketches family's clamped fixed-range binning — shared so
+        # psi_drift vs psi_from_hists parity can never drift (review r6)
+        b = _hist_bin(F.col(value_col), lo, hi, bins)
         return (df.select(b.alias("_b"))
                 .groupBy("_b").agg(F.count(F.lit(1)).alias(name)))
 

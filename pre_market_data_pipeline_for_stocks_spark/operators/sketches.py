@@ -122,6 +122,23 @@ def cms_partials(df: DataFrame, keys: list[str], value_col: str,
     return grouped.agg(dense.alias("cms"))
 
 
+def _merge_dense_arrays(partials: DataFrame, keys: list[str],
+                        col: str) -> DataFrame:
+    """Element-wise sum of dense long-array state to a coarser grain —
+    the shared merge of every array-state sketch family (CMS counters,
+    histogram bins): posexplode, per-position sum, ordered reassembly.
+    Associative + commutative, so any partial grouping merges to the
+    direct sketch (merge==direct, unit-pinned per family)."""
+    ex = partials.select(*keys, F.posexplode(F.col(col))
+                         .alias("_p", "_v"))
+    summed = (ex.groupBy(*keys, "_p") if keys else ex.groupBy("_p"))
+    summed = summed.agg(F.sum("_v").alias("_s"))
+    arr = F.transform(F.array_sort(F.collect_list(F.struct("_p", "_s"))),
+                      lambda s: s["_s"])
+    grouped = summed.groupBy(*keys) if keys else summed.groupBy()
+    return grouped.agg(arr.alias(col))
+
+
 def cms_merge(partials: DataFrame, keys: list[str],
               cms_col: str = "cms") -> DataFrame:
     """Merge sketches to a coarser grain: element-wise sum.
@@ -129,15 +146,7 @@ def cms_merge(partials: DataFrame, keys: list[str],
     Associative + commutative, so any partial grouping (per-day,
     per-shard, per-backfill) merges to exactly the sketch of the raw
     union — merge==direct is unit-pinned like the HLL twin."""
-    ex = partials.select(*keys, F.posexplode(F.col(cms_col))
-                         .alias("_p", "_v"))
-    summed = (ex.groupBy(*keys, "_p") if keys else ex.groupBy("_p"))
-    summed = summed.agg(F.sum("_v").alias("_s"))
-    arr = F.transform(
-        F.array_sort(F.collect_list(F.struct("_p", "_s"))),
-        lambda s: s["_s"])
-    grouped = summed.groupBy(*keys) if keys else summed.groupBy()
-    return grouped.agg(arr.alias(cms_col))
+    return _merge_dense_arrays(partials, keys, cms_col)
 
 
 def cms_estimate_terms(sketches: DataFrame, terms: list[str],
@@ -210,14 +219,7 @@ def hist_merge(partials: DataFrame, keys: list[str],
                hist_col: str = "hist") -> DataFrame:
     """Element-wise sum to a coarser grain (associative/commutative:
     any partial grouping merges to the direct histogram)."""
-    ex = partials.select(*keys, F.posexplode(F.col(hist_col))
-                         .alias("_p", "_v"))
-    summed = (ex.groupBy(*keys, "_p") if keys else ex.groupBy("_p"))
-    summed = summed.agg(F.sum("_v").alias("_s"))
-    arr = F.transform(F.array_sort(F.collect_list(F.struct("_p", "_s"))),
-                      lambda s: s["_s"])
-    grouped = summed.groupBy(*keys) if keys else summed.groupBy()
-    return grouped.agg(arr.alias(hist_col))
+    return _merge_dense_arrays(partials, keys, hist_col)
 
 
 def hist_quantiles(hists: DataFrame, qs: list[float],
@@ -234,6 +236,8 @@ def hist_quantiles(hists: DataFrame, qs: list[float],
     Pure column algebra: a cumulative-count array (O(bins^2) tiny
     in-row work), first-crossing via array_position, linear
     interpolation — identical in the SQL twin; rounded to 4 dp."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
     width = (hi - lo) / bins
     h = F.col(hist_col)
     cum = F.transform(

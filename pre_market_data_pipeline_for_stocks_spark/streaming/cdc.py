@@ -6,8 +6,18 @@ key (operators.merge.latest_change_per_key — last-writer-wins, deletes
 preferred on seq ties) and applied to the target tree with the
 atomic-swap upsert. Sequential foreachBatch invocations make the
 cross-batch ordering explicit: batch N+1's changes see batch N's
-applied state, so draining a split changelog equals one batch apply of
-the concatenated log (pinned in tests/test_streaming.py's pattern).
+applied state.
+
+Delivery contract (review r6): seq resolution runs WITHIN each
+micro-batch; the applied target stores no seq, so a later batch
+blindly overwrites earlier state. Draining a split changelog therefore
+equals one batch apply of the concatenated log ONLY when the stream is
+seq-monotone across batches — per-key order within a batch may be
+arbitrary, but a batch must not carry a seq older than an already-
+applied one (the Kafka-partition / CDC-log delivery guarantee this
+operator targets; the stream==batch test feeds exactly that shape).
+An out-of-order feed needs seq persisted in the target and a
+compare-and-swap merge — a different storage contract.
 
 At-least-once note: merge_upsert is idempotent for upserts and
 deletes-of-absent-keys alike (re-applying a batch reproduces the same

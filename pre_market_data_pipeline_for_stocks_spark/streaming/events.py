@@ -410,22 +410,26 @@ def stateful_anomaly_scores(stream: DataFrame,
     def fn(key, pdfs, state):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out = {"user_id": [], "event_id": [], "value": [], "z": []}
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = float(row.value)
-                if n >= 2:
-                    var = m2 / (n - 1)
-                    if var > 0:
-                        z = (v - mean) / var ** 0.5
-                        if abs(z) >= z_threshold:
-                            out["user_id"].append(key[0])
-                            out["event_id"].append(row.event_id)
-                            out["value"].append(v)
-                            out["z"].append(round(z, 4))
-                n += 1
-                d = v - mean
-                mean += d / n
-                m2 += d * (v - mean)
+        # ONE global sort: pdfs is an iterator of Arrow chunks, and a
+        # group larger than maxRecordsPerBatch arrives split — sorting
+        # per chunk would fold later-chunk/earlier-ts rows out of order
+        # into the running state (review r6).
+        allrows = pd.concat(list(pdfs), ignore_index=True)
+        for row in allrows.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            if n >= 2:
+                var = m2 / (n - 1)
+                if var > 0:
+                    z = (v - mean) / var ** 0.5
+                    if abs(z) >= z_threshold:
+                        out["user_id"].append(key[0])
+                        out["event_id"].append(row.event_id)
+                        out["value"].append(v)
+                        out["z"].append(round(z, 4))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
         state.update((n, mean, m2))
         if out["user_id"]:
             yield pd.DataFrame(out)
@@ -464,15 +468,16 @@ def stateful_funnel_stages(stream: DataFrame,
 
     def fn(key, pdfs, state):
         stage, gate = state.get if state.exists else (0, -1)
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                if stage >= len(steps):
-                    break
-                ts_us = row.ts.value // 1000
-                if (row.event_type == steps[stage]
-                        and (stage == 0 or ts_us > gate)):
-                    stage += 1
-                    gate = ts_us
+        # one global sort — not per Arrow chunk (see anomaly scorer note)
+        allrows = pd.concat(list(pdfs), ignore_index=True)
+        for row in allrows.sort_values(["ts", "event_id"]).itertuples():
+            if stage >= len(steps):
+                break
+            ts_us = row.ts.value // 1000
+            if (row.event_type == steps[stage]
+                    and (stage == 0 or ts_us > gate)):
+                stage += 1
+                gate = ts_us
         state.update((stage, gate))
         yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
 
@@ -508,14 +513,15 @@ def stateful_ewma(stream: DataFrame, alpha: float = 0.3) -> DataFrame:
     def fn(key, pdfs, state):
         y = state.get[0] if state.exists else None
         out = {"user_id": [], "event_id": [], "value": [], "ewma": []}
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = float(row.value)
-                y = v if y is None else alpha * v + (1 - alpha) * y
-                out["user_id"].append(key[0])
-                out["event_id"].append(row.event_id)
-                out["value"].append(v)
-                out["ewma"].append(round(y, 6))
+        # one global sort — not per Arrow chunk (see anomaly scorer note)
+        allrows = pd.concat(list(pdfs), ignore_index=True)
+        for row in allrows.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            y = v if y is None else alpha * v + (1 - alpha) * y
+            out["user_id"].append(key[0])
+            out["event_id"].append(row.event_id)
+            out["value"].append(v)
+            out["ewma"].append(round(y, 6))
         state.update((float(y),))
         if out["user_id"]:
             yield pd.DataFrame(out)

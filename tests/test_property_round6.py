@@ -132,14 +132,16 @@ def test_merge_upsert_matches_sequential_replay(spark, log):
     chg = spark.createDataFrame(rows, "k int, v double, op string, seq int")
     got = {r["k"]: r["v"] for r in
            merge_upsert(base, chg, ["k"], seq_col="seq").collect()}
-    # sequential replay: order by (seq, delete-before-upsert, op)
+    # reference model of the operator's rule: highest seq wins; on a
+    # seq tie the DELETE wins; among tied non-deletes the op sorting
+    # FIRST ascending wins (row_number over op asc).
     state = dict(target)
-    winner = {}
+    by_key: dict[int, list] = {}
     for k, v, op, seq in rows:
-        key = (seq, 0 if op == "D" else 1, op)
-        if k not in winner or key > winner[k][0]:
-            winner[k] = (key, v, op)
-    for k, (_, v, op) in winner.items():
+        by_key.setdefault(k, []).append((v, op, seq))
+    for k, cand in by_key.items():
+        v, op, _ = sorted(
+            cand, key=lambda t: (-t[2], 0 if t[1] == "D" else 1, t[1]))[0]
         if op == "D":
             state.pop(k, None)
         else:
