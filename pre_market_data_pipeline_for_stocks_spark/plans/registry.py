@@ -2345,6 +2345,25 @@ SELECT user_id, len AS streak_days, start_day, end_day
 FROM b WHERE rn = 1 ORDER BY user_id
 """),
 
+    # relational.events_conversion_lag: epoch-seconds lag, exact
+    # interpolated percentiles (quantile_cont twin).
+    "events_conversion_lag": QueryDef(R.events_conversion_lag, """
+WITH fv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+l AS (
+  SELECT e.user_id,
+         (epoch(min(e.ts)) - epoch(min(fv.t_view))) / 60.0 AS lag_min
+  FROM fv JOIN events e USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.t_view
+  GROUP BY 1)
+SELECT count(*) AS n_converted,
+       round(avg(lag_min), 4) AS mean_lag_min,
+       round(quantile_cont(lag_min, 0.5), 4) AS p50_lag_min,
+       round(quantile_cont(lag_min, 0.9), 4) AS p90_lag_min
+FROM l
+"""),
+
     # relational.q17_small_quantity_revenue: the oracle keeps the
     # CORRELATED scalar subquery; Spark runs the decorrelated join.
     "q17_small_quantity_revenue": QueryDef(

@@ -1087,3 +1087,30 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly"),
                  F.count(F.lit(1)).alias("n_lineitems")))
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: per converting user, minutes from FIRST view to
+    the FIRST purchase after it, summarized as exact interpolated
+    p50/p90 + mean (the quantile_cont twin convention). The
+    time-to-convert readout the funnel count queries don't give —
+    one per-user aggregate, one small summary row."""
+    ev = _t(spark, sf_dir, "events")[0] \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type")
+    first_view = (ev.filter(F.col("event_type") == "view")
+                  .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    lag = (first_view
+           .join(purchases, "user_id")
+           .filter(F.col("ts") >= F.col("t_view"))
+           .groupBy("user_id")
+           .agg(((F.min("ts").cast("double")
+                  - F.min("t_view").cast("double")) / 60.0)
+                .alias("lag_min")))
+    pct = F.expr("percentile(lag_min, array(0.5, 0.9))")
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("lag_min"), 4).alias("mean_lag_min"),
+        F.round(pct.getItem(0), 4).alias("p50_lag_min"),
+        F.round(pct.getItem(1), 4).alias("p90_lag_min"))
