@@ -2345,6 +2345,40 @@ SELECT user_id, len AS streak_days, start_day, end_day
 FROM b WHERE rn = 1 ORDER BY user_id
 """),
 
+    # relational.customer_rfm_segments: aggregate to customer grain,
+    # three ntile windows over the small aggregated relation.
+    "customer_rfm_segments": QueryDef(R.customer_rfm_segments, """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate)::DATE,
+                   (SELECT max(o_orderdate) FROM orders)::DATE)
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC)
+            AS INTEGER) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey ASC)
+            AS INTEGER) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey ASC)
+            AS INTEGER) AS m_quartile
+FROM per ORDER BY custkey
+"""),
+
+    # relational.q19_disjunctive_revenue: OR-of-ANDs join predicate.
+    "q19_disjunctive_revenue": QueryDef(R.q19_disjunctive_revenue, """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""),
+
     # relational.events_conversion_lag: epoch-seconds lag, exact
     # interpolated percentiles (quantile_cont twin).
     "events_conversion_lag": QueryDef(R.events_conversion_lag, """

@@ -1114,3 +1114,56 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lag_min"), 4).alias("mean_lag_min"),
         F.round(pct.getItem(0), 4).alias("p50_lag_min"),
         F.round(pct.getItem(1), 4).alias("p90_lag_min"))
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days from last order
+    to the corpus max date), Frequency (order count) and Monetary
+    (total spend), each quartiled with ntile — the classic
+    marketing-analytics segmentation, one aggregate + three rank
+    windows over the aggregated (small) relation."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
+    per = (orders.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("_last"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+           .crossJoin(F.broadcast(mx))
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.datediff(F.to_date("_mx"), F.to_date("_last"))
+                   .alias("recency_days"),
+                   "frequency", "monetary"))
+    rw = Window.orderBy(F.col("recency_days").asc(),
+                        F.col("custkey").asc())
+    fw = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    mw = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    return (per.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(rw).alias("r_quartile"),
+        F.ntile(4).over(fw).alias("f_quartile"),
+        F.ntile(4).over(mw).alias("m_quartile"))
+        .orderBy("custkey"))
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs join predicate (brand x size x
+    quantity bands) — the disjunctive-filter pattern optimizers must
+    keep pushed down on BOTH join sides rather than evaluating post-
+    join. One broadcast part join, one aggregate."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    j = li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+    band1 = ((F.col("p_brand") == "Brand#1")
+             & (F.col("p_size").between(1, 15))
+             & (F.col("l_quantity").between(1, 11)))
+    band2 = ((F.col("p_brand") == "Brand#2")
+             & (F.col("p_size").between(1, 25))
+             & (F.col("l_quantity").between(10, 20)))
+    band3 = ((F.col("p_brand") == "Brand#3")
+             & (F.col("p_size").between(1, 35))
+             & (F.col("l_quantity").between(20, 30)))
+    return (j.filter(band1 | band2 | band3)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
