@@ -268,3 +268,15 @@ def test_ewma_is_single_window_no_join(spark, sf_dir, queries):
     plan = _physical(queries["events_value_ewma"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_q19_disjunction_pushes_down_on_both_sides(spark, sf_dir,
+                                                   queries):
+    """The OR-of-ANDs join predicate must yield per-side derived
+    pushdowns (quantity bands on the lineitem scan, brand x size on
+    the part scan), not a post-join filter over full scans."""
+    plan = _physical(queries["q19_disjunctive_revenue"](spark, sf_dir))
+    li_scan = [s for s in plan.split("FileScan") if "lineitem" in s][0]
+    p_scan = [s for s in plan.split("FileScan") if "part.parquet" in s][0]
+    assert "l_quantity" in li_scan.split("PushedFilters")[-1]
+    assert "p_brand" in p_scan.split("PushedFilters")[-1]
