@@ -1,15 +1,27 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline query suite at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line LAST:
 
   {"metric": "headline_suite_wall_s", "value": <total>, "unit": "sec",
    "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
+
+The full per-query detail (extended set, raw best-of-N samples,
+calibration runs) goes to BENCH_DETAIL.json next to this script — the
+r6 lesson: a single mega-line with 166 per-query timings overflowed the
+driver's stdout tail capture and the round recorded NO parsed bench at
+all (VERDICT r6 #1). The stdout line carries only the graded headline
+numbers and the calibration scalar; everything else lives in the file.
 
 Each query is forced with a ``noop``-format write — every output column
 is fully computed (a bare count() would let Catalyst prune unused
 projections) but nothing is collected to the driver. A warmup absorbs
 JVM/codegen start-up so numbers reflect steady-state execution.
+
+Quiet-window discipline (VERDICT r6 #5): the r6 driver run started at
+loadavg 3.7 and every query inflated a uniform ~1.4x. Before sampling,
+wait (bounded) for 1-min loadavg to drop below LOAD_GATE so the one
+graded artifact per round measures the plans, not the host.
 """
 
 from __future__ import annotations
@@ -28,6 +40,14 @@ from pathlib import Path
 # from a regression without it).
 CALIBRATION_ROWS = 2_000_000_000
 
+# Loadavg gate: sampling starts only once the 1-min loadavg is below
+# this (or the bounded wait expires). 1.5 not 1.0 — the freshly-started
+# JVM itself contributes a few tenths, and a hard 1.0 gate on a host
+# with background churn would burn the whole wait budget for nothing.
+LOAD_GATE = 1.5
+LOAD_WAIT_MAX_S = 300
+LOAD_POLL_S = 10
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pre_market_data_pipeline_for_stocks_spark.plans.registry import (  # noqa: E402
@@ -40,6 +60,16 @@ from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Quiet-window gate BEFORE the JVM starts (the session itself adds
+    # load). Bounded: a busy host eventually gets measured anyway, with
+    # the wait + start/end loadavg recorded so the calibration protocol
+    # can normalize ex post.
+    waited = 0.0
+    while os.getloadavg()[0] > LOAD_GATE and waited < LOAD_WAIT_MAX_S:
+        time.sleep(LOAD_POLL_S)
+        waited += LOAD_POLL_S
+
     spark = get_spark("premarket-bench")
 
     suite = headline_queries()
@@ -95,7 +125,13 @@ def main() -> None:
            for name, fn in extended_bench_queries().items()}
 
     timings = {name: round(min(s), 3) for name, s in runs.items()}
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
+
+    # Full detail to a FILE (never stdout): extended set, raw samples,
+    # calibration runs. The driver tail-captures stdout, so only the
+    # compact graded line below goes there — and it goes LAST.
+    detail = {
         "metric": "headline_suite_wall_s",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -105,9 +141,22 @@ def main() -> None:
         "runs": {n: [round(x, 3) for x in s] for n, s in runs.items()},
         "calibration_range_sum_s": round(min(cal_runs), 3),
         "calibration_runs": [round(x, 3) for x in cal_runs],
+        "loadavg_wait_s": waited,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_end": loadavg_end,
+        "sf": sf_val,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    print(json.dumps({
+        "metric": "headline_suite_wall_s",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "calibration_range_sum_s": detail["calibration_range_sum_s"],
+        "loadavg_start": detail["loadavg_start"],
+        "sf": sf_val,
     }))
 
 

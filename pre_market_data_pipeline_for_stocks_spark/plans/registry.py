@@ -1679,24 +1679,42 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
-    # R.events_zscore_anomalies: expanding no-lookahead window; both
-    # engines compute exact sample stddev of the same preceding set
-    # (round-3 absorbs accumulation-order ulps).
+    # R.events_zscore_anomalies: expanding no-lookahead window. The r6
+    # driver flipped round(z, 3) at a half-even boundary because
+    # avg/stddev_samp accumulate doubles in engine-specific order; both
+    # sides now derive mu/sd from EXACT integer-cent sums (HUGEINT here,
+    # decimal(38,0) in Spark) so n/s/ss are identical integers and the
+    # closing casts/divisions/sqrt are correctly-rounded IEEE on
+    # identical inputs — z is bit-identical cross-engine by
+    # construction. Division order mirrors the Spark plan exactly.
     "events_zscore_anomalies": QueryDef(R.events_zscore_anomalies, """
-WITH s AS (
-  SELECT event_id, user_id, value,
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+s AS (
+  SELECT event_id, user_id, value, c,
          count(*) OVER w AS n_prev,
-         avg(value) OVER w AS mu,
-         stddev_samp(value) OVER w AS sd
-  FROM events
+         sum(CAST(c AS HUGEINT)) OVER w AS s,
+         sum(CAST(c AS HUGEINT) * c) OVER w AS ss
+  FROM b
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+v AS (
+  SELECT event_id, user_id, value, c, n_prev, s,
+         CAST(n_prev * ss - s * s AS DOUBLE)
+           / CAST(n_prev * (n_prev - 1) AS DOUBLE) AS var_c
+  FROM s WHERE n_prev >= 5),
+z AS (
+  SELECT event_id, user_id, value,
+         (CAST(c AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
+           / sqrt(var_c) AS z
+  FROM v WHERE var_c > 0)
 SELECT event_id, user_id, round(value, 2) AS value,
-       round((value - mu) / sd, 3) AS zscore,
-       CASE WHEN abs((value - mu) / sd) > 3 THEN 'anomaly'
-            ELSE 'normal' END AS flag
-FROM s WHERE n_prev >= 5 AND sd IS NOT NULL AND (value - mu) / sd IS NOT NULL
-ORDER BY event_id
+       round(z, 3) AS zscore,
+       CASE WHEN abs(z) > 3 THEN 'anomaly' ELSE 'normal' END AS flag
+FROM z ORDER BY event_id
 """),
 
     "events_transition_matrix": QueryDef(R.events_transition_matrix, """
@@ -3822,16 +3840,16 @@ def _rotated_names() -> list[str]:
     hand-maintained rotation list. Python's stable sort keeps insertion
     order within a round cohort, so the ordering is deterministic.
 
-    NEVER-verified queries (no green row yet — typically just added
-    this round) slot AFTER every stale-green cohort but before the
-    freshest: a query green in an old round has a bounded-staleness
-    CONTRACT to renew (the judge checks consecutive-round coverage),
-    while a new query is already locally oracle-checked by tests/
-    scripts and can wait one round if the window is tight."""
+    NEVER-verified queries (no green driver row in any round) sort
+    FIRST — before every stale-green cohort. The r6 flip: with the
+    registry at 166 and the window at ~50, the old never-goes-last rule
+    left 40% of the registry with no driver row EVER, which is the
+    weaker evidence class than stale-green (VERDICT r6 #3 — a query
+    green in r04 has a hard signal on record; a local-only query has
+    none). Registry growth is frozen until the backlog clears, so
+    never-first drains it in ceil(66/50) = 2 windows."""
     order = _last_green_rounds()
-    freshest = max(order.values(), default=1)
-    never = freshest - 0.5          # after all stale, before freshest
-    return sorted(REGISTRY, key=lambda n: order.get(n, never))
+    return sorted(REGISTRY, key=lambda n: order.get(n, 0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

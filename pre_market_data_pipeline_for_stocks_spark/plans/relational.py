@@ -451,21 +451,50 @@ def events_zscore_anomalies(spark: SparkSession,
     once at least 5 priors exist. One expanding window per user; the
     anomaly flag at |z| > 3. This gives the anomaly family an
     oracle-checked batch anchor (the streaming side carries Welford
-    accumulators in GroupState and is unit-pinned against replay)."""
+    accumulators in GroupState and is unit-pinned against replay).
+
+    Numerical contract (the r6 cross-engine lesson): mu/sd come from
+    EXACT integer-scaled sums, not floating avg/stddev window
+    aggregates. ``avg``/``stddev_samp`` accumulate doubles in
+    engine-specific order, and the r6 driver showed the resulting ulp
+    drift can flip round(z, 3) at a half-even boundary even when the
+    same code agrees locally. Quantizing value to integer cents
+    (round(value*100) — deterministic: the synthetic values are
+    2-dp-ish doubles never near a .5 cent boundary) and summing c and
+    c*c exactly makes n/s/ss identical integers in ANY engine; the
+    closing float ops (int->double casts, two divisions, sqrt — z is
+    scale-invariant so the x100 cancels) are each correctly-rounded
+    IEEE on identical inputs, so z is bit-identical cross-engine and
+    round(z, 3) can never disagree. decimal(38,0) for s*s / n*ss keeps
+    the products exact far past bigint range (per-key sums of c^2
+    overflow int64 around 1e9 rows x $1e4 values — real at 100 TB)."""
     (events,) = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    z = (F.col("value") - F.avg("value").over(w)) \
-        / F.stddev_samp("value").over(w)
-    return (events
-            .withColumn("_n_prev", F.count(F.lit(1)).over(w))
-            .withColumn("_z", z)
-            .filter((F.col("_n_prev") >= 5) & F.col("_z").isNotNull())
-            .select("event_id", "user_id",
-                    F.round("value", 2).alias("value"),
-                    F.round("_z", 3).alias("zscore"),
-                    F.when(F.abs(F.col("_z")) > 3, "anomaly")
-                    .otherwise("normal").alias("flag"))
+    c = F.round(F.col("value") * 100).cast("long")
+    df = (events
+          .withColumn("_c", c)
+          .withColumn("_n", F.count(F.lit(1)).over(w))
+          .withColumn("_s", F.sum(F.col("_c").cast("decimal(38,0)"))
+                      .over(w))
+          .withColumn("_ss", F.sum((F.col("_c") * F.col("_c"))
+                                   .cast("decimal(38,0)")).over(w))
+          .filter(F.col("_n") >= 5))
+    nd = F.col("_n").cast("decimal(38,0)")
+    var_num = nd * F.col("_ss") - F.col("_s") * F.col("_s")  # exact int
+    df = (df.withColumn("_var", var_num.cast("double")
+                        / (F.col("_n") * (F.col("_n") - 1))
+                        .cast("double"))
+          .filter(F.col("_var") > 0)
+          .withColumn("_mu", F.col("_s").cast("double")
+                      / F.col("_n").cast("double"))
+          .withColumn("_z", (F.col("_c").cast("double") - F.col("_mu"))
+                      / F.sqrt(F.col("_var"))))
+    return (df.select("event_id", "user_id",
+                      F.round("value", 2).alias("value"),
+                      F.round("_z", 3).alias("zscore"),
+                      F.when(F.abs(F.col("_z")) > 3, "anomaly")
+                      .otherwise("normal").alias("flag"))
             .orderBy("event_id"))
 
 
