@@ -2364,7 +2364,10 @@ FROM b WHERE rn = 1 ORDER BY user_id
 """),
 
     # relational.customer_rfm_segments: aggregate to customer grain,
-    # three ntile windows over the small aggregated relation.
+    # then quartile by comparison against three broadcast percentile
+    # cut points (NOT ntile — no global sort; ties share a quartile).
+    # Cuts interpolate integer-valued columns (days, counts, monetary
+    # cents) so both engines compute bit-identical cut doubles.
     "customer_rfm_segments": QueryDef(R.customer_rfm_segments, """
 WITH per AS (
   SELECT o_custkey AS custkey,
@@ -2372,16 +2375,29 @@ WITH per AS (
                    (SELECT max(o_orderdate) FROM orders)::DATE)
            AS recency_days,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
-  FROM orders GROUP BY 1)
+         round(sum(o_totalprice), 2) AS monetary,
+         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+           AS mcents
+  FROM orders GROUP BY 1),
+cuts AS (
+  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(mcents, [0.25, 0.5, 0.75]) AS mc
+  FROM per)
 SELECT custkey, recency_days, frequency, monetary,
-       CAST(ntile(4) OVER (ORDER BY recency_days ASC, custkey ASC)
+       CAST(1 + CAST(recency_days > rc[1] AS INTEGER)
+              + CAST(recency_days > rc[2] AS INTEGER)
+              + CAST(recency_days > rc[3] AS INTEGER)
             AS INTEGER) AS r_quartile,
-       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey ASC)
+       CAST(1 + CAST(frequency < fc[3] AS INTEGER)
+              + CAST(frequency < fc[2] AS INTEGER)
+              + CAST(frequency < fc[1] AS INTEGER)
             AS INTEGER) AS f_quartile,
-       CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey ASC)
+       CAST(1 + CAST(mcents < mc[3] AS INTEGER)
+              + CAST(mcents < mc[2] AS INTEGER)
+              + CAST(mcents < mc[1] AS INTEGER)
             AS INTEGER) AS m_quartile
-FROM per ORDER BY custkey
+FROM per, cuts ORDER BY custkey
 """),
 
     # relational.q19_disjunctive_revenue: OR-of-ANDs join predicate.

@@ -1148,9 +1148,30 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, Recency (days from last order
     to the corpus max date), Frequency (order count) and Monetary
-    (total spend), each quartiled with ntile — the classic
-    marketing-analytics segmentation, one aggregate + three rank
-    windows over the aggregated (small) relation."""
+    (total spend), each quartiled 1 (best) .. 4 (worst).
+
+    Scale contract (the r6 rewrite): quartiles come from THREE
+    BROADCAST CUT POINTS compared per row, not ntile — the old form
+    ran three ``Window.orderBy`` with no partitionBy, i.e. three
+    global single-reducer sorts over the customer-grain relation, the
+    classic one-partition bottleneck at 100 TB (VERDICT r6 #4). One
+    hash aggregate to customer grain, ONE single-row exact-percentile
+    aggregate (state is the quantile summary of an already-aggregated
+    relation; percentile_approx is the drop-in at extreme
+    cardinality), one broadcast nested-loop join of that row, and the
+    quartile is a per-row comparison — no global sort anywhere.
+
+    Tie semantics (documented change vs ntile): equal values get the
+    SAME quartile (quartile = 1 + #cuts strictly beaten), so quartile
+    populations are only ~equal when values are distinct — the
+    rank-order-dependent tie splitting ntile did was an artifact of
+    its global sort, not a feature. Cross-engine determinism: the
+    three cut points interpolate integer-valued columns (recency
+    days, order counts, monetary CENTS via the same
+    round(x*100)->bigint quantization the zscore query uses), and
+    type-7 interpolation at quarter fractions of integers is exact in
+    double — both engines compute bit-identical cuts, so no
+    comparison can straddle an ulp."""
     orders = _t(spark, sf_dir, "orders")[0]
     mx = orders.agg(F.max("o_orderdate").alias("_mx"))
     per = (orders.groupBy("o_custkey")
@@ -1161,17 +1182,34 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("o_custkey").alias("custkey"),
                    F.datediff(F.to_date("_mx"), F.to_date("_last"))
                    .alias("recency_days"),
-                   "frequency", "monetary"))
-    rw = Window.orderBy(F.col("recency_days").asc(),
-                        F.col("custkey").asc())
-    fw = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    mw = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
-    return (per.select(
-        "custkey", "recency_days", "frequency", "monetary",
-        F.ntile(4).over(rw).alias("r_quartile"),
-        F.ntile(4).over(fw).alias("f_quartile"),
-        F.ntile(4).over(mw).alias("m_quartile"))
-        .orderBy("custkey"))
+                   "frequency", "monetary",
+                   F.round(F.col("monetary") * 100).cast("long")
+                   .alias("_mcents")))
+    cuts = per.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))")
+        .alias("_rc"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))")
+        .alias("_fc"),
+        F.expr("percentile(_mcents, array(0.25, 0.5, 0.75))")
+        .alias("_mc"))
+
+    def asc_q(col: str, c) -> F.Column:   # low value -> quartile 1
+        v = F.col(col)
+        return (F.lit(1) + (v > c[0]).cast("int")
+                + (v > c[1]).cast("int") + (v > c[2]).cast("int"))
+
+    def desc_q(col: str, c) -> F.Column:  # high value -> quartile 1
+        v = F.col(col)
+        return (F.lit(1) + (v < c[2]).cast("int")
+                + (v < c[1]).cast("int") + (v < c[0]).cast("int"))
+
+    return (per.crossJoin(F.broadcast(cuts))
+            .select("custkey", "recency_days", "frequency", "monetary",
+                    asc_q("recency_days", F.col("_rc"))
+                    .alias("r_quartile"),
+                    desc_q("frequency", F.col("_fc")).alias("f_quartile"),
+                    desc_q("_mcents", F.col("_mc")).alias("m_quartile"))
+            .orderBy("custkey"))
 
 
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

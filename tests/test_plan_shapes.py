@@ -280,3 +280,19 @@ def test_q19_disjunction_pushes_down_on_both_sides(spark, sf_dir,
     p_scan = [s for s in plan.split("FileScan") if "part.parquet" in s][0]
     assert "l_quantity" in li_scan.split("PushedFilters")[-1]
     assert "p_brand" in p_scan.split("PushedFilters")[-1]
+
+
+def test_rfm_quartiles_have_no_global_sort_window(spark, sf_dir,
+                                                  queries):
+    """RFM quartiling must come from broadcast percentile cut points,
+    never ntile over an unpartitioned Window — that was three global
+    single-reducer sorts over the customer-grain relation (VERDICT r6
+    #4). The plan must carry no Window operator at all and join the
+    single-row cuts/max-date relations by broadcast."""
+    plan = _physical(queries["customer_rfm_segments"](spark, sf_dir))
+    import re
+    assert "Window" not in plan
+    # word boundary: "ntile(" substrings "percentile("
+    assert not re.search(r"\bntile\(", plan)
+    assert "BroadcastNestedLoopJoin" in plan   # single-row cut join
+    assert "partial_percentile" in plan        # map-side combine on cuts
