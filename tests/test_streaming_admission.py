@@ -134,3 +134,102 @@ def test_stream_admission_replay_is_idempotent(spark, sf_dir, tmp_path):
     b1_rows = spark.createDataFrame(b1.collect(), docs.schema)
     adm.admission_writer(index_root, admitted_root)(b1_rows, 2)
     assert spark.read.parquet(f"{admitted_root}/batch-2").count() == 0
+
+
+def test_checkpoint_recovery_replays_batch_through_engine(
+        spark, sf_dir, tmp_path):
+    """Real-engine crash recovery (VERDICT r6 #7): process batch 0,
+    then delete its checkpoint COMMIT marker — exactly the state after
+    a crash that happened AFTER foreachBatch's writes but BEFORE the
+    engine committed the batch. A restarted query replays batch 0
+    under the same id through the actual recovery path (not a direct
+    writer call), then continues with batch 1; the final admitted set
+    must equal the sequential fold and batch 0 must not have
+    self-duplicated to empty."""
+    docs, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    # First life: only file 0 visible -> exactly one micro-batch.
+    hidden = str(tmp_path / "later.parquet")
+    os.replace(f"{src}/batchfile-1.parquet", hidden)
+    adm.run_admission(_stream(spark, src, docs.schema), index_root,
+                      admitted_root, ckpt)
+    batch0_first = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{admitted_root}/batch-0").collect())
+    assert 9001 in batch0_first
+
+    # Crash: outputs exist, commit marker gone (the local checksum FS
+    # keeps a .crc shadow — drop it with the marker or the recovered
+    # query's rename-on-commit trips FileAlreadyExists).
+    os.remove(f"{ckpt}/commits/0")
+    crc = f"{ckpt}/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # Second life: batch 0 REPLAYS (same id, same offsets), then batch
+    # 1 (file 1 restored) runs as new work.
+    os.replace(hidden, f"{src}/batchfile-1.parquet")
+    os.utime(f"{src}/batchfile-1.parquet", (1_700_000_600,) * 2)
+    adm.run_admission(_stream(spark, src, docs.schema), index_root,
+                      admitted_root, ckpt)
+
+    batch0_second = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{admitted_root}/batch-0").collect())
+    assert batch0_second == batch0_first        # replay == first attempt
+
+    got = {r.doc_id for r in
+           adm.read_admitted(spark, admitted_root)
+           .select("doc_id").collect()}
+    assert got == _sequential_fold(seed, b0, b1)
+    assert 9001 in got and 9002 not in got
+    idx = adm.read_index(spark, index_root)
+    assert idx.count() == seed.count() + len(got)
+
+
+def test_crash_between_admit_write_and_index_append(spark, sf_dir,
+                                                    tmp_path):
+    """Two-phase torn-write recovery: the writer writes admitted docs
+    (phase 1) then appends their signatures (phase 2). Simulate a
+    crash between the phases — admitted/batch-1 exists, its
+    index/batch-1 append lost — and replay the batch. The replay must
+    reproduce the identical admitted set (decisions come from the
+    pre-batch index; its own partial state is excluded/overwritten)
+    and restore the index append, after which a fresh batch carrying
+    the same text is still deduped."""
+    import shutil
+
+    docs, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    adm.run_admission(_stream(spark, src, docs.schema), index_root,
+                      admitted_root, str(tmp_path / "ckpt"))
+    batch1_first = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{admitted_root}/batch-1").collect())
+
+    # Torn write: phase-2 output of batch 1 lost.
+    shutil.rmtree(f"{index_root}/batch-1")
+
+    b1_rows = spark.createDataFrame(b1.collect(), docs.schema)
+    adm.admission_writer(index_root, admitted_root)(b1_rows, 1)
+
+    batch1_second = sorted(
+        r.doc_id for r in
+        spark.read.parquet(f"{admitted_root}/batch-1").collect())
+    assert batch1_second == batch1_first
+    got = {r.doc_id for r in
+           adm.read_admitted(spark, admitted_root)
+           .select("doc_id").collect()}
+    idx = adm.read_index(spark, index_root)
+    assert idx.count() == seed.count() + len(got)   # append restored
+
+    # Index is whole again: a new batch re-carrying UNIQUE_TEXT under a
+    # fresh doc id is dropped by batch 1's restored signatures.
+    probe = spark.createDataFrame(
+        b1.filter(F.col("doc_id") == 9002)
+        .withColumn("doc_id", F.lit(9003).cast("long")).collect(),
+        docs.schema)
+    adm.admission_writer(index_root, admitted_root)(probe, 3)
+    assert spark.read.parquet(f"{admitted_root}/batch-3").count() == 0
