@@ -593,10 +593,14 @@ def ann_cosine_near_dup(spark, sf_dir):
     exact cosine (the dedup-by-embedding path). Threshold 0.4 sits at
     the ~99.9th percentile of the fixture's pairwise-cosine distribution
     (max 0.51); (bands=4, r=4) gives ~50% recall at that angle with a
-    bounded candidate volume."""
+    bounded candidate volume. max_bucket=4096 is the hot-bucket guard
+    ON BY DEFAULT (r6 #8: benchmarked plans must be the scale-safe
+    ones): a no-op at oracle scale (largest fixture bucket is far
+    smaller) that bounds the band self-join at O(buckets x cap^2) on
+    a skewed production corpus."""
     return similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
                                           bands=4, planes_per_band=4,
-                                          threshold=0.4)
+                                          threshold=0.4, max_bucket=4096)
 
 
 def dedup_embedding_clusters(spark, sf_dir):
@@ -606,7 +610,7 @@ def dedup_embedding_clusters(spark, sf_dir):
     twin of dedup_clusters (which walks the lexical MinHash pairs)."""
     pairs = similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
                                            bands=4, planes_per_band=4,
-                                           threshold=0.4)
+                                           threshold=0.4, max_bucket=4096)
     return (dedup.resolve_clusters(pairs, a_col="vec_a", b_col="vec_b")
             .withColumnsRenamed({"doc_id": "vec_id"}))
 
@@ -646,7 +650,7 @@ def training_manifest(spark, sf_dir):
     """The END-TO-END training-data build, one declarative plan:
 
       curate (lang + quality + exact-dedup keeper + near-dup cluster
-      removal + 50% hash sample)
+      removal + quality-proportional weighted sample)
       -> decontaminate against the held-out benchmark split
       -> resample to the target source mixture
       -> pack into token-budget shards
@@ -1261,10 +1265,14 @@ def dedup_semantic_prune(spark, sf_dir):
     cells from the shared IVF trainer (stride-200 seeding, the
     ann_ivf_topk configuration), then each cell pruned of vectors
     having a more-central near-duplicate at cosine >= 0.4 (the
-    fixture's near-dup band — its max pairwise cosine is ~0.51)."""
+    fixture's near-dup band — its max pairwise cosine is ~0.51).
+    max_cell=4096 (hot-cell guard) is the default here (r6 #8): no-op
+    at oracle scale, bounds the in-cell pair join on skewed corpora
+    (over-cap cells conservatively skip pruning)."""
     return similarity.semantic_dedup(_emb(spark, sf_dir),
                                      tau=SEMDEDUP_TAU,
-                                     centroid_stride=SEMDEDUP_STRIDE)
+                                     centroid_stride=SEMDEDUP_STRIDE,
+                                     max_cell=4096)
 
 
 CMS_PROBE_TERMS = ["a", "merge", "of", "scan", "table", "the",

@@ -1088,14 +1088,20 @@ def reco_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Customers who bought from X also bought from Y': top-5 similar
     suppliers per supplier by co-customer cosine over the orders x
     lineitem bipartite graph (operators/reco.py) — the neighborhood
-    recommender primitive."""
+    recommender primitive. max_user_items=1000 (power-user guard) is
+    the default (r6 #8): a no-op at oracle scale (max observed is 102
+    distinct suppliers per customer at sf0.1) that bounds the
+    co-occurrence self-join's per-user pair count at cap^2 on
+    production data, where one bot/aggregator account otherwise
+    contributes millions of pairs."""
     from ..operators.reco import cooccurrence_similar_items
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     inter = (orders.join(lineitem,
                          orders.o_orderkey == lineitem.l_orderkey)
              .select(F.col("o_custkey").alias("user_id"),
                      F.col("l_suppkey").alias("item_id")))
-    return (cooccurrence_similar_items(inter, k=5, min_co=2)
+    return (cooccurrence_similar_items(inter, k=5, min_co=2,
+                                       max_user_items=1000)
             .orderBy("item_a", F.col("cosine").desc(), "item_b"))
 
 
