@@ -132,22 +132,34 @@ def ranked_auc(scored: DataFrame, score_col: str,
     """ROC-AUC from scores + binary labels via the rank formulation:
     AUC = (Σ ranks(positives) − n_pos(n_pos+1)/2) / (n_pos·n_neg),
     with average ranks for score ties (the exact Mann-Whitney U) —
-    one global rank window + one aggregate, no pairwise join.
+    no pairwise join, and no per-row global sort either.
 
     The eval harness for any scorer in the engine (classifier_score,
     quality panels): a near-0.5 AUC says the scorer carries no signal
-    for the label. Output: one row (auc, n_pos, n_neg). The global
-    sort-rank is the same cost class as any orderBy; at extreme scale
-    swap in a binned approximation (hist_partials per class)."""
-    w = Window.orderBy(F.col(score_col).asc())
-    ranked = scored.select(
-        F.col(label_col).cast("int").alias("_y"),
-        F.avg(F.row_number().over(w)).over(
-            Window.partitionBy(score_col)).alias("_r"))
-    return (ranked.agg(
-        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("_sr"),
-        F.sum("_y").alias("n_pos"),
-        F.sum(1 - F.col("_y")).alias("n_neg"))
+    for the label. Output: one row (auc, n_pos, n_neg).
+
+    Scale shape (r7 rewrite — the old form ranked EVERY row through
+    one unpartitioned Window, the single-reducer bottleneck class):
+    all tied rows share the average rank cum_before + (n_s + 1)/2, so
+    Σ ranks(positives) folds to Σ_s pos_s · (cum_before(s) + (n_s+1)/2)
+    over per-DISTINCT-SCORE counts. The corpus-sized pass is one hash
+    groupBy(score); the only ordered window runs over the distinct
+    score values — bounded by the scorer's output grid (a k-dp score
+    has ≤ 10^k·range values regardless of corpus size), the broadcast-
+    cut-points pattern rather than a corpus sort. Identical math,
+    exact average-rank tie handling preserved."""
+    per = (scored.groupBy(F.col(score_col).alias("_s"))
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col(label_col).cast("int")).alias("_pos")))
+    w = (Window.orderBy(F.col("_s").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn("_cum", F.coalesce(F.sum("_n").over(w),
+                                            F.lit(0)))
+    avg_rank = F.col("_cum") + (F.col("_n") + 1) / 2
+    return (per.agg(
+        F.sum(F.col("_pos") * avg_rank).alias("_sr"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_pos")).alias("n_neg"))
         .select(
             F.round((F.col("_sr") - F.col("n_pos")
                      * (F.col("n_pos") + 1) / 2)
