@@ -61,21 +61,22 @@ def test_entry_smoke(spark):
     assert len(df.schema) > 0
 
 
-def test_registry_rotation_orders_stale_first(monkeypatch):
+def test_registry_rotation_orders_never_verified_first(monkeypatch):
     """The driver's correctness window covers ~50 queries per round in
-    dict order; queries() must emit stale-green queries first (round
-    ascending — their bounded-staleness contract renews before new
-    queries consume window slots), then never-verified, then the
-    freshest cohort, stable (insertion order) within each — so nothing
-    goes more than ceil(N/50) rounds unverified."""
+    dict order; queries() must emit NEVER-driver-verified queries
+    first (they are the weaker evidence class — no hard signal on
+    record at all, the r6 flip), then green queries by round
+    ascending (stalest contract next), stable (insertion order)
+    within each cohort — so the no-driver-row backlog drains before
+    window slots renew fresh greens."""
     from pre_market_data_pipeline_for_stocks_spark.plans import registry as reg
     fake = {n: 3 for n in reg.REGISTRY}
     fake.pop("dedup_exact")                     # never verified
     fake["q1_pricing_summary"] = 1              # stalest green
     monkeypatch.setattr(reg, "_last_green_rounds", lambda: fake)
     names = list(reg.queries())
-    assert names[0] == "q1_pricing_summary"     # stale contract first
-    assert names[1] == "dedup_exact"            # never-verified next
+    assert names[0] == "dedup_exact"            # never-verified first
+    assert names[1] == "q1_pricing_summary"     # stalest green next
     assert set(names) == set(reg.REGISTRY)
     cohort = [n for n in names[2:]]
     assert cohort == [n for n in reg.REGISTRY if n in cohort]  # stable
