@@ -337,6 +337,20 @@ def test_cap_band_buckets_row_bound(spark):
     assert len(kept) == 3
 
 
+def test_cap_band_buckets_persist_is_released(spark):
+    """The guard persists the banded relation (its projection feeds the
+    size count AND both join sides); that cache must register in the
+    module release list — an unregistered persist outlives
+    release_shingle_caches() in a long-lived session."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    dd.release_shingle_caches()
+    banded = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "a"), (3, 0, "b")],
+        "doc_id int, band int, band_key string")
+    dd.cap_band_buckets(banded, max_bucket=1).collect()
+    assert dd.release_shingle_caches() == 1
+
+
 def test_shingle_cache_context_manager(spark):
     """VERDICT r4 #8: `with shingle_cache():` frees exactly the caches
     persisted inside the block and leaves pre-existing entries alone."""
