@@ -23,6 +23,7 @@ Extension scope (BASELINE.json north star):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -373,41 +374,67 @@ def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
     """IVF search against an EXISTING codebook (train once via
     train_ivf_centroids/save_ivf_index, serve many) — the deployment
     topology where query latency never pays training. Same assign →
-    probe → in-cell brute-force plan as ivf_topk, byte-identical
-    results for the same codebook (pinned in tests)."""
-    # embedding pre-cast to array<double> ONCE per row: the assign fold
-    # evaluates the dot per centroid, so an in-lambda cast would repeat
-    # |centroids| x 64 times per row (see _dot_precast).
+    probe → in-cell brute-force semantics as ivf_topk, byte-identical
+    results for the same codebook (pinned in tests).
+
+    The query vector and the probe-cell selection are DRIVER-SIDE
+    model state, like the codebook itself: the query is ONE row (in a
+    real deployment it arrives from the caller, not from a corpus
+    scan) and the probe argmax runs over the collected codebook in
+    plain Python. The pre-r7 plan embedded both as broadcast
+    subqueries, which re-executed a corpus scan per broadcast (q fed
+    two) — at the 2k-vector fixture that's within timing noise (A/B
+    measured parity; the fixture cost is the interpreted assign fold,
+    not job count), but at 100 TB each avoided broadcast subquery is
+    a full distributed scan per search. Bit-identical by
+    construction: a Python float IS an IEEE double and ``sum`` folds
+    left-to-right exactly like ``F.aggregate``, so cosine, tie-breaks
+    (cosine desc, cent_id asc) and the 4-dp grid reproduce the old
+    plan and the DuckDB oracle unchanged (re-checked at
+    sf0.001/sf0.01 for all four ivf registry queries)."""
+    spark = embeddings.sparkSession
+    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(F.col(vec_col).cast("array<double>").alias("_qvec"))
+            .head())
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not found")
+    qvec = [float(x) for x in qrow["_qvec"]]
+    # math.sqrt, NOT ** 0.5: sqrt is correctly-rounded IEEE in both
+    # Python and the JVM, pow(x, 0.5) is not guaranteed to be — the
+    # one ulp of slack that could flip a probe tie.
+    qnrm = math.sqrt(sum(x * x for x in qvec))
+
+    def _pydot(a: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, qvec))
+
+    probe_rows = cents.select("cent_id", "cent_vec").collect()
+    scored = sorted(
+        ((_pydot(list(map(float, r["cent_vec"])))
+          / (math.sqrt(sum(float(x) * float(x) for x in r["cent_vec"]))
+             * qnrm), int(r["cent_id"])) for r in probe_rows),
+        key=lambda t: (-t[0], t[1]))
+    probe_cells = [cid for _, cid in scored[:nprobe]]
+
+    # Cell assignment still runs over ALL centroids (membership is the
+    # global argmax), then the scan narrows to the probed cells. One
+    # corpus pass: assign fold + isin filter + cosine vs the literal
+    # query, TakeOrdered for the top-k.
+    qlit = F.array(*[F.lit(x) for x in qvec])
     assigned = _assign_cells(
         embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).cast("array<double>")
                           .alias("embedding"),
                           _norm(F.col(vec_col)).alias("_nrm")),
-        cents)
-
-    # Probe the nprobe cells nearest the query vector. _qvec is cast
-    # once here so the probe AND the per-row scan fold below both skip
-    # in-lambda casts (cent_vec and `embedding` are already double).
-    q = (embeddings.filter(F.col(id_col) == query_vec_id)
-         .select(F.col(vec_col).cast("array<double>").alias("_qvec"),
-                 _norm(F.col(vec_col)).alias("_qnrm")))
-    probed = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn("_qc", _dot_precast(F.col("cent_vec"), F.col("_qvec"))
-                    / (_norm(F.col("cent_vec")) * F.col("_qnrm")))
-        .orderBy(F.col("_qc").desc(), F.col("cent_id").asc())
-        .limit(nprobe)
-        .select(F.col("cent_id").alias("cell"))
-    )
-
-    # Brute-force only within probed cells, reusing the hoisted norms.
+        spark.createDataFrame(
+            [(int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+             for r in probe_rows],
+            schema="cent_id long, cent_vec array<double>"))
     return (
-        assigned.join(F.broadcast(probed), "cell")
+        assigned.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
         .select("vec_id", "cell",
-                F.round(_dot_precast(F.col("embedding"), F.col("_qvec"))
-                        / (F.col("_nrm") * F.col("_qnrm")), 4)
+                F.round(_dot_precast(F.col("embedding"), qlit)
+                        / (F.col("_nrm") * F.lit(qnrm)), 4)
                 .alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
