@@ -116,26 +116,44 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
 
 def _assign_cells(vectors: DataFrame, cents: DataFrame,
                   keep_score: bool = False) -> DataFrame:
-    """Nearest-centroid cell assignment as a MAP-SIDE FOLD.
+    """Nearest-centroid cell assignment: appends ``cell`` (and ``_cc``
+    when ``keep_score``) to ``vectors``.
 
     ``vectors`` must carry (vec_id, embedding, _nrm); ``cents`` carries
-    (cent_id, cent_vec). The centroid set (small by construction — it is
-    the quantizer model) is packed into ONE row via collect_list and
-    broadcast, so assignment is a per-row argmax over an array column.
-    No |docs|x|centroids| row expansion, no aggregation, no shuffle —
-    the alternatives both lose at scale (a row_number window
-    sort-shuffles the expanded relation; a groupBy+max_by carrying the
-    embedding payload falls back to SortAggregate and locally sorts the
-    expansion). array_sort orders cells by cent_id, and the
-    strictly-greater fold keeps the FIRST max, reproducing the
-    (cosine desc, cent_id asc) tie-break of the oracle.
+    (cent_id, cent_vec) — the quantizer model, small by construction.
 
-    Norms are hoisted OUT of the per-centroid lambda: expressions
-    referenced inside an HOF lambda re-evaluate per element, so
-    norm(embedding) would otherwise be folded |centroids| times per row
-    and norm(cent_vec) once per row per centroid (measured 2x wall on
-    the sf0.1 bench). Each centroid's norm is precomputed into the
-    broadcast struct; the row's norm is a plain column computed once."""
+    Two physical paths with identical semantics (first max wins, i.e.
+    the (cosine desc, cent_id asc) tie-break; rows whose every score is
+    NaN/NULL get cell -1):
+
+    - cell-only (default): an Arrow-batched numpy matmul over
+      mapInPandas with the centroid matrix shipped driver-side — the
+      BASELINE.md "Arrow kernel over HOF fold" lesson applied to the
+      assignment itself (the interpreted per-row x per-centroid x
+      per-dim fold was ~0.8 s of ann_ivf_topk's 2 s at sf0.1; the
+      matmul is milliseconds). Blocked-matmul dot products drift ~1e-14
+      from the sequential fold, but the output is DISCRETE: the minimum
+      best-vs-second-best margin on the fixtures is ~2.6e-5 (measured,
+      9 orders above drift), so no assignment can flip and downstream
+      results stay BIT-identical to the fold path and the DuckDB
+      oracle. Per batch the work is one (rows x dims) @ (dims x cells)
+      product — embarrassingly parallel at any scale, model broadcast
+      via the closure.
+
+    - keep_score: the original map-side HOF fold. The score itself is
+      part of the caller's OUTPUT there (semdedup emits round(_cc, 4)),
+      so it must be the exact sequential fold the oracle replays —
+      matmul drift vs a 4-dp grid is a measure-zero-but-real rounding
+      hazard the discrete path doesn't have.
+
+    HOF-path notes: the centroid set packs into ONE row via
+    collect_list and is broadcast, so assignment is a per-row argmax
+    over an array column — no |docs|x|centroids| row expansion, no
+    shuffle. Norms are hoisted OUT of the per-centroid lambda
+    (expressions inside an HOF lambda re-evaluate per element;
+    measured 2x wall when inlined)."""
+    if not keep_score:
+        return _assign_cells_arrow(vectors, cents)
     cent_list = cents.agg(
         F.array_sort(F.collect_list(F.struct(
             "cent_id", "cent_vec", _norm(F.col("cent_vec")).alias("cent_nrm"))))
