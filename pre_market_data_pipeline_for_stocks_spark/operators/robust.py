@@ -119,10 +119,14 @@ def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
         .alias("p"),
         F.greatest(F.col("n_new_b") / F.col("t_new"), F.lit(eps))
         .alias("q"))
+    # DECIMAL emission: libm ln is not correctly-rounded and differs
+    # between the JVM and other engines' builds, so round(sum, 6) as
+    # DOUBLE can hash apart even when value-identical at 9 dp. The
+    # decimal cast snaps both engines to the same 6-dp grid point.
     return (scored.groupBy("t_old", "t_new", "n_bins_hit")
             .agg(F.round(F.sum((F.col("q") - F.col("p"))
                                * F.log(F.col("q") / F.col("p"))), 6)
-                 .alias("psi"))
+                 .cast("decimal(20,6)").alias("psi"))
             .select("psi", F.col("t_old").alias("n_old"),
                     F.col("t_new").alias("n_new"), "n_bins_hit"))
 

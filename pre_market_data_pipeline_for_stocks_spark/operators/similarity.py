@@ -114,6 +114,70 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
                              bucket.alias("bucket"))
 
 
+def _assign_cells_arrow(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow-batched nearest-centroid kernel: appends ``cell`` (long).
+
+    The quantizer model (``cents``: cent_id, cent_vec) is collected
+    driver-side — bounded model state, the MLlib pattern — sorted by
+    cent_id asc and shipped to executors via the mapInPandas closure
+    as one (cells x dims) float64 matrix. Per Arrow batch the work is
+    a single (rows x dims) @ (dims x cells) numpy matmul; argmax over
+    the row gives the cell. Semantics match the HOF fold exactly:
+
+    - tie-break: first max wins == lowest cent_id (matrix rows are
+      cent_id-asc, numpy argmax returns the first maximum);
+    - a zero denominator (zero-norm vector or centroid) produces NULL
+      in Spark's Divide and never wins the fold — here those scores
+      are masked to -inf via an isfinite check (covers the 0/0 NaN
+      and the x/0 inf numpy produces instead of NULL);
+    - rows with NO finite score get cell -1, same as the fold's
+      untouched (-inf, -1) accumulator.
+
+    Shuffle-free and embarrassingly parallel: no join, no exchange —
+    the plan is scan -> ArrowEvalPython. Collecting centroids here
+    also truncates Lloyd-iteration lineage (each iteration's
+    assignment reads literal centroid values, not the previous
+    iteration's whole plan)."""
+    import numpy as np
+
+    crows = sorted(cents.select("cent_id", "cent_vec").collect(),
+                   key=lambda r: r["cent_id"])
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema
+    ) + ", cell long"
+    if not crows:
+        return vectors.withColumn("cell", F.lit(-1).cast("long"))
+    cent_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+    cent_mat = np.array([list(map(float, r["cent_vec"])) for r in crows],
+                        dtype=np.float64)
+    cent_t = cent_mat.T.copy()
+    cent_nrm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                pdf = pdf.copy()
+                pdf["cell"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            emb = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            nrm = pdf["_nrm"].to_numpy(dtype=np.float64)
+            denom = nrm[:, None] * cent_nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (emb @ cent_t) / denom
+            finite = np.isfinite(cos)
+            cos = np.where(finite, cos, -np.inf)
+            cell = np.where(finite.any(axis=1),
+                            cent_ids[cos.argmax(axis=1)],
+                            np.int64(-1))
+            out = pdf.copy()
+            out["cell"] = cell.astype(np.int64)
+            yield out
+
+    return vectors.mapInPandas(kernel, schema=out_schema)
+
+
 def _assign_cells(vectors: DataFrame, cents: DataFrame,
                   keep_score: bool = False) -> DataFrame:
     """Nearest-centroid cell assignment: appends ``cell`` (and ``_cc``
@@ -409,7 +473,14 @@ def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
     left-to-right exactly like ``F.aggregate``, so cosine, tie-breaks
     (cosine desc, cent_id asc) and the 4-dp grid reproduce the old
     plan and the DuckDB oracle unchanged (re-checked at
-    sf0.001/sf0.01 for all four ivf registry queries)."""
+    sf0.001/sf0.01 for all four ivf registry queries).
+
+    Contract change vs pre-r7 (intentional, r7 ADVICE acknowledged):
+    construction is EAGER — the query lookup (.head) and codebook
+    .collect() execute at call time, and an unknown ``query_vec_id``
+    raises ValueError instead of returning an empty plan. Serving a
+    search cannot proceed without the model state, so failing fast at
+    the call site beats a silently-empty distributed job."""
     spark = embeddings.sparkSession
     qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
             .select(F.col(vec_col).cast("array<double>").alias("_qvec"))
@@ -426,11 +497,16 @@ def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
         return sum(x * y for x, y in zip(a, qvec))
 
     probe_rows = cents.select("cent_id", "cent_vec").collect()
-    scored = sorted(
-        ((_pydot(list(map(float, r["cent_vec"])))
-          / (math.sqrt(sum(float(x) * float(x) for x in r["cent_vec"]))
-             * qnrm), int(r["cent_id"])) for r in probe_rows),
-        key=lambda t: (-t[0], t[1]))
+    # Zero-norm centroids score -inf (never probed) instead of raising
+    # ZeroDivisionError — preserves the pre-r7 Spark plan's degraded-
+    # but-non-crashing behavior where the NULL score sorted last.
+    scored = []
+    for r in probe_rows:
+        cv = [float(x) for x in r["cent_vec"]]
+        denom = math.sqrt(sum(x * x for x in cv)) * qnrm
+        score = _pydot(cv) / denom if denom else float("-inf")
+        scored.append((score, int(r["cent_id"])))
+    scored.sort(key=lambda t: (-t[0], t[1]))
     probe_cells = [cid for _, cid in scored[:nprobe]]
 
     # Cell assignment still runs over ALL centroids (membership is the

@@ -286,6 +286,6 @@ def psi_from_hists(old_hist: DataFrame, new_hist: DataFrame,
     return (scored.groupBy("t_old", "t_new")
             .agg(F.round(F.sum((F.col("q") - F.col("p"))
                                * F.log(F.col("q") / F.col("p"))), 6)
-                 .alias("psi"))
+                 .cast("decimal(20,6)").alias("psi"))
             .select("psi", F.col("t_old").alias("n_old"),
                     F.col("t_new").alias("n_new")))

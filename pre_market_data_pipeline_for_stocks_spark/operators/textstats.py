@@ -109,7 +109,11 @@ def classifier_score(docs: DataFrame, id_col: str = "doc_id",
            .agg(F.count(F.lit(1)).alias("n_tokens"),
                 F.sum("_w").alias("_sw")))
     margin = F.col("_sw") / (F.col("n_tokens") * F.lit(1000.0))
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-scale * margin)), 6)
+    # DECIMAL emission: libm exp is not correctly-rounded and differs
+    # across engine builds; the decimal cast snaps both engines to the
+    # same 6-dp grid point (the r8 zscore/psi emission contract).
+    score = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-scale * margin)), 6)
+             .cast("decimal(10,6)"))
     return agg.select(
         "doc_id", "n_tokens", score.alias("score"),
         F.when(score >= 0.5, "keep").otherwise("drop").alias("label"))

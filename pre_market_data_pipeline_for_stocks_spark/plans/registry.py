@@ -1711,8 +1711,9 @@ z AS (
           - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
            / sqrt(var_c) AS z
   FROM v WHERE var_c > 0)
-SELECT event_id, user_id, round(value, 2) AS value,
-       round(z, 3) AS zscore,
+SELECT event_id, user_id,
+       CAST(round(value, 2) AS DECIMAL(18,2)) AS value,
+       CAST(round(z, 3) AS DECIMAL(20,3)) AS zscore,
        CASE WHEN abs(z) > 3 THEN 'anomaly' ELSE 'normal' END AS flag
 FROM z ORDER BY event_id
 """),
@@ -2485,7 +2486,7 @@ j AS (SELECT coalesce(ob.c, 0) AS co, coalesce(nb.c, 0) AS cn
       FROM ob FULL OUTER JOIN nb USING (b)),
 t AS (SELECT sum(co) AS t_old, sum(cn) AS t_new,
              count(*) AS n_bins_hit FROM j)
-SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+SELECT CAST(round(sum((q - p) * ln(q / p)), 6) AS DECIMAL(20,6)) AS psi,
        t_old AS n_old, t_new AS n_new, n_bins_hit
 FROM (SELECT greatest(co / t.t_old, 0.0001) AS p,
              greatest(cn / t.t_new, 0.0001) AS q,
@@ -2614,14 +2615,15 @@ WITH toks AS (
 agg AS (
   SELECT doc_id, count(*) AS n_tokens,
          sum({_h("('clf:' || token)")} % 2001 - 1000) AS sw
-  FROM toks GROUP BY doc_id)
-SELECT doc_id, n_tokens,
-       round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))), 6)
-         AS score,
-       CASE WHEN round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))),
-                       6) >= 0.5
-            THEN 'keep' ELSE 'drop' END AS label
-FROM agg ORDER BY doc_id
+  FROM toks GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))), 6)
+              AS DECIMAL(10,6)) AS score
+  FROM agg)
+SELECT doc_id, n_tokens, score,
+       CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+FROM scored ORDER BY doc_id
 """),
 
     "dedup_incremental": QueryDef(X.dedup_incremental,

@@ -490,9 +490,18 @@ def events_zscore_anomalies(spark: SparkSession,
                       / F.col("_n").cast("double"))
           .withColumn("_z", (F.col("_c").cast("double") - F.col("_mu"))
                       / F.sqrt(F.col("_var"))))
+    # Emission contract (r7 driver lesson): a rounded DOUBLE is not a
+    # stable hash key across engine builds — signed zero and the
+    # nearest-double representation of the k-dp decimal both vary.
+    # Casting round(x, k) to DECIMAL snaps BOTH engines to the exact
+    # k-dp grid point (the nearest-double of k/10^k is well within the
+    # cast's half-ulp tolerance), so ulp-level disagreement in the
+    # rounded double can no longer reach the emitted bytes.
     return (df.select("event_id", "user_id",
-                      F.round("value", 2).alias("value"),
-                      F.round("_z", 3).alias("zscore"),
+                      F.round("value", 2).cast("decimal(18,2)")
+                      .alias("value"),
+                      F.round("_z", 3).cast("decimal(20,3)")
+                      .alias("zscore"),
                       F.when(F.abs(F.col("_z")) > 3, "anomaly")
                       .otherwise("normal").alias("flag"))
             .orderBy("event_id"))

@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate (VERDICT r7 #2): the r7 end-of-round commit shipped
+# a NameError that one 40-second pytest run would have caught. Run this
+# before ANY end-of-round / wrap-up commit; it tests exactly what the
+# pending diff touches, so it stays fast.
+#
+#   scripts/pre_snapshot_gate.sh [base-ref]
+#
+# 1. maps files changed since <base-ref> (default: HEAD, i.e. the
+#    uncommitted diff; pass a commit to cover a range) to their test
+#    modules via a name heuristic + the always-on contract modules;
+# 2. runs that pytest selection; exits non-zero on any failure;
+# 3. as a floor, always compiles every changed .py (catches NameError
+#    at import time for top-level breakage) and runs the entry-contract
+#    collection smoke (every registry plan must BUILD).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+BASE="${1:-HEAD}"
+
+CHANGED=$( (git diff --name-only "$BASE" -- '*.py';
+            git diff --name-only --cached -- '*.py';
+            git ls-files --others --exclude-standard -- '*.py') | sort -u)
+if [ -z "$CHANGED" ]; then
+    echo "pre-snapshot gate: no python changes vs $BASE — nothing to run"
+    exit 0
+fi
+echo "pre-snapshot gate: changed files vs $BASE:"
+echo "$CHANGED" | sed 's/^/  /'
+
+# Floor 1: every changed file must at least compile.
+echo "$CHANGED" | xargs -r python -m py_compile
+
+# Map changed sources to test modules: tests/test_<stem>*.py plus any
+# test file that imports the module by name.
+SELECT=""
+for f in $CHANGED; do
+    stem=$(basename "$f" .py)
+    case "$f" in
+        tests/*) SELECT="$SELECT $f" ;;
+        *)
+            for t in tests/test_${stem}*.py tests/test_*${stem}*.py; do
+                [ -e "$t" ] && SELECT="$SELECT $t"
+            done
+            hits=$(grep -rl "\b${stem}\b" tests/ --include='test_*.py' || true)
+            SELECT="$SELECT $hits"
+            ;;
+    esac
+done
+SELECT=$(echo $SELECT | tr ' ' '\n' | sort -u | tr '\n' ' ')
+
+# Floor 2: every registry plan must BUILD (the exact r7 failure class —
+# a NameError at plan-construction time). Collection-only is not
+# enough; test_entry_contract's module import builds QUERIES/ORACLES.
+SELECT="$SELECT tests/test_oracle_stability_audit.py"
+
+echo "pre-snapshot gate: running: $SELECT"
+python -m pytest $SELECT -q -x
+echo "pre-snapshot gate: GREEN"

@@ -1,30 +1,38 @@
 """Static audit for rounding-boundary fragility in oracle SQL
-(VERDICT r6 'What's missing #4').
+(VERDICT r6 'What's missing #4'; deepened per VERDICT r7 #4).
 
-The failure class: ``round(x, k)`` where x is an ORDER-DEPENDENT
-floating aggregate (avg/stddev/corr/... over doubles). Both engines
-compute x within an ulp of each other, but double accumulation order
-is an engine implementation detail — when x lands within that ulp of a
+The failure class: ``round(x, k)`` emitted as DOUBLE where x is an
+ORDER-DEPENDENT floating aggregate (avg/stddev/...) or a
+NON-CORRECTLY-ROUNDED libm function (ln/exp/log). Both engines compute
+x within an ulp of each other, but accumulation order and libm builds
+are engine implementation details — when x lands within that ulp of a
 half-boundary of the k-dp grid, the rounded outputs (and the driver's
 value hash) diverge even though the same code agrees locally. That is
-exactly how ``events_zscore_anomalies`` went red in the r6 driver
-window while green on the builder's machine; it is now derived from
-exact integer-cent sums and no longer matches the pattern.
+how ``events_zscore_anomalies`` went red in the r6 driver window, and
+how ``events_value_psi_drift`` — whose unstable ``ln`` sat INSIDE a
+``sum`` where the r6 regex could not see it — went red in r7.
 
-This audit greps every registry oracle for round() DIRECTLY over an
-unstable statistic and requires each hit to be explicitly allowlisted.
-The allowlist is the set of queries with standing empirical evidence
-(driver-green rows across rounds and/or multi-sf local hash matches on
-this tree — the full-registry sf0.01 sweep recorded in BASELINE.md
-round 7). A NEW query tripping this test is the author's prompt to
-either (a) derive the statistic from exact integer-scaled sums (the
-zscore fix), (b) coarsen the comparison grid well below the noise, or
-(c) add it here WITH fresh multi-sf hash evidence.
+Fix menu, in preference order:
+(a) derive the statistic from exact integer-scaled sums (the zscore
+    fix — removes the instability at the source);
+(b) **emit DECIMAL, not rounded DOUBLE**: ``CAST(round(x, k) AS
+    DECIMAL(p,k))`` in BOTH engines. The nearest-double of any k-dp
+    grid point is well inside the cast's half-ulp tolerance, so both
+    engines snap to the same decimal even when their rounded doubles
+    differ in the last ulp, and DECIMAL has no signed zero. This is
+    the zscore/psi r8 fix and the audit's standing exemption: a
+    DECIMAL-wrapped round never trips any check below;
+(c) coarsen the comparison grid well below the noise;
+(d) allowlist WITH fresh multi-sf hash evidence.
 
-Scope, stated honestly: the regex sees only direct nesting
-(``round(avg(x), 2)``), not rounding of ALIASES of unstable values
-across CTE boundaries (the old zscore shape). The aliased form needs
-human eyes; this guard exists to catch the common case mechanically.
+Three mechanical passes over every registry oracle:
+1. direct nesting      round(avg(x), 2)           — the r6 regex;
+2. deep nesting        round(sum((q-p)*ln(q/p)))  — unstable fn
+                       anywhere in round's balanced argument (the
+                       exact psi shape the r6 regex missed);
+3. alias tracking      ``... / sqrt(v) AS z`` then ``round(z, 3)``
+                       — rounding an alias of an unstable expression
+                       across CTE boundaries (the old zscore shape).
 """
 
 from __future__ import annotations
@@ -36,8 +44,23 @@ from pre_market_data_pipeline_for_stocks_spark.plans.registry import REGISTRY
 UNSTABLE = (r"avg|stddev|stddev_samp|var_samp|variance|var_pop|corr|"
             r"covar_samp|covar_pop|regr_\w+|quantile_cont|percentile|"
             r"median|sqrt|exp|ln|log")
-PATTERN = re.compile(
+# The deep/alias passes drop sqrt: IEEE-754 requires sqrt (like + - *
+# /) to be CORRECTLY ROUNDED, so on bit-identical inputs it is
+# bit-identical across engines — the cosine denominators it appears in
+# are not the instability class. What IS: order-dependent accumulation
+# (avg/stddev/...) and non-correctly-rounded libm transcendentals
+# (ln/exp/log — build-dependent by a ulp). Pass 1 keeps sqrt for exact
+# historical allowlist continuity.
+UNSTABLE_DEEP = (r"avg|stddev|stddev_samp|var_samp|variance|var_pop|"
+                 r"corr|covar_samp|covar_pop|regr_\w+|quantile_cont|"
+                 r"percentile|median|exp|ln|log")
+UNSTABLE_RE = re.compile(r"\b(" + UNSTABLE_DEEP + r")\s*\(", re.I)
+DIRECT_RE = re.compile(
     r"round\s*\([^,()]*\b(" + UNSTABLE + r")\s*\(", re.I)
+ROUND_RE = re.compile(r"\bround\s*\(", re.I)
+# "expr AS alias" on one logical segment (split on commas/newlines) —
+# deliberately coarse; it only needs to SEE unstable fns near aliases.
+ALIAS_RE = re.compile(r"\b[Aa][Ss]\s+([a-z_]\w*)\s*(?:,|$|\n|\))")
 
 # Queries allowed to round a floating statistic directly, each with
 # standing cross-engine hash evidence (see module doc). Keep sorted.
@@ -64,16 +87,98 @@ ALLOWED = {
 }
 
 
+def _balanced(sql: str, open_idx: int) -> tuple[str, int]:
+    """The balanced-paren span starting at sql[open_idx] == '(' and the
+    index one past its close."""
+    depth = 0
+    for i in range(open_idx, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[open_idx:i + 1], i + 1
+    return sql[open_idx:], len(sql)
+
+
+def _round_spans(sql: str):
+    """(arg_span, decimal_wrapped) for every round(...) in the SQL.
+    decimal_wrapped means the round is the immediate argument of a
+    CAST(... AS DECIMAL(p,s)) — fix-menu (b), exempt everywhere."""
+    for m in ROUND_RE.finditer(sql):
+        arg, end = _balanced(sql, sql.index("(", m.start()))
+        before = sql[:m.start()].rstrip()
+        after = sql[end:].lstrip()
+        wrapped = bool(re.search(r"cast\s*\($", before, re.I)) and bool(
+            re.match(r"as\s+decimal\s*\(", after, re.I))
+        yield arg, wrapped
+
+
+def _unstable_aliases(sql: str) -> set[str]:
+    """Aliases whose defining segment contains an unstable function.
+    Segments are comma/newline-delimited select-list fragments — coarse
+    on purpose (false positives land in ALLOWED with evidence; false
+    negatives are what pass 2 and human eyes are for)."""
+    out = set()
+    for seg in re.split(r",|\n", sql):
+        if UNSTABLE_RE.search(seg):
+            for am in re.finditer(r"\b[Aa][Ss]\s+([a-z_]\w*)", seg):
+                out.add(am.group(1).lower())
+    return out
+
+
 def test_round_over_unstable_stat_is_allowlisted():
+    """Pass 1 — direct nesting (the r6 regex), kept for its exact
+    historical semantics and allowlist bookkeeping."""
     hits = {name for name, qd in REGISTRY.items()
-            if qd.oracle is not None and PATTERN.search(qd.oracle)}
+            if qd.oracle is not None and DIRECT_RE.search(qd.oracle)}
     new = hits - ALLOWED
     assert not new, (
         f"round() over an order-dependent floating aggregate in {new} — "
-        "derive from exact integer-scaled sums, coarsen the grid, or "
-        "allowlist with multi-sf hash evidence (module doc)")
+        "see the module-doc fix menu (integer sums / DECIMAL emission / "
+        "coarser grid / allowlist with multi-sf hash evidence)")
     stale = ALLOWED - hits
     assert not stale, f"allowlist entries no longer matching: {stale}"
+
+
+def test_round_with_deeply_nested_unstable_fn_is_decimal_or_allowed():
+    """Pass 2 — unstable fn ANYWHERE inside round's argument (the
+    ``round(sum(... ln(...) ...), 6)`` psi shape r6's regex missed),
+    unless the round is DECIMAL-cast (fix-menu b) or allowlisted."""
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None or name in ALLOWED:
+            continue
+        for arg, wrapped in _round_spans(qd.oracle):
+            if not wrapped and UNSTABLE_RE.search(arg):
+                offenders.setdefault(name, arg.strip()[:80])
+    assert not offenders, (
+        f"round() over a nested unstable fn, emitted as DOUBLE: "
+        f"{offenders} — wrap in CAST(... AS DECIMAL(p,k)) in BOTH "
+        "engines (fix-menu b) or see the module doc")
+
+
+def test_round_over_unstable_alias_is_decimal_or_allowed():
+    """Pass 3 — rounding an ALIAS of an unstable expression defined in
+    an earlier CTE/select (the old zscore shape: ``/ sqrt(var) AS z``
+    then ``round(z, 3)``), unless DECIMAL-cast or allowlisted."""
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None or name in ALLOWED:
+            continue
+        aliases = _unstable_aliases(qd.oracle)
+        if not aliases:
+            continue
+        for arg, wrapped in _round_spans(qd.oracle):
+            if wrapped:
+                continue
+            head = re.match(r"\(\s*([a-z_]\w*)\s*[,)]", arg, re.I)
+            if head and head.group(1).lower() in aliases:
+                offenders.setdefault(name, head.group(1))
+    assert not offenders, (
+        f"round() over an alias of an unstable expression, emitted as "
+        f"DOUBLE: {offenders} — wrap in CAST(... AS DECIMAL(p,k)) in "
+        "BOTH engines (fix-menu b) or see the module doc")
 
 
 def test_zscore_oracle_uses_exact_integer_sums():
@@ -82,3 +187,14 @@ def test_zscore_oracle_uses_exact_integer_sums():
     sql = REGISTRY["events_zscore_anomalies"].oracle.lower()
     assert "hugeint" in sql
     assert "stddev" not in sql and "avg(" not in sql
+
+
+def test_r7_red_rows_emit_decimal():
+    """The two r7 hash-red emissions stay DECIMAL-typed in BOTH
+    engines (fix-menu b): zscore's value/zscore columns and psi's psi
+    column must never regress to rounded-DOUBLE output."""
+    z = REGISTRY["events_zscore_anomalies"].oracle.lower()
+    assert "as decimal(18,2)) as value" in z
+    assert "as decimal(20,3)) as zscore" in z
+    p = REGISTRY["events_value_psi_drift"].oracle.lower()
+    assert "as decimal(20,6)) as psi" in p

@@ -88,21 +88,56 @@ def test_stride_must_be_multiple_of_sample_mod(emb):
         S.train_ivf_centroids(emb, centroid_stride=50, sample_mod=3)
 
 
-def test_assign_cells_is_shuffle_free(emb):
-    """Query-time cell assignment must not shuffle the vectors side:
-    the only exchanges are the 1-row centroid pack (SinglePartition)
-    and its broadcast. A hashpartitioning exchange here would mean the
-    |docs| x |centroids| expansion came back — the r1 plan flaw."""
+def _cells_fixture(emb):
     vectors = emb.select(
         F.col("vec_id"), F.col("embedding"),
         S._norm(F.col("embedding")).alias("_nrm"))
     cents = (emb.filter(F.col("vec_id") % 50 == 0)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("cent_vec")))
-    plan = (S._assign_cells(vectors, cents)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastExchange" in plan
+    return vectors, cents
+
+
+def test_assign_cells_is_shuffle_free(emb):
+    """Query-time cell assignment must not shuffle the vectors side.
+
+    Arrow path (default, keep_score=False): the centroid model ships
+    in the mapInPandas closure, so the plan is scan -> ArrowEvalPython
+    with NO exchange at all. HOF path (keep_score=True): the only
+    exchanges are the 1-row centroid pack (SinglePartition) and its
+    broadcast. A hashpartitioning exchange on either path would mean
+    the |docs| x |centroids| expansion came back — the r1 plan flaw."""
+    vectors, cents = _cells_fixture(emb)
+    arrow_plan = (S._assign_cells(vectors, cents)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in arrow_plan
+    assert "MapInPandas" in arrow_plan
+    hof_plan = (S._assign_cells(vectors, cents, keep_score=True)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in hof_plan
+    assert "BroadcastExchange" in hof_plan
+
+
+def test_assign_cells_arrow_matches_hof_fold(emb):
+    """The matmul kernel and the HOF fold must agree on EVERY cell
+    assignment — blocked-matmul drift (~1e-14) is 9 orders below the
+    fixtures' best-vs-second-best margin, so no assignment can flip.
+    Pinned here rather than claimed in prose; includes the tie-break
+    (first max == lowest cent_id). The all-invalid -> -1 row (zero
+    norm) is Arrow-path-only: under ANSI mode the HOF fold's Divide
+    THROWS on a zero denominator, so the kernel's graceful -1 is
+    strictly more defensive than the fold it replaces."""
+    vectors, cents = _cells_fixture(emb)
+    arrow = {r["vec_id"]: r["cell"]
+             for r in S._assign_cells(vectors, cents).collect()}
+    hof = {r["vec_id"]: r["cell"]
+           for r in S._assign_cells(vectors, cents,
+                                    keep_score=True).collect()}
+    assert arrow == hof and len(arrow) > 0
+    zero = vectors.sparkSession.createDataFrame(
+        [(10**9, [0.0] * 64, 0.0)],
+        schema="vec_id long, embedding array<double>, _nrm double")
+    assert S._assign_cells(zero, cents).collect()[0]["cell"] == -1
 
 
 def test_costranked_init_beats_stride_at_tight_settings(emb):

@@ -646,7 +646,9 @@ def test_batch_zscore_matches_streaming_anomaly_contract(spark, sf_dir):
             expected[r["event_id"]] = round(
                 (r["value"] - statistics.fmean(prev)) / sd, 3)
     from pyspark.sql import functions as F
-    got = {r["event_id"]: r["zscore"]
+    # zscore is DECIMAL(20,3) since the r8 emission contract — compare
+    # as float on the 3-dp grid the decimal snaps to.
+    got = {r["event_id"]: float(r["zscore"])
            for r in events_zscore_anomalies(spark, sf_dir)
            .filter(F.col("user_id") == uid).collect()}
     assert got == expected and len(got) > 0
