@@ -296,3 +296,17 @@ def test_rfm_quartiles_have_no_global_sort_window(spark, sf_dir,
     assert not re.search(r"\bntile\(", plan)
     assert "BroadcastNestedLoopJoin" in plan   # single-row cut join
     assert "partial_percentile" in plan        # map-side combine on cuts
+
+
+def test_ivf_query_assigns_cells_via_arrow_kernel(spark, sf_dir, queries):
+    """The IVF family's corpus assignment must run as the Arrow matmul
+    kernel (MapInPandas straight over the scan), not the interpreted
+    HOF fold, and the corpus side must reach it without a shuffle —
+    the r8 A/B in BASELINE.md (ann_ivf_topk 2.07 s -> 1.54 s) depends
+    on this plan shape surviving."""
+    plan = _physical(queries["ann_ivf_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    # the assignment input is scan -> project -> MapInPandas: no
+    # exchange may sit between the embeddings scan and the kernel
+    pre_kernel = plan.split("MapInPandas")[-1]
+    assert "Exchange hashpartitioning" not in pre_kernel
