@@ -55,9 +55,13 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     scored = (tf.join(df_t, "token")
               .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "token", "tf", "df",
+                      # DECIMAL emission (r8 contract): ln is libm,
+                      # not correctly rounded — cast BEFORE the rank
+                      # window so the top-k cut is taken on the same
+                      # 4-dp grid in both engines.
                       F.round(F.col("tf")
                               * F.log(F.col("_n") / F.col("df")), 4)
-                      .alias("tfidf")))
+                      .cast("decimal(18,4)").alias("tfidf")))
     w = (Window.partitionBy("doc_id")
          .orderBy(F.col("tfidf").desc(), F.col("token").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -112,6 +116,10 @@ def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 20,
                    .alias("_c")))
     return (contrib.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
-                 F.round(F.sum("_c"), 4).alias("score"))
+                 # DECIMAL emission: libm ln idf terms summed in
+                 # engine-specific order — snap to the grid before the
+                 # top-n ordering so the cut is identical.
+                 F.round(F.sum("_c"), 4).cast("decimal(14,4)")
+                 .alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(top_n))

@@ -730,9 +730,15 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
             yield pd.DataFrame({"vec_a": pdf["vec_a"],
                                 "vec_b": pdf["vec_b"], "cosine": cos})
 
+    # DECIMAL emission (r8 contract): the einsum accumulates in
+    # blocked/pairwise order while the DuckDB oracle's
+    # list_inner_product folds sequentially — a rounded DOUBLE of
+    # order-differing sums is the hash-instability class that burned
+    # zscore/psi. The cast snaps both engines to the same 4-dp grid.
     return (paired.mapInPandas(
         verify, "vec_a long, vec_b long, cosine double")
-        .filter(F.col("cosine") >= threshold))
+        .filter(F.col("cosine") >= threshold)
+        .withColumn("cosine", F.col("cosine").cast("decimal(7,4)")))
 
 
 def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
@@ -876,7 +882,10 @@ def hard_negatives(embeddings: DataFrame, query_pred, k: int = 5,
     w = (Window.partitionBy("q_vec_id")
          .orderBy(F.col("cosine").desc(), F.col("neg_vec_id").asc()))
     return (cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k).drop("_rn"))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            # DECIMAL emission: numpy matmul accumulation order differs
+            # from the oracle's sequential fold (r8 contract).
+            .withColumn("cosine", F.col("cosine").cast("decimal(7,4)")))
 
 
 # ---------------------------------------------------------------------------

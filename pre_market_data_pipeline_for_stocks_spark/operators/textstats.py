@@ -155,8 +155,12 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.sum("c").alias("n_chars"),
              F.sum(F.col("c") * F.log2("c")).alias("_sl"))
         .select("doc_id", "n_chars",
+                # DECIMAL emission (r8 contract): log2 is libm (not
+                # correctly rounded, build-dependent) and _sl is an
+                # order-dependent double sum — snap both engines to
+                # the 4-dp grid instead of emitting a rounded DOUBLE.
                 F.round(F.log2("n_chars") - F.col("_sl") / F.col("n_chars"),
-                        4).alias("char_entropy"))
+                        4).cast("decimal(10,4)").alias("char_entropy"))
     )
 
 
@@ -474,8 +478,14 @@ def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
                  (F.sum(F.col("n_dt") * F.col("lp"))
                   / F.sum("n_dt")).alias("_m"))
             .select("doc_id", "n_tokens",
-                    F.round(F.col("_m"), 4).alias("mean_logprob"),
-                    F.round(F.exp(-F.col("_m")), 4).alias("ppl")))
+                    # DECIMAL emission (r8 contract): every lp term is
+                    # a libm ln and the per-doc mean is an order-
+                    # dependent double sum — the exact class that
+                    # hash-flipped psi in r7.
+                    F.round(F.col("_m"), 4).cast("decimal(12,4)")
+                    .alias("mean_logprob"),
+                    F.round(F.exp(-F.col("_m")), 4).cast("decimal(18,4)")
+                    .alias("ppl")))
 
 
 def bpe_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
@@ -682,6 +692,10 @@ def bigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
     mean = F.sum(F.col("n_dp") * F.col("_lp")) / F.sum("n_dp")
     return (scored.groupBy("doc_id")
             .agg(F.sum("n_dp").cast("long").alias("n_bigrams"),
-                 F.round(mean, 4).alias("mean_logprob"),
-                 F.round(F.exp(-mean), 4).alias("ppl"))
+                 # DECIMAL emission: same libm-over-aggregate class as
+                 # the unigram scorer above.
+                 F.round(mean, 4).cast("decimal(12,4)")
+                 .alias("mean_logprob"),
+                 F.round(F.exp(-mean), 4).cast("decimal(18,4)")
+                 .alias("ppl"))
             .orderBy("doc_id"))

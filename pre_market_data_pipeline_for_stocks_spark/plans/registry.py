@@ -442,7 +442,7 @@ cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id)
-SELECT c.vec_a, c.vec_b, {cos} AS cosine
+SELECT c.vec_a, c.vec_b, CAST({cos} AS DECIMAL(7,4)) AS cosine
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
@@ -1826,10 +1826,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
     "trend_slope_per_user": QueryDef(R.trend_slope_per_user, """
 SELECT user_id, count(*) AS n,
-       round(regr_slope(value, epoch_us(ts) / 1000000.0 / 86400.0), 6)
-         AS slope_per_day,
-       round(regr_intercept(value, epoch_us(ts) / 1000000.0 / 86400.0), 4)
-         AS intercept
+       CAST(round(regr_slope(value, epoch_us(ts) / 1000000.0 / 86400.0), 6)
+            AS DECIMAL(16,6)) AS slope_per_day,
+       CAST(round(regr_intercept(value, epoch_us(ts) / 1000000.0 / 86400.0),
+                  4) AS DECIMAL(14,4)) AS intercept
 FROM events GROUP BY user_id ORDER BY user_id
 """),
 
@@ -1837,10 +1837,14 @@ FROM events GROUP BY user_id ORDER BY user_id
 SELECT l_returnflag,
        count(*) AS n,
        count(DISTINCT l_orderkey) AS n_orders,
-       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
-       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-       round(stddev_samp(l_extendedprice), 4) AS sd_price,
-       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+       CAST(round(quantile_cont(l_extendedprice, 0.5), 4)
+            AS DECIMAL(14,4)) AS p50_price,
+       CAST(round(quantile_cont(l_extendedprice, 0.95), 4)
+            AS DECIMAL(14,4)) AS p95_price,
+       CAST(round(stddev_samp(l_extendedprice), 4)
+            AS DECIMAL(14,4)) AS sd_price,
+       CAST(round(corr(l_quantity, l_extendedprice), 4)
+            AS DECIMAL(7,4)) AS qty_price_corr
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """),
 
@@ -3305,8 +3309,10 @@ sc AS (SELECT pd.doc_id, pd.n_dt,
               coalesce(p.lp, ln(1.0 / (tot.t + tot.v))) AS lp
        FROM pd LEFT JOIN probs p USING (token), tot)
 SELECT doc_id, sum(n_dt)::BIGINT AS n_tokens,
-       round(sum(n_dt * lp) / sum(n_dt), 4) AS mean_logprob,
-       round(exp(-(sum(n_dt * lp) / sum(n_dt))), 4) AS ppl
+       CAST(round(sum(n_dt * lp) / sum(n_dt), 4) AS DECIMAL(12,4))
+         AS mean_logprob,
+       CAST(round(exp(-(sum(n_dt * lp) / sum(n_dt))), 4) AS DECIMAL(18,4))
+         AS ppl
 FROM sc GROUP BY doc_id
 """),
 
@@ -3324,7 +3330,8 @@ dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token, tf.tf, dft.df,
-         round(tf.tf * ln(n_docs / dft.df), 4) AS tfidf
+         CAST(round(tf.tf * ln(n_docs / dft.df), 4) AS DECIMAL(18,4))
+           AS tfidf
   FROM tf JOIN dft USING (token), n),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -3357,7 +3364,8 @@ contrib AS (
            / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
               + {_BM25_B} * dl.dl / stats.avgdl)) AS c
   FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats)
-SELECT doc_id, count(*)::BIGINT AS n_matched, round(sum(c), 4) AS score
+SELECT doc_id, count(*)::BIGINT AS n_matched,
+       CAST(round(sum(c), 4) AS DECIMAL(14,4)) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 """),
@@ -3393,8 +3401,8 @@ sc AS (
   LEFT JOIN mh h USING (w1)
   LEFT JOIN mu u USING (w2), tot t)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(lp), 4) AS mean_logprob,
-       round(exp(-avg(lp)), 4) AS ppl
+       CAST(round(avg(lp), 4) AS DECIMAL(12,4)) AS mean_logprob,
+       CAST(round(exp(-avg(lp)), 4) AS DECIMAL(18,4)) AS ppl
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """),
 
@@ -3406,7 +3414,8 @@ WITH ch AS (
 c AS (
   SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2)
 SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
-       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+       CAST(round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+            AS DECIMAL(10,4)) AS char_entropy
 FROM c GROUP BY doc_id ORDER BY doc_id
 """),
 
@@ -3646,7 +3655,8 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_vec_id
                                ORDER BY cosine DESC, neg_vec_id ASC) AS rn
   FROM cos)
-SELECT q_vec_id, neg_vec_id, cosine FROM ranked WHERE rn <= {X.HARDNEG_K}
+SELECT q_vec_id, neg_vec_id, CAST(cosine AS DECIMAL(7,4)) AS cosine
+FROM ranked WHERE rn <= {X.HARDNEG_K}
 """),
 
     # operators.similarity.cosine_topk_int8: the quantized scan path.

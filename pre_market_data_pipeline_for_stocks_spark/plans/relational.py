@@ -712,11 +712,19 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept": [round(intercept, 4)],
         })
 
+    # DECIMAL emission (r8 contract): the numpy moment sums and
+    # DuckDB's regr_* accumulate in different orders; also NaN (the
+    # n<2 / zero-variance sentinel) casts to NULL, matching the SQL
+    # closed form's NULL exactly instead of relying on NaN mapping.
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(fit, "user_id bigint, n bigint, slope_per_day double, "
                             "intercept double")
+        .select("user_id", "n",
+                F.col("slope_per_day").cast("decimal(16,6)")
+                .alias("slope_per_day"),
+                F.col("intercept").cast("decimal(14,4)").alias("intercept"))
         .orderBy("user_id")
     )
 
@@ -730,13 +738,17 @@ def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("l_orderkey").alias("n_orders"),
+            # DECIMAL emission (r8 contract): stddev/corr accumulate
+            # doubles in engine-specific order and the two engines'
+            # percentile interpolation formulas differ at the ulp.
             F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
-            .alias("p50_price"),
+            .cast("decimal(14,4)").alias("p50_price"),
             F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4)
-            .alias("p95_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            .cast("decimal(14,4)").alias("p95_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4)
+            .cast("decimal(14,4)").alias("sd_price"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-            .alias("qty_price_corr"),
+            .cast("decimal(7,4)").alias("qty_price_corr"),
         )
         .orderBy("l_returnflag")
     )

@@ -53,7 +53,7 @@ UNSTABLE = (r"avg|stddev|stddev_samp|var_samp|variance|var_pop|corr|"
 # historical allowlist continuity.
 UNSTABLE_DEEP = (r"avg|stddev|stddev_samp|var_samp|variance|var_pop|"
                  r"corr|covar_samp|covar_pop|regr_\w+|quantile_cont|"
-                 r"percentile|median|exp|ln|log")
+                 r"percentile|median|exp|ln|log|log2|log10")
 UNSTABLE_RE = re.compile(r"\b(" + UNSTABLE_DEEP + r")\s*\(", re.I)
 DIRECT_RE = re.compile(
     r"round\s*\([^,()]*\b(" + UNSTABLE + r")\s*\(", re.I)
@@ -72,7 +72,6 @@ ALLOWED = {
     "ann_mmr_rerank_batch",
     "corpus_datacard",
     "corpus_length_profile",
-    "corpus_tfidf_terms",
     "dedup_semantic_prune",
     "embedding_norms",
     "events_conversion_lag",
@@ -80,11 +79,11 @@ ALLOWED = {
     "q1_pricing_summary",
     "reco_similar_suppliers",
     "rolling_range_7d",
-    "stats_summary_lineitem",
-    "text_bigram_logprob",
-    "text_unigram_logprob",
-    "trend_slope_per_user",
 }
+# Removed by the r8 DECIMAL migration (now decimal-wrapped, so the
+# wrap exemption covers them): corpus_tfidf_terms,
+# stats_summary_lineitem, text_bigram_logprob, text_unigram_logprob,
+# trend_slope_per_user.
 
 
 def _balanced(sql: str, open_idx: int) -> tuple[str, int]:
@@ -128,10 +127,17 @@ def _unstable_aliases(sql: str) -> set[str]:
 
 
 def test_round_over_unstable_stat_is_allowlisted():
-    """Pass 1 — direct nesting (the r6 regex), kept for its exact
-    historical semantics and allowlist bookkeeping."""
-    hits = {name for name, qd in REGISTRY.items()
-            if qd.oracle is not None and DIRECT_RE.search(qd.oracle)}
+    """Pass 1 — direct nesting (the r6 regex), now honoring the
+    DECIMAL-wrap exemption so migrated queries FALL OFF the allowlist
+    (the stale check enforces the shrink)."""
+    hits = set()
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        for arg, wrapped in _round_spans(qd.oracle):
+            if not wrapped and re.match(
+                    r"\(\s*[^,()]*\b(" + UNSTABLE + r")\s*\(", arg, re.I):
+                hits.add(name)
     new = hits - ALLOWED
     assert not new, (
         f"round() over an order-dependent floating aggregate in {new} — "

@@ -32,9 +32,11 @@ def test_tfidf_hand_computed(tiny_docs):
     # "rare": tf=2 in doc 3, df=1, N=4 -> 2 * ln(4) rounded to 4
     r = out[(3, "rare")]
     assert r.tf == 2 and r.df == 1
-    assert r.tfidf == round(2 * math.log(4), 4)
+    # tfidf is DECIMAL since the r8 emission contract — compare as
+    # float on the 4-dp grid.
+    assert float(r.tfidf) == round(2 * math.log(4), 4)
     # "the" has df=N -> tfidf 0 in every doc
-    assert out[(0, "the")].tfidf == 0.0
+    assert float(out[(0, "the")].tfidf) == 0.0
 
 
 def test_tfidf_topk_cut_is_deterministic(tiny_docs):

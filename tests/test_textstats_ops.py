@@ -203,9 +203,11 @@ def test_unigram_logprob_hand_computed(spark):
     out = {r.doc_id: r for r in textstats.unigram_logprob(docs).collect()}
     lp = math.log(0.5)
     assert out[0].n_tokens == 3
-    assert out[0].mean_logprob == round(lp, 4)
-    assert out[0].ppl == round(math.exp(-lp), 4) == 2.0
-    assert out[1].n_tokens == 1 and out[1].ppl == 2.0
+    # mean_logprob/ppl are DECIMAL since the r8 emission contract —
+    # compare as float on the 4-dp grid.
+    assert float(out[0].mean_logprob) == round(lp, 4)
+    assert float(out[0].ppl) == round(math.exp(-lp), 4) == 2.0
+    assert out[1].n_tokens == 1 and float(out[1].ppl) == 2.0
 
 
 def test_unigram_logprob_unseen_token_uses_smoothing_mass(spark):
@@ -216,7 +218,7 @@ def test_unigram_logprob_unseen_token_uses_smoothing_mass(spark):
     target = spark.createDataFrame([(7, "zz")], ["doc_id", "text"])
     out = textstats.unigram_logprob(target, model_docs=model).collect()
     # T=3, V=1 -> unseen p = 1/(3+1)
-    assert out[0].mean_logprob == round(math.log(0.25), 4)
+    assert float(out[0].mean_logprob) == round(math.log(0.25), 4)
 
 
 def test_unigram_logprob_ranks_typical_doc_higher(spark, sf_dir):
@@ -460,13 +462,13 @@ def test_bigram_logprob_hand_computed(spark):
     out = {r["doc_id"]: r
            for r in bigram_logprob(docs, model_docs=model).collect()}
     # model bigrams: (a,b):2 (b,a):2 (a,c):1 -> ch(a)=3, ch(b)=2
-    assert out[1]["mean_logprob"] == round(math.log(2 / 3), 4)
-    assert out[2]["mean_logprob"] == round(math.log(1 / 3), 4)
+    assert float(out[1]["mean_logprob"]) == round(math.log(2 / 3), 4)
+    assert float(out[2]["mean_logprob"]) == round(math.log(1 / 3), 4)
     # unseen bigram (z,z): backoff ln(0.4) + add-one unigram of z.
     # model unigrams: a:3 b:2 c:1 -> T=6, V=3; cu(z)=0
     expected = math.log(0.4) + math.log(1 / 9)
-    assert out[3]["mean_logprob"] == round(expected, 4)
-    assert out[3]["ppl"] == round(math.exp(-expected), 4)
+    assert float(out[3]["mean_logprob"]) == round(expected, 4)
+    assert float(out[3]["ppl"]) == round(math.exp(-expected), 4)
 
 
 def test_bigram_beats_unigram_on_shuffled_text(spark):
@@ -486,5 +488,5 @@ def test_bigram_beats_unigram_on_shuffled_text(spark):
           for r in bigram_logprob(docs, model_docs=model).collect()}
     uni = {r["doc_id"]: r["mean_logprob"]
            for r in unigram_logprob(docs, model_docs=model).collect()}
-    assert bi[100] > bi[101] + 1.0          # bigram: wide separation
-    assert abs(uni[100] - uni[101]) < 0.2   # unigram: barely moves
+    assert float(bi[100]) > float(bi[101]) + 1.0   # bigram: wide separation
+    assert abs(float(uni[100]) - float(uni[101])) < 0.2  # unigram: barely
