@@ -147,3 +147,55 @@ def test_merge_upsert_matches_sequential_replay(spark, log):
         else:
             state[k] = v
     assert got == state
+
+
+_dim = 8
+_vec = st.lists(
+    st.floats(min_value=-4, max_value=4,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=_dim, max_size=_dim)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(_vec, min_size=2, max_size=10),
+       st.lists(_vec, min_size=1, max_size=4))
+def test_assign_cells_arrow_matches_fold_on_arbitrary_vectors(
+        spark, vecs, cent_vecs):
+    """Property form of the r8 matmul-vs-fold pin: on ARBITRARY float32
+    vectors (including duplicates, near-zero norms hypothesis finds,
+    repeated centroids forcing exact ties), the Arrow kernel and the
+    HOF fold agree cell-for-cell wherever the fold is defined. Rows
+    whose norm is exactly 0 are excluded from the fold comparison (ANSI
+    Divide throws there) and asserted to get cell -1 on the Arrow path
+    instead."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    vectors = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    vectors = vectors.withColumn("_nrm", S._norm(F.col("embedding")))
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cent_vecs)],
+        "cent_id long, cent_vec array<double>")
+    arrow = {r["vec_id"]: r["cell"]
+             for r in S._assign_cells(vectors, cents).collect()}
+    zero_rows = {i for i, v in enumerate(vecs)
+                 if math.sqrt(sum(x * x for x in v)) == 0.0}
+    any_zero_cent = any(
+        math.sqrt(sum(x * x for x in c)) == 0.0 for c in cent_vecs)
+    for i in zero_rows:
+        assert arrow[i] == -1
+    if any_zero_cent:
+        # The ANSI fold throws on ANY zero-norm centroid (Divide by
+        # zero), so only the Arrow path is defined here; with every
+        # centroid zero, every row must get the -1 sentinel.
+        if all(math.sqrt(sum(x * x for x in c)) == 0.0
+               for c in cent_vecs):
+            assert all(c == -1 for c in arrow.values())
+        return
+    nonzero = vectors.filter(F.col("_nrm") > 0)
+    hof = {r["vec_id"]: r["cell"]
+           for r in S._assign_cells(nonzero, cents,
+                                    keep_score=True).collect()}
+    assert {k: v for k, v in arrow.items() if k not in zero_rows} == hof
