@@ -176,3 +176,57 @@ def media_features(media: DataFrame, dims: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.mapInPandas(batches, out_schema)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("window_idx", T.IntegerType(), False),
+    T.StructField("start_ms", T.LongType(), False),
+    T.StructField("end_ms", T.LongType(), False),
+    T.StructField("rms", T.FloatType(), False),
+    T.StructField("is_silence", T.BooleanType(), False),
+])
+
+
+def audio_windows(media: DataFrame, window_ms: int = 1000,
+                  bytes_per_ms: int = 4,
+                  silence_rms: float = 0.25) -> DataFrame:
+    """Fixed-duration audio windowing with per-window energy:
+    (doc_id, window_idx, start_ms, end_ms, rms, is_silence) — the
+    speech-pipeline front end (VAD pre-filter, diarization chunking,
+    ASR batch shaping) over an opaque payload column.
+
+    The payload stands in for PCM at ``bytes_per_ms`` bytes/ms; a real
+    deployment swaps the byte-slice + RMS for a soundfile/ffmpeg
+    decode at the SAME (schema, batching, signature) — the Spark-side
+    plumbing is what this operator pins. RMS here is the mean absolute
+    byte value normalized to [0, 1] per window (deterministic, no
+    codec), and windows below ``silence_rms`` flag as silence — the
+    rows a curation pass drops before paying for ASR.
+
+    Scale: one Arrow batch in, O(windows) skinny rows out; no shuffle,
+    no per-row Python. Window count is ceil(n_bytes / window bytes),
+    so output volume is bounded by input bytes — the operator streams
+    at any corpus size."""
+    win_bytes = window_ms * bytes_per_ms
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                for w in range((len(b) + win_bytes - 1) // win_bytes or 1):
+                    seg = b[w * win_bytes:(w + 1) * win_bytes]
+                    rms = (sum(seg) / (255.0 * len(seg))) if seg else 0.0
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(w)
+                    rows["start_ms"].append(w * window_ms)
+                    rows["end_ms"].append(
+                        w * window_ms
+                        + (len(seg) + bytes_per_ms - 1) // bytes_per_ms)
+                    rows["rms"].append(rms)
+                    rows["is_silence"].append(rms < silence_rms)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, AUDIO_WINDOW_SCHEMA)

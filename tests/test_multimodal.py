@@ -83,3 +83,40 @@ def test_resize_media_pillow_backend_raises_cleanly(media):
         mm.resize_media(media, decoder="pillow").collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_audio_windows_tile_the_payload_exactly(media):
+    """Window accounting: only audio rows; per doc the windows tile
+    the payload (ceil(n_bytes / window_bytes) windows, contiguous
+    start/end, last window may be short), rms in [0, 1], and the
+    silence flag follows the threshold."""
+    out = mm.audio_windows(media, window_ms=10, bytes_per_ms=2).collect()
+    src = {r.doc_id: bytes(r.payload) for r in
+           media.filter("media_type = 'audio'").collect()}
+    assert {r.doc_id for r in out} == set(src) and len(src) > 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.window_idx)
+        n = len(src[doc_id])
+        expect = max(1, (n + 19) // 20)           # 10ms * 2 B/ms = 20 B
+        assert [r.window_idx for r in rows] == list(range(expect))
+        assert rows[0].start_ms == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.start_ms == prev.start_ms + 10
+        for r in rows:
+            assert 0.0 <= r.rms <= 1.0
+            assert r.is_silence == (r.rms < 0.25)
+        # text payloads are ASCII-dense, so energy is far above the
+        # silence floor — the flag must actually discriminate
+        assert not all(r.is_silence for r in rows)
+
+
+def test_audio_windows_deterministic_and_shuffle_free(media):
+    a = sorted(map(tuple, mm.audio_windows(media).collect()))
+    b = sorted(map(tuple, mm.audio_windows(media).collect()))
+    assert a == b and len(a) > 0
+    plan = (mm.audio_windows(media)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
