@@ -1372,3 +1372,104 @@ def mmr_rerank_batch(embeddings: DataFrame, candidates: DataFrame,
             .applyInPandas(kernel, "query_id long, rank int, "
                                    "vec_id long, relevance double")
             .orderBy("query_id", "rank"))
+
+
+def binary_signatures(embeddings: DataFrame, planes: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      dims: int = 64) -> DataFrame:
+    """(vec_id, sig): a ``planes``-bit sign signature packed into ONE
+    long — the 8-byte-per-vector memory side of binary ANN (a 100 TB
+    float32 corpus compresses to ~3 TB of signatures; sign-bit Hamming
+    distance approximates angle, Charikar 2002).
+
+    Bit p is the sign of the vector's projection onto pseudo-plane p —
+    the SAME deterministic md5-parity ±1 planes as
+    hyperplane_lsh_buckets (engine-portable; a SQL twin evaluates the
+    identical weights). Projections run as one Arrow-batched
+    (rows × dims) @ (dims × planes) matmul per batch with the weight
+    matrix shipped in the closure: map-side, shuffle-free, the Arrow-
+    kernel-over-HOF-fold lesson (BASELINE.md r5/r8) applied at
+    construction time. Matmul-vs-fold drift (~1e-14) can flip a sign
+    only when a projection sits within drift of EXACTLY zero —
+    measure-zero for continuous embeddings, same accepted class as the
+    einsum-verified near-dup path."""
+    import numpy as np
+
+    w = np.array([[_plane_weight(p, d) for p in range(planes)]
+                  for d in range(dims)], dtype=np.float64)
+    out_schema = "vec_id long, sig long"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield __import__("pandas").DataFrame(
+                    {"vec_id": [], "sig": []})
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            bits = (m @ w) > 0                      # rows × planes bool
+            weights = (1 << np.arange(planes, dtype=np.uint64))
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield __import__("pandas").DataFrame(
+                {"vec_id": pdf["vec_id"],
+                 "sig": sig.astype(np.int64)})
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).mapInPandas(kernel, out_schema)
+
+
+def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                 planes: int = 64, rerank_factor: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Two-stage binary ANN: (vec_id, hamming, cosine) — the top-``k``
+    corpus neighbors of ``query_vec_id`` by exact cosine over a
+    Hamming-prefiltered candidate set.
+
+    Stage 1 scans SIGNATURES only: ``bit_count(sig XOR qsig)`` is two
+    JVM long instructions per row (whole-stage codegen, no Python, no
+    shuffle) and TakeOrdered keeps the best ``rerank_factor × k`` —
+    the scan a deployment runs over the 8-byte column while the float
+    corpus stays cold. Stage 2 joins ONLY those candidates back to
+    their vectors and reranks by exact cosine (the sequential
+    ``F.aggregate`` fold, oracle-replayable bit-for-bit), with the
+    (cosine desc, vec_id asc) grid tie-break the ANN family shares.
+    Ties at the Hamming cut resolve (hamming asc, vec_id asc) so the
+    candidate set itself is deterministic.
+
+    The query's signature and vector are driver-side model state (the
+    ivf_topk_with_index pattern): one .head() at call time, shipped as
+    literals — eager construction, ValueError on an unknown id."""
+    sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+    qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(F.col(vec_col).cast("array<double>").alias("_q"))
+            .head())
+    if qrow is None:
+        raise ValueError(f"query_vec_id {query_vec_id} not found")
+    qvec = [float(x) for x in qrow["_q"]]
+    qnrm = math.sqrt(sum(x * x for x in qvec))
+    qsig = (sigs.filter(F.col("vec_id") == query_vec_id)
+            .head())["sig"]
+
+    cand = (sigs.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id",
+                    F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig)))
+                    .alias("hamming"))
+            .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+            .limit(rerank_factor * k))
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        _norm(F.col(vec_col)).alias("_nrm"))
+    return (e.join(F.broadcast(cand), "vec_id")
+            .select("vec_id", "hamming",
+                    F.round(_dot_precast(F.col("embedding"), qlit)
+                            / (F.col("_nrm") * F.lit(qnrm)), 4)
+                    .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(k))

@@ -666,3 +666,51 @@ def test_mmr_rerank_batch_groups_are_independent(spark):
                             query_vec_id=q, n_candidates=3, k=3,
                             lmb=0.5).collect()
         assert per_q[q] == [r["vec_id"] for r in single]
+
+
+def test_binary_signatures_pack_planes_deterministically(emb):
+    """Signature bits replay the hyperplane_lsh_buckets sign planes:
+    for planes == the bucket op's plane count, the low bits of sig must
+    equal the bucket id (same md5-parity weights, same sign rule)."""
+    sigs = {r["vec_id"]: r["sig"]
+            for r in S.binary_signatures(emb, planes=8).collect()}
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in S.hyperplane_lsh_buckets(emb, planes=8).collect()}
+    assert len(sigs) > 0 and set(sigs) == set(buckets)
+    assert all(sigs[v] == buckets[v] for v in sigs)
+    again = {r["vec_id"]: r["sig"]
+             for r in S.binary_signatures(emb, planes=8).collect()}
+    assert sigs == again
+
+
+def test_hamming_topk_recall_vs_brute_force(emb):
+    """The two-stage scan must recover most of the true cosine top-k
+    (sign-bit Hamming approximates angle): recall@10 >= 0.7 at
+    rerank_factor 8 on the fixtures — a deterministic pin, not a
+    flake floor — and every returned cosine must match brute force's
+    value for that id exactly (stage 2 is exact)."""
+    brute = {r["vec_id"]: r["cosine"]
+             for r in S.cosine_topk(emb, 0, 10).collect()}
+    got = {r["vec_id"]: r["cosine"]
+           for r in S.hamming_topk(emb, 0, k=10, rerank_factor=8).collect()}
+    assert len(got) == 10
+    overlap = set(got) & set(brute)
+    assert len(overlap) >= 7
+    for v in overlap:
+        assert got[v] == brute[v]
+
+
+def test_hamming_prefilter_scan_is_signature_only(emb):
+    """Stage 1 must scan 8-byte signatures, not vectors: the plan
+    below the Hamming TakeOrdered contains no embedding column read
+    beyond the one signature kernel, and stage 2's candidate join is
+    a broadcast (candidates are rerank_factor*k rows)."""
+    plan = (S.hamming_topk(emb, 0, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "bit_count" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hamming_topk_unknown_query_raises(emb):
+    with pytest.raises(ValueError):
+        S.hamming_topk(emb, 10**9)
