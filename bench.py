@@ -133,8 +133,15 @@ def main() -> None:
     # Extended (informational) set: newer heavy operators, best-of-2,
     # NOT counted into the graded suite total — keeps round-over-round
     # suite deltas apples-to-apples while the numbers stay visible.
-    ext = {name: round(min(sample(fn), sample(fn)), 3)
-           for name, fn in extended_bench_queries().items()}
+    # SPARK_GRAFT_HEADLINE_ONLY=1 skips it: at sf1 the extended set
+    # contains fixed-parameter LSH/ngram anchors whose candidate joins
+    # are documented quadratic regimes — the full run blows any
+    # reasonable timeout, while the graded headline suite finishes.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        ext = {}
+    else:
+        ext = {name: round(min(sample(fn), sample(fn)), 3)
+               for name, fn in extended_bench_queries().items()}
 
     timings = {name: round(min(s), 3) for name, s in runs.items()}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
