@@ -1473,3 +1473,65 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
                     .alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
             .limit(k))
+
+
+def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 10, planes: int = 64,
+                       rerank_factor: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       q_id_col: str = "query_id",
+                       q_vec_col: str = "query_vec") -> DataFrame:
+    """Batch binary ANN: exact-cosine top-k per query over a
+    Hamming-prefiltered candidate set — (query_id, vec_id, hamming,
+    cosine). The production shape hamming_topk lacks: score a whole
+    query shard against the signature index in one plan.
+
+    Stage 1 is the signature cross-score: corpus signatures (8 bytes
+    per vector) against the BROADCAST query-signature set — per
+    (corpus row × query) the work is one XOR + bit_count long op,
+    map-side in whole-stage codegen, and only skinny (query_id,
+    vec_id, hamming) rows reach the per-query row_number shuffle,
+    never vectors. The per-query cut keeps rerank_factor × k
+    candidates under the deterministic (hamming asc, vec_id asc)
+    order. Stage 2 joins candidates back to their float vectors (one
+    equi-join keyed on vec_id) and reranks by exact sequential-fold
+    cosine against the broadcast query vectors with the ANN family's
+    rounded-grid (cosine desc, vec_id asc) tie-break.
+
+    ``queries`` is assumed broadcast-sized (the batch-scoring shape;
+    the corpus is the big side). Self-matches (vec_id == query_id)
+    are excluded, as in ivf_topk_batch."""
+    sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+    qsigs = binary_signatures(queries, planes, q_id_col, q_vec_col) \
+        .withColumnsRenamed({"vec_id": "query_id", "sig": "_qsig"})
+
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc())
+    cand = (sigs.crossJoin(F.broadcast(qsigs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    F.bit_count(F.col("sig").bitwiseXOR(F.col("_qsig")))
+                    .alias("hamming"))
+            .withColumn("_rn", F.row_number().over(wh))
+            .filter(F.col("_rn") <= rerank_factor * k)
+            .drop("_rn"))
+
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).cast("array<double>").alias("_qvec"),
+        _norm(F.col(q_vec_col)).alias("_qnrm"))
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        _norm(F.col(vec_col)).alias("_nrm"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (e.join(cand, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", "hamming",
+                    F.round(_dot_precast(F.col("embedding"), F.col("_qvec"))
+                            / (F.col("_nrm") * F.col("_qnrm")), 4)
+                    .alias("cosine"))
+            .withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))

@@ -714,3 +714,38 @@ def test_hamming_prefilter_scan_is_signature_only(emb):
 def test_hamming_topk_unknown_query_raises(emb):
     with pytest.raises(ValueError):
         S.hamming_topk(emb, 10**9)
+
+
+def test_hamming_topk_batch_matches_single_query_path(emb):
+    """For each query in a shard, the batch plan must return EXACTLY
+    the single-query hamming_topk result (same signatures, same cuts,
+    same tie-breaks) — the ivf_topk_batch equivalence contract."""
+    queries = (emb.filter(F.col("vec_id") % 97 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    qids = [r["query_id"] for r in queries.select("query_id").collect()]
+    assert len(qids) >= 3
+    batch = {}
+    for r in S.hamming_topk_batch(emb, queries, k=5,
+                                  rerank_factor=8).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["hamming"], r["cosine"]))
+    assert set(batch) == set(qids)
+    for qid in qids:
+        single = [(r["vec_id"], r["hamming"], r["cosine"]) for r in
+                  S.hamming_topk(emb, qid, k=5, rerank_factor=8).collect()]
+        got = sorted(batch[qid], key=lambda t: (-float(t[2]), t[0]))
+        assert got == single, f"query {qid}"
+
+
+def test_hamming_batch_shuffle_currency_is_skinny(emb):
+    """The cross-score must broadcast the query signatures and shuffle
+    only (query_id, vec_id, hamming) — no vector column may appear in
+    an exchange above the signature kernel."""
+    queries = (emb.limit(3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    plan = (S.hamming_topk_batch(emb, queries, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "bit_count" in plan
+    assert plan.count("BroadcastExchange") >= 2   # qsigs + q vectors
