@@ -1,0 +1,109 @@
+"""Streaming maintenance of the binary-signature ANN index — the
+vector-side twin of the admission topology (streaming/admission.py).
+
+An embedding corpus at 100 TB is ingested as a STREAM of vector
+batches; the serving-side artifact is the 8-byte-per-vector signature
+index (operators/similarity.save_signature_index). This module keeps
+that index current incrementally:
+
+    seed_signature_index(embeddings, index_root)   # once, backfill
+    run_signature_maintenance(vec_stream, index_root, admitted_root,
+                              ckpt, dedup_hamming=6)
+
+Per micro-batch, inside the writer:
+  1. read the standing signature index (seed + every previously
+     admitted batch; 8 bytes a vector — the float corpus is never
+     re-read),
+  2. optionally drop batch vectors whose signature lies within
+     ``dedup_hamming`` bits of ANY index signature — the semantic
+     near-dup admission gate, run ENTIRELY on signatures: one
+     broadcast of the (small) batch signature set against the index
+     scan, bit_count(XOR) per pair, no vector bytes move,
+  3. write admitted vectors to ``admitted_root/batch-N``,
+  4. append their signatures (recomputed from the WRITTEN parquet, so
+     the index can never drift from what was admitted) to
+     ``index_root/batch-N``.
+
+Replay idempotence is inherited verbatim from the admission module's
+contract: both writes are batch-id-keyed overwrites, and step 1
+EXCLUDES the replayed batch's own ``index_root/batch-N`` — a
+recovered micro-batch recomputes the identical admission decision
+from the identical pre-batch index instead of meeting its own
+first-attempt signatures and dropping everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import binary_signatures
+from .admission import read_index
+
+
+def seed_signature_index(embeddings: DataFrame, index_root: str,
+                         planes: int = 64, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """Materialize the backfill corpus's signatures at
+    ``index_root/seed`` — run once before starting the stream (an
+    empty root is legal: the first micro-batch admits everything)."""
+    (binary_signatures(embeddings, planes, id_col, vec_col)
+     .write.mode("overwrite").parquet(f"{index_root}/seed"))
+
+
+def signature_writer(index_root: str, admitted_root: str,
+                     planes: int = 64, dedup_hamming: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """The foreachBatch function behind ``run_signature_maintenance``
+    (exposed for direct replay tests)."""
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = read_index(spark, index_root, exclude_batch=batch_id)
+        admitted = batch_df
+        if index is not None and dedup_hamming is not None:
+            bsigs = (binary_signatures(batch_df, planes, id_col, vec_col)
+                     .withColumnsRenamed({"vec_id": "_bid",
+                                          "sig": "_bsig"}))
+            near = (index.crossJoin(F.broadcast(bsigs))
+                    .filter(F.bit_count(
+                        F.col("sig").bitwiseXOR(F.col("_bsig")))
+                        <= dedup_hamming)
+                    .select(F.col("_bid").alias(id_col)).distinct())
+            admitted = batch_df.join(near, id_col, "left_anti")
+        admitted.write.mode("overwrite") \
+            .parquet(f"{admitted_root}/batch-{batch_id}")
+        written = spark.read.parquet(f"{admitted_root}/batch-{batch_id}")
+        (binary_signatures(written, planes, id_col, vec_col)
+         .write.mode("overwrite").parquet(f"{index_root}/batch-{batch_id}"))
+    return write
+
+
+def run_signature_maintenance(vec_stream: DataFrame, index_root: str,
+                              admitted_root: str, checkpoint: str,
+                              planes: int = 64,
+                              dedup_hamming: int | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> None:
+    """Drive the maintenance stream synchronously to exhaustion (local
+    drain; a deployment leaves the query running)."""
+    q = (vec_stream.writeStream.outputMode("append")
+         .foreachBatch(signature_writer(index_root, admitted_root,
+                                        planes, dedup_hamming,
+                                        id_col, vec_col))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_signature_index(spark: SparkSession,
+                         index_root: str) -> DataFrame:
+    """The full standing index (seed + all admitted batches) in the
+    (vec_id, sig) shape hamming_topk serves from via ``sigs=``."""
+    idx = read_index(spark, index_root)
+    if idx is None:
+        raise ValueError(f"no signature index at {index_root}")
+    return idx.select(F.col("vec_id").cast("long"),
+                      F.col("sig").cast("long"))

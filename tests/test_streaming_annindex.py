@@ -1,0 +1,134 @@
+"""Streaming binary-signature index maintenance: cross-micro-batch
+near-dup gating on 8-byte signatures, stream == sequential-batch fold,
+replay idempotence, and serving hamming_topk from the maintained
+index."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import similarity as S
+from pre_market_data_pipeline_for_stocks_spark.streaming import annindex as ai
+
+HAMMING = 6
+
+
+def _setup(spark, sf_dir, tmp_path):
+    """Seed corpus + two stream files in deterministic trigger order.
+
+    Vector 9001 (file 0) and 9002 (file 1) are EXACT copies of each
+    other (identical signature, unseen by the seed) — 9002 is
+    droppable ONLY because 9001 was admitted one micro-batch earlier,
+    pinning the cross-batch index append."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    probe = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+
+    def synth(vec_id):
+        row = {c: None for c in emb.columns}
+        row.update(vec_id=vec_id,
+                   embedding=[float(x) + 7.5 for x in probe])
+        if "label" in row:
+            row["label"] = 0
+        return spark.createDataFrame([row], emb.schema)
+
+    b0 = emb.filter(F.col("vec_id") % 3 == 1).unionByName(synth(9001))
+    b1 = emb.filter(F.col("vec_id") % 3 == 2).unionByName(synth(9002))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        dst = f"{src}/batchfile-{i}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(f"{src}/f{i}")
+        os.utime(dst, (1_700_000_000 + 600 * i,) * 2)
+
+    index_root = str(tmp_path / "index")
+    admitted_root = str(tmp_path / "admitted")
+    ai.seed_signature_index(seed, index_root)
+    return emb, seed, b0, b1, src, index_root, admitted_root
+
+
+def _stream(spark, src, schema):
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "batchfile-*.parquet")
+            .parquet(src))
+
+
+def _sequential_fold(seed, b0, b1):
+    """Batch twin: fold the signature near-dup gate over the batches in
+    trigger order, appending admitted signatures between steps."""
+    index = S.binary_signatures(seed)
+    admitted = []
+    for batch in (b0, b1):
+        bsigs = (S.binary_signatures(batch)
+                 .withColumnsRenamed({"vec_id": "_bid", "sig": "_bsig"}))
+        near = (index.crossJoin(F.broadcast(bsigs))
+                .filter(F.bit_count(
+                    F.col("sig").bitwiseXOR(F.col("_bsig"))) <= HAMMING)
+                .select(F.col("_bid").alias("vec_id")).distinct())
+        adm_b = batch.join(near, "vec_id", "left_anti")
+        admitted.append(adm_b)
+        index = index.unionByName(S.binary_signatures(adm_b))
+    out = admitted[0].unionByName(admitted[1])
+    return {r.vec_id for r in out.select("vec_id").collect()}
+
+
+def test_stream_maintenance_matches_sequential_batch(spark, sf_dir,
+                                                     tmp_path):
+    emb, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    ai.run_signature_maintenance(
+        _stream(spark, src, emb.schema), index_root, admitted_root,
+        str(tmp_path / "ckpt"), dedup_hamming=HAMMING)
+
+    got = {r.vec_id for r in
+           spark.read.option("recursiveFileLookup", "true")
+           .parquet(admitted_root).select("vec_id").collect()}
+    want = _sequential_fold(seed, b0, b1)
+    assert got == want and len(got) > 0
+    # the exact-copy pair: the first copy is admitted, the second is
+    # gated by the signature its twin appended one micro-batch earlier
+    assert 9001 in got and 9002 not in got
+
+
+def test_replay_recomputes_identical_admission(spark, sf_dir, tmp_path):
+    """At-least-once recovery: re-running a batch under its original
+    id (its own index append already on disk) must reproduce the same
+    admitted set — the self-exclusion contract."""
+    emb, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    w = ai.signature_writer(index_root, admitted_root,
+                            dedup_hamming=HAMMING)
+    w(b0, 0)
+    first = {r.vec_id for r in
+             spark.read.parquet(f"{admitted_root}/batch-0").collect()}
+    w(b0, 0)  # replay
+    again = {r.vec_id for r in
+             spark.read.parquet(f"{admitted_root}/batch-0").collect()}
+    assert first == again and 9001 in first
+
+
+def test_served_query_from_maintained_index(spark, sf_dir, tmp_path):
+    """hamming_topk must serve from the maintained index via sigs= and
+    agree with an inline-signature query over the same vector set."""
+    emb, seed, b0, b1, src, index_root, admitted_root = _setup(
+        spark, sf_dir, tmp_path)
+    ai.run_signature_maintenance(
+        _stream(spark, src, emb.schema), index_root, admitted_root,
+        str(tmp_path / "ckpt"), dedup_hamming=HAMMING)
+    idx = ai.read_signature_index(spark, index_root)
+    corpus = seed.unionByName(
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(admitted_root))
+    served = [tuple(r) for r in
+              S.hamming_topk(corpus, 0, k=5, sigs=idx).collect()]
+    inline = [tuple(r) for r in S.hamming_topk(corpus, 0, k=5).collect()]
+    assert served == inline and len(served) == 5
