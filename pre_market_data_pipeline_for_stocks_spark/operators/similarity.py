@@ -1512,7 +1512,8 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
                        rerank_factor: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        q_id_col: str = "query_id",
-                       q_vec_col: str = "query_vec") -> DataFrame:
+                       q_vec_col: str = "query_vec",
+                       sigs: DataFrame | None = None) -> DataFrame:
     """Batch binary ANN: exact-cosine top-k per query over a
     Hamming-prefiltered candidate set — (query_id, vec_id, hamming,
     cosine). The production shape hamming_topk lacks: score a whole
@@ -1532,8 +1533,12 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
 
     ``queries`` is assumed broadcast-sized (the batch-scoring shape;
     the corpus is the big side). Self-matches (vec_id == query_id)
-    are excluded, as in ivf_topk_batch."""
-    sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+    are excluded, as in ivf_topk_batch. ``sigs``: a precomputed
+    corpus index (load_signature_index) — the deployment path, same
+    contract as hamming_topk; query signatures are always derived
+    inline (the query shard is new by definition)."""
+    if sigs is None:
+        sigs = binary_signatures(embeddings, planes, id_col, vec_col)
     qsigs = binary_signatures(queries, planes, q_id_col, q_vec_col) \
         .withColumnsRenamed({"vec_id": "query_id", "sig": "_qsig"})
 

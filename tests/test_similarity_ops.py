@@ -765,5 +765,14 @@ def test_signature_index_round_trip_and_served_query(emb, tmp_path):
     served = [tuple(r) for r in
               S.hamming_topk(emb, 0, k=8, sigs=loaded).collect()]
     assert inline == served and len(served) == 8
+    queries = (emb.limit(2)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    b_inline = sorted(map(tuple,
+                          S.hamming_topk_batch(emb, queries, k=4).collect()))
+    b_served = sorted(map(tuple,
+                          S.hamming_topk_batch(emb, queries, k=4,
+                                               sigs=loaded).collect()))
+    assert b_inline == b_served and len(b_served) == 8
     with pytest.raises(ValueError):
         S.hamming_topk(emb, 10**9, sigs=loaded)
