@@ -123,3 +123,73 @@ def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 20,
                  .alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(top_n))
+
+
+def save_bm25_index(docs: DataFrame, path: str,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> None:
+    """Persist the BM25 serving artifact — tokenize ONCE at ingest,
+    serve every query from postings (the Lucene topology, as a lake):
+
+      {path}/postings   (token, doc_id, tf) — the inverted index,
+                        repartitioned by token and sorted within
+                        partitions so a query-term filter prunes at
+                        the row-group level (min/max stats); corpus-
+                        sized, written distributed.
+      {path}/doclens    (doc_id, dl) — per-document length.
+      {path}/stats      one row (n_docs, avgdl).
+
+    At 100 TB the text is tokenized exactly once; a query touches only
+    its terms' postings plus the doc-length join — corpus text never
+    re-read."""
+    tf = (_tokens(docs, id_col, text_col)
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    (tf.select("token", "doc_id", "tf")
+     .repartition(F.col("token"))
+     .sortWithinPartitions("token")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    dl = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.lower(F.col(text_col))),
+                       r"\s+")).cast("double").alias("dl")))
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    (dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_search_indexed(spark, path: str, query_terms: list[str],
+                        top_n: int = 20, k1: float = BM25_K1,
+                        b: float = BM25_B) -> DataFrame:
+    """BM25 over a stored index (save_bm25_index): identical scoring,
+    identical DECIMAL emission and tie-breaks as bm25_search — pinned
+    equal in tests — but the only corpus-sized read is the query
+    terms' postings slice (token pushdown reaches the parquet scan)
+    plus the doc-length join for matched docs."""
+    terms = sorted({t.lower() for t in query_terms})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .filter(F.col("token").isin(terms)))
+    dl = spark.read.parquet(f"{path}/doclens")
+    stats = spark.read.parquet(f"{path}/stats")
+    df_t = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    idf = (df_t.crossJoin(F.broadcast(stats))
+           .select("token",
+                   F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5)).alias("idf")))
+    contrib = (postings.join(F.broadcast(idf), "token")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats.select("avgdl")))
+               .select(
+                   "doc_id",
+                   (F.col("idf") * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                           / F.col("avgdl"))))
+                   .alias("_c")))
+    return (contrib.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
+                 F.round(F.sum("_c"), 4).cast("decimal(14,4)")
+                 .alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_n))

@@ -86,3 +86,24 @@ def test_bm25_plan_broadcasts_stats_and_prunes_terms(spark, sf_dir):
     # aggregation (map-side prune)
     assert re.search(r"token#\d+ IN \(merge,scan\)", plan)
     assert "TakeOrderedAndProject" in plan    # top_n, not a global sort
+
+
+def test_bm25_indexed_equals_inline(spark, sf_dir, tmp_path):
+    """The stored-index search must return EXACTLY the inline result
+    (same scoring, same DECIMAL grid, same tie-breaks) — the
+    tokenize-once/serve-many artifact contract — and the query-term
+    filter must reach the postings parquet scan as a pushed filter."""
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    terms = ["scan", "window", "order"]
+    path = str(tmp_path / "bm25_index")
+    relevance.save_bm25_index(docs, path)
+    inline = [tuple(r) for r in
+              relevance.bm25_search(docs, terms, top_n=15).collect()]
+    served = relevance.bm25_search_indexed(spark, path, terms, top_n=15)
+    assert [tuple(r) for r in served.collect()] == inline
+    assert len(inline) > 0
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(token" in plan or "In(token," in plan
