@@ -9,14 +9,17 @@ One invocation:
    measured at sf1),
 2. trains + persists the coarse quantizer (save_ivf_index) and the PQ
    codebooks (save_pq_codebooks),
-3. RELOADS both from disk and serves a smoke query through
-   ivf_topk_with_index — the deployment path, so the verification
-   covers the round trip, not the in-memory model,
-4. measures recall@10 of the reloaded index against the exact
-   brute-force top-10,
-and prints ONE JSON metrics line. Exit non-zero when recall falls
-below ``--min-recall`` (default 0.8) — a torn/mis-sized index fails
-the build instead of shipping."""
+3. builds the packed binary-signature index (save_signature_index)
+   and, when ``--docs`` names a documents table, the BM25 postings
+   index (relevance.save_bm25_index),
+4. RELOADS every artifact from disk and serves a smoke query through
+   it — the deployment path, so the verification covers the round
+   trip, not the in-memory model,
+5. measures recall@10 of the reloaded IVF and Hamming indexes against
+   the exact brute-force top-10,
+and prints ONE JSON metrics line. Exit non-zero when IVF recall falls
+below ``--min-recall`` (default 0.8) or any round trip is torn — a
+mis-sized index fails the build instead of shipping."""
 
 from __future__ import annotations
 
@@ -42,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
                          "throughput sizing explicitly for serving "
                          "builds where latency dominates.")
     ap.add_argument("--min-recall", type=float, default=0.8)
+    ap.add_argument("--docs", action="store_true",
+                    help="also build the BM25 postings index from the "
+                         "documents table in --sf-dir")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -69,13 +75,35 @@ def main(argv: list[str] | None = None) -> int:
     books2 = S.load_pq_codebooks(spark, f"{args.out}/pq")
     pq_ok = len(books2) == len(books)
 
-    ok = recall >= args.min_recall and pq_ok
+    S.save_signature_index(S.binary_signatures(emb), f"{args.out}/sigs")
+    sigs = S.load_signature_index(spark, f"{args.out}/sigs")
+    ham = {r["vec_id"] for r in
+           S.hamming_topk(emb, 0, k=10, rerank_factor=8,
+                          sigs=sigs).collect()}
+    ham_recall = len(ham & exact) / max(len(exact), 1)
+    sig_ok = sigs.count() == n
+
+    bm25_rows = None
+    if args.docs:
+        from ..operators import relevance
+        docs = load_testdata(spark, args.sf_dir,
+                             ["documents"])["documents"]
+        relevance.save_bm25_index(docs, f"{args.out}/bm25")
+        bm25_rows = relevance.bm25_search_indexed(
+            spark, f"{args.out}/bm25",
+            ["scan", "filter", "join"], top_n=10).count()
+
+    ok = (recall >= args.min_recall and pq_ok and sig_ok
+          and (bm25_rows is None or bm25_rows > 0))
     print(json.dumps({
         "n_vectors": n,
         "ivf_stride": stride,
         "n_cells": n_cells,
         "recall_at_10": round(recall, 3),
         "pq_codebooks_roundtrip": pq_ok,
+        "signature_index_rows_ok": sig_ok,
+        "hamming_recall_at_10": round(ham_recall, 3),
+        "bm25_smoke_rows": bm25_rows,
         "ok": ok,
         "wall_s": round(time.time() - t0, 2),
     }))
