@@ -199,3 +199,41 @@ def test_assign_cells_arrow_matches_fold_on_arbitrary_vectors(
            for r in S._assign_cells(nonzero, cents,
                                     keep_score=True).collect()}
     assert {k: v for k, v in arrow.items() if k not in zero_rows} == hof
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(st.binary(min_size=0, max_size=200),
+                min_size=1, max_size=6),
+       st.integers(1, 8), st.integers(1, 4))
+def test_audio_windows_tile_arbitrary_payloads(spark, payloads,
+                                               window_ms, bytes_per_ms):
+    """Structural invariant on ANY byte payload and window geometry:
+    windows tile the payload exactly (ceil count, empty payload -> one
+    zero-energy window), indices are contiguous from 0, start_ms steps
+    by window_ms, rms stays in [0, 1], and the flag matches the
+    threshold."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        multimodal as mm,
+    )
+    media = spark.createDataFrame(
+        [(i, "audio", bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, media_type string, payload binary")
+    rows = mm.audio_windows(media, window_ms=window_ms,
+                            bytes_per_ms=bytes_per_ms).collect()
+    win_bytes = window_ms * bytes_per_ms
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(payloads)))
+    for i, p in enumerate(payloads):
+        ws = sorted(by_doc[i], key=lambda r: r["window_idx"])
+        expect = max(1, -(-len(p) // win_bytes))
+        assert [w["window_idx"] for w in ws] == list(range(expect))
+        assert ws[0]["start_ms"] == 0
+        for a, b in zip(ws, ws[1:]):
+            assert b["start_ms"] == a["start_ms"] + window_ms
+        for w in ws:
+            assert 0.0 <= w["rms"] <= 1.0
+            assert w["is_silence"] == (w["rms"] < 0.25)
+        if not p:
+            assert ws[0]["rms"] == 0.0 and ws[0]["is_silence"]
