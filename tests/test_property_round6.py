@@ -237,3 +237,31 @@ def test_audio_windows_tile_arbitrary_payloads(spark, payloads,
             assert w["is_silence"] == (w["rms"] < 0.25)
         if not p:
             assert ws[0]["rms"] == 0.0 and ws[0]["is_silence"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=_HC)
+@given(st.lists(_vec, min_size=1, max_size=8), st.integers(1, 12))
+def test_binary_signature_bits_match_plane_signs(spark, vecs, planes):
+    """Each signature bit p must equal the sign of the vector's dot
+    product with pseudo-plane p's ±1 weights, for ANY vector and plane
+    count — validates the matmul packing against a driver-side
+    sequential reference independent of the fixtures. Exact zero
+    projections (hypothesis finds them via zero vectors) pin the
+    strict-> convention: bit set only when the projection is > 0."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    vectors = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    sigs = {r["vec_id"]: r["sig"]
+            for r in S.binary_signatures(vectors, planes=planes,
+                                         dims=_dim).collect()}
+    for i, v in enumerate(vecs):
+        want = 0
+        for p in range(planes):
+            proj = sum(float(x) * S._plane_weight(p, d)
+                       for d, x in enumerate(v))
+            if proj > 0:
+                want |= 1 << p
+        assert sigs[i] == want, (i, planes)
