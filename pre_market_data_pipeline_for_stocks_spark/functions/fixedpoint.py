@@ -1,0 +1,148 @@
+"""Engine-portable fixed-point arithmetic for hashed emissions.
+
+The r6-r8 driver rounds exposed a whole defect class: any emitted value
+derived from an environment-sensitive double — libm ``ln``/``log2``/
+``exp`` (not correctly rounded, build-dependent), order-dependent
+double sums, or ``round(DOUBLE, k)`` (implemented differently across
+DuckDB/Spark builds) — can hash apart between engines even when the
+code is identical and agrees locally. The only emission contract that
+survives ANY engine build is integer math:
+
+- every rational a/b becomes ``(a * 10^k) div b`` — truncating integer
+  division on nonneg operands is identical everywhere;
+- every logarithm comes from the committed ``data/log_lookup.parquet``
+  (see scripts/gen_log_lookup.py) — both engines read the same bytes;
+- every sum is a sum of BIGINTs — order-independent by definition.
+
+Helpers here are the Spark side; ``*_sql`` functions emit the matching
+DuckDB snippet so the two ladders can never drift (the oracle embeds
+the generated string).
+
+Convention: ``*_e6`` / ``*_e9`` column suffixes mean "value * 10^6 /
+10^9, truncated toward zero, as BIGINT".
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# round(ln(2) * 1e9) — the shift-ladder step; same literal is emitted
+# into oracle SQL so the two sides cannot disagree.
+LN2_E9 = 693147181
+# Table covers k in [1, LOOKUP_MAX]; larger args take the shift ladder.
+LOOKUP_MAX = 1 << 19
+
+LOG_LOOKUP_PATH = str(Path(__file__).resolve().parents[1]
+                      / "data" / "log_lookup.parquet")
+
+
+def idiv(num: Column, den: Column | int) -> Column:
+    """Exact truncating integer division as a Column: both operands are
+    cast to DECIMAL(38,0); the quotient is computed as
+    ``(num - num % den) / den`` so the decimal division is always an
+    exact multiple (no scale rounding can fire). Matches DuckDB's
+    HUGEINT ``//`` and Spark's ``div`` on nonnegative operands — keep
+    operands nonnegative (offset or abs first); negative-dividend
+    truncation direction is engine-version territory we refuse to
+    enter. Result: DECIMAL(38,0); ``.cast('long')`` when in range."""
+    if isinstance(den, int):
+        den = F.lit(den)
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return ((n - n % d) / d).cast("decimal(38,0)")
+
+
+def idiv_long(num: Column, den: Column | int) -> Column:
+    """idiv with the quotient cast back to BIGINT (caller guarantees
+    the quotient fits — ANSI mode makes an overflow loud, not silent)."""
+    return idiv(num, den).cast("long")
+
+
+def log_lookup(spark: SparkSession) -> DataFrame:
+    """The frozen (k, ln_e9, log2_e9) relation — broadcast-join it."""
+    return spark.read.parquet(LOG_LOOKUP_PATH)
+
+
+def _shift_cases(k: Column) -> tuple[Column, Column]:
+    """(s, k >> s) with the smallest s bringing k into the lookup range.
+
+    A literal-shift CASE ladder (both engines lack a portable
+    bit_length for BIGINT): 45 branches cover the full int64 range.
+    For k <= LOOKUP_MAX s = 0 and the lookup is exact; above, the
+    dropped low bits cost < ln(1 + 2^-18) ≈ 3.8e-6 — a DOCUMENTED
+    approximation, identical in both engines (determinism is the
+    contract; the table range bounds the accuracy)."""
+    s = F.lit(0)
+    shifted = k
+    for i in range(1, 45):
+        cond = k > F.lit(LOOKUP_MAX << (i - 1))
+        s = F.when(cond, F.lit(i)).otherwise(s)
+        shifted = F.when(cond, F.shiftright(k, i)).otherwise(shifted)
+    return s, shifted
+
+
+def with_ln_e9(df: DataFrame, k_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = table-ln_e9(df[k_col]) (k >= 1). Broadcast
+    equi-join against the 2^19-row lookup + the shift ladder for large
+    args: ln(k) ≈ ln(k >> s) + s*ln2, exact for k <= 2^19."""
+    return _with_log(df, k_col, out_col, "ln_e9", LN2_E9)
+
+
+def with_log2_e9(df: DataFrame, k_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = table-log2_e9(df[k_col]); ladder step is 1e9
+    per doubling (log2(2) == 1)."""
+    return _with_log(df, k_col, out_col, "log2_e9", 10 ** 9)
+
+
+def _with_log(df: DataFrame, k_col: str, out_col: str,
+              table_col: str, step_e9: int) -> DataFrame:
+    spark = df.sparkSession
+    s, shifted = _shift_cases(F.col(k_col).cast("long"))
+    lk = log_lookup(spark).select(F.col("k").alias("__lk_k"),
+                                  F.col(table_col).alias("__lk_v"))
+    out = (df.withColumn("__lk_s", s)
+           .withColumn("__lk_k", shifted)
+           .join(F.broadcast(lk), "__lk_k", "left")
+           .withColumn(out_col, (F.col("__lk_v")
+                                 + F.col("__lk_s").cast("long")
+                                 * F.lit(step_e9)).cast("long"))
+           .drop("__lk_k", "__lk_s", "__lk_v"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin snippets (embedded into oracle SQL by plans/registry.py)
+# ---------------------------------------------------------------------------
+
+def lookup_sql_view() -> str:
+    """FROM-able relation for the lookup table in DuckDB."""
+    return f"read_parquet('{LOG_LOOKUP_PATH}')"
+
+
+def shift_s_sql(k: str) -> str:
+    """DuckDB CASE ladder mirroring _shift_cases (the s component)."""
+    whens = "\n    ".join(
+        f"WHEN {k} > {LOOKUP_MAX << (i - 1)} THEN {i}"
+        for i in range(44, 0, -1))
+    return f"(CASE\n    {whens}\n    ELSE 0 END)"
+
+
+def log_join_sql(k_expr: str, table_col: str, step_e9: int) -> str:
+    """Scalar subquery computing table-log(k_expr) in DuckDB. Usable
+    wherever a correlated scalar is allowed; for bulk columns prefer a
+    JOIN on a precomputed (k, s) pair — this helper keeps simple
+    oracles readable."""
+    s = shift_s_sql(k_expr)
+    return (f"((SELECT {table_col} FROM {lookup_sql_view()} "
+            f"WHERE k = ({k_expr}) >> {s}) + {s}::BIGINT * {step_e9})")
+
+
+def ln_e9_sql(k_expr: str) -> str:
+    return log_join_sql(k_expr, "ln_e9", LN2_E9)
+
+
+def log2_e9_sql(k_expr: str) -> str:
+    return log_join_sql(k_expr, "log2_e9", 10 ** 9)

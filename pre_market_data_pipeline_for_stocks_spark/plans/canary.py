@@ -1,0 +1,170 @@
+"""Determinism canaries: one tiny query per numeric primitive.
+
+The r6-r8 driver windows showed some float-derived emissions hashing
+apart between the driver's engine builds and local ones, with every
+query green locally. One CORRECTNESS bit per query means a composite
+emission can't say WHICH primitive diverged — so each canary below
+exercises exactly one suspect primitive over fixed inputs:
+
+- ``det_canary_ieee``        — division / sqrt / int->double casts
+                               (IEEE correctly-rounded; EXPECTED green
+                               on any conforming build).
+- ``det_canary_libm_ln``     — libm ln (NOT correctly rounded).
+- ``det_canary_libm_log2exp``— libm log2 and exp.
+- ``det_canary_round_half``  — round(DOUBLE, k) at half boundaries
+                               (engine/version-specific rounding).
+- ``det_canary_sum_order``   — a fixed-order sequential double fold,
+                               forward and reversed (tests whether an
+                               engine's fold really is sequential).
+- ``det_canary_double_decimal`` — double -> DECIMAL casts.
+
+A red canary in CORRECTNESS_r{N}.json convicts that primitive in the
+driver environment; emission contracts then route around it (see
+functions/fixedpoint.py). All canaries emit floor()-scaled BIGINTs of
+the primitive's result — floor is exact, so the hash reflects the
+primitive's double bits and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def det_canary_ieee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2..200: floor-scaled sqrt(k), 1/k, and (k*k+1)/k — all
+    IEEE-correctly-rounded ops on exact inputs."""
+    df = spark.range(2, 201).select(F.col("id").alias("k"))
+    kd = F.col("k").cast("double")
+    return df.select(
+        "k",
+        F.floor(F.sqrt(kd) * 1e15).cast("long").alias("sqrt_f15"),
+        F.floor(F.lit(1.0) / kd * 1e15).cast("long").alias("inv_f15"),
+        F.floor((kd * kd + F.lit(1.0)) / kd * 1e12).cast("long")
+        .alias("ratio_f12"),
+    ).orderBy("k")
+
+
+def det_canary_libm_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2..200: floor(ln(k)*1e12) — flips if libm ln differs by an ulp
+    anywhere in the range."""
+    df = spark.range(2, 201).select(F.col("id").alias("k"))
+    return df.select(
+        "k",
+        F.floor(F.log(F.col("k").cast("double")) * 1e12).cast("long")
+        .alias("ln_f12"),
+    ).orderBy("k")
+
+
+def det_canary_libm_log2exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1..100: floor(log2(k)*1e12) and floor(exp(k/50)*1e12)."""
+    df = spark.range(1, 101).select(F.col("id").alias("k"))
+    kd = F.col("k").cast("double")
+    return df.select(
+        "k",
+        F.floor(F.log2(kd) * 1e12).cast("long").alias("log2_f12"),
+        F.floor(F.exp(kd / F.lit(50.0)) * 1e12).cast("long")
+        .alias("exp_f12"),
+    ).orderBy("k")
+
+
+def det_canary_round_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=0..999: round(k/1000 + 4.9999999e-4, 3) — every value sits a
+    few parts in 1e12 BELOW a 3-dp half boundary. Agreeing engines
+    round down everywhere; an engine that snaps the double to a coarser
+    grid before rounding (or rounds via shortest-repr printing) flips
+    rows.
+
+    Measured local fact (round 9): at EXACT half boundaries
+    (offset 5e-4) Spark and DuckDB 1.0.0 already disagree on dozens of
+    rows (e.g. k=11: Spark 0.11 vs DuckDB 0.12 at 2 dp) — round(DOUBLE,
+    k) is not an engine-portable primitive even before environment
+    drift, which is why no hashed emission in this engine may use it
+    (functions/fixedpoint.py is the replacement)."""
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    x = F.col("k").cast("double") / F.lit(1000.0) + F.lit(4.9999999e-4)
+    return df.select(
+        "k",
+        F.round(x, 3).cast("decimal(10,3)").alias("r3"),
+        F.round(x * F.lit(10.0), 2).cast("decimal(10,2)").alias("r2"),
+    ).orderBy("k")
+
+
+def det_canary_sum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: sequential double folds of 1/k for k=1..20000, forward
+    and reversed, floor-scaled. F.aggregate is a sequential fold with a
+    defined order — if an engine's 'sequential' fold actually blocks or
+    vectorizes differently, this canary flips."""
+    n = 20000
+    df = spark.range(1).select(
+        F.sequence(F.lit(1), F.lit(n)).alias("ks"))
+    inv = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, k: acc + F.lit(1.0) / k.cast("double"))
+    return df.select(
+        F.floor(inv(F.col("ks")) * 1e12).cast("long").alias("fwd_f12"),
+        F.floor(inv(F.reverse(F.col("ks"))) * 1e12).cast("long")
+        .alias("rev_f12"),
+    )
+
+
+def det_canary_double_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1..500: cast(k/7 as DECIMAL(20,6)) — double->decimal rounding
+    policy (the r8 'decimal snap' emission contract's foundation)."""
+    df = spark.range(1, 501).select(F.col("id").alias("k"))
+    return df.select(
+        "k",
+        (F.col("k").cast("double") / F.lit(7.0)).cast("decimal(20,6)")
+        .alias("d6"),
+    ).orderBy("k")
+
+
+CANARY_ORACLES: dict[str, str] = {
+    "det_canary_ieee": """
+SELECT k,
+       CAST(floor(sqrt(k::DOUBLE) * 1e15) AS BIGINT) AS sqrt_f15,
+       CAST(floor(1.0 / k::DOUBLE * 1e15) AS BIGINT) AS inv_f15,
+       CAST(floor((k::DOUBLE * k::DOUBLE + 1.0) / k::DOUBLE * 1e12)
+            AS BIGINT) AS ratio_f12
+FROM range(2, 201) t(k) ORDER BY k
+""",
+    "det_canary_libm_ln": """
+SELECT k, CAST(floor(ln(k::DOUBLE) * 1e12) AS BIGINT) AS ln_f12
+FROM range(2, 201) t(k) ORDER BY k
+""",
+    "det_canary_libm_log2exp": """
+SELECT k,
+       CAST(floor(log2(k::DOUBLE) * 1e12) AS BIGINT) AS log2_f12,
+       CAST(floor(exp(k::DOUBLE / 50.0) * 1e12) AS BIGINT) AS exp_f12
+FROM range(1, 101) t(k) ORDER BY k
+""",
+    "det_canary_round_half": """
+SELECT k,
+       CAST(round(k::DOUBLE / 1000.0 + 4.9999999e-4, 3)
+            AS DECIMAL(10,3)) AS r3,
+       CAST(round((k::DOUBLE / 1000.0 + 4.9999999e-4) * 10.0, 2)
+            AS DECIMAL(10,2)) AS r2
+FROM range(0, 1000) t(k) ORDER BY k
+""",
+    "det_canary_sum_order": """
+WITH ks AS (SELECT range(1, 20001) AS a)
+SELECT CAST(floor(list_aggregate(list_transform(a, k -> 1.0 / k::DOUBLE),
+                                 'sum') * 1e12) AS BIGINT) AS fwd_f12,
+       CAST(floor(list_aggregate(list_transform(list_reverse(a),
+                                                k -> 1.0 / k::DOUBLE),
+                                 'sum') * 1e12) AS BIGINT) AS rev_f12
+FROM ks
+""",
+    "det_canary_double_decimal": """
+SELECT k, CAST(k::DOUBLE / 7.0 AS DECIMAL(20,6)) AS d6
+FROM range(1, 501) t(k) ORDER BY k
+""",
+}
+
+CANARIES = {
+    "det_canary_ieee": det_canary_ieee,
+    "det_canary_libm_ln": det_canary_libm_ln,
+    "det_canary_libm_log2exp": det_canary_libm_log2exp,
+    "det_canary_round_half": det_canary_round_half,
+    "det_canary_sum_order": det_canary_sum_order,
+    "det_canary_double_decimal": det_canary_double_decimal,
+}

@@ -3829,6 +3829,16 @@ FROM r
 """)
 
 
+# Determinism canaries: one query per numeric primitive (plans/canary.py)
+# — a red row in CORRECTNESS_r{N}.json convicts that primitive in the
+# driver environment and tells the next emission migration where to aim.
+from . import canary as _canary  # noqa: E402  (needs QueryDef defined)
+
+for _name in _canary.CANARIES:
+    REGISTRY[_name] = QueryDef(_canary.CANARIES[_name],
+                               _canary.CANARY_ORACLES[_name])
+
+
 def _last_green_rounds() -> dict[str, int]:
     """Per query, the round whose driver CORRECTNESS artifact last
     recorded it fully green (rows+schema+hash, no err). Scanned from

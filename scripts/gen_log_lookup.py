@@ -1,0 +1,59 @@
+"""Generate the frozen integer-log lookup table.
+
+Writes pre_market_data_pipeline_for_stocks_spark/data/log_lookup.parquet with one row per integer
+k in [1, 2**19]: ``(k BIGINT, ln_e9 BIGINT, log2_e9 BIGINT)`` where
+ln_e9 = round(ln(k) * 1e9) and log2_e9 = round(log2(k) * 1e9).
+
+Why a frozen artifact: libm (``ln``/``log2``/``exp``) is NOT correctly
+rounded and differs across engine builds, so any query that hashes a
+libm-derived value can disagree between Spark-local, DuckDB-local and
+the driver's builds even when the code is identical (the r6-r8 driver
+hash-red class). Every log in a hashed emission path therefore comes
+from THIS table: both engines join the same parquet, so the values are
+identical bytes by construction — the machine that generated the file
+is irrelevant once it is committed.
+
+The table is regenerable (this script) but the committed parquet is
+the contract; regeneration on a different libm could change last-digit
+values, so only regenerate deliberately alongside re-pinned oracles.
+
+Scale note: 2**19 rows ≈ a few hundred KB compressed and broadcasts
+everywhere. Arguments above 2**19 are handled by the shift ladder in
+functions/fixedpoint.py (ln(k) ≈ ln(k >> s) + s*ln2), which covers the
+full BIGINT range deterministically.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MAX_K = 1 << 19
+
+OUT = (Path(__file__).resolve().parents[1]
+       / "pre_market_data_pipeline_for_stocks_spark" / "data" / "log_lookup.parquet")
+
+
+def main() -> None:
+    ks = list(range(1, MAX_K + 1))
+    ln_e9 = [round(math.log(k) * 1e9) for k in ks]
+    log2_e9 = [round(math.log2(k) * 1e9) for k in ks]
+    table = pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "ln_e9": pa.array(ln_e9, pa.int64()),
+        "log2_e9": pa.array(log2_e9, pa.int64()),
+    })
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd",
+                   use_dictionary=False,
+                   column_encoding={"k": "DELTA_BINARY_PACKED",
+                                    "ln_e9": "DELTA_BINARY_PACKED",
+                                    "log2_e9": "DELTA_BINARY_PACKED"})
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes, {len(ks)} rows)")
+
+
+if __name__ == "__main__":
+    main()
