@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 # round(ln(2) * 1e9) — the shift-ladder step; same literal is emitted
 # into oracle SQL so the two sides cannot disagree.
 LN2_E9 = 693147181
+# round(ln(0.4) * 1e9) — the stupid-backoff constant bigram_logprob
+# pins; frozen here so Spark and the oracle share one literal.
+LN04_E9 = -916290732
 # Table covers k in [1, LOOKUP_MAX]; larger args take the shift ladder.
 LOOKUP_MAX = 1 << 19
 

@@ -39,31 +39,37 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     """Per-document top-``k`` terms by TF-IDF:
     (doc_id, token, tf, df, tfidf).
 
-    tfidf = tf * ln(N / df) with N the corpus document count and df the
-    number of documents containing the token — the classic sparse-
-    retrieval weighting. Ties break by token ascending, so the result
-    is deterministic.
+    tfidf_e6 = tf * (ln(N) - ln(df)) in 1e-6 fixed point, with N the
+    corpus document count and df the number of documents containing
+    the token — the classic sparse-retrieval weighting. Ties break by
+    token ascending, so the result is deterministic.
+
+    Integer emission (r9 contract — the r8 DECIMAL snap of libm ln
+    still flipped in the driver build): both logs come from the frozen
+    lookup (functions/fixedpoint.py), so tfidf_e6 =
+    trunc(tf * (ln_e9(N) - ln_e9(df)) / 1000) is the same BIGINT in
+    any engine, and the top-k cut ranks on it directly.
 
     Plan: per-(doc, token) tf agg → per-token df agg (vocabulary-sized)
     → token-keyed join back → per-doc top-k window partitioned on
     doc_id (no global window; per-partition heaps at every scale)."""
+    from ..functions.fixedpoint import idiv_long, with_ln_e9
+
     tf = (_tokens(docs, id_col, text_col)
           .groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).alias("tf")))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    df_t = with_ln_e9(df_t, "df", "_ldf9")
+    n_docs = with_ln_e9(docs.select(F.count(F.lit(1)).alias("_n")),
+                        "_n", "_ln9")
     scored = (tf.join(df_t, "token")
               .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "token", "tf", "df",
-                      # DECIMAL emission (r8 contract): ln is libm,
-                      # not correctly rounded — cast BEFORE the rank
-                      # window so the top-k cut is taken on the same
-                      # 4-dp grid in both engines.
-                      F.round(F.col("tf")
-                              * F.log(F.col("_n") / F.col("df")), 4)
-                      .cast("decimal(18,4)").alias("tfidf")))
+                      idiv_long(F.col("tf")
+                                * (F.col("_ln9") - F.col("_ldf9")),
+                                F.lit(1000)).alias("tfidf_e6")))
     w = (Window.partitionBy("doc_id")
-         .orderBy(F.col("tfidf").desc(), F.col("token").asc()))
+         .orderBy(F.col("tfidf_e6").desc(), F.col("token").asc()))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("rank"))
@@ -73,56 +79,103 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_int_constants(k1: float, b: float) -> tuple[int, int, int, int]:
+    """The four integer constants of the exactly-rational BM25 kernel.
+
+    With k1 = pn/pd and the mixture constants C1 = k1(1-b), C2 = k1*b
+    brought onto a common denominator Q (all via Fraction — exact for
+    any 'nice' k1/b), the per-term score
+
+        idf · tf(k1+1) / (tf + C1 + C2·dl·N/TL)        (avgdl = TL/N)
+
+    becomes idf · (A·tf·TL) / (B·tf·TL + C·TL + D·dl·N) over pure
+    integers. Defaults (1.2, 0.75) give (220, 100, 30, 90)."""
+    from fractions import Fraction
+    from math import lcm
+
+    k1f = Fraction(k1).limit_denominator(10 ** 6)
+    bf = Fraction(b).limit_denominator(10 ** 6)
+    c1, c2, p = k1f * (1 - bf), k1f * bf, k1f + 1
+    q = lcm(c1.denominator, c2.denominator)
+    a = p.numerator * q
+    return (a, p.denominator * q, p.denominator * int(c1 * q),
+            p.denominator * int(c2 * q))
+
+
+def _bm25_scored(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                 top_n: int, k1: float, b: float) -> DataFrame:
+    """Shared BM25 reduction over (doc_id, token, tf) postings, a
+    (doc_id, dl) length relation, and a one-row (n_docs, total_len)
+    stats relation — bm25_search and bm25_search_indexed both score
+    through here (pinned equal in tests).
+
+    Integer emission (r9 contract — the r8 DECIMAL snap of the libm-ln
+    idf sum still flipped in the driver build): Lucene idf
+    ln(1 + (N-df+0.5)/(df+0.5)) = ln(2N+2) - ln(2df+1) — both integer
+    arguments, both from the frozen lookup — and the tf normalization
+    is exactly rational once avgdl = TL/N is cleared (see
+    bm25_int_constants), so each contribution is ONE truncating
+    division trunc(idf_e6·A·tf·TL / (B·tf·TL + C·TL + D·dl·N)) and the
+    per-doc score_e6 is a BIGINT sum. DECIMAL(38,0) intermediates keep
+    the products exact far past int64 (idf_e6·A·tf·TL passes 9e18
+    around TL~3e6 at the defaults)."""
+    from ..functions.fixedpoint import idiv_long, with_ln_e9
+
+    a, bden, cden, dden = bm25_int_constants(k1, b)
+    stats = with_ln_e9(
+        stats.withColumn("_2n2", F.col("n_docs") * 2 + 2), "_2n2", "_ln9")
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_t = with_ln_e9(df_t.withColumn("_2df1", F.col("df") * 2 + 1),
+                      "_2df1", "_ldf9")
+    idf = (df_t.crossJoin(F.broadcast(stats))
+           .select("token", "n_docs", "total_len",
+                   idiv_long(F.col("_ln9") - F.col("_ldf9"), F.lit(1000))
+                   .alias("idf_e6")))
+    num = (F.col("idf_e6").cast("decimal(38,0)")
+           * F.lit(a) * F.col("tf") * F.col("total_len"))
+    den = (F.col("tf").cast("decimal(38,0)") * F.lit(bden)
+           * F.col("total_len")
+           + F.col("total_len").cast("decimal(38,0)") * F.lit(cden)
+           + F.col("dl").cast("decimal(38,0)") * F.lit(dden)
+           * F.col("n_docs"))
+    contrib = (tf.join(F.broadcast(idf), "token")
+               .join(dl, "doc_id")
+               .select("doc_id", idiv_long(num, den).alias("_c_e6")))
+    return (contrib.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
+                 F.sum("_c_e6").alias("score_e6"))
+            .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+            .limit(top_n))
+
+
 def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 20,
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
-    """BM25-ranked corpus search: (doc_id, n_matched, score) for the
+    """BM25-ranked corpus search: (doc_id, n_matched, score_e6) for the
     ``top_n`` documents best matching ``query_terms``.
 
     score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene
-    formulation (non-negative idf).
+    formulation (non-negative idf) — emitted in 1e-6 fixed point (the
+    engine-portable integer contract; see _bm25_scored).
 
     Plan: document length (dl) is a map-side expression; the token
     stream is filtered to the query's terms BEFORE aggregation so the
     shuffle carries only matching (doc, term) rows; df-per-term and the
-    single-row (N, avgdl) aggregate are broadcast; top_n is an
+    single-row (N, TL) aggregate are broadcast; top_n is an
     orderBy+limit (TakeOrdered). One corpus scan end to end."""
     terms = sorted({t.lower() for t in query_terms})
     dl = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.trim(F.lower(F.col(text_col))),
-                       r"\s+")).cast("double").alias("dl")))
-    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
+                       r"\s+")).cast("long").alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_len"))
     tf = (_tokens(docs, id_col, text_col)
           .filter(F.col("token").isin(terms))
           .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
-    df_t = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("df"))
-    idf = (df_t.crossJoin(F.broadcast(stats))
-           .select("token",
-                   F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-                         / (F.col("df") + 0.5)).alias("idf")))
-    contrib = (tf.join(F.broadcast(idf), "token")
-               .join(dl, "doc_id")
-               .crossJoin(F.broadcast(stats.select("avgdl")))
-               .select(
-                   "doc_id",
-                   (F.col("idf") * (F.col("tf") * (k1 + 1))
-                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
-                                           / F.col("avgdl"))))
-                   .alias("_c")))
-    return (contrib.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
-                 # DECIMAL emission: libm ln idf terms summed in
-                 # engine-specific order — snap to the grid before the
-                 # top-n ordering so the cut is identical.
-                 F.round(F.sum("_c"), 4).cast("decimal(14,4)")
-                 .alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(top_n))
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return _bm25_scored(tf, dl, stats, top_n, k1, b)
 
 
 def save_bm25_index(docs: DataFrame, path: str,
@@ -131,20 +184,23 @@ def save_bm25_index(docs: DataFrame, path: str,
     """Persist the BM25 serving artifact — tokenize ONCE at ingest,
     serve every query from postings (the Lucene topology, as a lake):
 
-      {path}/postings   (token, doc_id, tf) — the inverted index,
-                        repartitioned by token and sorted within
-                        partitions so a query-term filter prunes at
-                        the row-group level (min/max stats); corpus-
-                        sized, written distributed.
-      {path}/doclens    (doc_id, dl) — per-document length.
-      {path}/stats      one row (n_docs, avgdl).
+      {path}/postings   (token, doc_id, tf BIGINT) — the inverted
+                        index, repartitioned by token and sorted
+                        within partitions so a query-term filter
+                        prunes at the row-group level (min/max
+                        stats); corpus-sized, written distributed.
+      {path}/doclens    (doc_id, dl BIGINT) — per-document length.
+      {path}/stats      one row (n_docs, total_len) — all-integer so
+                        the serving path inherits the r9 emission
+                        contract (avgdl is the exact rational TL/N,
+                        cleared inside the scorer).
 
     At 100 TB the text is tokenized exactly once; a query touches only
     its terms' postings plus the doc-length join — corpus text never
     re-read."""
     tf = (_tokens(docs, id_col, text_col)
           .groupBy("doc_id", "token")
-          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf")))
     (tf.select("token", "doc_id", "tf")
      .repartition(F.col("token"))
      .sortWithinPartitions("token")
@@ -152,10 +208,10 @@ def save_bm25_index(docs: DataFrame, path: str,
     dl = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.trim(F.lower(F.col(text_col))),
-                       r"\s+")).cast("double").alias("dl")))
+                       r"\s+")).cast("long").alias("dl")))
     dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    (dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg("dl").alias("avgdl"))
+    (dl.agg(F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
 
 
@@ -163,8 +219,8 @@ def bm25_search_indexed(spark, path: str, query_terms: list[str],
                         top_n: int = 20, k1: float = BM25_K1,
                         b: float = BM25_B) -> DataFrame:
     """BM25 over a stored index (save_bm25_index): identical scoring,
-    identical DECIMAL emission and tie-breaks as bm25_search — pinned
-    equal in tests — but the only corpus-sized read is the query
+    identical integer score_e6 emission and tie-breaks as bm25_search —
+    pinned equal in tests — but the only corpus-sized read is the query
     terms' postings slice (token pushdown reaches the parquet scan)
     plus the doc-length join for matched docs."""
     terms = sorted({t.lower() for t in query_terms})
@@ -172,24 +228,4 @@ def bm25_search_indexed(spark, path: str, query_terms: list[str],
                 .filter(F.col("token").isin(terms)))
     dl = spark.read.parquet(f"{path}/doclens")
     stats = spark.read.parquet(f"{path}/stats")
-    df_t = postings.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("df"))
-    idf = (df_t.crossJoin(F.broadcast(stats))
-           .select("token",
-                   F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-                         / (F.col("df") + 0.5)).alias("idf")))
-    contrib = (postings.join(F.broadcast(idf), "token")
-               .join(dl, "doc_id")
-               .crossJoin(F.broadcast(stats.select("avgdl")))
-               .select(
-                   "doc_id",
-                   (F.col("idf") * (F.col("tf") * (k1 + 1))
-                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
-                                           / F.col("avgdl"))))
-                   .alias("_c")))
-    return (contrib.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"),
-                 F.round(F.sum("_c"), 4).cast("decimal(14,4)")
-                 .alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(top_n))
+    return _bm25_scored(postings, dl, stats, top_n, k1, b)

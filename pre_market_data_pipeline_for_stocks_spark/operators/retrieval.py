@@ -25,7 +25,7 @@ constant (tiny, like the IVF centroid model state); search is one scan
 from __future__ import annotations
 
 import hashlib
-import math
+
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -104,27 +104,40 @@ def retrieval_topk(chunk_emb: DataFrame, query_text: str, k: int = 10,
                    dims: int = HASH_EMBED_DIMS,
                    vec_col: str = "embedding") -> DataFrame:
     """Nearest chunks for a query string:
-    (doc_id, chunk_id, cosine) — cosine of the integer-exact hash
-    embeddings, ROUNDED to 4 dp for a deterministic cut, zero-norm
-    chunks excluded, ties by (doc_id, chunk_id). One scan +
-    TakeOrdered."""
+    (doc_id, chunk_id, cosine_e6) — cosine of the integer-exact hash
+    embeddings, floored to 1e-6 fixed point for a deterministic cut
+    (_cos_e6 contract), zero-norm chunks excluded, ties by
+    (doc_id, chunk_id). One scan + TakeOrdered."""
     qv = hash_embed_text(query_text, dims)
-    qnrm = math.sqrt(sum(x * x for x in qv))
-    if qnrm == 0:
+    qnrm2 = sum(x * x for x in qv)
+    if qnrm2 == 0:
         raise ValueError("query embeds to the zero vector")
     e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
-    dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)),
-              F.lit(0.0))
     nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
     return (chunk_emb
             .withColumn("_nrm2", nrm2)
             .filter(F.col("_nrm2") > 0)
             .select("doc_id", "chunk_id",
-                    F.round(dot / (F.sqrt(F.col("_nrm2")) * qnrm), 4)
-                    .alias("cosine"))
-            .orderBy(F.col("cosine").desc(), F.col("doc_id").asc(),
+                    _cos_e6(e, qv, qnrm2).alias("cosine_e6"))
+            .orderBy(F.col("cosine_e6").desc(), F.col("doc_id").asc(),
                      F.col("chunk_id").asc())
             .limit(k))
+
+
+def _cos_e6(e: list, qv: list[int], qnrm2: int):
+    """floor(1e6 * dot / sqrt(nrm2 * qnrm2)) with dot/norms exact
+    int64 and a PINNED float shape (multiply, then divide by one
+    sqrt): int->double casts, *, /, sqrt and floor are all IEEE-
+    correctly-rounded, so the emitted BIGINT is bit-identical on any
+    conforming build — the retrieval family's r9 emission contract
+    (det_canary_ieee monitors exactly this op set; the banned
+    primitives round(DOUBLE,k)/libm never appear). The caller's
+    expression in the DuckDB twin mirrors this shape token-for-token.
+    Requires a _nrm2 column in scope (> 0)."""
+    dot = sum((ej * qj for ej, qj in zip(e, qv)), F.lit(0).cast("long"))
+    den = (F.col("_nrm2") * F.lit(qnrm2)).cast("double")
+    return F.floor(dot.cast("double") * F.lit(1000000.0)
+                   / F.sqrt(den)).cast("long")
 
 
 def maxsim_topk(chunk_emb: DataFrame, query_terms: list[str],
@@ -142,36 +155,32 @@ def maxsim_topk(chunk_emb: DataFrame, query_terms: list[str],
     Execution: |terms| cosine columns over ONE chunk scan (the term
     vectors are driver-side constants, like the single-query path),
     then one per-doc aggregation taking the max of each and summing —
-    no join, no explode, shuffle carries (doc_id, |terms| doubles).
-    Per-chunk cosines round to 4 before the max (the deterministic-cut
-    convention); zero-norm chunks are excluded, zero-norm terms
-    rejected."""
+    no join, no explode, shuffle carries (doc_id, |terms| BIGINTs).
+    Per-chunk cosines floor to 1e-6 fixed point BEFORE the max (the
+    deterministic-cut convention, _cos_e6 contract), so the per-doc
+    total is an exact integer sum; zero-norm chunks are excluded,
+    zero-norm terms rejected."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     qvs = []
     for t in query_terms:
         qv = hash_embed_text(t, dims)
-        qn = math.sqrt(sum(x * x for x in qv))
-        if qn == 0:
+        qn2 = sum(x * x for x in qv)
+        if qn2 == 0:
             raise ValueError(f"term {t!r} embeds to the zero vector")
-        qvs.append((qv, qn))
+        qvs.append((qv, qn2))
     e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
     nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
     scored = chunk_emb.withColumn("_nrm2", nrm2).filter(F.col("_nrm2") > 0)
-    cos_cols = []
-    for i, (qv, qn) in enumerate(qvs):
-        dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)),
-                  F.lit(0.0))
-        cos_cols.append(
-            F.round(dot / (F.sqrt(F.col("_nrm2")) * qn), 4)
-            .alias(f"_c{i}"))
+    cos_cols = [_cos_e6(e, qv, qn2).alias(f"_c{i}")
+                for i, (qv, qn2) in enumerate(qvs)]
     scored = scored.select("doc_id", *cos_cols)
     maxes = [F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvs))]
     total = sum((F.col(f"_m{i}") for i in range(len(qvs))),
-                F.lit(0.0))
+                F.lit(0).cast("long"))
     return (scored.groupBy("doc_id").agg(*maxes)
-            .select("doc_id", F.round(total, 4).alias("maxsim"))
-            .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+            .select("doc_id", total.alias("maxsim_e6"))
+            .orderBy(F.col("maxsim_e6").desc(), F.col("doc_id").asc())
             .limit(k))
 
 
@@ -183,25 +192,23 @@ def retrieval_doc_scores(chunk_emb: DataFrame, query_text: str,
     step between chunk search (retrieval_topk) and rank fusion.
 
     Same integer-exact scoring as retrieval_topk (per-chunk cosine
-    rounded to 4 before the max, zero-norm chunks excluded); the
-    per-doc max is one partial-aggregated groupBy shuffling
-    (doc_id, double), then a TakeOrdered cut."""
+    floored to 1e-6 fixed point before the max — _cos_e6 contract,
+    zero-norm chunks excluded); the per-doc max is one partial-
+    aggregated groupBy shuffling (doc_id, BIGINT), then a TakeOrdered
+    cut."""
     qv = hash_embed_text(query_text, dims)
-    qnrm = math.sqrt(sum(x * x for x in qv))
-    if qnrm == 0:
+    qnrm2 = sum(x * x for x in qv)
+    if qnrm2 == 0:
         raise ValueError("query embeds to the zero vector")
     e = [F.element_at(F.col(vec_col), j + 1) for j in range(dims)]
-    dot = sum((ej * float(qv[j]) for j, ej in enumerate(e)), F.lit(0.0))
     nrm2 = sum((ej * ej for ej in e), F.lit(0).cast("long"))
     return (chunk_emb
             .withColumn("_nrm2", nrm2)
             .filter(F.col("_nrm2") > 0)
-            .select("doc_id",
-                    F.round(dot / (F.sqrt(F.col("_nrm2")) * qnrm), 4)
-                    .alias("_c"))
+            .select("doc_id", _cos_e6(e, qv, qnrm2).alias("_c"))
             .groupBy("doc_id")
-            .agg(F.max("_c").alias("dense"))
-            .orderBy(F.col("dense").desc(), F.col("doc_id").asc())
+            .agg(F.max("_c").alias("dense_e6"))
+            .orderBy(F.col("dense_e6").desc(), F.col("doc_id").asc())
             .limit(top_n))
 
 
@@ -225,15 +232,24 @@ def rrf_fuse(rankings: list[DataFrame], key_col: str = "doc_id",
         raise ValueError("rankings must be non-empty")
     ranked = []
     for lst in rankings:
-        w = Window.orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        # partitionBy(lit) pins the bounded-by-contract single
+        # partition EXPLICITLY (inputs are top-N cuts): same plan, no
+        # misleading 'No Partition Defined' warning in driver logs.
+        w = (Window.partitionBy(F.lit(0))
+             .orderBy(F.col(score_col).desc(), F.col(key_col).asc()))
         ranked.append(lst.select(
             key_col, F.row_number().over(w).alias("_r")))
     u = ranked[0]
     for r in ranked[1:]:
         u = u.unionByName(r)
+    # Integer emission (r9): rrf_e6 = Σ trunc(1e6/(k0 + rank)) — ranks
+    # and k0 are small positive ints, so each reciprocal is one exact
+    # truncating division and the fuse is a BIGINT sum.
+    from ..functions.fixedpoint import idiv_long
     return (u.groupBy(key_col)
-            .agg(F.round(F.sum(1.0 / (F.lit(k0) + F.col("_r"))), 6)
-                 .alias("rrf"),
+            .agg(F.sum(idiv_long(F.lit(10 ** 6),
+                                 F.lit(k0) + F.col("_r")))
+                 .cast("long").alias("rrf_e6"),
                  F.count(F.lit(1)).alias("n_lists"))
-            .orderBy(F.col("rrf").desc(), F.col(key_col).asc())
+            .orderBy(F.col("rrf_e6").desc(), F.col(key_col).asc())
             .limit(top_n))

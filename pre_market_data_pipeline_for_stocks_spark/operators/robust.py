@@ -95,8 +95,27 @@ def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
     join — each input is scanned once, shuffle currency is (bin,
     count). The monitoring pass an ML feature pipeline runs per
     deploy; pairs with snapshot_diff (row-level) and vocab_drift
-    (token-level) as the DISTRIBUTION-level drift check."""
+    (token-level) as the DISTRIBUTION-level drift check.
+
+    Emission contract (r9 — third rewrite; red in the r6/r7/r8 driver
+    windows because libm ``ln`` inside the summed term is build-
+    dependent): the hashed path is now pure integer math. Each share
+    is the exact rational max(count/total, 1/10000) — the eps floor is
+    the integer comparison count*10000 >= total — fixed-pointed as
+    p_e9 = trunc(pn*1e9/pd); each log comes from the frozen lookup
+    (functions/fixedpoint.py): ln(q/p) = ln(qn)+ln(pd)-ln(qd)-ln(pn)
+    in e9 units. Per-bin terms (q_e9 - p_e9) * lterm_e9 are exact
+    DECIMAL(38,0)/HUGEINT products summed order-independently; the
+    one closing division is offset by +1.0 psi so the truncation
+    operand stays nonnegative (per-bin PSI terms are >= 0
+    mathematically; table rounding can leave the total a few 1e-9
+    below zero). Output: (psi_e6 BIGINT, n_old, n_new, n_bins_hit).
+    ``eps`` must stay 1e-4: the floor's integer twin hard-codes the
+    1/10000 rational."""
+    from ..functions.fixedpoint import idiv_long, with_ln_e9
     from .sketches import _hist_bin
+
+    assert eps == 1e-4, "integer eps floor is pinned to 1/10000"
 
     def _binned(df, name):
         # the sketches family's clamped fixed-range binning — shared so
@@ -110,25 +129,51 @@ def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
     j = o.join(n, "_b", "full_outer").select(
         F.coalesce("n_old_b", F.lit(0)).alias("n_old_b"),
         F.coalesce("n_new_b", F.lit(0)).alias("n_new_b"))
-    tot = j.agg(F.sum("n_old_b").alias("t_old"),
-                F.sum("n_new_b").alias("t_new"),
-                F.count(F.lit(1)).alias("n_bins_hit"))
+    return psi_e6_from_bin_counts(j, with_bins_hit=True)
+
+
+def psi_e6_from_bin_counts(j: DataFrame,
+                           with_bins_hit: bool = False) -> DataFrame:
+    """The shared integer-exact PSI reduction over a (n_old_b, n_new_b)
+    per-bin relation — psi_drift and sketches.psi_from_hists both score
+    through here, so their unit-pinned equality can never drift.
+    Contract documented in psi_drift."""
+    from ..functions.fixedpoint import idiv_long, with_ln_e9
+
+    aggs = [F.sum("n_old_b").alias("t_old"),
+            F.sum("n_new_b").alias("t_new")]
+    if with_bins_hit:
+        aggs.append(F.count(F.lit(1)).alias("n_bins_hit"))
+    tot = j.agg(*aggs)
     scored = j.crossJoin(F.broadcast(tot)).select(
-        "n_old_b", "n_new_b", "t_old", "t_new", "n_bins_hit",
-        F.greatest(F.col("n_old_b") / F.col("t_old"), F.lit(eps))
-        .alias("p"),
-        F.greatest(F.col("n_new_b") / F.col("t_new"), F.lit(eps))
-        .alias("q"))
-    # DECIMAL emission: libm ln is not correctly-rounded and differs
-    # between the JVM and other engines' builds, so round(sum, 6) as
-    # DOUBLE can hash apart even when value-identical at 9 dp. The
-    # decimal cast snaps both engines to the same 6-dp grid point.
-    return (scored.groupBy("t_old", "t_new", "n_bins_hit")
-            .agg(F.round(F.sum((F.col("q") - F.col("p"))
-                               * F.log(F.col("q") / F.col("p"))), 6)
-                 .cast("decimal(20,6)").alias("psi"))
-            .select("psi", F.col("t_old").alias("n_old"),
-                    F.col("t_new").alias("n_new"), "n_bins_hit"))
+        "t_old", "t_new",
+        *(["n_bins_hit"] if with_bins_hit else []),
+        F.when(F.col("n_old_b") * 10000 >= F.col("t_old"),
+               F.col("n_old_b")).otherwise(F.lit(1)).alias("pn"),
+        F.when(F.col("n_old_b") * 10000 >= F.col("t_old"),
+               F.col("t_old")).otherwise(F.lit(10000)).alias("pd"),
+        F.when(F.col("n_new_b") * 10000 >= F.col("t_new"),
+               F.col("n_new_b")).otherwise(F.lit(1)).alias("qn"),
+        F.when(F.col("n_new_b") * 10000 >= F.col("t_new"),
+               F.col("t_new")).otherwise(F.lit(10000)).alias("qd"))
+    for col in ("pn", "pd", "qn", "qd"):
+        scored = with_ln_e9(scored, col, f"_l_{col}")
+    p_e9 = idiv_long(F.col("pn").cast("decimal(38,0)") * F.lit(10 ** 9),
+                     F.col("pd"))
+    q_e9 = idiv_long(F.col("qn").cast("decimal(38,0)") * F.lit(10 ** 9),
+                     F.col("qd"))
+    lterm_e9 = (F.col("_l_qn") - F.col("_l_qd")
+                - F.col("_l_pn") + F.col("_l_pd"))
+    term = ((q_e9 - p_e9).cast("decimal(38,0)")
+            * lterm_e9.cast("decimal(38,0)"))
+    group = ["t_old", "t_new"] + (["n_bins_hit"] if with_bins_hit else [])
+    agg = scored.groupBy(*group).agg(F.sum(term).alias("_t18"))  # 1e18
+    psi_e6 = (idiv_long(F.col("_t18") + F.lit(10 ** 18).cast("decimal(38,0)"),
+                        F.lit(10 ** 12)) - F.lit(10 ** 6))
+    return agg.select(psi_e6.alias("psi_e6"),
+                      F.col("t_old").alias("n_old"),
+                      F.col("t_new").alias("n_new"),
+                      *(["n_bins_hit"] if with_bins_hit else []))
 
 
 def ranked_auc(scored: DataFrame, score_col: str,

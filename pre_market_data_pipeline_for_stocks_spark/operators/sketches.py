@@ -269,23 +269,18 @@ def psi_from_hists(old_hist: DataFrame, new_hist: DataFrame,
                    hist_col: str = "hist") -> DataFrame:
     """Population Stability Index computed FROM STORED SKETCHES: two
     single-row histogram states (hist_partials/hist_merge output) in,
-    one row (psi, n_old, n_new) out — the raw data is never rescanned,
-    so a drift gate can compare today's ingest against any archived
-    day's sketch at sketch cost. Same binning/eps/round contract as
-    robust.psi_drift (equality unit-pinned)."""
+    one row (psi_e6, n_old, n_new) out — the raw data is never
+    rescanned, so a drift gate can compare today's ingest against any
+    archived day's sketch at sketch cost. Scores through the SAME
+    integer-exact reduction as robust.psi_drift
+    (robust.psi_e6_from_bin_counts — equality unit-pinned), so the
+    sketch path inherits the r9 engine-portable emission contract."""
+    from .robust import psi_e6_from_bin_counts
+
+    assert eps == 1e-4, "integer eps floor is pinned to 1/10000"
     o = old_hist.select(F.posexplode(F.col(hist_col)).alias("_p", "_o"))
     n = new_hist.select(F.posexplode(F.col(hist_col)).alias("_p", "_n"))
     j = o.join(n, "_p", "full_outer").select(
-        F.coalesce("_o", F.lit(0)).alias("_o"),
-        F.coalesce("_n", F.lit(0)).alias("_n"))
-    tot = j.agg(F.sum("_o").alias("t_old"), F.sum("_n").alias("t_new"))
-    scored = j.crossJoin(F.broadcast(tot)).select(
-        "t_old", "t_new",
-        F.greatest(F.col("_o") / F.col("t_old"), F.lit(eps)).alias("p"),
-        F.greatest(F.col("_n") / F.col("t_new"), F.lit(eps)).alias("q"))
-    return (scored.groupBy("t_old", "t_new")
-            .agg(F.round(F.sum((F.col("q") - F.col("p"))
-                               * F.log(F.col("q") / F.col("p"))), 6)
-                 .cast("decimal(20,6)").alias("psi"))
-            .select("psi", F.col("t_old").alias("n_old"),
-                    F.col("t_new").alias("n_new")))
+        F.coalesce("_o", F.lit(0)).alias("n_old_b"),
+        F.coalesce("_n", F.lit(0)).alias("n_new_b"))
+    return psi_e6_from_bin_counts(j)

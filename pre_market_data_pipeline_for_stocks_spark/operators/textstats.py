@@ -150,18 +150,26 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
                       F.explode(F.split(F.col(text_col), "")).alias("ch"))
           .filter(F.col("ch") != ""))
     counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy("doc_id")
-        .agg(F.sum("c").alias("n_chars"),
-             F.sum(F.col("c") * F.log2("c")).alias("_sl"))
-        .select("doc_id", "n_chars",
-                # DECIMAL emission (r8 contract): log2 is libm (not
-                # correctly rounded, build-dependent) and _sl is an
-                # order-dependent double sum — snap both engines to
-                # the 4-dp grid instead of emitting a rounded DOUBLE.
-                F.round(F.log2("n_chars") - F.col("_sl") / F.col("n_chars"),
-                        4).cast("decimal(10,4)").alias("char_entropy"))
-    )
+    # Integer emission (r9 contract — the r8 DECIMAL snap of the libm
+    # log2 sum still flipped in the driver build): per-(doc, char)
+    # log2(c) comes from the frozen lookup, the per-doc reduction is a
+    # BIGINT sum (order-independent), and the identity
+    #   H*n = n*log2(n) - sum_c c*log2(c)
+    # closes with ONE truncating division: char_entropy_e6 =
+    # trunc((n*L2_e6(n) - sum c*L2_e6(c)) / n) — nonneg by concavity
+    # and table monotonicity. c*log2_e9 <= ~2e13 per char, summed as
+    # BIGINT; magnitudes are per-document, scale-independent.
+    from ..functions.fixedpoint import idiv_long, with_log2_e9
+    counts = with_log2_e9(counts, "c", "_l2c")
+    per_doc = (counts.groupBy("doc_id")
+               .agg(F.sum("c").alias("n_chars"),
+                    F.sum(F.col("c") * F.col("_l2c")).alias("_sl9")))
+    per_doc = with_log2_e9(per_doc, "n_chars", "_l2n")
+    h_num_e9 = (F.col("n_chars") * F.col("_l2n") - F.col("_sl9"))
+    return per_doc.select(
+        "doc_id", "n_chars",
+        idiv_long(h_num_e9, F.col("n_chars") * F.lit(1000))
+        .alias("char_entropy_e6"))
 
 
 def normalize_text(text):
@@ -430,8 +438,8 @@ def _unigram_model(model_docs: DataFrame, id_col: str,
     construction, no drift."""
     counts = (_per_doc_token_counts(model_docs, id_col, text_col)
               .groupBy("token").agg(F.sum("n_dt").alias("c_t")))
-    totals = counts.agg(F.sum("c_t").cast("double").alias("_T"),
-                        F.count(F.lit(1)).cast("double").alias("_V"))
+    totals = counts.agg(F.sum("c_t").alias("_T"),
+                        F.count(F.lit(1)).alias("_V"))
     return counts, totals
 
 
@@ -461,31 +469,34 @@ def unigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
     def _per_doc(src: DataFrame) -> DataFrame:
         return _per_doc_token_counts(src, id_col, text_col)
 
+    # Integer emission (r9 contract): ln((c_t+1)/(T+V)) = ln_e9(c_t+1)
+    # - ln_e9(T+V) from the frozen lookup — an int64 per token, NO
+    # division — so the per-doc reduction is a BIGINT sum and the mean
+    # closes with one truncating division on a nonneg operand (every
+    # lp is <= 0, so the sum is negated first). ppl = exp(-mean) is
+    # gone from the emission (libm exp); it is derivable downstream.
+    from ..functions.fixedpoint import idiv_long, with_ln_e9
+
     counts, totals = _unigram_model(model_docs, id_col, text_col)
-    probs = (counts.crossJoin(F.broadcast(totals))
-             .select("token",
-                     F.log((F.col("c_t") + 1.0)
-                           / (F.col("_T") + F.col("_V"))).alias("lp")))
+    totals = with_ln_e9(
+        totals.withColumn("_tv", F.col("_T") + F.col("_V")), "_tv", "_ltv9")
+    probs = with_ln_e9(counts.withColumn("_c1", F.col("c_t") + 1),
+                       "_c1", "_lc9").select("token", "_lc9")
     # LEFT join: tokens absent from the model vocabulary score the
-    # unseen-mass probability 1/(T+V) instead of silently dropping.
+    # unseen-mass probability 1/(T+V) instead of silently dropping
+    # (ln_e9(1) = 0 -> the coalesce default).
     scored = (_per_doc(docs).join(probs, "token", "left")
               .crossJoin(F.broadcast(totals))
-              .withColumn("lp", F.coalesce(
-                  F.col("lp"),
-                  F.log(1.0 / (F.col("_T") + F.col("_V"))))))
+              .withColumn("_neglp9",
+                          F.col("_ltv9")
+                          - F.coalesce(F.col("_lc9"), F.lit(0))))
     return (scored.groupBy("doc_id")
             .agg(F.sum("n_dt").cast("long").alias("n_tokens"),
-                 (F.sum(F.col("n_dt") * F.col("lp"))
-                  / F.sum("n_dt")).alias("_m"))
+                 F.sum(F.col("n_dt") * F.col("_neglp9")).alias("_s9"))
             .select("doc_id", "n_tokens",
-                    # DECIMAL emission (r8 contract): every lp term is
-                    # a libm ln and the per-doc mean is an order-
-                    # dependent double sum — the exact class that
-                    # hash-flipped psi in r7.
-                    F.round(F.col("_m"), 4).cast("decimal(12,4)")
-                    .alias("mean_logprob"),
-                    F.round(F.exp(-F.col("_m")), 4).cast("decimal(18,4)")
-                    .alias("ppl")))
+                    (-idiv_long(F.col("_s9"),
+                                F.col("n_tokens") * F.lit(1000)))
+                    .alias("mean_logprob_e6")))
 
 
 def bpe_pair_counts(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
@@ -667,35 +678,46 @@ def bigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
             .groupBy("doc_id", "w1", "w2")
             .agg(F.count(F.lit(1)).alias("n_dp")))
 
+    # Integer emission (r9 contract, same construction as
+    # unigram_logprob): seen bigrams score ln_e9(c12) - ln_e9(ch),
+    # unseen take LN04_E9 + ln_e9(cu+1) - ln_e9(T+V) — all lookups,
+    # all int64, backoff pinned to the 0.4 the frozen constant
+    # encodes. Every lp <= 0, so the mean closes with one negated
+    # truncating division; ppl (libm exp) left the emission.
+    from ..functions.fixedpoint import LN04_E9, idiv_long, with_ln_e9
+
+    assert backoff == 0.4, "integer backoff constant is pinned to 0.4"
     mbp = (_pair_counts_per_doc(model_docs)
            .groupBy("w1", "w2").agg(F.sum("n_dp").alias("c12")))
+    mbp = with_ln_e9(mbp, "c12", "_lc12")
     mh = mbp.groupBy("w1").agg(F.sum("c12").alias("ch"))
+    mh = with_ln_e9(mh, "ch", "_lch")
     # the backoff distribution IS unigram_logprob's model (shared
     # construction — the add-one formula cannot drift between rungs)
     ucounts, totals = _unigram_model(model_docs, id_col, text_col)
-    mu = ucounts.select(F.col("token").alias("w2"),
-                        F.col("c_t").alias("cu"))
+    totals = with_ln_e9(
+        totals.withColumn("_tv", F.col("_T") + F.col("_V")), "_tv", "_ltv9")
+    mu = with_ln_e9(ucounts.withColumn("_c1", F.col("c_t") + 1),
+                    "_c1", "_lcu9").select(
+        F.col("token").alias("w2"), F.col("_lcu9"))
 
-    lp = F.when(
+    neglp9 = F.when(
         F.col("c12").isNotNull(),
-        F.log(F.col("c12") / F.col("ch"))
+        F.col("_lch") - F.col("_lc12")
     ).otherwise(
-        F.log(F.lit(float(backoff)))
-        + F.log((F.coalesce(F.col("cu"), F.lit(0)) + 1.0)
-                / (F.col("_T") + F.col("_V"))))
+        F.lit(-LN04_E9) + F.col("_ltv9")
+        - F.coalesce(F.col("_lcu9"), F.lit(0)))
     scored = (_pair_counts_per_doc(docs)
               .join(mbp, ["w1", "w2"], "left")
               .join(mh, "w1", "left")
               .join(mu, "w2", "left")
               .crossJoin(F.broadcast(totals))
-              .withColumn("_lp", lp))
-    mean = F.sum(F.col("n_dp") * F.col("_lp")) / F.sum("n_dp")
+              .withColumn("_neglp9", neglp9))
     return (scored.groupBy("doc_id")
             .agg(F.sum("n_dp").cast("long").alias("n_bigrams"),
-                 # DECIMAL emission: same libm-over-aggregate class as
-                 # the unigram scorer above.
-                 F.round(mean, 4).cast("decimal(12,4)")
-                 .alias("mean_logprob"),
-                 F.round(F.exp(-mean), 4).cast("decimal(18,4)")
-                 .alias("ppl"))
+                 F.sum(F.col("n_dp") * F.col("_neglp9")).alias("_s9"))
+            .select("doc_id", "n_bigrams",
+                    (-idiv_long(F.col("_s9"),
+                                F.col("n_bigrams") * F.lit(1000)))
+                    .alias("mean_logprob_e6"))
             .orderBy("doc_id"))

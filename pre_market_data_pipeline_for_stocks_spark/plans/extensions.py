@@ -1310,11 +1310,11 @@ def retrieval_rrf_hybrid(spark, sf_dir):
     from ..operators import retrieval
     docs = _docs(spark, sf_dir)
     lex = (relevance.bm25_search(docs, BM25_QUERY, RRF_POOL)
-           .select("doc_id", F.col("score").alias("_score")))
+           .select("doc_id", F.col("score_e6").alias("_score")))
     chunks = textstats.chunk_documents(docs, CHUNK_SIZE, CHUNK_OVERLAP)
     den = (retrieval.retrieval_doc_scores(retrieval.hash_embed(chunks),
                                           " ".join(BM25_QUERY), RRF_POOL)
-           .select("doc_id", F.col("dense").alias("_score")))
+           .select("doc_id", F.col("dense_e6").alias("_score")))
     return retrieval.rrf_fuse([lex, den], k0=RRF_K0, top_n=RRF_TOPK)
 
 

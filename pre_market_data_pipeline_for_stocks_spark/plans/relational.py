@@ -453,25 +453,32 @@ def events_zscore_anomalies(spark: SparkSession,
     oracle-checked batch anchor (the streaming side carries Welford
     accumulators in GroupState and is unit-pinned against replay).
 
-    Numerical contract (the r6 cross-engine lesson): mu/sd come from
-    EXACT integer-scaled sums, not floating avg/stddev window
-    aggregates. ``avg``/``stddev_samp`` accumulate doubles in
-    engine-specific order, and the r6 driver showed the resulting ulp
-    drift can flip round(z, 3) at a half-even boundary even when the
-    same code agrees locally. Quantizing value to integer cents
-    (round(value*100) — deterministic: the synthetic values are
-    2-dp-ish doubles never near a .5 cent boundary) and summing c and
-    c*c exactly makes n/s/ss identical integers in ANY engine; the
-    closing float ops (int->double casts, two divisions, sqrt — z is
-    scale-invariant so the x100 cancels) are each correctly-rounded
-    IEEE on identical inputs, so z is bit-identical cross-engine and
-    round(z, 3) can never disagree. decimal(38,0) for s*s / n*ss keeps
-    the products exact far past bigint range (per-key sums of c^2
-    overflow int64 around 1e9 rows x $1e4 values — real at 100 TB)."""
+    Numerical contract (r9 — the zscore emission's THIRD rewrite, and
+    the first with zero doubles in the hashed path): the r6 fix made
+    n/s/ss exact integer-cent sums but still emitted round(z, 3) of a
+    double built from divisions + sqrt; the r8 DECIMAL snap still
+    rounded that double. Both survived locally and flipped in the
+    driver's engine builds (r6/r7/r8 red). This version never leaves
+    integer arithmetic: with num = c*n - s and
+    den = n*(n*ss - s^2) (both exact DECIMAL(38,0)/HUGEINT),
+
+        z^2 = num^2 * (n-1) / den
+
+    so the emission is ``z2_e6`` = trunc(1e6 * num^2 * (n-1) / den)
+    plus ``z_sign`` = sign(num) — sign(z2_e6) * sqrt-monotone, so it
+    carries the same ordering/threshold information as z — and the
+    anomaly flag |z| > 3 becomes the EXACT integer comparison
+    num^2*(n-1) > 9*den. ``value`` is emitted as integer cents.
+    Overflow headroom: num^2*(n-1)*1e6 stays under 10^34 out to 1e6
+    events/user at $500 values — inside DECIMAL(38,0)/HUGEINT, with
+    ANSI mode making any breach loud."""
+    from ..functions.fixedpoint import idiv_long
     (events,) = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    c = F.round(F.col("value") * 100).cast("long")
+    # floor(x*100 + 0.5): round-half-up cents without round(DOUBLE)
+    # (engine round-at-half policies differ — det_canary_round_half).
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     df = (events
           .withColumn("_c", c)
           .withColumn("_n", F.count(F.lit(1)).over(w))
@@ -481,30 +488,22 @@ def events_zscore_anomalies(spark: SparkSession,
                                    .cast("decimal(38,0)")).over(w))
           .filter(F.col("_n") >= 5))
     nd = F.col("_n").cast("decimal(38,0)")
-    var_num = nd * F.col("_ss") - F.col("_s") * F.col("_s")  # exact int
-    df = (df.withColumn("_var", var_num.cast("double")
-                        / (F.col("_n") * (F.col("_n") - 1))
-                        .cast("double"))
-          .filter(F.col("_var") > 0)
-          .withColumn("_mu", F.col("_s").cast("double")
-                      / F.col("_n").cast("double"))
-          .withColumn("_z", (F.col("_c").cast("double") - F.col("_mu"))
-                      / F.sqrt(F.col("_var"))))
-    # Emission contract (r7 driver lesson): a rounded DOUBLE is not a
-    # stable hash key across engine builds — signed zero and the
-    # nearest-double representation of the k-dp decimal both vary.
-    # Casting round(x, k) to DECIMAL snaps BOTH engines to the exact
-    # k-dp grid point (the nearest-double of k/10^k is well within the
-    # cast's half-ulp tolerance), so ulp-level disagreement in the
-    # rounded double can no longer reach the emitted bytes.
-    return (df.select("event_id", "user_id",
-                      F.round("value", 2).cast("decimal(18,2)")
-                      .alias("value"),
-                      F.round("_z", 3).cast("decimal(20,3)")
-                      .alias("zscore"),
-                      F.when(F.abs(F.col("_z")) > 3, "anomaly")
-                      .otherwise("normal").alias("flag"))
-            .orderBy("event_id"))
+    cd = F.col("_c").cast("decimal(38,0)")
+    num = cd * nd - F.col("_s")
+    den = nd * (nd * F.col("_ss") - F.col("_s") * F.col("_s"))
+    df = (df.withColumn("_num", num)
+          .withColumn("_den", den)
+          .filter(F.col("_den") > 0))
+    z2num = F.col("_num") * F.col("_num") * (nd - 1)
+    return (df.select(
+        "event_id", "user_id",
+        F.col("_c").alias("value_cents"),
+        idiv_long(z2num * F.lit(1000000), F.col("_den")).alias("z2_e6"),
+        F.when(F.col("_num") > 0, 1).when(F.col("_num") < 0, -1)
+        .otherwise(0).alias("z_sign"),
+        F.when(z2num > F.lit(9) * F.col("_den"), "anomaly")
+        .otherwise("normal").alias("flag"))
+        .orderBy("event_id"))
 
 
 def events_transition_matrix(spark: SparkSession,

@@ -69,7 +69,7 @@ def test_psi_zero_for_identical_distributions(spark):
     df = spark.createDataFrame([(float(v),) for v in range(100)],
                                "v double")
     r = psi_drift(df, df, "v", 0.0, 100.0, 10).collect()[0]
-    assert r["psi"] == 0.0 and r["n_old"] == r["n_new"] == 100
+    assert r["psi_e6"] == 0 and r["n_old"] == r["n_new"] == 100
 
 
 def test_psi_grows_with_shift(spark):
@@ -82,10 +82,11 @@ def test_psi_grows_with_shift(spark):
                                   "v double")
     big = spark.createDataFrame([(float(v) + 50,) for v in range(100)],
                                 "v double")
-    p_small = psi_drift(base, small, "v", 0.0, 100.0, 10).collect()[0]["psi"]
-    p_big = psi_drift(base, big, "v", 0.0, 100.0, 10).collect()[0]["psi"]
+    p_small = psi_drift(base, small, "v",
+                        0.0, 100.0, 10).collect()[0]["psi_e6"]
+    p_big = psi_drift(base, big, "v", 0.0, 100.0, 10).collect()[0]["psi_e6"]
     assert 0 < p_small < p_big
-    assert p_big > 0.25          # a half-range shift reads as "shifted"
+    assert p_big > 250000        # a half-range shift reads as "shifted"
 
 
 def test_auc_perfect_and_random_and_ties(spark):

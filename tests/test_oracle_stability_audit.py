@@ -195,12 +195,15 @@ def test_zscore_oracle_uses_exact_integer_sums():
     assert "stddev" not in sql and "avg(" not in sql
 
 
-def test_r7_red_rows_emit_decimal():
-    """The two r7 hash-red emissions stay DECIMAL-typed in BOTH
-    engines (fix-menu b): zscore's value/zscore columns and psi's psi
-    column must never regress to rounded-DOUBLE output."""
+def test_r8_red_rows_emit_pure_integers():
+    """The three-rounds-red zscore/psi emissions must stay PURE INTEGER
+    in BOTH engines (the r9 contract — fix-menu a taken all the way):
+    no round(), no sqrt, no ln/exp anywhere in the hashed path; psi's
+    logs come from the frozen lookup table."""
     z = REGISTRY["events_zscore_anomalies"].oracle.lower()
-    assert "as decimal(18,2)) as value" in z
-    assert "as decimal(20,3)) as zscore" in z
+    assert "z2_e6" in z and "z_sign" in z and "value_cents" in z
+    assert "round(" not in z.replace("floor(value * 100 + 0.5)", "")
+    assert "sqrt" not in z
     p = REGISTRY["events_value_psi_drift"].oracle.lower()
-    assert "as decimal(20,6)) as psi" in p
+    assert "psi_e6" in p and "log_lookup.parquet" in p
+    assert "ln(" not in p and "round(" not in p

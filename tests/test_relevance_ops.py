@@ -29,14 +29,13 @@ def tiny_docs(spark):
 def test_tfidf_hand_computed(tiny_docs):
     out = {(r.doc_id, r.token): r for r in
            relevance.tfidf_topk_terms(tiny_docs, k=10).collect()}
-    # "rare": tf=2 in doc 3, df=1, N=4 -> 2 * ln(4) rounded to 4
+    # "rare": tf=2 in doc 3, df=1, N=4 -> 2*(ln_e9(4) - ln_e9(1))//1000
+    # with the frozen-lookup logs (the r9 integer emission contract).
     r = out[(3, "rare")]
     assert r.tf == 2 and r.df == 1
-    # tfidf is DECIMAL since the r8 emission contract — compare as
-    # float on the 4-dp grid.
-    assert float(r.tfidf) == round(2 * math.log(4), 4)
+    assert r.tfidf_e6 == (2 * round(math.log(4) * 1e9)) // 1000
     # "the" has df=N -> tfidf 0 in every doc
-    assert float(out[(0, "the")].tfidf) == 0.0
+    assert out[(0, "the")].tfidf_e6 == 0
 
 
 def test_tfidf_topk_cut_is_deterministic(tiny_docs):
@@ -52,9 +51,9 @@ def test_bm25_ranks_term_rich_doc_first(tiny_docs):
     out = relevance.bm25_search(tiny_docs, ["rare", "cat"], top_n=10).collect()
     assert out[0].doc_id == 3                 # two "rare" hits, rarest term
     assert {r.doc_id for r in out} == {0, 1, 3}   # dog doc matches nothing
-    assert all(r.score > 0 for r in out)
+    assert all(r.score_e6 > 0 for r in out)
     # doc 0 and 1 both have one "cat"; shorter doc 0 scores higher (b>0)
-    d = {r.doc_id: r.score for r in out}
+    d = {r.doc_id: r.score_e6 for r in out}
     assert d[0] > d[1]
 
 
@@ -62,7 +61,7 @@ def test_bm25_idf_is_nonnegative(tiny_docs):
     # "the" appears in every doc -> Lucene idf ln(1 + 0.5/(N+0.5)) > 0,
     # classic idf would be <= 0. Scores must stay positive.
     out = relevance.bm25_search(tiny_docs, ["the"], top_n=10).collect()
-    assert len(out) == 4 and all(r.score > 0 for r in out)
+    assert len(out) == 4 and all(r.score_e6 > 0 for r in out)
 
 
 def test_tfidf_plan_windows_per_doc_and_prunes(spark, sf_dir):
@@ -90,7 +89,7 @@ def test_bm25_plan_broadcasts_stats_and_prunes_terms(spark, sf_dir):
 
 def test_bm25_indexed_equals_inline(spark, sf_dir, tmp_path):
     """The stored-index search must return EXACTLY the inline result
-    (same scoring, same DECIMAL grid, same tie-breaks) — the
+    (same scoring, same integer score_e6 grid, same tie-breaks) — the
     tokenize-once/serve-many artifact contract — and the query-term
     filter must reach the postings parquet scan as a pushed filter."""
     from pre_market_data_pipeline_for_stocks_spark.sources.offline import (

@@ -24,8 +24,9 @@ def test_retrieval_topk_self_match_is_perfect(spark):
         ["doc_id", "chunk_id", "chunk_text"])
     emb = retrieval.hash_embed(chunks)
     out = retrieval.retrieval_topk(emb, "scan merge window", k=5).collect()
-    # identical chunk -> cosine 1.0 and ranked first
-    assert out[0].doc_id == 0 and out[0].cosine == 1.0
+    # identical chunk -> cosine exactly 1.0 -> 1e6 in fixed point
+    # (sqrt of the perfect-square denominator is exact), ranked first
+    assert out[0].doc_id == 0 and out[0].cosine_e6 == 1000000
     # zero-vector (whitespace) chunk excluded entirely
     assert all(r.doc_id != 2 for r in out)
 
@@ -67,11 +68,11 @@ def test_maxsim_beats_pooled_on_split_terms(spark):
          (2, 0, "merge merge merge"), (2, 1, "other words here")],
         "doc_id long, chunk_id int, chunk_text string")
     emb = hash_embed(chunks)
-    out = {r["doc_id"]: r["maxsim"]
+    out = {r["doc_id"]: r["maxsim_e6"]
            for r in maxsim_topk(emb, ["merge", "window"], k=10).collect()}
     assert out[1] > out[2]
-    # doc 1 nails both terms exactly: maxsim == 2.0 (1.0 + 1.0)
-    assert abs(out[1] - 2.0) < 1e-9
+    # doc 1 nails both terms exactly: maxsim == 2.0 -> 2e6 fixed point
+    assert out[1] == 2000000
 
 
 def test_maxsim_rejects_empty_and_zero_queries(spark):
@@ -114,10 +115,10 @@ def test_rrf_fuse_math_and_partial_membership(spark):
     out = {r["doc_id"]: r for r in
            rrf_fuse([lex, den], k0=60, top_n=10).collect()}
     # doc 2: rank 2 lexically, rank 1 densely
-    assert abs(out[2]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[2]["rrf_e6"] == 1000000 // 62 + 1000000 // 61
     assert out[2]["n_lists"] == 2
     # doc 4 only in the dense list at rank 2
-    assert abs(out[4]["rrf"] - round(1 / 62, 6)) < 1e-9
+    assert out[4]["rrf_e6"] == 1000000 // 62
     assert out[4]["n_lists"] == 1
     # fusion puts the doubly-ranked doc first
     top = rrf_fuse([lex, den], k0=60, top_n=10).collect()[0]
@@ -132,7 +133,7 @@ def test_rrf_fuse_tie_ranks_by_key(spark):
         [(7, 1.0), (3, 1.0)], "doc_id int, _score double")
     out = rrf_fuse([lst], k0=60, top_n=2).collect()
     # equal scores -> lower doc_id takes rank 1
-    assert out[0]["doc_id"] == 3 and abs(out[0]["rrf"] - round(1 / 61, 6)) < 1e-9
+    assert out[0]["doc_id"] == 3 and out[0]["rrf_e6"] == 1000000 // 61
 
 
 def test_retrieval_doc_scores_pools_best_chunk(spark):
@@ -146,12 +147,12 @@ def test_retrieval_doc_scores_pools_best_chunk(spark):
          (2, 0, "scan scan scan")],
         "doc_id int, chunk_id int, chunk_text string")
     emb = hash_embed(chunks)
-    per_chunk = {(r["doc_id"], r["chunk_id"]): r["cosine"]
+    per_chunk = {(r["doc_id"], r["chunk_id"]): r["cosine_e6"]
                  for r in retrieval_topk(emb, "merge scan window",
                                          k=10).collect()}
-    docs = {r["doc_id"]: r["dense"]
+    docs = {r["doc_id"]: r["dense_e6"]
             for r in retrieval_doc_scores(emb, "merge scan window",
                                           top_n=10).collect()}
     for d in (1, 2):
         best = max(v for (doc, _), v in per_chunk.items() if doc == d)
-        assert abs(docs[d] - best) < 1e-9
+        assert docs[d] == best

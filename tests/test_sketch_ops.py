@@ -229,7 +229,7 @@ def test_psi_from_hists_equals_raw_psi(spark):
     sk = SK.psi_from_hists(
         SK.hist_partials(old, [], "v", 0.0, 100.0, 10),
         SK.hist_partials(new, [], "v", 0.0, 100.0, 10)).collect()[0]
-    assert sk["psi"] == raw["psi"]
+    assert sk["psi_e6"] == raw["psi_e6"]
     assert (sk["n_old"], sk["n_new"]) == (raw["n_old"], raw["n_new"])
 
 

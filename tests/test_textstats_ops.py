@@ -201,13 +201,13 @@ def test_unigram_logprob_hand_computed(spark):
         [(0, "a a b"), (1, "b")], ["doc_id", "text"])
     # model: c(a)=2, c(b)=2, T=4, V=2 -> p(a)=p(b)=3/6=0.5
     out = {r.doc_id: r for r in textstats.unigram_logprob(docs).collect()}
-    lp = math.log(0.5)
     assert out[0].n_tokens == 3
-    # mean_logprob/ppl are DECIMAL since the r8 emission contract —
-    # compare as float on the 4-dp grid.
-    assert float(out[0].mean_logprob) == round(lp, 4)
-    assert float(out[0].ppl) == round(math.exp(-lp), 4) == 2.0
-    assert out[1].n_tokens == 1 and float(out[1].ppl) == 2.0
+    # r9 integer emission: every lp is a frozen-lookup difference
+    # (L(c_t+1) - L(T+V) at 1e9), the mean one truncating division.
+    L = lambda k: round(math.log(k) * 1e9)  # noqa: E731 (== the table)
+    expected = -((L(6) - L(3)) // 1000)     # ln(3/6) = ln(0.5)
+    assert out[0].mean_logprob_e6 == expected
+    assert out[1].n_tokens == 1 and out[1].mean_logprob_e6 == expected
 
 
 def test_unigram_logprob_unseen_token_uses_smoothing_mass(spark):
@@ -217,8 +217,8 @@ def test_unigram_logprob_unseen_token_uses_smoothing_mass(spark):
     model = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
     target = spark.createDataFrame([(7, "zz")], ["doc_id", "text"])
     out = textstats.unigram_logprob(target, model_docs=model).collect()
-    # T=3, V=1 -> unseen p = 1/(3+1)
-    assert float(out[0].mean_logprob) == round(math.log(0.25), 4)
+    # T=3, V=1 -> unseen p = 1/(3+1); lookup ln(4) at 1e9, truncated
+    assert out[0].mean_logprob_e6 == -(round(math.log(4) * 1e9) // 1000)
 
 
 def test_unigram_logprob_ranks_typical_doc_higher(spark, sf_dir):
@@ -232,7 +232,7 @@ def test_unigram_logprob_ranks_typical_doc_higher(spark, sf_dir):
     probe = docs.sparkSession.createDataFrame(
         [(9001, "scan column window order"), (9002, "zzz qqq xxx www")],
         ["doc_id", "text"]).unionByName(docs.select("doc_id", "text"))
-    out = {r.doc_id: r.mean_logprob for r in
+    out = {r.doc_id: r.mean_logprob_e6 for r in
            textstats.unigram_logprob(probe).collect()}
     assert out[9001] > out[9002]
 
@@ -401,9 +401,9 @@ def test_char_entropy_hand_computed(spark):
         [(0, "aaaa"), (1, "aabb"), (2, "abcd")],
         "doc_id long, text string")
     out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
-    assert out[0]["char_entropy"] == 0.0      # one symbol
-    assert out[1]["char_entropy"] == 1.0      # two equiprobable
-    assert out[2]["char_entropy"] == 2.0      # four equiprobable
+    assert out[0]["char_entropy_e6"] == 0        # one symbol
+    assert out[1]["char_entropy_e6"] == 1000000  # two equiprobable
+    assert out[2]["char_entropy_e6"] == 2000000  # four equiprobable
     assert out[1]["n_chars"] == 4
 
 
@@ -461,14 +461,15 @@ def test_bigram_logprob_hand_computed(spark):
         "doc_id long, text string")
     out = {r["doc_id"]: r
            for r in bigram_logprob(docs, model_docs=model).collect()}
-    # model bigrams: (a,b):2 (b,a):2 (a,c):1 -> ch(a)=3, ch(b)=2
-    assert float(out[1]["mean_logprob"]) == round(math.log(2 / 3), 4)
-    assert float(out[2]["mean_logprob"]) == round(math.log(1 / 3), 4)
+    # model bigrams: (a,b):2 (b,a):2 (a,c):1 -> ch(a)=3, ch(b)=2;
+    # r9 integer emission: lookup diffs at 1e9, truncated to e6.
+    from pre_market_data_pipeline_for_stocks_spark.functions.fixedpoint import LN04_E9
+    L = lambda k: round(math.log(k) * 1e9)  # noqa: E731 (== the table)
+    assert out[1]["mean_logprob_e6"] == -((L(3) - L(2)) // 1000)
+    assert out[2]["mean_logprob_e6"] == -((L(3) - L(1)) // 1000)
     # unseen bigram (z,z): backoff ln(0.4) + add-one unigram of z.
     # model unigrams: a:3 b:2 c:1 -> T=6, V=3; cu(z)=0
-    expected = math.log(0.4) + math.log(1 / 9)
-    assert float(out[3]["mean_logprob"]) == round(expected, 4)
-    assert float(out[3]["ppl"]) == round(math.exp(-expected), 4)
+    assert out[3]["mean_logprob_e6"] == -((-LN04_E9 + L(9)) // 1000)
 
 
 def test_bigram_beats_unigram_on_shuffled_text(spark):
@@ -484,9 +485,9 @@ def test_bigram_beats_unigram_on_shuffled_text(spark):
         [(i, phrase) for i in range(20)], "doc_id long, text string")
     docs = spark.createDataFrame(
         [(100, phrase), (101, shuffled)], "doc_id long, text string")
-    bi = {r["doc_id"]: r["mean_logprob"]
+    bi = {r["doc_id"]: r["mean_logprob_e6"]
           for r in bigram_logprob(docs, model_docs=model).collect()}
-    uni = {r["doc_id"]: r["mean_logprob"]
+    uni = {r["doc_id"]: r["mean_logprob_e6"]
            for r in unigram_logprob(docs, model_docs=model).collect()}
-    assert float(bi[100]) > float(bi[101]) + 1.0   # bigram: wide separation
-    assert abs(float(uni[100]) - float(uni[101])) < 0.2  # unigram: barely
+    assert bi[100] > bi[101] + 1000000         # bigram: wide separation
+    assert abs(uni[100] - uni[101]) < 200000   # unigram: barely
