@@ -196,21 +196,36 @@ def ranked_auc(scored: DataFrame, score_col: str,
     score values — bounded by the scorer's output grid (a k-dp score
     has ≤ 10^k·range values regardless of corpus size), the broadcast-
     cut-points pattern rather than a corpus sort. Identical math,
-    exact average-rank tie handling preserved."""
+    exact average-rank tie handling preserved.
+
+    Integer emission (r9 contract): doubling the rank sum clears the
+    tie-average halves — 2*Σranks(pos) = Σ pos_s*(2*cum_s + n_s + 1),
+    a pure integer — so AUC = (2*sr - n_pos*(n_pos+1)) / (2*n_pos*
+    n_neg) is an exact rational, emitted as auc_e6 with ONE truncating
+    division (numerator nonneg: Σranks(pos) >= n_pos(n_pos+1)/2
+    always). Requires an exactly-comparable score column (integer or
+    other exact type) so tie groups are engine-independent —
+    classifier_score's margin_e9 qualifies; raw doubles do not."""
+    from ..functions.fixedpoint import idiv_long
+
     per = (scored.groupBy(F.col(score_col).alias("_s"))
            .agg(F.count(F.lit(1)).alias("_n"),
                 F.sum(F.col(label_col).cast("int")).alias("_pos")))
-    w = (Window.orderBy(F.col("_s").asc())
+    # partitionBy(lit) names the bounded-by-contract single partition
+    # (distinct score values, not corpus rows) — same plan, no
+    # misleading WindowExec warning in driver logs.
+    w = (Window.partitionBy(F.lit(0)).orderBy(F.col("_s").asc())
          .rowsBetween(Window.unboundedPreceding, -1))
     per = per.withColumn("_cum", F.coalesce(F.sum("_n").over(w),
                                             F.lit(0)))
-    avg_rank = F.col("_cum") + (F.col("_n") + 1) / 2
-    return (per.agg(
-        F.sum(F.col("_pos") * avg_rank).alias("_sr"),
+    sr2 = F.col("_pos") * (2 * F.col("_cum") + F.col("_n") + 1)
+    agg = per.agg(
+        F.sum(sr2).alias("_sr2"),
         F.sum("_pos").alias("n_pos"),
         F.sum(F.col("_n") - F.col("_pos")).alias("n_neg"))
-        .select(
-            F.round((F.col("_sr") - F.col("n_pos")
-                     * (F.col("n_pos") + 1) / 2)
-                    / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
-            "n_pos", "n_neg"))
+    num = (F.col("_sr2") - F.col("n_pos") * (F.col("n_pos") + 1))
+    return agg.select(
+        idiv_long(num.cast("decimal(38,0)") * F.lit(10 ** 6),
+                  F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        .alias("auc_e6"),
+        "n_pos", "n_neg")

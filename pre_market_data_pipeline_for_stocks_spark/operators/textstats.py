@@ -52,29 +52,42 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-    quality): length/punctuation/stopword heuristics -> one score.
+    """(doc_id, n_tokens, avg_token_len_e6, punct_ratio_e6,
+    stopword_ratio_e6, quality_e6): length/punctuation/stopword
+    heuristics -> one score, all in 1e-6 fixed point (the r9 integer
+    emission contract — every ratio is one truncating division on
+    nonneg counts, the blend is pure integer arithmetic, so the bytes
+    are identical in any engine).
 
-    quality = clamp01(0.4*stopword_ratio*5 + 0.3*min(n_tokens/100,1)
-              + 0.3*(1 - punct_ratio*10)), rounded to 4."""
+    quality_e6 = clamp(0, 1e6,
+        (4*min(stop_e6*5, 1e6) + 3*min(n_tokens*1e4, 1e6)
+         + 3*max(0, 1e6 - punct_e6*10)) div 10)
+    — the 0.4/0.3/0.3 blend of the original heuristic with the /10
+    folded into one exact division."""
+    from ..functions.fixedpoint import idiv_long
+
     t = F.col(text_col)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
-    n_chars = F.length(t)
-    punct = _count_pattern(t, r"[^\w\s]")
-    stops = _profile_count(t, ["the", "a", "of", "and", "to"])
-    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(stops / F.greatest(n_tokens, F.lit(1)), 6)
-    raw = (0.4 * F.least(stop_ratio * 5, F.lit(1.0))
-           + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-           + 0.3 * F.greatest(F.lit(0.0), 1 - punct_ratio * 10))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    n_chars = F.length(t).cast("long")
+    punct = _count_pattern(t, r"[^\w\s]").cast("long")
+    stops = _profile_count(t, ["the", "a", "of", "and", "to"]).cast("long")
+    m = F.lit(10 ** 6)
+    punct_e6 = idiv_long(punct * m, F.greatest(n_chars, F.lit(1)))
+    stop_e6 = idiv_long(stops * m, F.greatest(n_tokens, F.lit(1)))
+    blend = (F.lit(4) * F.least(stop_e6 * 5, m)
+             + F.lit(3) * F.least(n_tokens * 10000, m)
+             + F.lit(3) * F.greatest(F.lit(0).cast("long"),
+                                     m - punct_e6 * 10))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round((n_chars - _count_pattern(t, r"\s")) / F.greatest(n_tokens, F.lit(1)), 4)
-        .alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 4).alias("quality"),
+        n_tokens.alias("n_tokens"),
+        idiv_long((n_chars - _count_pattern(t, r"\s")) * m,
+                  F.greatest(n_tokens, F.lit(1))).alias("avg_token_len_e6"),
+        punct_e6.alias("punct_ratio_e6"),
+        stop_e6.alias("stopword_ratio_e6"),
+        F.least(F.greatest(idiv_long(blend, F.lit(10)),
+                           F.lit(0).cast("long")), m)
+        .alias("quality_e6"),
     )
 
 
@@ -82,13 +95,18 @@ def classifier_score(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", scale: float = 4.0,
                      seed: str = "clf") -> DataFrame:
     """fastText-style linear quality classifier over hashed bag-of-words:
-    (doc_id, n_tokens, score, label).
+    (doc_id, n_tokens, margin_e9, label).
 
-    score = sigmoid(scale * mean(w[h(token)])) where w maps each hashed
-    token to an integer weight in [-1000, 1000] (here derived from the
-    token hash so the DuckDB oracle is closed-form; a real deployment
-    swaps the derivation for a broadcast-joined trained weight table —
-    the plan shape is identical). ``label`` is keep/drop at 0.5.
+    The model's decision value is margin = mean(w[h(token)])/1000
+    where w maps each hashed token to an integer weight in [-1000,
+    1000] (here derived from the token hash so the DuckDB oracle is
+    closed-form; a real deployment swaps the derivation for a
+    broadcast-joined trained weight table — the plan shape is
+    identical). A deployment's sigmoid(scale*margin) probability is
+    monotone in the margin, so ranking/thresholding on margin_e9 is
+    equivalent; ``label`` is keep/drop at margin 0 (== sigmoid 0.5).
+    ``scale`` is kept for the probability-reading downstream
+    (exp(scale*margin) client-side) — it does not affect the emission.
 
     This is the model-based filtering stage of a curation pipeline
     (quality_score is the heuristic stage): explode -> hash -> weight is
@@ -108,15 +126,22 @@ def classifier_score(docs: DataFrame, id_col: str = "doc_id",
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_tokens"),
                 F.sum("_w").alias("_sw")))
-    margin = F.col("_sw") / (F.col("n_tokens") * F.lit(1000.0))
-    # DECIMAL emission: libm exp is not correctly-rounded and differs
-    # across engine builds; the decimal cast snaps both engines to the
-    # same 6-dp grid point (the r8 zscore/psi emission contract).
-    score = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-scale * margin)), 6)
-             .cast("decimal(10,6)"))
+    # Integer emission (r9 contract — the r8 DECIMAL snap of the libm
+    # sigmoid still flipped in the driver build): the sigmoid is
+    # MONOTONE in the exact rational margin sw/(1000n), so the score
+    # column is the margin itself in 1e-9 fixed point — same ranking,
+    # same keep/drop boundary (sigmoid >= 0.5 <=> margin >= 0 <=>
+    # sw >= 0, an exact integer comparison). The truncating division
+    # needs a nonneg operand, so the margin is offset by +1 (|sw| <=
+    # 1000n by construction) and shifted back.
+    from ..functions.fixedpoint import idiv_long
+
+    den = F.col("n_tokens") * F.lit(1000)
+    margin_e9 = (idiv_long((F.col("_sw") + den) * F.lit(10 ** 9), den)
+                 - F.lit(10 ** 9))
     return agg.select(
-        "doc_id", "n_tokens", score.alias("score"),
-        F.when(score >= 0.5, "keep").otherwise("drop").alias("label"))
+        "doc_id", "n_tokens", margin_e9.alias("margin_e9"),
+        F.when(F.col("_sw") >= 0, "keep").otherwise("drop").alias("label"))
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
@@ -222,11 +247,11 @@ def fingerprint(docs: DataFrame, window: int = 16, id_col: str = "doc_id",
 
 def repetition(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
-    """(doc_id, total_ngrams, distinct_ngrams, dup_ngram_ratio,
-    top_ngram_share): within-document n-gram repetition — the
+    """(doc_id, total_ngrams, distinct_ngrams, dup_ngram_ratio_e6,
+    top_ngram_share_e6): within-document n-gram repetition — the
     Gopher-family quality signal (machine-generated and boilerplate
     text repeats itself; high dup_ngram_ratio or a dominant single
-    n-gram flags it).
+    n-gram flags it). Ratios in 1e-6 fixed point (r9 contract).
 
     Counts every n-gram POSITION (word_shingles distinct=False), then
     two aggregations: per (doc, shingle) occurrence counts, then per
@@ -244,11 +269,18 @@ def repetition(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              F.max("_cnt").alias("_top"))
         .select(
             "doc_id", "total_ngrams", "distinct_ngrams",
-            F.round(1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 4)
-            .alias("dup_ngram_ratio"),
-            F.round(F.col("_top") / F.col("total_ngrams"), 4)
-            .alias("top_ngram_share"))
+            _ratio_e6(F.col("total_ngrams") - F.col("distinct_ngrams"),
+                      F.col("total_ngrams")).alias("dup_ngram_ratio_e6"),
+            _ratio_e6(F.col("_top"), F.col("total_ngrams"))
+            .alias("top_ngram_share_e6"))
     )
+
+
+def _ratio_e6(num, den):
+    """trunc(num * 1e6 / den) — the engine-portable fixed-point ratio
+    every emitted share in this module uses (nonneg operands)."""
+    from ..functions.fixedpoint import idiv_long
+    return idiv_long(num.cast("long") * F.lit(10 ** 6), den)
 
 
 # PII patterns: Java regex (Spark) and RE2 (DuckDB oracle) agree on
@@ -537,9 +569,9 @@ def source_report(docs: DataFrame, source_col: str = "source",
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Per-source curation dashboard: (source, n_docs, n_distinct_texts,
-    dup_ratio, total_tokens, total_quality) — composition, exact-dup
-    rate and aggregate quality per provenance bucket. This is the
-    table a curation run reviews before setting per-source caps
+    dup_ratio_e6, total_tokens, total_quality_e6) — composition,
+    exact-dup rate and aggregate quality per provenance bucket. This
+    is the table a curation run reviews before setting per-source caps
     (stratified_cap) and mixture weights (mixture_sample): a source
     with a high dup_ratio or low quality-per-doc gets capped or
     down-weighted.
@@ -547,11 +579,10 @@ def source_report(docs: DataFrame, source_col: str = "source",
     One doc-keyed join (quality metrics onto the hash projection) and
     one source-keyed aggregate; count_distinct on the 8-byte content
     hash, never on text. Quality is reported as a per-source SUM of
-    the 4-dp per-doc scores: sums of fixed-precision values round
-    reproducibly across engines, while a stored mean lands on decimal
-    midpoints (see incremental.rollup_report)."""
+    the per-doc quality_e6 BIGINTs — an exact, order-independent
+    integer sum (r9 contract)."""
     q = quality_score(docs, id_col, text_col).select(
-        "doc_id", "n_tokens", "quality")
+        "doc_id", "n_tokens", "quality_e6")
     base = docs.select(F.col(source_col).alias("source"),
                        F.col(id_col).alias("doc_id"),
                        md5_i64(F.col(text_col)).alias("_h"))
@@ -559,10 +590,10 @@ def source_report(docs: DataFrame, source_col: str = "source",
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count_distinct("_h").alias("n_distinct_texts"),
-                 F.round(1 - F.count_distinct("_h") / F.count(F.lit(1)), 4)
-                 .alias("dup_ratio"),
+                 _ratio_e6(F.count(F.lit(1)) - F.count_distinct("_h"),
+                           F.count(F.lit(1))).alias("dup_ratio_e6"),
                  F.sum("n_tokens").alias("total_tokens"),
-                 F.round(F.sum("quality"), 4).alias("total_quality")))
+                 F.sum("quality_e6").alias("total_quality_e6")))
 
 
 def oov_rate(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
@@ -609,34 +640,36 @@ GOPHER_MAX_TOP_NGRAM = 0.20
 def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """The composed rules filter every curation run starts from:
-    (doc_id, n_tokens, dup_ngram_ratio, top_ngram_share,
-    stopword_ratio, keep, fail_reason) — length bounds, repetition
+    (doc_id, n_tokens, dup_ngram_ratio_e6, top_ngram_share_e6,
+    stopword_ratio_e6, keep, fail_reason) — length bounds, repetition
     caps and a stopword floor, with the FIRST failing rule named
     (reviewers tune thresholds by reading reject histograms, so the
-    reason column is the product).
+    reason column is the product). Thresholds compare in the same
+    1e-6 fixed point the signals are emitted in — exact integer
+    comparisons, no float boundary anywhere (r9 contract).
 
     One doc_id-keyed join of the quality and repetition relations;
     docs too short to have any 3-gram fail the length rule before the
     repetition columns are consulted (left join keeps them)."""
     q = quality_score(docs, id_col, text_col).select(
-        "doc_id", "n_tokens", "stopword_ratio")
+        "doc_id", "n_tokens", "stopword_ratio_e6")
     r = repetition(docs, 3, id_col, text_col).select(
-        "doc_id", "dup_ngram_ratio", "top_ngram_share")
+        "doc_id", "dup_ngram_ratio_e6", "top_ngram_share_e6")
     j = q.join(r, "doc_id", "left")
     reason = (
         F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, "too_short")
         .when(F.col("n_tokens") > GOPHER_MAX_TOKENS, "too_long")
-        .when(F.col("dup_ngram_ratio") > GOPHER_MAX_DUP_NGRAM,
-              "repetitive")
-        .when(F.col("top_ngram_share") > GOPHER_MAX_TOP_NGRAM,
-              "dominant_ngram")
-        .when(F.col("stopword_ratio") <= GOPHER_MIN_STOPWORD,
-              "no_stopwords")
+        .when(F.col("dup_ngram_ratio_e6")
+              > round(GOPHER_MAX_DUP_NGRAM * 10 ** 6), "repetitive")
+        .when(F.col("top_ngram_share_e6")
+              > round(GOPHER_MAX_TOP_NGRAM * 10 ** 6), "dominant_ngram")
+        .when(F.col("stopword_ratio_e6")
+              <= round(GOPHER_MIN_STOPWORD * 10 ** 6), "no_stopwords")
         .otherwise(F.lit(None).cast("string")))
     return (j.withColumn("fail_reason", reason)
             .withColumn("keep", F.col("fail_reason").isNull())
-            .select("doc_id", "n_tokens", "dup_ngram_ratio",
-                    "top_ngram_share", "stopword_ratio", "keep",
+            .select("doc_id", "n_tokens", "dup_ngram_ratio_e6",
+                    "top_ngram_share_e6", "stopword_ratio_e6", "keep",
                     "fail_reason"))
 
 

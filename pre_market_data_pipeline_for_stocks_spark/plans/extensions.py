@@ -284,8 +284,10 @@ def corpus_datacard(spark, sf_dir):
     ratio and mean quality — the stat block a dataset release publishes
     and a pipeline regression-checks between snapshots."""
     docs = _docs(spark, sf_dir)
+    from ..functions.fixedpoint import idiv_long
     q = (textstats.quality_score(docs)
-         .agg(F.round(F.avg("quality"), 4).alias("mean_quality"),
+         .agg(idiv_long(F.sum("quality_e6"), F.count(F.lit(1)))
+              .alias("mean_quality_e6"),
               F.sum("n_tokens").alias("total_tokens")))
     base = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -295,9 +297,10 @@ def corpus_datacard(spark, sf_dir):
     return (base.crossJoin(q)
             .select("n_docs", "n_langs", "n_sources", "total_tokens",
                     "distinct_texts",
-                    F.round(1 - F.col("distinct_texts")
-                            / F.col("n_docs"), 4).alias("dup_ratio"),
-                    "mean_quality"))
+                    idiv_long((F.col("n_docs") - F.col("distinct_texts"))
+                              * F.lit(10 ** 6), F.col("n_docs"))
+                    .alias("dup_ratio_e6"),
+                    "mean_quality_e6"))
 
 
 def corpus_quality_panel(spark, sf_dir):
@@ -310,12 +313,13 @@ def corpus_quality_panel(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     from ..operators import dedup as _dd
     q = textstats.quality_score(docs).select("doc_id", "n_tokens",
-                                             "quality")
+                                             "quality_e6")
     c = textstats.classifier_score(docs).select(
-        "doc_id", F.col("score").alias("clf_score"),
+        "doc_id", F.col("margin_e9").alias("clf_margin_e9"),
         F.col("label").alias("clf_label"))
-    e = textstats.char_entropy(docs).select("doc_id", "char_entropy")
-    d = _dd.shingle_duplication_density(docs).select("doc_id", "dup_ratio")
+    e = textstats.char_entropy(docs).select("doc_id", "char_entropy_e6")
+    d = _dd.shingle_duplication_density(docs).select("doc_id",
+                                                     "dup_ratio_e6")
     lang = textstats.lang_id(docs).select("doc_id", "lang_guess")
     # LEFT joins from quality_score (which emits a row for EVERY doc):
     # classifier/entropy/density produce no row for empty or
@@ -325,8 +329,9 @@ def corpus_quality_panel(spark, sf_dir):
     panel = (q.join(c, "doc_id", "left").join(e, "doc_id", "left")
              .join(d, "doc_id", "left").join(lang, "doc_id", "left"))
     decision = F.when(
-        (F.col("clf_label") == "keep") & (F.col("quality") >= 0.2)
-        & (F.col("char_entropy") >= 2.0) & (F.col("dup_ratio") <= 0.9),
+        (F.col("clf_label") == "keep") & (F.col("quality_e6") >= 200000)
+        & (F.col("char_entropy_e6") >= 2000000)
+        & (F.col("dup_ratio_e6") <= 900000),
         "keep").otherwise("drop")
     return panel.withColumn("decision", decision).orderBy("doc_id")
 
@@ -467,11 +472,11 @@ def corpus_weighted_sample(spark, sf_dir):
     from the content hash)."""
     from ..operators import sampling
     docs = _docs(spark, sf_dir)
-    q = textstats.quality_score(docs).select("doc_id", "quality")
+    q = textstats.quality_score(docs).select("doc_id", "quality_e6")
     return (sampling.weighted_sample(docs.join(q, "doc_id"), WSAMPLE_N,
-                                     weight_col="quality",
+                                     weight_col="quality_e6",
                                      key_col="doc_id")
-            .select("doc_id", "lang", "quality").orderBy("doc_id"))
+            .select("doc_id", "lang", "quality_e6").orderBy("doc_id"))
 
 
 SPLIT_PROPS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1178,8 +1183,8 @@ def eval_classifier_auc(spark, sf_dir):
     scored = textstats.classifier_score(docs)
     lab = docs.select("doc_id",
                       (F.col("lang") == "en").cast("int").alias("y"))
-    j = scored.join(lab, "doc_id").select("score", "y")
-    return robust.ranked_auc(j, "score", "y")
+    j = scored.join(lab, "doc_id").select("margin_e9", "y")
+    return robust.ranked_auc(j, "margin_e9", "y")
 
 
 EWMA_ALPHA = 0.3
@@ -1500,7 +1505,8 @@ def curated_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     lang = textstats.lang_id(docs).filter(F.col("lang_guess") == "en")
     qual = (textstats.quality_score(docs)
-            .filter(F.col("quality") >= 0.3).select("doc_id", "quality"))
+            .filter(F.col("quality_e6") >= 300000)
+            .select("doc_id", "quality_e6"))
     keep = (textstats.normalized_dedup(docs)
             .select(F.col("keep_doc_id").alias("doc_id")))
     near_pairs = dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS,
@@ -1513,7 +1519,7 @@ def curated_corpus(spark, sf_dir):
                .join(keep, "doc_id")
                .join(near_drop, "doc_id", "left_anti"))
     return (sampling.weighted_sample(curated, CURATE_N,
-                                     weight_col="quality",
+                                     weight_col="quality_e6",
                                      key_col="doc_id", salt="curate")
-            .select("doc_id", "lang", "source", "quality")
+            .select("doc_id", "lang", "source", "quality_e6")
             .orderBy("doc_id"))

@@ -233,12 +233,13 @@ c AS (SELECT doc_id, text, {counts['en']} AS en_hits,
 en_docs AS (SELECT doc_id FROM c WHERE en_hits = best),
 q AS (
   SELECT doc_id,
-         round(least(greatest(
-           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
-           + 0.3 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * greatest(0.0,
-               1 - round(punct / greatest(n_chars, 1), 6) * 10),
-           0.0), 1.0), 4) AS quality
+         least(greatest(
+           (4 * least(((stops * 1000000)
+                       // greatest(n_tokens, 1)) * 5, 1000000)
+            + 3 * least(n_tokens * 10000, 1000000)
+            + 3 * greatest(0, 1000000 - ((punct * 1000000)
+                       // greatest(n_chars, 1)) * 10)) // 10,
+           0), 1000000) AS quality_e6
   FROM (
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -251,19 +252,19 @@ keep AS (
   SELECT min(doc_id) AS doc_id FROM documents
   GROUP BY {_h(_NORM_TEXT)}),
 cpool AS (
-  SELECT d.doc_id, d.source, q.quality
+  SELECT d.doc_id, d.source, q.quality_e6
   FROM documents d
   JOIN en_docs USING (doc_id)
   JOIN q USING (doc_id)
   JOIN keep USING (doc_id)
-  WHERE q.quality >= 0.3
+  WHERE q.quality_e6 >= 300000
     AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)),
 curated AS (
   SELECT doc_id, source FROM (
     SELECT doc_id, source,
            ln(({_h("('curate:' || doc_id::VARCHAR)")} % 1000000 + 1)
-              / 1000001.0) / quality AS es_key
-    FROM cpool WHERE quality > 0
+              / 1000001.0) / quality_e6 AS es_key
+    FROM cpool WHERE quality_e6 > 0
     ORDER BY es_key DESC, doc_id ASC LIMIT {_X.CURATE_N})),
 {_SHINGLES_CTE.strip()},
 bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 100 = 0),
@@ -1052,8 +1053,8 @@ per AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2),
 agg AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dn, max(cnt) AS top
         FROM per GROUP BY 1)
 SELECT doc_id, total::BIGINT AS total_ngrams, dn::BIGINT AS distinct_ngrams,
-       round(1 - dn / total, 4) AS dup_ngram_ratio,
-       round(top / total, 4) AS top_ngram_share
+       ((total - dn) * 1000000) // total AS dup_ngram_ratio_e6,
+       (top * 1000000) // total AS top_ngram_share_e6
 FROM agg
 """
 
@@ -1063,26 +1064,27 @@ FROM agg
 _QUALITY_SQL = """
 WITH m AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         length(text) AS n_chars,
-         len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(lower(text), '[^\\w\\s]'))::BIGINT AS punct,
          len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b'))
-           AS stops,
-         len(regexp_extract_all(lower(text), '\\s')) AS n_ws
+           ::BIGINT AS stops,
+         len(regexp_extract_all(lower(text), '\\s'))::BIGINT AS n_ws
   FROM documents),
 r AS (
   SELECT doc_id, n_tokens, n_chars, n_ws,
-         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
-         round(stops / greatest(n_tokens, 1), 6) AS stopword_ratio
+         (punct * 1000000) // greatest(n_chars, 1) AS punct_e6,
+         (stops * 1000000) // greatest(n_tokens, 1) AS stop_e6
   FROM m)
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round((n_chars - n_ws) / greatest(n_tokens, 1), 4) AS avg_token_len,
-       punct_ratio, stopword_ratio,
-       round(least(greatest(
-         0.4 * least(stopword_ratio * 5, 1.0)
-         + 0.3 * least(n_tokens / 100.0, 1.0)
-         + 0.3 * greatest(0.0, 1 - punct_ratio * 10), 0.0), 1.0), 4)
-         AS quality
+SELECT doc_id, n_tokens,
+       ((n_chars - n_ws) * 1000000) // greatest(n_tokens, 1)
+         AS avg_token_len_e6,
+       punct_e6 AS punct_ratio_e6, stop_e6 AS stopword_ratio_e6,
+       least(greatest(
+         (4 * least(stop_e6 * 5, 1000000)
+          + 3 * least(n_tokens * 10000, 1000000)
+          + 3 * greatest(0, 1000000 - punct_e6 * 10)) // 10,
+         0), 1000000) AS quality_e6
 FROM r
 """
 
@@ -1160,19 +1162,22 @@ FROM d{k + 1} ORDER BY doc_id
 # election) so the formula lives in exactly one place.
 _QUALITY_Q_CTE = f"""q AS (
   SELECT doc_id,
-         round(least(greatest(
-           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
-           + 0.3 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * greatest(0.0,
-               1 - round(punct / greatest(n_chars, 1), 6) * 10),
-           0.0), 1.0), 4) AS quality
+         least(greatest(
+           (4 * least(((stops * 1000000)
+                       // greatest(n_tokens, 1)) * 5, 1000000)
+            + 3 * least(n_tokens * 10000, 1000000)
+            + 3 * greatest(0, 1000000 - ((punct * 1000000)
+                       // greatest(n_chars, 1)) * 10)) // 10,
+           0), 1000000) AS quality_e6
   FROM (
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-           length(text) AS n_chars,
-           len(regexp_extract_all(lower(text), '[^\\w\\s]')) AS punct,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT
+             AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(lower(text), '[^\\w\\s]'))::BIGINT
+             AS punct,
            len(regexp_extract_all(lower(text), '\\b({_STOP["en"]})\\b'))
-             AS stops
+             ::BIGINT AS stops
     FROM documents))"""
 
 
@@ -1895,12 +1900,12 @@ SELECT doc_id, lang, source FROM (
     "corpus_weighted_sample": QueryDef(X.corpus_weighted_sample, f"""
 WITH {_QUALITY_Q_CTE},
 keyed AS (
-  SELECT d.doc_id, d.lang, q.quality,
+  SELECT d.doc_id, d.lang, q.quality_e6,
          ln(({_h("('wsample:' || d.doc_id::VARCHAR)")} % 1000000 + 1)
-            / 1000001.0) / q.quality AS es_key
+            / 1000001.0) / q.quality_e6 AS es_key
   FROM documents d JOIN q USING (doc_id)
-  WHERE q.quality > 0)
-SELECT doc_id, lang, quality FROM (
+  WHERE q.quality_e6 > 0)
+SELECT doc_id, lang, quality_e6 FROM (
   SELECT * FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT {X.WSAMPLE_N})
 ORDER BY doc_id
 """),
@@ -1988,12 +1993,13 @@ c AS (SELECT doc_id, text,
 en_docs AS (SELECT doc_id FROM c WHERE en_hits = best),
 q AS (
   SELECT doc_id,
-         round(least(greatest(
-           0.4 * least(round(stops / greatest(n_tokens, 1), 6) * 5, 1.0)
-           + 0.3 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * greatest(0.0,
-               1 - round(punct / greatest(n_chars, 1), 6) * 10),
-           0.0), 1.0), 4) AS quality
+         least(greatest(
+           (4 * least(((stops * 1000000)
+                       // greatest(n_tokens, 1)) * 5, 1000000)
+            + 3 * least(n_tokens * 10000, 1000000)
+            + 3 * greatest(0, 1000000 - ((punct * 1000000)
+                       // greatest(n_chars, 1)) * 10)) // 10,
+           0), 1000000) AS quality_e6
   FROM (
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
@@ -2006,17 +2012,17 @@ keep AS (
   SELECT min(doc_id) AS doc_id FROM documents
   GROUP BY {_h(_NORM_TEXT)}),
 pool AS (
-  SELECT d.doc_id, d.lang, d.source, q.quality
+  SELECT d.doc_id, d.lang, d.source, q.quality_e6
   FROM documents d
   JOIN en_docs USING (doc_id)
   JOIN q USING (doc_id)
   JOIN keep USING (doc_id)
-  WHERE q.quality >= 0.3
+  WHERE q.quality_e6 >= 300000
     AND d.doc_id NOT IN (SELECT doc_id FROM near_drop))
-SELECT doc_id, lang, source, quality FROM (
+SELECT doc_id, lang, source, quality_e6 FROM (
   SELECT *, ln(({_h("('curate:' || doc_id::VARCHAR)")} % 1000000 + 1)
-               / 1000001.0) / quality AS es_key
-  FROM pool WHERE quality > 0
+               / 1000001.0) / quality_e6 AS es_key
+  FROM pool WHERE quality_e6 > 0
   ORDER BY es_key DESC, doc_id ASC LIMIT {{curate_n}})
 ORDER BY doc_id
 """.format(curate_n=X.CURATE_N,
@@ -2613,12 +2619,12 @@ WHERE EXISTS (SELECT 1 FROM pairs e3
 WITH RECURSIVE {_clusters_ctes(_minhash_band_sql()).strip()},
 {_QUALITY_Q_CTE},
 lq AS (
-  SELECT c.doc_id, c.cluster_id, q.quality
+  SELECT c.doc_id, c.cluster_id, q.quality_e6
   FROM comp c LEFT JOIN q USING (doc_id))
-SELECT doc_id, cluster_id, quality,
+SELECT doc_id, cluster_id, quality_e6,
        first_value(doc_id) OVER (
          PARTITION BY cluster_id
-         ORDER BY quality DESC NULLS LAST, doc_id ASC
+         ORDER BY quality_e6 DESC NULLS LAST, doc_id ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS keeper_id
 FROM lq ORDER BY doc_id
@@ -2633,8 +2639,8 @@ SELECT s.doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS dup_shingles,
-       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*), 4)
-         AS dup_ratio
+       (sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS dup_ratio_e6
 FROM shh s JOIN df USING (sh)
 GROUP BY s.doc_id ORDER BY s.doc_id
 """),
@@ -2654,11 +2660,12 @@ agg AS (
   FROM toks GROUP BY doc_id),
 scored AS (
   SELECT doc_id, n_tokens,
-         CAST(round(1.0 / (1.0 + exp(-4.0 * (sw / (n_tokens * 1000.0)))), 6)
-              AS DECIMAL(10,6)) AS score
+         ((sw + n_tokens * 1000) * 1000000000)
+           // (n_tokens * 1000) - 1000000000 AS margin_e9,
+         sw
   FROM agg)
-SELECT doc_id, n_tokens, score,
-       CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+SELECT doc_id, n_tokens, margin_e9,
+       CASE WHEN sw >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM scored ORDER BY doc_id
 """),
 
@@ -2948,9 +2955,10 @@ WITH q AS ({_QUALITY_SQL.strip()}),
 b AS (SELECT source, doc_id, {_h('text')} AS h FROM documents)
 SELECT b.source, count(*) AS n_docs,
        count(DISTINCT b.h) AS n_distinct_texts,
-       round(1 - count(DISTINCT b.h) / count(*), 4) AS dup_ratio,
+       ((count(*) - count(DISTINCT b.h)) * 1000000) // count(*)
+         AS dup_ratio_e6,
        sum(q.n_tokens)::BIGINT AS total_tokens,
-       round(sum(q.quality), 4) AS total_quality
+       sum(q.quality_e6)::BIGINT AS total_quality_e6
 FROM b JOIN q USING (doc_id)
 GROUP BY b.source ORDER BY b.source
 """),
@@ -3506,9 +3514,10 @@ m AS (
          CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
            AS total_tokens
   FROM documents),
-mq AS (SELECT round(avg(quality), 4) AS mean_quality FROM q)
+mq AS (SELECT sum(quality_e6) // count(*) AS mean_quality_e6 FROM q)
 SELECT n_docs, n_langs, n_sources, total_tokens, distinct_texts,
-       round(1 - distinct_texts / n_docs, 4) AS dup_ratio, mean_quality
+       ((n_docs - distinct_texts) * 1000000) // n_docs AS dup_ratio_e6,
+       CAST(mean_quality_e6 AS BIGINT) AS mean_quality_e6
 FROM m, mq
 """),
 
@@ -3575,8 +3584,8 @@ FROM agg ORDER BY doc_id
 WITH q AS ({_QUALITY_SQL.strip()}),
 r AS ({_REPETITION_SQL.strip()}),
 j AS (
-  SELECT q.doc_id, q.n_tokens, q.stopword_ratio,
-         r.dup_ngram_ratio, r.top_ngram_share
+  SELECT q.doc_id, q.n_tokens, q.stopword_ratio_e6,
+         r.dup_ngram_ratio_e6, r.top_ngram_share_e6
   FROM q LEFT JOIN r USING (doc_id)),
 v AS (
   SELECT *,
@@ -3584,16 +3593,19 @@ v AS (
                 THEN 'too_short'
               WHEN n_tokens > {X.textstats.GOPHER_MAX_TOKENS}
                 THEN 'too_long'
-              WHEN dup_ngram_ratio > {X.textstats.GOPHER_MAX_DUP_NGRAM}
+              WHEN dup_ngram_ratio_e6
+                   > {round(X.textstats.GOPHER_MAX_DUP_NGRAM * 10 ** 6)}
                 THEN 'repetitive'
-              WHEN top_ngram_share > {X.textstats.GOPHER_MAX_TOP_NGRAM}
+              WHEN top_ngram_share_e6
+                   > {round(X.textstats.GOPHER_MAX_TOP_NGRAM * 10 ** 6)}
                 THEN 'dominant_ngram'
-              WHEN stopword_ratio <= {X.textstats.GOPHER_MIN_STOPWORD}
+              WHEN stopword_ratio_e6
+                   <= {round(X.textstats.GOPHER_MIN_STOPWORD * 10 ** 6)}
                 THEN 'no_stopwords'
               ELSE NULL END AS fail_reason
   FROM j)
-SELECT doc_id, n_tokens, dup_ngram_ratio, top_ngram_share,
-       stopword_ratio, (fail_reason IS NULL) AS keep, fail_reason
+SELECT doc_id, n_tokens, dup_ngram_ratio_e6, top_ngram_share_e6,
+       stopword_ratio_e6, (fail_reason IS NULL) AS keep, fail_reason
 FROM v ORDER BY doc_id
 """),
 
@@ -3848,11 +3860,12 @@ FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early)
 # a panel mismatch therefore isolates to the JOIN/decision layer, never
 # to a drifted copy of a component formula.
 REGISTRY["corpus_quality_panel"] = QueryDef(X.corpus_quality_panel, f"""
-SELECT q.doc_id, q.n_tokens, q.quality,
-       c.score AS clf_score, c.label AS clf_label,
-       e.char_entropy, d.dup_ratio, l.lang_guess,
-       CASE WHEN c.label = 'keep' AND q.quality >= 0.2
-                 AND e.char_entropy >= 2.0 AND d.dup_ratio <= 0.9
+SELECT q.doc_id, q.n_tokens, q.quality_e6,
+       c.margin_e9 AS clf_margin_e9, c.label AS clf_label,
+       e.char_entropy_e6, d.dup_ratio_e6, l.lang_guess,
+       CASE WHEN c.label = 'keep' AND q.quality_e6 >= 200000
+                 AND e.char_entropy_e6 >= 2000000
+                 AND d.dup_ratio_e6 <= 900000
             THEN 'keep' ELSE 'drop' END AS decision
 FROM ({REGISTRY["text_quality"].oracle}) q
 LEFT JOIN ({REGISTRY["text_classifier_score"].oracle}) c USING (doc_id)
@@ -3885,18 +3898,23 @@ SELECT
 # reuse the classifier oracle verbatim (the quality-panel pattern).
 REGISTRY["eval_classifier_auc"] = QueryDef(X.eval_classifier_auc, f"""
 WITH s AS ({REGISTRY["text_classifier_score"].oracle}),
-lab AS (SELECT s.doc_id, s.score,
+lab AS (SELECT s.doc_id, s.margin_e9,
                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
         FROM s JOIN documents d USING (doc_id)),
-r AS (SELECT y, avg(rn) OVER (PARTITION BY score) AS r
-      FROM (SELECT y, score,
-                   row_number() OVER (ORDER BY score ASC) AS rn
-            FROM lab))
-SELECT round((sum(CASE WHEN y = 1 THEN r END)
-              - sum(y) * (sum(y) + 1) / 2)
-             / (sum(y) * sum(1 - y)), 6) AS auc,
-       sum(y) AS n_pos, sum(1 - y) AS n_neg
-FROM r
+per AS (SELECT margin_e9 AS sc, count(*) AS n, sum(y) AS pos
+        FROM lab GROUP BY 1),
+w AS (SELECT pos, n,
+             coalesce(sum(n) OVER (ORDER BY sc ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum
+      FROM per),
+a AS (SELECT sum(pos * (2 * cum + n + 1)) AS sr2,
+             sum(pos) AS n_pos, sum(n - pos) AS n_neg
+      FROM w)
+SELECT CAST(((sr2 - n_pos * (n_pos + 1)) * 1000000)
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
+FROM a
 """)
 
 

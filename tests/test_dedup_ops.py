@@ -422,8 +422,8 @@ def test_elect_cluster_keepers_prefers_quality_over_min_id(spark):
         [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
         "doc_id long, cluster_id long")
     scores = spark.createDataFrame(
-        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.5)],
-        "doc_id long, quality double")
+        [(1, 200000), (2, 900000), (3, 900000), (7, 500000), (9, 500000)],
+        "doc_id long, quality_e6 long")
     out = {r["doc_id"]: r for r in
            elect_cluster_keepers(labels, scores).collect()}
     # cluster 1: doc 2 and 3 tie on quality 0.9 -> smaller doc_id wins,
@@ -447,8 +447,9 @@ def test_shingle_duplication_density_hand_computed(spark):
            shingle_duplication_density(docs, n=3, min_df=2).collect()}
     # each doc: 4 distinct 3-shingles; docs 0/1 share 'a b c','b c d'.
     assert out[0]["n_shingles"] == 4 and out[0]["dup_shingles"] == 2
-    assert out[0]["dup_ratio"] == 0.5 and out[1]["dup_ratio"] == 0.5
-    assert out[2]["dup_shingles"] == 0 and out[2]["dup_ratio"] == 0.0
+    assert out[0]["dup_ratio_e6"] == 500000
+    assert out[1]["dup_ratio_e6"] == 500000
+    assert out[2]["dup_shingles"] == 0 and out[2]["dup_ratio_e6"] == 0
 
 
 def test_resolve_clusters_reliable_checkpoint(spark, tmp_path):
@@ -474,12 +475,12 @@ def test_elect_cluster_keepers_keeps_unscored_members(spark):
     labels = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
     scores = spark.createDataFrame(
-        [(3, 0.4)], "doc_id long, quality double")   # 1 and 2 unscored
+        [(3, 400000)], "doc_id long, quality_e6 long")  # 1 and 2 unscored
     out = {r["doc_id"]: r for r in
            elect_cluster_keepers(labels, scores).collect()}
     assert set(out) == {1, 2, 3}                     # nobody dropped
     assert all(r["keeper_id"] == 3 for r in out.values())
-    assert out[1]["quality"] is None
+    assert out[1]["quality_e6"] is None
 
 
 def test_pair_triangles_hand_graph(spark):

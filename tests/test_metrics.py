@@ -95,14 +95,14 @@ def test_auc_perfect_and_random_and_ties(spark):
     )
     perfect = spark.createDataFrame(
         [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int")
-    assert ranked_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    assert ranked_auc(perfect, "s", "y").collect()[0]["auc_e6"] == 10 ** 6
     inverted = spark.createDataFrame(
         [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "s double, y int")
-    assert ranked_auc(inverted, "s", "y").collect()[0]["auc"] == 0.0
+    assert ranked_auc(inverted, "s", "y").collect()[0]["auc_e6"] == 0
     # all-tied scores -> exactly 0.5 (average ranks)
     tied = spark.createDataFrame(
         [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int")
-    assert ranked_auc(tied, "s", "y").collect()[0]["auc"] == 0.5
+    assert ranked_auc(tied, "s", "y").collect()[0]["auc_e6"] == 500000
 
 
 def test_auc_matches_hand_computed_mann_whitney(spark):
@@ -112,4 +112,4 @@ def test_auc_matches_hand_computed_mann_whitney(spark):
     rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.5, 0), (0.4, 0)]
     df = spark.createDataFrame(rows, "s double, y int")
     r = ranked_auc(df, "s", "y").collect()[0]
-    assert abs(r["auc"] - round(8 / 9, 6)) < 1e-9
+    assert r["auc_e6"] == (8 * 10 ** 6) // 9   # trunc(8/9 * 1e6)

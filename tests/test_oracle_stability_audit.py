@@ -70,7 +70,6 @@ ALLOWED = {
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
     "ann_mmr_rerank_batch",
-    "corpus_datacard",
     "corpus_length_profile",
     "dedup_semantic_prune",
     "embedding_norms",
@@ -84,6 +83,8 @@ ALLOWED = {
 # wrap exemption covers them): corpus_tfidf_terms,
 # stats_summary_lineitem, text_bigram_logprob, text_unigram_logprob,
 # trend_slope_per_user.
+# Removed by the r9 INTEGER migration (no round() left at all):
+# corpus_datacard.
 
 
 def _balanced(sql: str, open_idx: int) -> tuple[str, int]:

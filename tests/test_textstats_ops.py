@@ -16,9 +16,9 @@ def test_repetition_counts_positions_not_types(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r for r in repetition(docs, n=3).collect()}
     assert got[1]["total_ngrams"] == 4 and got[1]["distinct_ngrams"] == 2
-    assert got[1]["dup_ngram_ratio"] == 0.5
-    assert got[1]["top_ngram_share"] == 0.5
-    assert got[2]["dup_ngram_ratio"] == 0.0   # all distinct
+    assert got[1]["dup_ngram_ratio_e6"] == 500000
+    assert got[1]["top_ngram_share_e6"] == 500000
+    assert got[2]["dup_ngram_ratio_e6"] == 0   # all distinct
     assert got[2]["total_ngrams"] == 3
 
 
@@ -27,8 +27,8 @@ def test_repetition_flags_degenerate_loop(spark):
                                  "doc_id long, text string")
     r = repetition(docs, n=3).collect()[0]
     assert r["distinct_ngrams"] == 1          # "spam spam spam" only
-    assert r["top_ngram_share"] == 1.0
-    assert r["dup_ngram_ratio"] > 0.97
+    assert r["top_ngram_share_e6"] == 1000000
+    assert r["dup_ngram_ratio_e6"] > 970000
 
 
 def test_pii_scrub_redacts_and_counts(spark):
@@ -318,13 +318,13 @@ def test_source_report_dup_and_quality_columns(spark):
         ["doc_id", "text", "source"])
     out = {r.source: r for r in textstats.source_report(docs).collect()}
     assert out["sa"].n_docs == 3 and out["sa"].n_distinct_texts == 2
-    assert out["sa"].dup_ratio == round(1 - 2 / 3, 4)
-    assert out["sb"].dup_ratio == 0.0
-    # totals are sums of the per-doc metrics
+    assert out["sa"].dup_ratio_e6 == 1000000 // 3   # trunc(1/3 * 1e6)
+    assert out["sb"].dup_ratio_e6 == 0
+    # totals are sums of the per-doc metrics (exact integer sums)
     q = {r.doc_id: r for r in textstats.quality_score(docs).collect()}
     assert out["sa"].total_tokens == sum(q[i].n_tokens for i in (0, 1, 2))
-    assert out["sa"].total_quality == round(
-        sum(q[i].quality for i in (0, 1, 2)), 4)
+    assert out["sa"].total_quality_e6 == sum(
+        q[i].quality_e6 for i in (0, 1, 2))
 
 
 def test_oov_rate_counts_positions(spark):
@@ -370,8 +370,10 @@ def test_classifier_score_bounds_and_label(spark):
         "doc_id long, text string")
     rows = {r["doc_id"]: r for r in classifier_score(docs).collect()}
     for r in rows.values():
-        assert 0.0 <= r["score"] <= 1.0
-        assert r["label"] == ("keep" if r["score"] >= 0.5 else "drop")
+        # margin = mean(w)/1000 with w in [-1000, 1000] -> |e9| <= 1e9
+        assert -10 ** 9 <= r["margin_e9"] <= 10 ** 9
+        # sw >= 0 <=> margin_e9 >= 0 (floor of a nonneg rational)
+        assert r["label"] == ("keep" if r["margin_e9"] >= 0 else "drop")
     # token multiplicity matters (bag, not set): a doc of one repeated
     # token scores exactly sigmoid(4 * w/1000) for that token's weight.
     assert rows[1]["n_tokens"] == 3
@@ -386,9 +388,9 @@ def test_classifier_score_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, f"tok{i} shared words here tok{i + 1}") for i in range(40)],
         "doc_id long, text string")
-    a = {r["doc_id"]: r["score"]
+    a = {r["doc_id"]: r["margin_e9"]
          for r in classifier_score(docs.coalesce(1)).collect()}
-    b = {r["doc_id"]: r["score"]
+    b = {r["doc_id"]: r["margin_e9"]
          for r in classifier_score(docs.repartition(7)).collect()}
     assert a == b  # integer-exact sums -> identical to the last digit
 
