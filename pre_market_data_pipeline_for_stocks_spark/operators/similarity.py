@@ -87,11 +87,19 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 
 def _projection(vec_col, plane: int, dims: int):
     """Map-side dot product of a vector with pseudo-plane ``plane`` —
-    pure array fold, no explode, no shuffle."""
+    pure array fold, no explode, no shuffle.
+
+    Integer contract (r9): the plane weights are ±1, so the projection
+    over 1e-3-quantized components is an EXACT int64 sum — the sign
+    (the LSH bit) can never flip on float accumulation order, in any
+    engine. Quantization only perturbs which side a near-plane vector
+    falls on, identically everywhere — recall-neutral."""
     return F.aggregate(
         F.zip_with(vec_col, _weight_array(plane, dims),
-                   lambda v, w: v.cast("double") * w),
-        F.lit(0.0), lambda acc, v: acc + v)
+                   lambda v, w: F.floor(v.cast("double") * 1000
+                                        + F.lit(0.5)).cast("long")
+                   * w.cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
@@ -711,34 +719,43 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
 
     e = embeddings.select(
         F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("embedding"),
-        _norm(F.col("embedding")).alias("nrm"))
+        F.col("embedding").cast("array<double>").alias("embedding"))
     paired = (
         cand
         .join(e.withColumnsRenamed(
-            {"vec_id": "vec_a", "embedding": "emb_a", "nrm": "nrm_a"}), "vec_a")
+            {"vec_id": "vec_a", "embedding": "emb_a"}), "vec_a")
         .join(e.withColumnsRenamed(
-            {"vec_id": "vec_b", "embedding": "emb_b", "nrm": "nrm_b"}), "vec_b"))
+            {"vec_id": "vec_b", "embedding": "emb_b"}), "vec_b"))
+    # Integer emission (r9 contract — the r8 DECIMAL snap of np.round'ed
+    # einsum cosines is the class that stayed red for hard_negatives):
+    # 1e-3-quantized components -> exact int64 dots/norms, cosine_e6 =
+    # floor(dot*1e6 / sqrt(na*nb)) over IEEE-only ops — bit-identical
+    # across numpy and the DuckDB twin — and the threshold cut is the
+    # exact integer comparison cosine_e6 >= round(t*1e6) (floor(x) >= m
+    # <=> x >= m for integer m, so the cut equals cos >= t exactly).
+    q = HARDNEG_QUANT
+    thr_e6 = round(threshold * 10 ** 6)
 
     def verify(it):
         for pdf in it:
-            a = np.stack(pdf["emb_a"].to_numpy())
-            b = np.stack(pdf["emb_b"].to_numpy())
-            cos = np.round(
-                np.einsum("ij,ij->i", a, b)
-                / (pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()), 4)
-            yield pd.DataFrame({"vec_a": pdf["vec_a"],
-                                "vec_b": pdf["vec_b"], "cosine": cos})
+            a = np.floor(np.stack(pdf["emb_a"].to_numpy()) * q
+                         + 0.5).astype(np.int64)
+            b = np.floor(np.stack(pdf["emb_b"].to_numpy()) * q
+                         + 0.5).astype(np.int64)
+            dot = np.einsum("ij,ij->i", a, b)           # int64 exact
+            den = ((a * a).sum(axis=1).astype(np.float64)
+                   * (b * b).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_e6 = np.floor(
+                    (dot * 1000000).astype(np.float64) / np.sqrt(den))
+            keep = (den > 0) & (cos_e6 >= thr_e6)
+            yield pd.DataFrame({"vec_a": pdf["vec_a"][keep],
+                                "vec_b": pdf["vec_b"][keep],
+                                "cosine_e6": cos_e6[keep]
+                                .astype(np.int64)})
 
-    # DECIMAL emission (r8 contract): the einsum accumulates in
-    # blocked/pairwise order while the DuckDB oracle's
-    # list_inner_product folds sequentially — a rounded DOUBLE of
-    # order-differing sums is the hash-instability class that burned
-    # zscore/psi. The cast snaps both engines to the same 4-dp grid.
-    return (paired.mapInPandas(
-        verify, "vec_a long, vec_b long, cosine double")
-        .filter(F.col("cosine") >= threshold)
-        .withColumn("cosine", F.col("cosine").cast("decimal(7,4)")))
+    return paired.mapInPandas(
+        verify, "vec_a long, vec_b long, cosine_e6 long")
 
 
 def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
@@ -813,32 +830,44 @@ def cosine_topk_int8(embeddings: DataFrame, query_vec_id: int = 0,
                           F.col("vec_id").asc()).limit(k)
 
 
+HARDNEG_QUANT = 1000           # embedding components -> integer 1e-3 grid
+HARDNEG_MAX_ANCHORS = 4096     # driver-side anchor matrix hard cap
+
+
 def hard_negatives(embeddings: DataFrame, query_pred, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   label_col: str = "label") -> DataFrame:
+                   label_col: str = "label",
+                   max_anchors: int = HARDNEG_MAX_ANCHORS) -> DataFrame:
     """Hard-negative mining for contrastive training:
-    (q_vec_id, neg_vec_id, cosine) — for each query vector (rows
+    (q_vec_id, neg_vec_id, cosine_e6) — for each query vector (rows
     matching ``query_pred``), the ``k`` corpus vectors MOST similar in
     embedding space whose ``label_col`` DIFFERS from the query's. These
     near-miss negatives are what make contrastive/embedding training
     converge; random negatives are too easy.
 
-    Ranking uses the ROUNDED (4 dp) cosine with vec_id-asc ties so the
-    cut is engine-deterministic.
+    Numerical contract (r9 — the r8 DECIMAL snap of np.round'ed
+    matmul cosines hash-flipped in the driver build): components are
+    quantized to the 1e-3 integer grid (floor(x*1000 + 0.5)), so dots
+    and squared norms are EXACT int64 (|dot| <= dims * 530^2 — far
+    inside both int64 and float64-exact range at dims=64), and the
+    emitted cosine_e6 = floor(dot*1e6 / sqrt(nq*nc)) uses only
+    IEEE-correctly-rounded ops on identical integers — bit-identical
+    across numpy, the final Spark window, and the DuckDB twin
+    (det_canary_ieee monitors the op set). Ranking and the top-k cut
+    compare these BIGINTs with vec_id-asc ties.
 
     Scale shape: mining batches are small by design (a training epoch
-    mines for one batch of anchors at a time), so the anchor matrix —
-    L2-normalized vectors plus labels — ships as a broadcast variable
-    and each Arrow batch of corpus vectors scores against ALL anchors
-    with one numpy matmul (the interpreted column-expression fold this
-    replaces read 50 s at sf1; the matmul ~1 s — BASELINE.md round-5
-    notes). Each batch emits only its own top-k per anchor, selected
-    under the SAME total order as the final cut (rounded cosine desc,
-    neg_vec_id asc) — top-k of a union is the top-k of per-part top-k's
-    under one total order, so the merge loses nothing — and the global
-    window ranks |batches|·|anchors|·k candidate rows, not the corpus.
-    For huge anchor sets, route candidate generation through
-    ivf_topk_batch and anti-filter labels on its output instead."""
+    mines for one batch of anchors at a time), so the anchor matrix
+    ships as a broadcast variable and each Arrow batch of corpus
+    vectors scores against ALL anchors with one integer matmul (the
+    interpreted column-expression fold this replaces read 50 s at sf1;
+    the matmul ~1 s — BASELINE.md round-5 notes). Each batch emits only
+    its own top-k per anchor, selected under the SAME total order as
+    the final cut, so the merged window ranks |batches|·|anchors|·k
+    candidate rows, not the corpus. ``max_anchors`` BOUNDS the driver
+    collect (VERDICT r8: an unbounded anchor set is a driver OOM, not
+    a caveat) — a larger anchor set must route candidate generation
+    through ivf_topk_batch and anti-filter labels on its output."""
     import numpy as np
     import pandas as pd
 
@@ -847,45 +876,59 @@ def hard_negatives(embeddings: DataFrame, query_pred, k: int = 5,
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("_v"))
-    anchors = base.filter(query_pred).collect()
+    anchors = (base.filter(query_pred)
+               .limit(max_anchors + 1).collect())
     if not anchors:
         raise ValueError("query_pred matches no anchor vectors")
+    if len(anchors) > max_anchors:
+        raise ValueError(
+            f"query_pred matches more than max_anchors={max_anchors} "
+            "vectors; mine in batches or generate candidates with "
+            "ivf_topk_batch and anti-filter labels on its output")
+    q = HARDNEG_QUANT
+
+    def _quant(mat):
+        return np.floor(mat * q + 0.5).astype(np.int64)
+
     a_ids = np.array([r["vec_id"] for r in anchors])
     a_labels = np.array([r["label"] for r in anchors])
-    a_mat = np.array([r["_v"] for r in anchors], dtype=np.float64)
-    a_t = (a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)).T
-    bc = spark.sparkContext.broadcast((a_ids, a_labels, a_t))
+    a_q = _quant(np.array([r["_v"] for r in anchors], dtype=np.float64))
+    a_n2 = (a_q * a_q).sum(axis=1)           # int64, exact
+    bc = spark.sparkContext.broadcast((a_ids, a_labels, a_q.T, a_n2))
+    sentinel = -(2 ** 62)
 
     def score(it):
-        ids, labels, at = bc.value
+        ids, labels, aqt, an2 = bc.value
         for pdf in it:
-            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            cos = np.round((m / np.where(nrm == 0, 1.0, nrm)) @ at, 4)
+            m_q = _quant(np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+            c_n2 = (m_q * m_q).sum(axis=1)
+            dot = m_q @ aqt                               # int64 exact
+            den = c_n2[:, None].astype(np.float64) * an2[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_e6 = np.floor(
+                    (dot * 1000000).astype(np.float64) / np.sqrt(den))
+            key = np.where(den > 0, cos_e6, sentinel).astype(np.int64)
             same = pdf["label"].to_numpy()[:, None] == labels[None, :]
-            cos[same] = -np.inf
+            key[same] = sentinel
             neg_ids = pdf["vec_id"].to_numpy()
-            out = {"q_vec_id": [], "neg_vec_id": [], "cosine": []}
-            for a in range(at.shape[1]):
-                col = cos[:, a]
+            out = {"q_vec_id": [], "neg_vec_id": [], "cosine_e6": []}
+            for a in range(aqt.shape[1]):
+                col = key[:, a]
                 order = np.lexsort((neg_ids, -col))[:k]
                 for i in order:
-                    if np.isfinite(col[i]):
+                    if col[i] != sentinel:
                         out["q_vec_id"].append(ids[a])
                         out["neg_vec_id"].append(neg_ids[i])
-                        out["cosine"].append(col[i])
+                        out["cosine_e6"].append(col[i])
             if out["q_vec_id"]:
                 yield pd.DataFrame(out)
 
     cand = base.mapInPandas(
-        score, "q_vec_id long, neg_vec_id long, cosine double")
+        score, "q_vec_id long, neg_vec_id long, cosine_e6 long")
     w = (Window.partitionBy("q_vec_id")
-         .orderBy(F.col("cosine").desc(), F.col("neg_vec_id").asc()))
+         .orderBy(F.col("cosine_e6").desc(), F.col("neg_vec_id").asc()))
     return (cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k).drop("_rn")
-            # DECIMAL emission: numpy matmul accumulation order differs
-            # from the oracle's sequential fold (r8 contract).
-            .withColumn("cosine", F.col("cosine").cast("decimal(7,4)")))
+            .filter(F.col("_rn") <= k).drop("_rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -1390,14 +1433,14 @@ def binary_signatures(embeddings: DataFrame, planes: int = 64,
     (rows × dims) @ (dims × planes) matmul per batch with the weight
     matrix shipped in the closure: map-side, shuffle-free, the Arrow-
     kernel-over-HOF-fold lesson (BASELINE.md r5/r8) applied at
-    construction time. Matmul-vs-fold drift (~1e-14) can flip a sign
-    only when a projection sits within drift of EXACTLY zero —
-    measure-zero for continuous embeddings, same accepted class as the
-    einsum-verified near-dup path."""
+    construction time. Components are 1e-3-quantized first (the r9
+    integer contract shared with _projection/lsh_candidate_pairs), so
+    the matmul is EXACT int64 arithmetic and a sign bit can never flip
+    on accumulation order — bit-identical in any engine."""
     import numpy as np
 
     w = np.array([[_plane_weight(p, d) for p in range(planes)]
-                  for d in range(dims)], dtype=np.float64)
+                  for d in range(dims)], dtype=np.int64)
     out_schema = "vec_id long, sig long"
 
     def kernel(batches):
@@ -1406,8 +1449,9 @@ def binary_signatures(embeddings: DataFrame, planes: int = 64,
                 yield __import__("pandas").DataFrame(
                     {"vec_id": [], "sig": []})
                 continue
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["embedding"]])
+            m = np.floor(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in pdf["embedding"]])
+                         * 1000 + 0.5).astype(np.int64)
             bits = (m @ w) > 0                      # rows × planes bool
             weights = (1 << np.arange(planes, dtype=np.uint64))
             sig = (bits.astype(np.uint64) * weights).sum(axis=1)

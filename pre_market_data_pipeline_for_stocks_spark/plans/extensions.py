@@ -602,9 +602,14 @@ def ann_cosine_near_dup(spark, sf_dir):
     ON BY DEFAULT (r6 #8: benchmarked plans must be the scale-safe
     ones): a no-op at oracle scale (largest fixture bucket is far
     smaller) that bounds the band self-join at O(buckets x cap^2) on
-    a skewed production corpus."""
+    a skewed production corpus. planes_per_band="auto" (r8 VERDICT #4:
+    the benchmarked plan must be the scale plan) holds expected bucket
+    occupancy constant as the corpus grows — r = 4 at the sf0.01
+    oracle grid (auto == the old fixed sizing below ~4096 vectors, so
+    the pinned oracle is exact), r = 5 at sf0.1, r = 8 at sf1 (the
+    measured 98 s -> 24 s near-linear restoration in BASELINE.md)."""
     return similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
-                                          bands=4, planes_per_band=4,
+                                          bands=4, planes_per_band="auto",
                                           threshold=0.4, max_bucket=4096)
 
 
@@ -614,7 +619,7 @@ def dedup_embedding_clusters(spark, sf_dir):
     into connected components with a min-id keeper — the semantic-dedup
     twin of dedup_clusters (which walks the lexical MinHash pairs)."""
     pairs = similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
-                                           bands=4, planes_per_band=4,
+                                           bands=4, planes_per_band="auto",
                                            threshold=0.4, max_bucket=4096)
     return (dedup.resolve_clusters(pairs, a_col="vec_a", b_col="vec_b")
             .withColumnsRenamed({"doc_id": "vec_id"}))

@@ -30,6 +30,12 @@ from ..operators.relevance import (
 # knobs — shared with the Spark side so the twins cannot drift.
 _BM25_A, _BM25_BD, _BM25_CD, _BM25_DD = _bm25_int_constants(
     _BM25_K1, _BM25_B)
+
+# Containment threshold as the exact rational the Spark side compares
+# with (dedup._threshold_frac twin).
+from ..operators.dedup import _threshold_frac as _thr_frac  # noqa: E402
+
+_CONT_TN, _CONT_TD = _thr_frac(X.CONTAINMENT_THRESHOLD)
 from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
@@ -62,12 +68,12 @@ sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shh GROUP BY doc_id)
 
 _JACCARD_TAIL = """
 SELECT c.doc_a, c.doc_b,
-       round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
-         AS jaccard
+       (c.n_common * 1000000)
+         // (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard_e6
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4) >= 0.5
+WHERE 2 * c.n_common >= (sa.n_shingles + sb.n_shingles - c.n_common)
 """
 
 
@@ -337,11 +343,11 @@ cand AS (
     ON x.band = y.band AND x.band_key = y.band_key
   WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0)
 SELECT c.new_doc_id, c.corpus_doc_id,
-       round(({agree}) / {k}.0, 4) AS est_jaccard
+       (({agree}) * 1000000) // {k} AS est_jaccard_e6
 FROM cand c
 JOIN sigs a ON a.doc_id = c.new_doc_id
 JOIN sigs b ON b.doc_id = c.corpus_doc_id
-WHERE round(({agree}) / {k}.0, 4) >= 0.5
+WHERE 2 * ({agree}) >= {k}
 ORDER BY new_doc_id, corpus_doc_id
 """
 
@@ -376,13 +382,12 @@ common AS (
   JOIN shh b ON b.doc_id = c.corpus_doc_id AND b.sh = a.sh
   GROUP BY 1, 2)
 SELECT c.new_doc_id, c.corpus_doc_id,
-       round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
-         AS jaccard
+       (c.n_common * 1000000)
+         // (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard_e6
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.new_doc_id
 JOIN sizes sb ON sb.doc_id = c.corpus_doc_id
-WHERE round(c.n_common / (sa.n_shingles + sb.n_shingles - c.n_common), 4)
-        >= 0.5
+WHERE 2 * c.n_common >= (sa.n_shingles + sb.n_shingles - c.n_common)
 ORDER BY new_doc_id, corpus_doc_id
 """
 
@@ -396,9 +401,12 @@ SELECT doc_id AS vec_id, cluster_id FROM comp
 
 
 def _lsh_bucket_cte(planes: int = 8) -> str:
-    """CTE fragment ending in ``bucket_t(vec_id, bucket)``."""
+    """CTE fragment ending in ``bucket_t(vec_id, bucket)``. Components
+    are 1e-3-quantized so every projection is an EXACT integer sum
+    (the r9 contract shared with similarity._projection) — a sign bit
+    can never flip on float accumulation order."""
     projs = ",\n    ".join(
-        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj_{p}"
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS proj_{p}"
         .format(h=_h("dim::VARCHAR", seed=p), p=p)
         for p in range(planes))
     bucket = " + ".join(
@@ -406,7 +414,8 @@ def _lsh_bucket_cte(planes: int = 8) -> str:
         for p in range(planes))
     return f"""
 pe AS (
-  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS val
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
 proj AS (SELECT vec_id,
     {projs}
@@ -422,9 +431,15 @@ def _lsh_bucket_sql(planes: int = 8) -> str:
 
 def _lsh_pairs_sql(bands: int = 4, planes_per_band: int = 4,
                    threshold: float = 0.4) -> str:
+    """Twin of similarity.lsh_candidate_pairs at FIXED (b, r). The
+    Spark wrapper sizes r via planes_per_band="auto"; auto == 4 below
+    ~4096 vectors (auto_planes_per_band), so this pinned grid is exact
+    at every oracle scale. r9 integer contract throughout: quantized
+    integer projections (sign bits can't flip) and the quantized
+    cosine_e6 emission with its exact integer threshold cut."""
     n_planes = bands * planes_per_band
     projs = ",\n    ".join(
-        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS proj_{p}"
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS proj_{p}"
         .format(h=_h("dim::VARCHAR", seed=p), p=p)
         for p in range(n_planes))
     band_selects = "\nUNION ALL\n".join(
@@ -435,15 +450,16 @@ def _lsh_pairs_sql(bands: int = 4, planes_per_band: int = 4,
                 f"THEN {1 << r}::BIGINT ELSE 0::BIGINT END"
                 for r in range(planes_per_band)))
         for b in range(bands))
-    cos = ("round(list_inner_product(ea.embedding::DOUBLE[], "
-           "eb.embedding::DOUBLE[]) / "
-           "(sqrt(list_inner_product(ea.embedding::DOUBLE[], "
-           "ea.embedding::DOUBLE[])) * "
-           "sqrt(list_inner_product(eb.embedding::DOUBLE[], "
-           "eb.embedding::DOUBLE[]))), 4)")
+    cos_e6 = (
+        "CAST(floor(CAST(CAST(list_inner_product(ea.qv, eb.qv) AS BIGINT)"
+        " * 1000000 AS DOUBLE)"
+        " / sqrt(CAST(CAST(list_inner_product(ea.qv, ea.qv) AS BIGINT)"
+        " * CAST(list_inner_product(eb.qv, eb.qv) AS BIGINT)"
+        " AS DOUBLE))) AS BIGINT)")
     return f"""
 WITH pe AS (
-  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS val
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
 proj AS (SELECT vec_id,
     {projs}
@@ -452,12 +468,19 @@ banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM banded x JOIN banded y
-    ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id)
-SELECT c.vec_a, c.vec_b, CAST({cos} AS DECIMAL(7,4)) AS cosine
+    ON x.band = y.band AND x.band_key = y.band_key AND x.vec_id < y.vec_id),
+ez AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings)
+SELECT c.vec_a, c.vec_b, {cos_e6} AS cosine_e6
 FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE {cos} >= {threshold}
+JOIN ez ea ON ea.vec_id = c.vec_a
+JOIN ez eb ON eb.vec_id = c.vec_b
+WHERE list_inner_product(ea.qv, ea.qv) > 0
+  AND list_inner_product(eb.qv, eb.qv) > 0
+  AND {cos_e6} >= {round(threshold * 10 ** 6)}
 """
 
 
@@ -2906,15 +2929,15 @@ common AS (
   FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT c.doc_a, c.doc_b,
-       round(c.n_common / least(sa.n_shingles, sb.n_shingles), 4)
-         AS containment,
-       round(c.n_common
-             / (sa.n_shingles + sb.n_shingles - c.n_common), 4) AS jaccard
+       (c.n_common * 1000000) // least(sa.n_shingles, sb.n_shingles)
+         AS containment_e6,
+       (c.n_common * 1000000)
+         // (sa.n_shingles + sb.n_shingles - c.n_common) AS jaccard_e6
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(c.n_common / least(sa.n_shingles, sb.n_shingles), 4)
-      >= {X.CONTAINMENT_THRESHOLD}
+WHERE c.n_common * {_CONT_TD} >= {_CONT_TN}
+      * least(sa.n_shingles, sb.n_shingles)
 ORDER BY doc_a, doc_b
 """),
 
@@ -3721,24 +3744,40 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
 """),
 
-    # operators.similarity.hard_negatives: per-anchor top-k by ROUNDED
-    # cosine among different-label vectors; anchors = every 50th id.
+    # operators.similarity.hard_negatives: per-anchor top-k among
+    # different-label vectors; anchors = every 50th id. r9 integer
+    # contract: 1e-3-quantized components -> exact integer dots/norms,
+    # cosine_e6 = floor(dot*1e6 / sqrt(nq*nc)) with the pinned IEEE op
+    # shape the numpy kernel uses (dots stay far under 2^53, so the
+    # DOUBLE list_inner_product is exact).
     "ann_hard_negatives": QueryDef(X.ann_hard_negatives, f"""
-WITH q AS (
-  SELECT vec_id AS q_vec_id, label AS qlab, embedding::DOUBLE[] AS qv
+WITH qz AS (
+  SELECT vec_id AS q_vec_id, label AS qlab,
+         list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
   FROM embeddings WHERE vec_id % {X.HARDNEG_STRIDE} = 0),
-c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+cz AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS cv
+  FROM embeddings),
 cos AS (
-  SELECT q.q_vec_id, c.vec_id AS neg_vec_id,
-         round(list_inner_product(c.cv, q.qv)
-               / (sqrt(list_inner_product(c.cv, c.cv))
-                  * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
-  FROM c JOIN q ON c.label <> q.qlab),
+  SELECT qz.q_vec_id, cz.vec_id AS neg_vec_id,
+         CAST(floor(
+           CAST(CAST(list_inner_product(cz.cv, qz.qv) AS BIGINT)
+                * 1000000 AS DOUBLE)
+           / sqrt(CAST(CAST(list_inner_product(cz.cv, cz.cv) AS BIGINT)
+                       * CAST(list_inner_product(qz.qv, qz.qv) AS BIGINT)
+                       AS DOUBLE))) AS BIGINT) AS cosine_e6
+  FROM cz JOIN qz ON cz.label <> qz.qlab
+  WHERE list_inner_product(cz.cv, cz.cv) > 0
+    AND list_inner_product(qz.qv, qz.qv) > 0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_vec_id
-                               ORDER BY cosine DESC, neg_vec_id ASC) AS rn
+                               ORDER BY cosine_e6 DESC,
+                                        neg_vec_id ASC) AS rn
   FROM cos)
-SELECT q_vec_id, neg_vec_id, CAST(cosine AS DECIMAL(7,4)) AS cosine
+SELECT q_vec_id, neg_vec_id, cosine_e6
 FROM ranked WHERE rn <= {X.HARDNEG_K}
 """),
 

@@ -21,7 +21,7 @@ def test_hot_shingles_generate_quadratic_pairs_without_guard(spark):
     # 2 shared shingles, 6 per doc -> jaccard 2/10 = 0.2 for every pair
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
     assert len(pairs) == 20 * 19 // 2
-    assert all(abs(r["jaccard"] - 0.2) < 1e-9 for r in pairs)
+    assert all(r["jaccard_e6"] == 200000 for r in pairs)
 
 
 def test_max_df_caps_hot_shingle_pairs(spark):
@@ -226,11 +226,11 @@ def test_incremental_dedup_pairs_only_across_sides(spark):
     )
     corpus = docs.filter("doc_id % 2 = 0")
     batch = docs.filter("doc_id % 2 = 1")
-    got = {(r.new_doc_id, r.corpus_doc_id, r.jaccard)
+    got = {(r.new_doc_id, r.corpus_doc_id, r.jaccard_e6)
            for r in incremental_minhash_dedup(corpus, batch).collect()}
     # batch doc 1 hits both corpus copies at jaccard 1.0; no
     # batch-internal (3,5) pair, no corpus-internal (0,2) pair, no 7.
-    assert got == {(1, 0, 1.0), (1, 2, 1.0)}
+    assert got == {(1, 0, 1000000), (1, 2, 1000000)}
 
 
 def test_admit_new_docs_keeps_only_novel(spark):
@@ -269,11 +269,11 @@ def test_signature_index_parquet_roundtrip(spark, tmp_path):
     p = str(tmp_path / "sig_index")
     live.write.mode("overwrite").parquet(p)
     stored = spark.read.parquet(p)
-    got_live = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard)
+    got_live = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard_e6)
                 for r in incremental_index_dedup(live, batch).collect()}
-    got_stored = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard)
+    got_stored = {(r.new_doc_id, r.corpus_doc_id, r.est_jaccard_e6)
                   for r in incremental_index_dedup(stored, batch).collect()}
-    assert got_live == got_stored == {(1, 0, 1.0)}
+    assert got_live == got_stored == {(1, 0, 1000000)}
 
 
 def _clone_docs(spark, m=12, extras=2):
@@ -395,9 +395,9 @@ def test_containment_sees_subset_jaccard_misses(spark):
     jac = dedup.ngram_jaccard_pairs(docs, 3, 0.5).collect()
     dedup.release_shingle_caches()
     # the short doc is fully contained -> containment 1.0
-    assert cont[(0, 1)].containment == 1.0
+    assert cont[(0, 1)].containment_e6 == 1000000
     # but its Jaccard is tiny: the symmetric measure misses the pair
-    assert cont[(0, 1)].jaccard < 0.1
+    assert cont[(0, 1)].jaccard_e6 < 100000
     assert (0, 1) not in {(r.doc_a, r.doc_b) for r in jac}
     assert (0, 2) not in cont and (1, 2) not in cont
 

@@ -274,7 +274,7 @@ def test_embedding_lsh_hot_bucket_cap(spark):
     capped = lsh_candidate_pairs(emb, threshold=0.4, max_bucket=5).collect()
     assert [r for r in capped if r["vec_a"] < 100] == []
     cold = [r for r in capped if r["vec_a"] == 100 and r["vec_b"] == 101]
-    assert len(cold) == 1 and cold[0]["cosine"] > 0.99
+    assert len(cold) == 1 and cold[0]["cosine_e6"] > 990000
 
     uncapped = lsh_candidate_pairs(emb, threshold=0.4).collect()
     assert len([r for r in uncapped if r["vec_a"] < 100]) == 10 * 9 // 2
@@ -333,7 +333,7 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     ids = [r.neg_vec_id for r in out]
     assert ids == [2, 3]                  # ranked by cosine desc
     assert 1 not in ids                   # same-label excluded
-    assert out[0].cosine > out[1].cosine
+    assert out[0].cosine_e6 > out[1].cosine_e6
 
 
 def test_hard_negatives_k_bounds_per_anchor(spark):
@@ -344,6 +344,23 @@ def test_hard_negatives_k_bounds_per_anchor(spark):
     out = (similarity.hard_negatives(emb, F.col("vec_id") % 100 == 0, k=3)
            .groupBy("q_vec_id").count().collect())
     assert len(out) == 5 and all(r["count"] == 3 for r in out)
+
+
+def test_hard_negatives_anchor_cap_raises(spark):
+    """VERDICT r8 #2: the driver-side anchor collect must be BOUNDED —
+    an anchor set over max_anchors is a hard error naming the
+    ivf_topk_batch route, never a silent driver OOM."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="ivf_topk_batch"):
+        similarity.hard_negatives(emb, F.lit(True), k=2, max_anchors=10)
+    # at exactly the cap the mine proceeds
+    out = similarity.hard_negatives(emb, F.col("vec_id") < 10, k=1,
+                                    max_anchors=10)
+    assert out.groupBy("q_vec_id").count().count() == 10
 
 
 def test_hard_negatives_plan_is_arrow_batched_then_candidate_ranked(spark):
