@@ -74,6 +74,18 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """(num_bits, num_k) for the Bloom sizing — ONE shared derivation
+    so the Spark operator and the DuckDB oracle twin can never disagree
+    on the bit geometry (registry.py embeds these as literals)."""
+    import math
+
+    num_bits = max(64, int(-expected_items * math.log(fpp)
+                           / (math.log(2) ** 2)))
+    num_k = max(1, round(num_bits / expected_items * math.log(2)))
+    return num_bits, num_k
+
+
 def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
                         n: int = 3, threshold: float = 0.1,
                         expected_items: int = 1_000_000,
@@ -105,13 +117,14 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     placement is classic double hashing (Kirsch-Mitzenmacher): k
     probes at (h1 + i*h2) mod m from the two 30-bit halves of the
     60-bit shingle hash — deterministic, partition-independent.
-    Not SQL-oracle-expressible (DuckDB has no Bloom surface): checked
-    by the subset property vs exact decontamination in unit tests."""
-    import math
-
-    num_bits = max(64, int(-expected_items * math.log(fpp)
-                           / (math.log(2) ** 2)))
-    num_k = max(1, round(num_bits / expected_items * math.log(2)))
+    Oracle-expressible after all (r9, VERDICT r8 #3): the bit
+    placement is pure integer arithmetic over the shared 60-bit md5
+    hashes, so a DuckDB twin rebuilds the identical bit SET
+    relationally (distinct positions instead of a packed bitset) and
+    replays the membership test bit-for-bit; the dirty cut is the
+    exact integer comparison n_hit * t_den >= t_num * n_sh. The
+    subset-vs-exact property stays unit-tested on top."""
+    num_bits, num_k = bloom_params(expected_items, fpp)
 
     def _positions(h: "np.ndarray") -> "np.ndarray":
         # (len(h), k) bit positions; h is the 60-bit shingle hash.
@@ -145,8 +158,11 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     per_doc = (sh.groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_sh"),
                     F.sum(F.col("_hit").cast("int")).alias("n_hit")))
+    from fractions import Fraction
+    tf = Fraction(threshold).limit_denominator(10 ** 6)
     dirty = per_doc.filter(
-        (F.col("n_hit") / F.col("n_sh")) >= threshold).select("doc_id")
+        F.col("n_hit") * tf.denominator
+        >= tf.numerator * F.col("n_sh")).select("doc_id")
     return corpus.join(dirty, "doc_id", "left_anti")
 
 

@@ -183,7 +183,7 @@ AUDIO_WINDOW_SCHEMA = T.StructType([
     T.StructField("window_idx", T.IntegerType(), False),
     T.StructField("start_ms", T.LongType(), False),
     T.StructField("end_ms", T.LongType(), False),
-    T.StructField("rms", T.FloatType(), False),
+    T.StructField("rms_e6", T.LongType(), False),
     T.StructField("is_silence", T.BooleanType(), False),
 ])
 
@@ -200,15 +200,21 @@ def audio_windows(media: DataFrame, window_ms: int = 1000,
     deployment swaps the byte-slice + RMS for a soundfile/ffmpeg
     decode at the SAME (schema, batching, signature) — the Spark-side
     plumbing is what this operator pins. RMS here is the mean absolute
-    byte value normalized to [0, 1] per window (deterministic, no
-    codec), and windows below ``silence_rms`` flag as silence — the
-    rows a curation pass drops before paying for ASR.
+    byte value normalized to [0, 1] per window, emitted as rms_e6 =
+    trunc(sum(bytes)*1e6 / (255*len)) — exact integer arithmetic (r9
+    emission contract), with the silence flag as the exact rational
+    comparison sum*t_den < t_num*255*len — the rows a curation pass
+    drops before paying for ASR. ``silence_rms`` must be exactly
+    representable as a small rational (default 1/4).
 
     Scale: one Arrow batch in, O(windows) skinny rows out; no shuffle,
     no per-row Python. Window count is ceil(n_bytes / window bytes),
     so output volume is bounded by input bytes — the operator streams
     at any corpus size."""
     win_bytes = window_ms * bytes_per_ms
+    from fractions import Fraction
+    sf = Fraction(silence_rms).limit_denominator(10 ** 6)
+    tn, td = sf.numerator, sf.denominator
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -217,15 +223,18 @@ def audio_windows(media: DataFrame, window_ms: int = 1000,
                 b = bytes(p)
                 for w in range((len(b) + win_bytes - 1) // win_bytes or 1):
                     seg = b[w * win_bytes:(w + 1) * win_bytes]
-                    rms = (sum(seg) / (255.0 * len(seg))) if seg else 0.0
+                    ssum = sum(seg)
+                    rms_e6 = ((ssum * 10 ** 6) // (255 * len(seg))
+                              if seg else 0)
                     rows["doc_id"].append(doc_id)
                     rows["window_idx"].append(w)
                     rows["start_ms"].append(w * window_ms)
                     rows["end_ms"].append(
                         w * window_ms
                         + (len(seg) + bytes_per_ms - 1) // bytes_per_ms)
-                    rows["rms"].append(rms)
-                    rows["is_silence"].append(rms < silence_rms)
+                    rows["rms_e6"].append(rms_e6)
+                    rows["is_silence"].append(
+                        ssum * td < tn * 255 * len(seg) if seg else True)
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("media_type") == "audio").mapInPandas(

@@ -1484,6 +1484,26 @@ def load_signature_index(spark, path: str) -> DataFrame:
                     F.col("sig").cast("long")))
 
 
+
+def _quant_arr(col):
+    """array<long> of 1e-3-quantized components (the r9 shared grid)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000
+                                              + F.lit(0.5)).cast("long"))
+
+
+def _dot_long(a, b):
+    """Exact int64 dot of two array<long> columns (sequential fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _cos_e6_cols(dot, n2a, n2b):
+    """floor(dot*1e6 / sqrt(n2a*n2b)) — the pinned IEEE shape shared
+    with retrieval._cos_e6 / hard_negatives / the DuckDB twins."""
+    return F.floor((dot * F.lit(1000000)).cast("double")
+                   / F.sqrt((n2a * n2b).cast("double"))).cast("long")
+
+
 def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
                  planes: int = 64, rerank_factor: int = 4,
                  id_col: str = "vec_id",
@@ -1498,9 +1518,10 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     shuffle) and TakeOrdered keeps the best ``rerank_factor × k`` —
     the scan a deployment runs over the 8-byte column while the float
     corpus stays cold. Stage 2 joins ONLY those candidates back to
-    their vectors and reranks by exact cosine (the sequential
-    ``F.aggregate`` fold, oracle-replayable bit-for-bit), with the
-    (cosine desc, vec_id asc) grid tie-break the ANN family shares.
+    their vectors and reranks by the quantized-integer cosine_e6 (r9
+    contract: exact int64 dot/norms over the 1e-3 grid, one pinned
+    IEEE floor-divide — bit-identical in any engine), with the
+    (cosine_e6 desc, vec_id asc) tie-break the ANN family shares.
     Ties at the Hamming cut resolve (hamming asc, vec_id asc) so the
     candidate set itself is deterministic.
 
@@ -1522,8 +1543,8 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
             .head())
     if qrow is None:
         raise ValueError(f"query_vec_id {query_vec_id} not found")
-    qvec = [float(x) for x in qrow["_q"]]
-    qnrm = math.sqrt(sum(x * x for x in qvec))
+    qvec_q = [int(math.floor(float(x) * 1000 + 0.5)) for x in qrow["_q"]]
+    qn2 = sum(x * x for x in qvec_q)
     qsig_row = sigs.filter(F.col("vec_id") == query_vec_id).head()
     if qsig_row is None:
         raise ValueError(
@@ -1537,17 +1558,18 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
             .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
             .limit(rerank_factor * k))
 
-    qlit = F.array(*[F.lit(x) for x in qvec])
+    qlit = F.array(*[F.lit(x).cast("long") for x in qvec_q])
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("embedding"),
-        _norm(F.col(vec_col)).alias("_nrm"))
+        _quant_arr(F.col(vec_col)).alias("_qv"))
+    e = e.withColumn("_n2", _dot_long(F.col("_qv"), F.col("_qv")))
     return (e.join(F.broadcast(cand), "vec_id")
+            .filter(F.col("_n2") > 0)
             .select("vec_id", "hamming",
-                    F.round(_dot_precast(F.col("embedding"), qlit)
-                            / (F.col("_nrm") * F.lit(qnrm)), 4)
-                    .alias("cosine"))
-            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+                    _cos_e6_cols(_dot_long(F.col("_qv"), qlit),
+                                 F.col("_n2"), F.lit(qn2))
+                    .alias("cosine_e6"))
+            .orderBy(F.col("cosine_e6").desc(), F.col("vec_id").asc())
             .limit(k))
 
 
@@ -1570,10 +1592,10 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
     vec_id, hamming) rows reach the per-query row_number shuffle,
     never vectors. The per-query cut keeps rerank_factor × k
     candidates under the deterministic (hamming asc, vec_id asc)
-    order. Stage 2 joins candidates back to their float vectors (one
-    equi-join keyed on vec_id) and reranks by exact sequential-fold
-    cosine against the broadcast query vectors with the ANN family's
-    rounded-grid (cosine desc, vec_id asc) tie-break.
+    order. Stage 2 joins candidates back to their vectors (one
+    equi-join keyed on vec_id) and reranks by the quantized-integer
+    cosine_e6 against the broadcast query vectors with the ANN
+    family's (cosine_e6 desc, vec_id asc) tie-break (r9 contract).
 
     ``queries`` is assumed broadcast-sized (the batch-scoring shape;
     the corpus is the big side). Self-matches (vec_id == query_id)
@@ -1599,20 +1621,21 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
 
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
-        F.col(q_vec_col).cast("array<double>").alias("_qvec"),
-        _norm(F.col(q_vec_col)).alias("_qnrm"))
+        _quant_arr(F.col(q_vec_col)).alias("_qvec"))
+    q = q.withColumn("_qn2", _dot_long(F.col("_qvec"), F.col("_qvec")))
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("embedding"),
-        _norm(F.col(vec_col)).alias("_nrm"))
+        _quant_arr(F.col(vec_col)).alias("_qv"))
+    e = e.withColumn("_n2", _dot_long(F.col("_qv"), F.col("_qv")))
     wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc())
+        F.col("cosine_e6").desc(), F.col("vec_id").asc())
     return (e.join(cand, "vec_id")
             .join(F.broadcast(q), "query_id")
+            .filter((F.col("_n2") > 0) & (F.col("_qn2") > 0))
             .select("query_id", "vec_id", "hamming",
-                    F.round(_dot_precast(F.col("embedding"), F.col("_qvec"))
-                            / (F.col("_nrm") * F.col("_qnrm")), 4)
-                    .alias("cosine"))
+                    _cos_e6_cols(_dot_long(F.col("_qv"), F.col("_qvec")),
+                                 F.col("_n2"), F.col("_qn2"))
+                    .alias("cosine_e6"))
             .withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))

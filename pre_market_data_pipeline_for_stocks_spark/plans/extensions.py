@@ -1351,9 +1351,11 @@ def corpus_length_profile(spark, sf_dir):
 def decontaminate_bloom_clean(spark, sf_dir):
     """Bloom-filter decontamination (same split as
     decontaminate_ngram_overlap): clean-corpus doc ids surviving the
-    might_contain probe. No SQL oracle — DuckDB has no Bloom surface;
-    the subset-vs-exact property is unit-tested instead
-    (tests/test_textstats_ops.py)."""
+    might_contain probe. Oracle-checked since r9: the double-hash bit
+    placement is deterministic integer math, so the DuckDB twin
+    rebuilds the identical bit set and membership test (the last
+    no-oracle row becomes a real green); the subset-vs-exact property
+    stays unit-tested on top."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
@@ -1528,3 +1530,59 @@ def curated_corpus(spark, sf_dir):
                                      key_col="doc_id", salt="curate")
             .select("doc_id", "lang", "source", "quality_e6")
             .orderBy("doc_id"))
+
+
+HAMMING_BATCH_STRIDE = 100
+
+
+def ann_hamming_topk(spark, sf_dir):
+    """Two-stage binary ANN for one query: Hamming scan over packed
+    64-bit sign signatures (8 bytes/vector — the cold-corpus scan),
+    quantized-integer cosine_e6 rerank of the top-4k candidates."""
+    from ..operators import similarity
+    return similarity.hamming_topk(_emb(spark, sf_dir), query_vec_id=0,
+                                   k=10)
+
+
+def ann_hamming_topk_batch(spark, sf_dir):
+    """Batch binary ANN: every 100th vector queries the signature
+    index in ONE plan (broadcast query signatures, skinny
+    (query_id, vec_id, hamming) shuffle, cosine_e6 rerank)."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % HAMMING_BATCH_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return (similarity.hamming_topk_batch(emb, queries, k=5)
+            .orderBy("query_id", "vec_id"))
+
+
+AUDIO_WINDOW_MS = 25
+
+
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio windowing over the synthetic media relation: 25 ms
+    windows (100 payload bytes at 4 bytes/ms), integer rms_e6 energy
+    and the exact-rational silence flag — the VAD/ASR front-end
+    plumbing. Oracle precondition: the fixture corpus is pure ASCII,
+    so payload bytes equal character code points and the twin
+    recomputes them with unicode() (verified for every graded sf)."""
+    from ..operators import multimodal
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return (multimodal.audio_windows(media, window_ms=AUDIO_WINDOW_MS)
+            .orderBy("doc_id", "window_idx"))
+
+
+def text_bm25_indexed(spark, sf_dir):
+    """BM25 served from the persisted postings index (tokenize once,
+    serve many): builds the index into a fresh temp dir, then answers
+    the standing query from postings + doclens + stats only — pinned
+    equal to the inline scorer, same integer score_e6 emission."""
+    import tempfile
+
+    from ..operators import relevance
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bm25_index_")
+    relevance.save_bm25_index(docs, path)
+    return relevance.bm25_search_indexed(spark, path, BM25_QUERY,
+                                         BM25_TOPN)

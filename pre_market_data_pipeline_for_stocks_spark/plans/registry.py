@@ -36,6 +36,12 @@ _BM25_A, _BM25_BD, _BM25_CD, _BM25_DD = _bm25_int_constants(
 from ..operators.dedup import _threshold_frac as _thr_frac  # noqa: E402
 
 _CONT_TN, _CONT_TD = _thr_frac(X.CONTAINMENT_THRESHOLD)
+
+# Bloom bit geometry at decontaminate_bloom's default sizing — one
+# shared derivation (operators.decontam.bloom_params) for both engines.
+from ..operators.decontam import bloom_params as _bloom_params  # noqa: E402
+
+_BLOOM_BITS, _BLOOM_K = _bloom_params(1_000_000, 0.01)
 from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
@@ -2610,9 +2616,48 @@ FROM (SELECT lang,
 GROUP BY lang ORDER BY grp
 """),
 
-    # Bloom probe is not SQL-expressible (DuckDB has no Bloom surface):
-    # rows-only driver check; the subset-vs-exact property is the unit.
-    "decontaminate_bloom_clean": QueryDef(X.decontaminate_bloom_clean, None),
+    # Bloom probe, fully oracle-checked (r9 — the registry's last
+    # no-oracle row): the Kirsch-Mitzenmacher bit placement
+    # (h1 + i*h2) mod num_bits is pure integer math over the shared
+    # 60-bit md5 shingle hashes, so the twin rebuilds the identical
+    # bit SET relationally (distinct positions instead of a packed
+    # bitset — same membership answers) and replays the probe; the
+    # dirty cut is the exact rational threshold comparison. Geometry
+    # literals come from decontam.bloom_params so the sides cannot
+    # drift. The subset-vs-exact property remains unit-pinned.
+    "decontaminate_bloom_clean": QueryDef(
+        X.decontaminate_bloom_clean, f"""
+WITH {_SHINGLES_CTE.strip()},
+bh AS (
+  SELECT (sh & 1073741823) AS h1,
+         ((sh >> 30) & 1073741823) * 2 + 1 AS h2
+  FROM shh WHERE doc_id % 20 = 0),
+bloombits AS (
+  SELECT DISTINCT (h1 + i * h2) % {_BLOOM_BITS} AS bit
+  FROM bh, range(0, {_BLOOM_K}) t(i)),
+cp AS (
+  SELECT doc_id, sh,
+         (sh & 1073741823) AS h1,
+         ((sh >> 30) & 1073741823) * 2 + 1 AS h2
+  FROM shh WHERE doc_id % 20 <> 0),
+probe AS (
+  SELECT doc_id, sh, (h1 + i * h2) % {_BLOOM_BITS} AS bit
+  FROM cp, range(0, {_BLOOM_K}) t(i)),
+hits AS (
+  SELECT doc_id, sh, count(*) AS n_in
+  FROM probe JOIN bloombits USING (bit) GROUP BY 1, 2),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN h.n_in = {_BLOOM_K} THEN 1 ELSE 0 END) AS n_hit
+  FROM cp c LEFT JOIN hits h USING (doc_id, sh)
+  GROUP BY c.doc_id),
+dirty AS (SELECT doc_id FROM per_doc WHERE n_hit * 10 >= n_sh)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 20 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY d.doc_id
+"""),
 
     "dedup_clusters": QueryDef(X.dedup_clusters, _clusters_sql()),
 
@@ -3954,6 +3999,147 @@ SELECT CAST(((sr2 - n_pos * (n_pos + 1)) * 1000000)
             // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6,
        CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg
 FROM a
+""")
+
+
+def _signature_cte(planes: int = 64) -> str:
+    """CTE chain ending in ``sigs(vec_id, sig)`` — the DuckDB twin of
+    similarity.binary_signatures: quantized integer projections (sign
+    bits cannot flip on accumulation order), bit p weighted 1<<p; bit
+    63's weight is int64-min (the two's-complement wrap numpy's uint64
+    packing lands on — DuckDB refuses the overflowing shift, so the
+    literal is spelled out)."""
+    projs = ",\n    ".join(
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS proj_{p}"
+        .format(h=_h("dim::VARCHAR", seed=p), p=p)
+        for p in range(planes))
+    bits = []
+    for p in range(planes):
+        w = (f"(1::BIGINT << {p})" if p < 63
+             else "(-9223372036854775807 - 1)")
+        bits.append(f"CASE WHEN proj_{p} > 0 THEN {w} ELSE 0::BIGINT END")
+    sig = " + ".join(bits)
+    return f"""pe AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+proj AS (SELECT vec_id,
+    {projs}
+  FROM pe GROUP BY vec_id),
+sigs AS (SELECT vec_id, ({sig}) AS sig FROM proj)"""
+
+
+# Quantized cosine_e6 between two array<BIGINT> columns — the pinned
+# IEEE shape every r9 ANN twin shares (see similarity._cos_e6_cols).
+def _qcos_e6_sql(a: str, b: str) -> str:
+    return (f"CAST(floor(CAST(CAST(list_inner_product({a}, {b}) AS BIGINT)"
+            f" * 1000000 AS DOUBLE)"
+            f" / sqrt(CAST(CAST(list_inner_product({a}, {a}) AS BIGINT)"
+            f" * CAST(list_inner_product({b}, {b}) AS BIGINT)"
+            f" AS DOUBLE))) AS BIGINT)")
+
+
+_QUANT_EMB = ("list_transform(embedding, "
+              "x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT))")
+
+
+def _hamming_topk_sql(qid: int = 0, k: int = 10, rf: int = 4) -> str:
+    """Twin of similarity.hamming_topk: signature scan (bit_count of
+    XOR) -> deterministic (hamming, vec_id) cut -> quantized cosine_e6
+    rerank."""
+    return f"""
+WITH {_signature_cte()},
+q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = {qid}),
+ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qz AS (SELECT qv AS qqv FROM ez WHERE vec_id = {qid}),
+cand AS (
+  SELECT s.vec_id, bit_count(xor(s.sig, q.qsig)) AS hamming
+  FROM sigs s, q WHERE s.vec_id <> {qid}
+  ORDER BY hamming ASC, vec_id ASC LIMIT {rf * k})
+SELECT c.vec_id, c.hamming, {_qcos_e6_sql('e.qv', 'qz.qqv')} AS cosine_e6
+FROM cand c JOIN ez e USING (vec_id), qz
+WHERE list_inner_product(e.qv, e.qv) > 0
+ORDER BY cosine_e6 DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _hamming_batch_sql(stride: int = 100, k: int = 5,
+                       rf: int = 4) -> str:
+    """Twin of extensions.ann_hamming_topk_batch: every ``stride``-th
+    vector queries the signature index; per-query (hamming, vec_id)
+    cut then per-query cosine_e6 rerank."""
+    return f"""
+WITH {_signature_cte()},
+ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qs AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs
+       WHERE vec_id % {stride} = 0),
+qv AS (SELECT vec_id AS query_id, qv AS qqv FROM ez
+       WHERE vec_id % {stride} = 0),
+ham AS (
+  SELECT qs.query_id, s.vec_id,
+         bit_count(xor(s.sig, qs.qsig)) AS hamming
+  FROM sigs s, qs WHERE s.vec_id <> qs.query_id),
+cand AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC,
+                                          vec_id ASC) AS rn
+    FROM ham) WHERE rn <= {rf * k}),
+scored AS (
+  SELECT c.query_id, c.vec_id, c.hamming,
+         {_qcos_e6_sql('e.qv', 'q.qqv')} AS cosine_e6
+  FROM cand c
+  JOIN ez e USING (vec_id)
+  JOIN qv q USING (query_id)
+  WHERE list_inner_product(e.qv, e.qv) > 0
+    AND list_inner_product(q.qqv, q.qqv) > 0)
+SELECT query_id, vec_id, hamming, cosine_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_e6 DESC,
+                                        vec_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
+# Round-8 operators, registered in r9 (the r7 registry freeze's
+# never-sampled backlog is drained — VERDICT r8 "What's missing #1").
+REGISTRY["ann_hamming_topk"] = QueryDef(
+    X.ann_hamming_topk, _hamming_topk_sql(0, 10, 4))
+REGISTRY["ann_hamming_topk_batch"] = QueryDef(
+    X.ann_hamming_topk_batch,
+    _hamming_batch_sql(X.HAMMING_BATCH_STRIDE, 5, 4))
+
+# The served index is pinned equal to the inline scorer
+# (test_bm25_indexed_equals_inline), so the INLINE oracle is the twin:
+# a mismatch isolates to the index artifact path.
+REGISTRY["text_bm25_indexed"] = QueryDef(
+    X.text_bm25_indexed, REGISTRY["text_bm25_search"].oracle)
+
+# multimodal.audio_windows over the synthetic payloads (UTF-8 text
+# bytes, media_type = doc_id % 3). Oracle precondition (verified for
+# every graded sf): the corpus is pure ASCII, so byte values equal
+# unicode() code points and the window sums replay exactly.
+_AUDIO_WIN_BYTES = X.AUDIO_WINDOW_MS * 4
+REGISTRY["multimodal_audio_windows"] = QueryDef(
+    X.multimodal_audio_windows, f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, '') AS cs
+  FROM documents WHERE doc_id % 3 = 1),
+b AS (
+  SELECT doc_id, CAST((i - 1) // {_AUDIO_WIN_BYTES} AS INT) AS w,
+         unicode(cs[i]) AS v
+  FROM tok, unnest(range(1, len(cs) + 1)) t(i)),
+g AS (
+  SELECT doc_id, w, sum(v) AS ssum, count(*) AS slen
+  FROM b GROUP BY 1, 2)
+SELECT doc_id, w AS window_idx,
+       CAST(w AS BIGINT) * {X.AUDIO_WINDOW_MS} AS start_ms,
+       CAST(w AS BIGINT) * {X.AUDIO_WINDOW_MS}
+         + (slen + 3) // 4 AS end_ms,
+       CAST((ssum * 1000000) // (255 * slen) AS BIGINT) AS rms_e6,
+       ssum * 4 < 255 * slen AS is_silence
+FROM g ORDER BY doc_id, window_idx
 """)
 
 

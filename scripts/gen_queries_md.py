@@ -16,11 +16,13 @@ HEADER = """# QUERIES — full registry index (scripts/gen_queries_md.py)
 
 Every driver-checkable query: implementation entry point, one-line
 intent (first docstring line of the underlying builder), and oracle
-kind. Oracles are full ANSI-SQL DuckDB twins (row count + schema +
-value-hash checked) for every query except `decontaminate_bloom_clean`
-(Bloom probes have no DuckDB surface — rows-only driver check; the
-subset-vs-exact property is unit-tested); `headline` queries form the
-bench.py suite.
+kind. Since r9 EVERY query has a full ANSI-SQL DuckDB twin (row count
++ schema + value-hash checked) — including `decontaminate_bloom_clean`
+(the bit placement is deterministic integer math, so the twin rebuilds
+the Bloom bit set relationally); `headline` queries form the bench.py
+suite. Hashed emissions follow the r9 integer contract: fixed-point
+`*_e6`/`*_e9` BIGINT columns, frozen-lookup logs, exact rational
+threshold cuts (see functions/fixedpoint.py).
 
 | # | Query | Builder | Headline | Intent |
 |---|---|---|---|---|

@@ -106,8 +106,10 @@ def test_audio_windows_tile_the_payload_exactly(media):
         for prev, cur in zip(rows, rows[1:]):
             assert cur.start_ms == prev.start_ms + 10
         for r in rows:
-            assert 0.0 <= r.rms <= 1.0
-            assert r.is_silence == (r.rms < 0.25)
+            assert 0 <= r.rms_e6 <= 10 ** 6
+            # rms < 1/4 <=> floor(rms*1e6) < 250000 (integer bound),
+            # so the flag is recoverable from the fixed-point emission
+            assert r.is_silence == (r.rms_e6 < 250000)
         # text payloads are ASCII-dense, so energy is far above the
         # silence floor — the flag must actually discriminate
         assert not all(r.is_silence for r in rows)

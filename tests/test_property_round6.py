@@ -210,7 +210,7 @@ def test_audio_windows_tile_arbitrary_payloads(spark, payloads,
     """Structural invariant on ANY byte payload and window geometry:
     windows tile the payload exactly (ceil count, empty payload -> one
     zero-energy window), indices are contiguous from 0, start_ms steps
-    by window_ms, rms stays in [0, 1], and the flag matches the
+    by window_ms, rms_e6 stays in [0, 1e6], and the flag matches the
     threshold."""
     from pre_market_data_pipeline_for_stocks_spark.operators import (
         multimodal as mm,
@@ -233,10 +233,11 @@ def test_audio_windows_tile_arbitrary_payloads(spark, payloads,
         for a, b in zip(ws, ws[1:]):
             assert b["start_ms"] == a["start_ms"] + window_ms
         for w in ws:
-            assert 0.0 <= w["rms"] <= 1.0
-            assert w["is_silence"] == (w["rms"] < 0.25)
+            assert 0 <= w["rms_e6"] <= 10 ** 6
+            # exact: rms < 1/4 <=> floor(rms*1e6) < 250000
+            assert w["is_silence"] == (w["rms_e6"] < 250000)
         if not p:
-            assert ws[0]["rms"] == 0.0 and ws[0]["is_silence"]
+            assert ws[0]["rms_e6"] == 0 and ws[0]["is_silence"]
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=_HC)
@@ -257,11 +258,16 @@ def test_binary_signature_bits_match_plane_signs(spark, vecs, planes):
     sigs = {r["vec_id"]: r["sig"]
             for r in S.binary_signatures(vectors, planes=planes,
                                          dims=_dim).collect()}
+    import math
     for i, v in enumerate(vecs):
         want = 0
         for p in range(planes):
-            proj = sum(float(x) * S._plane_weight(p, d)
+            # r9 contract: projections run over 1e-3-quantized ints
+            proj = sum(int(math.floor(float(x) * 1000 + 0.5))
+                       * int(S._plane_weight(p, d))
                        for d, x in enumerate(v))
             if proj > 0:
                 want |= 1 << p
+        # numpy packs bit 63 via uint64 wrap -> int64 two's complement
+        want = want - (1 << 64) if want >= (1 << 63) else want
         assert sigs[i] == want, (i, planes)

@@ -637,18 +637,24 @@ def test_batch_zscore_matches_streaming_anomaly_contract(spark, sf_dir):
         ev.filter(ev.user_id == uid)
         .select("event_id", "ts", "value").collect(),
         key=lambda r: (r["ts"], r["event_id"]))
-    import statistics
+    import math
     expected = {}
     for i, r in enumerate(rows):
-        prev = [x["value"] for x in rows[:i]]
+        prev = [int(math.floor(x["value"] * 100 + 0.5))
+                for x in rows[:i]]
         if len(prev) >= 5:
-            sd = statistics.stdev(prev)
-            expected[r["event_id"]] = round(
-                (r["value"] - statistics.fmean(prev)) / sd, 3)
+            # the r9 integer contract: z^2 as the exact rational
+            # num^2*(n-1)/den over integer-cent sums, truncated to e6
+            n, s1 = len(prev), sum(prev)
+            ss = sum(c * c for c in prev)
+            c = int(math.floor(r["value"] * 100 + 0.5))
+            num = c * n - s1
+            den = n * (n * ss - s1 * s1)
+            if den > 0:
+                expected[r["event_id"]] = (
+                    (num * num * (n - 1) * 10 ** 6) // den)
     from pyspark.sql import functions as F
-    # zscore is DECIMAL(20,3) since the r8 emission contract — compare
-    # as float on the 3-dp grid the decimal snaps to.
-    got = {r["event_id"]: float(r["zscore"])
+    got = {r["event_id"]: r["z2_e6"]
            for r in events_zscore_anomalies(spark, sf_dir)
            .filter(F.col("user_id") == uid).collect()}
     assert got == expected and len(got) > 0
