@@ -64,9 +64,46 @@ def idiv_long(num: Column, den: Column | int) -> Column:
     return idiv(num, den).cast("long")
 
 
+def sdiv_long(num: Column, den: Column | int) -> Column:
+    """Sign-explicit truncating division (toward zero): sign(num) *
+    idiv(|num|, den) for positive ``den``. The negative-dividend
+    truncation direction of native integer division is engine-version
+    territory (DuckDB's ``//`` changed semantics historically), so
+    signed emissions route through this instead — the SQL twins spell
+    the same CASE-sign shape."""
+    if isinstance(den, int):
+        den = F.lit(den)
+    q = idiv(F.abs(num), den)
+    return (F.when(num < 0, -q).otherwise(q)).cast("long")
+
+
 def log_lookup(spark: SparkSession) -> DataFrame:
     """The frozen (k, ln_e9, log2_e9) relation — broadcast-join it."""
     return spark.read.parquet(LOG_LOOKUP_PATH)
+
+
+SIGMOID_LOOKUP_PATH = str(Path(__file__).resolve().parents[1]
+                          / "data" / "sigmoid_lookup.parquet")
+SIGMOID_RANGE_E3 = 20000   # table domain: margin*1e3 in [-20000, 20000]
+
+
+def with_sigmoid_e9(df: DataFrame, m_e3_col: str,
+                    out_col: str) -> DataFrame:
+    """Add ``out_col`` = frozen-table sigmoid(m/1000) at 1e-9 fixed
+    point, clamping the argument to the saturated table edge (beyond
+    |20| the sigmoid is within 2e-9 of {0, 1}). Broadcast equi-join —
+    libm exp never runs at query time (r9 contract)."""
+    spark = df.sparkSession
+    lk = (spark.read.parquet(SIGMOID_LOOKUP_PATH)
+          .select(F.col("k").alias("__sg_k"),
+                  F.col("sig_e9").alias("__sg_v")))
+    clamped = F.greatest(F.lit(-SIGMOID_RANGE_E3),
+                         F.least(F.lit(SIGMOID_RANGE_E3),
+                                 F.col(m_e3_col).cast("long")))
+    return (df.withColumn("__sg_k", clamped)
+            .join(F.broadcast(lk), "__sg_k", "left")
+            .withColumn(out_col, F.col("__sg_v"))
+            .drop("__sg_k", "__sg_v"))
 
 
 def _shift_cases(k: Column) -> tuple[Column, Column]:

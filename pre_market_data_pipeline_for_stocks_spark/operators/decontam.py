@@ -32,7 +32,7 @@ from .dedup import hashed_shingles
 def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
                       n: int = 3, threshold: float = 0.1) -> DataFrame:
     """Per-corpus-document benchmark n-gram overlap:
-    (doc_id, n_shingles, n_hit, overlap_ratio, contaminated).
+    (doc_id, n_shingles, n_hit, overlap_ratio_e6, contaminated).
 
     ``n_hit`` counts the document's distinct word-``n``-gram shingles
     that appear ANYWHERE in the benchmark (the union of benchmark
@@ -45,11 +45,15 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
     Documents with no shingles (blank/whitespace text) produce no row —
     they carry no n-grams to collide, and the caller's drop-filter is an
     anti-join on flagged ids, which leaves absent rows untouched."""
+    from fractions import Fraction
+
+    from ..functions.fixedpoint import idiv_long
+
+    tf = Fraction(threshold).limit_denominator(10 ** 6)
     corpus_sh = hashed_shingles(corpus, n)
     bench_sh = (hashed_shingles(benchmark, n)
                 .select("sh").distinct()
                 .withColumn("_hit", F.lit(1)))
-    ratio = F.col("n_hit") / F.col("n_shingles")
     return (
         corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
         .groupBy("doc_id")
@@ -57,8 +61,11 @@ def benchmark_overlap(corpus: DataFrame, benchmark: DataFrame,
              F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
              .cast("long").alias("n_hit"))
         .select("doc_id", "n_shingles", "n_hit",
-                F.round(ratio, 4).alias("overlap_ratio"),
-                (ratio >= F.lit(threshold)).alias("contaminated"))
+                idiv_long(F.col("n_hit") * F.lit(10 ** 6),
+                          F.col("n_shingles")).alias("overlap_ratio_e6"),
+                (F.col("n_hit") * tf.denominator
+                 >= tf.numerator * F.col("n_shingles"))
+                .alias("contaminated"))
     )
 
 
@@ -176,8 +183,12 @@ def semantic_overlap(corpus_emb: DataFrame, bench_emb: DataFrame,
     n-gram collision misses (an eval question reworded shares no
     3-grams but sits next to its source in embedding space).
 
-    ``contaminated`` compares the UNROUNDED max cosine (rounding is
-    display-only), matching benchmark_overlap's convention.
+    r9 integer contract (the numpy-matmul emission class that stayed
+    driver-red for hard_negatives): components quantize to the 1e-3
+    integer grid, dots/norms are exact int64, max_cosine_e6 =
+    floor(dot*1e6 / sqrt(den)) over IEEE-only ops, and the
+    contamination cut is exact (floor(x*1e6) >= t*1e6 <=> x >= t for
+    a 1e-6-grid threshold).
 
     Scale shape: the benchmark side is tiny (eval suites are MBs), so
     its L2-normalized matrix ships as a broadcast variable and each
@@ -195,27 +206,35 @@ def semantic_overlap(corpus_emb: DataFrame, bench_emb: DataFrame,
         dtype=np.float64)
     if bench.size == 0:
         raise ValueError("benchmark embedding set is empty")
-    bench_t = (bench / np.linalg.norm(bench, axis=1, keepdims=True)).T
-    bc = spark.sparkContext.broadcast(bench_t)
+    b_q = np.floor(bench * 1000 + 0.5).astype(np.int64)
+    b_n2 = (b_q * b_q).sum(axis=1)
+    bc = spark.sparkContext.broadcast((b_q.T, b_n2))
+    thr_e6 = round(threshold * 10 ** 6)
 
     def score(it):
-        bt = bc.value
+        bqt, bn2 = bc.value
         for pdf in it:
-            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            cos = (m / np.where(nrm == 0, 1.0, nrm)) @ bt
-            mx = cos.max(axis=1)
+            m_q = np.floor(np.stack(pdf["_v"].to_numpy())
+                           .astype(np.float64) * 1000 + 0.5)                 .astype(np.int64)
+            c_n2 = (m_q * m_q).sum(axis=1)
+            dot = m_q @ bqt                             # int64 exact
+            den = c_n2[:, None].astype(np.float64) * bn2[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_e6 = np.floor(
+                    (dot * 1000000).astype(np.float64) / np.sqrt(den))
+            cos_e6 = np.where(den > 0, cos_e6, 0.0).astype(np.int64)
+            mx = cos_e6.max(axis=1)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],
-                "max_cosine": np.round(mx, 4),
-                "n_bench_hits": (cos >= threshold).sum(axis=1),
-                "contaminated": mx >= threshold,
+                "max_cosine_e6": mx,
+                "n_bench_hits": (cos_e6 >= thr_e6).sum(axis=1),
+                "contaminated": mx >= thr_e6,
             })
 
     return (corpus_emb.select(F.col(id_col).alias("vec_id"),
                               F.col(vec_col).alias("_v"))
             .mapInPandas(score,
-                         "vec_id long, max_cosine double, "
+                         "vec_id long, max_cosine_e6 long, "
                          "n_bench_hits long, contaminated boolean"))
 
 
@@ -264,8 +283,16 @@ def benchmark_overlap_by_suite(corpus: DataFrame, benchmark: DataFrame,
     hits = (corpus_sh.join(F.broadcast(bench_sh), "sh")
             .groupBy("doc_id", "suite")
             .agg(F.count(F.lit(1)).alias("n_hit")))
-    ratio = F.col("n_hit") / F.col("n_shingles")
+    from fractions import Fraction
+
+    from ..functions.fixedpoint import idiv_long
+
+    tf = Fraction(threshold).limit_denominator(10 ** 6)
     return (hits.join(sizes, "doc_id")
             .select("doc_id", "suite", "n_shingles", "n_hit",
-                    F.round(ratio, 4).alias("overlap_ratio"),
-                    (ratio >= F.lit(threshold)).alias("contaminated")))
+                    idiv_long(F.col("n_hit") * F.lit(10 ** 6),
+                              F.col("n_shingles"))
+                    .alias("overlap_ratio_e6"),
+                    (F.col("n_hit") * tf.denominator
+                     >= tf.numerator * F.col("n_shingles"))
+                    .alias("contaminated")))

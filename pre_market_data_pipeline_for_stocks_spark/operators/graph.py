@@ -20,12 +20,15 @@ Scale design:
   3^iters deep and kills Catalyst analysis.
 - dangling mass (nodes with no out-edges) is redistributed uniformly —
   the standard correction; without it rank leaks and sums drift from 1.
-- cross-engine determinism: ranks round to 8 dp each iteration in
-  BOTH engines (summation order differs; drift ~1e-16 per round would
-  otherwise compound, and per-node contribution sums span thousands of
-  terms — an 8 dp grid keeps the probability of a knife-edge rounding
-  flip negligible where 10 dp measurably would not), final output
-  rounds to 6.
+- cross-engine determinism (r9 integer contract): ranks are BIGINTs
+  in 1e-12 fixed point and every step is integer arithmetic — each
+  edge contributes trunc(pr_e12/deg), contribution sums are exact and
+  order-independent, and the damping mix (cleared to the exact
+  rational 17/20) closes with truncating divisions. The old 8-dp
+  per-iteration rounding of float sums left a knife-edge flip
+  possible; integer propagation leaves none (truncation leaks
+  ~iters*nodes*1e-12 of mass — far below any ranking use, and
+  identical in every engine).
 
 Reference scope: none (the reference has no graph surface); north-star
 extension.
@@ -39,8 +42,15 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
              src: str = "src", dst: str = "dst") -> DataFrame:
-    """Fixed-iteration PageRank: (node, pr) over the distinct node set
-    of ``edges`` (parallel edges collapse; self-loops count)."""
+    """Fixed-iteration PageRank: (node, pr_e9) over the distinct node
+    set of ``edges`` (parallel edges collapse; self-loops count);
+    ranks in 1e-9 fixed point (module-doc integer contract)."""
+    from fractions import Fraction
+
+    from ..functions.fixedpoint import idiv_long
+
+    dfr = Fraction(damping).limit_denominator(1000)
+    dn, dd = dfr.numerator, dfr.denominator
     # Checkpointed: e feeds EVERY iteration (plus nodes/outdeg), and an
     # unmaterialized distinct() would re-shuffle the full edge relation
     # once per iteration — the "persist the edge relation" note below,
@@ -51,36 +61,43 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
-    n_row = F.broadcast(nodes.agg(
-        F.count(F.lit(1)).cast("double").alias("_n")))
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     outdeg = (e.groupBy("src")
-              .agg(F.count(F.lit(1)).cast("double").alias("_deg"))
+              .agg(F.count(F.lit(1)).alias("_deg"))
               .localCheckpoint())
 
+    s12 = 10 ** 12
     pr = (nodes.crossJoin(n_row)
-          .select("node", F.round(1.0 / F.col("_n"), 8).alias("pr"))
+          .select("node", idiv_long(F.lit(s12), F.col("_n")).alias("pr"))
           .localCheckpoint())
     for _ in range(iters):
         contrib = (e.join(pr, e.src == pr.node)
                    .join(outdeg, "src")
                    .groupBy("dst")
-                   .agg(F.sum(F.col("pr") / F.col("_deg")).alias("_in")))
+                   .agg(F.sum(idiv_long(F.col("pr"), F.col("_deg")))
+                        .cast("long").alias("_in")))
         dangling = F.broadcast(
             pr.join(outdeg, pr.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang")))
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("long")
+                 .alias("_dang")))
         pr = (nodes
               .join(contrib, nodes.node == contrib.dst, "left")
               .crossJoin(n_row).crossJoin(dangling)
               .select(
                   "node",
-                  F.round((1 - damping) / F.col("_n")
-                          + damping * (F.coalesce(F.col("_in"), F.lit(0.0))
-                                       + F.col("_dang") / F.col("_n")),
-                          8).alias("pr"))
+                  (idiv_long(F.lit((dd - dn) * s12),
+                             F.lit(dd) * F.col("_n"))
+                   + idiv_long(
+                       (F.coalesce(F.col("_in"), F.lit(0))
+                        .cast("decimal(38,0)") * F.col("_n")
+                        + F.col("_dang")) * dn,
+                       F.lit(dd) * F.col("_n"))).cast("long")
+                  .alias("pr"))
               # Per-iteration truncation is measurably the right
               # frequency: the NEXT round's dangling-mass broadcast is
               # its own job over pr, so an unchecked pr would be
               # re-executed twice per round (A/B: every-2 checkpoints
               # read 6.4 s vs 4.5 s at sf0.1).
               .localCheckpoint())
-    return pr.select("node", F.round("pr", 6).alias("pr"))
+    return pr.select("node", idiv_long(F.col("pr"), F.lit(1000))
+                     .alias("pr_e9"))

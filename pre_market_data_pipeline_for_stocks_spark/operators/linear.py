@@ -14,10 +14,14 @@ a separate ML system:
   gradient = one feature-keyed sum of x·(y − σ(margin)); weights
   update driver-free in-plan. Two shuffles per iteration, both keyed
   on ids, payloads are (id, double) pairs at any corpus size;
-- determinism: fixed iteration count, weights rounded to 8 dp per
-  iteration in BOTH engines — each iteration then starts from
-  IDENTICAL inputs, so cross-engine float drift never compounds (the
-  pagerank contract). The DuckDB twin unrolls the iterations as CTEs.
+- determinism (r9 integer contract): the whole descent is integer
+  arithmetic — features fixed-pointed by one truncating division,
+  margins as exact integer dot products, the sigmoid from the frozen
+  lookup table (data/sigmoid_lookup.parquet; libm exp never runs at
+  query time), gradients as exact integer sums, updates closed with
+  sign-explicit truncating division. Every engine steps through
+  IDENTICAL integers; the DuckDB twin unrolls the iterations as CTEs
+  over the same lookup.
 
 The trained table drops into classifier_score's broadcast-join slot —
 train here, filter at 100 TB with the scored twin.
@@ -39,8 +43,11 @@ LOGREG_DIMS = 64
 def hashed_features(docs: DataFrame, dims: int = LOGREG_DIMS,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """(doc_id, dim, x): L1-normalized hashed term counts plus the
-    bias feature at index ``dims`` with x = 1."""
+    """(doc_id, dim, x_e9): L1-normalized hashed term counts in 1e-9
+    fixed point (one truncating division per feature — r9 contract),
+    plus the bias feature at index ``dims`` with x_e9 = 1e9."""
+    from ..functions.fixedpoint import idiv_long
+
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                           r"\s+")).alias("token"))
@@ -48,12 +55,14 @@ def hashed_features(docs: DataFrame, dims: int = LOGREG_DIMS,
     tf = (toks.withColumn("dim", (md5_i64(F.col("token")) % dims)
                           .cast("int"))
           .groupBy("doc_id", "dim")
-          .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+          .agg(F.count(F.lit(1)).alias("_c")))
     nt = tf.groupBy("doc_id").agg(F.sum("_c").alias("_n"))
     x = (tf.join(nt, "doc_id")
-         .select("doc_id", "dim", (F.col("_c") / F.col("_n")).alias("x")))
+         .select("doc_id", "dim",
+                 idiv_long(F.col("_c") * F.lit(10 ** 9), F.col("_n"))
+                 .alias("x_e9")))
     bias = nt.select("doc_id", F.lit(dims).alias("dim"),
-                     F.lit(1.0).alias("x"))
+                     F.lit(10 ** 9).cast("long").alias("x_e9"))
     return x.unionByName(bias)
 
 
@@ -61,31 +70,49 @@ def train_logreg(docs: DataFrame, labels: DataFrame, iters: int = 3,
                  lr: float = 1.0, dims: int = LOGREG_DIMS,
                  id_col: str = "doc_id",
                  label_col: str = "y") -> DataFrame:
-    """Batch-GD logistic regression: (dim, weight) after ``iters``
+    """Batch-GD logistic regression: (dim, weight_e6) after ``iters``
     full-gradient steps from zero weights. ``labels`` carries
-    (doc_id, y) with y in {0, 1}."""
+    (doc_id, y) with y in {0, 1}; ``lr`` must be a 'nice' rational
+    (Fraction-cleared). Weights live in 1e-9 fixed point throughout
+    (module-doc integer contract)."""
+    from fractions import Fraction
+
+    from ..functions.fixedpoint import sdiv_long, with_sigmoid_e9
+
+    lrf = Fraction(lr).limit_denominator(10 ** 6)
     spark = docs.sparkSession
     feats = hashed_features(docs, dims, id_col).localCheckpoint()
     y = labels.select(F.col(id_col).alias("doc_id"),
-                      F.col(label_col).cast("double").alias("y"))
-    n_row = F.broadcast(y.agg(F.count(F.lit(1)).cast("double")
-                              .alias("_n")))
+                      (F.col(label_col).cast("long") * 10 ** 9)
+                      .alias("y_e9"))
+    n_row = F.broadcast(y.agg(F.count(F.lit(1)).alias("_n")))
     w = spark.range(dims + 1).select(F.col("id").cast("int").alias("dim"),
-                                     F.lit(0.0).alias("w"))
+                                     F.lit(0).cast("long").alias("w_e9"))
     for _ in range(iters):
+        # margin scaled 1e18 by the product; m_e3 = sdiv(., 1e15)
         margins = (feats.join(F.broadcast(w), "dim")
                    .groupBy("doc_id")
-                   .agg(F.sum(F.col("x") * F.col("w")).alias("_m")))
-        p = margins.select(
-            "doc_id", (1.0 / (1.0 + F.exp(-F.col("_m")))).alias("_p"))
+                   .agg(F.sum(F.col("x_e9").cast("decimal(38,0)")
+                              * F.col("w_e9")).alias("_m18")))
+        margins = margins.withColumn(
+            "_m_e3", sdiv_long(F.col("_m18"), 10 ** 15))
+        p = with_sigmoid_e9(margins, "_m_e3", "_p_e9") \
+            .select("doc_id", "_p_e9")
         grad = (feats.join(p, "doc_id").join(y, "doc_id")
                 .groupBy("dim")
-                .agg(F.sum(F.col("x") * (F.col("y") - F.col("_p")))
-                     .alias("_g")))
+                .agg(F.sum(F.col("x_e9").cast("decimal(38,0)")
+                           * (F.col("y_e9") - F.col("_p_e9")))
+                     .alias("_g18")))
         w = (w.join(grad, "dim", "left").crossJoin(n_row)
              .select("dim",
-                     F.round(F.col("w") + lr
-                             * F.coalesce(F.col("_g"), F.lit(0.0))
-                             / F.col("_n"), 8).alias("w"))
+                     (F.col("w_e9")
+                      + sdiv_long(F.coalesce(F.col("_g18"),
+                                             F.lit(0).cast("decimal(38,0)"))
+                                  * lrf.numerator,
+                                  F.lit(lrf.denominator)
+                                  * F.col("_n") * 10 ** 9))
+                     .cast("long").alias("w_e9"))
              .localCheckpoint())
-    return w.select("dim", F.round("w", 6).alias("weight")).orderBy("dim")
+    return (w.select("dim", sdiv_long(F.col("w_e9"), 1000)
+                     .alias("weight_e6"))
+            .orderBy("dim"))

@@ -52,11 +52,16 @@ def cooccurrence_similar_items(interactions: DataFrame,
                     "item_a")
               .join(sizes.withColumnsRenamed({"i": "item_b", "n": "nb"}),
                     "item_b")
+              # floor(n_co*1e6/sqrt(na*nb)) — integer inputs, IEEE-only
+              # ops in a pinned shape (the r9 cosine_e6 contract); no
+              # round(DOUBLE, k) in the hashed path.
               .select("item_a", "item_b", "n_co",
-                      F.round(F.col("n_co")
-                              / F.sqrt(F.col("na") * F.col("nb")), 4)
-                      .alias("cosine")))
+                      F.floor((F.col("n_co") * F.lit(1000000))
+                              .cast("double")
+                              / F.sqrt((F.col("na") * F.col("nb"))
+                                       .cast("double"))).cast("long")
+                      .alias("cosine_e6")))
     w = Window.partitionBy("item_a").orderBy(
-        F.col("cosine").desc(), F.col("item_b").asc())
+        F.col("cosine_e6").desc(), F.col("item_b").asc())
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn"))

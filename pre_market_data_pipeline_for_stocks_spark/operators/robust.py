@@ -65,8 +65,14 @@ def ewma(df: DataFrame, group_col: str, order_cols: list[str],
     (the same shuffle any per-entity ordering pays). Bounded taps are
     what make the smoother distributable: the recursive textbook form
     carries unbounded state; a fixed FIR approximation restores
-    data-parallelism and gives the SQL twin a closed form. Rounded to
-    4 dp (fixed-order 8-term sum — engine-portable)."""
+    data-parallelism and gives the SQL twin a closed form.
+
+    Emission (r9): the 8-term num/den sums are built in ONE pinned
+    textual order mirrored by the SQL twin, so the doubles are
+    bit-identical (IEEE ops on identical literals); the close is
+    floor((num/den)*1e6) — floor is exact, unlike round(DOUBLE, k)
+    whose half-boundary policy differs between engine builds
+    (det_canary_round_half)."""
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     v = F.col(value_col)
     num = F.lit(0.0)
@@ -76,7 +82,9 @@ def ewma(df: DataFrame, group_col: str, order_cols: list[str],
         wj = (1.0 - alpha) ** j
         num = num + F.coalesce(lj * wj, F.lit(0.0))
         den = den + F.when(lj.isNotNull(), F.lit(wj)).otherwise(0.0)
-    return df.withColumn(out_col, F.round(num / den, 4))
+    return df.withColumn(
+        out_col + "_e6",
+        F.floor(num / den * F.lit(1000000.0)).cast("long"))
 
 
 def psi_drift(old: DataFrame, new: DataFrame, value_col: str,
@@ -174,6 +182,59 @@ def psi_e6_from_bin_counts(j: DataFrame,
                       F.col("t_old").alias("n_old"),
                       F.col("t_new").alias("n_new"),
                       *(["n_bins_hit"] if with_bins_hit else []))
+
+
+def exact_percentiles_e6(df: DataFrame, group_cols: list[str],
+                         value_col: str, qs: dict[str, tuple[int, int]],
+                         scale_den: int = 1) -> DataFrame:
+    """Exact linearly-interpolated percentiles of a NONNEGATIVE INTEGER
+    column, emitted in 1e-6 fixed point: one row per group with a
+    ``<label>_e6`` BIGINT per requested quantile.
+
+    Engine-portable by construction (r9 contract): built-in
+    percentile/quantile_cont implementations interpolate
+    ``a + f*(b-a)`` in engine-internal float forms that differ by
+    ulps, so a rounded emission can flip. Here the quantile q = qn/qd
+    is an exact rational, the interpolation position qn*(n-1)/qd
+    splits into integer (i, f) = (divmod), and the emitted value
+
+        p_e6 = trunc((a*qd + f*(b-a)) * 1e6 / (qd * scale_den))
+
+    is pure integer arithmetic over the i-th / (i+1)-th order
+    statistics (``scale_den`` converts raw units, e.g. seconds ->
+    minutes). Plan: ONE per-group sort-window for ranks (the same
+    shuffle any exact percentile needs), then a hash aggregate — no
+    second pass, no join; at extreme group cardinality swap in
+    approx_percentile upstream like the other exact-percentile
+    operators."""
+    from ..functions.fixedpoint import idiv_long
+
+    gc = list(group_cols)
+    part = [F.col(c) for c in gc] if gc else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(F.col("_v"))
+    wc = Window.partitionBy(*part)
+    ranked = (df.select(*gc, F.col(value_col).cast("long").alias("_v"))
+              .withColumn("_r", F.row_number().over(w) - 1)
+              .withColumn("_nm1", F.count(F.lit(1)).over(wc) - 1))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for label, (qn, qd) in qs.items():
+        i = idiv_long(F.col("_nm1") * qn, F.lit(qd))
+        aggs += [
+            F.max(F.when(F.col("_r") == i, F.col("_v")))
+            .alias(f"_a_{label}"),
+            F.max(F.when(F.col("_r") == i + 1, F.col("_v")))
+            .alias(f"_b_{label}"),
+            F.max((F.col("_nm1") * qn) % qd).alias(f"_f_{label}"),
+        ]
+    g = ranked.groupBy(*gc).agg(*aggs)
+    sel = [F.col(c) for c in gc] + [F.col("_n")]
+    for label, (qn, qd) in qs.items():
+        a = F.col(f"_a_{label}")
+        b = F.coalesce(F.col(f"_b_{label}"), a)
+        f = F.col(f"_f_{label}")
+        sel.append(idiv_long((a * qd + f * (b - a)) * F.lit(10 ** 6),
+                             F.lit(qd * scale_den)).alias(f"{label}_e6"))
+    return g.select(*sel)
 
 
 def ranked_auc(scored: DataFrame, score_col: str,

@@ -227,18 +227,29 @@ def hist_quantiles(hists: DataFrame, qs: list[float],
                    bins: int = HIST_BINS,
                    hist_col: str = "hist") -> DataFrame:
     """Quantile estimates from histogram state: one row per
-    (keys..., q, estimate) with estimate = bin lower edge +
+    (keys..., q, estimate_e6) with estimate = bin lower edge +
     width * (target - cum_before) / bin_count at 1-based rank
     target = q*(n-1)+1 — error bounded by one bin width regardless
     of n, and EXACTLY reproducible from merged partials (unlike
     percentile_approx, whose t-digest has no cross-engine twin).
 
     Pure column algebra: a cumulative-count array (O(bins^2) tiny
-    in-row work), first-crossing via array_position, linear
-    interpolation — identical in the SQL twin; rounded to 4 dp."""
+    in-row work), first-crossing via array_position, rational linear
+    interpolation. r9 integer contract: q, lo and the bin width are
+    cleared to exact rationals (Fraction), the crossing test is the
+    integer comparison cum*qd >= qn*(n-1)+qd, and estimate_e6 closes
+    with truncating divisions — no float interpolation, no
+    round(DOUBLE, k) in the hashed path."""
+    from fractions import Fraction
+
+    from ..functions.fixedpoint import idiv_long
+
     if not qs:
         raise ValueError("qs must be non-empty")
-    width = (hi - lo) / bins
+    wf = (Fraction(hi).limit_denominator(10 ** 6)
+          - Fraction(lo).limit_denominator(10 ** 6)) / bins
+    wn, wd = wf.numerator, wf.denominator
+    lo_e6 = round(lo * 10 ** 6)
     h = F.col(hist_col)
     cum = F.transform(
         F.sequence(F.lit(1), F.lit(bins)),
@@ -246,20 +257,24 @@ def hist_quantiles(hists: DataFrame, qs: list[float],
                               lambda a, v: a + v))
     keys = [c for c in hists.columns if c != hist_col]
     staged = hists.withColumn("_cum", cum) \
-                  .withColumn("_n", F.element_at("_cum", bins)
-                              .cast("double"))
+                  .withColumn("_n", F.element_at("_cum", bins))
     out = None
     for q in qs:
-        target = F.lit(q) * (F.col("_n") - 1) + 1
+        qf = Fraction(q).limit_denominator(10 ** 6)
+        qn, qd = qf.numerator, qf.denominator
+        # 1-based target rank as the exact rational tnum/qd
+        tnum = F.lit(qn) * (F.col("_n") - 1) + qd
         k = F.array_position(
-            F.transform(F.col("_cum"), lambda c: c >= target), True)
+            F.transform(F.col("_cum"), lambda c: c * qd >= tnum), True)
         prev = F.when(k == 1, F.lit(0).cast("long")) \
                 .otherwise(F.element_at("_cum", (k - 1).cast("int")))
         cnt = F.element_at(h, k.cast("int"))
-        est = (F.lit(lo) + F.lit(width) * (k - 1)
-               + F.lit(width) * (target - prev) / cnt)
+        est_e6 = (F.lit(lo_e6)
+                  + idiv_long((k - 1) * wn * F.lit(10 ** 6), F.lit(wd))
+                  + idiv_long((tnum - prev * qd) * wn * F.lit(10 ** 6),
+                              F.lit(wd) * qd * cnt))
         row = staged.select(*keys, F.lit(q).alias("q"),
-                            F.round(est, 4).alias("estimate"))
+                            est_e6.alias("estimate_e6"))
         out = row if out is None else out.unionByName(row)
     return out
 

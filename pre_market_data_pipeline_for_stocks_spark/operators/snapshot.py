@@ -46,17 +46,22 @@ def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
     """Token-distribution drift between two snapshots: the ``k`` tokens
     with the largest absolute share change, plus the global total
     variation distance —
-    (token, share_old, share_new, delta, tvd).
+    (token, share_old_e6, share_new_e6, delta_e6, tvd_e6).
 
     share_x = token occurrences / total occurrences in snapshot x
     (0 for tokens absent from one side); delta = share_new − share_old;
     tvd = 0.5·Σ|delta| over the UNION vocabulary (constant across
     rows — the drift gauge a re-curation run alarms on; tvd≈0 means
-    the snapshots are interchangeable for mixture purposes). All
-    shares/deltas rounded to 6 dp; movers rank by rounded |delta|
-    descending, token ascending."""
+    the snapshots are interchangeable for mixture purposes).
 
-    def _shares(df: DataFrame, out: str) -> DataFrame:
+    r9 integer contract: shares are fixed-pointed by one truncating
+    division each; delta_e6 is their integer difference; tvd is the
+    EXACT rational Σ|c_n·T_o − c_o·T_n| / (2·T_o·T_n) (order-
+    independent BIGINT numerator sum, one truncating division).
+    Movers rank by integer |delta_e6| descending, token ascending."""
+    from ..functions.fixedpoint import idiv_long
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
         tok = (df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))),
@@ -64,23 +69,31 @@ def vocab_drift(old: DataFrame, new: DataFrame, k: int = 20,
             .filter(F.col("token") != "")
             .groupBy("token", "doc_id")
             .agg(F.count(F.lit(1)).alias("_n")))
-        counts = tok.groupBy("token").agg(F.sum("_n").alias("_c"))
-        total = counts.agg(F.sum("_c").cast("double").alias("_t"))
-        return (counts.crossJoin(F.broadcast(total))
-                .select("token", (F.col("_c") / F.col("_t")).alias(out)))
+        return tok.groupBy("token").agg(F.sum("_n").alias(out))
 
-    j = (_shares(old, "_so").join(_shares(new, "_sn"), "token",
-                                  "full_outer")
+    co, cn = _counts(old, "_co"), _counts(new, "_cn")
+    tots = (co.agg(F.sum("_co").alias("_to"))
+            .crossJoin(cn.agg(F.sum("_cn").alias("_tn"))))
+    j = (co.join(cn, "token", "full_outer")
          .select("token",
-                 F.coalesce(F.col("_so"), F.lit(0.0)).alias("_so"),
-                 F.coalesce(F.col("_sn"), F.lit(0.0)).alias("_sn"))
-         .withColumn("_d", F.col("_sn") - F.col("_so")))
-    tvd = j.agg(F.round(0.5 * F.sum(F.abs(F.col("_d"))), 6).alias("tvd"))
+                 F.coalesce(F.col("_co"), F.lit(0)).alias("_co"),
+                 F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"))
+         .crossJoin(F.broadcast(tots)))
+    so_e6 = idiv_long(F.col("_co") * F.lit(10 ** 6), F.col("_to"))
+    sn_e6 = idiv_long(F.col("_cn") * F.lit(10 ** 6), F.col("_tn"))
+    dnum = (F.col("_cn") * F.col("_to") - F.col("_co") * F.col("_tn"))
+    tvd = (j.agg(F.sum(F.abs(dnum)).alias("_anum"),
+                 F.max("_to").alias("_to"), F.max("_tn").alias("_tn"))
+           .select(idiv_long(F.col("_anum").cast("decimal(38,0)")
+                             * F.lit(10 ** 6),
+                             F.lit(2) * F.col("_to") * F.col("_tn"))
+                   .alias("tvd_e6")))
     return (j.crossJoin(F.broadcast(tvd))
             .select("token",
-                    F.round(F.col("_so"), 6).alias("share_old"),
-                    F.round(F.col("_sn"), 6).alias("share_new"),
-                    F.round(F.col("_d"), 6).alias("delta"),
-                    "tvd")
-            .orderBy(F.abs(F.col("delta")).desc(), F.col("token").asc())
+                    so_e6.alias("share_old_e6"),
+                    sn_e6.alias("share_new_e6"),
+                    (sn_e6 - so_e6).alias("delta_e6"),
+                    "tvd_e6")
+            .orderBy(F.abs(F.col("delta_e6")).desc(),
+                     F.col("token").asc())
             .limit(k))

@@ -427,25 +427,33 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 64,
 def length_profile(docs: DataFrame, group_col: str = "lang",
                    text_col: str = "text") -> DataFrame:
     """Per-group corpus length profile:
-    (group, n_docs, mean_tokens, p50, p90, p99).
+    (grp, n_docs, mean_tokens_e6, p50_e6, p90_e6, p99_e6).
 
     The profiling pass a curation run does before choosing length
-    filters/packing budgets. EXACT interpolated percentiles
-    (`percentile`, the DuckDB quantile_cont twin) — correct at any
-    group cardinality but requires the group's values together; at
-    100 TB with high-cardinality groups swap in approx_percentile
-    (t-digest sketch, partial-aggregated map-side) — same plan shape,
-    bounded error. Group count here is |languages| (tiny), so exact is
-    also the scale-correct choice."""
+    filters/packing budgets. EXACT interpolated percentiles via
+    robust.exact_percentiles_e6 (r9 contract: rational interpolation
+    over integer order statistics, one truncating division per
+    emitted value — built-in percentile/quantile_cont float internals
+    differ by ulps between engines and never touch the hashed path) —
+    correct at any group cardinality but requires the group's values
+    together; at 100 TB with high-cardinality groups swap in
+    approx_percentile (t-digest sketch, partial-aggregated map-side) —
+    same plan shape, bounded error. Group count here is |languages|
+    (tiny), so exact is also the scale-correct choice."""
+    from ..functions.fixedpoint import idiv_long
+    from .robust import exact_percentiles_e6
+
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    pct = F.expr("percentile(_n, array(0.5, 0.9, 0.99))")
-    return (docs.select(F.col(group_col).alias("grp"), toks.alias("_n"))
-            .groupBy("grp")
+    vals = docs.select(F.col(group_col).alias("grp"), toks.alias("_n"))
+    mean = (vals.groupBy("grp")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("_n"), 4).alias("mean_tokens"),
-                 F.round(pct.getItem(0), 4).alias("p50"),
-                 F.round(pct.getItem(1), 4).alias("p90"),
-                 F.round(pct.getItem(2), 4).alias("p99")))
+                 idiv_long(F.sum("_n") * F.lit(10 ** 6),
+                           F.count(F.lit(1))).alias("mean_tokens_e6")))
+    pct = exact_percentiles_e6(
+        vals, ["grp"], "_n",
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}).drop("_n")
+    return mean.join(pct, "grp").select(
+        "grp", "n_docs", "mean_tokens_e6", "p50_e6", "p90_e6", "p99_e6")
 
 
 def _per_doc_token_counts(src: DataFrame, id_col: str,

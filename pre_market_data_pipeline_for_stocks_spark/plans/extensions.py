@@ -1207,7 +1207,7 @@ def events_value_ewma(spark, sf_dir):
                   F.col("ts").cast("timestamp").alias("ts"), "value"))
     return (robust.ewma(ev, "user_id", ["ts", "event_id"], "value",
                         alpha=EWMA_ALPHA, taps=EWMA_TAPS)
-            .select("event_id", "user_id", "value", "ewma")
+            .select("event_id", "user_id", "value", "ewma_e6")
             .orderBy("event_id"))
 
 

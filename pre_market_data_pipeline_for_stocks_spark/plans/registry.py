@@ -42,6 +42,13 @@ _CONT_TN, _CONT_TD = _thr_frac(X.CONTAINMENT_THRESHOLD)
 from ..operators.decontam import bloom_params as _bloom_params  # noqa: E402
 
 _BLOOM_BITS, _BLOOM_K = _bloom_params(1_000_000, 0.01)
+
+
+def _Fr(x: float):
+    """Exact small rational of a knob float (Fraction shorthand for
+    oracle f-strings)."""
+    from fractions import Fraction
+    return Fraction(x).limit_denominator(10 ** 6)
 from ..operators.sampling import mixture_caps as _mixture_caps
 from .premarket_tpch import (
     news_debug_annotations,
@@ -404,6 +411,20 @@ WITH RECURSIVE {_clusters_ctes(_lsh_pairs_sql(4, 4, 0.4),
                                a='vec_a', b='vec_b').strip()}
 SELECT doc_id AS vec_id, cluster_id FROM comp
 """
+
+
+# Quantized cosine_e6 between two array<BIGINT> columns — the pinned
+# IEEE shape every r9 ANN twin shares (see similarity._cos_e6_cols).
+def _qcos_e6_sql(a: str, b: str) -> str:
+    return (f"CAST(floor(CAST(CAST(list_inner_product({a}, {b}) AS BIGINT)"
+            f" * 1000000 AS DOUBLE)"
+            f" / sqrt(CAST(CAST(list_inner_product({a}, {a}) AS BIGINT)"
+            f" * CAST(list_inner_product({b}, {b}) AS BIGINT)"
+            f" AS DOUBLE))) AS BIGINT)")
+
+
+_QUANT_EMB = ("list_transform(embedding, "
+              "x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT))")
 
 
 def _lsh_bucket_cte(planes: int = 8) -> str:
@@ -893,33 +914,40 @@ segs AS (
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Twin of relational.graph_supplier_pagerank: the iteration
     unrolled as (d_i dangling mass, c_i contributions, p_{i+1} rank)
-    CTE triples with the operator's 8-dp per-iteration rounding."""
+    CTE triples in the operator's 1e-12 INTEGER fixed point (r9
+    contract — every step is exact truncating-division arithmetic on
+    the same integers, so the twins cannot drift by a single unit)."""
+    from fractions import Fraction
+    dfr = Fraction(damping).limit_denominator(1000)
+    dn, dd = dfr.numerator, dfr.denominator
     parts = [
         """e AS (SELECT DISTINCT o_custkey AS src,
                 l_suppkey + 1000000 AS dst
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
-        "od AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1)",
-        "p0 AS (SELECT node, round(1.0 / nn.n, 8) AS pr FROM nodes, nn)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        "od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        "p0 AS (SELECT node, 1000000000000 // nn.n AS pr FROM nodes, nn)",
     ]
     for i in range(iters):
         parts.append(f"""d{i} AS (
-  SELECT coalesce(sum(pr), 0) AS m FROM p{i}
+  SELECT coalesce(sum(pr), 0)::BIGINT AS m FROM p{i}
   WHERE node NOT IN (SELECT src FROM od))""")
         parts.append(f"""c{i} AS (
-  SELECT e.dst AS node, sum(p.pr / od.deg) AS s
+  SELECT e.dst AS node, sum(p.pr // od.deg)::BIGINT AS s
   FROM e JOIN p{i} p ON p.node = e.src JOIN od ON od.src = e.src
   GROUP BY 1)""")
         parts.append(f"""p{i + 1} AS (
   SELECT n.node,
-         round((1 - {damping}) / nn.n
-               + {damping} * (coalesce(c.s, 0) + d{i}.m / nn.n), 8) AS pr
+         ({(dd - dn)} * 1000000000000) // ({dd} * nn.n)
+           + (CAST(coalesce(c.s, 0) AS HUGEINT) * nn.n + d{i}.m)
+             * {dn} // ({dd} * nn.n) AS pr
   FROM nodes n LEFT JOIN c{i} c USING (node), nn, d{i})""")
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT node, round(pr, 6) AS pr FROM p{iters} ORDER BY node
+SELECT node, CAST(pr // 1000 AS BIGINT) AS pr_e9
+FROM p{iters} ORDER BY node
 """
 
 
@@ -934,54 +962,75 @@ def _ewma_sql(alpha: float, taps: int) -> str:
                    f"THEN {wj!r} ELSE 0.0 END")
     return f"""
 SELECT event_id, user_id, value,
-       round(({' + '.join(num)})
-             / ({' + '.join(den)}), 4) AS ewma
+       CAST(floor(({' + '.join(num)})
+                  / ({' + '.join(den)}) * 1000000.0) AS BIGINT) AS ewma_e6
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
 
 
+def _sdiv_sql(num: str, den: str) -> str:
+    """Sign-explicit truncating division (fixedpoint.sdiv_long twin)."""
+    return (f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+            f" * (abs({num}) // ({den}))")
+
+
 def _logreg_sql(iters: int, lr: float = 1.0, dims: int = 64) -> str:
-    """Twin of linear.train_logreg: feature/label CTEs + (m_i, p_i,
-    g_i, w_{i+1}) CTE quads per gradient step, weights rounded to 8 dp
-    per iteration so both engines step from identical inputs."""
+    """Twin of linear.train_logreg in the r9 INTEGER contract:
+    fixed-point features, exact HUGEINT margin/gradient sums, sigmoid
+    from the frozen lookup (clamped to its saturated edges), updates
+    via sign-explicit truncating division — every engine steps through
+    identical integers; libm exp never runs."""
+    from fractions import Fraction
+    lrf = Fraction(lr).limit_denominator(10 ** 6)
+    sig = ("(SELECT sig_e9 FROM "
+           f"read_parquet('{_FP.SIGMOID_LOOKUP_PATH}') "
+           "WHERE k = greatest(-20000, least(20000, {m})))")
     parts = [f"""tok AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
   FROM documents)""",
              f"""tf AS (
   SELECT doc_id, ({_H.format(x='token')} % {dims})::INT AS dim,
-         count(*)::DOUBLE AS c
+         count(*)::BIGINT AS c
   FROM tok WHERE token <> '' GROUP BY 1, 2)""",
              "nt AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)",
              f"""x AS (
-  SELECT doc_id, dim, c / n AS x FROM tf JOIN nt USING (doc_id)
+  SELECT doc_id, dim, (c * 1000000000) // n AS x_e9
+  FROM tf JOIN nt USING (doc_id)
   UNION ALL
-  SELECT doc_id, {dims} AS dim, 1.0 AS x FROM nt)""",
+  SELECT doc_id, {dims} AS dim, 1000000000 AS x_e9 FROM nt)""",
              """lab AS (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1000000000 ELSE 0 END AS y_e9
   FROM documents)""",
-             "nn AS (SELECT count(*)::DOUBLE AS n FROM lab)",
+             "nn AS (SELECT count(*)::BIGINT AS n FROM lab)",
              f"""w0 AS (
-  SELECT unnest(range({dims + 1}))::INT AS dim, 0.0 AS w)"""]
+  SELECT unnest(range({dims + 1}))::INT AS dim, 0::BIGINT AS w_e9)"""]
     for i in range(iters):
         parts.append(f"""m{i} AS (
-  SELECT x.doc_id, sum(x.x * w.w) AS mg
+  SELECT x.doc_id, sum(CAST(x.x_e9 AS HUGEINT) * w.w_e9) AS m18
   FROM x JOIN w{i} w USING (dim) GROUP BY 1)""")
         parts.append(f"""p{i} AS (
-  SELECT doc_id, 1.0 / (1.0 + exp(-mg)) AS p FROM m{i})""")
+  SELECT doc_id,
+         {sig.format(m=_sdiv_sql('m18', '1000000000000000'))} AS p_e9
+  FROM m{i})""")
         parts.append(f"""g{i} AS (
-  SELECT x.dim, sum(x.x * (lab.y - p.p)) AS g
+  SELECT x.dim,
+         sum(CAST(x.x_e9 AS HUGEINT) * (lab.y_e9 - p.p_e9)) AS g18
   FROM x JOIN p{i} p USING (doc_id) JOIN lab USING (doc_id)
   GROUP BY 1)""")
+        upd = _sdiv_sql(f"coalesce(g.g18, 0) * {lrf.numerator}",
+                        f"{lrf.denominator}::HUGEINT * nn.n * 1000000000")
         parts.append(f"""w{i + 1} AS (
-  SELECT w.dim, round(w.w + {lr} * coalesce(g.g, 0) / nn.n, 8) AS w
+  SELECT w.dim, CAST(w.w_e9 + {upd} AS BIGINT) AS w_e9
   FROM w{i} w LEFT JOIN g{i} g USING (dim), nn)""")
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT dim, round(w, 6) AS weight FROM w{iters} ORDER BY dim
+SELECT dim, CAST({_sdiv_sql('w_e9', '1000')} AS BIGINT) AS weight_e6
+FROM w{iters} ORDER BY dim
 """
 
 
@@ -1780,7 +1829,7 @@ c AS (
   SELECT from_type, to_type, count(*) AS n
   FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
 SELECT from_type, to_type, n,
-       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS share
+       (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS share_e6
 FROM c ORDER BY from_type, to_type
 """),
 
@@ -1876,28 +1925,80 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """),
 
+    # r9 integer contract: the OLS closed form over exact HUGEINT
+    # moments of (epoch seconds, cents), sign-explicit truncating
+    # divisions — twin of the Python-int kernel (regr_* accumulates
+    # doubles in engine-specific order and is banned from the hash).
     "trend_slope_per_user": QueryDef(R.trend_slope_per_user, """
-SELECT user_id, count(*) AS n,
-       CAST(round(regr_slope(value, epoch_us(ts) / 1000000.0 / 86400.0), 6)
-            AS DECIMAL(16,6)) AS slope_per_day,
-       CAST(round(regr_intercept(value, epoch_us(ts) / 1000000.0 / 86400.0),
-                  4) AS DECIMAL(14,4)) AS intercept
-FROM events GROUP BY user_id ORDER BY user_id
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM b GROUP BY 1),
+c AS (SELECT user_id, n, sx, sy,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      FROM m)
+SELECT user_id, n,
+       CASE WHEN n < 2 OR den = 0 THEN NULL
+            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * CAST((abs(num) * 86400 * 1000000)
+                        // (den * 100) AS BIGINT) END AS slope_per_day_e6,
+       CASE WHEN n < 2 OR den = 0 THEN NULL
+            ELSE (CASE WHEN sy * den - num * sx < 0 THEN -1 ELSE 1 END)
+                 * CAST(abs(sy * den - num * sx) * 1000000
+                        // (n * den * 100) AS BIGINT) END AS intercept_e6
+FROM c ORDER BY user_id
 """),
 
+    # r9 integer contract: exact HUGEINT moments over integer cents /
+    # integral quantities; percentiles by rational interpolation of
+    # order statistics; stddev/corr close with the pinned IEEE
+    # floor(sqrt) shape (see R.stats_summary_lineitem).
     "stats_summary_lineitem": QueryDef(R.stats_summary_lineitem, """
-SELECT l_returnflag,
-       count(*) AS n,
-       count(DISTINCT l_orderkey) AS n_orders,
-       CAST(round(quantile_cont(l_extendedprice, 0.5), 4)
-            AS DECIMAL(14,4)) AS p50_price,
-       CAST(round(quantile_cont(l_extendedprice, 0.95), 4)
-            AS DECIMAL(14,4)) AS p95_price,
-       CAST(round(stddev_samp(l_extendedprice), 4)
-            AS DECIMAL(14,4)) AS sd_price,
-       CAST(round(corr(l_quantity, l_extendedprice), 4)
-            AS DECIMAL(7,4)) AS qty_price_corr
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+WITH b AS (
+  SELECT l_returnflag, l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag, count(*) AS n,
+         count(DISTINCT l_orderkey) AS n_orders,
+         sum(CAST(c AS HUGEINT)) AS sc, sum(CAST(c AS HUGEINT) * c) AS scc,
+         sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(q AS HUGEINT) * q) AS sqq,
+         sum(CAST(q AS HUGEINT) * c) AS sqc
+  FROM b GROUP BY 1),
+r AS (SELECT l_returnflag, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c) - 1 AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) - 1 AS nm1
+      FROM b),
+pq AS (
+  SELECT l_returnflag,
+    max(CASE WHEN rk = (nm1 * 1) // 2 THEN c END) AS a50,
+    max(CASE WHEN rk = (nm1 * 1) // 2 + 1 THEN c END) AS b50,
+    max((nm1 * 1) % 2) AS f50,
+    max(CASE WHEN rk = (nm1 * 19) // 20 THEN c END) AS a95,
+    max(CASE WHEN rk = (nm1 * 19) // 20 + 1 THEN c END) AS b95,
+    max((nm1 * 19) % 20) AS f95
+  FROM r GROUP BY 1)
+SELECT m.l_returnflag, m.n, m.n_orders,
+       CAST((a50 * 2 + f50 * (coalesce(b50, a50) - a50))
+            * 1000000 // (2 * 100) AS BIGINT) AS p50_price_e6,
+       CAST((a95 * 20 + f95 * (coalesce(b95, a95) - a95))
+            * 1000000 // (20 * 100) AS BIGINT) AS p95_price_e6,
+       CAST(floor(sqrt(CAST(m.n * scc - sc * sc AS DOUBLE)
+                       / CAST(CAST(m.n AS HUGEINT) * (m.n - 1) AS DOUBLE))
+                  * 10000.0) AS BIGINT) AS sd_price_e6,
+       CAST(floor(CAST(m.n * sqc - sq * sc AS DOUBLE) * 1000000.0
+                  / (sqrt(CAST(m.n * sqq - sq * sq AS DOUBLE))
+                     * sqrt(CAST(m.n * scc - sc * sc AS DOUBLE))))
+            AS BIGINT) AS qty_price_corr_e6
+FROM m JOIN pq USING (l_returnflag) ORDER BY m.l_returnflag
 """),
 
     "dedup_normalized": QueryDef(X.dedup_normalized, """
@@ -2471,22 +2572,43 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """),
 
-    # relational.events_conversion_lag: epoch-seconds lag, exact
-    # interpolated percentiles (quantile_cont twin).
+    # relational.events_conversion_lag: integer-seconds lags, exact
+    # rational percentile interpolation and one truncating division
+    # per emitted value (r9 contract — no float percentile internals,
+    # no order-dependent double mean).
     "events_conversion_lag": QueryDef(R.events_conversion_lag, """
 WITH fv AS (
   SELECT user_id, min(ts) AS t_view FROM events
   WHERE event_type = 'view' GROUP BY 1),
 l AS (
   SELECT e.user_id,
-         (epoch(min(e.ts)) - epoch(min(fv.t_view))) / 60.0 AS lag_min
+         (epoch_us(min(e.ts)) - epoch_us(min(fv.t_view))) // 1000000
+           AS lag_sec
   FROM fv JOIN events e USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts >= fv.t_view
-  GROUP BY 1)
+  GROUP BY 1),
+r AS (SELECT lag_sec,
+             row_number() OVER (ORDER BY lag_sec) - 1 AS rk,
+             count(*) OVER () - 1 AS nm1
+      FROM l),
+pq AS (
+  SELECT
+    max(CASE WHEN rk = (nm1 * 1) // 2 THEN lag_sec END) AS a50,
+    max(CASE WHEN rk = (nm1 * 1) // 2 + 1 THEN lag_sec END) AS b50,
+    max((nm1 * 1) % 2) AS f50,
+    max(CASE WHEN rk = (nm1 * 9) // 10 THEN lag_sec END) AS a90,
+    max(CASE WHEN rk = (nm1 * 9) // 10 + 1 THEN lag_sec END) AS b90,
+    max((nm1 * 9) % 10) AS f90
+  FROM r)
 SELECT count(*) AS n_converted,
-       round(avg(lag_min), 4) AS mean_lag_min,
-       round(quantile_cont(lag_min, 0.5), 4) AS p50_lag_min,
-       round(quantile_cont(lag_min, 0.9), 4) AS p90_lag_min
+       CAST((sum(lag_sec) * 1000000) // (count(*) * 60) AS BIGINT)
+         AS mean_lag_min_e6,
+       (SELECT CAST((a50 * 2 + f50 * (coalesce(b50, a50) - a50))
+                    * 1000000 // (2 * 60) AS BIGINT) FROM pq)
+         AS p50_lag_min_e6,
+       (SELECT CAST((a90 * 10 + f90 * (coalesce(b90, a90) - a90))
+                    * 1000000 // (10 * 60) AS BIGINT) FROM pq)
+         AS p90_lag_min_e6
 FROM l
 """),
 
@@ -2515,13 +2637,15 @@ co AS (
   GROUP BY 1, 2 HAVING count(*) >= 2),
 scored AS (
   SELECT co.item_a, co.item_b, co.n_co,
-         round(co.n_co / sqrt(sa.n * sb.n), 4) AS cosine
+         CAST(floor(CAST(co.n_co * 1000000 AS DOUBLE)
+                    / sqrt(CAST(sa.n * sb.n AS DOUBLE))) AS BIGINT)
+           AS cosine_e6
   FROM co JOIN sz sa ON sa.i = co.item_a
           JOIN sz sb ON sb.i = co.item_b),
 r AS (SELECT *, row_number() OVER (PARTITION BY item_a
-        ORDER BY cosine DESC, item_b ASC) AS rn FROM scored)
-SELECT item_a, item_b, n_co, cosine FROM r WHERE rn <= 5
-ORDER BY item_a, cosine DESC, item_b
+        ORDER BY cosine_e6 DESC, item_b ASC) AS rn FROM scored)
+SELECT item_a, item_b, n_co, cosine_e6 FROM r WHERE rn <= 5
+ORDER BY item_a, cosine_e6 DESC, item_b
 """),
 
     # operators.graph.pagerank: unrolled-iteration twin.
@@ -2571,8 +2695,9 @@ FROM terms GROUP BY t_old, t_new, n_bins_hit
         X.events_value_ewma, _ewma_sql(X.EWMA_ALPHA, X.EWMA_TAPS)),
 
     # sketches.hist_* family: the oracle computes bin counts directly
-    # (merge = sum), finds the first crossing bin per (type, q) and
-    # applies the same linear interpolation. width = (500-0)/50 = 10.
+    # (merge = sum), finds the first crossing bin per (type, q) with
+    # the exact integer comparison and applies the same RATIONAL
+    # interpolation (r9 contract). width = (500-0)/50 = 10 exactly.
     "events_value_hist_quantiles": QueryDef(
         X.events_value_hist_quantiles, f"""
 WITH b AS (
@@ -2584,36 +2709,66 @@ cum AS (
   SELECT event_type, bin, c,
          sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
   FROM b),
-n AS (SELECT event_type, sum(c)::DOUBLE AS n FROM b GROUP BY 1),
-qs AS (SELECT unnest([{", ".join(f"{q}::DOUBLE" for q in X.HIST_QS)}]) AS q),
+n AS (SELECT event_type, sum(c)::BIGINT AS n FROM b GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(f"({q}::DOUBLE, {_Fr(q).numerator}, "
+                                 f"{_Fr(q).denominator})"
+                                 for q in X.HIST_QS)}]) AS qt),
+qr AS (SELECT qt[1]::DOUBLE AS q, qt[2]::BIGINT AS qn,
+              qt[3]::BIGINT AS qd FROM qs),
 cand AS (
-  SELECT cum.event_type, qs.q, qs.q * (n.n - 1) + 1 AS target,
+  SELECT cum.event_type, qr.q, qr.qn, qr.qd,
+         qr.qn * (n.n - 1) + qr.qd AS tnum,
          cum.bin, cum.c, cum.cum
-  FROM cum JOIN n USING (event_type) CROSS JOIN qs
-  WHERE cum.cum >= qs.q * (n.n - 1) + 1),
+  FROM cum JOIN n USING (event_type) CROSS JOIN qr
+  WHERE cum.cum * qr.qd >= qr.qn * (n.n - 1) + qr.qd),
 sel AS (
   SELECT *, row_number() OVER (PARTITION BY event_type, q
                                ORDER BY bin) AS rn
   FROM cand)
 SELECT event_type, q,
-       round(0.0 + 10.0 * bin + 10.0 * (target - (cum - c)) / c, 4)
-         AS estimate
+       CAST(bin * 10 * 1000000
+            + ((tnum - (cum - c) * qd) * 10 * 1000000) // (qd * c)
+            AS BIGINT) AS estimate_e6
 FROM sel WHERE rn = 1 ORDER BY event_type, q
 """),
 
-    # operators.textstats.length_profile: Spark `percentile` and DuckDB
-    # `quantile_cont` both compute linearly interpolated exact
-    # percentiles; 4-dp rounding absorbs libm noise.
+    # operators.textstats.length_profile: exact rational percentile
+    # interpolation over integer order statistics + one truncating
+    # division per value (r9 contract — quantile_cont's float
+    # internals are engine-specific by ulps and never touch the hash).
     "corpus_length_profile": QueryDef(X.corpus_length_profile, """
-SELECT lang AS grp, count(*) AS n_docs,
-       round(avg(n), 4) AS mean_tokens,
-       round(quantile_cont(n, 0.5), 4) AS p50,
-       round(quantile_cont(n, 0.9), 4) AS p90,
-       round(quantile_cont(n, 0.99), 4) AS p99
-FROM (SELECT lang,
-             len(string_split_regex(trim(text), '\\s+')) AS n
-      FROM documents)
-GROUP BY lang ORDER BY grp
+WITH v AS (
+  SELECT lang AS grp,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents),
+r AS (SELECT grp, n,
+             row_number() OVER (PARTITION BY grp ORDER BY n) - 1 AS rk,
+             count(*) OVER (PARTITION BY grp) - 1 AS nm1
+      FROM v),
+pq AS (
+  SELECT grp,
+    max(CASE WHEN rk = (nm1 * 1) // 2 THEN n END) AS a50,
+    max(CASE WHEN rk = (nm1 * 1) // 2 + 1 THEN n END) AS b50,
+    max((nm1 * 1) % 2) AS f50,
+    max(CASE WHEN rk = (nm1 * 9) // 10 THEN n END) AS a90,
+    max(CASE WHEN rk = (nm1 * 9) // 10 + 1 THEN n END) AS b90,
+    max((nm1 * 9) % 10) AS f90,
+    max(CASE WHEN rk = (nm1 * 99) // 100 THEN n END) AS a99,
+    max(CASE WHEN rk = (nm1 * 99) // 100 + 1 THEN n END) AS b99,
+    max((nm1 * 99) % 100) AS f99
+  FROM r GROUP BY grp),
+m AS (SELECT grp, count(*) AS n_docs,
+             CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+               AS mean_tokens_e6
+      FROM v GROUP BY grp)
+SELECT m.grp, m.n_docs, m.mean_tokens_e6,
+       CAST((a50 * 2 + f50 * (coalesce(b50, a50) - a50))
+            * 1000000 // 2 AS BIGINT) AS p50_e6,
+       CAST((a90 * 10 + f90 * (coalesce(b90, a90) - a90))
+            * 1000000 // 10 AS BIGINT) AS p90_e6,
+       CAST((a99 * 100 + f99 * (coalesce(b99, a99) - a99))
+            * 1000000 // 100 AS BIGINT) AS p99_e6
+FROM m JOIN pq USING (grp) ORDER BY grp
 """),
 
     # Bloom probe, fully oracle-checked (r9 — the registry's last
@@ -2905,8 +3060,8 @@ GROUP BY 1, 2, 3
 """),
 
     # operators.decontam.benchmark_overlap: doc_id % 20 == 0 plays the
-    # benchmark; the contaminated flag compares the UNROUNDED ratio in
-    # both engines (rounded overlap_ratio is display-only).
+    # benchmark; ratio fixed-pointed by one truncating division and
+    # the contaminated flag an exact integer comparison (r9 contract).
     "decontaminate_ngram_overlap": QueryDef(X.decontaminate_ngram_overlap, f"""
 WITH {_SHINGLES_CTE.strip()},
 bench AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 20 = 0),
@@ -2917,8 +3072,8 @@ per AS (
   FROM corpus c LEFT JOIN bench b ON b.sh = c.sh
   GROUP BY c.doc_id)
 SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
-       round(n_hit / n_shingles, 4) AS overlap_ratio,
-       (n_hit / n_shingles) >= 0.1 AS contaminated
+       (n_hit * 1000000) // n_shingles AS overlap_ratio_e6,
+       n_hit * 10 >= n_shingles AS contaminated
 FROM per
 """),
 
@@ -2936,8 +3091,8 @@ hits AS (
   FROM corpus c JOIN bench b ON b.sh = c.sh GROUP BY 1, 2)
 SELECT h.doc_id, h.suite, s.n_shingles::BIGINT AS n_shingles,
        h.n_hit::BIGINT AS n_hit,
-       round(h.n_hit / s.n_shingles, 4) AS overlap_ratio,
-       (h.n_hit / s.n_shingles) >= 0.1 AS contaminated
+       (h.n_hit * 1000000) // s.n_shingles AS overlap_ratio_e6,
+       h.n_hit * 10 >= s.n_shingles AS contaminated
 FROM hits h JOIN sizes s USING (doc_id)
 ORDER BY doc_id, suite
 """),
@@ -2948,20 +3103,22 @@ ORDER BY doc_id, suite
     "decontaminate_semantic_overlap": QueryDef(
         X.decontaminate_semantic_overlap, f"""
 WITH bench AS (
-  SELECT embedding::DOUBLE[] AS bv FROM embeddings WHERE vec_id % 20 = 0),
+  SELECT {_QUANT_EMB} AS bv FROM embeddings WHERE vec_id % 20 = 0),
 corp AS (
-  SELECT vec_id, embedding::DOUBLE[] AS cv
+  SELECT vec_id, {_QUANT_EMB} AS cv
   FROM embeddings WHERE vec_id % 20 <> 0),
 cos AS (
   SELECT c.vec_id,
-         list_inner_product(c.cv, b.bv)
-           / (sqrt(list_inner_product(c.cv, c.cv))
-              * sqrt(list_inner_product(b.bv, b.bv))) AS cs
+         CASE WHEN list_inner_product(c.cv, c.cv) > 0
+                   AND list_inner_product(b.bv, b.bv) > 0
+              THEN {_qcos_e6_sql('c.cv', 'b.bv')}
+              ELSE 0 END AS cs_e6
   FROM corp c, bench b)
-SELECT vec_id, round(max(cs), 4) AS max_cosine,
-       sum(CASE WHEN cs >= {X.SEM_DECON_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
-         AS n_bench_hits,
-       max(cs) >= {X.SEM_DECON_THRESHOLD} AS contaminated
+SELECT vec_id, max(cs_e6) AS max_cosine_e6,
+       sum(CASE WHEN cs_e6 >= {round(X.SEM_DECON_THRESHOLD * 10 ** 6)}
+                THEN 1 ELSE 0 END)::BIGINT AS n_bench_hits,
+       max(cs_e6) >= {round(X.SEM_DECON_THRESHOLD * 10 ** 6)}
+         AS contaminated
 FROM cos GROUP BY vec_id ORDER BY vec_id
 """),
 
@@ -3269,16 +3426,23 @@ pn AS (SELECT token, doc_id, count(*) AS n FROM (
        WHERE token <> '' GROUP BY 1, 2),
 co AS (SELECT token, sum(n) AS c FROM po GROUP BY 1),
 cn AS (SELECT token, sum(n) AS c FROM pn GROUP BY 1),
-so AS (SELECT token, c / (SELECT sum(c)::DOUBLE FROM co) AS s FROM co),
-sn AS (SELECT token, c / (SELECT sum(c)::DOUBLE FROM cn) AS s FROM cn),
-d AS (SELECT token, coalesce(so.s, 0) AS so_, coalesce(sn.s, 0) AS sn_,
-             coalesce(sn.s, 0) - coalesce(so.s, 0) AS dd
-      FROM so FULL JOIN sn USING (token)),
-tvd AS (SELECT round(0.5 * sum(abs(dd)), 6) AS tvd FROM d)
-SELECT token, round(so_, 6) AS share_old, round(sn_, 6) AS share_new,
-       round(dd, 6) AS delta, tvd
+t AS (SELECT (SELECT sum(c) FROM co) AS t_o,
+             (SELECT sum(c) FROM cn) AS t_n),
+d AS (SELECT token, coalesce(co.c, 0) AS c_o, coalesce(cn.c, 0) AS c_n,
+             t.t_o, t.t_n
+      FROM co FULL JOIN cn USING (token), t),
+tvd AS (SELECT CAST(sum(CAST(abs(c_n * t_o - c_o * t_n) AS HUGEINT))
+                    * 1000000 // (2 * CAST(max(t_o) AS HUGEINT)
+                                  * max(t_n)) AS BIGINT) AS tvd_e6
+        FROM d)
+SELECT token,
+       (c_o * 1000000) // t_o AS share_old_e6,
+       (c_n * 1000000) // t_n AS share_new_e6,
+       (c_n * 1000000) // t_n - (c_o * 1000000) // t_o AS delta_e6,
+       tvd_e6
 FROM d, tvd
-ORDER BY abs(round(dd, 6)) DESC, token ASC LIMIT {X.VOCAB_DRIFT_TOPK}
+ORDER BY abs((c_n * 1000000) // t_n - (c_o * 1000000) // t_o) DESC,
+         token ASC LIMIT {X.VOCAB_DRIFT_TOPK}
 """),
 
     # operators.sampling.quantile_bucket: exact interpolated quartile
@@ -4029,20 +4193,6 @@ proj AS (SELECT vec_id,
 sigs AS (SELECT vec_id, ({sig}) AS sig FROM proj)"""
 
 
-# Quantized cosine_e6 between two array<BIGINT> columns — the pinned
-# IEEE shape every r9 ANN twin shares (see similarity._cos_e6_cols).
-def _qcos_e6_sql(a: str, b: str) -> str:
-    return (f"CAST(floor(CAST(CAST(list_inner_product({a}, {b}) AS BIGINT)"
-            f" * 1000000 AS DOUBLE)"
-            f" / sqrt(CAST(CAST(list_inner_product({a}, {a}) AS BIGINT)"
-            f" * CAST(list_inner_product({b}, {b}) AS BIGINT)"
-            f" AS DOUBLE))) AS BIGINT)")
-
-
-_QUANT_EMB = ("list_transform(embedding, "
-              "x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT))")
-
-
 def _hamming_topk_sql(qid: int = 0, k: int = 10, rf: int = 4) -> str:
     """Twin of similarity.hamming_topk: signature scan (bit_count of
     XOR) -> deterministic (hamming, vec_id) cut -> quantized cosine_e6
@@ -4244,6 +4394,9 @@ EXTENDED_BENCH = [
     "eval_classifier_auc", "corpus_lang_mismatch", "corpus_bpe_encode",
     "events_value_streaks", "ann_mmr_rerank_batch",
     "train_logreg_weights",
+    # round-9 additions
+    "ann_hamming_topk", "ann_hamming_topk_batch", "text_bm25_indexed",
+    "multimodal_audio_windows", "decontaminate_bloom_clean",
 ]
 
 

@@ -523,10 +523,13 @@ def events_transition_matrix(spark: SparkSession,
                      F.col("event_type").alias("to_type")))
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n"))
+    from ..functions.fixedpoint import idiv_long
     w_from = Window.partitionBy("from_type")
     return (counts
-            .withColumn("share",
-                        F.round(F.col("n") / F.sum("n").over(w_from), 4))
+            # 1e-6 fixed point (r9): one truncating division on counts
+            .withColumn("share_e6",
+                        idiv_long(F.col("n") * F.lit(10 ** 6),
+                                  F.sum("n").over(w_from)))
             .orderBy("from_type", "to_type"))
 
 
@@ -686,71 +689,112 @@ def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map (applyInPandas) surface: per-user OLS trend of event
-    value over time, computed by a numpy kernel per group — the shape of
-    any per-entity model-fit operator. Cross-validated against the SQL
-    closed form (regr_slope/regr_intercept) in the DuckDB oracle, so the
-    pandas kernel itself is value-checked, not just executed."""
-    import numpy as np
+    value over time, computed by a per-group kernel — the shape of any
+    per-entity model-fit operator. Cross-validated against the SQL
+    closed form in the DuckDB oracle, so the kernel itself is
+    value-checked, not just executed.
+
+    r9 integer contract (the r8 DECIMAL snap of order-divergent
+    numpy-vs-regr_* moment sums is the broken class): x is integer
+    epoch SECONDS, y integer cents, and the closed form
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is computed in exact
+    arbitrary-precision Python ints inside the kernel (groups are
+    per-entity small; a corpus-scale fit would sketch anyway), emitted
+    as truncated fixed point with the sign handled explicitly:
+    slope_per_day_e6 = sign·(|num|·86400·1e6 // (den·100)),
+    intercept_e6 = sign·(|Σy·den − num·Σx|·1e6 // (n·den·100)).
+    Degenerate groups (n<2 or zero x-variance) emit NULLs."""
     import pandas as pd
 
     (events,) = _t(spark, sf_dir, "events")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["ts"].astype("int64").to_numpy() / 1e9 / 86400.0  # days
-        y = pdf["value"].to_numpy()
-        n = len(pdf)
-        if n < 2 or np.ptp(x) == 0:
-            slope, intercept = float("nan"), float("nan")
+        xs = [int(v) // 10 ** 9 for v in pdf["ts"].astype("int64")]
+        ys = [int(v * 100 + 0.5) for v in pdf["value"]]  # floor(+.5)
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            slope_e6, icept_e6 = None, None
         else:
-            xm, ym = x.mean(), y.mean()
-            slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
-            intercept = float(ym - slope * xm)
+            def sdiv(a, b):
+                return (-(-a // b)) if a < 0 else a // b  # trunc to 0
+            slope_e6 = sdiv(num * 86400 * 10 ** 6, den * 100)
+            icept_e6 = sdiv((sy * den - num * sx) * 10 ** 6,
+                            n * den * 100)
         return pd.DataFrame({
             "user_id": [pdf["user_id"].iloc[0]], "n": [n],
-            "slope_per_day": [round(slope, 6)],
-            "intercept": [round(intercept, 4)],
+            "slope_per_day_e6": [slope_e6],
+            "intercept_e6": [icept_e6],
         })
 
-    # DECIMAL emission (r8 contract): the numpy moment sums and
-    # DuckDB's regr_* accumulate in different orders; also NaN (the
-    # n<2 / zero-variance sentinel) casts to NULL, matching the SQL
-    # closed form's NULL exactly instead of relying on NaN mapping.
     return (
-        events.select("user_id", "ts", "value")
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                      "value")
         .groupBy("user_id")
-        .applyInPandas(fit, "user_id bigint, n bigint, slope_per_day double, "
-                            "intercept double")
-        .select("user_id", "n",
-                F.col("slope_per_day").cast("decimal(16,6)")
-                .alias("slope_per_day"),
-                F.col("intercept").cast("decimal(14,4)").alias("intercept"))
+        .applyInPandas(fit, "user_id bigint, n bigint, "
+                            "slope_per_day_e6 bigint, intercept_e6 bigint")
         .orderBy("user_id")
     )
 
 
 def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate coverage: exact interpolated percentiles,
-    sample stddev, correlation, distinct counts — per return flag."""
+    sample stddev, correlation, distinct counts — per return flag.
+
+    r9 integer contract (the r8 DECIMAL snap of order-dependent
+    stddev/corr accumulations is the class that stayed driver-red):
+    price quantizes to exact integer cents, quantities are integral,
+    so every moment (Σc, Σc², Σq, Σq², Σqc) is an exact DECIMAL(38,0)
+    sum. Percentiles go through robust.exact_percentiles_e6; stddev
+    and corr close with the pinned IEEE shape floor(sqrt(...)*k) over
+    the exact integer variance/covariance rationals — deterministic on
+    any conforming build (det_canary_ieee's op set)."""
+    from ..functions.fixedpoint import idiv_long
+    from ..operators.robust import exact_percentiles_e6
+
     (li,) = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            # DECIMAL emission (r8 contract): stddev/corr accumulate
-            # doubles in engine-specific order and the two engines'
-            # percentile interpolation formulas differ at the ulp.
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
-            .cast("decimal(14,4)").alias("p50_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4)
-            .cast("decimal(14,4)").alias("p95_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 4)
-            .cast("decimal(14,4)").alias("sd_price"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-            .cast("decimal(7,4)").alias("qty_price_corr"),
-        )
-        .orderBy("l_returnflag")
-    )
+    base = li.select(
+        "l_returnflag", "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("_c"),
+        F.col("l_quantity").cast("long").alias("_q"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = (base.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("l_orderkey").alias("n_orders"),
+              F.sum(d(F.col("_c"))).alias("_sc"),
+              F.sum(d(F.col("_c")) * F.col("_c")).alias("_scc"),
+              F.sum(d(F.col("_q"))).alias("_sq"),
+              F.sum(d(F.col("_q")) * F.col("_q")).alias("_sqq"),
+              F.sum(d(F.col("_q")) * F.col("_c")).alias("_sqc")))
+    nd = F.col("n").cast("decimal(38,0)")
+    var_num = nd * F.col("_scc") - F.col("_sc") * F.col("_sc")
+    var_den = nd * (nd - 1)
+    # sd in value units: sqrt(var_cents2) / 100, floor-scaled to e6 —
+    # one pinned shape: floor(sqrt(num/den) * 10000.0)
+    sd_e6 = F.floor(F.sqrt(var_num.cast("double")
+                           / var_den.cast("double"))
+                    * F.lit(10000.0)).cast("long")
+    cnum = nd * F.col("_sqc") - F.col("_sq") * F.col("_sc")
+    d1 = (nd * F.col("_sqq") - F.col("_sq") * F.col("_sq"))
+    d2 = var_num
+    corr_e6 = F.floor(cnum.cast("double") * F.lit(1000000.0)
+                      / (F.sqrt(d1.cast("double"))
+                         * F.sqrt(d2.cast("double")))).cast("long")
+    pct = exact_percentiles_e6(
+        base, ["l_returnflag"], "_c",
+        {"p50_price": (1, 2), "p95_price": (19, 20)},
+        scale_den=100).drop("_n")
+    return (m.join(pct, "l_returnflag")
+            .select("l_returnflag", "n", "n_orders",
+                    "p50_price_e6", "p95_price_e6",
+                    sd_e6.alias("sd_price_e6"),
+                    corr_e6.alias("qty_price_corr_e6"))
+            .orderBy("l_returnflag"))
 
 
 def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,7 +1166,7 @@ def reco_similar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l_suppkey").alias("item_id")))
     return (cooccurrence_similar_items(inter, k=5, min_co=2,
                                        max_user_items=1000)
-            .orderBy("item_a", F.col("cosine").desc(), "item_b"))
+            .orderBy("item_a", F.col("cosine_e6").desc(), "item_b"))
 
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1147,9 +1191,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel timing: per converting user, minutes from FIRST view to
     the FIRST purchase after it, summarized as exact interpolated
-    p50/p90 + mean (the quantile_cont twin convention). The
-    time-to-convert readout the funnel count queries don't give —
-    one per-user aggregate, one small summary row."""
+    p50/p90 + mean in 1e-6 fixed point. The time-to-convert readout
+    the funnel count queries don't give — one per-user aggregate, one
+    small summary row.
+
+    r9 integer contract: lags stay integer SECONDS until emission
+    (mean = trunc(sum_sec*1e6 / (60*n)); percentiles through
+    robust.exact_percentiles_e6 with scale_den=60) — built-in float
+    percentile interpolation and order-dependent double means never
+    touch the hashed path."""
+    from ..functions.fixedpoint import idiv_long
+    from ..operators.robust import exact_percentiles_e6
+
     ev = _t(spark, sf_dir, "events")[0] \
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
                 "event_type")
@@ -1160,15 +1213,20 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(purchases, "user_id")
            .filter(F.col("ts") >= F.col("t_view"))
            .groupBy("user_id")
-           .agg(((F.min("ts").cast("double")
-                  - F.min("t_view").cast("double")) / 60.0)
-                .alias("lag_min")))
-    pct = F.expr("percentile(lag_min, array(0.5, 0.9))")
-    return lag.agg(
+           .agg(F.expr("(unix_micros(min(ts))"
+                       " - unix_micros(min(t_view))) div 1000000")
+                .alias("lag_sec")))
+    mean = lag.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.avg("lag_min"), 4).alias("mean_lag_min"),
-        F.round(pct.getItem(0), 4).alias("p50_lag_min"),
-        F.round(pct.getItem(1), 4).alias("p90_lag_min"))
+        idiv_long(F.sum("lag_sec") * F.lit(10 ** 6),
+                  F.count(F.lit(1)) * 60).alias("mean_lag_min_e6"))
+    pct = exact_percentiles_e6(
+        lag, [], "lag_sec",
+        {"p50_lag_min": (1, 2), "p90_lag_min": (9, 10)},
+        scale_den=60).drop("_n")
+    return mean.crossJoin(pct).select(
+        "n_converted", "mean_lag_min_e6",
+        "p50_lag_min_e6", "p90_lag_min_e6")
 
 
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

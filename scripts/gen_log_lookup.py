@@ -32,9 +32,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MAX_K = 1 << 19
+SIG_RANGE = 20000   # sigmoid table domain: m_e3 in [-20000, 20000]
 
 OUT = (Path(__file__).resolve().parents[1]
        / "pre_market_data_pipeline_for_stocks_spark" / "data" / "log_lookup.parquet")
+SIG_OUT = OUT.parent / "sigmoid_lookup.parquet"
 
 
 def main() -> None:
@@ -53,6 +55,24 @@ def main() -> None:
                                     "ln_e9": "DELTA_BINARY_PACKED",
                                     "log2_e9": "DELTA_BINARY_PACKED"})
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes, {len(ks)} rows)")
+
+    # sigmoid(k/1000) at 1e-9 fixed point for k in [-SIG_RANGE,
+    # SIG_RANGE] (sigmoid saturates to within 2e-9 of {0,1} at |20|,
+    # so callers clamp to the domain edge) — the frozen twin the
+    # integer logistic-regression trainer joins instead of calling
+    # libm exp at query time.
+    sk = list(range(-SIG_RANGE, SIG_RANGE + 1))
+    sig_e9 = [round(1e9 / (1.0 + math.exp(-k / 1000.0))) for k in sk]
+    stable = pa.table({
+        "k": pa.array(sk, pa.int64()),
+        "sig_e9": pa.array(sig_e9, pa.int64()),
+    })
+    pq.write_table(stable, SIG_OUT, compression="zstd",
+                   use_dictionary=False,
+                   column_encoding={"k": "DELTA_BINARY_PACKED",
+                                    "sig_e9": "DELTA_BINARY_PACKED"})
+    print(f"wrote {SIG_OUT} ({SIG_OUT.stat().st_size} bytes, "
+          f"{len(sk)} rows)")
 
 
 if __name__ == "__main__":

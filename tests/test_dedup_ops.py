@@ -172,9 +172,9 @@ def test_benchmark_overlap_ratios_and_flags(spark):
     rows = {r["doc_id"]: r for r in
             benchmark_overlap(corpus, bench, n=3, threshold=0.25).collect()}
     assert set(rows) == {1, 2, 3}            # blank doc 4 emits no row
-    assert rows[1]["overlap_ratio"] == 1.0 and rows[1]["contaminated"]
+    assert rows[1]["overlap_ratio_e6"] == 10 ** 6 and rows[1]["contaminated"]
     assert rows[2]["n_shingles"] == 4 and rows[2]["n_hit"] == 1
-    assert rows[2]["overlap_ratio"] == 0.25 and rows[2]["contaminated"]
+    assert rows[2]["overlap_ratio_e6"] == 250000 and rows[2]["contaminated"]
     assert rows[3]["n_hit"] == 0 and not rows[3]["contaminated"]
 
 

@@ -8,7 +8,8 @@ from pre_market_data_pipeline_for_stocks_spark.operators.graph import pagerank
 
 def _pr(spark, edges, **kw):
     e = spark.createDataFrame(edges, "src long, dst long")
-    return {r["node"]: r["pr"] for r in pagerank(e, **kw).collect()}
+    return {r["node"]: r["pr_e9"] / 1e9
+            for r in pagerank(e, **kw).collect()}
 
 
 def test_pagerank_mass_conserved_and_hub_dominates(spark):

@@ -29,20 +29,23 @@ def test_hashed_features_normalized_with_bias(spark):
     f = hashed_features(docs, dims=16)
     one = f.filter(F.col("doc_id") == 0).collect()
     bias = [r for r in one if r["dim"] == 16]
-    assert len(bias) == 1 and bias[0]["x"] == 1.0
-    assert abs(sum(r["x"] for r in one if r["dim"] < 16) - 1.0) < 1e-9
+    assert len(bias) == 1 and bias[0]["x_e9"] == 10 ** 9
+    # truncating divisions lose < 1 unit per feature
+    total = sum(r["x_e9"] for r in one if r["dim"] < 16)
+    assert 10 ** 9 - 16 <= total <= 10 ** 9
 
 
 def test_train_logreg_reduces_loss_and_separates(spark):
     docs, labels = _fixture(spark)
-    w = {r["dim"]: r["weight"] for r in
+    w = {r["dim"]: r["weight_e6"] / 1e6 for r in
          train_logreg(docs, labels, iters=5, lr=4.0, dims=16).collect()}
     feats = hashed_features(docs, dims=16)
     margins = {r["doc_id"]: r["m"] for r in
                (feats.withColumn("w", F.udf(lambda d: w[d], "double")
                                  (F.col("dim")))
                 .groupBy("doc_id")
-                .agg(F.sum(F.col("x") * F.col("w")).alias("m"))).collect()}
+                .agg(F.sum(F.col("x_e9") / 1e9 * F.col("w"))
+                     .alias("m"))).collect()}
     ys = {r["doc_id"]: r["y"] for r in labels.collect()}
     # every positive doc must out-score every negative doc
     pos = [m for d, m in margins.items() if ys[d] == 1]
@@ -58,4 +61,4 @@ def test_train_logreg_reduces_loss_and_separates(spark):
 def test_train_logreg_zero_iters_is_zero_weights(spark):
     docs, labels = _fixture(spark)
     w = train_logreg(docs, labels, iters=0, dims=16).collect()
-    assert all(r["weight"] == 0.0 for r in w)
+    assert all(r["weight_e6"] == 0 for r in w)

@@ -33,31 +33,31 @@ def test_ewma_constant_series_is_identity(spark):
     rows = [("u", i, 5.0) for i in range(6)]
     df = spark.createDataFrame(rows, "g string, t int, v double")
     out = ewma(df, "g", ["t"], "v", alpha=0.3, taps=4).collect()
-    assert all(abs(r["ewma"] - 5.0) < 1e-9 for r in out)
+    assert all(r["ewma_e6"] == 5000000 for r in out)
 
 
 def test_ewma_matches_hand_computed_weights(spark):
     from pre_market_data_pipeline_for_stocks_spark.operators.robust import ewma
     rows = [("u", 1, 10.0), ("u", 2, 0.0), ("u", 3, 0.0)]
     df = spark.createDataFrame(rows, "g string, t int, v double")
-    out = {r["t"]: r["ewma"] for r in
+    out = {r["t"]: r["ewma_e6"] for r in
            ewma(df, "g", ["t"], "v", alpha=0.5, taps=3).collect()}
     # t=1: only itself -> 10
-    assert abs(out[1] - 10.0) < 1e-9
-    # t=2: (0*1 + 10*0.5) / 1.5
-    assert abs(out[2] - round(5.0 / 1.5, 4)) < 1e-9
-    # t=3: (0 + 0*0.5 + 10*0.25) / 1.75
-    assert abs(out[3] - round(2.5 / 1.75, 4)) < 1e-9
+    assert out[1] == 10000000
+    # t=2: (0*1 + 10*0.5) / 1.5 ; t=3: (0 + 0*0.5 + 10*0.25) / 1.75
+    import math
+    assert out[2] == math.floor(5.0 / 1.5 * 1e6)
+    assert out[3] == math.floor(2.5 / 1.75 * 1e6)
 
 
 def test_ewma_groups_are_independent(spark):
     from pre_market_data_pipeline_for_stocks_spark.operators.robust import ewma
     rows = [("a", 1, 1.0), ("b", 1, 100.0), ("a", 2, 1.0), ("b", 2, 100.0)]
     df = spark.createDataFrame(rows, "g string, t int, v double")
-    out = {(r["g"], r["t"]): r["ewma"] for r in
+    out = {(r["g"], r["t"]): r["ewma_e6"] for r in
            ewma(df, "g", ["t"], "v").collect()}
-    assert abs(out[("a", 2)] - 1.0) < 1e-9
-    assert abs(out[("b", 2)] - 100.0) < 1e-9
+    assert out[("a", 2)] == 1000000
+    assert out[("b", 2)] == 100000000
 
 
 # ----------------------------------------------------------- PSI / AUC

@@ -70,13 +70,10 @@ ALLOWED = {
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
     "ann_mmr_rerank_batch",
-    "corpus_length_profile",
     "dedup_semantic_prune",
     "embedding_norms",
-    "events_conversion_lag",
     "f16_json_extract_props",
     "q1_pricing_summary",
-    "reco_similar_suppliers",
     "rolling_range_7d",
 }
 # Removed by the r8 DECIMAL migration (now decimal-wrapped, so the
@@ -84,7 +81,8 @@ ALLOWED = {
 # stats_summary_lineitem, text_bigram_logprob, text_unigram_logprob,
 # trend_slope_per_user.
 # Removed by the r9 INTEGER migration (no round() left at all):
-# corpus_datacard.
+# corpus_datacard, corpus_length_profile, events_conversion_lag,
+# reco_similar_suppliers.
 
 
 def _balanced(sql: str, open_idx: int) -> tuple[str, int]:

@@ -18,8 +18,9 @@ def test_cooccurrence_cosine_and_topk(spark):
            cooccurrence_similar_items(_inter(spark, rows), k=5,
                                       min_co=1).collect()}
     assert out[(1, 2)]["n_co"] == 2
-    assert abs(out[(1, 2)]["cosine"] - 1.0) < 1e-9        # 2/sqrt(2*2)
-    assert abs(out[(1, 3)]["cosine"] - round(1 / 2 ** 0.5, 4)) < 1e-9
+    assert out[(1, 2)]["cosine_e6"] == 1000000             # 2/sqrt(2*2)
+    import math
+    assert out[(1, 3)]["cosine_e6"] == math.floor(1e6 / math.sqrt(2))
     # symmetry: both directions emitted
     assert (2, 1) in out and (3, 1) in out
 

@@ -191,7 +191,7 @@ def test_hist_quantiles_within_one_bin_width(spark):
     import statistics
     df = _vals(spark)
     h = SK.hist_partials(df, ["k"], "v", 0.0, 100.0, 10)
-    est = {r["q"]: r["estimate"] for r in
+    est = {r["q"]: r["estimate_e6"] / 1e6 for r in
            SK.hist_quantiles(h, [0.5, 0.9], 0.0, 100.0, 10).collect()}
     vals = list(range(1, 101))
     true_p50 = statistics.quantiles(vals, n=100)[49]

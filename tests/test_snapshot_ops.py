@@ -32,7 +32,7 @@ def test_snapshot_diff_identical_snapshots(v1):
 
 def test_vocab_drift_zero_on_identical(v1):
     out = snapshot.vocab_drift(v1, v1, k=5).collect()
-    assert all(r.tvd == 0.0 and r.delta == 0.0 for r in out)
+    assert all(r.tvd_e6 == 0 and r.delta_e6 == 0 for r in out)
 
 
 def test_vocab_drift_detects_mover(spark, v1):
@@ -40,10 +40,10 @@ def test_vocab_drift_detects_mover(spark, v1):
     v2 = spark.createDataFrame(
         [(0, "a a a a"), (1, "x y"), (2, "gone soon")], ["doc_id", "text"])
     out = snapshot.vocab_drift(v1, v2, k=3).collect()
-    assert out[0].token == "a" and out[0].delta > 0
-    assert out[0].tvd > 0
+    assert out[0].token == "a" and out[0].delta_e6 > 0
+    assert out[0].tvd_e6 > 0
     # shares are proper distributions: old side 1/7 for 'a'
-    assert out[0].share_old == round(1 / 7, 6)
+    assert out[0].share_old_e6 == 10 ** 6 // 7   # trunc(1/7 * 1e6)
 
 
 def test_vocab_drift_plan_is_takeordered(spark, v1):

@@ -685,12 +685,12 @@ def test_streaming_hist_partials_match_batch_estimates(spark, sf_dir,
     root = str(tmp_path / "hist")
     SS.run_hist_append(stream, root, str(tmp_path / "ckpt"),
                        ["event_type"], "value")
-    streamed = {(r["event_type"], r["q"]): r["estimate"] for r in
+    streamed = {(r["event_type"], r["q"]): r["estimate_e6"] for r in
                 SS.read_hist_quantiles(spark, root, ["event_type"],
                                        [0.5, 0.9]).collect()}
     direct = SK.hist_quantiles(
         SK.hist_partials(events, ["event_type"], "value"), [0.5, 0.9])
-    batch = {(r["event_type"], r["q"]): r["estimate"]
+    batch = {(r["event_type"], r["q"]): r["estimate_e6"]
              for r in direct.collect()}
     assert streamed == batch
     # replay one batch: writer overwrites its own dir, estimate unchanged
@@ -699,7 +699,7 @@ def test_streaming_hist_partials_match_batch_estimates(spark, sf_dir,
     bid = int(bdir.split("-")[1])
     SS.hist_batch_writer(root, ["event_type"], "value")(
         events.filter("event_id % 2 = 0"), bid)
-    replayed = {(r["event_type"], r["q"]): r["estimate"] for r in
+    replayed = {(r["event_type"], r["q"]): r["estimate_e6"] for r in
                 SS.read_hist_quantiles(spark, root, ["event_type"],
                                        [0.5, 0.9]).collect()}
     assert replayed == batch

@@ -144,9 +144,9 @@ def test_length_profile_exact_percentiles(spark):
     docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
     r = length_profile(docs, "lang").collect()[0]
     assert r.grp == "en" and r.n_docs == 10
-    assert r.mean_tokens == 5.5
-    assert r.p50 == 5.5                       # interpolated exact
-    assert r.p90 == 9.1
+    assert r.mean_tokens_e6 == 5500000
+    assert r.p50_e6 == 5500000                # interpolated exact
+    assert r.p90_e6 == 9100000
 
 
 def test_semantic_overlap_flags_identical_vector(spark):
@@ -161,10 +161,12 @@ def test_semantic_overlap_flags_identical_vector(spark):
         ["vec_id", "embedding"])
     out = {r.vec_id: r for r in decontam.semantic_overlap(
         corpus, bench, threshold=0.9).collect()}
-    assert out[0].contaminated and out[0].max_cosine == 1.0
+    assert out[0].contaminated and out[0].max_cosine_e6 == 1000000
     assert out[0].n_bench_hits == 1
-    assert not out[1].contaminated and out[1].max_cosine == 0.0
-    assert not out[2].contaminated and out[2].max_cosine == 0.7071
+    assert not out[1].contaminated and out[1].max_cosine_e6 == 0
+    import math
+    assert not out[2].contaminated
+    assert out[2].max_cosine_e6 == math.floor(1e6 / math.sqrt(2))
 
 
 def test_decontaminate_semantic_drops_flagged_docs(spark):
@@ -277,7 +279,7 @@ def test_suite_matrix_counts_each_suite_independently(spark):
                corpus, bench, threshold=0.4).collect()}
     # doc 0 has shingles {a b g, b g d}: one hits sA, one hits sB
     assert out[(0, "sA")].n_hit == 1 and out[(0, "sB")].n_hit == 1
-    assert out[(0, "sA")].overlap_ratio == 0.5
+    assert out[(0, "sA")].overlap_ratio_e6 == 500000
     assert out[(0, "sA")].contaminated
     # clean doc emits no rows at all
     assert all(d != 1 for d, _ in out)
