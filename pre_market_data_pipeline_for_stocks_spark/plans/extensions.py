@@ -1463,17 +1463,23 @@ def ann_hard_negatives(spark, sf_dir):
 
 
 def embedding_norms(spark, sf_dir):
-    """Array-function coverage: per-vector L2 norm + dim count (F.aggregate
-    / zip_with JVM-side array math over array<float>)."""
+    """Array-function coverage: per-vector L2 norm + dim count
+    (F.aggregate / zip_with JVM-side array math over array<float>).
+    r9 contract: the squared norm is an EXACT int64 over the 1e-3
+    quantized grid (summation order can't matter), the emission one
+    pinned IEEE floor(sqrt) — l2_norm_e6 in 1e-6 fixed point (sqrt of
+    1e-6-units dot is in 1e-3 units, hence the *1000)."""
     emb = _emb(spark, sf_dir)
-    dot = F.aggregate(
-        F.zip_with("embedding", "embedding",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda a, v: a + v)
+    q = F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 1000
+                                      + F.lit(0.5)).cast("long"))
+    dot_q = F.aggregate(F.zip_with(q, q, lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda a, v: a + v)
     return emb.select(
         "vec_id", "label",
         F.size("embedding").cast("long").alias("n_dims"),
-        F.round(F.sqrt(dot), 4).alias("l2_norm"),
+        F.floor(F.sqrt(dot_q.cast("double")) * F.lit(1000.0))
+        .cast("long").alias("l2_norm_e6"),
     )
 
 

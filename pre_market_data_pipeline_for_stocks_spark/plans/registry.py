@@ -4025,10 +4025,11 @@ LIMIT 10
 
     "ann_ivf_topk_batch": QueryDef(X.ann_ivf_topk_batch, _ivf_batch_sql()),
 
-    "embedding_norms": QueryDef(X.embedding_norms, """
+    "embedding_norms": QueryDef(X.embedding_norms, f"""
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
-       round(sqrt(list_inner_product(embedding::DOUBLE[],
-                                     embedding::DOUBLE[])), 4) AS l2_norm
+       CAST(floor(sqrt(CAST(CAST(list_inner_product({_QUANT_EMB},
+                {_QUANT_EMB}) AS BIGINT) AS DOUBLE)) * 1000.0)
+            AS BIGINT) AS l2_norm_e6
 FROM embeddings
 """),
 

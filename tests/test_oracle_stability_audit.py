@@ -62,18 +62,40 @@ ROUND_RE = re.compile(r"\bround\s*\(", re.I)
 # deliberately coarse; it only needs to SEE unstable fns near aliases.
 ALIAS_RE = re.compile(r"\b[Aa][Ss]\s+([a-z_]\w*)\s*(?:,|$|\n|\))")
 
-# Queries allowed to round a floating statistic directly, each with
-# standing cross-engine hash evidence (see module doc). Keep sorted.
+# Queries allowed to round a floating statistic directly, each with an
+# r9 adjudication (why the round cannot flip cross-engine) plus
+# standing driver hash evidence. Keep sorted.
 ALLOWED = {
+    # ratio of counts over the fixed graded relation: 100*k/60000
+    # reaches a 4-dp half only at odd 2000000*k/n — even whenever
+    # integer for this n (parity argument); r08 driver-green.
     "a2a5_validator_aggregate",
+    # ivf/pq/mmr/semantic float cosines are SEQUENTIAL-fold twins
+    # (identical textual order in both engines -> bit-identical
+    # doubles); the only residual is round()'s half policy on a value
+    # that would have to land within half an ulp of the 4-dp grid's
+    # midpoint — ~1e-11 per emitted row, tens of rows. All r08
+    # driver-green in the current engine builds. (The order-DIVERGENT
+    # kernels — numpy matmul/einsum paths — were migrated to quantized
+    # integer cosines in r9; these fold-twins are the evidenced
+    # remainder.)
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
     "ann_mmr_rerank_batch",
     "dedup_semantic_prune",
-    "embedding_norms",
+    # JSON-extracted literal doubles rounded at their own grid; r02+
+    # driver-green, values are fixture constants.
     "f16_json_extract_props",
+    # TPC-H money sums: 2-dp inputs -> sums/averages sit on or
+    # provably off the 2-dp grid's midpoints (terminating-denominator
+    # parity); r08 driver-green headline.
     "q1_pricing_summary",
+    # frame-ordered window sums of 4-dp closes: sequential frame
+    # accumulation is order-identical in both engines, and avg over
+    # n<=7 reaches a 4-dp half only at odd 2000000*k/(100n) — even for
+    # every terminating n; non-terminating n sit >=1/(3*20000) off
+    # the grid; r04 driver-green.
     "rolling_range_7d",
 }
 # Removed by the r8 DECIMAL migration (now decimal-wrapped, so the
@@ -82,7 +104,7 @@ ALLOWED = {
 # trend_slope_per_user.
 # Removed by the r9 INTEGER migration (no round() left at all):
 # corpus_datacard, corpus_length_profile, events_conversion_lag,
-# reco_similar_suppliers.
+# reco_similar_suppliers, embedding_norms.
 
 
 def _balanced(sql: str, open_idx: int) -> tuple[str, int]:
