@@ -107,6 +107,23 @@ def det_canary_sum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def det_canary_intdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1..100: signed integer division and modulo across the sign
+    grid — Spark `div`/`%` vs DuckDB `//`/`%`. Both truncate toward
+    zero in the current builds (measured r9); DuckDB has historically
+    documented `//` as flooring, so this canary flips the moment a
+    driver engine changes the convention. The engine's own emissions
+    never rely on it (idiv_long keeps operands nonnegative; sdiv_long
+    is sign-explicit) — this is pure early warning."""
+    df = spark.range(1, 101).select(F.col("id").alias("k"))
+    return df.select(
+        "k",
+        F.expr("(-(k * 7)) div 3").alias("negdiv"),
+        F.expr("(k * 7) div (-3)").alias("divneg"),
+        F.expr("(-(k * 7)) % 3").alias("negmod"),
+    ).orderBy("k")
+
+
 def det_canary_double_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=1..500: cast(k/7 as DECIMAL(20,6)) — double->decimal rounding
     policy (the r8 'decimal snap' emission contract's foundation)."""
@@ -158,6 +175,13 @@ FROM ks
 SELECT k, CAST(k::DOUBLE / 7.0 AS DECIMAL(20,6)) AS d6
 FROM range(1, 501) t(k) ORDER BY k
 """,
+    "det_canary_intdiv": """
+SELECT k,
+       (-(k * 7)) // 3 AS negdiv,
+       (k * 7) // (-3) AS divneg,
+       (-(k * 7)) % 3 AS negmod
+FROM range(1, 101) t(k) ORDER BY k
+""",
 }
 
 CANARIES = {
@@ -167,4 +191,5 @@ CANARIES = {
     "det_canary_round_half": det_canary_round_half,
     "det_canary_sum_order": det_canary_sum_order,
     "det_canary_double_decimal": det_canary_double_decimal,
+    "det_canary_intdiv": det_canary_intdiv,
 }
