@@ -1,0 +1,115 @@
+"""functions/fixedpoint.py — the primitives every r9 integer emission
+rests on. Property-tested against exact Python integer references:
+if any of these drift, the whole cross-engine emission contract drifts
+with them."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.functions import fixedpoint as fp
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10 ** 30),
+                          st.integers(1, 10 ** 15)),
+                min_size=1, max_size=20))
+def test_idiv_matches_python_floor_division(spark, pairs):
+    # idiv (DECIMAL result) over the full 38-digit operand range;
+    # idiv_long's extra .cast('long') is the loud-overflow guard
+    # tested separately below.
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "a string, b string")
+    out = df.select(
+        fp.idiv(F.col("a").cast("decimal(38,0)"),
+                F.col("b").cast("decimal(38,0)"))
+        .cast("string").alias("q")).collect()
+    assert [int(r["q"]) for r in out] == [a // b for a, b in pairs]
+
+
+def test_idiv_long_overflow_is_loud(spark):
+    """A quotient past int64 must raise (ANSI), never wrap silently."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+    df = spark.createDataFrame([(str(10 ** 30), "3")],
+                               "a string, b string")
+    with pytest.raises((Py4JJavaError, CapturedException, Exception)):
+        df.select(fp.idiv_long(F.col("a").cast("decimal(38,0)"),
+                               F.col("b").cast("decimal(38,0)"))
+                  .alias("q")).collect()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10 ** 17, 10 ** 17),
+                          st.integers(1, 10 ** 9)),
+                min_size=1, max_size=20))
+def test_sdiv_truncates_toward_zero(spark, pairs):
+    df = spark.createDataFrame(pairs, "a long, b long")
+    out = df.select(fp.sdiv_long(F.col("a"), F.col("b")).alias("q")) \
+            .collect()
+    def trunc(a, b):
+        return -((-a) // b) if a < 0 else a // b
+    assert [r["q"] for r in out] == [trunc(a, b) for a, b in pairs]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(1, (1 << 19)), min_size=1, max_size=15))
+def test_ln_lookup_exact_in_table_range(spark, ks):
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    out = {r["k"]: r["l"] for r in
+           fp.with_ln_e9(df, "k", "l").collect()}
+    for k in set(ks):
+        assert out[k] == round(math.log(k) * 1e9)
+
+
+def test_ln_ladder_above_table_range(spark):
+    """k > 2^19: ln_e9(k >> s) + s*LN2_E9 with k>>s back in table
+    range — deterministic by construction, accurate to ~2^-18."""
+    ks = [(1 << 19) + 1, (1 << 25) + 12345, 10 ** 12, (1 << 62) + 7]
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    out = {r["k"]: r["l"] for r in fp.with_ln_e9(df, "k", "l").collect()}
+    for k in ks:
+        s = max(0, k.bit_length() - 19)
+        expected = round(math.log(k >> s) * 1e9) + s * fp.LN2_E9
+        assert out[k] == expected
+        assert abs(out[k] / 1e9 - math.log(k)) < 5e-6
+
+
+def test_sigmoid_lookup_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(m,) for m in (-10 ** 9, -20001, -20000, -1, 0, 1, 693,
+                        20000, 20001, 10 ** 9)], "m long")
+    out = {r["m"]: r["p"] for r in
+           fp.with_sigmoid_e9(df, "m", "p").collect()}
+    for m in out:
+        c = max(-20000, min(20000, m))
+        assert out[m] == round(1e9 / (1.0 + math.exp(-c / 1000.0)))
+    assert out[0] == 500000000
+    assert out[10 ** 9] == out[20000] and out[-10 ** 9] == out[-20000]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=25),
+       st.sampled_from([(1, 2), (1, 4), (9, 10), (99, 100)]))
+def test_exact_percentiles_match_rational_reference(spark, vals, q):
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        exact_percentiles_e6,
+    )
+    qn, qd = q
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = exact_percentiles_e6(df, [], "v", {"p": (qn, qd)}).collect()[0]
+    # exact rational reference: a + f*(b-a) at position qn*(n-1)/qd
+    s = sorted(vals)
+    pos = Fraction(qn * (len(s) - 1), qd)
+    i, f = divmod(pos, 1)
+    a = s[int(i)]
+    b = s[min(int(i) + 1, len(s) - 1)]
+    expected = (Fraction(a) + f * (b - a)) * 10 ** 6
+    assert got["p_e6"] == int(expected)        # trunc == floor (nonneg)
+    assert got["_n"] == len(vals)
