@@ -17,6 +17,9 @@ exercises exactly one suspect primitive over fixed inputs:
                                forward and reversed (tests whether an
                                engine's fold really is sequential).
 - ``det_canary_double_decimal`` — double -> DECIMAL casts.
+- ``det_canary_hugeint_sum``  — raw uncast sum() (DuckDB HUGEINT /
+                               Arrow decimal128 vs Spark int64 —
+                               records the r9 driver-harness proof).
 
 A red canary in CORRECTNESS_r{N}.json convicts that primitive in the
 driver environment; emission contracts then route around it (see
@@ -80,13 +83,22 @@ def det_canary_round_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (e.g. k=11: Spark 0.11 vs DuckDB 0.12 at 2 dp) — round(DOUBLE,
     k) is not an engine-portable primitive even before environment
     drift, which is why no hashed emission in this engine may use it
-    (functions/fixedpoint.py is the replacement)."""
+    (functions/fixedpoint.py is the replacement).
+
+    r10 change: r9's version emitted DECIMAL columns, so its driver-red
+    was confounded with decimal128 hashing (proven divergent by
+    det_canary_double_decimal / the HUGEINT family). Now emits the
+    round result snapped to a scaled BIGINT — floor(r*10^k + 0.5) is
+    exact for |r*10^k - int| < 1e-9 — so a red convicts round(DOUBLE,k)
+    semantics alone."""
     df = spark.range(0, 1000).select(F.col("id").alias("k"))
     x = F.col("k").cast("double") / F.lit(1000.0) + F.lit(4.9999999e-4)
     return df.select(
         "k",
-        F.round(x, 3).cast("decimal(10,3)").alias("r3"),
-        F.round(x * F.lit(10.0), 2).cast("decimal(10,2)").alias("r2"),
+        F.floor(F.round(x, 3) * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        .alias("r3_m"),
+        F.floor(F.round(x * F.lit(10.0), 2) * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("r2_c"),
     ).orderBy("k")
 
 
@@ -124,6 +136,24 @@ def det_canary_intdiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def det_canary_hugeint_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: a raw, deliberately UNCAST sum() emission. The oracle's
+    sum(BIGINT) is HUGEINT in DuckDB and exports via Arrow as
+    decimal128(38,0); Spark emits int64. Values are identical — so a
+    driver-red here is recorded proof that the harness hashes decimal
+    columns differently from int64 (the r9 root cause for five reds),
+    and a flip to green means the harness started normalizing decimals
+    and the CAST-AS-BIGINT emission rule can be relaxed. This is the
+    ONLY non-canary-exempt oracle allowed to emit a decimal column
+    (scripts/audit_decimal_emissions.py, tests/test_oracle_stability_
+    audit.py enforce zero elsewhere)."""
+    df = spark.range(1, 1001).select(F.col("id").alias("k"))
+    return df.select(
+        F.sum((F.col("k") * F.col("k")).cast("long")).alias("raw_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def det_canary_double_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=1..500: cast(k/7 as DECIMAL(20,6)) — double->decimal rounding
     policy (the r8 'decimal snap' emission contract's foundation)."""
@@ -156,10 +186,10 @@ FROM range(1, 101) t(k) ORDER BY k
 """,
     "det_canary_round_half": """
 SELECT k,
-       CAST(round(k::DOUBLE / 1000.0 + 4.9999999e-4, 3)
-            AS DECIMAL(10,3)) AS r3,
-       CAST(round((k::DOUBLE / 1000.0 + 4.9999999e-4) * 10.0, 2)
-            AS DECIMAL(10,2)) AS r2
+       CAST(floor(round(k::DOUBLE / 1000.0 + 4.9999999e-4, 3)
+                  * 1000.0 + 0.5) AS BIGINT) AS r3_m,
+       CAST(floor(round((k::DOUBLE / 1000.0 + 4.9999999e-4) * 10.0, 2)
+                  * 100.0 + 0.5) AS BIGINT) AS r2_c
 FROM range(0, 1000) t(k) ORDER BY k
 """,
     "det_canary_sum_order": """
@@ -174,6 +204,10 @@ FROM ks
     "det_canary_double_decimal": """
 SELECT k, CAST(k::DOUBLE / 7.0 AS DECIMAL(20,6)) AS d6
 FROM range(1, 501) t(k) ORDER BY k
+""",
+    "det_canary_hugeint_sum": """
+SELECT sum(k * k) AS raw_sum, count(*) AS n
+FROM range(1, 1001) t(k)
 """,
     "det_canary_intdiv": """
 SELECT k,
@@ -191,5 +225,6 @@ CANARIES = {
     "det_canary_round_half": det_canary_round_half,
     "det_canary_sum_order": det_canary_sum_order,
     "det_canary_double_decimal": det_canary_double_decimal,
+    "det_canary_hugeint_sum": det_canary_hugeint_sum,
     "det_canary_intdiv": det_canary_intdiv,
 }

@@ -1131,8 +1131,9 @@ per AS (SELECT doc_id, shingle, count(*) AS cnt FROM g GROUP BY 1, 2),
 agg AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dn, max(cnt) AS top
         FROM per GROUP BY 1)
 SELECT doc_id, total::BIGINT AS total_ngrams, dn::BIGINT AS distinct_ngrams,
-       ((total - dn) * 1000000) // total AS dup_ngram_ratio_e6,
-       (top * 1000000) // total AS top_ngram_share_e6
+       CAST(((total - dn) * 1000000) // total AS BIGINT)
+         AS dup_ngram_ratio_e6,
+       CAST((top * 1000000) // total AS BIGINT) AS top_ngram_share_e6
 FROM agg
 """
 
@@ -1829,7 +1830,8 @@ c AS (
   SELECT from_type, to_type, count(*) AS n
   FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
 SELECT from_type, to_type, n,
-       (n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS share_e6
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS share_e6
 FROM c ORDER BY from_type, to_type
 """),
 
@@ -2686,7 +2688,8 @@ terms AS (
   FROM r)
 SELECT CAST(((sum(term18) + CAST(1000000000000000000 AS HUGEINT))
              // 1000000000000) - 1000000 AS BIGINT) AS psi_e6,
-       t_old AS n_old, t_new AS n_new, n_bins_hit
+       CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
+       n_bins_hit
 FROM terms GROUP BY t_old, t_new, n_bins_hit
 """),
 
@@ -2862,8 +2865,8 @@ SELECT s.doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS dup_shingles,
-       (sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
-         AS dup_ratio_e6
+       CAST((sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS dup_ratio_e6
 FROM shh s JOIN df USING (sh)
 GROUP BY s.doc_id ORDER BY s.doc_id
 """),
@@ -2883,8 +2886,8 @@ agg AS (
   FROM toks GROUP BY doc_id),
 scored AS (
   SELECT doc_id, n_tokens,
-         ((sw + n_tokens * 1000) * 1000000000)
-           // (n_tokens * 1000) - 1000000000 AS margin_e9,
+         CAST(((sw + n_tokens * 1000) * 1000000000)
+              // (n_tokens * 1000) - 1000000000 AS BIGINT) AS margin_e9,
          sw
   FROM agg)
 SELECT doc_id, n_tokens, margin_e9,
@@ -3072,7 +3075,7 @@ per AS (
   FROM corpus c LEFT JOIN bench b ON b.sh = c.sh
   GROUP BY c.doc_id)
 SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_hit::BIGINT AS n_hit,
-       (n_hit * 1000000) // n_shingles AS overlap_ratio_e6,
+       CAST((n_hit * 1000000) // n_shingles AS BIGINT) AS overlap_ratio_e6,
        n_hit * 10 >= n_shingles AS contaminated
 FROM per
 """),
@@ -3436,9 +3439,10 @@ tvd AS (SELECT CAST(sum(CAST(abs(c_n * t_o - c_o * t_n) AS HUGEINT))
                                   * max(t_n)) AS BIGINT) AS tvd_e6
         FROM d)
 SELECT token,
-       (c_o * 1000000) // t_o AS share_old_e6,
-       (c_n * 1000000) // t_n AS share_new_e6,
-       (c_n * 1000000) // t_n - (c_o * 1000000) // t_o AS delta_e6,
+       CAST((c_o * 1000000) // t_o AS BIGINT) AS share_old_e6,
+       CAST((c_n * 1000000) // t_n AS BIGINT) AS share_new_e6,
+       CAST((c_n * 1000000) // t_n - (c_o * 1000000) // t_o AS BIGINT)
+         AS delta_e6,
        tvd_e6
 FROM d, tvd
 ORDER BY abs((c_n * 1000000) // t_n - (c_o * 1000000) // t_o) DESC,
@@ -4136,10 +4140,10 @@ SELECT
    WHERE n_copies > 1) AS n_exact_groups,
   (SELECT count(*) FROM ({REGISTRY["dedup_minhash_lsh"].oracle}) m)
     AS n_near_dup_pairs,
-  (SELECT sum(n_removed) FROM ({REGISTRY["dedup_span_removal"].oracle}) s)
-    AS n_spans_removed,
-  (SELECT sum(n_segments) FROM ({REGISTRY["dedup_span_removal"].oracle}) s)
-    AS n_segments
+  (SELECT sum(n_removed)::BIGINT
+   FROM ({REGISTRY["dedup_span_removal"].oracle}) s) AS n_spans_removed,
+  (SELECT sum(n_segments)::BIGINT
+   FROM ({REGISTRY["dedup_span_removal"].oracle}) s) AS n_segments
 """)
 
 # robust.ranked_auc over classifier_score vs the declared-English
@@ -4330,6 +4334,24 @@ def _last_green_rounds() -> dict[str, int]:
     return out
 
 
+# Queries whose ORACLE text changed this round: their old driver-green
+# evidence no longer certifies the current SQL, so they jump the
+# rotation queue (sorted before even the never-verified cohort) until
+# the next driver window re-samples them. Refresh per round — stale
+# entries here only waste sample slots, never correctness.
+# r10: the HUGEINT→BIGINT cast sweep (VERDICT r9 items 1-3) touched
+# these; positions 72-131 in the natural rotation would otherwise defer
+# their re-verification to r11.
+REWRITTEN_THIS_ROUND = {
+    "corpus_gopher_filter", "text_classifier_score",
+    "text_duplication_density", "corpus_vocab_drift",
+    "corpus_quality_panel", "events_transition_matrix",
+    "det_canary_round_half", "det_canary_hugeint_sum",
+    "decontaminate_ngram_overlap", "text_repetition",
+    "events_value_psi_drift", "corpus_dedup_report",
+}
+
+
 def _rotated_names() -> list[str]:
     """Registry names ordered stalest-verification-first.
 
@@ -4352,7 +4374,8 @@ def _rotated_names() -> list[str]:
     none). Registry growth is frozen until the backlog clears, so
     never-first drains it in ceil(66/50) = 2 windows."""
     order = _last_green_rounds()
-    return sorted(REGISTRY, key=lambda n: order.get(n, 0))
+    return sorted(REGISTRY, key=lambda n: (
+        -1 if n in REWRITTEN_THIS_ROUND else order.get(n, 0)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

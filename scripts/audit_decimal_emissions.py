@@ -1,0 +1,68 @@
+"""Audit every oracle's DuckDB→Arrow result schema for decimal128.
+
+DuckDB's sum(BIGINT) is HUGEINT, which exports via Arrow as
+decimal128(38,0); the driver harness hashes decimal columns
+differently from Spark's int64, so any uncast sum-derived emission is
+a latent driver-red (proven round 9 by det_canary_double_decimal).
+This script runs each oracle at sf0.001 and prints every column whose
+Arrow type is a decimal — the target state is zero rows (except the
+intentional det_canary_double_decimal / det_canary_hugeint_sum).
+
+Usage: python scripts/audit_decimal_emissions.py [--sf DIR] [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Canaries that intentionally emit decimal/HUGEINT to probe the driver
+# harness — excluded from the zero-decimal target.
+INTENTIONAL = {"det_canary_double_decimal", "det_canary_hugeint_sum"}
+
+
+def main() -> int:
+    sf = "/root/testdata/sf0.001"
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = [a for a in argv if not a.startswith("--")]
+
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    bad = []
+    for name in names or sorted(oracles):
+        sql = oracles[name]
+        try:
+            tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            bad.append((name, "ERROR"))
+            continue
+        dec = [f.name for f in tbl.schema
+               if pa.types.is_decimal(f.type)]
+        if dec and name not in INTENTIONAL:
+            print(f"DECIMAL {name}: {dec}")
+            bad.append((name, dec))
+    print(f"\n{len(bad)} oracles with decimal emissions "
+          f"(of {len(names or oracles)} checked)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

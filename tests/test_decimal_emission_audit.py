@@ -1,0 +1,63 @@
+"""Structural guard for the r9 HUGEINT/decimal128 emission defect.
+
+Root cause (VERDICT r9, proven by det_canary_double_decimal and the
+perfect red/green cast separation): DuckDB's sum(BIGINT) is HUGEINT
+and exports via Arrow as decimal128(38,0); the driver harness hashes
+decimal columns differently from Spark's int64, so ANY uncast
+sum-derived oracle emission is a latent driver-red even though values
+are identical and local compares (which normalize Decimal==int) pass.
+
+This test executes every registry oracle against the sf0.001 fixtures
+in DuckDB and fails on any decimal column in the Arrow result schema.
+Exempt: det_canary_double_decimal and det_canary_hugeint_sum, which
+emit decimals ON PURPOSE to keep probing the driver harness.
+
+This is the dynamic twin of scripts/audit_decimal_emissions.py; the
+static round()-shape passes live in test_oracle_stability_audit.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.plans.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+INTENTIONAL = {"det_canary_double_decimal", "det_canary_hugeint_sum"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_no_decimal_emissions_in_any_oracle(con):
+    offenders = {}
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle is None or name in INTENTIONAL:
+            continue
+        tbl = con.execute(qd.oracle).fetch_arrow_table()
+        dec = [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+        if dec:
+            offenders[name] = dec
+    assert not offenders, (
+        f"HUGEINT/decimal oracle emissions (driver hash-red risk): "
+        f"{offenders} — wrap in CAST(... AS BIGINT); see "
+        "scripts/audit_decimal_emissions.py and VERDICT r9")
+
+
+def test_hugeint_canary_emits_decimal(con):
+    """The canary must KEEP emitting a decimal — it records the harness
+    divergence proof; if DuckDB or the view setup changes such that the
+    raw sum stops being HUGEINT, this trips so the canary is re-armed."""
+    tbl = con.execute(
+        REGISTRY["det_canary_hugeint_sum"].oracle).fetch_arrow_table()
+    assert any(pa.types.is_decimal(f.type) for f in tbl.schema)

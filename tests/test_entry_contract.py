@@ -74,6 +74,7 @@ def test_registry_rotation_orders_never_verified_first(monkeypatch):
     fake.pop("dedup_exact")                     # never verified
     fake["q1_pricing_summary"] = 1              # stalest green
     monkeypatch.setattr(reg, "_last_green_rounds", lambda: fake)
+    monkeypatch.setattr(reg, "REWRITTEN_THIS_ROUND", set())
     names = list(reg.queries())
     assert names[0] == "dedup_exact"            # never-verified first
     assert names[1] == "q1_pricing_summary"     # stalest green next
@@ -82,6 +83,31 @@ def test_registry_rotation_orders_never_verified_first(monkeypatch):
     assert cohort == [n for n in reg.REGISTRY if n in cohort]  # stable
     assert list(reg.oracle_sql()) == [
         n for n in names if reg.REGISTRY[n].oracle is not None]
+
+
+def test_registry_rotation_rewritten_jump_the_queue(monkeypatch):
+    """Oracle text rewritten this round invalidates its old driver-green
+    evidence, so REWRITTEN_THIS_ROUND sorts before even the
+    never-verified cohort until the next driver window re-samples it."""
+    from pre_market_data_pipeline_for_stocks_spark.plans import registry as reg
+    fake = {n: 3 for n in reg.REGISTRY}
+    fake.pop("dedup_exact")                     # never verified
+    monkeypatch.setattr(reg, "_last_green_rounds", lambda: fake)
+    monkeypatch.setattr(reg, "REWRITTEN_THIS_ROUND",
+                        {"q1_pricing_summary"})
+    names = list(reg.queries())
+    assert names[0] == "q1_pricing_summary"     # rewritten first
+    assert names[1] == "dedup_exact"            # then never-verified
+
+
+def test_live_rewritten_entries_land_in_driver_window():
+    """Every name in the live REWRITTEN_THIS_ROUND set must exist and
+    sort inside the driver's ~50-query sample window."""
+    from pre_market_data_pipeline_for_stocks_spark.plans import registry as reg
+    names = list(reg.queries())
+    for n in reg.REWRITTEN_THIS_ROUND:
+        assert n in reg.REGISTRY, n
+        assert names.index(n) < 50, (n, names.index(n))
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
