@@ -1,0 +1,50 @@
+"""Window-spec helpers for bounded-by-contract global rankings.
+
+Some operators legitimately rank or prefix-sum a relation that is
+GLOBALLY ordered but bounded by construction — top-N result lists
+(rrf_fuse), per-stratum quota tables (temperature_mixture_sample),
+distinct-score grids (ranked_auc). Spark executes such a window in one
+partition either way; the design question is only whether the bound is
+real (it must be documented at every call site).
+
+Two problems with the naive spellings:
+
+- ``Window.orderBy(...)`` with no partition logs the scary
+  ``WindowExec: No Partition Defined`` warning on every execution,
+  drowning driver logs and hiding REAL unbounded single-reducer sorts
+  (the thing the warning exists to catch).
+- ``Window.partitionBy(F.lit(0))`` does NOT fix it: Catalyst's
+  constant folding removes foldable partition expressions from the
+  window spec before execution (verified on Spark 4.1: the executed
+  plan's windowspecdefinition carries no partition key), so the
+  warning persists — this was the r9 pin that BENCH_r09's tail proved
+  ineffective.
+
+``pinned_single_partition(anchor)`` returns an always-zero partition
+key Catalyst cannot fold because it is data-dependent:
+``coalesce(anchor - anchor, 0)`` (the coalesce keeps NULL anchors in
+the same partition — ``NULL - NULL`` is NULL). The executed plan gains
+an explicit hash-exchange on the constant key — the SAME all-rows-to-
+one-partition movement the unpartitioned window performs implicitly —
+so runtime shape is unchanged; the warning disappears because the
+partition spec is genuinely present.
+
+Use ONLY on relations with a documented cardinality bound. An
+unbounded relation behind this helper is a scale bug the warning would
+have caught — which is why tests/test_unpartitioned_windows.py pins
+the bench set to zero warnings AND this helper's call sites to known
+bounded relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pinned_single_partition(anchor: Column) -> Column:
+    """A non-foldable, always-0, never-NULL partition key derived from
+    ``anchor`` (any column of a numeric-subtractable type present in
+    the relation). See module docstring for why ``F.lit(0)`` does not
+    work."""
+    return F.coalesce(anchor - anchor, F.lit(0))

@@ -232,10 +232,12 @@ def rrf_fuse(rankings: list[DataFrame], key_col: str = "doc_id",
         raise ValueError("rankings must be non-empty")
     ranked = []
     for lst in rankings:
-        # partitionBy(lit) pins the bounded-by-contract single
-        # partition EXPLICITLY (inputs are top-N cuts): same plan, no
-        # misleading 'No Partition Defined' warning in driver logs.
-        w = (Window.partitionBy(F.lit(0))
+        # Pins the bounded-by-contract single partition (inputs are
+        # top-N cuts) with a non-foldable zero key — lit(0) was
+        # constant-folded away and the WindowExec warning survived
+        # (functions/windows.py).
+        from ..functions.windows import pinned_single_partition
+        w = (Window.partitionBy(pinned_single_partition(F.col(score_col)))
              .orderBy(F.col(score_col).desc(), F.col(key_col).asc()))
         ranked.append(lst.select(
             key_col, F.row_number().over(w).alias("_r")))

@@ -272,10 +272,15 @@ def ranked_auc(scored: DataFrame, score_col: str,
     per = (scored.groupBy(F.col(score_col).alias("_s"))
            .agg(F.count(F.lit(1)).alias("_n"),
                 F.sum(F.col(label_col).cast("int")).alias("_pos")))
-    # partitionBy(lit) names the bounded-by-contract single partition
-    # (distinct score values, not corpus rows) — same plan, no
-    # misleading WindowExec warning in driver logs.
-    w = (Window.partitionBy(F.lit(0)).orderBy(F.col("_s").asc())
+    # Names the bounded-by-contract single partition (distinct score
+    # values, not corpus rows) with a NON-FOLDABLE zero key — the r9
+    # partitionBy(lit(0)) pin was constant-folded away by Catalyst and
+    # the WindowExec warning survived (BENCH_r09 tail; see
+    # functions/windows.py). Same execution shape: one exchange, one
+    # partition.
+    from ..functions.windows import pinned_single_partition
+    w = (Window.partitionBy(pinned_single_partition(F.col("_n")))
+         .orderBy(F.col("_s").asc())
          .rowsBetween(Window.unboundedPreceding, -1))
     per = per.withColumn("_cum", F.coalesce(F.sum("_n").over(w),
                                             F.lit(0)))

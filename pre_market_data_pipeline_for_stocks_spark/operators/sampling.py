@@ -116,8 +116,14 @@ def temperature_mixture_sample(df: DataFrame, stratum_col: str,
         raise ValueError("temperature must be > 0")
     if total < 0:
         raise ValueError("total must be >= 0")
+    from ..functions.windows import pinned_single_partition
+
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    wq = Window.partitionBy(F.lit(1))
+    # Bounded-by-contract single partition (|strata| rows — the stratum
+    # vocabulary, never documents), keyed non-foldably so Catalyst
+    # cannot strip it back to an unpartitioned window (see
+    # functions/windows.py).
+    wq = Window.partitionBy(pinned_single_partition(F.col("_n")))
     wr = wq.orderBy(F.col("_rem").desc(), F.col(stratum_col).asc())
     quotas = (
         counts

@@ -4349,6 +4349,12 @@ REWRITTEN_THIS_ROUND = {
     "det_canary_round_half", "det_canary_hugeint_sum",
     "decontaminate_ngram_overlap", "text_repetition",
     "events_value_psi_drift", "corpus_dedup_report",
+    # Not rewritten, but queue-jumped for fresh driver evidence: the
+    # three test_oracle_stability_audit ALLOWED entries whose only
+    # driver-green is r8 (r7 red predates the sequential-fold-twin
+    # fix). round(DOUBLE,4) emissions stand on the fold-twin +
+    # off-midpoint adjudication; a second green round hardens it.
+    "ann_ivf_topk_auto", "ann_mmr_rerank_batch", "dedup_semantic_prune",
 }
 
 

@@ -1,0 +1,17 @@
+import sys, os
+sys.path.insert(0, "/root/repo")
+from pre_market_data_pipeline_for_stocks_spark.plans.registry import (
+    headline_queries, extended_bench_queries)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark
+
+sf = os.environ.get("SF", "/root/testdata/sf0.01")
+spark = get_spark("winaudit")
+qs = dict(headline_queries())
+qs.update(extended_bench_queries())
+for name, fn in sorted(qs.items()):
+    print(f"@@START {name}", file=sys.stderr, flush=True)
+    try:
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+    except Exception as e:
+        print(f"@@ERR {name}: {e}", file=sys.stderr, flush=True)
+    print(f"@@END {name}", file=sys.stderr, flush=True)

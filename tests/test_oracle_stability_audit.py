@@ -79,13 +79,23 @@ ALLOWED = {
     # kernels — numpy matmul/einsum paths — were migrated to quantized
     # integer cosines in r9; these fold-twins are the evidenced
     # remainder.)
+    # r10 re-adjudication, with round(DOUBLE,k) divergence now PROVEN
+    # in-env (det_canary_round_half red r9): the canary's reds are
+    # values CONSTRUCTED within 1e-12 of a half boundary; fold-twin
+    # cosines are bit-identical across engines, so both engines round
+    # the SAME double and the half policy only matters if that shared
+    # double sits exactly ON a representable midpoint — the ~1e-11/row
+    # measure-zero event, not the canary's engineered case. Evidence:
+    # ann_ivf_topk G r9, ann_ivf_topk_batch G r9; the three entries
+    # with only an r8 green (ivf_auto, mmr_batch, semantic_prune) are
+    # queue-jumped via registry.REWRITTEN_THIS_ROUND for an r10 row.
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
     "ann_mmr_rerank_batch",
     "dedup_semantic_prune",
-    # JSON-extracted literal doubles rounded at their own grid; r02+
-    # driver-green, values are fixture constants.
+    # JSON-extracted literal doubles rounded at their own grid; values
+    # are fixture constants. Driver-green r02/r03/r06/r09.
     "f16_json_extract_props",
     # TPC-H money sums: 2-dp inputs -> sums/averages sit on or
     # provably off the 2-dp grid's midpoints (terminating-denominator
@@ -95,7 +105,7 @@ ALLOWED = {
     # accumulation is order-identical in both engines, and avg over
     # n<=7 reaches a 4-dp half only at odd 2000000*k/(100n) — even for
     # every terminating n; non-terminating n sit >=1/(3*20000) off
-    # the grid; r04 driver-green.
+    # the grid; driver-green r02/r04/r09.
     "rolling_range_7d",
 }
 # Removed by the r8 DECIMAL migration (now decimal-wrapped, so the
