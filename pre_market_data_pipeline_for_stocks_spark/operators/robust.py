@@ -237,6 +237,66 @@ def exact_percentiles_e6(df: DataFrame, group_cols: list[str],
     return g.select(*sel)
 
 
+# Bucket count for _distributed_cumsum: cut points come from ONE
+# percentile_approx aggregate, so this is a plan constant — raise it
+# with cluster width (it bounds cumsum parallelism), never with data.
+AUC_CUMSUM_BUCKETS = 32
+
+
+def _distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
+                        out_col: str,
+                        n_buckets: int = AUC_CUMSUM_BUCKETS) -> DataFrame:
+    """``out_col`` = Σ ``val_col`` over rows with ``order_col`` STRICTLY
+    below this row's — the exclusive prefix sum — without a global
+    single-partition sort.
+
+    Two-phase: (1) approx-quantile cut points split the ordering key
+    into ``n_buckets`` contiguous ranges; rows bucket by counting cuts
+    strictly below their key, so equal keys always co-bucket. (2) an
+    ordered window runs WITHIN each bucket (parallel, load-balanced by
+    the quantiles) and bucket totals — a ≤ n_buckets-row relation —
+    prefix-sum through one pinned tiny window and broadcast back as
+    offsets.
+
+    Correctness is bucketing-independent: the emitted sum for a key
+    equals (total of fully-lower buckets) + (within-bucket prefix),
+    whatever the cut points are — so percentile_approx's sketch-merge
+    order never reaches the output, only the balance. Requires
+    ``order_col`` keys to be UNIQUE rows (pre-aggregated), numeric and
+    non-null; ``val_col`` non-null."""
+    from ..functions.windows import pinned_single_partition
+
+    if n_buckets < 2:
+        bucketed = df.withColumn("_bkt", F.lit(0))
+    else:
+        fracs = ", ".join(str((i + 1) / n_buckets)
+                          for i in range(n_buckets - 1))
+        cuts = df.agg(F.expr(
+            f"percentile_approx({order_col}, array({fracs}), 10000)")
+            .alias("_cuts"))
+        bucketed = (df.crossJoin(F.broadcast(cuts))
+                    .withColumn("_bkt", F.aggregate(
+                        "_cuts", F.lit(0),
+                        lambda acc, c: acc + (F.col(order_col) > c)
+                        .cast("int")))
+                    .drop("_cuts"))
+    btot = (bucketed.groupBy("_bkt")
+            .agg(F.sum(val_col).alias("_btot")))
+    w_off = (Window.partitionBy(pinned_single_partition(F.col("_btot")))
+             .orderBy(F.col("_bkt").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select(
+        "_bkt", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+        .alias("_off"))
+    w_in = (Window.partitionBy("_bkt").orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (bucketed.join(F.broadcast(offs), "_bkt")
+            .withColumn(out_col,
+                        F.col("_off") + F.coalesce(
+                            F.sum(val_col).over(w_in), F.lit(0)))
+            .drop("_bkt", "_off"))
+
+
 def ranked_auc(scored: DataFrame, score_col: str,
                label_col: str) -> DataFrame:
     """ROC-AUC from scores + binary labels via the rank formulation:
@@ -253,11 +313,21 @@ def ranked_auc(scored: DataFrame, score_col: str,
     all tied rows share the average rank cum_before + (n_s + 1)/2, so
     Σ ranks(positives) folds to Σ_s pos_s · (cum_before(s) + (n_s+1)/2)
     over per-DISTINCT-SCORE counts. The corpus-sized pass is one hash
-    groupBy(score); the only ordered window runs over the distinct
-    score values — bounded by the scorer's output grid (a k-dp score
-    has ≤ 10^k·range values regardless of corpus size), the broadcast-
-    cut-points pattern rather than a corpus sort. Identical math,
-    exact average-rank tie handling preserved.
+    groupBy(score). Identical math, exact average-rank tie handling
+    preserved.
+
+    r10 rewrite of the prefix sum itself: the distinct-score relation
+    is NOT always small (margin_e9's grid grows with corpus token
+    diversity — at trillion-doc scale it can reach ~1e9 rows), and the
+    r7-r9 form prefix-summed it through ONE ordered partition. Now a
+    two-phase distributed cumsum: approx-quantile cut points bucket
+    the scores into AUC_CUMSUM_BUCKETS contiguous ranges (cut points
+    affect LOAD BALANCE only — every emitted value is an exact integer
+    independent of where the cuts land, so percentile_approx's
+    sketch-merge nondeterminism cannot reach the hash), per-bucket
+    ordered windows run in parallel, and bucket totals (a
+    plan-constant-sized relation) broadcast back as offsets. No
+    single-reducer sort at any cardinality.
 
     Integer emission (r9 contract): doubling the rank sum clears the
     tie-average halves — 2*Σranks(pos) = Σ pos_s*(2*cum_s + n_s + 1),
@@ -272,18 +342,7 @@ def ranked_auc(scored: DataFrame, score_col: str,
     per = (scored.groupBy(F.col(score_col).alias("_s"))
            .agg(F.count(F.lit(1)).alias("_n"),
                 F.sum(F.col(label_col).cast("int")).alias("_pos")))
-    # Names the bounded-by-contract single partition (distinct score
-    # values, not corpus rows) with a NON-FOLDABLE zero key — the r9
-    # partitionBy(lit(0)) pin was constant-folded away by Catalyst and
-    # the WindowExec warning survived (BENCH_r09 tail; see
-    # functions/windows.py). Same execution shape: one exchange, one
-    # partition.
-    from ..functions.windows import pinned_single_partition
-    w = (Window.partitionBy(pinned_single_partition(F.col("_n")))
-         .orderBy(F.col("_s").asc())
-         .rowsBetween(Window.unboundedPreceding, -1))
-    per = per.withColumn("_cum", F.coalesce(F.sum("_n").over(w),
-                                            F.lit(0)))
+    per = _distributed_cumsum(per, "_s", "_n", "_cum")
     sr2 = F.col("_pos") * (2 * F.col("_cum") + F.col("_n") + 1)
     agg = per.agg(
         F.sum(sr2).alias("_sr2"),

@@ -606,8 +606,13 @@ def ann_cosine_near_dup(spark, sf_dir):
     the benchmarked plan must be the scale plan) holds expected bucket
     occupancy constant as the corpus grows — r = 4 at the sf0.01
     oracle grid (auto == the old fixed sizing below ~4096 vectors, so
-    the pinned oracle is exact), r = 5 at sf0.1, r = 8 at sf1 (the
-    measured 98 s -> 24 s near-linear restoration in BASELINE.md)."""
+    the pinned oracle is exact). With the current embeddings fixtures
+    (500 / 500 / 2,000 / 20,000 vectors at sf0.001/0.01/0.1/1) auto
+    yields r = 4 up through sf0.1 — identical to the old fixed sizing,
+    so there is nothing to 'snap' at bench scale (r9 VERDICT #6: the
+    sf0.1 delta was the count() sizing job + a slow host window, not
+    band width) — and r = 7 at sf1 (the measured near-linear
+    restoration in BASELINE.md)."""
     return similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
                                           bands=4, planes_per_band="auto",
                                           threshold=0.4, max_bucket=4096)

@@ -113,3 +113,36 @@ def test_auc_matches_hand_computed_mann_whitney(spark):
     df = spark.createDataFrame(rows, "s double, y int")
     r = ranked_auc(df, "s", "y").collect()[0]
     assert r["auc_e6"] == (8 * 10 ** 6) // 9   # trunc(8/9 * 1e6)
+
+
+def test_distributed_cumsum_matches_naive(spark):
+    """The two-phase prefix sum equals the single-window definition on
+    scattered keys, and is invariant to the bucket count (cut points
+    steer load balance only — r10 contract)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        _distributed_cumsum,
+    )
+    rows = [(k, (k * 7) % 13 + 1) for k in
+            [5, -3, 99, 0, 42, -77, 8, 13, 1000, -1, 7, 64]]
+    df = spark.createDataFrame(rows, "s long, n long")
+    expect = {}
+    for s, _ in rows:
+        expect[s] = sum(n for s2, n in rows if s2 < s)
+    for buckets in (1, 2, 4, 32):
+        got = {r["s"]: r["c"] for r in _distributed_cumsum(
+            df, "s", "n", "c", n_buckets=buckets).collect()}
+        assert got == expect, buckets
+
+
+def test_distributed_cumsum_more_buckets_than_keys(spark):
+    """More cut points than distinct keys: every key is its own cut,
+    duplicated cut values collapse buckets — the degenerate balance
+    cases must still produce the exact prefix sums."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        _distributed_cumsum,
+    )
+    df = spark.createDataFrame([(10, 1), (20, 2), (30, 4)],
+                               "s long, n long")
+    got = {r["s"]: r["c"] for r in _distributed_cumsum(
+        df, "s", "n", "c", n_buckets=32).collect()}
+    assert got == {10: 0, 20: 1, 30: 3}
