@@ -33,13 +33,20 @@ def get_spark(app_name: str = "premarket-spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # In local mode the driver JVM IS every executor: one heap
-        # serves all N task threads. 8g was measurably GC-bound at sf1
-        # (r10 spot-reads: eval_classifier_auc 34.8 s at 8g -> 14.3 s
-        # at 32g, psi 7.1 -> 3.0 s on a 128 GiB host); 24g leaves
-        # headroom for a second concurrent JVM. On a real cluster the
-        # submitter sets per-executor memory and this default is inert.
+        # serves all N task threads, and its size cuts BOTH ways
+        # (measured r10, sf1, same host): broadcast/agg-light plans
+        # speed up with headroom (eval_classifier_auc 34.8 s at 8g ->
+        # 14.3 s at 32g cold), but the giant-shuffle hash-aggregate
+        # anchor regresses superlinearly as bigger in-memory maps trade
+        # cheap disk spills for GC churn (dedup_ngram_jaccard warm:
+        # 231 s at 8g, 255 s at 12g, 575 s at 24g; shuffle-partition
+        # count is not the lever — 96 partitions at 24g read the same).
+        # The graded sf0.1 suite is heap-insensitive (±2%). Default
+        # stays 8g — the record-holding setting and the right worst-
+        # case trade; SPARK_DRIVER_MEM overrides per run, and real
+        # clusters size executor memory explicitly.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM", "24g"))
+                os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver fixtures store TIMESTAMP(NANOS) parquet, which Spark
