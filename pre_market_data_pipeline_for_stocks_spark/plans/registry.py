@@ -356,7 +356,7 @@ cand AS (
     ON x.band = y.band AND x.band_key = y.band_key
   WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0)
 SELECT c.new_doc_id, c.corpus_doc_id,
-       (({agree}) * 1000000) // {k} AS est_jaccard_e6
+       CAST((({agree}) * 1000000) // {k} AS BIGINT) AS est_jaccard_e6
 FROM cand c
 JOIN sigs a ON a.doc_id = c.new_doc_id
 JOIN sigs b ON b.doc_id = c.corpus_doc_id
@@ -2532,9 +2532,9 @@ FROM b WHERE rn = 1 ORDER BY user_id
     "customer_rfm_segments": QueryDef(R.customer_rfm_segments, """
 WITH per AS (
   SELECT o_custkey AS custkey,
-         date_diff('day', max(o_orderdate)::DATE,
-                   (SELECT max(o_orderdate) FROM orders)::DATE)
-           AS recency_days,
+         CAST(date_diff('day', max(o_orderdate)::DATE,
+                        (SELECT max(o_orderdate) FROM orders)::DATE)
+              AS INTEGER) AS recency_days,
          count(*) AS frequency,
          round(sum(o_totalprice), 2) AS monetary,
          CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
@@ -4211,7 +4211,8 @@ cand AS (
   SELECT s.vec_id, bit_count(xor(s.sig, q.qsig)) AS hamming
   FROM sigs s, q WHERE s.vec_id <> {qid}
   ORDER BY hamming ASC, vec_id ASC LIMIT {rf * k})
-SELECT c.vec_id, c.hamming, {_qcos_e6_sql('e.qv', 'qz.qqv')} AS cosine_e6
+SELECT c.vec_id, c.hamming::INTEGER AS hamming,
+       {_qcos_e6_sql('e.qv', 'qz.qqv')} AS cosine_e6
 FROM cand c JOIN ez e USING (vec_id), qz
 WHERE list_inner_product(e.qv, e.qv) > 0
 ORDER BY cosine_e6 DESC, vec_id ASC LIMIT {k}
@@ -4248,7 +4249,7 @@ scored AS (
   JOIN qv q USING (query_id)
   WHERE list_inner_product(e.qv, e.qv) > 0
     AND list_inner_product(q.qqv, q.qqv) > 0)
-SELECT query_id, vec_id, hamming, cosine_e6 FROM (
+SELECT query_id, vec_id, hamming::INTEGER AS hamming, cosine_e6 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine_e6 DESC,
                                         vec_id ASC) AS rn
@@ -4355,6 +4356,9 @@ REWRITTEN_THIS_ROUND = {
     # fix). round(DOUBLE,4) emissions stand on the fold-twin +
     # off-midpoint adjudication; a second green round hardens it.
     "ann_ivf_topk_auto", "ann_mmr_rerank_batch", "dedup_semantic_prune",
+    # dtype-parity casts (int width alignment; values unchanged):
+    "dedup_incremental_index", "customer_rfm_segments",
+    "ann_hamming_topk", "ann_hamming_topk_batch",
 }
 
 

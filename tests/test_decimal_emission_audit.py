@@ -54,6 +54,56 @@ def test_no_decimal_emissions_in_any_oracle(con):
         "scripts/audit_decimal_emissions.py and VERDICT r9")
 
 
+# Spark simpleString -> the Arrow type DuckDB must export for the
+# driver harness to see identical dtypes. One entry per type the
+# registry actually emits; extend when a new type appears.
+_SPARK_TO_ARROW = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "smallint": {"int16"},
+    "double": {"double"},
+    "float": {"float"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]"},
+    "timestamp": {"timestamp[us]"},
+    "timestamp_ntz": {"timestamp[us]"},
+}
+
+
+def test_oracle_dtypes_match_spark_schema(con):
+    """Column-name sets AND dtypes must agree between the Spark plan's
+    schema and the oracle's DuckDB->Arrow export. The decimal128 red
+    class (r9) was one instance of dtype divergence; this pins ALL of
+    them (int widths, float32 vs 64, timestamp units) before the
+    driver can. Building the Spark DataFrame is plan-only — nothing
+    executes."""
+    from pre_market_data_pipeline_for_stocks_spark.session import get_spark
+    spark = get_spark("dtype-audit")
+    offenders = {}
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle is None or name in INTENTIONAL:
+            continue
+        sdf = qd.fn(spark, SF_DIR)
+        stypes = {f.name: f.dataType.simpleString()
+                  for f in sdf.schema.fields}
+        tbl = con.execute(qd.oracle).fetch_arrow_table()
+        otypes = {f.name: str(f.type) for f in tbl.schema}
+        if set(stypes) != set(otypes):
+            offenders[name] = ("column sets differ",
+                               sorted(set(stypes) ^ set(otypes)))
+            continue
+        bad = {c: (st, otypes[c]) for c, st in stypes.items()
+               if otypes[c] not in _SPARK_TO_ARROW.get(st, {otypes[c]})}
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"Spark-vs-oracle dtype divergence (driver hash risk): "
+        f"{offenders} — cast the oracle emission to the Spark type "
+        "(or vice versa); unknown Spark types need a _SPARK_TO_ARROW "
+        "entry")
+
+
 def test_hugeint_canary_emits_decimal(con):
     """The canary must KEEP emitting a decimal — it records the harness
     divergence proof; if DuckDB or the view setup changes such that the
