@@ -310,3 +310,24 @@ def test_ivf_query_assigns_cells_via_arrow_kernel(spark, sf_dir, queries):
     # exchange may sit between the embeddings scan and the kernel
     pre_kernel = plan.split("MapInPandas")[-1]
     assert "Exchange hashpartitioning" not in pre_kernel
+
+
+def test_ranked_auc_cumsum_is_bucket_parallel(spark, sf_dir, queries):
+    """The r10 distributed prefix sum must keep its shape: the
+    per-score cumsum window partitions by the quantile bucket (no
+    unpartitioned corpus-sized window), the bucket offsets arrive by
+    BROADCAST join, and the cut points come from ONE
+    percentile_approx aggregate — a single-reducer sort over distinct
+    scores would be the 100 TB bottleneck this design removes."""
+    plan = _physical(queries["eval_classifier_auc"](spark, sf_dir))
+    assert "partial_percentile_approx" in plan      # map-side sketch
+    assert "BroadcastHashJoin" in plan              # offsets + cuts
+    # every Window node carries a partition spec (walked in
+    # tests/test_unpartitioned_windows.py for the executed tree; the
+    # string check here guards the logical shape cheaply)
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition" in line:
+            head = line.split("windowspecdefinition(")[1]
+            # partition columns precede the ORDER BY spec; an empty
+            # spec starts the frame immediately
+            assert not head.startswith("specifiedwindowframe"), line
