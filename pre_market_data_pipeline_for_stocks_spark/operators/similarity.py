@@ -1639,3 +1639,71 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
             .withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def cosine_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
+                          k: int = 10,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          q_id_col: str = "query_id",
+                          q_vec_col: str = "query_vec") -> DataFrame:
+    """EXACT batch cosine top-k over the quantized-integer kernel:
+    (query_id, vec_id, cosine_e6) — the ground-truth scorer the recall
+    harness compares every approximate index against.
+
+    Brute force is the point here, not a fallback: recall measurement
+    runs a SAMPLED probe shard (broadcastable by contract — the same
+    assumption ivf_topk_batch documents) against the full corpus, so
+    the corpus×probes score-off is one map-side pass over the corpus
+    with no shuffle before the per-query top-k window. Zero-norm rows
+    on either side are excluded (cosine undefined), matching the
+    WHERE list_inner_product(...) > 0 guards of the DuckDB twins.
+    Everything hashed is the r9 integer kernel (exact int64 dots over
+    the 1e-3 grid, one pinned IEEE floor-divide), so the emitted
+    (cosine_e6, vec_id) order is bit-identical in any engine —
+    this baseline never needs a round() adjudication."""
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       _quant_arr(F.col(q_vec_col)).alias("_qqv"))
+    q = (q.withColumn("_qn2", _dot_long(F.col("_qqv"), F.col("_qqv")))
+         .filter(F.col("_qn2") > 0))
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _quant_arr(F.col(vec_col)).alias("_qv"))
+    e = (e.withColumn("_n2", _dot_long(F.col("_qv"), F.col("_qv")))
+         .filter(F.col("_n2") > 0))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col("vec_id").asc())
+    return (e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    _cos_e6_cols(_dot_long(F.col("_qv"), F.col("_qqv")),
+                                 F.col("_n2"), F.col("_qn2"))
+                    .alias("cosine_e6"))
+            .withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))
+
+
+def recall_report(approx: DataFrame, truth: DataFrame,
+                  k: int) -> DataFrame:
+    """Per-query recall@k of an approximate result set against the
+    exact one: (query_id, n_hit, k, recall_e6), one row per query in
+    ``truth`` (a query the index returned NOTHING for still reports,
+    with n_hit = 0). Both inputs are (query_id, vec_id, ...) top-k
+    relations — model-sized by construction — so every join here is
+    tiny; the expensive parts happened upstream. recall_e6 is one
+    truncating integer division (r9 contract)."""
+    from ..functions.fixedpoint import idiv_long
+
+    t = truth.select("query_id", "vec_id")
+    a = approx.select("query_id", "vec_id")
+    hits = (t.join(a, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_h")))
+    per_q = t.select("query_id").distinct()
+    n_hit = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+    return (per_q.join(hits, "query_id", "left")
+            .select("query_id", n_hit.alias("n_hit"),
+                    F.lit(k).cast("long").alias("k"),
+                    idiv_long(n_hit * F.lit(10 ** 6), F.lit(k))
+                    .alias("recall_e6"))
+            .orderBy("query_id"))

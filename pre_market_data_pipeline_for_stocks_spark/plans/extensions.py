@@ -1467,6 +1467,26 @@ def ann_hard_negatives(spark, sf_dir):
         F.col("vec_id") % HARDNEG_STRIDE == 0, HARDNEG_K)
 
 
+def ann_ivf_recall_batch(spark, sf_dir):
+    """Recall@10 of the IVF index against exact brute force, per query
+    of the deterministic ``vec_id % 100 == 0`` probe shard — the eval
+    harness that turns the ANN family's documented recall/cost
+    trade-offs into DRIVER-VERIFIED numbers. Ground truth is the
+    quantized-integer batch scorer (bit-identical in any engine); the
+    approximate side is the production ivf_topk_batch plan with the
+    same parameters the ann_ivf_topk_batch query benches. Emissions
+    are pure integers (hit counts + one truncating division)."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.ivf_topk_batch(emb, queries, k=ANN_TOPK,
+                                       centroid_stride=200, nprobe=3,
+                                       train_iters=1, train_sample_mod=2)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 def embedding_norms(spark, sf_dir):
     """Array-function coverage: per-vector L2 norm + dim count
     (F.aggregate / zip_with JVM-side array math over array<float>).

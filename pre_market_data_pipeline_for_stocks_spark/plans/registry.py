@@ -4029,6 +4029,41 @@ LIMIT 10
 
     "ann_ivf_topk_batch": QueryDef(X.ann_ivf_topk_batch, _ivf_batch_sql()),
 
+    # similarity.recall_report over ivf_topk_batch vs the exact
+    # integer-kernel brute force: the ANN family's recall@10, measured
+    # and driver-verified instead of documented. The approximate side
+    # reuses _ivf_batch_sql verbatim (same adjudication class as
+    # ann_ivf_topk_batch — see tests/test_oracle_stability_audit.py);
+    # the ground truth and every emission are pure integers.
+    "ann_ivf_recall_batch": QueryDef(X.ann_ivf_recall_batch, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {X.ANN_TOPK}),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t JOIN ({_ivf_batch_sql()}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST({X.ANN_TOPK} AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000 // {X.ANN_TOPK} AS BIGINT)
+         AS recall_e6
+FROM (SELECT DISTINCT query_id FROM truth) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""),
+
     "embedding_norms": QueryDef(X.embedding_norms, f"""
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
        CAST(floor(sqrt(CAST(CAST(list_inner_product({_QUANT_EMB},

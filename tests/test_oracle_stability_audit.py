@@ -92,6 +92,12 @@ ALLOWED = {
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
+    # recall harness: embeds _ivf_batch_sql verbatim for its APPROX
+    # side (same fold-twin adjudication as ann_ivf_topk_batch, same
+    # rounded cosine in the same grid); the ground-truth side and all
+    # emissions are pure integers, so a round flip could only move one
+    # membership at the measure-zero midpoint case.
+    "ann_ivf_recall_batch",
     "ann_mmr_rerank_batch",
     "dedup_semantic_prune",
     # JSON-extracted literal doubles rounded at their own grid; values

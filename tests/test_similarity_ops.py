@@ -794,3 +794,40 @@ def test_signature_index_round_trip_and_served_query(emb, tmp_path):
     assert b_inline == b_served and len(b_served) == 8
     with pytest.raises(ValueError):
         S.hamming_topk(emb, 10**9, sigs=loaded)
+
+
+def test_recall_report_perfect_against_itself(emb):
+    """The exact scorer vs itself must report recall_e6 == 1e6 for
+    every query — and the report must carry one row per probe."""
+    qs = (emb.filter(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    truth = S.cosine_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(truth, truth, k=10).collect()
+    assert len(rep) == qs.count()
+    assert all(r.recall_e6 == 10 ** 6 and r.n_hit == 10 for r in rep)
+
+
+def test_recall_report_counts_misses(spark):
+    """A query the approximate index returned nothing for still
+    reports, with n_hit = 0; partial overlap counts exactly."""
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, vec_id long")
+    rep = {r.query_id: (r.n_hit, r.recall_e6)
+           for r in S.recall_report(approx, truth, k=2).collect()}
+    assert rep == {1: (1, 500000), 2: (0, 0)}
+
+
+def test_ground_truth_excludes_zero_norm_and_self(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.5, 0.5])]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = (emb2.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    got = S.cosine_topk_batch_int(emb2, qs, k=10).collect()
+    ids = [r.vec_id for r in got]
+    assert 0 not in ids and 2 not in ids     # self + zero-norm excluded
+    assert ids == [1, 3]                     # cosine order
