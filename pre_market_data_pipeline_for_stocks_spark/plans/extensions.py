@@ -78,6 +78,33 @@ def dedup_minhash_lsh(spark, sf_dir):
                                    MINHASH_BANDS, 3, JACCARD_THRESHOLD)
 
 
+def dedup_lsh_recall(spark, sf_dir):
+    """Pair-level recall of the MinHash-LSH scale path against the
+    exact Jaccard baseline, on identical data with the identical
+    threshold: ONE row (n_exact, n_found, recall_e6) — the number the
+    (b, r) banding trade-off promises, measured and driver-verified.
+    Both sides are the already-benched plans (candidate generation is
+    banded/bucketed, never all-pairs on the LSH side; the exact side
+    is the documented oracle-scale anchor), and the comparison joins
+    two pair relations — tiny by construction. Emissions are pure
+    integers (counts + one truncating division)."""
+    from ..functions.fixedpoint import idiv_long
+    docs = _docs(spark, sf_dir)
+    exact = (dedup.ngram_jaccard_pairs(docs, n=3,
+                                       threshold=JACCARD_THRESHOLD)
+             .select("doc_a", "doc_b"))
+    lsh = (dedup.minhash_lsh_pairs(docs, MINHASH_K, MINHASH_BANDS, 3,
+                                   JACCARD_THRESHOLD)
+           .select("doc_a", "doc_b"))
+    found = exact.join(lsh, ["doc_a", "doc_b"])
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found")))
+    return agg.select(
+        "n_exact", "n_found",
+        idiv_long(F.col("n_found") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact"), F.lit(1))).alias("recall_e6"))
+
+
 LSH_MAX_BUCKET = 2
 
 

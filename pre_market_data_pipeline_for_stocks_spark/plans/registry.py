@@ -4181,6 +4181,25 @@ SELECT
    FROM ({REGISTRY["dedup_span_removal"].oracle}) s) AS n_segments
 """)
 
+# dedup.lsh pair-level recall vs the exact baseline: both component
+# oracles reused verbatim (the quality-panel pattern), so a mismatch
+# isolates to the comparison layer. greatest(n,1) mirrors the Spark
+# guard for an empty exact set.
+REGISTRY["dedup_lsh_recall"] = QueryDef(X.dedup_lsh_recall, f"""
+WITH exact AS (SELECT doc_a, doc_b
+               FROM ({REGISTRY["dedup_ngram_jaccard"].oracle}) e),
+lsh AS (SELECT doc_a, doc_b
+        FROM ({REGISTRY["dedup_minhash_lsh"].oracle}) m),
+agg AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM exact JOIN lsh USING (doc_a, doc_b))
+           AS n_found)
+SELECT n_exact, n_found,
+       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM agg
+""")
+
 # robust.ranked_auc over classifier_score vs the declared-English
 # label: rank formulation with averaged tie ranks. Post-dict so it can
 # reuse the classifier oracle verbatim (the quality-panel pattern).
