@@ -43,8 +43,17 @@ from pyspark.sql import functions as F
 
 
 def pinned_single_partition(anchor: Column) -> Column:
-    """A non-foldable, always-0, never-NULL partition key derived from
-    ``anchor`` (any column of a numeric-subtractable type present in
-    the relation). See module docstring for why ``F.lit(0)`` does not
-    work."""
-    return F.coalesce(anchor - anchor, F.lit(0))
+    """A non-foldable, always-0, never-NULL, never-NaN partition key
+    derived from ``anchor`` (any column of a numeric-subtractable type
+    present in the relation). See module docstring for why ``F.lit(0)``
+    does not work.
+
+    The ``nanvl`` layer matters for floating anchors: ``NaN - NaN``
+    and ``Inf - Inf`` are NaN (not NULL), and a NaN key would silently
+    open a SECOND window partition — restarting row_number for those
+    rows instead of keeping one global ordering (rrf_fuse feeds a
+    double score column here). ``nanvl`` folds NaN to 0.0 so every
+    row, finite or not, lands in the single pinned partition."""
+    return F.coalesce(
+        F.nanvl((anchor - anchor).cast("double"), F.lit(0.0)),
+        F.lit(0.0))

@@ -262,8 +262,17 @@ def _distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
     equals (total of fully-lower buckets) + (within-bucket prefix),
     whatever the cut points are — so percentile_approx's sketch-merge
     order never reaches the output, only the balance. Requires
-    ``order_col`` keys to be UNIQUE rows (pre-aggregated), numeric and
-    non-null; ``val_col`` non-null."""
+    ``order_col`` keys to be UNIQUE rows (pre-aggregated) and numeric;
+    ``val_col`` non-null.
+
+    A NULL ``order_col`` key is legal and sorts FIRST (Spark's asc
+    NULLS FIRST — the same place the pre-r10 single-window form put
+    it): NULL keys route to sentinel bucket -1, below every real
+    bucket in the offsets prefix, so their rows survive the bucket
+    join and contribute to (rather than silently inflate) downstream
+    offsets. Without the sentinel a NULL key made ``_bkt`` NULL, the
+    inner join dropped the row, and its bucket total corrupted every
+    other offset."""
     from ..functions.windows import pinned_single_partition
 
     if n_buckets < 2:
@@ -275,10 +284,12 @@ def _distributed_cumsum(df: DataFrame, order_col: str, val_col: str,
             f"percentile_approx({order_col}, array({fracs}), 10000)")
             .alias("_cuts"))
         bucketed = (df.crossJoin(F.broadcast(cuts))
-                    .withColumn("_bkt", F.aggregate(
-                        "_cuts", F.lit(0),
-                        lambda acc, c: acc + (F.col(order_col) > c)
-                        .cast("int")))
+                    .withColumn("_bkt", F.when(
+                        F.col(order_col).isNull(), F.lit(-1))
+                        .otherwise(F.aggregate(
+                            "_cuts", F.lit(0),
+                            lambda acc, c: acc + (F.col(order_col) > c)
+                            .cast("int"))))
                     .drop("_cuts"))
     btot = (bucketed.groupBy("_bkt")
             .agg(F.sum(val_col).alias("_btot")))
@@ -336,7 +347,12 @@ def ranked_auc(scored: DataFrame, score_col: str,
     division (numerator nonneg: Σranks(pos) >= n_pos(n_pos+1)/2
     always). Requires an exactly-comparable score column (integer or
     other exact type) so tie groups are engine-independent —
-    classifier_score's margin_e9 qualifies; raw doubles do not."""
+    classifier_score's margin_e9 qualifies; raw doubles do not.
+
+    NULL scores are legal and rank LOWEST (one tie group, Spark's
+    asc NULLS FIRST — the same placement as the pre-r10 single-window
+    form; the r11 sentinel bucket in _distributed_cumsum carries them
+    through the bucketed plan too)."""
     from ..functions.fixedpoint import idiv_long
 
     per = (scored.groupBy(F.col(score_col).alias("_s"))

@@ -1691,7 +1691,12 @@ def recall_report(approx: DataFrame, truth: DataFrame,
     with n_hit = 0). Both inputs are (query_id, vec_id, ...) top-k
     relations — model-sized by construction — so every join here is
     tiny; the expensive parts happened upstream. recall_e6 is one
-    truncating integer division (r9 contract)."""
+    truncating integer division (r9 contract).
+
+    Denominator is the standard recall@k normalizer min(k, |truth_q|)
+    — not the fixed k — so a query whose exact truth set has fewer
+    than k rows (small corpus, zero-norm/self exclusions) can still
+    reach recall_e6 = 1e6 (r11, ADVICE fix; floor-guarded at 1)."""
     from ..functions.fixedpoint import idiv_long
 
     t = truth.select("query_id", "vec_id")
@@ -1699,11 +1704,14 @@ def recall_report(approx: DataFrame, truth: DataFrame,
     hits = (t.join(a, ["query_id", "vec_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("_h")))
-    per_q = t.select("query_id").distinct()
+    per_q = (t.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("_tc")))
     n_hit = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+    denom = F.greatest(F.least(F.col("_tc"), F.lit(k)), F.lit(1)) \
+        .cast("long")
     return (per_q.join(hits, "query_id", "left")
             .select("query_id", n_hit.alias("n_hit"),
                     F.lit(k).cast("long").alias("k"),
-                    idiv_long(n_hit * F.lit(10 ** 6), F.lit(k))
+                    idiv_long(n_hit * F.lit(10 ** 6), denom)
                     .alias("recall_e6"))
             .orderBy("query_id"))

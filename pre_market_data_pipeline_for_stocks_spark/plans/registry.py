@@ -4057,9 +4057,10 @@ hits AS (
 SELECT q.query_id,
        coalesce(h.h, 0)::BIGINT AS n_hit,
        CAST({X.ANN_TOPK} AS BIGINT) AS k,
-       CAST(coalesce(h.h, 0) * 1000000 // {X.ANN_TOPK} AS BIGINT)
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, {X.ANN_TOPK}), 1) AS BIGINT)
          AS recall_e6
-FROM (SELECT DISTINCT query_id FROM truth) q
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
 LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """),
@@ -4394,25 +4395,15 @@ def _last_green_rounds() -> dict[str, int]:
 # rotation queue (sorted before even the never-verified cohort) until
 # the next driver window re-samples them. Refresh per round — stale
 # entries here only waste sample slots, never correctness.
-# r10: the HUGEINT→BIGINT cast sweep (VERDICT r9 items 1-3) touched
-# these; positions 72-131 in the natural rotation would otherwise defer
-# their re-verification to r11.
+# r11: the ADVICE fixes touched these two directly
+# (recall_report's min(k,|truth|) denominator changed emitted values;
+# eval_classifier_auc runs the null-guarded _distributed_cumsum) and
+# retrieval_rrf_hybrid's window pin gained the nanvl layer. The 19
+# r10 entries all came back driver-green in CORRECTNESS_r10 and were
+# dropped so they stop eating sample slots (VERDICT r10 hygiene #1).
 REWRITTEN_THIS_ROUND = {
-    "corpus_gopher_filter", "text_classifier_score",
-    "text_duplication_density", "corpus_vocab_drift",
-    "corpus_quality_panel", "events_transition_matrix",
-    "det_canary_round_half", "det_canary_hugeint_sum",
-    "decontaminate_ngram_overlap", "text_repetition",
-    "events_value_psi_drift", "corpus_dedup_report",
-    # Not rewritten, but queue-jumped for fresh driver evidence: the
-    # three test_oracle_stability_audit ALLOWED entries whose only
-    # driver-green is r8 (r7 red predates the sequential-fold-twin
-    # fix). round(DOUBLE,4) emissions stand on the fold-twin +
-    # off-midpoint adjudication; a second green round hardens it.
-    "ann_ivf_topk_auto", "ann_mmr_rerank_batch", "dedup_semantic_prune",
-    # dtype-parity casts (int width alignment; values unchanged):
-    "dedup_incremental_index", "customer_rfm_segments",
-    "ann_hamming_topk", "ann_hamming_topk_batch",
+    "ann_ivf_recall_batch", "eval_classifier_auc",
+    "retrieval_rrf_hybrid",
 }
 
 

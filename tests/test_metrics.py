@@ -146,3 +146,39 @@ def test_distributed_cumsum_more_buckets_than_keys(spark):
     got = {r["s"]: r["c"] for r in _distributed_cumsum(
         df, "s", "n", "c", n_buckets=32).collect()}
     assert got == {10: 0, 20: 1, 30: 3}
+
+
+def test_distributed_cumsum_null_key_sorts_first(spark):
+    """A NULL order key routes to the sentinel bucket (-1), sorts
+    below every real key, and its value reaches every other row's
+    prefix — the r11 ADVICE fix. Pre-fix the NULL row was dropped by
+    the bucket join and its (NULL-bucket) total inflated every
+    offset."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        _distributed_cumsum,
+    )
+    rows = [(None, 5), (10, 1), (20, 2), (30, 4)]
+    df = spark.createDataFrame(rows, "s long, n long")
+    for buckets in (1, 4, 32):
+        got = {r["s"]: r["c"] for r in _distributed_cumsum(
+            df, "s", "n", "c", n_buckets=buckets).collect()}
+        assert got == {None: 0, 10: 5, 20: 6, 30: 8}, buckets
+
+
+def test_auc_null_scores_rank_lowest(spark):
+    """NULL scores form one lowest tie group (asc NULLS FIRST), same
+    as the pre-r10 single-window form; output stays a valid AUC."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.robust import (
+        ranked_auc,
+    )
+    # NULL is the sole negative below both positives -> AUC = 1
+    df = spark.createDataFrame([(None, 0), (0.5, 1), (0.9, 1)],
+                               "s double, y int")
+    r = ranked_auc(df, "s", "y").collect()[0]
+    assert (r["auc_e6"], r["n_pos"], r["n_neg"]) == (10 ** 6, 2, 1)
+    # NULL positive at the bottom: ranks null=1(+), 0.5=2(-), 0.9=3(+)
+    # -> AUC = (4 - 3) / (2*1) = 0.5
+    df2 = spark.createDataFrame([(None, 1), (0.5, 0), (0.9, 1)],
+                                "s double, y int")
+    r2 = ranked_auc(df2, "s", "y").collect()[0]
+    assert (r2["auc_e6"], r2["n_pos"], r2["n_neg"]) == (500000, 2, 1)

@@ -831,3 +831,17 @@ def test_ground_truth_excludes_zero_norm_and_self(spark):
     ids = [r.vec_id for r in got]
     assert 0 not in ids and 2 not in ids     # self + zero-norm excluded
     assert ids == [1, 3]                     # cosine order
+
+
+def test_recall_report_truth_smaller_than_k(spark):
+    """recall@k normalizes by min(k, |truth|): a query whose exact
+    truth set has fewer than k rows can still reach 1e6 (r11 ADVICE
+    fix — the fixed-k denominator capped such queries below 1.0)."""
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (2, 22)], "query_id long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, vec_id long")
+    rep = {r.query_id: (r.n_hit, r.recall_e6)
+           for r in S.recall_report(approx, truth, k=10).collect()}
+    # q1: 1 hit / min(10, 1) = 1.0 ; q2: 2 hits / min(10, 3) = 2/3
+    assert rep == {1: (1, 10 ** 6), 2: (2, (2 * 10 ** 6) // 3)}

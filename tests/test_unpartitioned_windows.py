@@ -95,3 +95,19 @@ def test_bench_query_has_no_unpartitioned_window(spark, name):
     df = REGISTRY[name].fn(spark, SF)
     bad = _empty_partition_windows(df)
     assert not bad, f"{name}: unpartitioned executed windows: {bad}"
+
+
+def test_pinned_single_partition_handles_nan_and_inf(spark):
+    """NaN - NaN and Inf - Inf are NaN (not NULL) — without the nanvl
+    layer those rows open a SECOND window partition and row_number
+    restarts (the r11 ADVICE finding, hit via rrf_fuse's double score
+    column). All four rows must land in ONE pinned partition."""
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (float("-inf"),), (1.0,)],
+        "k double")
+    w = Window.partitionBy(pinned_single_partition(F.col("k"))).orderBy(
+        F.col("k").asc_nulls_first())
+    got = df.select(F.row_number().over(w).alias("r")).collect()
+    assert sorted(r.r for r in got) == [1, 2, 3, 4]
+    assert not _empty_partition_windows(
+        df.select(F.row_number().over(w).alias("r")))
