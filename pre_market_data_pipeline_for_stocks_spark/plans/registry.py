@@ -567,31 +567,74 @@ LIMIT {k}
 """
 
 
-def _ivf_batch_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
-                   k: int = 10, sample_mod: int = 2,
-                   query_mod: int = 100) -> str:
+def _ivf_batch_sql(stride: int = 200, nprobe: int | str = 3,
+                   iters: int = 1, k: int = 10, sample_mod: int = 2,
+                   query_mod: int = 100,
+                   recall_target_pct: int = 80) -> str:
     """Oracle twin of similarity.ivf_topk_batch over the deterministic
     ``vec_id % query_mod == 0`` query shard: same unrolled training CTEs
     as _ivf_sql, then per-query probe (row_number <= nprobe) and
     per-query top-k over the ROUNDED cosine with (cosine DESC, vec_id
-    ASC) tie-breaks — matching the Spark side ordering exactly."""
+    ASC) tie-breaks — matching the Spark side ordering exactly.
+
+    ``nprobe="auto"`` twins ivf_auto_nprobe's batch calibration: exact
+    integer truth for the shard (the same quantized kernel as the
+    recall oracle), each truth neighbor's centroid-cell rank, per-query
+    the ceil(target*|truth|)-th smallest rank, max over queries — one
+    scalar CTE the probe filter reads instead of a literal."""
     cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
            "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
-    train = _ivf_sql(stride, nprobe, iters, k, sample_mod)
+    train = _ivf_sql(stride, 3, iters, k, sample_mod)
     # Reuse the training CTE chain verbatim: everything up to and
     # including the full-corpus `assigned` CTE.
     body = train.split("q AS (SELECT v AS qv")[0].rstrip().rstrip(",")
     probe_cos = cos.format(a="c.cv", b="q.qv")
     final_cos = cos.format(a="a.v", b="q.qv")
+    if nprobe == "auto":
+        auto_ctes = f""",
+qq AS (SELECT vec_id, {_QUANT_EMB} AS qv2 FROM embeddings),
+qqn AS (SELECT vec_id, qv2 FROM qq
+        WHERE CAST(list_inner_product(qv2, qv2) AS BIGINT) > 0),
+ctruth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e2.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_qcos_e6_sql('e2.qv2', 'q.qv2')} DESC,
+                      e2.vec_id ASC) AS rn
+    FROM qqn e2, qqn q
+    WHERE q.vec_id % {query_mod} = 0 AND e2.vec_id <> q.vec_id)
+  WHERE rn <= {k}),
+cellrank AS (
+  SELECT q.query_id, c.cent_id AS cell,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {probe_cos} DESC, c.cent_id ASC) AS cr
+  FROM qs q, c{iters} c),
+trr AS (
+  SELECT t.query_id, cr.cr
+  FROM ctruth t
+  JOIN assigned av ON av.vec_id = t.vec_id
+  JOIN cellrank cr ON cr.query_id = t.query_id AND cr.cell = av.cell),
+autop AS (
+  SELECT greatest(max(cr), 1) AS p FROM (
+    SELECT query_id, cr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cr ASC) AS rn,
+           count(*) OVER (PARTITION BY query_id) AS cnt
+    FROM trr)
+  WHERE rn = greatest((cnt * {recall_target_pct} + 99) // 100, 1))"""
+        probe_limit = "(SELECT p FROM autop)"
+    else:
+        auto_ctes = ""
+        probe_limit = str(nprobe)
     return f"""{body},
 qs AS (SELECT vec_id AS query_id, v AS qv FROM e
-       WHERE vec_id % {query_mod} = 0),
+       WHERE vec_id % {query_mod} = 0){auto_ctes},
 probed AS (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cent_id AS cell,
            row_number() OVER (PARTITION BY q.query_id
              ORDER BY {probe_cos} DESC, c.cent_id ASC) AS rn
-    FROM qs q, c{iters} c) WHERE rn <= {nprobe})
+    FROM qs q, c{iters} c) WHERE rn <= {probe_limit})
 SELECT query_id, vec_id, cell, cosine FROM (
   SELECT q.query_id, a.vec_id, a.cell,
          round({final_cos}, 4) AS cosine,
@@ -4029,12 +4072,21 @@ LIMIT 10
 
     "ann_ivf_topk_batch": QueryDef(X.ann_ivf_topk_batch, _ivf_batch_sql()),
 
-    # similarity.recall_report over ivf_topk_batch vs the exact
-    # integer-kernel brute force: the ANN family's recall@10, measured
-    # and driver-verified instead of documented. The approximate side
-    # reuses _ivf_batch_sql verbatim (same adjudication class as
-    # ann_ivf_topk_batch — see tests/test_oracle_stability_audit.py);
-    # the ground truth and every emission are pure integers.
+    # The r11 production batch-ANN configuration: nprobe calibrated on
+    # the batch to hold min recall@10 >= 0.8 (ivf_auto_nprobe); the
+    # oracle computes the identical scalar via the ctruth/cellrank/
+    # autop CTE chain — same adjudication class as ann_ivf_topk_batch.
+    "ann_ivf_topk_batch_auto": QueryDef(X.ann_ivf_topk_batch_auto,
+                                        _ivf_batch_sql(nprobe="auto")),
+
+    # similarity.recall_report over the AUTO-calibrated ivf_topk_batch
+    # (the production configuration — r11) vs the exact integer-kernel
+    # brute force: the ANN family's recall@10, measured and
+    # driver-verified instead of documented. The approximate side
+    # reuses _ivf_batch_sql(nprobe="auto") verbatim (same adjudication
+    # class as ann_ivf_topk_batch — see
+    # tests/test_oracle_stability_audit.py); the ground truth and
+    # every emission are pure integers.
     "ann_ivf_recall_batch": QueryDef(X.ann_ivf_recall_batch, f"""
 WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
 qen AS (SELECT vec_id, qv FROM qe
@@ -4051,7 +4103,7 @@ truth AS (
   WHERE rn <= {X.ANN_TOPK}),
 hits AS (
   SELECT t.query_id, count(*) AS h
-  FROM truth t JOIN ({_ivf_batch_sql()}) a
+  FROM truth t JOIN ({_ivf_batch_sql(nprobe="auto")}) a
     ON a.query_id = t.query_id AND a.vec_id = t.vec_id
   GROUP BY 1)
 SELECT q.query_id,

@@ -79,19 +79,30 @@ ALLOWED = {
     # kernels — numpy matmul/einsum paths — were migrated to quantized
     # integer cosines in r9; these fold-twins are the evidenced
     # remainder.)
-    # r10 re-adjudication, with round(DOUBLE,k) divergence now PROVEN
-    # in-env (det_canary_round_half red r9): the canary's reds are
-    # values CONSTRUCTED within 1e-12 of a half boundary; fold-twin
-    # cosines are bit-identical across engines, so both engines round
-    # the SAME double and the half policy only matters if that shared
-    # double sits exactly ON a representable midpoint — the ~1e-11/row
-    # measure-zero event, not the canary's engineered case. Evidence:
-    # ann_ivf_topk G r9, ann_ivf_topk_batch G r9; the three entries
-    # with only an r8 green (ivf_auto, mmr_batch, semantic_prune) are
-    # queue-jumped via registry.REWRITTEN_THIS_ROUND for an r10 row.
+    # r11 re-adjudication, citing the r10 CANARY PAIR: the r9 red of
+    # det_canary_round_half was the decimal128-hash CONFOUND, not
+    # round() — rewritten to pure-BIGINT emissions it came back GREEN
+    # in r10 even on values CONSTRUCTED within 1e-12 of half
+    # boundaries, while det_canary_hugeint_sum (raw uncast sum()) is
+    # the designed-red proof that decimal emissions, not rounding,
+    # hash-diverge in-env. So the residual risk for these fold-twin
+    # float emitters is strictly NARROWER than the r9 comments
+    # claimed: both engines round the SAME bit-identical double, the
+    # in-env rounder agrees even adversarially close to midpoints,
+    # and every emission here is already decimal-free (enforced by
+    # tests/test_decimal_emission_audit.py). The round(DOUBLE,k) ban
+    # for NEW oracles stays — cheap and strictly safer. Evidence:
+    # ann_ivf_topk G r9; ann_ivf_topk_batch G r9; ann_ivf_topk_auto,
+    # ann_mmr_rerank_batch, dedup_semantic_prune G r10 (the r10
+    # queue-jump cohort); det_canary_round_half G r10.
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
+    # same fold-twin cosine grid as ann_ivf_topk_batch; the auto-
+    # nprobe calibration CTEs added in r11 are pure integers end to
+    # end (quantized truth kernel + rank counting), so the
+    # adjudication surface is unchanged.
+    "ann_ivf_topk_batch_auto",
     # recall harness: embeds _ivf_batch_sql verbatim for its APPROX
     # side (same fold-twin adjudication as ann_ivf_topk_batch, same
     # rounded cosine in the same grid); the ground-truth side and all

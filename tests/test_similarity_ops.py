@@ -845,3 +845,50 @@ def test_recall_report_truth_smaller_than_k(spark):
            for r in S.recall_report(approx, truth, k=10).collect()}
     # q1: 1 hit / min(10, 1) = 1.0 ; q2: 2 hits / min(10, 3) = 2/3
     assert rep == {1: (1, 10 ** 6), 2: (2, (2 * 10 ** 6) // 3)}
+
+
+def test_auto_nprobe_holds_min_recall_floor(emb):
+    """nprobe="auto" (r11): calibrating on the batch must hold
+    recall@k >= recall_target_pct/100 for EVERY query — the guarantee
+    a fixed nprobe cannot give (measured min 0.30 at sf0.1 before the
+    change). stride=50 so the probe actually prunes (10 cells on the
+    sf0.001 fixture)."""
+    qs = _queries(emb)
+    approx = S.ivf_topk_batch(emb, qs, k=10, centroid_stride=50,
+                              nprobe="auto", train_iters=1,
+                              recall_target_pct=80)
+    truth = S.cosine_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(approx, truth, k=10).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+
+
+def test_auto_nprobe_scales_with_target(emb):
+    """The calibrated probe count is monotone in the recall target,
+    >= 1, and never exceeds the cell count; a 100% target must yield
+    perfect recall on the calibration batch itself."""
+    cents = emb.sparkSession.createDataFrame(
+        S.train_ivf_centroids(emb, 50, 1, sample_mod=2).collect(),
+        schema="cent_id long, cent_vec array<double>")
+    n_cells = cents.count()
+    qs = _queries(emb)
+    ps = [S.ivf_auto_nprobe(emb, cents, qs, k=10, recall_target_pct=t)
+          for t in (10, 80, 100)]
+    assert ps == sorted(ps) and 1 <= ps[0] and ps[-1] <= n_cells
+    # At a 100% target every truth cell is probed, so the auto plan
+    # must return exactly what exhaustive probing returns. (recall vs
+    # the INTEGER truth kernel can still sit below 1.0 there — the
+    # 4-dp double search kernel disagrees with the quantized kernel on
+    # boundary rows; that residual is kernel mismatch, not probing,
+    # and no nprobe can remove it.)
+    auto100 = S.ivf_topk_batch(emb, qs, k=10, centroid_stride=50,
+                               nprobe="auto", train_iters=1,
+                               recall_target_pct=100)
+    full = S.ivf_topk_batch(emb, qs, k=10, centroid_stride=50,
+                            nprobe=n_cells, train_iters=1)
+    assert sorted(map(tuple, auto100.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_ivf_topk_batch_rejects_unknown_nprobe_string(emb):
+    with pytest.raises(ValueError):
+        S.ivf_topk_batch(emb, _queries(emb), nprobe="all")
