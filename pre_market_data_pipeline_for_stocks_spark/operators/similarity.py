@@ -400,7 +400,8 @@ def ivf_auto_nprobe(embeddings: DataFrame, cents: DataFrame,
                     recall_target_pct: int = 80,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q_id_col: str = "query_id",
-                    q_vec_col: str = "query_vec") -> int:
+                    q_vec_col: str = "query_vec",
+                    assigned: DataFrame | None = None) -> int:
     """Smallest nprobe that holds recall@k >= ``recall_target_pct``/100
     for EVERY query in ``calib_queries`` against the codebook ``cents``
     — the FAISS-autotune workflow expressed relationally.
@@ -439,13 +440,23 @@ def ivf_auto_nprobe(embeddings: DataFrame, cents: DataFrame,
     over every query served. At deployment scale, calibrate on a
     held-out probe sample against the saved index (load_ivf_index)
     and reuse the int; ivf_topk_batch's ``nprobe="auto"`` calibrates
-    on the batch itself."""
-    assigned = _assign_cells(
-        embeddings.select(F.col(id_col).alias("vec_id"),
-                          F.col(vec_col).cast("array<double>")
-                          .alias("embedding"),
-                          _norm(F.col(vec_col)).alias("_nrm")),
-        cents).select("vec_id", "cell")
+    on the batch itself.
+
+    ``assigned`` (vec_id, cell — the corpus already assigned against
+    the SAME ``cents``) lets the caller share its assignment LINEAGE
+    instead of this helper constructing a duplicate; execution still
+    happens in this calibration job (nothing is persisted — see
+    ivf_topk_batch on why), but the plans stay textually identical
+    and a caller who HAS persisted/saved an assignment gets the reuse
+    for free."""
+    if assigned is None:
+        assigned = _assign_cells(
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).cast("array<double>")
+                              .alias("embedding"),
+                              _norm(F.col(vec_col)).alias("_nrm")),
+            cents)
+    assigned = assigned.select("vec_id", "cell")
     truth = cosine_topk_batch_int(embeddings, calib_queries, k,
                                   id_col, vec_col, q_id_col, q_vec_col)
     q = calib_queries.select(
@@ -671,10 +682,13 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     the scale-correct setting — a fixed nprobe's recall decays like
     f(nprobe/|cells|) as the index grows (measured: min recall@10 0.30
     at sf0.1 with nprobe=3 over 10 cells) — at the documented cost of
-    the calibration passes (one brute-force corpus x batch score-off +
-    one extra assignment pass, amortized over the whole batch; a
-    serving deployment calibrates once against the saved index
-    instead and passes the resulting int)."""
+    the calibration (one brute-force corpus x batch score-off, plus
+    re-executing the shared assignment lineage in the calibration job
+    — deliberately NOT persisted: the assigned relation is
+    corpus-sized, and at scale the right amortization is calibrating
+    once against a SAVED index, not caching 100 TB; the auto path is
+    for batch jobs where one extra scan is cheaper than a wrong
+    recall floor)."""
     if isinstance(nprobe, str) and nprobe != "auto":
         raise ValueError(f"nprobe must be an int or 'auto': {nprobe!r}")
     trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
@@ -682,10 +696,6 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                   sample_mod=train_sample_mod, init=init)
     cents = embeddings.sparkSession.createDataFrame(
         trained.collect(), schema="cent_id long, cent_vec array<double>")
-    if nprobe == "auto":
-        nprobe = ivf_auto_nprobe(embeddings, cents, queries, k,
-                                 recall_target_pct, id_col, vec_col,
-                                 q_id_col, q_vec_col)
 
     assigned = _assign_cells(
         embeddings.select(F.col(id_col).alias("vec_id"),
@@ -693,6 +703,11 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                           .alias("embedding"),
                           _norm(F.col(vec_col)).alias("_nrm")),
         cents)
+
+    if nprobe == "auto":
+        nprobe = ivf_auto_nprobe(embeddings, cents, queries, k,
+                                 recall_target_pct, id_col, vec_col,
+                                 q_id_col, q_vec_col, assigned=assigned)
 
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
@@ -748,10 +763,43 @@ def auto_planes_per_band(n: int, target_bucket: int = 256,
                                math.ceil(math.log2(n / target_bucket))))
 
 
-def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
+def auto_bands_for_recall(threshold: float, planes_per_band: int,
+                          recall_target_pct: int = 50,
+                          max_bands: int = 64) -> int:
+    """Band count holding expected pair recall >= target AT the
+    threshold angle, for a given band width: the textbook (b, r)
+    sizing b = ceil(ln(1-target) / ln(1-p^r)) with the sign-LSH
+    collision probability p = 1 - acos(threshold)/pi (MMDS ch.3).
+
+    Why this must exist (the r11 sf1 harness finding, the LSH twin of
+    the IVF nprobe decay): auto_planes_per_band grows r with the
+    corpus to keep the bucket self-join linear, but at FIXED b the
+    per-pair recall 1-(1-p^r)^b collapses as r grows — measured by
+    ann_lsh_pair_recall: 0.556 at sf0.1 (r=4, predicted 0.50) down to
+    0.167 at sf1 (r=7, predicted 0.15). Raising b restores recall at
+    linear candidate cost — the right direction at scale, now sized
+    instead of guessed.
+
+    Guarantee semantics differ from ivf_auto_nprobe's: this is a
+    closed-form EXPECTATION bound at the hardest (threshold) angle —
+    pairs above the threshold collide strictly more often, so the
+    corpus-wide measured recall sits above the target — not a
+    per-batch calibration; no data pass, pure driver math. Clamped to
+    [1, max_bands] (the plane budget is b*r md5-derived literals)."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    pb = p ** planes_per_band
+    if pb >= 1.0:
+        return 1
+    target = min(max(recall_target_pct, 1), 99) / 100.0
+    b = math.ceil(math.log(1.0 - target) / math.log(1.0 - pb))
+    return max(1, min(max_bands, b))
+
+
+def lsh_candidate_pairs(embeddings: DataFrame, bands: int | str = 4,
                         planes_per_band: int | str = 4,
                         threshold: float = 0.4,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        recall_target_pct: int = 50) -> DataFrame:
     """Banded (OR-amplified) sign-LSH near-dup pairs verified with exact
     cosine: (vec_a, vec_b, cosine).
 
@@ -780,9 +828,21 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int = 4,
     auto_planes_per_band (one count() action — model sizing, like IVF
     centroid training), keeping expected bucket occupancy constant as
     the corpus grows instead of letting the self-join go quadratic.
+
+    ``bands="auto"`` (r11) then sizes b from (threshold, r) via
+    auto_bands_for_recall so the recall auto-r silently spends comes
+    back at linear cost — without it the sf1 pair recall measured
+    0.167 (fixed b=4 at auto r=7); with it, b=18 restores the 0.5
+    expectation floor. The two autos compose into the fully-sized
+    plan: r from the corpus (cost), b from the threshold (recall).
     """
     if planes_per_band == "auto":
         planes_per_band = auto_planes_per_band(embeddings.count())
+    if bands == "auto":
+        bands = auto_bands_for_recall(threshold, planes_per_band,
+                                      recall_target_pct)
+    elif isinstance(bands, str):
+        raise ValueError(f"bands must be an int or 'auto': {bands!r}")
     dims = 64
     band_structs = []
     for b in range(bands):
@@ -1783,6 +1843,46 @@ def cosine_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
             .withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def cosine_threshold_pairs_int(embeddings: DataFrame,
+                               threshold: float = 0.4,
+                               anchor_mod: int = 10,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """EXACT cosine-threshold pairs over the quantized-integer kernel,
+    restricted to the deterministic anchored stratum ``vec_a %
+    anchor_mod == 0`` (with vec_a < vec_b): the ground-truth side of
+    the sign-LSH pair-recall harness (ann_lsh_pair_recall), the same
+    role cosine_topk_batch_int plays for the IVF recall harness.
+
+    The anchor restriction is what keeps exact truth computable
+    without the one join shape this engine bans: a full all-pairs
+    corpus self-join. Anchors are a broadcastable 1/anchor_mod shard,
+    so the plan is one map-side corpus pass against broadcast anchors
+    — O(n * n/anchor_mod) WORK but never a shuffle-side cartesian —
+    and pair recall over the anchored stratum estimates corpus-wide
+    pair recall exactly as a uniform pair sample does (every pair's
+    lower id is equally likely to be an anchor under the synthetic
+    uniform ids). Emissions are pure integers (the shared cosine_e6
+    kernel), so the threshold cut floor(x) >= round(t*1e6) equals
+    cos >= t exactly and both engines agree bit-for-bit; zero-norm
+    rows are excluded on both sides (cosine undefined)."""
+    thr_e6 = round(threshold * 10 ** 6)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _quant_arr(F.col(vec_col)).alias("_qv"))
+    e = (e.withColumn("_n2", _dot_long(F.col("_qv"), F.col("_qv")))
+         .filter(F.col("_n2") > 0))
+    a = (e.filter(F.col("vec_id") % anchor_mod == 0)
+         .select(F.col("vec_id").alias("vec_a"),
+                 F.col("_qv").alias("_qa"), F.col("_n2").alias("_n2a")))
+    return (e.crossJoin(F.broadcast(a))
+            .filter(F.col("vec_a") < F.col("vec_id"))
+            .select(F.col("vec_a"), F.col("vec_id").alias("vec_b"),
+                    _cos_e6_cols(_dot_long(F.col("_qv"), F.col("_qa")),
+                                 F.col("_n2a"), F.col("_n2"))
+                    .alias("cosine_e6"))
+            .filter(F.col("cosine_e6") >= thr_e6))
 
 
 def recall_report(approx: DataFrame, truth: DataFrame,

@@ -1538,6 +1538,79 @@ def ann_ivf_recall_batch(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+ANN_LSH_ANCHOR_MOD = 10
+
+
+def ann_cosine_near_dup_auto(spark, sf_dir):
+    """The fully-auto-sized sign-LSH near-dup plan (r11): r from the
+    corpus count (occupancy — keeps the bucket self-join linear, r9)
+    AND b from the threshold via auto_bands_for_recall (recall — holds
+    the 0.5 expectation floor at the threshold angle as r grows). At
+    oracle scales auto resolves to (b=5, r=4) — one band more than the
+    fixed baseline; at sf1 to (b=18, r=7), where the fixed b=4 plan's
+    measured pair recall had collapsed to 0.167."""
+    return similarity.lsh_candidate_pairs(_emb(spark, sf_dir),
+                                          bands="auto",
+                                          planes_per_band="auto",
+                                          threshold=0.4, max_bucket=4096,
+                                          recall_target_pct=50)
+
+
+def ann_lsh_pair_recall_auto(spark, sf_dir):
+    """ann_lsh_pair_recall's twin over the fully-auto (b, r) plan —
+    the driver-verified proof that auto_bands_for_recall buys back the
+    recall auto-r spends (sf1: 0.167 fixed -> measured ~0.5+ auto).
+    Same anchored stratum, same integer kernel, same emissions."""
+    from ..functions.fixedpoint import idiv_long
+    emb = _emb(spark, sf_dir)
+    exact = (similarity.cosine_threshold_pairs_int(
+        emb, threshold=0.4, anchor_mod=ANN_LSH_ANCHOR_MOD)
+        .select("vec_a", "vec_b"))
+    lsh = (ann_cosine_near_dup_auto(spark, sf_dir)
+           .filter(F.col("vec_a") % ANN_LSH_ANCHOR_MOD == 0)
+           .select("vec_a", "vec_b"))
+    found = exact.join(lsh, ["vec_a", "vec_b"])
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found")))
+    return agg.select(
+        "n_exact", "n_found",
+        idiv_long(F.col("n_found") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact"), F.lit(1))).alias("recall_e6"))
+
+
+def ann_lsh_pair_recall(spark, sf_dir):
+    """Pair-level recall of the sign-LSH near-dup plan (the benched
+    ann_cosine_near_dup configuration: bands=4, auto band width,
+    threshold 0.4, hot-bucket cap) against EXACT integer-kernel
+    cosine-threshold pairs, over the deterministic anchored stratum
+    ``vec_a % 10 == 0``: ONE row (n_exact, n_found, recall_e6). This
+    completes the measured-recall triad — MinHash-LSH dedup
+    (dedup_lsh_recall, r10), IVF ANN (ann_ivf_recall_batch, r10), and
+    now banded sign-LSH (r11) — so every approximation family in the
+    engine carries a driver-verified recall number instead of a doc
+    claim. Both sides cut at the same integer cosine_e6 >= 400000, so
+    the measured loss is PURELY candidate generation (the (b, r)
+    amplification), never kernel mismatch. Emissions are pure
+    integers."""
+    from ..functions.fixedpoint import idiv_long
+    emb = _emb(spark, sf_dir)
+    exact = (similarity.cosine_threshold_pairs_int(
+        emb, threshold=0.4, anchor_mod=ANN_LSH_ANCHOR_MOD)
+        .select("vec_a", "vec_b"))
+    lsh = (similarity.lsh_candidate_pairs(emb, bands=4,
+                                          planes_per_band="auto",
+                                          threshold=0.4, max_bucket=4096)
+           .filter(F.col("vec_a") % ANN_LSH_ANCHOR_MOD == 0)
+           .select("vec_a", "vec_b"))
+    found = exact.join(lsh, ["vec_a", "vec_b"])
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found")))
+    return agg.select(
+        "n_exact", "n_found",
+        idiv_long(F.col("n_found") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact"), F.lit(1))).alias("recall_e6"))
+
+
 def embedding_norms(spark, sf_dir):
     """Array-function coverage: per-vector L2 norm + dim count
     (F.aggregate / zip_with JVM-side array math over array<float>).

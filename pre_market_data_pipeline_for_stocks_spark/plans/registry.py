@@ -4117,6 +4117,67 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """),
 
+    # Pair-level recall of the benched sign-LSH near-dup plan vs exact
+    # integer-kernel threshold pairs over the vec_a % 10 anchored
+    # stratum (r11 — completes the measured-recall triad with
+    # dedup_lsh_recall and ann_ivf_recall_batch). Both sides cut at
+    # the same integer cosine_e6, so this measures pure candidate-
+    # generation loss; all emissions integer.
+    "ann_lsh_pair_recall": QueryDef(X.ann_lsh_pair_recall, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM qen a, qen b
+  WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+    AND {_qcos_e6_sql('a.qv', 'b.qv')} >= 400000),
+lshp AS (
+  SELECT vec_a, vec_b FROM ({_lsh_pairs_sql(4, 4, 0.4)})
+  WHERE vec_a % 10 = 0),
+agg AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM exact JOIN lshp USING (vec_a, vec_b))
+           AS n_found)
+SELECT n_exact, n_found,
+       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM agg
+"""),
+
+    # Fully-auto (b, r) sign-LSH near-dup plan + its recall harness
+    # (r11). Auto resolves to (b=5, r=4) at every oracle scale
+    # (auto_planes_per_band: r=4 below ~4096 vectors;
+    # auto_bands_for_recall: ceil(ln .5 / ln(1-p^4)) = 5 at p =
+    # 1 - acos(0.4)/pi), so the pinned twins are exact — the same
+    # pinning argument the existing near-dup oracle documents for
+    # auto-r. Pinned additionally by tests/test_similarity_ops.py's
+    # formula tests.
+    "ann_cosine_near_dup_auto": QueryDef(X.ann_cosine_near_dup_auto,
+                                         _lsh_pairs_sql(5, 4, 0.4)),
+
+    "ann_lsh_pair_recall_auto": QueryDef(X.ann_lsh_pair_recall_auto, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM qen a, qen b
+  WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+    AND {_qcos_e6_sql('a.qv', 'b.qv')} >= 400000),
+lshp AS (
+  SELECT vec_a, vec_b FROM ({_lsh_pairs_sql(5, 4, 0.4)})
+  WHERE vec_a % 10 = 0),
+agg AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM exact JOIN lshp USING (vec_a, vec_b))
+           AS n_found)
+SELECT n_exact, n_found,
+       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM agg
+"""),
+
     "embedding_norms": QueryDef(X.embedding_norms, f"""
 SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS n_dims,
        CAST(floor(sqrt(CAST(CAST(list_inner_product({_QUANT_EMB},
@@ -4528,6 +4589,10 @@ EXTENDED_BENCH = [
     # round-9 additions
     "ann_hamming_topk", "ann_hamming_topk_batch", "text_bm25_indexed",
     "multimodal_audio_windows", "decontaminate_bloom_clean",
+    # round-11 addition: the recall-calibrated production batch ANN —
+    # timed so the calibrate+serve cost is visible next to the fixed-
+    # nprobe ann_ivf_topk_batch baseline.
+    "ann_ivf_topk_batch_auto",
 ]
 
 

@@ -892,3 +892,64 @@ def test_auto_nprobe_scales_with_target(emb):
 def test_ivf_topk_batch_rejects_unknown_nprobe_string(emb):
     with pytest.raises(ValueError):
         S.ivf_topk_batch(emb, _queries(emb), nprobe="all")
+
+
+def test_cosine_threshold_pairs_int_anchored_stratum(spark):
+    """Exact side of the sign-LSH pair-recall harness: only pairs
+    whose LOWER id is an anchor, zero-norm rows excluded, integer
+    threshold cut."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]), (4, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b)
+           for r in S.cosine_threshold_pairs_int(
+               df, threshold=0.5, anchor_mod=2).collect()}
+    # anchors 0/2/4: (0,1) cos=1, (0,3) cos~0.994; (2,3) cos~0.110
+    # below cut; 4 is zero-norm (excluded everywhere); (1,3) high but
+    # vec_a=1 is NOT an anchor.
+    assert got == {(0, 1), (0, 3)}
+    full = {(r.vec_a, r.vec_b)
+            for r in S.cosine_threshold_pairs_int(
+                df, threshold=0.5, anchor_mod=1).collect()}
+    assert full == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_lsh_pair_recall_harness_counts(spark, sf_dir):
+    """The registry harness emits one integer row with
+    n_found <= n_exact and a consistent truncating division."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        ann_lsh_pair_recall,
+    )
+    r = ann_lsh_pair_recall(spark, sf_dir).collect()[0]
+    assert r.n_found <= r.n_exact
+    assert r.recall_e6 == (r.n_found * 10 ** 6) // max(r.n_exact, 1)
+
+
+def test_auto_bands_for_recall_known_values():
+    """Pinned formula values the oracle twins depend on: (b=5 at r=4,
+    b=18 at r=7) for threshold 0.4 / target 0.5 — the registry pins
+    _lsh_pairs_sql(5, 4, 0.4) for the auto plan at oracle scales, and
+    BASELINE.md records the sf1 b=18 reading."""
+    assert S.auto_bands_for_recall(0.4, 4, 50) == 5
+    assert S.auto_bands_for_recall(0.4, 7, 50) == 18
+    # monotone: wider bands (lower p^r) and higher targets need more b
+    assert (S.auto_bands_for_recall(0.4, 5, 50)
+            >= S.auto_bands_for_recall(0.4, 4, 50))
+    assert (S.auto_bands_for_recall(0.4, 4, 90)
+            >= S.auto_bands_for_recall(0.4, 4, 50))
+    # clamps: a tight threshold at huge r hits the band budget
+    assert S.auto_bands_for_recall(0.1, 16, 99) == 64
+    assert S.auto_bands_for_recall(0.99, 2, 50) >= 1
+
+
+def test_lsh_auto_bands_buys_back_recall(emb):
+    """bands="auto" must find at least every pair the fixed b=4 plan
+    finds (supersets: 5 bands include the first 4 verbatim — same
+    md5-derived planes), and reject unknown strings."""
+    fixed = {(r.vec_a, r.vec_b) for r in S.lsh_candidate_pairs(
+        emb, bands=4, planes_per_band=4, threshold=0.4).collect()}
+    auto = {(r.vec_a, r.vec_b) for r in S.lsh_candidate_pairs(
+        emb, bands="auto", planes_per_band=4, threshold=0.4).collect()}
+    assert fixed <= auto
+    with pytest.raises(ValueError):
+        S.lsh_candidate_pairs(emb, bands="all")
