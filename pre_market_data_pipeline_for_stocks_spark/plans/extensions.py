@@ -1712,6 +1712,43 @@ def ann_hamming_topk_batch(spark, sf_dir):
             .orderBy("query_id", "vec_id"))
 
 
+def ann_hamming_recall_batch(spark, sf_dir):
+    """Recall@10 of the two-stage binary-signature ANN (64-bit sign
+    sketch scan -> hamming cut -> integer-cosine rerank) against exact
+    integer brute force, per query of the standard % 100 shard — the
+    fourth and last approximation family measured (r11: MinHash-LSH,
+    IVF, sign-LSH pairs, now Hamming). The loss here is the 64-bit
+    sketch's angle distortion plus the rerank_factor*k hamming cut;
+    emissions pure integers via recall_report."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.hamming_topk_batch(emb, queries, k=ANN_TOPK)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_hamming_recall_batch_auto(spark, sf_dir):
+    """ann_hamming_recall_batch's twin over the auto-calibrated cut
+    (hamming_auto_rerank, target 0.8): the driver-verified proof the
+    calibration holds the floor the fixed rerank_factor=4 cut lost
+    (min 0 / mean 0.26 at sf0.1). The floor is EXACT here — the
+    rerank kernel is the truth kernel — so min recall_e6 >= 800000 by
+    construction wherever |truth| = k."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.hamming_topk_batch(emb, queries, k=ANN_TOPK,
+                                           rerank_factor="auto",
+                                           recall_target_pct=80)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 AUDIO_WINDOW_MS = 25
 
 

@@ -4388,10 +4388,50 @@ ORDER BY cosine_e6 DESC, vec_id ASC LIMIT {k}
 
 
 def _hamming_batch_sql(stride: int = 100, k: int = 5,
-                       rf: int = 4) -> str:
+                       rf: int | str = 4,
+                       recall_target_pct: int = 80) -> str:
     """Twin of extensions.ann_hamming_topk_batch: every ``stride``-th
     vector queries the signature index; per-query (hamming, vec_id)
-    cut then per-query cosine_e6 rerank."""
+    cut then per-query cosine_e6 rerank.
+
+    ``rf="auto"`` twins hamming_auto_rerank's batch calibration: the
+    integer truth per query, each truth row's rank in the candidate
+    order, per-query ceil(target*|truth|)-th smallest rank, max over
+    queries — one scalar CTE the candidate cut reads."""
+    if rf == "auto":
+        cut = "(SELECT rr FROM autorr)"
+        auto_ctes = f""",
+ezn AS (SELECT vec_id, qv FROM ez
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+htruth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e2.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e2.qv', 'q.qqv')} DESC,
+                      e2.vec_id ASC) AS rn
+    FROM ezn e2
+    JOIN (SELECT query_id, qqv FROM qv
+          WHERE CAST(list_inner_product(qqv, qqv) AS BIGINT) > 0) q
+      ON e2.vec_id <> q.query_id)
+  WHERE rn <= {k}),
+hamrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS hr
+  FROM ham),
+autorr AS (
+  SELECT greatest(max(hr), 1) AS rr FROM (
+    SELECT t.query_id, r.hr,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY r.hr ASC) AS rn,
+           count(*) OVER (PARTITION BY t.query_id) AS cnt
+    FROM htruth t
+    JOIN hamrank r ON r.query_id = t.query_id
+                  AND r.vec_id = t.vec_id)
+  WHERE rn = greatest((cnt * {recall_target_pct} + 99) // 100, 1))"""
+    else:
+        cut = str(rf * k)
+        auto_ctes = ""
     return f"""
 WITH {_signature_cte()},
 ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
@@ -4402,13 +4442,13 @@ qv AS (SELECT vec_id AS query_id, qv AS qqv FROM ez
 ham AS (
   SELECT qs.query_id, s.vec_id,
          bit_count(xor(s.sig, qs.qsig)) AS hamming
-  FROM sigs s, qs WHERE s.vec_id <> qs.query_id),
+  FROM sigs s, qs WHERE s.vec_id <> qs.query_id){auto_ctes},
 cand AS (
   SELECT query_id, vec_id, hamming FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY hamming ASC,
                                           vec_id ASC) AS rn
-    FROM ham) WHERE rn <= {rf * k}),
+    FROM ham) WHERE rn <= {cut}),
 scored AS (
   SELECT c.query_id, c.vec_id, c.hamming,
          {_qcos_e6_sql('e.qv', 'q.qqv')} AS cosine_e6
@@ -4433,6 +4473,76 @@ REGISTRY["ann_hamming_topk"] = QueryDef(
 REGISTRY["ann_hamming_topk_batch"] = QueryDef(
     X.ann_hamming_topk_batch,
     _hamming_batch_sql(X.HAMMING_BATCH_STRIDE, 5, 4))
+
+# Recall@10 of the Hamming two-stage ANN vs exact integer brute force
+# (r11 — completes measured recall for all four approximation
+# families). Truth and emissions pure integers; the approximate side
+# reuses _hamming_batch_sql at the harness k; denominator is the
+# per-query min(k, |truth|) (recall_report contract).
+REGISTRY["ann_hamming_recall_batch"] = QueryDef(
+    X.ann_hamming_recall_batch, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= 10),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t JOIN ({_hamming_batch_sql(100, 10, 4)}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, 10), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""")
+
+# The auto-calibrated twin: same harness over
+# _hamming_batch_sql(rf="auto") — the candidate cut computed by the
+# htruth/hamrank/autorr CTEs, matching hamming_auto_rerank exactly.
+REGISTRY["ann_hamming_recall_batch_auto"] = QueryDef(
+    X.ann_hamming_recall_batch_auto, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= 10),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t JOIN ({_hamming_batch_sql(100, 10, "auto")}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, 10), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""")
 
 # The served index is pinned equal to the inline scorer
 # (test_bm25_indexed_equals_inline), so the INLINE oracle is the twin:

@@ -953,3 +953,25 @@ def test_lsh_auto_bands_buys_back_recall(emb):
     assert fixed <= auto
     with pytest.raises(ValueError):
         S.lsh_candidate_pairs(emb, bands="all")
+
+
+def test_hamming_auto_rerank_exact_floor(emb):
+    """rerank_factor="auto" must hold the floor EXACTLY (the rerank
+    kernel is the truth kernel — no boundary slippage), and the
+    calibrated cut must be monotone in the target."""
+    qs = _queries(emb)
+    approx = S.hamming_topk_batch(emb, qs, k=10, rerank_factor="auto",
+                                  recall_target_pct=80)
+    truth = S.cosine_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(approx, truth, k=10).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+    cuts = [S.hamming_auto_rerank(emb, qs, k=10, recall_target_pct=t)
+            for t in (10, 80, 100)]
+    assert cuts == sorted(cuts) and cuts[0] >= 1
+    # target 100: every truth row inside the cut -> perfect recall
+    a100 = S.hamming_topk_batch(emb, qs, k=10, rerank_factor="auto",
+                                recall_target_pct=100)
+    rep100 = S.recall_report(a100, truth, k=10).collect()
+    assert all(r.recall_e6 == 10 ** 6 for r in rep100)
+    with pytest.raises(ValueError):
+        S.hamming_topk_batch(emb, qs, rerank_factor="lots")
