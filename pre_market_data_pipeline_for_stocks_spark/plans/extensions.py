@@ -1395,6 +1395,84 @@ def decontaminate_bloom_clean(spark, sf_dir):
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+def decontaminate_bloom_fpr(spark, sf_dir):
+    """Measured Bloom false-positive COST (r11): how many exactly-clean
+    corpus docs the Bloom path wrongly drops — ONE integer row
+    (n_exact_clean, n_bloom_clean, n_false_dropped, fpr_e6). Bloom
+    probes can only false-POSITIVE (a shingle wrongly 'found' inflates
+    the overlap ratio), so bloom_clean ⊆ exact_clean — the unit-pinned
+    subset property — and the harness turns its size into a
+    driver-verified rate: the data-loss price of the O(bits) bitset vs
+    the exact join, alongside the recall numbers the ANN/LSH families
+    carry. Same split and threshold as decontaminate_ngram_overlap."""
+    from ..functions.fixedpoint import idiv_long
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact_clean = (decontam.benchmark_overlap(corpus, bench,
+                                              n=3, threshold=0.1)
+                   .filter(~F.col("contaminated")).select("doc_id"))
+    bloom_clean = (decontam.decontaminate_bloom(corpus, bench,
+                                                n=3, threshold=0.1)
+                   .select("doc_id"))
+    dropped = exact_clean.join(bloom_clean, "doc_id", "left_anti")
+    agg = (exact_clean.agg(F.count(F.lit(1)).alias("n_exact_clean"))
+           .crossJoin(bloom_clean.agg(
+               F.count(F.lit(1)).alias("n_bloom_clean")))
+           .crossJoin(dropped.agg(
+               F.count(F.lit(1)).alias("n_false_dropped"))))
+    return agg.select(
+        "n_exact_clean", "n_bloom_clean", "n_false_dropped",
+        idiv_long(F.col("n_false_dropped") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact_clean"), F.lit(1)))
+        .alias("fpr_e6"))
+
+
+CMS_NARROW_DEPTH = 2
+CMS_NARROW_WIDTH = 8
+
+
+def corpus_cms_error(spark, sf_dir):
+    """Measured count-min-sketch overestimation (r11): each probe
+    term's CMS estimate next to its EXACT corpus count, at TWO sketch
+    geometries — (config, term, n_exact, n_est, overestimate), all
+    integers. CMS can only OVERestimate (bucket collisions add, never
+    subtract; unit-pinned); this harness records by how much, the same
+    measured-error discipline the recall harnesses apply to the ANN
+    families. The benched w64d4 geometry measures ZERO overestimate on
+    the fixture vocabulary (collision-free — the sizing is proven
+    exact at this scale, not assumed); the deliberately-narrow w8d2
+    config forces collisions so the width <-> error trade is a
+    measured curve, not a doc claim. Exact side is one hash groupBy
+    over the probe-filtered token stream."""
+    from ..operators import sketches as SK
+    docs = _docs(spark, sf_dir)
+    tok = (docs.select("source",
+                       F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                         r"\s+")).alias("t"))
+           .filter(F.col("t") != ""))
+    exact = (tok.filter(F.col("t").isin(CMS_PROBE_TERMS))
+             .groupBy(F.col("t").alias("term"))
+             .agg(F.count(F.lit(1)).alias("_nx")))
+
+    def est_at(label, depth, width):
+        parts = SK.cms_partials(tok, ["source"], "t", depth, width)
+        merged = SK.cms_merge(parts, [])
+        return (SK.cms_estimate_terms(merged, CMS_PROBE_TERMS,
+                                      depth, width)
+                .select(F.lit(label).alias("config"), "term", "estimate"))
+
+    est = est_at("w64d4", SK.CMS_DEPTH, SK.CMS_WIDTH).unionByName(
+        est_at("w8d2", CMS_NARROW_DEPTH, CMS_NARROW_WIDTH))
+    n_exact = F.coalesce(F.col("_nx"), F.lit(0)).cast("long")
+    return (est.join(exact, "term", "left")
+            .select("config", "term", n_exact.alias("n_exact"),
+                    F.col("estimate").cast("long").alias("n_est"),
+                    (F.col("estimate") - n_exact).cast("long")
+                    .alias("overestimate"))
+            .orderBy("config", "term"))
+
+
 def decontaminate_suite_matrix(spark, sf_dir):
     """Per-suite contamination matrix (benchmark = every 20th doc,
     striped into 3 suites by doc_id % 3): each corpus doc's overlap

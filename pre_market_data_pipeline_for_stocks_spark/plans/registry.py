@@ -1124,22 +1124,26 @@ ORDER BY f.query_id, rank
 """
 
 
-def _cms_sql() -> str:
-    """Twin of extensions.corpus_cms_term_counts (see registry entry)."""
+def _cms_sql(depth: int | None = None, width: int | None = None) -> str:
+    """Twin of extensions.corpus_cms_term_counts (see registry entry);
+    (depth, width) default to the benched sketch geometry and are
+    overridable for corpus_cms_error's deliberately-narrow config."""
     from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_slot_py
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
     probe_rows = ", ".join(
-        f"('{t}', {i}, {cms_slot_py(i, t, CMS_WIDTH)})"
-        for t in X.CMS_PROBE_TERMS for i in range(CMS_DEPTH))
+        f"('{t}', {i}, {cms_slot_py(i, t, width)})"
+        for t in X.CMS_PROBE_TERMS for i in range(depth))
     return f"""
 WITH tok AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
   FROM documents),
 tk AS (SELECT t FROM tok WHERE t <> ''),
-d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+d AS (SELECT unnest(range({depth})) AS i),
 b AS (
   SELECT i,
          ('0x' || substr(md5(i::VARCHAR || ':' || t), 1, 15))::BIGINT
-           % {CMS_WIDTH} AS j,
+           % {width} AS j,
          count(*) AS c
   FROM tk CROSS JOIN d GROUP BY 1, 2),
 probe(term, i, j) AS (VALUES {probe_rows})
@@ -4508,6 +4512,54 @@ SELECT q.query_id,
 FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
 LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
+""")
+
+# Bloom false-positive cost: exactly-clean docs the Bloom path drops
+# (r11 — the sketch-error twin of the recall harnesses). Composes the
+# two existing oracles verbatim; pure integer emissions.
+REGISTRY["decontaminate_bloom_fpr"] = QueryDef(
+    X.decontaminate_bloom_fpr, f"""
+WITH ec AS (
+  SELECT doc_id FROM ({REGISTRY["decontaminate_ngram_overlap"].oracle})
+  WHERE NOT contaminated),
+bc AS (
+  SELECT doc_id FROM ({REGISTRY["decontaminate_bloom_clean"].oracle})),
+agg AS (
+  SELECT (SELECT count(*) FROM ec) AS n_exact_clean,
+         (SELECT count(*) FROM bc) AS n_bloom_clean,
+         (SELECT count(*) FROM ec
+          WHERE doc_id NOT IN (SELECT doc_id FROM bc))
+           AS n_false_dropped)
+SELECT n_exact_clean, n_bloom_clean, n_false_dropped,
+       CAST(n_false_dropped * 1000000
+            // greatest(n_exact_clean, 1) AS BIGINT) AS fpr_e6
+FROM agg
+""")
+
+# CMS overestimation per probe term at two sketch geometries:
+# estimate vs exact count (r11). The narrow w8d2 config exists to
+# FORCE collisions so the width<->error trade is measured.
+_CMS_TERM_LIST = ", ".join(f"'{t}'" for t in X.CMS_PROBE_TERMS)
+REGISTRY["corpus_cms_error"] = QueryDef(X.corpus_cms_error, f"""
+WITH est AS (
+  SELECT 'w64d4' AS config, term, estimate
+  FROM ({REGISTRY["corpus_cms_term_counts"].oracle})
+  UNION ALL
+  SELECT 'w8d2' AS config, term, estimate
+  FROM ({_cms_sql(X.CMS_NARROW_DEPTH, X.CMS_NARROW_WIDTH)})),
+tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+  FROM documents),
+exact AS (
+  SELECT t AS term, count(*) AS nx FROM tok
+  WHERE t <> '' AND t IN ({_CMS_TERM_LIST})
+  GROUP BY 1)
+SELECT e.config, e.term,
+       coalesce(x.nx, 0)::BIGINT AS n_exact,
+       e.estimate::BIGINT AS n_est,
+       (e.estimate - coalesce(x.nx, 0))::BIGINT AS overestimate
+FROM est e LEFT JOIN exact x USING (term)
+ORDER BY e.config, e.term
 """)
 
 # The auto-calibrated twin: same harness over

@@ -247,3 +247,33 @@ def test_sketches_exclude_null_values(spark):
                                  "k string, v double")
     h = SK.hist_partials(vals, [], "v", 0.0, 10.0, 5).collect()[0]["hist"]
     assert sum(h) == 2
+
+
+def test_cms_error_harness_overestimate_only(spark, sf_dir):
+    """corpus_cms_error (r11): overestimates are never negative (the
+    CMS one-sided-error law), the benched w64d4 geometry is
+    collision-free on the fixture vocabulary (measured-zero, the
+    sizing proof), and the deliberately-narrow w8d2 config actually
+    collides so the width<->error trade is a measured curve."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        corpus_cms_error,
+    )
+    rows = corpus_cms_error(spark, sf_dir).collect()
+    assert rows and all(r.overestimate >= 0 for r in rows)
+    assert all(r.overestimate == 0 for r in rows if r.config == "w64d4")
+    assert any(r.overestimate > 0 for r in rows if r.config == "w8d2")
+    assert all(r.n_est == r.n_exact + r.overestimate for r in rows)
+
+
+def test_bloom_fpr_harness_subset_law(spark, sf_dir):
+    """decontaminate_bloom_fpr (r11): Bloom probes only false-POSITIVE,
+    so the bloom-clean set can never exceed the exact-clean set and
+    the false-drop count is their difference exactly."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        decontaminate_bloom_fpr,
+    )
+    r = decontaminate_bloom_fpr(spark, sf_dir).collect()[0]
+    assert r.n_bloom_clean <= r.n_exact_clean
+    assert r.n_false_dropped == r.n_exact_clean - r.n_bloom_clean
+    assert r.fpr_e6 == (r.n_false_dropped * 10 ** 6) \
+        // max(r.n_exact_clean, 1)
