@@ -562,6 +562,12 @@ def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
     probe → in-cell brute-force semantics as ivf_topk, byte-identical
     results for the same codebook (pinned in tests).
 
+    Sizing ``nprobe`` for this path: calibrate ONCE against the saved
+    index with ivf_auto_nprobe (a held-out probe shard + the loaded
+    ``cents``) and pass the resulting int here — a fixed guess decays
+    toward zero recall as the index's cell count grows (measured in
+    BASELINE.md r11: min recall@10 0.30 at 10 cells with nprobe=3).
+
     The query vector and the probe-cell selection are DRIVER-SIDE
     model state, like the codebook itself: the query is ONE row (in a
     real deployment it arrives from the caller, not from a corpus
