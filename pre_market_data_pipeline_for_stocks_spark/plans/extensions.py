@@ -1827,6 +1827,60 @@ def ann_hamming_recall_batch_auto(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+def approx_error_panel(spark, sf_dir):
+    """One-stop approximation datacard (r11): every measured-error
+    harness in the engine reduced to (family, metric, value) integer
+    rows — the table a training-data pipeline's model card quotes.
+    Composes the seven harnesses (MinHash-LSH pair recall, sign-LSH
+    fixed + auto, IVF auto min/mean, Hamming fixed + auto min/mean,
+    Bloom false-drop rate, CMS max overestimate per geometry); every
+    underlying side stays oracle-checked individually, and the panel's
+    own oracle is the same composition in SQL."""
+    from ..functions.fixedpoint import idiv_long
+
+    def one(df, family, metric, col):
+        return df.select(F.lit(family).alias("family"),
+                         F.lit(metric).alias("metric"),
+                         F.col(col).cast("long").alias("value"))
+
+    def minmean(df, family):
+        a = df.agg(F.min("recall_e6").alias("_mn"),
+                   F.sum("recall_e6").alias("_s"),
+                   F.count(F.lit(1)).alias("_n"))
+        mean = idiv_long(F.col("_s"),
+                         F.greatest(F.col("_n"), F.lit(1)))
+        return (one(a, family, "min_recall_e6", "_mn")
+                .unionByName(a.select(
+                    F.lit(family).alias("family"),
+                    F.lit("mean_recall_e6").alias("metric"),
+                    mean.cast("long").alias("value"))))
+
+    parts = [
+        one(dedup_lsh_recall(spark, sf_dir),
+            "dedup_minhash_lsh", "pair_recall_e6", "recall_e6"),
+        one(ann_lsh_pair_recall(spark, sf_dir),
+            "ann_sign_lsh_fixed", "pair_recall_e6", "recall_e6"),
+        one(ann_lsh_pair_recall_auto(spark, sf_dir),
+            "ann_sign_lsh_auto", "pair_recall_e6", "recall_e6"),
+        minmean(ann_ivf_recall_batch(spark, sf_dir), "ann_ivf_auto"),
+        minmean(ann_hamming_recall_batch(spark, sf_dir),
+                "ann_hamming_fixed"),
+        minmean(ann_hamming_recall_batch_auto(spark, sf_dir),
+                "ann_hamming_auto"),
+        one(decontaminate_bloom_fpr(spark, sf_dir),
+            "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
+        (corpus_cms_error(spark, sf_dir)
+         .groupBy("config").agg(F.max("overestimate").alias("_mx"))
+         .select(F.concat(F.lit("cms_"), F.col("config")).alias("family"),
+                 F.lit("max_overestimate_n").alias("metric"),
+                 F.col("_mx").cast("long").alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("family", "metric")
+
+
 AUDIO_WINDOW_MS = 25
 
 

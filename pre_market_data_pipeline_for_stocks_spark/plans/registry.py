@@ -4596,6 +4596,55 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """)
 
+# One-stop approximation datacard (r11): every measured-error
+# harness as (family, metric, value) integer rows. Pure composition
+# of already-registered oracles; every sum() is cast to BIGINT
+# before the integer division (the r9 HUGEINT lesson).
+REGISTRY["approx_error_panel"] = QueryDef(X.approx_error_panel, f"""
+WITH ivf AS (SELECT recall_e6 FROM
+             ({REGISTRY["ann_ivf_recall_batch"].oracle})),
+hamf AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_hamming_recall_batch"].oracle})),
+hama AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_hamming_recall_batch_auto"].oracle})),
+panel AS (
+  SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
+         recall_e6 AS value
+  FROM ({REGISTRY["dedup_lsh_recall"].oracle})
+  UNION ALL
+  SELECT 'ann_sign_lsh_fixed', 'pair_recall_e6', recall_e6
+  FROM ({REGISTRY["ann_lsh_pair_recall"].oracle})
+  UNION ALL
+  SELECT 'ann_sign_lsh_auto', 'pair_recall_e6', recall_e6
+  FROM ({REGISTRY["ann_lsh_pair_recall_auto"].oracle})
+  UNION ALL
+  SELECT 'ann_ivf_auto', 'min_recall_e6', min(recall_e6) FROM ivf
+  UNION ALL
+  SELECT 'ann_ivf_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ivf
+  UNION ALL
+  SELECT 'ann_hamming_fixed', 'min_recall_e6', min(recall_e6) FROM hamf
+  UNION ALL
+  SELECT 'ann_hamming_fixed', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM hamf
+  UNION ALL
+  SELECT 'ann_hamming_auto', 'min_recall_e6', min(recall_e6) FROM hama
+  UNION ALL
+  SELECT 'ann_hamming_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM hama
+  UNION ALL
+  SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
+  FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})
+  UNION ALL
+  SELECT 'cms_' || config, 'max_overestimate_n', max(overestimate)
+  FROM ({REGISTRY["corpus_cms_error"].oracle}) GROUP BY config)
+SELECT family, metric, CAST(value AS BIGINT) AS value
+FROM panel ORDER BY family, metric
+""")
+
 # The served index is pinned equal to the inline scorer
 # (test_bm25_indexed_equals_inline), so the INLINE oracle is the twin:
 # a mismatch isolates to the index artifact path.

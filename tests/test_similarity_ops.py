@@ -975,3 +975,46 @@ def test_hamming_auto_rerank_exact_floor(emb):
     assert all(r.recall_e6 == 10 ** 6 for r in rep100)
     with pytest.raises(ValueError):
         S.hamming_topk_batch(emb, qs, rerank_factor="lots")
+
+
+def test_auto_calibration_plans_no_cartesian(emb):
+    """The r11 calibration passes must keep the batch plan contracts:
+    no cartesian product anywhere — the truth scorer and the
+    rank/cell-rank relations reach the corpus only through broadcast
+    sides (probes and centroids are model-sized by contract). Checked
+    on the SERVED plans (auto already resolved), which embed the same
+    join shapes the calibration jobs executed."""
+    qs = _queries(emb)
+    ivf_auto = S.ivf_topk_batch(emb, qs, k=5, centroid_stride=50,
+                                nprobe="auto")
+    ham_auto = S.hamming_topk_batch(emb, qs, k=5, rerank_factor="auto")
+    truth = S.cosine_topk_batch_int(emb, qs, k=5)
+    for df in (ivf_auto, ham_auto, truth):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+    # exact-pair truth side of the LSH harness: corpus x broadcast
+    # anchors, never a shuffle-side cartesian
+    pairs_plan = (S.cosine_threshold_pairs_int(emb, 0.4, anchor_mod=10)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" in pairs_plan
+
+
+def test_approx_error_panel_shape_and_laws(spark, sf_dir):
+    """The datacard panel: 12 integer rows, every auto family at or
+    above its fixed twin (the reason the auto modes exist), recalls in
+    [0, 1e6], overestimates non-negative."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        approx_error_panel,
+    )
+    rows = {(r.family, r.metric): r.value
+            for r in approx_error_panel(spark, sf_dir).collect()}
+    assert len(rows) == 12
+    assert all(0 <= v <= 10 ** 6 for (f, m), v in rows.items()
+               if m.endswith("recall_e6"))
+    assert rows[("ann_hamming_auto", "min_recall_e6")] >= \
+        rows[("ann_hamming_fixed", "min_recall_e6")]
+    assert rows[("ann_sign_lsh_auto", "pair_recall_e6")] >= \
+        rows[("ann_sign_lsh_fixed", "pair_recall_e6")]
+    assert rows[("cms_w64d4", "max_overestimate_n")] >= 0
+    assert rows[("cms_w8d2", "max_overestimate_n")] >= 0
