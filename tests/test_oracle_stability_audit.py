@@ -109,6 +109,13 @@ ALLOWED = {
     # emissions are pure integers, so a round flip could only move one
     # membership at the measure-zero midpoint case.
     "ann_ivf_recall_batch",
+    # pure COMPOSITION of already-listed oracles (it unions
+    # ann_ivf_recall_batch + the hamming/lsh/bloom/cms harnesses
+    # verbatim as subqueries — the round(avg) the regex sees is the
+    # embedded IVF training CTE adjudicated above); the panel's own
+    # emissions are integer min/mean/max over the members' integer
+    # outputs, so it adds NO new rounding surface of its own.
+    "approx_error_panel",
     "ann_mmr_rerank_batch",
     "dedup_semantic_prune",
     # JSON-extracted literal doubles rounded at their own grid; values
