@@ -271,3 +271,34 @@ def test_binary_signature_bits_match_plane_signs(spark, vecs, planes):
         # numpy packs bit 63 via uint64 wrap -> int64 two's complement
         want = want - (1 << 64) if want >= (1 << 63) else want
         assert sigs[i] == want, (i, planes)
+
+
+def test_auto_bands_formula_tight_bound_property():
+    """Property (hypothesis): auto_bands_for_recall returns the
+    MINIMAL band count whose closed-form expected recall at the
+    threshold angle meets the target — b satisfies the bound and
+    (b-1) does not, except at the clamps."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        auto_bands_for_recall,
+    )
+
+    @given(st.floats(min_value=0.05, max_value=0.95),
+           st.integers(min_value=2, max_value=16),
+           st.integers(min_value=5, max_value=95))
+    def check(threshold, r, target_pct):
+        b = auto_bands_for_recall(threshold, r, target_pct, max_bands=64)
+        p = 1.0 - math.acos(threshold) / math.pi
+        pb = p ** r
+        recall = lambda bands: 1.0 - (1.0 - pb) ** bands
+        target = target_pct / 100.0
+        assert 1 <= b <= 64
+        if b < 64:                       # not ceiling-clamped
+            assert recall(b) >= target - 1e-12
+        if b > 1:                        # not floor-clamped
+            assert recall(b - 1) < target + 1e-12
+
+    check()
