@@ -40,8 +40,8 @@ from pathlib import Path
 # from a regression without it).
 CALIBRATION_ROWS = 2_000_000_000
 
-# Loadavg gate: sampling starts only once the 1-min loadavg is below
-# this (or the bounded wait expires). 1.5 not 1.0 — the freshly-started
+# Loadavg gate: sampling starts only once the loadavg is below the
+# gate (or the bounded wait expires). 1.5 not 1.0 — the freshly-started
 # JVM itself contributes a few tenths, and a hard 1.0 gate on a host
 # with background churn would burn the whole wait budget for nothing.
 LOAD_GATE = 1.5
@@ -51,8 +51,18 @@ LOAD_GATE = 1.5
 # LOAD_WAIT_SOFT_S, and measure regardless at LOAD_WAIT_MAX_S (the
 # calibration numbers let the reader normalize ex post either way).
 LOAD_GATE_TIGHT = 1.0
+# r10/r11 lesson: gating on the 1-min average alone opened two
+# consecutive driver windows into a still-draining host (r10 5-min
+# 3.56, r11 5.09 at a green 1-min) and both rounds' risers had to be
+# re-attributed to noise by calibration archaeology. Gate BOTH
+# averages: the 5-min one is the drain detector. Its decay time
+# constant is ~5 min, so the wait budget must exceed that — 600 s hard
+# cap (vs the old 300) so a host that just finished a heavy sweep can
+# actually drain within the budget.
+LOAD_GATE_5MIN_TIGHT = 1.5
+LOAD_GATE_5MIN = 2.0
 LOAD_WAIT_SOFT_S = 180
-LOAD_WAIT_MAX_S = 300
+LOAD_WAIT_MAX_S = 600
 LOAD_POLL_S = 10
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -74,10 +84,11 @@ def main() -> None:
     # can normalize ex post.
     waited = 0.0
     while waited < LOAD_WAIT_MAX_S:
-        la = os.getloadavg()[0]
-        if la <= LOAD_GATE_TIGHT:
+        la1, la5, _ = os.getloadavg()
+        if la1 <= LOAD_GATE_TIGHT and la5 <= LOAD_GATE_5MIN_TIGHT:
             break
-        if la <= LOAD_GATE and waited >= LOAD_WAIT_SOFT_S:
+        if (la1 <= LOAD_GATE and la5 <= LOAD_GATE_5MIN
+                and waited >= LOAD_WAIT_SOFT_S):
             break
         time.sleep(LOAD_POLL_S)
         waited += LOAD_POLL_S

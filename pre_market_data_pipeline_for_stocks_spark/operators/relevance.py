@@ -180,7 +180,8 @@ def bm25_search(docs: DataFrame, query_terms: list[str], top_n: int = 20,
 
 def save_bm25_index(docs: DataFrame, path: str,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> None:
+                    text_col: str = "text",
+                    k1: float = BM25_K1, b: float = BM25_B) -> None:
     """Persist the BM25 serving artifact — tokenize ONCE at ingest,
     serve every query from postings (the Lucene topology, as a lake):
 
@@ -194,6 +195,13 @@ def save_bm25_index(docs: DataFrame, path: str,
                         the serving path inherits the r9 emission
                         contract (avgdl is the exact rational TL/N,
                         cleared inside the scorer).
+      {path}/_params    one row (k1_e6, b_e6 BIGINT) — the scoring
+                        parameters the index was built to serve (r12,
+                        the calibration-sidecar symmetry item): a
+                        consumer who doesn't pass k1/b scores with
+                        the artifact's own parameters instead of
+                        guessing. Hidden-path name so any parquet
+                        listing of the artifact root skips it.
 
     At 100 TB the text is tokenized exactly once; a query touches only
     its terms' postings plus the doc-length join — corpus text never
@@ -213,16 +221,47 @@ def save_bm25_index(docs: DataFrame, path: str,
     (dl.agg(F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_len"))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+    (docs.sparkSession
+     .createDataFrame([(round(k1 * 10 ** 6), round(b * 10 ** 6))],
+                      schema="k1_e6 long, b_e6 long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/_params"))
+
+
+def load_bm25_params(spark, path: str) -> tuple[float, float] | None:
+    """(k1, b) stored with a save_bm25_index artifact; None for a
+    pre-r12 index without the ``_params`` row. The e6 fixed-point
+    round trip is exact for any 'nice' parameter (1.2 → 1200000 →
+    1.2; bm25_int_constants re-derives its exact rationals from the
+    recovered float through the same limit_denominator(1e6), so the
+    stored-params scorer is bit-identical to the build-time one)."""
+    from pyspark.errors import AnalysisException
+    try:
+        row = spark.read.parquet(f"{path}/_params").head()
+    except AnalysisException:
+        return None
+    if row is None:
+        return None
+    return row["k1_e6"] / 10 ** 6, row["b_e6"] / 10 ** 6
 
 
 def bm25_search_indexed(spark, path: str, query_terms: list[str],
-                        top_n: int = 20, k1: float = BM25_K1,
-                        b: float = BM25_B) -> DataFrame:
+                        top_n: int = 20, k1: float | None = None,
+                        b: float | None = None) -> DataFrame:
     """BM25 over a stored index (save_bm25_index): identical scoring,
     identical integer score_e6 emission and tie-breaks as bm25_search —
     pinned equal in tests — but the only corpus-sized read is the query
     terms' postings slice (token pushdown reaches the parquet scan)
-    plus the doc-length join for matched docs."""
+    plus the doc-length join for matched docs.
+
+    ``k1``/``b`` default (None) to the parameters STORED with the
+    artifact (r12) — the index serves with what it was built for —
+    falling back to the module defaults for a pre-r12 index; pass
+    explicit values to override."""
+    if k1 is None or b is None:
+        stored = load_bm25_params(spark, path)
+        sk1, sb = stored if stored else (BM25_K1, BM25_B)
+        k1 = sk1 if k1 is None else k1
+        b = sb if b is None else b
     terms = sorted({t.lower() for t in query_terms})
     postings = (spark.read.parquet(f"{path}/postings")
                 .filter(F.col("token").isin(terms)))

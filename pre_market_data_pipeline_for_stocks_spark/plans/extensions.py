@@ -1827,6 +1827,60 @@ def ann_hamming_recall_batch_auto(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+def ann_ivf_from_saved_index(spark, sf_dir):
+    """The full self-describing-artifact lifecycle in one query (r12,
+    the r11 verdict's #1 item): train the codebook, calibrate it
+    against the standard probe shard (calibrate_ivf_index — smallest
+    nprobe holding recall@10 >= 0.8 plus the measured floor), save
+    codebook + calibration sidecar, then LOAD the artifact and serve
+    the batch with every knob defaulted from the stored calibration
+    (ivf_topk_batch_from_index). Byte-identical to
+    ann_ivf_topk_batch_auto by construction — calibrate-then-serve ==
+    save-load-then-serve is the contract the sidecar exists to keep —
+    so the oracle is the same auto-calibrated SQL twin."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    trained = similarity.train_ivf_centroids(emb, 200, 1, sample_mod=2)
+    cents = spark.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    calib = similarity.calibrate_ivf_index(emb, cents, queries,
+                                           k=ANN_TOPK,
+                                           recall_target_pct=80)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.save_ivf_index(cents, path, calibration=calib)
+    return similarity.ivf_topk_batch_from_index(emb, path, queries)
+
+
+def ann_hamming_from_saved_index(spark, sf_dir):
+    """Binary-ANN twin of ann_ivf_from_saved_index: build the 64-bit
+    signature index, calibrate the Hamming candidate cut against the
+    standard probe shard (calibrate_signature_index — an EXACT floor,
+    the rerank kernel being the truth kernel), persist index +
+    calibration sidecar, then load and serve with the stored cut
+    (hamming_topk_batch_from_index). Byte-identical to the
+    rerank_factor="auto" batch at the same (k, target), which is the
+    oracle twin used here."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % HAMMING_BATCH_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    sigs = similarity.binary_signatures(emb)
+    calib = similarity.calibrate_signature_index(emb, queries,
+                                                 k=ANN_TOPK,
+                                                 recall_target_pct=80,
+                                                 sigs=sigs)
+    path = tempfile.mkdtemp(prefix="sig_index_")
+    similarity.save_signature_index(sigs, path, calibration=calib)
+    return (similarity.hamming_topk_batch_from_index(emb, path, queries)
+            .orderBy("query_id", "vec_id"))
+
+
 def approx_error_panel(spark, sf_dir):
     """One-stop approximation datacard (r11): every measured-error
     harness in the engine reduced to (family, metric, value) integer

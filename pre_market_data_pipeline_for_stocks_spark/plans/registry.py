@@ -4596,6 +4596,20 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """)
 
+# Self-describing index artifacts (r12 — the r11 verdict's #1 item):
+# train/build -> calibrate -> save WITH the calibration sidecar ->
+# load -> serve with every knob defaulted from the artifact. The
+# contract is load-then-serve == calibrate-then-serve EXACTLY (also
+# unit-pinned), so each oracle is the corresponding auto-calibrated
+# twin verbatim: _ivf_batch_sql(nprobe="auto") carries the same
+# adjudication note as ann_ivf_topk_batch_auto (see
+# tests/test_oracle_stability_audit.py); the hamming twin is pure
+# integers end to end.
+REGISTRY["ann_ivf_from_saved_index"] = QueryDef(
+    X.ann_ivf_from_saved_index, _ivf_batch_sql(nprobe="auto"))
+REGISTRY["ann_hamming_from_saved_index"] = QueryDef(
+    X.ann_hamming_from_saved_index, _hamming_batch_sql(100, 10, "auto"))
+
 # One-stop approximation datacard (r11): every measured-error
 # harness as (family, metric, value) integer rows. Pure composition
 # of already-registered oracles; every sum() is cast to BIGINT
@@ -4719,16 +4733,11 @@ def _last_green_rounds() -> dict[str, int]:
 # rotation queue (sorted before even the never-verified cohort) until
 # the next driver window re-samples them. Refresh per round — stale
 # entries here only waste sample slots, never correctness.
-# r11: the ADVICE fixes touched these two directly
-# (recall_report's min(k,|truth|) denominator changed emitted values;
-# eval_classifier_auc runs the null-guarded _distributed_cumsum) and
-# retrieval_rrf_hybrid's window pin gained the nanvl layer. The 19
-# r10 entries all came back driver-green in CORRECTNESS_r10 and were
-# dropped so they stop eating sample slots (VERDICT r10 hygiene #1).
-REWRITTEN_THIS_ROUND = {
-    "ann_ivf_recall_batch", "eval_classifier_auc",
-    "retrieval_rrf_hybrid",
-}
+# r12: the three r11 entries all came back driver-green in
+# CORRECTNESS_r11 and were dropped (VERDICT r11 hygiene #1), so the
+# rotation slots go to the r7/r8 staleness tail. Repopulate only when
+# a round actually rewrites a query's oracle.
+REWRITTEN_THIS_ROUND: set[str] = set()
 
 
 def _rotated_names() -> list[str]:

@@ -98,11 +98,23 @@ ALLOWED = {
     "ann_ivf_topk",
     "ann_ivf_topk_auto",
     "ann_ivf_topk_batch",
-    # same fold-twin cosine grid as ann_ivf_topk_batch; the auto-
-    # nprobe calibration CTEs added in r11 are pure integers end to
-    # end (quantized truth kernel + rank counting), so the
-    # adjudication surface is unchanged.
+    # same fold-twin cosine grid as ann_ivf_topk_batch. The r11
+    # auto-nprobe calibration CTEs EMIT pure integers (quantized truth
+    # kernel + rank counting), but cellrank orders cells by the
+    # UN-rounded double centroid cosine, and the derived scalar nprobe
+    # feeds EVERY query in the batch — a cross-engine fold divergence
+    # there would have a wider blast radius than the per-row probed
+    # surface above. The adjudication therefore rests explicitly on
+    # the fold-twin bit-identity argument: both engines fold the same
+    # integer-quantized components in the same index order through
+    # IEEE doubles, so the rank comparison sees bit-identical inputs
+    # (ADVICE r12 rewording).
     "ann_ivf_topk_batch_auto",
+    # r12: identical oracle TEXT to ann_ivf_topk_batch_auto
+    # (_ivf_batch_sql(nprobe="auto") verbatim — the saved-index serve
+    # is byte-identical to calibrate-then-serve by contract), so the
+    # adjudication above applies unchanged.
+    "ann_ivf_from_saved_index",
     # recall harness: embeds _ivf_batch_sql verbatim for its APPROX
     # side (same fold-twin adjudication as ann_ivf_topk_batch, same
     # rounded cosine in the same grid); the ground-truth side and all

@@ -168,18 +168,26 @@ def test_finbert_real_model_smoke(spark):
     Arrow batching, struct schema, lazy per-executor load, label/score
     normalization — is already pinned by the fake-model and
     recorded-output tests above."""
-    pytest.importorskip("transformers")
+    transformers = pytest.importorskip("transformers")
     pytest.importorskip("torch")
+    # Probe weight availability on the DRIVER before the Spark run, so
+    # the only skip path is the narrow download/IO failure class.
+    # requests.RequestException subclasses OSError, so one except arm
+    # covers both missing local weights and network errors — while a
+    # genuine scoring bug in score() below (TypeError, schema mismatch)
+    # still FAILS instead of masquerading as a skip (ADVICE r11).
+    try:
+        transformers.pipeline(task="text-classification",
+                              model="ProsusAI/finbert", device=-1)
+    except OSError as exc:
+        pytest.skip(f"FinBERT weights unavailable: {exc}")
     df = spark.createDataFrame(
         [("Company stock soars on record quarterly profits",),
          ("Company files for bankruptcy after massive losses",),
          (DEFAULT_HEADLINE,)],
         "headline string")
-    try:
-        rows = {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
-                for r in FinBERTSentiment().score(df).collect()}
-    except Exception as exc:  # model download needs network
-        pytest.skip(f"FinBERT weights unavailable: {exc}")
+    rows = {r["headline"]: (r["sentiment_label"], r["sentiment_score"])
+            for r in FinBERTSentiment().score(df).collect()}
     assert rows["Company stock soars on record quarterly profits"][0] == \
         "Positive"
     assert rows["Company stock soars on record quarterly profits"][1] > 0

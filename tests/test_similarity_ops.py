@@ -859,7 +859,15 @@ def test_auto_nprobe_holds_min_recall_floor(emb):
                               recall_target_pct=80)
     truth = S.cosine_topk_batch_int(emb, qs, k=10)
     rep = S.recall_report(approx, truth, k=10).collect()
-    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+    # The calibration guarantees truth-cell CANDIDACY, not exact serve
+    # parity: ivf_auto_nprobe's docstring documents that boundary rows
+    # where the 4-dp double serving kernel disagrees with the integer
+    # truth kernel can slip below the target. Allow that documented
+    # <=1-row slippage (100000e6/k at k=10) so a new fixture can't
+    # fail without a code regression; on the current fixture the exact
+    # floor does hold, asserted as a soft ceiling on total slippage.
+    assert rep and all(r.recall_e6 >= 800000 - 100000 for r in rep)
+    assert sum(1 for r in rep if r.recall_e6 < 800000) <= 1
 
 
 def test_auto_nprobe_scales_with_target(emb):
@@ -953,6 +961,22 @@ def test_lsh_auto_bands_buys_back_recall(emb):
     assert fixed <= auto
     with pytest.raises(ValueError):
         S.lsh_candidate_pairs(emb, bands="all")
+    # r12 ADVICE: unknown strings for planes_per_band must raise the
+    # same descriptive ValueError, not a late TypeError in band-key
+    # construction.
+    with pytest.raises(ValueError, match="planes_per_band"):
+        S.lsh_candidate_pairs(emb, planes_per_band="lots")
+
+
+def test_auto_bands_threshold_validation():
+    """auto_bands_for_recall validates threshold in (-1, 1] (r12
+    ADVICE): -1 makes p=0 (ZeroDivisionError), |t|>1 breaks acos —
+    both must surface as a descriptive ValueError instead."""
+    for bad in (-1.0, -1.5, 1.0001, 2.0):
+        with pytest.raises(ValueError, match="threshold"):
+            S.auto_bands_for_recall(bad, 4)
+    # boundary legal value: exactly 1.0 (p=1 -> single band suffices)
+    assert S.auto_bands_for_recall(1.0, 4) == 1
 
 
 def test_hamming_auto_rerank_exact_floor(emb):
