@@ -84,7 +84,12 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     """(num_bits, num_k) for the Bloom sizing — ONE shared derivation
     so the Spark operator and the DuckDB oracle twin can never disagree
-    on the bit geometry (registry.py embeds these as literals)."""
+    on the bit geometry (registry.py embeds these as literals).
+
+    This is the legacy FLOAT derivation for a caller-guessed
+    ``expected_items``; the auto-sized path (expected_items="auto")
+    uses bloom_geometry_int instead, whose integer fixed-point formula
+    a SQL twin can replay against a data-dependent n."""
     import math
 
     num_bits = max(64, int(-expected_items * math.log(fpp)
@@ -93,10 +98,66 @@ def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return num_bits, num_k
 
 
+LN2_E6 = 693147           # round(ln 2 * 1e6)
+
+
+def bloom_bits_per_item_e6(fpp: float) -> int:
+    """round(-ln(fpp) / ln(2)^2 * 1e6) — the bits-per-inserted-item of
+    the optimal Bloom sizing at target false-positive rate ``fpp``, as
+    an e6 fixed-point integer. Computed ONCE driver-side per fpp and
+    embedded as a literal in both engines, so the only data-dependent
+    part of the geometry (the multiply by n) is pure integer math."""
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1): {fpp!r}")
+    return round(-math.log(fpp) / math.log(2) ** 2 * 10 ** 6)
+
+
+def bloom_geometry_int(n_items: int, fpp: float) -> tuple[int, int]:
+    """Integer-exact (num_bits, num_k) from a MEASURED item count —
+    the r12 auto-sizing: m = -n ln(p)/ln^2(2), k = round(m/n * ln 2)
+    re-expressed over e6 fixed-point so a SQL twin computing n from
+    the data derives the IDENTICAL geometry (a 1-ulp libm divergence
+    in a float formula would flip num_bits by one and scatter every
+    bit position — the cross-engine class the r9 contract bans):
+
+        num_bits = max(64, n * C // 1e6)       C = bits-per-item e6
+        num_k    = max(1, (2*num_bits*LN2_E6 + n*1e6) // (2*n*1e6))
+
+    (the num_k expression is exact round-half-up of
+    num_bits*ln2/n over integers). Degenerate n <= 0 returns the
+    64-bit/1-hash floor."""
+    n = max(1, int(n_items))
+    c = bloom_bits_per_item_e6(fpp)
+    num_bits = max(64, n * c // 10 ** 6)
+    num_k = max(1, (2 * num_bits * LN2_E6 + n * 10 ** 6)
+                // (2 * n * 10 ** 6))
+    return num_bits, num_k
+
+
+def bloom_auto_geometry(benchmark: DataFrame, n: int = 3,
+                        fpp: float = 0.01) -> tuple[int, int, int]:
+    """(n_items, num_bits, num_k) sized from the benchmark's MEASURED
+    distinct-shingle count — what decontaminate_bloom inserts — via
+    bloom_geometry_int. One count() action (model sizing, like IVF's
+    centroid collect): the r11 default guessed expected_items=1e6,
+    which over-allocates ~1000x on a small benchmark and, worse,
+    silently undershoots the target fpp once real stacked benchmarks
+    pass it — measuring n is the difference between a stated error
+    rate and a hope."""
+    n_items = (hashed_shingles(benchmark, n).select("sh")
+               .distinct().count())
+    num_bits, num_k = bloom_geometry_int(n_items, fpp)
+    return n_items, num_bits, num_k
+
+
 def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
                         n: int = 3, threshold: float = 0.1,
-                        expected_items: int = 1_000_000,
-                        fpp: float = 0.01) -> DataFrame:
+                        expected_items: int | str = 1_000_000,
+                        fpp: float = 0.01,
+                        geometry: tuple[int, int] | None = None
+                        ) -> DataFrame:
     """Bloom-filter decontamination — the variant for when even the
     benchmark's distinct-shingle SET outgrows a comfortable broadcast
     (stacked benchmarks at 100 TB: hundreds of eval suites, ~1e9
@@ -130,8 +191,25 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
     relationally (distinct positions instead of a packed bitset) and
     replays the membership test bit-for-bit; the dirty cut is the
     exact integer comparison n_hit * t_den >= t_num * n_sh. The
-    subset-vs-exact property stays unit-tested on top."""
-    num_bits, num_k = bloom_params(expected_items, fpp)
+    subset-vs-exact property stays unit-tested on top.
+
+    Sizing (r12): ``expected_items="auto"`` MEASURES the benchmark's
+    distinct-shingle count (one count() action) and derives
+    (num_bits, num_k) from it via the integer-exact bloom_geometry_int
+    — the filter holds ~``fpp`` for whatever benchmark it is actually
+    given, instead of for a guessed 1e6. An int keeps the legacy
+    float bloom_params derivation. ``geometry=(num_bits, num_k)``
+    overrides both — the path for a caller (the fpr harness) that
+    already ran bloom_auto_geometry and wants the count paid once."""
+    if geometry is not None:
+        num_bits, num_k = geometry
+    elif expected_items == "auto":
+        _, num_bits, num_k = bloom_auto_geometry(benchmark, n, fpp)
+    elif isinstance(expected_items, str):
+        raise ValueError(
+            f"expected_items must be an int or 'auto': {expected_items!r}")
+    else:
+        num_bits, num_k = bloom_params(expected_items, fpp)
 
     def _positions(h: "np.ndarray") -> "np.ndarray":
         # (len(h), k) bit positions; h is the 60-bit shingle hash.

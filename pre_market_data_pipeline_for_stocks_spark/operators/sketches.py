@@ -74,6 +74,43 @@ def hll_distinct(df: DataFrame, keys: list[str], value_col: str,
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 
+# e6 fixed-point constants for the sizing formulas (r12): one
+# float->int literal each, computed once here so every consumer —
+# including the DuckDB oracle twins, which embed the derived widths
+# as literals — shares the identical integer derivation. round(e*1e6)
+# and round(ln(1/0.5..)*1e6) respectively never sit near an integer
+# boundary, so the literals are stable across float builds.
+E_E6 = 2718282            # round(e * 1e6)
+
+
+def cms_geometry(epsilon: float, delta: float) -> tuple[int, int]:
+    """(width, depth) from the standard count-min guarantee targets
+    (Cormode & Muthukrishnan 2005): with w = ceil(e/epsilon) and
+    d = ceil(ln(1/delta)), every point estimate overestimates by at
+    most epsilon*N (N = total stream count) with probability >=
+    1 - delta. The r12 closing move of the measured-error program:
+    the geometry is DERIVED from a stated error target instead of
+    guessed, the same direction ivf_auto_nprobe/auto_bands gave the
+    ANN families.
+
+    Integer fixed-point derivation (engine-portable, property-tested):
+    epsilon/delta clear to e6 integers via round(), then
+    width = ceil(E_E6 / eps_e6) and depth = ceil(ln(1/delta)*1e6 / 1e6)
+    as exact integer ceiling divisions — no float comparison decides a
+    boundary. Driver-side math only (geometry does not depend on the
+    data), so oracles embed the result as literals."""
+    import math
+
+    if not 0.0 < epsilon <= 1.0:
+        raise ValueError(f"epsilon must be in (0, 1]: {epsilon!r}")
+    if not 0.0 < delta < 1.0:
+        raise ValueError(f"delta must be in (0, 1): {delta!r}")
+    eps_e6 = round(epsilon * 10 ** 6)
+    width = -(-E_E6 // eps_e6)
+    ln_e6 = round(math.log(1.0 / delta) * 10 ** 6)
+    depth = max(1, -(-ln_e6 // 10 ** 6))
+    return width, depth
+
 
 def _cms_slot(i_col, value_col, width: int):
     """depth-row bucket: md5 over "<i>:<value>" (the seeded-hash

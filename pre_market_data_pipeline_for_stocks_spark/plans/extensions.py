@@ -1387,11 +1387,18 @@ def decontaminate_bloom_clean(spark, sf_dir):
     placement is deterministic integer math, so the DuckDB twin
     rebuilds the identical bit set and membership test (the last
     no-oracle row becomes a real green); the subset-vs-exact property
-    stays unit-tested on top."""
+    stays unit-tested on top.
+
+    r12: the geometry is AUTO-SIZED from the benchmark's measured
+    distinct-shingle count at the 1% fpp target (bloom_geometry_int —
+    integer-exact, so the oracle twin derives the identical bits from
+    its own COUNT(DISTINCT sh)), replacing the guessed
+    expected_items=1e6 the r11 harness documented as over-allocation."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
-    return (decontam.decontaminate_bloom(corpus, bench, n=3, threshold=0.1)
+    return (decontam.decontaminate_bloom(corpus, bench, n=3, threshold=0.1,
+                                         expected_items="auto")
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
@@ -1404,16 +1411,25 @@ def decontaminate_bloom_fpr(spark, sf_dir):
     subset property — and the harness turns its size into a
     driver-verified rate: the data-loss price of the O(bits) bitset vs
     the exact join, alongside the recall numbers the ANN/LSH families
-    carry. Same split and threshold as decontaminate_ngram_overlap."""
+    carry. Same split and threshold as decontaminate_ngram_overlap.
+
+    r12: the Bloom side runs the AUTO-SIZED geometry (measured
+    benchmark shingle count -> integer bloom_geometry_int at the 1%
+    fpp target) and the row now RECORDS that geometry
+    (n_items, num_bits, num_k) next to the measured rate — the sizing
+    decision and its error cost in one auditable relation."""
     from ..functions.fixedpoint import idiv_long
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    n_items, num_bits, num_k = decontam.bloom_auto_geometry(bench, n=3,
+                                                            fpp=0.01)
     exact_clean = (decontam.benchmark_overlap(corpus, bench,
                                               n=3, threshold=0.1)
                    .filter(~F.col("contaminated")).select("doc_id"))
     bloom_clean = (decontam.decontaminate_bloom(corpus, bench,
-                                                n=3, threshold=0.1)
+                                                n=3, threshold=0.1,
+                                                geometry=(num_bits, num_k))
                    .select("doc_id"))
     dropped = exact_clean.join(bloom_clean, "doc_id", "left_anti")
     agg = (exact_clean.agg(F.count(F.lit(1)).alias("n_exact_clean"))
@@ -1422,14 +1438,29 @@ def decontaminate_bloom_fpr(spark, sf_dir):
            .crossJoin(dropped.agg(
                F.count(F.lit(1)).alias("n_false_dropped"))))
     return agg.select(
+        F.lit(n_items).cast("long").alias("n_items"),
+        F.lit(num_bits).cast("long").alias("num_bits"),
+        F.lit(num_k).cast("long").alias("num_k"),
         "n_exact_clean", "n_bloom_clean", "n_false_dropped",
         idiv_long(F.col("n_false_dropped") * F.lit(10 ** 6),
                   F.greatest(F.col("n_exact_clean"), F.lit(1)))
         .alias("fpr_e6"))
 
 
-CMS_NARROW_DEPTH = 2
-CMS_NARROW_WIDTH = 8
+# r12: the two measured geometries are DERIVED from stated (epsilon,
+# delta) error targets via sketches.cms_geometry — a tight production
+# target and a deliberately-loose one that forces collisions so the
+# width <-> error trade stays a measured curve. Resolved once at
+# import; the registry embeds the same derived literals in the oracle.
+CMS_ERROR_TARGETS = [(0.05, 0.01),   # -> w55 d5: overestimate <= 5% of N
+                     (0.5, 0.5)]     # -> w6 d1: the collision regime
+
+
+def _cms_error_configs():
+    from ..operators.sketches import cms_geometry
+    return [(f"w{w}d{d}", d, w)
+            for w, d in (cms_geometry(e, dl) for e, dl in
+                         CMS_ERROR_TARGETS)]
 
 
 def corpus_cms_error(spark, sf_dir):
@@ -1439,12 +1470,17 @@ def corpus_cms_error(spark, sf_dir):
     integers. CMS can only OVERestimate (bucket collisions add, never
     subtract; unit-pinned); this harness records by how much, the same
     measured-error discipline the recall harnesses apply to the ANN
-    families. The benched w64d4 geometry measures ZERO overestimate on
-    the fixture vocabulary (collision-free — the sizing is proven
-    exact at this scale, not assumed); the deliberately-narrow w8d2
-    config forces collisions so the width <-> error trade is a
-    measured curve, not a doc claim. Exact side is one hash groupBy
-    over the probe-filtered token stream."""
+    families.
+
+    r12: both geometries are now AUTO-SIZED from stated error targets
+    (CMS_ERROR_TARGETS via cms_geometry — w = ceil(e/eps), d =
+    ceil(ln(1/delta)), integer fixed-point) instead of hand-picked:
+    the tight (5%, 1%) target yields w55d5 — its measured overestimate
+    is bounded by eps*N with prob >= 1-delta, the guarantee the sizing
+    formula exists to buy — and the loose (50%, 50%) target yields the
+    w6d1 collision regime that keeps the width <-> error curve
+    measured. Exact side is one hash groupBy over the probe-filtered
+    token stream."""
     from ..operators import sketches as SK
     docs = _docs(spark, sf_dir)
     tok = (docs.select("source",
@@ -1462,8 +1498,10 @@ def corpus_cms_error(spark, sf_dir):
                                       depth, width)
                 .select(F.lit(label).alias("config"), "term", "estimate"))
 
-    est = est_at("w64d4", SK.CMS_DEPTH, SK.CMS_WIDTH).unionByName(
-        est_at("w8d2", CMS_NARROW_DEPTH, CMS_NARROW_WIDTH))
+    configs = _cms_error_configs()
+    est = est_at(*configs[0])
+    for cfg in configs[1:]:
+        est = est.unionByName(est_at(*cfg))
     n_exact = F.coalesce(F.col("_nx"), F.lit(0)).cast("long")
     return (est.join(exact, "term", "left")
             .select("config", "term", n_exact.alias("n_exact"),

@@ -37,11 +37,29 @@ from ..operators.dedup import _threshold_frac as _thr_frac  # noqa: E402
 
 _CONT_TN, _CONT_TD = _thr_frac(X.CONTAINMENT_THRESHOLD)
 
-# Bloom bit geometry at decontaminate_bloom's default sizing — one
-# shared derivation (operators.decontam.bloom_params) for both engines.
-from ..operators.decontam import bloom_params as _bloom_params  # noqa: E402
+# Bloom bit geometry (r12: AUTO-SIZED from the measured benchmark
+# shingle count at the 1% fpp target). The bits-per-item constant is
+# the one float->int literal (operators.decontam.bloom_bits_per_item_e6
+# — shared derivation); everything downstream of the data-dependent n
+# is pure integer math both engines replay identically
+# (bloom_geometry_int's formula, spelled out in _BLOOM_GEO_CTE).
+from ..operators.decontam import LN2_E6 as _BLOOM_LN2_E6  # noqa: E402
+from ..operators.decontam import (  # noqa: E402
+    bloom_bits_per_item_e6 as _bloom_c_e6,
+)
 
-_BLOOM_BITS, _BLOOM_K = _bloom_params(1_000_000, 0.01)
+_BLOOM_C_E6 = _bloom_c_e6(0.01)
+# geo(m, k) from n = COUNT(DISTINCT benchmark shingle hash) — the
+# integer twin of bloom_geometry_int (num_k <= 64 always: it tracks
+# bits-per-item * ln2, a function of fpp alone up to rounding, so the
+# probe index range below is generated to 64 and filtered).
+_BLOOM_GEO_CTE = f"""geo AS (
+  SELECT greatest(64, (n * {_BLOOM_C_E6}) // 1000000) AS m,
+         greatest(1, (2 * greatest(64, (n * {_BLOOM_C_E6}) // 1000000)
+                      * {_BLOOM_LN2_E6} + n * 1000000)
+                     // (2 * n * 1000000)) AS k
+  FROM (SELECT greatest(count(DISTINCT sh), 1) AS n
+        FROM shh WHERE doc_id % 20 = 0))"""
 
 
 def _Fr(x: float):
@@ -2827,33 +2845,38 @@ FROM m JOIN pq USING (grp) ORDER BY grp
     # 60-bit md5 shingle hashes, so the twin rebuilds the identical
     # bit SET relationally (distinct positions instead of a packed
     # bitset — same membership answers) and replays the probe; the
-    # dirty cut is the exact rational threshold comparison. Geometry
-    # literals come from decontam.bloom_params so the sides cannot
-    # drift. The subset-vs-exact property remains unit-pinned.
+    # dirty cut is the exact rational threshold comparison.
+    # r12: geometry is DATA-DEPENDENT (auto-sized from the measured
+    # benchmark shingle count, _BLOOM_GEO_CTE) — integer fixed-point
+    # end to end, so both engines derive the identical (m, k) from
+    # their own exact COUNT(DISTINCT). The subset-vs-exact property
+    # remains unit-pinned.
     "decontaminate_bloom_clean": QueryDef(
         X.decontaminate_bloom_clean, f"""
 WITH {_SHINGLES_CTE.strip()},
+{_BLOOM_GEO_CTE},
 bh AS (
   SELECT (sh & 1073741823) AS h1,
          ((sh >> 30) & 1073741823) * 2 + 1 AS h2
   FROM shh WHERE doc_id % 20 = 0),
 bloombits AS (
-  SELECT DISTINCT (h1 + i * h2) % {_BLOOM_BITS} AS bit
-  FROM bh, range(0, {_BLOOM_K}) t(i)),
+  SELECT DISTINCT (h1 + i * h2) % (SELECT m FROM geo) AS bit
+  FROM bh, range(0, 64) t(i) WHERE i < (SELECT k FROM geo)),
 cp AS (
   SELECT doc_id, sh,
          (sh & 1073741823) AS h1,
          ((sh >> 30) & 1073741823) * 2 + 1 AS h2
   FROM shh WHERE doc_id % 20 <> 0),
 probe AS (
-  SELECT doc_id, sh, (h1 + i * h2) % {_BLOOM_BITS} AS bit
-  FROM cp, range(0, {_BLOOM_K}) t(i)),
+  SELECT doc_id, sh, (h1 + i * h2) % (SELECT m FROM geo) AS bit
+  FROM cp, range(0, 64) t(i) WHERE i < (SELECT k FROM geo)),
 hits AS (
   SELECT doc_id, sh, count(*) AS n_in
   FROM probe JOIN bloombits USING (bit) GROUP BY 1, 2),
 per_doc AS (
   SELECT c.doc_id, count(*) AS n_sh,
-         sum(CASE WHEN h.n_in = {_BLOOM_K} THEN 1 ELSE 0 END) AS n_hit
+         sum(CASE WHEN h.n_in = (SELECT k FROM geo) THEN 1 ELSE 0 END)
+           AS n_hit
   FROM cp c LEFT JOIN hits h USING (doc_id, sh)
   GROUP BY c.doc_id),
 dirty AS (SELECT doc_id FROM per_doc WHERE n_hit * 10 >= n_sh)
@@ -4516,7 +4539,10 @@ ORDER BY q.query_id
 
 # Bloom false-positive cost: exactly-clean docs the Bloom path drops
 # (r11 — the sketch-error twin of the recall harnesses). Composes the
-# two existing oracles verbatim; pure integer emissions.
+# two existing oracles verbatim; pure integer emissions. r12: the row
+# also records the auto-sized geometry (n_items, num_bits, num_k) —
+# rebuilt here from the same shingle CTE + _BLOOM_GEO_CTE integer
+# formula the clean oracle embeds.
 REGISTRY["decontaminate_bloom_fpr"] = QueryDef(
     X.decontaminate_bloom_fpr, f"""
 WITH ec AS (
@@ -4524,29 +4550,44 @@ WITH ec AS (
   WHERE NOT contaminated),
 bc AS (
   SELECT doc_id FROM ({REGISTRY["decontaminate_bloom_clean"].oracle})),
+g AS (
+  SELECT n, greatest(64, (n * {_BLOOM_C_E6}) // 1000000) AS m,
+         greatest(1, (2 * greatest(64, (n * {_BLOOM_C_E6}) // 1000000)
+                      * {_BLOOM_LN2_E6} + n * 1000000)
+                     // (2 * n * 1000000)) AS k
+  FROM (WITH {_SHINGLES_CTE.strip()}
+        SELECT greatest(count(DISTINCT sh), 1) AS n
+        FROM shh WHERE doc_id % 20 = 0)),
 agg AS (
   SELECT (SELECT count(*) FROM ec) AS n_exact_clean,
          (SELECT count(*) FROM bc) AS n_bloom_clean,
          (SELECT count(*) FROM ec
           WHERE doc_id NOT IN (SELECT doc_id FROM bc))
            AS n_false_dropped)
-SELECT n_exact_clean, n_bloom_clean, n_false_dropped,
+SELECT CAST(g.n AS BIGINT) AS n_items,
+       CAST(g.m AS BIGINT) AS num_bits,
+       CAST(g.k AS BIGINT) AS num_k,
+       n_exact_clean, n_bloom_clean, n_false_dropped,
        CAST(n_false_dropped * 1000000
             // greatest(n_exact_clean, 1) AS BIGINT) AS fpr_e6
-FROM agg
+FROM agg, g
 """)
 
 # CMS overestimation per probe term at two sketch geometries:
-# estimate vs exact count (r11). The narrow w8d2 config exists to
-# FORCE collisions so the width<->error trade is measured.
+# estimate vs exact count (r11). r12: the geometries are DERIVED from
+# the stated (epsilon, delta) targets in X.CMS_ERROR_TARGETS via
+# sketches.cms_geometry (driver-side integer math; the derived (w, d)
+# land here as literals, same as every hand-picked geometry before) —
+# the tight target's overestimate is bounded by eps*N w.p. >= 1-delta,
+# the loose target keeps the collision regime measured.
 _CMS_TERM_LIST = ", ".join(f"'{t}'" for t in X.CMS_PROBE_TERMS)
+_CMS_ERR_UNION = "\n  UNION ALL\n".join(
+    f"""  SELECT '{label}' AS config, term, estimate
+  FROM ({_cms_sql(d, w)})"""
+    for label, d, w in X._cms_error_configs())
 REGISTRY["corpus_cms_error"] = QueryDef(X.corpus_cms_error, f"""
 WITH est AS (
-  SELECT 'w64d4' AS config, term, estimate
-  FROM ({REGISTRY["corpus_cms_term_counts"].oracle})
-  UNION ALL
-  SELECT 'w8d2' AS config, term, estimate
-  FROM ({_cms_sql(X.CMS_NARROW_DEPTH, X.CMS_NARROW_WIDTH)})),
+{_CMS_ERR_UNION}),
 tok AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
   FROM documents),
@@ -4735,9 +4776,16 @@ def _last_green_rounds() -> dict[str, int]:
 # entries here only waste sample slots, never correctness.
 # r12: the three r11 entries all came back driver-green in
 # CORRECTNESS_r11 and were dropped (VERDICT r11 hygiene #1), so the
-# rotation slots go to the r7/r8 staleness tail. Repopulate only when
-# a round actually rewrites a query's oracle.
-REWRITTEN_THIS_ROUND: set[str] = set()
+# rotation slots go to the r7/r8 staleness tail. This round's
+# rewrites: the sketch auto-sizing changed the Bloom geometry from a
+# fixed 1e6-guess to the measured-n integer derivation (both bloom
+# oracles), corpus_cms_error's geometries are now target-derived
+# (w55d5/w6d1 replace w64d4/w8d2), and approx_error_panel embeds both
+# rewritten members verbatim.
+REWRITTEN_THIS_ROUND: set[str] = {
+    "decontaminate_bloom_clean", "decontaminate_bloom_fpr",
+    "corpus_cms_error", "approx_error_panel",
+}
 
 
 def _rotated_names() -> list[str]:

@@ -302,3 +302,102 @@ def test_auto_bands_formula_tight_bound_property():
             assert recall(b - 1) < target + 1e-12
 
     check()
+
+
+def test_bloom_geometry_int_tracks_real_formula_property():
+    """Property (hypothesis, r12): the integer fixed-point Bloom
+    sizing stays within the fixed-point truncation bound of the real
+    formula — num_bits within 1e-6 relative of -n*ln(p)/ln^2(2) (the
+    e6 constant's rounding), num_k within 1 of round(m/n * ln 2) —
+    is monotone in n, and the resulting theoretical false-positive
+    rate (1 - e^{-kn/m})^k holds the target with a thin slack (the
+    price of integer k and truncation)."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.decontam import (
+        bloom_geometry_int,
+    )
+
+    @given(st.integers(min_value=1, max_value=10 ** 9),
+           st.sampled_from([0.1, 0.05, 0.01, 0.001, 0.0001]))
+    def check(n, fpp):
+        m, k = bloom_geometry_int(n, fpp)
+        m_real = -n * math.log(fpp) / math.log(2) ** 2
+        assert m >= 64 and k >= 1
+        if m > 64:                       # not floor-clamped
+            assert abs(m - m_real) <= m_real * 2e-6 + 1
+            assert abs(k - round(m / n * math.log(2))) <= 1
+            # theoretical fpr at the derived geometry holds the target
+            # (1.10 slack: k is an integer, not the real-valued
+            # optimum, and m truncates down by < 1 bit)
+            fpr = (1.0 - math.exp(-k * n / m)) ** k
+            assert fpr <= fpp * 1.10
+        m2, k2 = bloom_geometry_int(n + max(1, n // 10), fpp)
+        assert m2 >= m                   # monotone in n
+
+    check()
+
+
+def test_cms_geometry_formula_property():
+    """Property (hypothesis, r12): cms_geometry returns exactly
+    w = ceil(e/eps) and d = ceil(ln(1/delta)) at the e6 fixed-point
+    grid, the MINIMAL integers meeting the Cormode-Muthukrishnan
+    guarantee at those targets — w-1 would exceed eps, d-1 would
+    exceed delta (up to the e6 clearing of the targets)."""
+    import math
+
+    from hypothesis import given, strategies as st
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.sketches import (
+        E_E6,
+        cms_geometry,
+    )
+
+    @given(st.floats(min_value=0.0001, max_value=1.0),
+           st.floats(min_value=0.0001, max_value=0.999))
+    def check(eps, delta):
+        w, d = cms_geometry(eps, delta)
+        eps_e6 = round(eps * 10 ** 6)
+        assert w == -(-E_E6 // eps_e6)            # exact integer ceil
+        assert w >= math.e / eps - 1e-6 * w - 1   # >= real formula
+        assert (w - 1) * eps_e6 < E_E6            # minimal
+        ln_e6 = round(math.log(1.0 / delta) * 10 ** 6)
+        assert d == max(1, -(-ln_e6 // 10 ** 6))
+        if d > 1:
+            assert (d - 1) * 10 ** 6 < ln_e6      # minimal
+        # monotone: tighter targets never shrink the sketch
+        w2, d2 = cms_geometry(max(eps / 2, 0.0001), delta)
+        assert w2 >= w
+
+    check()
+
+
+def test_bloom_auto_subset_law_holds_at_auto_geometry(spark, sf_dir):
+    """The one-sided-error law must survive the r12 auto sizing:
+    bloom-clean (auto geometry) remains a subset of exact-clean on
+    the fixture corpus — no false negatives at ANY derived (m, k)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        decontam,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        _docs,
+    )
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {r.doc_id for r in
+             decontam.decontaminate(corpus, bench, n=3, threshold=0.1)
+             .select("doc_id").collect()}
+    bloom = {r.doc_id for r in
+             decontam.decontaminate_bloom(corpus, bench, n=3,
+                                          threshold=0.1,
+                                          expected_items="auto")
+             .select("doc_id").collect()}
+    assert bloom <= exact
+    n_items, num_bits, num_k = decontam.bloom_auto_geometry(bench)
+    assert num_bits == decontam.bloom_geometry_int(n_items, 0.01)[0]
+    with __import__("pytest").raises(ValueError):
+        decontam.decontaminate_bloom(corpus, bench,
+                                     expected_items="lots")

@@ -1040,5 +1040,7 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
         rows[("ann_hamming_fixed", "min_recall_e6")]
     assert rows[("ann_sign_lsh_auto", "pair_recall_e6")] >= \
         rows[("ann_sign_lsh_fixed", "pair_recall_e6")]
-    assert rows[("cms_w64d4", "max_overestimate_n")] >= 0
-    assert rows[("cms_w8d2", "max_overestimate_n")] >= 0
+    # r12: CMS configs are target-derived (cms_geometry over
+    # CMS_ERROR_TARGETS) — w55d5 from (5%, 1%), w6d1 from (50%, 50%)
+    assert rows[("cms_w55d5", "max_overestimate_n")] >= 0
+    assert rows[("cms_w6d1", "max_overestimate_n")] >= 0

@@ -250,19 +250,34 @@ def test_sketches_exclude_null_values(spark):
 
 
 def test_cms_error_harness_overestimate_only(spark, sf_dir):
-    """corpus_cms_error (r11): overestimates are never negative (the
-    CMS one-sided-error law), the benched w64d4 geometry is
-    collision-free on the fixture vocabulary (measured-zero, the
-    sizing proof), and the deliberately-narrow w8d2 config actually
-    collides so the width<->error trade is a measured curve."""
+    """corpus_cms_error: overestimates are never negative (the CMS
+    one-sided-error law) and the loose target's geometry actually
+    collides so the width<->error trade is a measured curve. r12: the
+    geometries are target-derived (cms_geometry over
+    CMS_ERROR_TARGETS) and the tight (eps=5%, delta=1%) config is held
+    to the guarantee it was SIZED for: every probe's overestimate <=
+    eps * N (N = total sketched token count) — on this deterministic
+    fixture the 1-delta probability clause is a hard bound."""
     from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        _cms_error_configs,
+        _docs,
         corpus_cms_error,
     )
+    from pyspark.sql import functions as F
+
+    configs = _cms_error_configs()
+    assert [c[0] for c in configs] == ["w55d5", "w6d1"]   # derived
     rows = corpus_cms_error(spark, sf_dir).collect()
     assert rows and all(r.overestimate >= 0 for r in rows)
-    assert all(r.overestimate == 0 for r in rows if r.config == "w64d4")
-    assert any(r.overestimate > 0 for r in rows if r.config == "w8d2")
+    assert any(r.overestimate > 0 for r in rows if r.config == "w6d1")
     assert all(r.n_est == r.n_exact + r.overestimate for r in rows)
+    docs = _docs(spark, sf_dir)
+    n_total = (docs.select(F.explode(F.split(
+        F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .filter(F.col("t") != "").count())
+    eps_bound = 0.05 * n_total
+    assert all(r.overestimate <= eps_bound for r in rows
+               if r.config == "w55d5")
 
 
 def test_bloom_fpr_harness_subset_law(spark, sf_dir):
