@@ -1786,9 +1786,17 @@ def binary_signatures(embeddings: DataFrame, planes: int = 64,
     construction time. Components are 1e-3-quantized first (the r9
     integer contract shared with _projection/lsh_candidate_pairs), so
     the matmul is EXACT int64 arithmetic and a sign bit can never flip
-    on accumulation order — bit-identical in any engine."""
+    on accumulation order — bit-identical in any engine.
+
+    One packed long caps ``planes`` at 64 — use binary_signatures_multi
+    (array<long>) for the wider sketches the r11 harness showed a
+    near-uniform corpus needs."""
     import numpy as np
 
+    if planes > 64:
+        raise ValueError(
+            f"binary_signatures packs one long (<= 64 planes); use "
+            f"binary_signatures_multi for planes={planes}")
     w = np.array([[_plane_weight(p, d) for p in range(planes)]
                   for d in range(dims)], dtype=np.int64)
     out_schema = "vec_id long, sig long"
@@ -1815,6 +1823,80 @@ def binary_signatures(embeddings: DataFrame, planes: int = 64,
     ).mapInPandas(kernel, out_schema)
 
 
+def binary_signatures_multi(embeddings: DataFrame, planes: int = 128,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dims: int = 64) -> DataFrame:
+    """(vec_id, sigs): a ``planes``-bit sign signature packed into
+    ceil(planes/64) longs — the WIDE sketch (r12, VERDICT r11 #3).
+
+    Why 64 bits aren't enough: the r11 harness measured that holding a
+    0.8 recall floor over the near-uniform fixture costs reranking
+    27-48% of the corpus — a 64-bit sketch's Hamming distance carries
+    ~sqrt(1/64) angle noise, which scatters true neighbors deep into
+    the candidate order. Doubling the planes halves the estimator
+    variance at unchanged scan currency per bit: the index is still a
+    flat column of longs (16/32 bytes per vector at 128/256), stage 1
+    is still word-wise XOR + bit_count in the JVM, and the calibrated
+    cut shrinks (measured in BASELINE.md r12).
+
+    Word w packs global planes [64w, 64w+63]; plane p is the SAME
+    md5-parity projection as binary_signatures (word 0 of the multi
+    signature equals the 64-bit signature EXACTLY — unit-pinned), so
+    the SQL twin extends mechanically. Same r9 quantized-integer
+    matmul: bits can never flip on accumulation order."""
+    import numpy as np
+    import pandas as pd
+
+    words = (planes + 63) // 64
+    w = np.array([[_plane_weight(p, d) for p in range(planes)]
+                  for d in range(dims)], dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "sigs": []})
+                continue
+            m = np.floor(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in pdf["embedding"]])
+                         * 1000 + 0.5).astype(np.int64)
+            bits = (m @ w) > 0                   # rows × planes bool
+            sig_words = []
+            for wd in range(words):
+                chunk = bits[:, wd * 64:(wd + 1) * 64]
+                weights = (1 << np.arange(chunk.shape[1],
+                                          dtype=np.uint64))
+                sig_words.append(
+                    (chunk.astype(np.uint64) * weights).sum(axis=1)
+                    .astype(np.int64))
+            sigs = np.stack(sig_words, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "sigs": list(sigs)})
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).mapInPandas(kernel, "vec_id long, sigs array<long>")
+
+
+def _hamming_multi(a, b):
+    """Summed word-wise popcount of XOR over two array<long> signature
+    columns — the multi-word Hamming distance, JVM-side HOF over a
+    2-4 element array (no Python in the scan)."""
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v).cast("int")
+
+
+def _sig_source(planes: int):
+    """(builder, column name) for the signature relation at a width —
+    one packed long through 64 planes, array<long> beyond."""
+    if planes <= 64:
+        return binary_signatures, "sig"
+    return binary_signatures_multi, "sigs"
+
+
 def save_signature_index(sigs: DataFrame, path: str,
                          calibration: dict | None = None) -> None:
     """Persist a binary_signatures relation (vec_id, sig) — the 8-byte-
@@ -1834,12 +1916,17 @@ def save_signature_index(sigs: DataFrame, path: str,
 def load_signature_index(spark, path: str) -> DataFrame:
     """Read an index written by save_signature_index, restoring the
     exact (vec_id long, sig long) relation hamming_topk expects via
-    ``sigs=``; byte-identical round trip (unit-pinned). The hidden
+    ``sigs=`` — or (vec_id, sigs array<long>) for a WIDE index built
+    from binary_signatures_multi (detected by column name; r12).
+    Byte-identical round trip (unit-pinned). The hidden
     ``_calibration`` sidecar (if any) is skipped by the listing —
     fetch it via load_index_calibration."""
-    return (spark.read.parquet(path)
-            .select(F.col("vec_id").cast("long"),
-                    F.col("sig").cast("long")))
+    df = spark.read.parquet(path)
+    if "sigs" in df.columns:
+        return df.select(F.col("vec_id").cast("long"),
+                         F.col("sigs").cast("array<long>"))
+    return df.select(F.col("vec_id").cast("long"),
+                     F.col("sig").cast("long"))
 
 
 def calibrate_signature_index(embeddings: DataFrame,
@@ -1857,9 +1944,10 @@ def calibrate_signature_index(embeddings: DataFrame,
     every probe (hamming_auto_rerank — an EXACT floor on the probes,
     the rerank kernel being the truth kernel) plus the measured
     floor. Same once-per-artifact amortization as
-    calibrate_ivf_index."""
+    calibrate_ivf_index. ``planes`` > 64 calibrates the multi-word
+    sketch (binary_signatures_multi)."""
     if sigs is None:
-        sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+        sigs = _sig_source(planes)[0](embeddings, planes, id_col, vec_col)
     cut = hamming_auto_rerank(embeddings, calib_queries, k,
                               recall_target_pct, planes,
                               id_col, vec_col, q_id_col, q_vec_col,
@@ -1896,9 +1984,17 @@ def hamming_topk_batch_from_index(embeddings: DataFrame, index_path: str,
     sidecar's ``n_corpus`` falls back to "auto" (fresh per-batch
     calibration) instead of serving a stale floor. ``embeddings`` is
     still required for the exact-cosine rerank stage (stage 1 reads
-    only the stored 8-byte signatures)."""
+    only the stored 8-byte signatures).
+
+    A WIDE index (array<long> sigs — binary_signatures_multi) is
+    detected from the stored schema and ``planes`` is inferred from
+    the stored word count, so query-side signatures are built at the
+    matching width automatically."""
     spark = embeddings.sparkSession
     sigs = load_signature_index(spark, index_path)
+    if "sigs" in sigs.columns:
+        row = sigs.select(F.size("sigs").alias("_w")).head()
+        planes = 64 * int(row["_w"]) if row else planes
     calib = load_index_calibration(spark, index_path)
     if k is None:
         k = int(calib["k"]) if calib else 10
@@ -2040,16 +2136,22 @@ def hamming_auto_rerank(embeddings: DataFrame, queries: DataFrame,
     rank under the deterministic (hamming asc, vec_id asc) candidate
     order, per query the ceil(target*|truth|)-th smallest such rank,
     max over queries. Model-sizing action (one truth score-off + one
-    signature-rank pass, both map-side vs broadcast probes)."""
+    signature-rank pass, both map-side vs broadcast probes).
+
+    ``planes`` > 64 runs the multi-word (array<long>) sketch — the
+    r12 widening; the calibrated cut it returns shrinks as the sketch
+    sharpens (BASELINE.md r12 measures ~4-7x at 128 bits)."""
+    sig_fn, sig_col = _sig_source(planes)
     if sigs is None:
-        sigs = binary_signatures(embeddings, planes, id_col, vec_col)
-    qsigs = binary_signatures(queries, planes, q_id_col, q_vec_col) \
-        .withColumnsRenamed({"vec_id": "query_id", "sig": "_qsig"})
+        sigs = sig_fn(embeddings, planes, id_col, vec_col)
+    qsigs = sig_fn(queries, planes, q_id_col, q_vec_col) \
+        .withColumnsRenamed({"vec_id": "query_id", sig_col: "_qsig"})
+    ham = (F.bit_count(F.col(sig_col).bitwiseXOR(F.col("_qsig")))
+           if planes <= 64
+           else _hamming_multi(F.col(sig_col), F.col("_qsig")))
     ranks = (sigs.crossJoin(F.broadcast(qsigs))
              .filter(F.col("vec_id") != F.col("query_id"))
-             .select("query_id", "vec_id",
-                     F.bit_count(F.col("sig").bitwiseXOR(F.col("_qsig")))
-                     .alias("hamming"))
+             .select("query_id", "vec_id", ham.alias("hamming"))
              .withColumn("_hr", F.row_number().over(
                  Window.partitionBy("query_id")
                  .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())))
@@ -2115,12 +2217,20 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
     ``rerank_cut`` (r12) overrides rerank_factor with a DIRECT
     candidate count — the stored-calibration serving path
     (hamming_topk_batch_from_index passes the sidecar's calibrated
-    cut, which is a count, not a multiple of k)."""
+    cut, which is a count, not a multiple of k).
+
+    ``planes`` > 64 (r12) serves the multi-word (array<long>) sketch:
+    stage 1 becomes ceil(planes/64) XOR+bit_count word ops per
+    (corpus row x query) — still JVM-side, still 8 bytes/vector/word —
+    and the sharper Hamming order cuts the calibrated candidate
+    fraction ~4-7x at 128 bits on the fixture corpus (BASELINE.md
+    r12). 64-bit plans are byte-identical to r11."""
     if isinstance(rerank_factor, str) and rerank_factor != "auto":
         raise ValueError(
             f"rerank_factor must be an int or 'auto': {rerank_factor!r}")
+    sig_fn, sig_col = _sig_source(planes)
     if sigs is None:
-        sigs = binary_signatures(embeddings, planes, id_col, vec_col)
+        sigs = sig_fn(embeddings, planes, id_col, vec_col)
     if rerank_cut is not None:
         cut = int(rerank_cut)
     elif rerank_factor == "auto":
@@ -2130,16 +2240,17 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
                                   sigs=sigs)
     else:
         cut = rerank_factor * k
-    qsigs = binary_signatures(queries, planes, q_id_col, q_vec_col) \
-        .withColumnsRenamed({"vec_id": "query_id", "sig": "_qsig"})
+    qsigs = sig_fn(queries, planes, q_id_col, q_vec_col) \
+        .withColumnsRenamed({"vec_id": "query_id", sig_col: "_qsig"})
+    ham = (F.bit_count(F.col(sig_col).bitwiseXOR(F.col("_qsig")))
+           if planes <= 64
+           else _hamming_multi(F.col(sig_col), F.col("_qsig")))
 
     wh = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("vec_id").asc())
     cand = (sigs.crossJoin(F.broadcast(qsigs))
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id",
-                    F.bit_count(F.col("sig").bitwiseXOR(F.col("_qsig")))
-                    .alias("hamming"))
+            .select("query_id", "vec_id", ham.alias("hamming"))
             .withColumn("_rn", F.row_number().over(wh))
             .filter(F.col("_rn") <= cut)
             .drop("_rn"))

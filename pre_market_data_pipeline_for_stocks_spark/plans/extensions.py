@@ -1919,13 +1919,58 @@ def ann_hamming_from_saved_index(spark, sf_dir):
             .orderBy("query_id", "vec_id"))
 
 
+HAMMING_WIDE_PLANES = 128
+
+
+def ann_hamming_topk_batch_w128(spark, sf_dir):
+    """The r12 WIDE-sketch serving path: the batch binary ANN over
+    128-bit (two-word array<long>) signatures — stage 1 is two
+    XOR+bit_count word ops per (corpus row x query), stage 2 the
+    shared integer-cosine rerank. Fixed rf=4 cut for direct
+    comparability with the 64-bit ann_hamming_topk_batch: the same
+    candidate budget buys measurably more recall from a sharper
+    Hamming order (the recall harness below quantifies it)."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % HAMMING_BATCH_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return (similarity.hamming_topk_batch(emb, queries, k=5,
+                                          planes=HAMMING_WIDE_PLANES)
+            .orderBy("query_id", "vec_id"))
+
+
+def ann_hamming_recall_batch_auto_w128(spark, sf_dir):
+    """ann_hamming_recall_batch_auto at the 128-bit sketch width (r12
+    — VERDICT r11 #3): the r11 harness proved the 64-bit sketch's
+    honest price (27-48% of the corpus reranked to hold the 0.8
+    floor on near-uniform data); doubling the planes halves the
+    Hamming estimator's angle variance at unchanged scan currency
+    per bit, and the auto-calibrated cut shrinks accordingly
+    (BASELINE.md r12 records the measured cut fraction at each sf).
+    Same EXACT floor semantics — the rerank kernel is the truth
+    kernel."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.hamming_topk_batch(emb, queries, k=ANN_TOPK,
+                                           planes=HAMMING_WIDE_PLANES,
+                                           rerank_factor="auto",
+                                           recall_target_pct=80)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 def approx_error_panel(spark, sf_dir):
     """One-stop approximation datacard (r11): every measured-error
     harness in the engine reduced to (family, metric, value) integer
     rows — the table a training-data pipeline's model card quotes.
-    Composes the seven harnesses (MinHash-LSH pair recall, sign-LSH
-    fixed + auto, IVF auto min/mean, Hamming fixed + auto min/mean,
-    Bloom false-drop rate, CMS max overestimate per geometry); every
+    Composes the error harnesses (MinHash-LSH pair recall, sign-LSH
+    fixed + auto, IVF auto min/mean, Hamming fixed + auto + 128-bit
+    auto min/mean, Bloom false-drop rate at the r12 auto-sized
+    geometry, CMS max overestimate per target-derived geometry); every
     underlying side stays oracle-checked individually, and the panel's
     own oracle is the same composition in SQL."""
     from ..functions.fixedpoint import idiv_long
@@ -1959,6 +2004,8 @@ def approx_error_panel(spark, sf_dir):
                 "ann_hamming_fixed"),
         minmean(ann_hamming_recall_batch_auto(spark, sf_dir),
                 "ann_hamming_auto"),
+        minmean(ann_hamming_recall_batch_auto_w128(spark, sf_dir),
+                "ann_hamming_auto_w128"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_cms_error(spark, sf_dir)

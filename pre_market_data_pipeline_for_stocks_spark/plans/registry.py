@@ -4393,6 +4393,123 @@ proj AS (SELECT vec_id,
 sigs AS (SELECT vec_id, ({sig}) AS sig FROM proj)"""
 
 
+def _signature_cte_multi(planes: int) -> str:
+    """CTE chain ending in ``sigs(vec_id, sig_0, sig_1, ...)`` — the
+    DuckDB twin of similarity.binary_signatures_multi (r12 wide
+    sketch): word w packs global planes [64w, 64w+63]; within a word
+    the bit weights repeat the 64-bit scheme (1<<r, int64-min at
+    r=63). Word 0 is textually the 64-bit signature, so the twin is a
+    mechanical extension of _signature_cte."""
+    words = (planes + 63) // 64
+    projs = ",\n    ".join(
+        "sum(val * CASE WHEN {h} % 2 = 0 THEN 1 ELSE -1 END) AS proj_{p}"
+        .format(h=_h("dim::VARCHAR", seed=p), p=p)
+        for p in range(planes))
+    word_exprs = []
+    for wd in range(words):
+        bits = []
+        for r in range(min(64, planes - 64 * wd)):
+            p = 64 * wd + r
+            w = (f"(1::BIGINT << {r})" if r < 63
+                 else "(-9223372036854775807 - 1)")
+            bits.append(
+                f"CASE WHEN proj_{p} > 0 THEN {w} ELSE 0::BIGINT END")
+        word_exprs.append("(" + " + ".join(bits) + f") AS sig_{wd}")
+    sig_cols = ",\n  ".join(word_exprs)
+    return f"""pe AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+proj AS (SELECT vec_id,
+    {projs}
+  FROM pe GROUP BY vec_id),
+sigs AS (SELECT vec_id,
+  {sig_cols}
+  FROM proj)"""
+
+
+def _hamming_batch_sql_w(stride: int = 100, k: int = 5,
+                         rf: int | str = 4,
+                         recall_target_pct: int = 80,
+                         planes: int = 128) -> str:
+    """_hamming_batch_sql generalized over the multi-word signature
+    (r12): the per-pair distance is the SUM of word-wise
+    bit_count(xor) terms; everything else — candidate cut, auto
+    calibration CTEs, integer cosine rerank — is the 64-bit twin
+    unchanged. Kept as a separate generator so the r11 64-bit oracle
+    text (and its driver hash evidence) stays byte-identical."""
+    words = (planes + 63) // 64
+    ham_expr = " + ".join(
+        f"bit_count(xor(s.sig_{w}, qs.qsig_{w}))" for w in range(words))
+    q_sig_cols = ", ".join(f"sig_{w} AS qsig_{w}" for w in range(words))
+    if rf == "auto":
+        cut = "(SELECT rr FROM autorr)"
+        auto_ctes = f""",
+ezn AS (SELECT vec_id, qv FROM ez
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+htruth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e2.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e2.qv', 'q.qqv')} DESC,
+                      e2.vec_id ASC) AS rn
+    FROM ezn e2
+    JOIN (SELECT query_id, qqv FROM qv
+          WHERE CAST(list_inner_product(qqv, qqv) AS BIGINT) > 0) q
+      ON e2.vec_id <> q.query_id)
+  WHERE rn <= {k}),
+hamrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS hr
+  FROM ham),
+autorr AS (
+  SELECT greatest(max(hr), 1) AS rr FROM (
+    SELECT t.query_id, r.hr,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY r.hr ASC) AS rn,
+           count(*) OVER (PARTITION BY t.query_id) AS cnt
+    FROM htruth t
+    JOIN hamrank r ON r.query_id = t.query_id
+                  AND r.vec_id = t.vec_id)
+  WHERE rn = greatest((cnt * {recall_target_pct} + 99) // 100, 1))"""
+    else:
+        cut = str(rf * k)
+        auto_ctes = ""
+    return f"""
+WITH {_signature_cte_multi(planes)},
+ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qs AS (SELECT vec_id AS query_id, {q_sig_cols} FROM sigs
+       WHERE vec_id % {stride} = 0),
+qv AS (SELECT vec_id AS query_id, qv AS qqv FROM ez
+       WHERE vec_id % {stride} = 0),
+ham AS (
+  SELECT qs.query_id, s.vec_id,
+         {ham_expr} AS hamming
+  FROM sigs s, qs WHERE s.vec_id <> qs.query_id){auto_ctes},
+cand AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC,
+                                          vec_id ASC) AS rn
+    FROM ham) WHERE rn <= {cut}),
+scored AS (
+  SELECT c.query_id, c.vec_id, c.hamming,
+         {_qcos_e6_sql('e.qv', 'q.qqv')} AS cosine_e6
+  FROM cand c
+  JOIN ez e USING (vec_id)
+  JOIN qv q USING (query_id)
+  WHERE list_inner_product(e.qv, e.qv) > 0
+    AND list_inner_product(q.qqv, q.qqv) > 0)
+SELECT query_id, vec_id, hamming::INTEGER AS hamming, cosine_e6 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_e6 DESC,
+                                        vec_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
 def _hamming_topk_sql(qid: int = 0, k: int = 10, rf: int = 4) -> str:
     """Twin of similarity.hamming_topk: signature scan (bit_count of
     XOR) -> deterministic (hamming, vec_id) cut -> quantized cosine_e6
@@ -4637,6 +4754,48 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """)
 
+# Wide (128-bit, two-word) Hamming sketch (r12 — VERDICT r11 #3):
+# the served batch at the fixed rf=4 budget, and the auto-calibrated
+# recall harness proving the sharper sketch holds the 0.8 floor at a
+# smaller cut. Twins via _hamming_batch_sql_w (word-wise summed
+# bit_count(xor); pure integers end to end).
+REGISTRY["ann_hamming_topk_batch_w128"] = QueryDef(
+    X.ann_hamming_topk_batch_w128,
+    _hamming_batch_sql_w(X.HAMMING_BATCH_STRIDE, 5, 4,
+                         planes=X.HAMMING_WIDE_PLANES))
+REGISTRY["ann_hamming_recall_batch_auto_w128"] = QueryDef(
+    X.ann_hamming_recall_batch_auto_w128, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= 10),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t
+  JOIN ({_hamming_batch_sql_w(100, 10, "auto",
+                              planes=X.HAMMING_WIDE_PLANES)}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, 10), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""")
+
 # Self-describing index artifacts (r12 — the r11 verdict's #1 item):
 # train/build -> calibrate -> save WITH the calibration sidecar ->
 # load -> serve with every knob defaulted from the artifact. The
@@ -4662,6 +4821,8 @@ hamf AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_hamming_recall_batch"].oracle})),
 hama AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_hamming_recall_batch_auto"].oracle})),
+hamw AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_hamming_recall_batch_auto_w128"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -4690,6 +4851,13 @@ panel AS (
   SELECT 'ann_hamming_auto', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM hama
+  UNION ALL
+  SELECT 'ann_hamming_auto_w128', 'min_recall_e6', min(recall_e6)
+  FROM hamw
+  UNION ALL
+  SELECT 'ann_hamming_auto_w128', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM hamw
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})

@@ -1001,6 +1001,65 @@ def test_hamming_auto_rerank_exact_floor(emb):
         S.hamming_topk_batch(emb, qs, rerank_factor="lots")
 
 
+def test_multi_signature_word0_equals_64bit_sig(emb):
+    """binary_signatures_multi packs global planes [64w, 64w+63] per
+    word with the 64-bit weight scheme, so word 0 must equal the
+    one-long signature EXACTLY — the contract that makes the SQL twin
+    a mechanical extension and keeps 64-bit oracles untouched."""
+    s64 = {r.vec_id: r.sig for r in S.binary_signatures(emb).collect()}
+    multi = {r.vec_id: list(r.sigs)
+             for r in S.binary_signatures_multi(emb, 128).collect()}
+    assert set(multi) == set(s64)
+    assert all(len(v) == 2 for v in multi.values())
+    assert all(multi[v][0] == s64[v] for v in s64)
+    # 256-bit: 4 words, word 0 still the 64-bit sig
+    m256 = S.binary_signatures_multi(emb.limit(20), 256).collect()
+    assert all(len(r.sigs) == 4 for r in m256)
+    with pytest.raises(ValueError, match="binary_signatures_multi"):
+        S.binary_signatures(emb, planes=128)
+
+
+def test_wide_hamming_cut_never_larger_and_floor_holds(emb):
+    """The r12 widening claim at fixture scale: the 128-bit
+    auto-calibrated cut is never LARGER than the 64-bit one for the
+    same (k, target) — more planes can only sharpen the Hamming
+    order — and the served wide batch holds the same exact floor."""
+    qs = _queries(emb, mod=100)
+    cut64 = S.hamming_auto_rerank(emb, qs, k=10, recall_target_pct=80)
+    cut128 = S.hamming_auto_rerank(emb, qs, k=10, recall_target_pct=80,
+                                   planes=128)
+    assert 1 <= cut128 <= cut64
+    approx = S.hamming_topk_batch(emb, qs, k=10, planes=128,
+                                  rerank_factor="auto",
+                                  recall_target_pct=80)
+    truth = S.cosine_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(approx, truth, k=10).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+
+
+def test_wide_signature_index_round_trip_and_from_index(emb, tmp_path):
+    """A WIDE index (array<long> sigs) round-trips through
+    save/load_signature_index, and hamming_topk_batch_from_index
+    infers the width from the stored word count — serving equals the
+    inline 128-bit auto batch exactly."""
+    qs = _queries(emb, mod=100)
+    sigs = S.binary_signatures_multi(emb, 128)
+    calib = S.calibrate_signature_index(emb, qs, k=10,
+                                        recall_target_pct=80,
+                                        planes=128, sigs=sigs)
+    path = str(tmp_path / "sig_w128")
+    S.save_signature_index(sigs, path, calibration=calib)
+    loaded = S.load_signature_index(emb.sparkSession, path)
+    assert (sorted((r.vec_id, tuple(r.sigs)) for r in sigs.collect())
+            == sorted((r.vec_id, tuple(r.sigs)) for r in loaded.collect()))
+    inline = sorted(map(tuple, S.hamming_topk_batch(
+        emb, qs, k=10, planes=128, rerank_factor="auto",
+        recall_target_pct=80, sigs=sigs).collect()))
+    served = sorted(map(tuple, S.hamming_topk_batch_from_index(
+        emb, path, qs).collect()))
+    assert served == inline and served
+
+
 def test_auto_calibration_plans_no_cartesian(emb):
     """The r11 calibration passes must keep the batch plan contracts:
     no cartesian product anywhere — the truth scorer and the
@@ -1025,15 +1084,16 @@ def test_auto_calibration_plans_no_cartesian(emb):
 
 
 def test_approx_error_panel_shape_and_laws(spark, sf_dir):
-    """The datacard panel: 12 integer rows, every auto family at or
-    above its fixed twin (the reason the auto modes exist), recalls in
-    [0, 1e6], overestimates non-negative."""
+    """The datacard panel: 14 integer rows (r12 adds the 128-bit
+    hamming family), every auto family at or above its fixed twin
+    (the reason the auto modes exist), recalls in [0, 1e6],
+    overestimates non-negative."""
     from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
         approx_error_panel,
     )
     rows = {(r.family, r.metric): r.value
             for r in approx_error_panel(spark, sf_dir).collect()}
-    assert len(rows) == 12
+    assert len(rows) == 14
     assert all(0 <= v <= 10 ** 6 for (f, m), v in rows.items()
                if m.endswith("recall_e6"))
     assert rows[("ann_hamming_auto", "min_recall_e6")] >= \
@@ -1044,3 +1104,5 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     # CMS_ERROR_TARGETS) — w55d5 from (5%, 1%), w6d1 from (50%, 50%)
     assert rows[("cms_w55d5", "max_overestimate_n")] >= 0
     assert rows[("cms_w6d1", "max_overestimate_n")] >= 0
+    # the wide sketch holds the same exact floor as the 64-bit auto
+    assert rows[("ann_hamming_auto_w128", "min_recall_e6")] >= 800000
