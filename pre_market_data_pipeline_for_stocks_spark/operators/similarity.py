@@ -2277,6 +2277,287 @@ def hamming_topk_batch(embeddings: DataFrame, queries: DataFrame,
             .drop("_rn"))
 
 
+def pq_codebooks_int(embeddings: DataFrame, m: int = 8, kcent: int = 16,
+                     sample_mod: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """INTEGER-GRID PQ codebooks: an (m, kcent, d/m) int64 numpy array
+    of stride-sampled 1e-3-quantized subvectors — the deterministic
+    zero-iteration (sample-init) quantizer of the r12 PQ recall
+    harness.
+
+    Why integer and why iters=0: the float Lloyd path
+    (train_pq_codebooks) trains through numpy matmuls and means whose
+    accumulation order no SQL twin can replay (the r9 class), which is
+    exactly why PQ was the last family without a driver-level recall
+    harness. On the shared 1e-3 grid with sample-init centroids, every
+    number in the pipeline — codebook entries, code assignment
+    distances, ADC tables, scores — is exact int64, so the DuckDB twin
+    is bit-identical and the measured recall needs no adjudication.
+    Sample-init is the standard k-means init PQ tolerates well; the
+    harness measures THIS quantizer's honest error (Lloyd iterations
+    would only tighten it).
+
+    Centroid c of subspace j is the quantized subvector of the
+    (c*stride)-th sampled row (id-ordered; stride = n_sample//kcent) —
+    driver-resident model state like every codebook here. Requires
+    n_sample >= kcent."""
+    import numpy as np
+
+    rows = (embeddings
+            .filter(F.col(id_col) % sample_mod == 0)
+            .select(F.col(id_col).alias("_id"),
+                    _quant_arr(F.col(vec_col)).alias("_qv"))
+            .orderBy("_id").collect())
+    if len(rows) < kcent:
+        raise ValueError(
+            f"sample of {len(rows)} rows cannot seed kcent={kcent}")
+    x = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in rows])
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    stride = max(1, len(x) // kcent)
+    seeds = x[::stride][:kcent]                      # (kcent, d)
+    books = np.empty((m, kcent, sd), dtype=np.int64)
+    for j in range(m):
+        books[j] = seeds[:, j * sd:(j + 1) * sd]
+    return books
+
+
+def pq_adc_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
+                          k: int = 10, m: int = 8, kcent: int = 16,
+                          sample_mod: int = 1,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          q_id_col: str = "query_id",
+                          q_vec_col: str = "query_vec") -> DataFrame:
+    """Batch PQ ANN over the integer grid: (query_id, vec_id, adc) —
+    per query the k corpus rows with the SMALLEST asymmetric L2
+    distance surrogate, scored from codes only.
+
+    Two Arrow stages, both exact int64: ENCODE assigns each corpus
+    row's subvectors to their nearest codebook entry (integer
+    ||x_j - c||^2 argmin, ties to the lowest centroid id — the numpy
+    first-min and the SQL row_number agree by construction); SCORE
+    sums the per-subspace ADC table entries
+    ||c||^2 - 2 q_j . c at each row's codes — the classic
+    ||q - x~||^2 expansion minus the rank-constant ||q_j||^2 terms,
+    so ordering by the sum IS ordering by reconstructed L2. The scan
+    touches m int8-sized codes per row, never the vectors; queries
+    are broadcast (collected to the closure — the batch-scoring
+    contract of this family) and candidates emit as skinny
+    (query_id, vec_id, adc) rows into one per-query top-k window.
+
+    The truth twin is l2_topk_batch_int (same grid, exact distance):
+    recall@k between the two is the PQ family's measured quantization
+    error — ann_pq_recall_batch in the registry."""
+    scored = _pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
+                            id_col, vec_col, q_id_col, q_vec_col)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _pq_adc_scored(embeddings: DataFrame, queries: DataFrame,
+                   m: int = 8, kcent: int = 16, sample_mod: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "query_id",
+                   q_vec_col: str = "query_vec") -> DataFrame:
+    """The full (query_id, vec_id, adc) ADC score relation — shared by
+    the top-k cut (pq_adc_topk_batch_int), the calibration rank pass
+    (pq_auto_rerank) and the reranked serving path, so all three rank
+    the identical integer scores."""
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks_int(embeddings, m, kcent, sample_mod,
+                             id_col, vec_col)
+    sd = books.shape[2]
+    cnorm2 = (books ** 2).sum(axis=2)                # (m, kcent)
+    qrows = (queries.select(F.col(q_id_col).alias("_qid"),
+                            _quant_arr(F.col(q_vec_col)).alias("_qv"))
+             .orderBy("_qid").collect())
+    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["_qv"], dtype=np.int64)
+                     for r in qrows]) if qrows else np.empty((0, m * sd),
+                                                             dtype=np.int64)
+    # per query/subspace ADC tables: (nq, m, kcent) int64
+    if len(qmat):
+        dots = [qmat[:, j * sd:(j + 1) * sd] @ books[j].T
+                for j in range(m)]               # each (nq, kcent)
+        luts = np.stack([np.stack([cnorm2[j] - 2 * dots[j][qi]
+                                   for j in range(m)])
+                         for qi in range(len(qmat))])
+    else:
+        luts = np.empty((0, m, kcent), dtype=np.int64)
+
+    def kernel(batches):
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "vec_id": [],
+                                    "adc": []})
+                continue
+            xs = np.stack([np.asarray(v, dtype=np.int64)
+                           for v in pdf["_qv"]])
+            codes = np.empty((len(xs), m), dtype=np.int64)
+            for j in range(m):
+                sub = xs[:, j * sd:(j + 1) * sd]
+                # integer ||x - c||^2 up to the rank-constant ||x||^2:
+                # argmin of ||c||^2 - 2 x.c; first min == lowest c
+                scores = cnorm2[j][None, :] - 2 * (sub @ books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = luts[qi][jj[None, :], codes].sum(axis=1)
+                keep = vec_ids != qid            # self-match excluded
+                out_q.append(np.full(keep.sum(), qid))
+                out_v.append(vec_ids[keep])
+                out_s.append(s[keep])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "vec_id": np.concatenate(out_v) if out_v else [],
+                "adc": np.concatenate(out_s) if out_s else []})
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _quant_arr(F.col(vec_col)).alias("_qv"),
+    ).mapInPandas(kernel, "query_id long, vec_id long, adc long")
+
+
+def pq_auto_rerank(embeddings: DataFrame, queries: DataFrame,
+                   k: int = 10, recall_target_pct: int = 80,
+                   m: int = 8, kcent: int = 16, sample_mod: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "query_id",
+                   q_vec_col: str = "query_vec") -> int:
+    """Smallest ADC-candidate cut holding recall@k >=
+    ``recall_target_pct``/100 for every query — the PQ twin of
+    hamming_auto_rerank, with the same EXACT-floor semantics: the
+    rerank kernel (exact integer L2) IS the truth kernel, so a truth
+    row inside the cut always survives the final top-k.
+
+    Why it must exist (the r12 harness finding, the family's own
+    decay curve): the codes-only ADC top-10 at the 8x16 sample-init
+    codebook measured mean recall@10 of 0.28 at sf0.01, 0.14 at
+    sf0.1 and 0.05 at sf1 (min 0) — 16 cells per subspace cannot
+    separate a growing near-uniform corpus, and a fixed cut inspects
+    a vanishing fraction. Method identical to the hamming twin: exact
+    L2 truth per query, each truth row's rank under the deterministic
+    (adc asc, vec_id asc) candidate order, per-query the
+    ceil(target*|truth|)-th smallest rank, max over queries."""
+    ranks = (_pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
+                            id_col, vec_col, q_id_col, q_vec_col)
+             .withColumn("_ar", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.col("adc").asc(), F.col("vec_id").asc())))
+             .select("query_id", "vec_id", "_ar"))
+    truth = l2_topk_batch_int(embeddings, queries, k,
+                              id_col, vec_col, q_id_col, q_vec_col)
+    wq = Window.partitionBy("query_id").orderBy(F.col("_ar").asc())
+    need = F.greatest(
+        ((F.col("_cnt") * recall_target_pct + 99) / 100).cast("int"),
+        F.lit(1))
+    row = (truth.select("query_id", "vec_id")
+           .join(ranks, ["query_id", "vec_id"])
+           .withColumn("_rn", F.row_number().over(wq))
+           .withColumn("_cnt", F.count(F.lit(1)).over(
+               Window.partitionBy("query_id")))
+           .filter(F.col("_rn") == need)
+           .agg(F.max("_ar").alias("_r"))
+           .head())
+    r = row["_r"] if row is not None else None
+    return max(1, int(r)) if r is not None else 1
+
+
+def pq_topk_batch_rerank_int(embeddings: DataFrame, queries: DataFrame,
+                             k: int = 10,
+                             rerank_cut: int | str = "auto",
+                             recall_target_pct: int = 80,
+                             m: int = 8, kcent: int = 16,
+                             sample_mod: int = 1,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             q_id_col: str = "query_id",
+                             q_vec_col: str = "query_vec") -> DataFrame:
+    """Two-stage batch PQ: codes-only ADC candidate cut, exact
+    integer-L2 rerank — (query_id, vec_id, l2). The production shape
+    of the PQ family (FAISS's IndexPQ + refine), with the r12 exact
+    floor: ``rerank_cut="auto"`` calibrates the cut on the batch via
+    pq_auto_rerank, so every query's recall@k >= target BY
+    CONSTRUCTION on the calibration batch (rerank kernel == truth
+    kernel), against the measured decay of the cut-free ADC top-k
+    (mean 0.05 at sf1). An int serves a stored calibration. Stage 2
+    touches only cut-many float-free quantized vectors per query —
+    the corpus scan stays the m-byte code column."""
+    if isinstance(rerank_cut, str) and rerank_cut != "auto":
+        raise ValueError(
+            f"rerank_cut must be an int or 'auto': {rerank_cut!r}")
+    if rerank_cut == "auto":
+        rerank_cut = pq_auto_rerank(embeddings, queries, k,
+                                    recall_target_pct, m, kcent,
+                                    sample_mod, id_col, vec_col,
+                                    q_id_col, q_vec_col)
+    scored = _pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
+                            id_col, vec_col, q_id_col, q_vec_col)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc())
+    cand = (scored.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") <= int(rerank_cut))
+            .select("query_id", "vec_id"))
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       _quant_arr(F.col(q_vec_col)).alias("_qqv"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _quant_arr(F.col(vec_col)).alias("_qv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_qqv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc())
+    return (e.join(cand, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", dist.alias("l2"))
+            .withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))
+
+
+def l2_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
+                      k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      q_id_col: str = "query_id",
+                      q_vec_col: str = "query_vec") -> DataFrame:
+    """EXACT batch L2 top-k over the quantized-integer kernel:
+    (query_id, vec_id, l2) — the ground truth the PQ recall harness
+    scores against (PQ's ADC approximates L2, so the apples-to-apples
+    truth is L2, not cosine). Same plan shape and contracts as
+    cosine_topk_batch_int: one map-side corpus pass vs broadcast
+    queries, per-query window top-k, (l2 asc, vec_id asc) ties, pure
+    int64 distances (no zero-norm exclusion — L2 is defined
+    everywhere; self-matches excluded)."""
+    q = queries.select(F.col(q_id_col).alias("query_id"),
+                       _quant_arr(F.col(q_vec_col)).alias("_qqv"))
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _quant_arr(F.col(vec_col)).alias("_qv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_qqv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc())
+    return (e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", dist.alias("l2"))
+            .withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))
+
+
 def cosine_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
                           k: int = 10,
                           id_col: str = "vec_id",

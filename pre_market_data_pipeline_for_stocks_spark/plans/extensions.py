@@ -1919,6 +1919,72 @@ def ann_hamming_from_saved_index(spark, sf_dir):
             .orderBy("query_id", "vec_id"))
 
 
+PQ_M = 8
+PQ_KCENT = 16
+
+
+def ann_pq_adc_topk_batch(spark, sf_dir):
+    """Batch PQ ANN on the integer grid (r12): every 100th vector
+    queries the corpus through 8x16 sample-init integer codebooks —
+    codes-only ADC scan, (adc asc, vec_id asc) top-5. The serving
+    relation of the PQ recall harness below; every number in the
+    pipeline is exact int64 (pq_codebooks_int), so the oracle is
+    bit-identical with no fold adjudication — the property that made
+    PQ the last family without a driver-checked harness."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return (similarity.pq_adc_topk_batch_int(emb, queries, k=5,
+                                             m=PQ_M, kcent=PQ_KCENT)
+            .orderBy("query_id", "vec_id"))
+
+
+def ann_pq_recall_batch(spark, sf_dir):
+    """Measured PQ quantization error (r12 — the LAST approximation
+    family to get a driver-level recall harness; r11 covered
+    MinHash-LSH, IVF, sign-LSH, Hamming, Bloom, CMS): recall@10 of the
+    codes-only integer ADC scan against EXACT integer L2 brute force
+    (l2_topk_batch_int — ADC approximates L2, so L2 is the
+    apples-to-apples truth), per query of the standard % 100 shard.
+    The loss measured here is purely the 16-cell-per-subspace code
+    quantization at the sample-init codebook — the honest floor Lloyd
+    iterations would tighten. Emissions pure integers via
+    recall_report."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.pq_adc_topk_batch_int(emb, queries, k=ANN_TOPK,
+                                              m=PQ_M, kcent=PQ_KCENT)
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_pq_recall_batch_auto(spark, sf_dir):
+    """ann_pq_recall_batch's twin over the auto-calibrated
+    ADC-cut-then-exact-rerank path (pq_auto_rerank, target 0.8) —
+    with this, ALL FIVE approximation families (MinHash-LSH, IVF,
+    sign-LSH, Hamming, PQ) carry both a measured error number and a
+    recall-holding auto mode. The floor is EXACT here, like the
+    hamming twin: the rerank kernel is the integer-L2 truth kernel,
+    so min recall_e6 >= 800000 by construction wherever
+    |truth| = k — against the measured cut-free ADC decay (mean
+    recall@10 0.28/0.14/0.05 at sf0.01/0.1/1)."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.pq_topk_batch_rerank_int(
+        emb, queries, k=ANN_TOPK, rerank_cut="auto",
+        recall_target_pct=80, m=PQ_M, kcent=PQ_KCENT)
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 HAMMING_WIDE_PLANES = 128
 
 
@@ -2006,6 +2072,8 @@ def approx_error_panel(spark, sf_dir):
                 "ann_hamming_auto"),
         minmean(ann_hamming_recall_batch_auto_w128(spark, sf_dir),
                 "ann_hamming_auto_w128"),
+        minmean(ann_pq_recall_batch(spark, sf_dir), "ann_pq_int"),
+        minmean(ann_pq_recall_batch_auto(spark, sf_dir), "ann_pq_auto"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_cms_error(spark, sf_dir)

@@ -4754,6 +4754,180 @@ LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """)
 
+def _pq_int_ctes(stride_q: int = 100, m: int = 8,
+                 kcent: int = 16, sd: int = 8) -> str:
+    """Shared CTE chain of the integer-PQ twins (r12), ending in
+    ``scores(query_id, vec_id, adc)``: sample-init integer codebooks
+    (every (n//kcent)-th id-ordered quantized subvector), integer
+    code assignment (argmin of ||c||^2 - 2 x.c, ties to the lowest
+    centroid), per-query integer ADC tables, codes joined to tables
+    and summed per (query, vec). Every value is exact int64 (dots <=
+    64 * 1e6 components — far inside the double-exact range
+    list_inner_product computes in), so the twins are bit-identical
+    by construction: the reason the harness PQ runs at iters=0 on the
+    quantized grid instead of the float Lloyd pipeline (whose matmul
+    accumulation order has no SQL twin)."""
+    return f"""qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+samp AS (SELECT vec_id, qv,
+                row_number() OVER (ORDER BY vec_id ASC) - 1 AS pos
+         FROM qe),
+params AS (SELECT greatest(count(*) // {kcent}, 1) AS stride FROM samp),
+js AS (SELECT unnest(range({m})) AS j),
+cents AS (
+  SELECT CAST(pos // stride AS INT) AS c, qv
+  FROM samp, params
+  WHERE pos % stride = 0 AND pos // stride < {kcent}),
+centsub AS (
+  SELECT j, c, qv[j * {sd} + 1:(j + 1) * {sd}] AS cv
+  FROM cents, js),
+cnorm AS (
+  SELECT j, c, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
+  FROM centsub),
+vecsub AS (
+  SELECT vec_id, j, qv[j * {sd} + 1:(j + 1) * {sd}] AS xv
+  FROM qe, js),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT v.vec_id, v.j, cs.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.j
+             ORDER BY cn.cn2
+                      - 2 * CAST(list_inner_product(v.xv, cs.cv)
+                                 AS BIGINT) ASC,
+                      cs.c ASC) AS rn
+    FROM vecsub v
+    JOIN centsub cs ON cs.j = v.j
+    JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c)
+  WHERE rn = 1),
+pqs AS (SELECT vec_id AS query_id, qv AS qqv FROM qe
+        WHERE vec_id % {stride_q} = 0),
+tabs AS (
+  SELECT q.query_id, cs.j, cs.c,
+         cn.cn2 - 2 * CAST(list_inner_product(
+             q.qqv[cs.j * {sd} + 1:(cs.j + 1) * {sd}], cs.cv)
+             AS BIGINT) AS val
+  FROM pqs q, centsub cs
+  JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c),
+scores AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.val) AS BIGINT) AS adc
+  FROM codes c JOIN tabs t ON t.j = c.j AND t.c = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY 1, 2)"""
+
+
+def _pq_int_topk_sql(stride_q: int = 100, k: int = 5, m: int = 8,
+                     kcent: int = 16, sd: int = 8) -> str:
+    """Twin of similarity.pq_adc_topk_batch_int: the shared integer
+    CTEs + per-query (adc asc, vec_id asc) top-k."""
+    return f"""
+WITH {_pq_int_ctes(stride_q, m, kcent, sd)}
+SELECT query_id, vec_id, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, vec_id ASC) AS rn
+  FROM scores) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
+_L2_INT = ("CAST(list_inner_product({a}, {a}) AS BIGINT) "
+           "- 2 * CAST(list_inner_product({a}, {b}) AS BIGINT) "
+           "+ CAST(list_inner_product({b}, {b}) AS BIGINT)")
+
+
+def _pq_int_rerank_sql(stride_q: int = 100, k: int = 10,
+                       recall_target_pct: int = 80, m: int = 8,
+                       kcent: int = 16, sd: int = 8) -> str:
+    """Twin of similarity.pq_topk_batch_rerank_int(rerank_cut="auto"):
+    the shared integer CTEs, the batch-calibrated candidate cut
+    (exact L2 truth rows' ranks under the (adc asc, vec_id asc)
+    order — pq_auto_rerank's plan, the hamming autorr shape), then
+    the exact integer-L2 rerank of the cut candidates. Pure integers
+    end to end."""
+    l2 = _L2_INT.format(a="e.qv", b="q.qqv")
+    return f"""
+WITH {_pq_int_ctes(stride_q, m, kcent, sd)},
+adcrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS ar
+  FROM scores),
+ptruth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {l2} ASC, e.vec_id ASC) AS rn
+    FROM qe e, pqs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {k}),
+autorr AS (
+  SELECT greatest(max(ar), 1) AS rr FROM (
+    SELECT t.query_id, r.ar,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY r.ar ASC) AS rn,
+           count(*) OVER (PARTITION BY t.query_id) AS cnt
+    FROM ptruth t
+    JOIN adcrank r ON r.query_id = t.query_id
+                  AND r.vec_id = t.vec_id)
+  WHERE rn = greatest((cnt * {recall_target_pct} + 99) // 100, 1)),
+cand2 AS (
+  SELECT query_id, vec_id FROM adcrank
+  WHERE ar <= (SELECT rr FROM autorr)),
+rer AS (
+  SELECT c.query_id, c.vec_id, {l2} AS l2
+  FROM cand2 c
+  JOIN qe e USING (vec_id)
+  JOIN pqs q USING (query_id))
+SELECT query_id, vec_id, CAST(l2 AS BIGINT) AS l2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2 ASC, vec_id ASC) AS rn
+  FROM rer) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+REGISTRY["ann_pq_adc_topk_batch"] = QueryDef(
+    X.ann_pq_adc_topk_batch, _pq_int_topk_sql(100, 5))
+
+def _pq_recall_sql(inner: str) -> str:
+    """Shared recall-harness wrapper of the PQ twins: exact integer
+    L2 truth for the % 100 shard vs the given approximate relation,
+    min(k, |truth|) denominator (recall_report contract)."""
+    return f"""
+WITH qe2 AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+qs2 AS (SELECT vec_id AS query_id, qv AS qqv FROM qe2
+        WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_L2_INT.format(a='e.qv', b='q.qqv')} ASC,
+                      e.vec_id ASC) AS rn
+    FROM qe2 e, qs2 q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= 10),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t JOIN ({inner}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, 10), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+"""
+
+
+# PQ recall harnesses (r12 — the last family measured): integer ADC
+# top-10 vs EXACT integer L2 brute force, and the auto-calibrated
+# cut-then-rerank twin whose floor is exact (rerank kernel == truth
+# kernel). min(k,|truth|) denominator throughout.
+REGISTRY["ann_pq_recall_batch"] = QueryDef(
+    X.ann_pq_recall_batch, _pq_recall_sql(_pq_int_topk_sql(100, 10)))
+REGISTRY["ann_pq_recall_batch_auto"] = QueryDef(
+    X.ann_pq_recall_batch_auto,
+    _pq_recall_sql(_pq_int_rerank_sql(100, 10, 80)))
+
 # Wide (128-bit, two-word) Hamming sketch (r12 — VERDICT r11 #3):
 # the served batch at the fixed rf=4 budget, and the auto-calibrated
 # recall harness proving the sharper sketch holds the 0.8 floor at a
@@ -4823,6 +4997,10 @@ hama AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_hamming_recall_batch_auto"].oracle})),
 hamw AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_hamming_recall_batch_auto_w128"].oracle})),
+pqr AS (SELECT recall_e6 FROM
+        ({REGISTRY["ann_pq_recall_batch"].oracle})),
+pqa AS (SELECT recall_e6 FROM
+        ({REGISTRY["ann_pq_recall_batch_auto"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -4858,6 +5036,18 @@ panel AS (
   SELECT 'ann_hamming_auto_w128', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM hamw
+  UNION ALL
+  SELECT 'ann_pq_int', 'min_recall_e6', min(recall_e6) FROM pqr
+  UNION ALL
+  SELECT 'ann_pq_int', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM pqr
+  UNION ALL
+  SELECT 'ann_pq_auto', 'min_recall_e6', min(recall_e6) FROM pqa
+  UNION ALL
+  SELECT 'ann_pq_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM pqa
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})

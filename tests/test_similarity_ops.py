@@ -1060,6 +1060,92 @@ def test_wide_signature_index_round_trip_and_from_index(emb, tmp_path):
     assert served == inline and served
 
 
+def test_pq_int_harness_laws(emb):
+    """The r12 integer-PQ recall harness: codebooks are exactly the
+    stride-sampled quantized subvectors (deterministic, rebuildable),
+    the ADC scan emits one row per (query, candidate) with integer
+    scores, and recall vs integer-L2 truth is lawful. A vector that IS
+    a codebook seed reconstructs itself exactly in every subspace, so
+    its own code row scores the minimum possible ADC."""
+    import numpy as np
+
+    books = S.pq_codebooks_int(emb, m=8, kcent=16)
+    assert books.shape == (8, 16, 8) and books.dtype == np.int64
+    rows = sorted(
+        (r.vec_id, tuple(r._qv)) for r in emb.selectExpr(
+            "vec_id",
+            "transform(embedding, "
+            "x -> bigint(floor(x * 1000 + 0.5))) AS _qv").collect())
+    n = len(rows)
+    stride = max(1, n // 16)
+    for c in range(16):
+        seed = np.array(rows[c * stride][1])
+        for j in range(8):
+            assert (books[j][c] == seed[j * 8:(j + 1) * 8]).all()
+
+    qs = _queries(emb, mod=100)
+    approx = S.pq_adc_topk_batch_int(emb, qs, k=10)
+    got = approx.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 10 for v in by_q.values())
+    assert all(r.vec_id != r.query_id for r in got)
+    truth = S.l2_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(approx, truth, k=10).collect()
+    assert rep and all(0 <= r.recall_e6 <= 10 ** 6 for r in rep)
+    # a 1-cell-per-subspace degenerate codebook can't raise ValueError
+    # paths silently: kcent > sample size must fail fast
+    with pytest.raises(ValueError, match="kcent"):
+        S.pq_codebooks_int(emb.limit(5), kcent=16)
+
+
+def test_pq_auto_rerank_exact_floor(emb):
+    """rerank_cut="auto" must hold the floor EXACTLY (the rerank
+    kernel is the integer-L2 truth kernel — no boundary slippage),
+    the calibrated cut must be monotone in the target, and a 100%
+    target yields perfect recall (every truth row inside the cut
+    survives an exact rerank)."""
+    qs = _queries(emb, mod=100)
+    approx = S.pq_topk_batch_rerank_int(emb, qs, k=10,
+                                        rerank_cut="auto",
+                                        recall_target_pct=80)
+    truth = S.l2_topk_batch_int(emb, qs, k=10)
+    rep = S.recall_report(approx, truth, k=10).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+    cuts = [S.pq_auto_rerank(emb, qs, k=10, recall_target_pct=t)
+            for t in (10, 80, 100)]
+    assert cuts == sorted(cuts) and cuts[0] >= 1
+    a100 = S.pq_topk_batch_rerank_int(emb, qs, k=10,
+                                      rerank_cut="auto",
+                                      recall_target_pct=100)
+    rep100 = S.recall_report(a100, truth, k=10).collect()
+    assert all(r.recall_e6 == 10 ** 6 for r in rep100)
+    with pytest.raises(ValueError):
+        S.pq_topk_batch_rerank_int(emb, qs, rerank_cut="lots")
+
+
+def test_l2_truth_matches_brute_force(emb):
+    """l2_topk_batch_int equals a literal integer L2 brute force
+    computed driver-side on the same quantized grid."""
+    import numpy as np
+
+    rows = {r.vec_id: np.array(r._qv) for r in emb.selectExpr(
+        "vec_id",
+        "transform(embedding, "
+        "x -> bigint(floor(x * 1000 + 0.5))) AS _qv").collect()}
+    qs = _queries(emb, mod=200)
+    got = {}
+    for r in S.l2_topk_batch_int(emb, qs, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.l2))
+    for qid, pairs in got.items():
+        qv = rows[qid]
+        brute = sorted(
+            (int(((v - qv) ** 2).sum()), vid)
+            for vid, v in rows.items() if vid != qid)[:5]
+        assert [(vid, d) for d, vid in brute] == pairs
+
+
 def test_auto_calibration_plans_no_cartesian(emb):
     """The r11 calibration passes must keep the batch plan contracts:
     no cartesian product anywhere — the truth scorer and the
@@ -1084,16 +1170,16 @@ def test_auto_calibration_plans_no_cartesian(emb):
 
 
 def test_approx_error_panel_shape_and_laws(spark, sf_dir):
-    """The datacard panel: 14 integer rows (r12 adds the 128-bit
-    hamming family), every auto family at or above its fixed twin
-    (the reason the auto modes exist), recalls in [0, 1e6],
-    overestimates non-negative."""
+    """The datacard panel: 18 integer rows (r12 adds the 128-bit
+    hamming and integer-PQ fixed+auto families), every auto family at or above
+    its fixed twin (the reason the auto modes exist), recalls in
+    [0, 1e6], overestimates non-negative."""
     from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
         approx_error_panel,
     )
     rows = {(r.family, r.metric): r.value
             for r in approx_error_panel(spark, sf_dir).collect()}
-    assert len(rows) == 14
+    assert len(rows) == 18
     assert all(0 <= v <= 10 ** 6 for (f, m), v in rows.items()
                if m.endswith("recall_e6"))
     assert rows[("ann_hamming_auto", "min_recall_e6")] >= \
@@ -1106,3 +1192,9 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     assert rows[("cms_w6d1", "max_overestimate_n")] >= 0
     # the wide sketch holds the same exact floor as the 64-bit auto
     assert rows[("ann_hamming_auto_w128", "min_recall_e6")] >= 800000
+    # PQ fixed is uncalibrated (the honest sample-init floor); the
+    # auto cut-then-rerank twin holds the exact 0.8 floor
+    assert 0 <= rows[("ann_pq_int", "min_recall_e6")] <= 10 ** 6
+    assert rows[("ann_pq_auto", "min_recall_e6")] >= 800000
+    assert rows[("ann_pq_auto", "min_recall_e6")] >= \
+        rows[("ann_pq_int", "min_recall_e6")]
