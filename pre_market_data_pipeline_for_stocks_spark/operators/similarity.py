@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from pathlib import Path
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -2331,7 +2332,8 @@ def pq_adc_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           q_id_col: str = "query_id",
-                          q_vec_col: str = "query_vec") -> DataFrame:
+                          q_vec_col: str = "query_vec",
+                          books=None) -> DataFrame:
     """Batch PQ ANN over the integer grid: (query_id, vec_id, adc) —
     per query the k corpus rows with the SMALLEST asymmetric L2
     distance surrogate, scored from codes only.
@@ -2351,9 +2353,15 @@ def pq_adc_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
 
     The truth twin is l2_topk_batch_int (same grid, exact distance):
     recall@k between the two is the PQ family's measured quantization
-    error — ann_pq_recall_batch in the registry."""
+    error — ann_pq_recall_batch in the registry.
+
+    ``books`` (r12): a precomputed (m, kcent, sd) int64 codebook array
+    — e.g. the committed Lloyd-trained artifact
+    (load_pq_codebooks_parquet) — bypasses the in-plan sample-init
+    training. None keeps the self-training harness shape."""
     scored = _pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
-                            id_col, vec_col, q_id_col, q_vec_col)
+                            id_col, vec_col, q_id_col, q_vec_col,
+                            books=books)
     wk = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc())
     return (scored.withColumn("_rn", F.row_number().over(wk))
@@ -2364,16 +2372,24 @@ def _pq_adc_scored(embeddings: DataFrame, queries: DataFrame,
                    m: int = 8, kcent: int = 16, sample_mod: int = 1,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "query_id",
-                   q_vec_col: str = "query_vec") -> DataFrame:
+                   q_vec_col: str = "query_vec",
+                   books=None) -> DataFrame:
     """The full (query_id, vec_id, adc) ADC score relation — shared by
     the top-k cut (pq_adc_topk_batch_int), the calibration rank pass
     (pq_auto_rerank) and the reranked serving path, so all three rank
-    the identical integer scores."""
+    the identical integer scores. ``books`` substitutes a precomputed
+    integer codebook (committed Lloyd artifact / loaded index) for the
+    in-plan sample-init training; m is re-derived from its shape so a
+    caller can't desynchronize the two."""
     import numpy as np
     import pandas as pd
 
-    books = pq_codebooks_int(embeddings, m, kcent, sample_mod,
-                             id_col, vec_col)
+    if books is None:
+        books = pq_codebooks_int(embeddings, m, kcent, sample_mod,
+                                 id_col, vec_col)
+    else:
+        books = np.asarray(books, dtype=np.int64)
+        m = books.shape[0]
     sd = books.shape[2]
     cnorm2 = (books ** 2).sum(axis=2)                # (m, kcent)
     qrows = (queries.select(F.col(q_id_col).alias("_qid"),
@@ -2433,7 +2449,8 @@ def pq_auto_rerank(embeddings: DataFrame, queries: DataFrame,
                    m: int = 8, kcent: int = 16, sample_mod: int = 1,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    q_id_col: str = "query_id",
-                   q_vec_col: str = "query_vec") -> int:
+                   q_vec_col: str = "query_vec",
+                   books=None) -> int:
     """Smallest ADC-candidate cut holding recall@k >=
     ``recall_target_pct``/100 for every query — the PQ twin of
     hamming_auto_rerank, with the same EXACT-floor semantics: the
@@ -2450,7 +2467,8 @@ def pq_auto_rerank(embeddings: DataFrame, queries: DataFrame,
     (adc asc, vec_id asc) candidate order, per-query the
     ceil(target*|truth|)-th smallest rank, max over queries."""
     ranks = (_pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
-                            id_col, vec_col, q_id_col, q_vec_col)
+                            id_col, vec_col, q_id_col, q_vec_col,
+                            books=books)
              .withColumn("_ar", F.row_number().over(
                  Window.partitionBy("query_id")
                  .orderBy(F.col("adc").asc(), F.col("vec_id").asc())))
@@ -2482,7 +2500,8 @@ def pq_topk_batch_rerank_int(embeddings: DataFrame, queries: DataFrame,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              q_id_col: str = "query_id",
-                             q_vec_col: str = "query_vec") -> DataFrame:
+                             q_vec_col: str = "query_vec",
+                             books=None) -> DataFrame:
     """Two-stage batch PQ: codes-only ADC candidate cut, exact
     integer-L2 rerank — (query_id, vec_id, l2). The production shape
     of the PQ family (FAISS's IndexPQ + refine), with the r12 exact
@@ -2500,9 +2519,10 @@ def pq_topk_batch_rerank_int(embeddings: DataFrame, queries: DataFrame,
         rerank_cut = pq_auto_rerank(embeddings, queries, k,
                                     recall_target_pct, m, kcent,
                                     sample_mod, id_col, vec_col,
-                                    q_id_col, q_vec_col)
+                                    q_id_col, q_vec_col, books=books)
     scored = _pq_adc_scored(embeddings, queries, m, kcent, sample_mod,
-                            id_col, vec_col, q_id_col, q_vec_col)
+                            id_col, vec_col, q_id_col, q_vec_col,
+                            books=books)
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc())
     cand = (scored.withColumn("_rn", F.row_number().over(wa))
@@ -2672,3 +2692,282 @@ def recall_report(approx: DataFrame, truth: DataFrame,
                     idiv_long(n_hit * F.lit(10 ** 6), denom)
                     .alias("recall_e6"))
             .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-trained committed PQ codebooks (r12 — the BASELINE.md r12
+# "sample-init is the bottleneck" frontier).
+#
+# The float Lloyd loop trains through numpy means whose accumulation
+# order no SQL engine replays (the r9 non-twinnable class) — so the
+# TRAINING is done once, offline (scripts/train_pq_lloyd_artifact.py),
+# its output SNAPPED to the shared 1e-3 integer grid, and the snapped
+# codebook COMMITTED as data/pq_codebooks_lloyd.parquet. Downstream of
+# the committed bytes everything (code assignment, ADC tables, rerank)
+# is exact int64, so Spark and the DuckDB twin read the same artifact
+# and agree bit-for-bit — the log_lookup.parquet pattern
+# (functions/fixedpoint.py) applied to a trained model.
+# ---------------------------------------------------------------------------
+
+PQ_LLOYD_CODEBOOKS_PATH = str(Path(__file__).resolve().parents[1]
+                              / "data" / "pq_codebooks_lloyd.parquet")
+
+
+def train_pq_codebooks_lloyd_int(embeddings: DataFrame, m: int = 8,
+                                 kcent: int = 16, iters: int = 15,
+                                 sample_mod: int = 1,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding"):
+    """Per-subspace Lloyd (k-means) PQ training over the 1e-3-quantized
+    integer grid, returning an (m, kcent, sd) int64 codebook whose
+    centroids are SNAPPED back to the grid (round-half-up, matching
+    _quant_arr's floor(x+0.5) shape) — the committable form.
+
+    Seeding is pq_codebooks_int's stride sample (so iters=0 returns
+    exactly the sample-init books and the harness baseline is the
+    trainer's own start point). Each iteration assigns every sampled
+    subvector to its nearest centroid (exact integer distances,
+    first-min ties — same rule as the serving encoder) and recenters
+    each cluster at its float mean; empty clusters keep their previous
+    centroid (the standard small-k fallback). Float only exists INSIDE
+    this function: the returned array is integer, and only the
+    committed bytes ever reach a query plan, so training
+    non-determinism across numpy builds cannot produce an oracle
+    divergence — at worst a differently-trained (still valid) model,
+    which is why the artifact, not the trainer, is the contract.
+
+    Driver-resident model state (n_sample x 64 ints), like every
+    codebook here; at 100 TB you train on a bounded sample (the FAISS
+    norm) — ``sample_mod`` is that knob."""
+    import numpy as np
+
+    rows = (embeddings
+            .filter(F.col(id_col) % sample_mod == 0)
+            .select(F.col(id_col).alias("_id"),
+                    _quant_arr(F.col(vec_col)).alias("_qv"))
+            .orderBy("_id").collect())
+    if len(rows) < kcent:
+        raise ValueError(
+            f"sample of {len(rows)} rows cannot seed kcent={kcent}")
+    x = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in rows])
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    stride = max(1, len(x) // kcent)
+    seeds = x[::stride][:kcent].astype(np.float64)   # (kcent, d)
+    books = np.empty((m, kcent, sd), dtype=np.int64)
+    for j in range(m):
+        sub = x[:, j * sd:(j + 1) * sd].astype(np.float64)
+        cents = seeds[:, j * sd:(j + 1) * sd].copy()
+        for _ in range(max(0, iters)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)               # first-min ties
+            for c in range(kcent):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j] = np.floor(cents + 0.5).astype(np.int64)
+    return books
+
+
+def save_pq_codebooks_parquet(books, path: str) -> None:
+    """Write an (m, kcent, sd) int64 codebook as ONE parquet FILE of
+    (j, c, cv array<bigint>) rows, (j, c)-ordered — written with
+    pyarrow (not Spark) so the artifact is a single file DuckDB's
+    read_parquet('<path>') and Spark's read.parquet both open
+    directly: the committed-artifact form."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    books = np.asarray(books, dtype=np.int64)
+    m, kcent, _sd = books.shape
+    js, cs, cvs = [], [], []
+    for j in range(m):
+        for c in range(kcent):
+            js.append(j)
+            cs.append(c)
+            cvs.append(books[j, c].tolist())
+    table = pa.table({"j": pa.array(js, pa.int64()),
+                      "c": pa.array(cs, pa.int64()),
+                      "cv": pa.array(cvs, pa.list_(pa.int64()))})
+    pq.write_table(table, path)
+
+
+def load_pq_codebooks_parquet(path: str | None = None):
+    """Read a codebook written by save_pq_codebooks_parquet back into
+    the (m, kcent, sd) int64 array the PQ kernels take (``books=``).
+    Default path is the COMMITTED Lloyd artifact. pyarrow read —
+    driver-side model state, no Spark session needed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path or PQ_LLOYD_CODEBOOKS_PATH)
+    js = table["j"].to_numpy()
+    cs = table["c"].to_numpy()
+    cvs = table["cv"].to_pylist()
+    m = int(js.max()) + 1
+    kcent = int(cs.max()) + 1
+    sd = len(cvs[0])
+    books = np.zeros((m, kcent, sd), dtype=np.int64)
+    seen = 0
+    for j, c, cv in zip(js, cs, cvs):
+        books[int(j), int(c)] = np.asarray(cv, dtype=np.int64)
+        seen += 1
+    if seen != m * kcent:
+        raise ValueError(
+            f"codebook at {path!r} has {seen} rows, expected {m * kcent}")
+    return books
+
+
+def pq_distortion_int(embeddings: DataFrame, books,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-row PQ reconstruction error on the integer grid:
+    (vec_id, dist2) where dist2 = sum_j ||x_j - book_j[code_j]||^2
+    under the serving encoder's assignment rule (integer argmin,
+    first-min ties). One Arrow pass over the corpus, codebook in the
+    closure — the quantization-quality measure that lets a test (and
+    BASELINE.md) state 'Lloyd beats sample-init' as a number instead
+    of a hope. agg(sum/avg) downstream for the corpus total."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books, dtype=np.int64)
+    m, _kcent, sd = books.shape
+    cnorm2 = (books ** 2).sum(axis=2)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "dist2": []})
+                continue
+            xs = np.stack([np.asarray(v, dtype=np.int64)
+                           for v in pdf["_qv"]])
+            total = np.zeros(len(xs), dtype=np.int64)
+            for j in range(m):
+                sub = xs[:, j * sd:(j + 1) * sd]
+                scores = cnorm2[j][None, :] - 2 * (sub @ books[j].T)
+                codes = scores.argmin(axis=1)
+                diff = sub - books[j][codes]
+                total += (diff * diff).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "dist2": total})
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _quant_arr(F.col(vec_col)).alias("_qv"),
+    ).mapInPandas(kernel, "vec_id long, dist2 long")
+
+
+def calibrate_pq_index(embeddings: DataFrame, calib_queries: DataFrame,
+                       k: int = 10, recall_target_pct: int = 80,
+                       books=None, m: int = 8, kcent: int = 16,
+                       sample_mod: int = 1,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       q_id_col: str = "query_id",
+                       q_vec_col: str = "query_vec") -> dict:
+    """Calibrate a PQ codebook against a probe shard and return the
+    sidecar dict save_pq_index persists: the smallest ADC-candidate
+    rerank cut holding recall@k >= target for every probe
+    (pq_auto_rerank — an EXACT floor, the rerank kernel being the L2
+    truth kernel) plus the floor measured serving the probes at that
+    cut. The PQ member of the r12 self-describing-artifact family
+    (calibrate_ivf_index / calibrate_signature_index)."""
+    cut = pq_auto_rerank(embeddings, calib_queries, k,
+                         recall_target_pct, m, kcent, sample_mod,
+                         id_col, vec_col, q_id_col, q_vec_col,
+                         books=books)
+    served = pq_topk_batch_rerank_int(embeddings, calib_queries, k,
+                                      rerank_cut=cut, m=m, kcent=kcent,
+                                      sample_mod=sample_mod,
+                                      id_col=id_col, vec_col=vec_col,
+                                      q_id_col=q_id_col,
+                                      q_vec_col=q_vec_col, books=books)
+    truth = l2_topk_batch_int(embeddings, calib_queries, k,
+                              id_col, vec_col, q_id_col, q_vec_col)
+    return {"kind": "pq", "knob": "rerank_cut", "knob_value": int(cut),
+            "k": int(k), "recall_target_pct": int(recall_target_pct),
+            "min_recall_e6": _measured_min_recall_e6(served, truth, k),
+            "n_corpus": embeddings.count()}
+
+
+def save_pq_index(spark, books, path: str,
+                  calibration: dict | None = None) -> None:
+    """Persist a PQ codebook as a Spark-written parquet DIRECTORY of
+    (j, c, cv) rows with the optional ``_calibration`` sidecar inside
+    — the save_ivf_index twin for the PQ family. (The committed
+    single-FILE artifact form is save_pq_codebooks_parquet; this is
+    the runtime index-directory form whose sidecar rides along.)"""
+    import numpy as np
+
+    books = np.asarray(books, dtype=np.int64)
+    m, kcent, _sd = books.shape
+    rows = [(j, c, books[j, c].tolist())
+            for j in range(m) for c in range(kcent)]
+    (spark.createDataFrame(rows, schema="j long, c long, cv array<long>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    if calibration is not None:
+        save_index_calibration(spark, path, calibration)
+
+
+def load_pq_index(spark, path: str):
+    """Read a codebook written by save_pq_index back into the
+    (m, kcent, sd) int64 array form. The ``_calibration`` sidecar is
+    invisible to this read (hidden-path listing rule) — fetch it via
+    load_index_calibration."""
+    import numpy as np
+
+    rows = (spark.read.parquet(path)
+            .select("j", "c", "cv").orderBy("j", "c").collect())
+    m = int(rows[-1]["j"]) + 1
+    kcent = int(rows[-1]["c"]) + 1
+    sd = len(rows[0]["cv"])
+    books = np.zeros((m, kcent, sd), dtype=np.int64)
+    for r in rows:
+        books[int(r["j"]), int(r["c"])] = np.asarray(r["cv"],
+                                                     dtype=np.int64)
+    return books
+
+
+def pq_topk_batch_from_index(embeddings: DataFrame, index_path: str,
+                             queries: DataFrame, k: int | None = None,
+                             rerank_cut: int | str | None = None,
+                             drift_pct: int = 50,
+                             recall_target_pct: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             q_id_col: str = "query_id",
+                             q_vec_col: str = "query_vec") -> DataFrame:
+    """Serve a query batch from a SAVED PQ artifact, defaulting every
+    knob to the stored calibration — the PQ member of the
+    self-describing-index serving family (ivf_topk_batch_from_index /
+    hamming_topk_batch_from_index, r12). ``rerank_cut=None`` reads
+    the sidecar's calibrated cut (ValueError when the artifact
+    carries none); corpus-count drift >= ``drift_pct``% falls back to
+    rerank_cut="auto" — a fresh calibration on THIS batch — instead
+    of silently serving a stale floor."""
+    spark = embeddings.sparkSession
+    books = load_pq_index(spark, index_path)
+    calib = load_index_calibration(spark, index_path)
+    if k is None:
+        k = int(calib["k"]) if calib else 10
+    if recall_target_pct is None:
+        recall_target_pct = int(calib["recall_target_pct"]) if calib else 80
+    if rerank_cut is None:
+        if calib is None:
+            raise ValueError(
+                f"index at {index_path!r} has no stored calibration; "
+                "pass rerank_cut explicitly or save with "
+                "calibration=calibrate_pq_index(...)")
+        if _drifted(calib, embeddings.count(), drift_pct):
+            rerank_cut = "auto"
+        else:
+            rerank_cut = int(calib["knob_value"])
+    return pq_topk_batch_rerank_int(embeddings, queries, k,
+                                    rerank_cut=rerank_cut,
+                                    recall_target_pct=recall_target_pct,
+                                    id_col=id_col, vec_col=vec_col,
+                                    q_id_col=q_id_col, q_vec_col=q_vec_col,
+                                    books=books)

@@ -1985,6 +1985,99 @@ def ann_pq_recall_batch_auto(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+def _pq_lloyd_books():
+    """The committed Lloyd codebook (data/pq_codebooks_lloyd.parquet)
+    — trained ONCE offline (scripts/train_pq_lloyd_artifact.py: 15
+    Lloyd iterations over the sf0.1 corpus, 25.3% lower int-grid
+    reconstruction error than the sample-init seeds), snapped to the
+    shared 1e-3 integer grid, committed. Only the committed bytes
+    reach the query plan, so the float training loop never has to be
+    SQL-twinned — the log_lookup pattern applied to a trained model."""
+    from ..operators import similarity
+    return similarity.load_pq_codebooks_parquet()
+
+
+def ann_pq_lloyd_topk_batch(spark, sf_dir):
+    """Batch PQ ANN serving from the COMMITTED Lloyd codebook (r12):
+    the production shape — train offline, commit the model, serve
+    codes-only everywhere — vs ann_pq_adc_topk_batch's in-plan
+    sample-init training. Codes-only ADC scan, (adc asc, vec_id asc)
+    top-5; the oracle reads the identical artifact via
+    read_parquet, so every number is bit-identical int64."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return (similarity.pq_adc_topk_batch_int(emb, queries, k=5,
+                                             books=_pq_lloyd_books())
+            .orderBy("query_id", "vec_id"))
+
+
+def ann_pq_lloyd_recall_batch(spark, sf_dir):
+    """Measured PQ quantization error at the TRAINED codebook:
+    recall@10 of the committed-Lloyd codes-only ADC scan against
+    exact integer L2 — the apples-to-apples twin of
+    ann_pq_recall_batch (sample-init), quantifying what 15 Lloyd
+    iterations buy the family (BASELINE.md r12 records both
+    curves)."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.pq_adc_topk_batch_int(emb, queries, k=ANN_TOPK,
+                                              books=_pq_lloyd_books())
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_pq_lloyd_recall_batch_auto(spark, sf_dir):
+    """The auto-calibrated cut-then-rerank harness at the committed
+    Lloyd codebook: same exact 0.8 floor as ann_pq_recall_batch_auto
+    (rerank kernel == truth kernel), but the BETTER codebook orders
+    candidates more faithfully, so the calibrated cut — the price of
+    the floor — is materially smaller than sample-init's 38-52%
+    corpus fraction (measured per sf in BASELINE.md r12)."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.pq_topk_batch_rerank_int(
+        emb, queries, k=ANN_TOPK, rerank_cut="auto",
+        recall_target_pct=80, books=_pq_lloyd_books())
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_pq_from_saved_index(spark, sf_dir):
+    """The PQ member of the self-describing-artifact lifecycle family
+    (ann_ivf_from_saved_index / ann_hamming_from_saved_index): load
+    the committed Lloyd codebook, calibrate the rerank cut against
+    the standard probe shard (calibrate_pq_index — an EXACT floor,
+    rerank kernel == truth kernel), persist codebook + calibration
+    sidecar, then LOAD the artifact and serve with every knob
+    defaulted from the stored calibration (pq_topk_batch_from_index).
+    Byte-identical to the rerank_cut="auto" serve at the same
+    (k, target) by contract, which is the oracle twin used here."""
+    import tempfile
+
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    books = _pq_lloyd_books()
+    calib = similarity.calibrate_pq_index(emb, queries, k=ANN_TOPK,
+                                          recall_target_pct=80,
+                                          books=books)
+    path = tempfile.mkdtemp(prefix="pq_index_")
+    similarity.save_pq_index(spark, books, path, calibration=calib)
+    return (similarity.pq_topk_batch_from_index(emb, path, queries)
+            .orderBy("query_id", "vec_id"))
+
+
 HAMMING_WIDE_PLANES = 128
 
 
@@ -2074,6 +2167,10 @@ def approx_error_panel(spark, sf_dir):
                 "ann_hamming_auto_w128"),
         minmean(ann_pq_recall_batch(spark, sf_dir), "ann_pq_int"),
         minmean(ann_pq_recall_batch_auto(spark, sf_dir), "ann_pq_auto"),
+        minmean(ann_pq_lloyd_recall_batch(spark, sf_dir),
+                "ann_pq_lloyd"),
+        minmean(ann_pq_lloyd_recall_batch_auto(spark, sf_dir),
+                "ann_pq_lloyd_auto"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_cms_error(spark, sf_dir)

@@ -25,6 +25,7 @@ from ..operators.relevance import (
     BM25_K1 as _BM25_K1,
     bm25_int_constants as _bm25_int_constants,
 )
+from ..operators.similarity import PQ_LLOYD_CODEBOOKS_PATH as _PQLLOYD
 
 # The four integers of the exactly-rational BM25 kernel at the default
 # knobs — shared with the Spark side so the twins cannot drift.
@@ -4755,7 +4756,8 @@ ORDER BY q.query_id
 """)
 
 def _pq_int_ctes(stride_q: int = 100, m: int = 8,
-                 kcent: int = 16, sd: int = 8) -> str:
+                 kcent: int = 16, sd: int = 8,
+                 cent_src: str | None = None) -> str:
     """Shared CTE chain of the integer-PQ twins (r12), ending in
     ``scores(query_id, vec_id, adc)``: sample-init integer codebooks
     (every (n//kcent)-th id-ordered quantized subvector), integer
@@ -4766,8 +4768,15 @@ def _pq_int_ctes(stride_q: int = 100, m: int = 8,
     list_inner_product computes in), so the twins are bit-identical
     by construction: the reason the harness PQ runs at iters=0 on the
     quantized grid instead of the float Lloyd pipeline (whose matmul
-    accumulation order has no SQL twin)."""
-    return f"""qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+    accumulation order has no SQL twin).
+
+    ``cent_src`` (r12 Lloyd): a parquet path whose (j, c, cv) rows ARE
+    the codebook — the committed-artifact form (both engines read the
+    same bytes, the log_lookup pattern) — replacing the in-query
+    sample-init derivation. None keeps the self-training chain
+    byte-identical to the r12 originals."""
+    if cent_src is None:
+        head = f"""qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
 samp AS (SELECT vec_id, qv,
                 row_number() OVER (ORDER BY vec_id ASC) - 1 AS pos
          FROM qe),
@@ -4779,7 +4788,14 @@ cents AS (
   WHERE pos % stride = 0 AND pos // stride < {kcent}),
 centsub AS (
   SELECT j, c, qv[j * {sd} + 1:(j + 1) * {sd}] AS cv
-  FROM cents, js),
+  FROM cents, js),"""
+    else:
+        head = f"""qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+js AS (SELECT unnest(range({m})) AS j),
+centsub AS (
+  SELECT j::BIGINT AS j, c::BIGINT AS c, cv
+  FROM read_parquet('{cent_src}')),"""
+    return head + f"""
 cnorm AS (
   SELECT j, c, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
   FROM centsub),
@@ -4815,11 +4831,12 @@ scores AS (
 
 
 def _pq_int_topk_sql(stride_q: int = 100, k: int = 5, m: int = 8,
-                     kcent: int = 16, sd: int = 8) -> str:
+                     kcent: int = 16, sd: int = 8,
+                     cent_src: str | None = None) -> str:
     """Twin of similarity.pq_adc_topk_batch_int: the shared integer
     CTEs + per-query (adc asc, vec_id asc) top-k."""
     return f"""
-WITH {_pq_int_ctes(stride_q, m, kcent, sd)}
+WITH {_pq_int_ctes(stride_q, m, kcent, sd, cent_src)}
 SELECT query_id, vec_id, adc FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc ASC, vec_id ASC) AS rn
@@ -4835,7 +4852,8 @@ _L2_INT = ("CAST(list_inner_product({a}, {a}) AS BIGINT) "
 
 def _pq_int_rerank_sql(stride_q: int = 100, k: int = 10,
                        recall_target_pct: int = 80, m: int = 8,
-                       kcent: int = 16, sd: int = 8) -> str:
+                       kcent: int = 16, sd: int = 8,
+                       cent_src: str | None = None) -> str:
     """Twin of similarity.pq_topk_batch_rerank_int(rerank_cut="auto"):
     the shared integer CTEs, the batch-calibrated candidate cut
     (exact L2 truth rows' ranks under the (adc asc, vec_id asc)
@@ -4844,7 +4862,7 @@ def _pq_int_rerank_sql(stride_q: int = 100, k: int = 10,
     end to end."""
     l2 = _L2_INT.format(a="e.qv", b="q.qqv")
     return f"""
-WITH {_pq_int_ctes(stride_q, m, kcent, sd)},
+WITH {_pq_int_ctes(stride_q, m, kcent, sd, cent_src)},
 adcrank AS (
   SELECT query_id, vec_id,
          row_number() OVER (PARTITION BY query_id
@@ -4928,6 +4946,27 @@ REGISTRY["ann_pq_recall_batch_auto"] = QueryDef(
     X.ann_pq_recall_batch_auto,
     _pq_recall_sql(_pq_int_rerank_sql(100, 10, 80)))
 
+# Committed-Lloyd PQ (r12): the codebook is a trained, grid-snapped,
+# COMMITTED artifact (data/pq_codebooks_lloyd.parquet — the
+# log_lookup pattern applied to a model), read by both engines via
+# the same parquet bytes, so the float Lloyd training never needs a
+# SQL twin. Serving / recall / auto-cut / saved-index-lifecycle
+# queries share the _pq_int_ctes chain with cent_src pointing at the
+# artifact. ann_pq_from_saved_index's oracle is the rerank-auto twin:
+# load-then-serve == calibrate-then-serve is the sidecar contract.
+REGISTRY["ann_pq_lloyd_topk_batch"] = QueryDef(
+    X.ann_pq_lloyd_topk_batch,
+    _pq_int_topk_sql(100, 5, cent_src=_PQLLOYD))
+REGISTRY["ann_pq_lloyd_recall_batch"] = QueryDef(
+    X.ann_pq_lloyd_recall_batch,
+    _pq_recall_sql(_pq_int_topk_sql(100, 10, cent_src=_PQLLOYD)))
+REGISTRY["ann_pq_lloyd_recall_batch_auto"] = QueryDef(
+    X.ann_pq_lloyd_recall_batch_auto,
+    _pq_recall_sql(_pq_int_rerank_sql(100, 10, 80, cent_src=_PQLLOYD)))
+REGISTRY["ann_pq_from_saved_index"] = QueryDef(
+    X.ann_pq_from_saved_index,
+    _pq_int_rerank_sql(100, 10, 80, cent_src=_PQLLOYD))
+
 # Wide (128-bit, two-word) Hamming sketch (r12 — VERDICT r11 #3):
 # the served batch at the fixed rf=4 budget, and the auto-calibrated
 # recall harness proving the sharper sketch holds the 0.8 floor at a
@@ -5001,6 +5040,10 @@ pqr AS (SELECT recall_e6 FROM
         ({REGISTRY["ann_pq_recall_batch"].oracle})),
 pqa AS (SELECT recall_e6 FROM
         ({REGISTRY["ann_pq_recall_batch_auto"].oracle})),
+pql AS (SELECT recall_e6 FROM
+        ({REGISTRY["ann_pq_lloyd_recall_batch"].oracle})),
+pqla AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_pq_lloyd_recall_batch_auto"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -5048,6 +5091,18 @@ panel AS (
   SELECT 'ann_pq_auto', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM pqa
+  UNION ALL
+  SELECT 'ann_pq_lloyd', 'min_recall_e6', min(recall_e6) FROM pql
+  UNION ALL
+  SELECT 'ann_pq_lloyd', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM pql
+  UNION ALL
+  SELECT 'ann_pq_lloyd_auto', 'min_recall_e6', min(recall_e6) FROM pqla
+  UNION ALL
+  SELECT 'ann_pq_lloyd_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM pqla
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})

@@ -1,0 +1,69 @@
+"""Train and commit the Lloyd PQ codebook artifact.
+
+Writes pre_market_data_pipeline_for_stocks_spark/data/pq_codebooks_lloyd.parquet: an 8x16x8
+int64 codebook — per-subspace Lloyd k-means over the 1e-3-quantized
+integer grid, trained on the sf0.1 embeddings corpus (2,000 x 64) and
+SNAPPED back to the grid (train_pq_codebooks_lloyd_int).
+
+Why a frozen artifact (the log_lookup.parquet pattern): the Lloyd loop
+trains through float numpy means whose accumulation order no SQL twin
+replays, so the TRAINING runs here, once, and only the committed
+integer bytes ever reach a query plan. Both engines (Spark and the
+DuckDB oracle's read_parquet) read the same file, so every downstream
+number — code assignment, ADC tables, rerank — is bit-identical by
+construction. Regeneration on a different numpy could train a
+different (still valid) model; regenerate deliberately, alongside
+re-measured BASELINE.md numbers, never casually.
+
+Usage: python scripts/train_pq_lloyd_artifact.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (  # noqa: E402
+    PQ_LLOYD_CODEBOOKS_PATH,
+    load_pq_codebooks_parquet,
+    pq_codebooks_int,
+    pq_distortion_int,
+    save_pq_codebooks_parquet,
+    train_pq_codebooks_lloyd_int,
+)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+
+M, KCENT, ITERS = 8, 16, 15
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("train-pq-lloyd")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    books = train_pq_codebooks_lloyd_int(emb, m=M, kcent=KCENT,
+                                         iters=ITERS)
+    save_pq_codebooks_parquet(books, PQ_LLOYD_CODEBOOKS_PATH)
+    reloaded = load_pq_codebooks_parquet()
+    assert (reloaded == books).all(), "artifact round-trip mismatch"
+
+    # Report the training win: corpus reconstruction error vs the
+    # sample-init (iters=0) seeds — the number BASELINE.md records.
+    seed_books = pq_codebooks_int(emb, M, KCENT)
+    lloyd = pq_distortion_int(emb, books).agg(
+        {"dist2": "sum"}).head()[0]
+    seed = pq_distortion_int(emb, seed_books).agg(
+        {"dist2": "sum"}).head()[0]
+    print(f"trained on {sf_dir} ({emb.count()} rows), iters={ITERS}")
+    print(f"total int-grid reconstruction error: "
+          f"sample-init {seed}, lloyd {lloyd} "
+          f"({100.0 * (seed - lloyd) / seed:.1f}% lower)")
+    print(f"wrote {PQ_LLOYD_CODEBOOKS_PATH}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

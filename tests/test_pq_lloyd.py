@@ -1,0 +1,168 @@
+"""Committed Lloyd PQ codebook tests (r12 — the BASELINE.md r12
+'sample-init is the bottleneck' frontier): the float Lloyd trainer
+runs OFFLINE (scripts/train_pq_lloyd_artifact.py), its output is
+snapped to the shared 1e-3 integer grid and committed as
+data/pq_codebooks_lloyd.parquet, and only the committed bytes reach a
+query plan — so training non-determinism can never produce an oracle
+divergence (the log_lookup.parquet pattern applied to a model).
+
+Pinned here: artifact integrity + round-trip, the trainer's seeding
+contract (iters=0 == the sample-init harness books) and its
+objective-improvement guarantee, the exact recall floor at the
+committed books, and the PQ index lifecycle (calibrate -> save ->
+load-then-serve == calibrate-then-serve EXACTLY, the sidecar
+contract shared with the IVF/Hamming members).
+
+Reference has no ANN surface — §7.5 extension scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (
+    similarity as S,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb, mod=20):
+    return (emb.filter(F.col("vec_id") % mod == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_committed_artifact_shape_and_grid():
+    books = S.load_pq_codebooks_parquet()
+    assert books.shape == (8, 16, 8)
+    assert books.dtype == np.int64
+    # grid-snapped: every value is an exact integer in the quantized
+    # component range (|x*1000| stays far under 1e6 on unit-ish data)
+    assert np.abs(books).max() < 10 ** 6
+    # a trained codebook has no duplicate centroids within a subspace
+    for j in range(books.shape[0]):
+        assert len({tuple(c) for c in books[j]}) == books.shape[1]
+
+
+def test_artifact_round_trip(tmp_path):
+    books = S.load_pq_codebooks_parquet()
+    path = str(tmp_path / "books.parquet")
+    S.save_pq_codebooks_parquet(books, path)
+    assert (S.load_pq_codebooks_parquet(path) == books).all()
+
+
+def test_lloyd_iters0_equals_sample_init(emb):
+    """The trainer's seed contract: zero iterations returns exactly
+    the sample-init books (pq_codebooks_int), so the committed
+    artifact's improvement is attributable to the Lloyd loop alone."""
+    seeds = S.pq_codebooks_int(emb, m=8, kcent=16)
+    trained = S.train_pq_codebooks_lloyd_int(emb, m=8, kcent=16, iters=0)
+    assert (trained == seeds).all()
+
+
+def test_lloyd_reduces_distortion_on_training_data(emb):
+    """Lloyd monotonically decreases the k-means objective on its own
+    training data; grid-snapping adds at most +-0.5 per component, so
+    the trained books' total reconstruction error must come in at or
+    under the seeds' (1% slack for the snap)."""
+    seeds = S.pq_codebooks_int(emb, m=8, kcent=16)
+    trained = S.train_pq_codebooks_lloyd_int(emb, m=8, kcent=16, iters=8)
+    seed_d = S.pq_distortion_int(emb, seeds).agg(
+        F.sum("dist2")).head()[0]
+    lloyd_d = S.pq_distortion_int(emb, trained).agg(
+        F.sum("dist2")).head()[0]
+    assert lloyd_d <= seed_d * 1.01
+    assert lloyd_d < seed_d          # strict on this fixture
+
+
+def test_distortion_relation_shape(emb):
+    books = S.load_pq_codebooks_parquet()
+    rows = S.pq_distortion_int(emb, books).collect()
+    assert len(rows) == emb.count()
+    assert all(r["dist2"] >= 0 for r in rows)
+
+
+def test_books_param_rederives_m(emb):
+    """A books= caller cannot desynchronize m: the kernel re-derives
+    it from the array shape, so a wrong m argument is harmless."""
+    books = S.load_pq_codebooks_parquet()
+    qs = _queries(emb)
+    a = S.pq_adc_topk_batch_int(emb, qs, k=5, m=4, books=books)
+    b = S.pq_adc_topk_batch_int(emb, qs, k=5, m=8, books=books)
+    assert _rows(a) == _rows(b)
+
+
+def test_committed_books_auto_holds_exact_floor(emb):
+    """The exact-floor property at the committed codebook: the rerank
+    kernel IS the integer-L2 truth kernel, so every query's recall@k
+    must meet the target wherever |truth| >= k (candidacy guarantee,
+    same construction as the hamming twin)."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    approx = S.pq_topk_batch_rerank_int(emb, qs, k=5, rerank_cut="auto",
+                                        recall_target_pct=80,
+                                        books=books)
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    rep = S.recall_report(approx, truth, k=5).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+
+
+def test_pq_index_lifecycle_parity(emb, tmp_path):
+    """The sidecar contract, PQ member: calibrate -> save -> load ->
+    serve reproduces calibrate-then-serve EXACTLY (same rows), and
+    the sidecar records the knob/floor the calibration measured."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    calib = S.calibrate_pq_index(emb, qs, k=5, recall_target_pct=80,
+                                 books=books)
+    assert calib["kind"] == "pq" and calib["knob"] == "rerank_cut"
+    assert calib["knob_value"] >= 1
+    assert calib["min_recall_e6"] >= 800000
+    assert calib["n_corpus"] == emb.count()
+
+    path = str(tmp_path / "pqidx")
+    S.save_pq_index(emb.sparkSession, books, path, calibration=calib)
+    served = S.pq_topk_batch_from_index(emb, path, qs)
+    direct = S.pq_topk_batch_rerank_int(emb, qs, k=5,
+                                        rerank_cut=calib["knob_value"],
+                                        books=books)
+    assert _rows(served) == _rows(direct)
+
+
+def test_pq_index_round_trip_books(emb, tmp_path):
+    books = S.load_pq_codebooks_parquet()
+    path = str(tmp_path / "pqidx2")
+    S.save_pq_index(emb.sparkSession, books, path)
+    assert (S.load_pq_index(emb.sparkSession, path) == books).all()
+    # sidecar absent -> serving without an explicit cut must refuse
+    with pytest.raises(ValueError, match="no stored calibration"):
+        S.pq_topk_batch_from_index(emb, path, _queries(emb))
+
+
+def test_pq_index_drift_recalibrates(emb, tmp_path):
+    """A sidecar calibrated at a far-off corpus count must NOT serve
+    its stale cut: drift >= drift_pct falls back to a fresh "auto"
+    calibration on the serving batch (observable as parity with the
+    auto path, not the stored-knob path)."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    calib = S.calibrate_pq_index(emb, qs, k=5, recall_target_pct=80,
+                                 books=books)
+    stale = dict(calib, n_corpus=calib["n_corpus"] * 10,
+                 knob_value=1)          # a knob that would miss badly
+    path = str(tmp_path / "pqidx3")
+    S.save_pq_index(emb.sparkSession, books, path, calibration=stale)
+    served = S.pq_topk_batch_from_index(emb, path, qs)
+    auto = S.pq_topk_batch_rerank_int(emb, qs, k=5, rerank_cut="auto",
+                                      recall_target_pct=80, books=books)
+    assert _rows(served) == _rows(auto)
