@@ -2078,6 +2078,71 @@ def ann_pq_from_saved_index(spark, sf_dir):
             .orderBy("query_id", "vec_id"))
 
 
+IVFPQ_NPROBE_FIXED = 8
+
+
+def ann_ivfpq_topk_batch(spark, sf_dir):
+    """Batch IVF-PQ ANN on the integer grid (r12): the FAISS
+    IndexIVFPQ serving shape composed from the two COMMITTED Lloyd
+    artifacts — each corpus row lives in its integer-nearest coarse
+    cell (64 committed cells), each query scans only its 8 nearest
+    cells, candidates score codes-only through the committed PQ
+    codebook, exact integer-L2 rerank, top-5. Pure int64 end to end:
+    unlike the double-cosine IVF plans, this family's twins carry NO
+    float adjudication anywhere. At 100 TB the corpus is stored as
+    (cell, codes): cells partition-prune the scan, full vectors are
+    touched only for rerank candidates."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    return (similarity.ivfpq_topk_batch_int(emb, queries, k=5,
+                                            nprobe=IVFPQ_NPROBE_FIXED,
+                                            rerank_cut=None)
+            .orderBy("query_id", "vec_id"))
+
+
+def ann_ivfpq_recall_batch(spark, sf_dir):
+    """Measured IVF-PQ pruning loss at the fixed 8-of-64 cell budget:
+    recall@10 vs exact integer L2, every probed candidate reranked —
+    so the loss measured here is PURELY the coarse-quantizer pruning
+    (a truth row outside the 8 probed cells is unreachable no matter
+    the ADC quality), the number the auto twin's stage-1 nprobe
+    calibration exists to bound."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.ivfpq_topk_batch_int(
+        emb, queries, k=ANN_TOPK, nprobe=IVFPQ_NPROBE_FIXED,
+        rerank_cut=None)
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_ivfpq_recall_batch_auto(spark, sf_dir):
+    """The auto-calibrated IVF-PQ harness (ivfpq_auto_knobs): BOTH
+    knobs — the cell budget nprobe AND the ADC rerank cut — derived
+    from one exact percentile construction over the integer truth, so
+    the 0.8 floor is EXACT through the pruning stage too (stage 1
+    guarantees >= target truth rows are reachable per query, stage 2
+    that they survive the cut; the rerank kernel is the truth
+    kernel). The decay it closes: fixed 8-of-64 probing measured mean
+    recall@10 of 0.14 at sf0.01."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.ivfpq_topk_batch_int(
+        emb, queries, k=ANN_TOPK, nprobe="auto", rerank_cut="auto",
+        recall_target_pct=80)
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 HAMMING_WIDE_PLANES = 128
 
 
@@ -2171,6 +2236,10 @@ def approx_error_panel(spark, sf_dir):
                 "ann_pq_lloyd"),
         minmean(ann_pq_lloyd_recall_batch_auto(spark, sf_dir),
                 "ann_pq_lloyd_auto"),
+        minmean(ann_ivfpq_recall_batch(spark, sf_dir),
+                "ann_ivfpq_fixed"),
+        minmean(ann_ivfpq_recall_batch_auto(spark, sf_dir),
+                "ann_ivfpq_auto"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_cms_error(spark, sf_dir)

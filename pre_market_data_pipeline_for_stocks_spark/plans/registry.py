@@ -25,7 +25,10 @@ from ..operators.relevance import (
     BM25_K1 as _BM25_K1,
     bm25_int_constants as _bm25_int_constants,
 )
-from ..operators.similarity import PQ_LLOYD_CODEBOOKS_PATH as _PQLLOYD
+from ..operators.similarity import (
+    IVF_COARSE_LLOYD_PATH as _IVFCOARSE,
+    PQ_LLOYD_CODEBOOKS_PATH as _PQLLOYD,
+)
 
 # The four integers of the exactly-rational BM25 kernel at the default
 # knobs — shared with the Spark side so the twins cannot drift.
@@ -4967,6 +4970,172 @@ REGISTRY["ann_pq_from_saved_index"] = QueryDef(
     X.ann_pq_from_saved_index,
     _pq_int_rerank_sql(100, 10, 80, cent_src=_PQLLOYD))
 
+
+def _ivfpq_sql(stride_q: int = 100, k: int = 10,
+               nprobe: int | str = 8, auto_cut: bool = False,
+               recall_target_pct: int = 80, m: int = 8,
+               sd: int = 8) -> str:
+    """Twin of similarity.ivfpq_topk_batch_int — the integer-grid
+    IVF-PQ serving chain from the two COMMITTED artifacts (Lloyd PQ
+    codebook + m=1 Lloyd coarse quantizer): integer cell assignment
+    (vcell) and per-query cell-distance ranks (qcell), candidate =
+    rows in the top-``nprobe`` cells, codes-only ADC scoring of the
+    candidates, optional calibrated ADC cut, exact integer-L2 rerank,
+    per-query top-k. nprobe="auto" derives BOTH knobs from the
+    ivfpq_auto_knobs construction (cellrank / adcrank percentiles of
+    the exact-L2 truth — pure integers, so unlike the double-cosine
+    IVF twins this family carries NO float adjudication at all).
+    ``auto_cut=False`` reranks every probed candidate (the
+    pruning-loss-only fixed harness)."""
+    l2 = _L2_INT.format(a="e.qv", b="q.qqv")
+    need = f"greatest((cnt * {recall_target_pct} + 99) // 100, 1)"
+    if nprobe == "auto":
+        np_ctes = f""",
+npv AS (
+  SELECT greatest(max(cellrank), 1) AS np FROM (
+    SELECT t.query_id, qc.cellrank,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY qc.cellrank ASC) AS rn,
+           tc.cnt
+    FROM truth t
+    JOIN vcell v ON v.vec_id = t.vec_id
+    JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = v.cell
+    JOIN tcnt tc ON tc.query_id = t.query_id)
+  WHERE rn = {need}),
+probe AS (SELECT query_id, cell FROM qcell
+          WHERE cellrank <= (SELECT np FROM npv))"""
+    else:
+        np_ctes = f""",
+probe AS (SELECT query_id, cell FROM qcell
+          WHERE cellrank <= {int(nprobe)})"""
+    if auto_cut:
+        cut_ctes = f""",
+cutv AS (
+  SELECT greatest(max(ar), 1) AS rr FROM (
+    SELECT t.query_id, r.ar,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY r.ar ASC) AS rn,
+           tc.cnt
+    FROM truth t
+    JOIN adcrank r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+    JOIN tcnt tc ON tc.query_id = t.query_id)
+  WHERE rn = {need}),
+cand2 AS (SELECT query_id, vec_id FROM adcrank
+          WHERE ar <= (SELECT rr FROM cutv))"""
+    else:
+        cut_ctes = """,
+cand2 AS (SELECT query_id, vec_id FROM adcrank)"""
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+js AS (SELECT unnest(range({m})) AS j),
+centsub AS (
+  SELECT j::BIGINT AS j, c::BIGINT AS c, cv
+  FROM read_parquet('{_PQLLOYD}')),
+cnorm AS (
+  SELECT j, c, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
+  FROM centsub),
+vecsub AS (
+  SELECT vec_id, j, qv[j * {sd} + 1:(j + 1) * {sd}] AS xv
+  FROM qe, js),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT v.vec_id, v.j, cs.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.j
+             ORDER BY cn.cn2
+                      - 2 * CAST(list_inner_product(v.xv, cs.cv)
+                                 AS BIGINT) ASC,
+                      cs.c ASC) AS rn
+    FROM vecsub v
+    JOIN centsub cs ON cs.j = v.j
+    JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c)
+  WHERE rn = 1),
+pqs AS (SELECT vec_id AS query_id, qv AS qqv FROM qe
+        WHERE vec_id % {stride_q} = 0),
+coarse AS (
+  SELECT c::BIGINT AS cell, cv FROM read_parquet('{_IVFCOARSE}')),
+ccn AS (
+  SELECT cell, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
+  FROM coarse),
+vcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, co.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY cc.cn2
+                      - 2 * CAST(list_inner_product(e.qv, co.cv)
+                                 AS BIGINT) ASC,
+                      co.cell ASC) AS rn
+    FROM qe e, coarse co
+    JOIN ccn cc USING (cell))
+  WHERE rn = 1),
+qcell AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, cell ASC) AS cellrank
+  FROM (
+    SELECT q.query_id, co.cell,
+           CAST(list_inner_product(q.qqv, q.qqv) AS BIGINT)
+           - 2 * CAST(list_inner_product(q.qqv, co.cv) AS BIGINT)
+           + cc.cn2 AS d2
+    FROM pqs q, coarse co
+    JOIN ccn cc USING (cell))),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {l2} ASC, e.vec_id ASC) AS rn
+    FROM qe e, pqs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {k}),
+tcnt AS (SELECT query_id, count(*) AS cnt FROM truth GROUP BY 1){np_ctes},
+cand AS (
+  SELECT p.query_id, v.vec_id
+  FROM probe p JOIN vcell v USING (cell)
+  WHERE v.vec_id <> p.query_id),
+tabs AS (
+  SELECT q.query_id, cs.j, cs.c,
+         cn.cn2 - 2 * CAST(list_inner_product(
+             q.qqv[cs.j * {sd} + 1:(cs.j + 1) * {sd}], cs.cv)
+             AS BIGINT) AS val
+  FROM pqs q, centsub cs
+  JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c),
+scores AS (
+  SELECT cd.query_id, c.vec_id, CAST(sum(t.val) AS BIGINT) AS adc
+  FROM codes c
+  JOIN cand cd ON cd.vec_id = c.vec_id
+  JOIN tabs t ON t.query_id = cd.query_id
+             AND t.j = c.j AND t.c = c.code
+  GROUP BY 1, 2),
+adcrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS ar
+  FROM scores){cut_ctes},
+rer AS (
+  SELECT c.query_id, c.vec_id, {l2} AS l2
+  FROM cand2 c
+  JOIN qe e USING (vec_id)
+  JOIN pqs q USING (query_id))
+SELECT query_id, vec_id, CAST(l2 AS BIGINT) AS l2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2 ASC, vec_id ASC) AS rn
+  FROM rer) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
+# Integer-grid IVF-PQ (r12): the FAISS production serving shape from
+# the two committed artifacts — coarse-cell pruning + codes-only ADC
+# + exact rerank, pure int64 end to end (no float adjudication).
+# Fixed nprobe=8/64 measures the pruning decay; the auto twin derives
+# (nprobe, rerank_cut) from the exact-floor percentile construction.
+REGISTRY["ann_ivfpq_topk_batch"] = QueryDef(
+    X.ann_ivfpq_topk_batch, _ivfpq_sql(100, 5, nprobe=8))
+REGISTRY["ann_ivfpq_recall_batch"] = QueryDef(
+    X.ann_ivfpq_recall_batch,
+    _pq_recall_sql(_ivfpq_sql(100, 10, nprobe=8)))
+REGISTRY["ann_ivfpq_recall_batch_auto"] = QueryDef(
+    X.ann_ivfpq_recall_batch_auto,
+    _pq_recall_sql(_ivfpq_sql(100, 10, nprobe="auto", auto_cut=True)))
+
 # Wide (128-bit, two-word) Hamming sketch (r12 — VERDICT r11 #3):
 # the served batch at the fixed rf=4 budget, and the auto-calibrated
 # recall harness proving the sharper sketch holds the 0.8 floor at a
@@ -5044,6 +5213,10 @@ pql AS (SELECT recall_e6 FROM
         ({REGISTRY["ann_pq_lloyd_recall_batch"].oracle})),
 pqla AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_pq_lloyd_recall_batch_auto"].oracle})),
+ipqf AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_ivfpq_recall_batch"].oracle})),
+ipqa AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_ivfpq_recall_batch_auto"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -5103,6 +5276,18 @@ panel AS (
   SELECT 'ann_pq_lloyd_auto', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM pqla
+  UNION ALL
+  SELECT 'ann_ivfpq_fixed', 'min_recall_e6', min(recall_e6) FROM ipqf
+  UNION ALL
+  SELECT 'ann_ivfpq_fixed', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ipqf
+  UNION ALL
+  SELECT 'ann_ivfpq_auto', 'min_recall_e6', min(recall_e6) FROM ipqa
+  UNION ALL
+  SELECT 'ann_ivfpq_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ipqa
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})

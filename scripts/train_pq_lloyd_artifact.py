@@ -27,6 +27,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (  # noqa: E402
+    IVF_COARSE_LLOYD_PATH,
     PQ_LLOYD_CODEBOOKS_PATH,
     load_pq_codebooks_parquet,
     pq_codebooks_int,
@@ -37,6 +38,7 @@ from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (  # 
 from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
 
 M, KCENT, ITERS = 8, 16, 15
+COARSE_CELLS = 64   # the committed IVF-PQ coarse quantizer's cell count
 
 
 def main() -> None:
@@ -62,6 +64,18 @@ def main() -> None:
           f"sample-init {seed}, lloyd {lloyd} "
           f"({100.0 * (seed - lloyd) / seed:.1f}% lower)")
     print(f"wrote {PQ_LLOYD_CODEBOOKS_PATH}")
+
+    # The IVF-PQ coarse quantizer is the SAME trainer at m=1 (one
+    # full-dim subspace, kcent = cell count): an (1, cells, 64) int
+    # codebook whose rows are the committed cell centroids — integer
+    # cell assignment and cell-distance ranks downstream, so the
+    # IVF-PQ twins carry NO double-cosine adjudication at all.
+    coarse = train_pq_codebooks_lloyd_int(emb, m=1, kcent=COARSE_CELLS,
+                                          iters=ITERS)
+    save_pq_codebooks_parquet(coarse, IVF_COARSE_LLOYD_PATH)
+    assert (load_pq_codebooks_parquet(IVF_COARSE_LLOYD_PATH)
+            == coarse).all()
+    print(f"wrote {IVF_COARSE_LLOYD_PATH} ({COARSE_CELLS} cells)")
     spark.stop()
 
 

@@ -1,0 +1,134 @@
+"""Integer-grid IVF-PQ tests (r12): the FAISS IndexIVFPQ serving
+shape composed from the two committed Lloyd artifacts — coarse-cell
+pruning + codes-only ADC + exact integer-L2 rerank — pure int64 end
+to end (no float adjudication in the twins, unlike the double-cosine
+IVF family).
+
+Anchors pinned here: the no-pruning identity (nprobe = all cells, no
+cut == exact brute-force L2 top-k through the whole pipeline), the
+exact recall floor of the two-stage auto calibration (reachability by
+stage 1, survival by stage 2, rerank kernel == truth kernel), cell
+assignment / probe-order well-formedness, and knob validation.
+
+Reference has no ANN surface — §7.5 extension scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (
+    similarity as S,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def coarse():
+    return S.load_ivfpq_coarse()
+
+
+def _queries(emb, mod=20):
+    return (emb.filter(F.col("vec_id") % mod == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_coarse_artifact_shape(coarse):
+    assert coarse.shape == (64, 64)
+    assert coarse.dtype == np.int64
+    # 64 distinct committed cell centroids
+    assert len({tuple(c) for c in coarse}) == 64
+
+
+def test_cell_assignment_total_and_in_range(emb, coarse):
+    rows = S.ivfpq_assign_cells_int(emb, coarse).collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cell"] < 64 for r in rows)
+
+
+def test_query_cellranks_are_permutations(emb, coarse):
+    qs = _queries(emb)
+    nq = qs.count()
+    rows = S.ivfpq_query_cellranks(qs, coarse).collect()
+    assert len(rows) == nq * 64
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cellrank"])
+    assert all(sorted(v) == list(range(1, 65)) for v in by_q.values())
+
+
+def test_no_pruning_equals_brute_force(emb):
+    """The pipeline identity: probing EVERY cell with no ADC cut must
+    reproduce exact integer-L2 brute force — cell assignment, ADC
+    scoring and the rerank cancel out to the truth kernel. Pins the
+    candidate plumbing (self-exclusion, tie rules, top-k window) in
+    one equation."""
+    qs = _queries(emb)
+    full = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=64,
+                                  rerank_cut=None)
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    assert _rows(full.select("query_id", "vec_id", "l2")) == \
+        _rows(truth.select("query_id", "vec_id", "l2"))
+
+
+def test_auto_knobs_hold_exact_floor(emb):
+    qs = _queries(emb)
+    nprobe, cut = S.ivfpq_auto_knobs(emb, qs, k=5,
+                                     recall_target_pct=80)
+    assert 1 <= nprobe <= 64 and cut >= 1
+    served = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=nprobe,
+                                    rerank_cut=cut)
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    rep = S.recall_report(served, truth, k=5).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+
+
+def test_auto_strings_resolve_inside_serving(emb):
+    """nprobe="auto"/rerank_cut="auto" inside ivfpq_topk_batch_int
+    must serve exactly what the explicit two-step calibrate-then-serve
+    produces (one ivfpq_auto_knobs call each way, same batch)."""
+    qs = _queries(emb)
+    auto = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe="auto",
+                                  rerank_cut="auto",
+                                  recall_target_pct=80)
+    nprobe, cut = S.ivfpq_auto_knobs(emb, qs, k=5,
+                                     recall_target_pct=80)
+    manual = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=nprobe,
+                                    rerank_cut=cut)
+    assert _rows(auto) == _rows(manual)
+
+
+def test_pruning_is_monotone_in_nprobe(emb):
+    """More probed cells can only add candidates: recall at nprobe=32
+    >= recall at nprobe=2 for every query (no cut, so the candidate
+    sets are nested and the rerank kernel is exact)."""
+    qs = _queries(emb)
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    lo = S.recall_report(
+        S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=2, rerank_cut=None),
+        truth, k=5).collect()
+    hi = S.recall_report(
+        S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=32,
+                               rerank_cut=None),
+        truth, k=5).collect()
+    lo_m = {r.query_id: r.recall_e6 for r in lo}
+    assert all(r.recall_e6 >= lo_m[r.query_id] for r in hi)
+
+
+def test_unknown_knob_strings_rejected(emb):
+    qs = _queries(emb)
+    with pytest.raises(ValueError, match="nprobe"):
+        S.ivfpq_topk_batch_int(emb, qs, nprobe="adaptive")
+    with pytest.raises(ValueError, match="rerank_cut"):
+        S.ivfpq_topk_batch_int(emb, qs, rerank_cut="adaptive")

@@ -1170,8 +1170,9 @@ def test_auto_calibration_plans_no_cartesian(emb):
 
 
 def test_approx_error_panel_shape_and_laws(spark, sf_dir):
-    """The datacard panel: 18 integer rows (r12 adds the 128-bit
-    hamming and integer-PQ fixed+auto families), every auto family at or above
+    """The datacard panel: 26 integer rows (r12 adds the 128-bit
+    hamming, integer-PQ fixed+auto, committed-Lloyd PQ, and IVF-PQ
+    families), every auto family at or above
     its fixed twin (the reason the auto modes exist), recalls in
     [0, 1e6], overestimates non-negative."""
     from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
@@ -1179,7 +1180,7 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     )
     rows = {(r.family, r.metric): r.value
             for r in approx_error_panel(spark, sf_dir).collect()}
-    assert len(rows) == 18
+    assert len(rows) == 26
     assert all(0 <= v <= 10 ** 6 for (f, m), v in rows.items()
                if m.endswith("recall_e6"))
     assert rows[("ann_hamming_auto", "min_recall_e6")] >= \
@@ -1198,3 +1199,10 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     assert rows[("ann_pq_auto", "min_recall_e6")] >= 800000
     assert rows[("ann_pq_auto", "min_recall_e6")] >= \
         rows[("ann_pq_int", "min_recall_e6")]
+    # committed-Lloyd PQ and the composed IVF-PQ (r12): both auto
+    # modes hold the exact 0.8 floor; their fixed twins measure the
+    # honest decay (codes-only / pruning-only)
+    assert 0 <= rows[("ann_pq_lloyd", "min_recall_e6")] <= 10 ** 6
+    assert rows[("ann_pq_lloyd_auto", "min_recall_e6")] >= 800000
+    assert 0 <= rows[("ann_ivfpq_fixed", "min_recall_e6")] <= 10 ** 6
+    assert rows[("ann_ivfpq_auto", "min_recall_e6")] >= 800000
