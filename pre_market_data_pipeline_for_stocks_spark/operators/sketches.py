@@ -336,3 +336,161 @@ def psi_from_hists(old_hist: DataFrame, new_hist: DataFrame,
         F.coalesce("_o", F.lit(0)).alias("n_old_b"),
         F.coalesce("_n", F.lit(0)).alias("n_new_b"))
     return psi_e6_from_bin_counts(j)
+
+
+# ------------------------------------------------------- integer HLL
+#
+# The DataSketches surface above is the PRODUCTION path, but its
+# binary sketch and estimator are engine-internal: the registry oracle
+# can only certify it in the exact (sparse) regime, so its DENSE-mode
+# error was the one counting-sketch error this engine documented but
+# never measured. The integer HLL below is the measured,
+# oracle-verifiable twin (the same move integer-grid PQ made for the
+# float PQ pipeline): md5-derived registers, exact bit math for the
+# leading-zero ranks, and a fixed-point Flajolet estimator whose every
+# intermediate is an integer — so the DuckDB twin replays the estimate
+# bit-for-bit and corpus_hll_error can record the REAL dense-mode
+# error next to Bloom's false-drop rate and CMS's overestimate.
+
+HLL_INT_HASH_BITS = 60   # md5 hex prefix, the _cms_slot convention
+
+
+def hll_int_alpha_e6(m: int) -> int:
+    """The HLL bias-correction constant alpha_m at 1e-6 fixed point
+    (Flajolet et al. 2007: 0.673 / 0.697 / 0.709 for m = 16/32/64,
+    else 0.7213 / (1 + 1.079/m)). One float->int rounding per m —
+    basic IEEE arithmetic on literals (no libm), deterministic across
+    builds; the SQL twins embed the derived integer."""
+    if m == 16:
+        return 673000
+    if m == 32:
+        return 697000
+    if m == 64:
+        return 709000
+    return round(0.7213 / (1 + 1.079 / m) * 10 ** 6)
+
+
+def _hll_int_reg_rho(value_col, p: int):
+    """(reg, rho) Columns from the 60-bit md5 hash: top ``p`` bits
+    pick the register, and rho = leading-zero count of the remaining
+    (60-p)-bit suffix + 1 — computed exactly as
+    (60-p) - bit_length(suffix) + 1 via the shift-smear + bit_count
+    identity (fills every bit below the MSB, so bit_count == MSB
+    position; suffix 0 falls out of the same formula as rho_max).
+    Pure integer bit math, identical in both engines."""
+    bits = HLL_INT_HASH_BITS
+    h = F.conv(F.substring(F.md5(value_col.cast("string")), 1, 15),
+               16, 10).cast("long")
+    reg = F.shiftright(h, bits - p)
+    x = h.bitwiseAND(F.lit((1 << (bits - p)) - 1))
+    s = x
+    for sh in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, sh))
+    rho = F.lit(bits - p + 1) - F.bit_count(s)
+    return reg, rho
+
+
+def hll_int_partials(df: DataFrame, keys: list[str], value_col: str,
+                     p: int = 8) -> DataFrame:
+    """Per-key integer-HLL register partials:
+    (keys..., reg, rho) with rho = max rank seen in the register.
+    At most 2^p rows per key group regardless of input size — the
+    mergeable fixed-size state that makes distinct-count maintenance
+    never-rescan at 100 TB (store per day/shard, merge later)."""
+    reg, rho = _hll_int_reg_rho(F.col(value_col), p)
+    return (df.select(*keys, reg.alias("reg"), rho.alias("_rho"))
+            .groupBy(*keys, "reg")
+            .agg(F.max("_rho").alias("rho")))
+
+
+def hll_int_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Union register partials to a coarser grain: register-wise max —
+    associative, commutative, idempotent, so ANY partial grouping
+    merges to exactly the registers of sketching the raw union
+    (merge == direct, pinned in tests)."""
+    return (partials.groupBy(*keys, "reg")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_int_estimate(registers: DataFrame, keys: list[str], p: int = 8,
+                     estimate_col: str = "estimate") -> DataFrame:
+    """Fixed-point Flajolet estimator over integer registers:
+    (keys..., <estimate_col> bigint).
+
+    The harmonic sum 1/sum(2^-M_j) is carried as the exact integer
+    S = sum_j 2^(R - M_j) with R = (60-p)+1 = rho_max (absent
+    registers contribute M=0, i.e. 2^R each), so
+
+        raw = alpha_e6 * m^2 * 2^R  //  (S * 1e6)
+
+    — one truncating DECIMAL(38) division (functions.fixedpoint.idiv,
+    numerator ~1e26 at p=8), every operand an exact integer. The
+    small-range branch (V = empty registers > 0 AND raw <= 5m/2) is
+    linear counting m * ln(m/V), with BOTH logarithms joined from the
+    committed data/log_lookup.parquet (ln(m) - ln(V) at 1e-9 grain) —
+    libm never runs, the r9 contract. The twins replay every branch
+    bit-for-bit; this estimator's documented residual vs DataSketches
+    HLL++ is the missing raw-regime bias table (HLL++'s empirical
+    correction is data-fitted and engine-internal — the measured
+    error in corpus_hll_error prices what the plain estimator
+    costs)."""
+    from ..functions.fixedpoint import LOG_LOOKUP_PATH, idiv_long
+
+    m = 1 << p
+    r_max = HLL_INT_HASH_BITS - p + 1
+    alpha = hll_int_alpha_e6(m)
+    spark = registers.sparkSession
+
+    # variable-distance shift: the SQL shiftleft accepts a column
+    # distance (the DataFrame-API wrapper does not)
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({r_max} - rho AS INT))")
+    agg = (registers.groupBy(*keys)
+           .agg(F.sum(term).alias("_sp"),
+                F.count(F.lit(1)).alias("_cnt")))
+    v = (F.lit(m) - F.col("_cnt")).cast("long")
+    s_total = (F.col("_sp").cast("decimal(38,0)")
+               + v.cast("decimal(38,0)")
+               * F.lit(1 << r_max).cast("decimal(38,0)"))
+    num = (F.lit(alpha * m * m).cast("decimal(38,0)")
+           * F.lit(1 << r_max).cast("decimal(38,0)"))
+    raw = idiv_long(num, s_total * F.lit(10 ** 6).cast("decimal(38,0)"))
+
+    lk = (spark.read.parquet(LOG_LOOKUP_PATH)
+          .select(F.col("k").alias("_lk_k"),
+                  F.col("ln_e9").alias("_lk_ln")))
+    ln_m = (spark.read.parquet(LOG_LOOKUP_PATH)
+            .filter(F.col("k") == m).head()["ln_e9"])
+    est = F.when(
+        (v > 0) & (F.col("_raw") <= F.lit(5 * m // 2)),
+        idiv_long(F.lit(m) * (F.lit(ln_m) - F.coalesce(F.col("_lk_ln"),
+                                                       F.lit(0))),
+                  F.lit(10 ** 9))
+    ).otherwise(F.col("_raw"))
+    return (agg.withColumn("_raw", raw)
+            .withColumn("_v", v)
+            .join(F.broadcast(lk), F.col("_v") == F.col("_lk_k"), "left")
+            .select(*keys, est.cast("long").alias(estimate_col)))
+
+
+def hll_int_distinct(df: DataFrame, keys: list[str], value_col: str,
+                     p: int = 8,
+                     estimate_col: str = "estimate") -> DataFrame:
+    """One-shot per-key integer-HLL distinct estimate (build
+    registers, estimate) — the direct path the merge invariant is
+    pinned against."""
+    return hll_int_estimate(hll_int_partials(df, keys, value_col, p),
+                            keys, p, estimate_col)
+
+
+def hll_int_reg_rho_py(value: str, p: int = 8) -> tuple[int, int]:
+    """Pure-python twin of _hll_int_reg_rho (the cms_slot_py pattern):
+    the (register, rank) a value lands in — used by tests to pin the
+    column bit math against an independent implementation."""
+    import hashlib
+
+    bits = HLL_INT_HASH_BITS
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    reg = h >> (bits - p)
+    x = h & ((1 << (bits - p)) - 1)
+    return reg, (bits - p) - x.bit_length() + 1

@@ -2078,6 +2078,64 @@ def ann_pq_from_saved_index(spark, sf_dir):
             .orderBy("query_id", "vec_id"))
 
 
+# (label, p) geometries of the integer-HLL error harness: m=16 is
+# the deliberately-coarse regime (RSE ~26%), m=256 the working one
+# (RSE ~6.5%) — the accuracy <-> register-count curve, the CMS
+# two-geometry pattern applied to cardinality sketches.
+HLL_ERROR_CONFIGS = (("m16", 4), ("m256", 8))
+
+
+def corpus_hll_error(spark, sf_dir):
+    """Measured HyperLogLog cardinality error (r12 — the counting
+    trio completed): the integer-HLL estimate next to the EXACT
+    distinct count, per (stream, geometry) — (stream, config,
+    n_exact, n_est, err), all integers, err signed (HLL both over-
+    and under-estimates, unlike Bloom/CMS's one-sided laws).
+
+    Why the INTEGER HLL: the production DataSketches path
+    (operators/sketches.py hll_partials) is engine-internal binary —
+    its oracle certifies only the exact sparse regime, so dense-mode
+    error was documented, never measured. The integer twin (md5
+    registers, exact bit math, fixed-point Flajolet estimator over
+    the committed log lookup) is replayable bit-for-bit by the SQL
+    twin, so the error becomes a driver-verified number.
+
+    Two streams pick the estimator's two branches deliberately:
+    document tokens (tiny vocabulary -> the linear-counting branch)
+    and lineitem l_partkey (2k/20k/200k distinct at sf0.01/0.1/1 ->
+    the raw harmonic-mean branch). The Spark side builds registers as
+    per-shard PARTIALS then merges (the never-rescan maintenance
+    shape); register-wise max is associative, so the direct-build SQL
+    twin is identical by construction — the merge==direct invariant
+    the harness rides on (also unit-pinned)."""
+    from ..operators import sketches as SK
+    docs = _docs(spark, sf_dir)
+    tok = (docs.select(F.col("source").alias("_shard"),
+                       F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                         r"\s+")).alias("v"))
+           .filter(F.col("v") != ""))
+    li = load_testdata(spark, sf_dir, ["lineitem"])["lineitem"]
+    pk = li.select((F.col("l_suppkey") % 8).alias("_shard"),
+                   F.col("l_partkey").cast("string").alias("v"))
+    out = None
+    for stream, df in (("doc_tokens", tok), ("part_keys", pk)):
+        exact = df.agg(F.count_distinct("v").alias("n_exact"))
+        for label, p in HLL_ERROR_CONFIGS:
+            regs = SK.hll_int_merge(
+                SK.hll_int_partials(df, ["_shard"], "v", p=p), [])
+            est = SK.hll_int_estimate(regs, [], p=p,
+                                      estimate_col="n_est")
+            row = (exact.crossJoin(F.broadcast(est))
+                   .select(F.lit(stream).alias("stream"),
+                           F.lit(label).alias("config"),
+                           F.col("n_exact").cast("long"),
+                           F.col("n_est").cast("long"),
+                           (F.col("n_est") - F.col("n_exact"))
+                           .cast("long").alias("err")))
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("stream", "config")
+
+
 IVFPQ_NPROBE_FIXED = 8
 
 

@@ -292,3 +292,111 @@ def test_bloom_fpr_harness_subset_law(spark, sf_dir):
     assert r.n_false_dropped == r.n_exact_clean - r.n_bloom_clean
     assert r.fpr_e6 == (r.n_false_dropped * 10 ** 6) \
         // max(r.n_exact_clean, 1)
+
+
+# ------------------------------------------------- integer HLL (r12)
+
+
+def test_hll_int_reg_rho_matches_python_twin(spark):
+    """The column bit math (60-bit md5, top-p register, shift-smear +
+    bit_count rank) against the independent hashlib/bit_length
+    implementation, over values exercising both short and long
+    leading-zero runs."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.sketches import (
+        _hll_int_reg_rho,
+        hll_int_reg_rho_py,
+    )
+    vals = [f"value-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    reg, rho = _hll_int_reg_rho(F.col("v"), 8)
+    got = {r["v"]: (r["reg"], r["rho"])
+           for r in df.select("v", reg.alias("reg"),
+                              rho.alias("rho")).collect()}
+    assert got == {v: hll_int_reg_rho_py(v, 8) for v in vals}
+
+
+def test_hll_int_merge_equals_direct(spark):
+    """Register-wise max is associative/commutative/idempotent, so
+    per-shard partials merged MUST equal the direct build — registers
+    AND estimate. The invariant the never-rescan maintenance story
+    (and the direct-build SQL twin) rides on."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = spark.createDataFrame(
+        [(i % 7, f"u{i % 900}") for i in range(3000)],
+        "shard int, v string")
+    direct = SK.hll_int_partials(df.withColumn("_g", F.lit(1)),
+                                 ["_g"], "v", p=8)
+    merged = SK.hll_int_merge(
+        SK.hll_int_partials(df.withColumn("_g", F.lit(1)),
+                            ["_g", "shard"], "v", p=8), ["_g"])
+    assert sorted((r["reg"], r["rho"]) for r in direct.collect()) == \
+        sorted((r["reg"], r["rho"]) for r in merged.collect())
+    d_est = SK.hll_int_estimate(direct, ["_g"], p=8).head()["estimate"]
+    m_est = SK.hll_int_estimate(merged, ["_g"], p=8).head()["estimate"]
+    assert d_est == m_est
+
+
+def test_hll_int_register_state_is_bounded(spark):
+    """At most 2^p register rows per key group no matter the input
+    size — the fixed-size-state property that makes the shuffle carry
+    sketches, not values."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5000)],
+                               "v string")
+    n = SK.hll_int_partials(df.withColumn("_g", F.lit(1)),
+                            ["_g"], "v", p=4).count()
+    assert n <= 16
+
+
+def test_hll_int_dense_estimate_within_band(spark):
+    """Raw-branch accuracy at p=8 (m=256, RSE ~ 1.04/16 = 6.5%): the
+    estimate of 2000 distinct values must land within a generous
+    4-sigma band (26%) — loose enough to be fixture-stable, tight
+    enough that a broken estimator (wrong alpha, wrong S, wrong
+    branch) cannot pass."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(2000)],
+                               "v string")
+    est = SK.hll_int_distinct(df.withColumn("_g", F.lit(1)),
+                              ["_g"], "v", p=8).head()["estimate"]
+    assert abs(est - 2000) <= 520
+
+
+def test_hll_int_linear_branch_small_range(spark):
+    """A 30-distinct input at m=256 must route through linear
+    counting (V > 0, raw <= 5m/2) and land near-exact — the
+    committed-log-lookup branch."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    df = spark.createDataFrame([(f"t{i % 30}",) for i in range(500)],
+                               "v string")
+    est = SK.hll_int_distinct(df.withColumn("_g", F.lit(1)),
+                              ["_g"], "v", p=8).head()["estimate"]
+    assert abs(est - 30) <= 5
+
+
+def test_hll_error_harness_shape(spark, sf_dir):
+    """corpus_hll_error: 4 integer rows (2 streams x 2 geometries),
+    err = n_est - n_exact exactly, and the finer geometry is at least
+    as accurate as the coarse one on every stream (relative error is
+    monotone in register count on these fixtures)."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        corpus_hll_error,
+    )
+    rows = corpus_hll_error(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r.err == r.n_est - r.n_exact for r in rows)
+    by = {(r.stream, r.config): r for r in rows}
+    for stream in ("doc_tokens", "part_keys"):
+        coarse = by[(stream, "m16")]
+        fine = by[(stream, "m256")]
+        assert abs(fine.err) * max(coarse.n_exact, 1) <= \
+            abs(coarse.err) * max(fine.n_exact, 1) + \
+            max(fine.n_exact, 1)          # +1: integer-rounding slack
