@@ -2300,6 +2300,11 @@ def approx_error_panel(spark, sf_dir):
                 "ann_ivfpq_auto"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
+        (corpus_hll_error(spark, sf_dir)
+         .select(F.concat(F.lit("hll_"), F.col("stream"), F.lit("_"),
+                          F.col("config")).alias("family"),
+                 F.lit("signed_err_n").alias("metric"),
+                 F.col("err").cast("long").alias("value"))),
         (corpus_cms_error(spark, sf_dir)
          .groupBy("config").agg(F.max("overestimate").alias("_mx"))
          .select(F.concat(F.lit("cms_"), F.col("config")).alias("family"),

@@ -5377,6 +5377,9 @@ panel AS (
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})
   UNION ALL
+  SELECT 'hll_' || stream || '_' || config, 'signed_err_n', err
+  FROM ({REGISTRY["corpus_hll_error"].oracle})
+  UNION ALL
   SELECT 'cms_' || config, 'max_overestimate_n', max(overestimate)
   FROM ({REGISTRY["corpus_cms_error"].oracle}) GROUP BY config)
 SELECT family, metric, CAST(value AS BIGINT) AS value

@@ -71,3 +71,49 @@ def read_hist_quantiles(spark: SparkSession, root: str, keys: list[str],
     batch estimator — identical math to the one-shot batch path."""
     merged = SK.hist_merge(read_hist_partials(spark, root), keys)
     return SK.hist_quantiles(merged, qs, lo, hi, bins)
+
+
+# ------------------------------------------- integer-HLL maintenance
+
+
+def hll_int_batch_writer(root: str, keys: list[str], value_col: str,
+                         p: int = 8):
+    """foreachBatch function: reduce the micro-batch to integer-HLL
+    register partials (at most 2^p rows per key) and overwrite
+    ``<root>/batch-<id>`` — the cardinality member of the streaming
+    sketch-maintenance family. Same idempotent-sink contract as the
+    histogram writer: a retried batch clobbers its own partial."""
+    def write(batch: DataFrame, batch_id: int) -> None:
+        part = SK.hll_int_partials(batch, keys, value_col, p)
+        (part.write.mode("overwrite")
+             .parquet(os.path.join(root, f"batch-{batch_id:05d}")))
+    return write
+
+
+def run_hll_int_append(stream: DataFrame, root: str, checkpoint: str,
+                       keys: list[str], value_col: str,
+                       p: int = 8) -> None:
+    """Drain ``stream`` synchronously through hll_int_batch_writer."""
+    q = (stream.writeStream.outputMode("append")
+         .foreachBatch(hll_int_batch_writer(root, keys, value_col, p))
+         .option("checkpointLocation", checkpoint)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_hll_int_estimate(spark: SparkSession, root: str,
+                          keys: list[str], p: int = 8,
+                          estimate_col: str = "estimate") -> DataFrame:
+    """Current distinct-count estimates: register-wise max over every
+    stored partial, then the batch estimator — identical math to the
+    one-shot path, so stream==batch holds exactly (register max is
+    associative/commutative/idempotent over ANY batch split, including
+    at-least-once re-delivery). The stored state is O(batches * 2^p)
+    rows, never O(events) — continuous cardinality without retention,
+    the 100 TB property."""
+    regs = SK.hll_int_merge(
+        spark.read.parquet(os.path.join(root, "batch-*")), keys)
+    return SK.hll_int_estimate(regs, keys, p, estimate_col)
