@@ -542,11 +542,16 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 # One row: which knob (nprobe / rerank_cut), its calibrated value, the
 # (k, recall_target_pct) it holds, the measured floor, and the corpus
 # count at calibration time (the drift detector's reference).
+# knob2/knob2_value (r12): the second knob of two-knob families
+# (IVF-PQ calibrates nprobe AND a rerank cut together) — NULL for the
+# single-knob families, so their sidecars are unchanged semantically.
 CALIBRATION_SCHEMA = ("kind string, knob string, knob_value long, "
                       "k long, recall_target_pct long, "
-                      "min_recall_e6 long, n_corpus long")
+                      "min_recall_e6 long, n_corpus long, "
+                      "knob2 string, knob2_value long")
 _CALIBRATION_FIELDS = ("kind", "knob", "knob_value", "k",
-                       "recall_target_pct", "min_recall_e6", "n_corpus")
+                       "recall_target_pct", "min_recall_e6", "n_corpus",
+                       "knob2", "knob2_value")
 
 
 def save_index_calibration(spark, path: str, calib: dict) -> None:
@@ -555,8 +560,9 @@ def save_index_calibration(spark, path: str, calib: dict) -> None:
     convention: Spark's file listing skips hidden (``_``/``.``)
     paths, so a parquet read of the index directory itself never sees
     the sidecar (pinned in tests) while the artifact stays one
-    self-describing directory."""
-    row = tuple(calib[f] for f in _CALIBRATION_FIELDS)
+    self-describing directory. Single-knob calibrations may omit the
+    knob2 fields — they persist as NULL."""
+    row = tuple(calib.get(f) for f in _CALIBRATION_FIELDS)
     (spark.createDataFrame([row], schema=CALIBRATION_SCHEMA)
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{path}/_calibration"))
@@ -3264,3 +3270,98 @@ def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
             .withColumn("_rn", F.row_number().over(wk))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def calibrate_ivfpq_index(embeddings: DataFrame,
+                          calib_queries: DataFrame, k: int = 10,
+                          recall_target_pct: int = 80,
+                          books=None, coarse=None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          q_id_col: str = "query_id",
+                          q_vec_col: str = "query_vec") -> dict:
+    """Calibrate an IVF-PQ artifact pair against a probe shard and
+    return the TWO-KNOB sidecar dict (the r12 knob2 extension of the
+    calibration schema): nprobe under ``knob``, the ADC rerank cut
+    under ``knob2`` — both from ivfpq_auto_knobs' exact percentile
+    construction — plus the floor measured serving the probes at
+    those knobs. Completes the self-describing-artifact family: every
+    ANN family now persists the knob(s) it measured."""
+    nprobe, cut = ivfpq_auto_knobs(embeddings, calib_queries, k,
+                                   recall_target_pct, books, coarse,
+                                   id_col, vec_col, q_id_col, q_vec_col)
+    served = ivfpq_topk_batch_int(embeddings, calib_queries, k,
+                                  nprobe=nprobe, rerank_cut=cut,
+                                  books=books, coarse=coarse,
+                                  id_col=id_col, vec_col=vec_col,
+                                  q_id_col=q_id_col, q_vec_col=q_vec_col)
+    truth = l2_topk_batch_int(embeddings, calib_queries, k,
+                              id_col, vec_col, q_id_col, q_vec_col)
+    return {"kind": "ivfpq", "knob": "nprobe", "knob_value": int(nprobe),
+            "knob2": "rerank_cut", "knob2_value": int(cut),
+            "k": int(k), "recall_target_pct": int(recall_target_pct),
+            "min_recall_e6": _measured_min_recall_e6(served, truth, k),
+            "n_corpus": embeddings.count()}
+
+
+def save_ivfpq_index(spark, books, coarse, path: str,
+                     calibration: dict | None = None) -> None:
+    """Persist the IVF-PQ model pair as one self-describing directory:
+    ``{path}/pq`` (the (j, c, cv) PQ codebook), ``{path}/coarse``
+    (the coarse quantizer in the same m=1 form) and the optional
+    two-knob ``_calibration`` sidecar."""
+    import numpy as np
+
+    save_pq_index(spark, books, f"{path}/pq")
+    coarse = np.asarray(coarse, dtype=np.int64)
+    save_pq_index(spark, coarse[None, :, :], f"{path}/coarse")
+    if calibration is not None:
+        save_index_calibration(spark, path, calibration)
+
+
+def load_ivfpq_index(spark, path: str):
+    """(books, coarse) back from a save_ivfpq_index directory."""
+    return (load_pq_index(spark, f"{path}/pq"),
+            load_pq_index(spark, f"{path}/coarse")[0])
+
+
+def ivfpq_topk_batch_from_index(embeddings: DataFrame, index_path: str,
+                                queries: DataFrame, k: int | None = None,
+                                nprobe: int | str | None = None,
+                                rerank_cut: int | str | None = None,
+                                drift_pct: int = 50,
+                                recall_target_pct: int | None = None,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                q_id_col: str = "query_id",
+                                q_vec_col: str = "query_vec") -> DataFrame:
+    """Serve a query batch from a SAVED IVF-PQ artifact with BOTH
+    knobs defaulted from the two-knob sidecar; corpus-count drift >=
+    ``drift_pct``% re-derives both via "auto" (one fresh calibration)
+    instead of silently serving a stale floor. The knobs travel
+    together: a stored nprobe with a recalibrated cut (or vice versa)
+    would describe a floor nobody measured."""
+    spark = embeddings.sparkSession
+    books, coarse = load_ivfpq_index(spark, index_path)
+    calib = load_index_calibration(spark, index_path)
+    if k is None:
+        k = int(calib["k"]) if calib else 10
+    if recall_target_pct is None:
+        recall_target_pct = int(calib["recall_target_pct"]) if calib else 80
+    if nprobe is None or rerank_cut is None:
+        if calib is None:
+            raise ValueError(
+                f"index at {index_path!r} has no stored calibration; "
+                "pass nprobe and rerank_cut explicitly or save with "
+                "calibration=calibrate_ivfpq_index(...)")
+        if _drifted(calib, embeddings.count(), drift_pct):
+            nprobe, rerank_cut = "auto", "auto"
+        else:
+            if nprobe is None:
+                nprobe = int(calib["knob_value"])
+            if rerank_cut is None:
+                rerank_cut = int(calib["knob2_value"])
+    return ivfpq_topk_batch_int(embeddings, queries, k, nprobe,
+                                rerank_cut, recall_target_pct,
+                                books, coarse, id_col, vec_col,
+                                q_id_col, q_vec_col)

@@ -2201,6 +2201,35 @@ def ann_ivfpq_recall_batch_auto(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+def ann_ivfpq_from_saved_index(spark, sf_dir):
+    """The IVF-PQ member of the saved-index lifecycle family — with
+    the r12 TWO-KNOB sidecar: calibrate (nprobe, rerank_cut) together
+    against the probe shard (calibrate_ivfpq_index), persist both
+    committed codebooks + the sidecar as one directory, then load and
+    serve with both knobs defaulted from storage
+    (ivfpq_topk_batch_from_index). Byte-identical to the
+    nprobe="auto"/rerank_cut="auto" serve at the same (k, target) by
+    contract — the knobs travel together, so the stored floor is one
+    somebody measured."""
+    import tempfile
+
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    books = _pq_lloyd_books()
+    coarse = similarity.load_ivfpq_coarse()
+    calib = similarity.calibrate_ivfpq_index(emb, queries, k=ANN_TOPK,
+                                             recall_target_pct=80,
+                                             books=books, coarse=coarse)
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    similarity.save_ivfpq_index(spark, books, coarse, path,
+                                calibration=calib)
+    return (similarity.ivfpq_topk_batch_from_index(emb, path, queries)
+            .orderBy("query_id", "vec_id"))
+
+
 HAMMING_WIDE_PLANES = 128
 
 

@@ -5135,6 +5135,11 @@ REGISTRY["ann_ivfpq_recall_batch"] = QueryDef(
 REGISTRY["ann_ivfpq_recall_batch_auto"] = QueryDef(
     X.ann_ivfpq_recall_batch_auto,
     _pq_recall_sql(_ivfpq_sql(100, 10, nprobe="auto", auto_cut=True)))
+# save-load-then-serve == calibrate-then-serve (two-knob sidecar), so
+# the oracle is the same auto-calibrated twin.
+REGISTRY["ann_ivfpq_from_saved_index"] = QueryDef(
+    X.ann_ivfpq_from_saved_index,
+    _ivfpq_sql(100, 10, nprobe="auto", auto_cut=True))
 
 
 def _hll_int_ctes(tag: str, stream_sql: str, p: int) -> str:

@@ -48,9 +48,11 @@ def test_calibration_sidecar_round_trip(spark, tmp_path):
              "recall_target_pct": 80, "min_recall_e6": 812345,
              "n_corpus": 54321}
     path = str(tmp_path / "art")
-    # the sidecar writer needs no pre-existing parent artifact
+    # the sidecar writer needs no pre-existing parent artifact; a
+    # single-knob dict round-trips with the r12 knob2 fields as NULL
     S.save_index_calibration(spark, path, calib)
-    assert S.load_index_calibration(spark, path) == calib
+    assert S.load_index_calibration(spark, path) == \
+        dict(calib, knob2=None, knob2_value=None)
 
 
 def test_missing_sidecar_loads_none(spark, tmp_path):

@@ -132,3 +132,61 @@ def test_unknown_knob_strings_rejected(emb):
         S.ivfpq_topk_batch_int(emb, qs, nprobe="adaptive")
     with pytest.raises(ValueError, match="rerank_cut"):
         S.ivfpq_topk_batch_int(emb, qs, rerank_cut="adaptive")
+
+
+def test_ivfpq_index_lifecycle_parity(emb, tmp_path):
+    """The sidecar contract, two-knob member: calibrate -> save ->
+    load -> serve reproduces calibrate-then-serve EXACTLY, and the
+    sidecar records BOTH measured knobs (nprobe under knob,
+    rerank_cut under knob2) plus the floor."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    calib = S.calibrate_ivfpq_index(emb, qs, k=5, recall_target_pct=80,
+                                    books=books, coarse=coarse)
+    assert calib["kind"] == "ivfpq"
+    assert calib["knob"] == "nprobe" and calib["knob2"] == "rerank_cut"
+    assert calib["knob_value"] >= 1 and calib["knob2_value"] >= 1
+    assert calib["min_recall_e6"] >= 800000
+    path = str(tmp_path / "ivfpqidx")
+    S.save_ivfpq_index(emb.sparkSession, books, coarse, path,
+                       calibration=calib)
+    served = S.ivfpq_topk_batch_from_index(emb, path, qs)
+    direct = S.ivfpq_topk_batch_int(emb, qs, k=5,
+                                    nprobe=calib["knob_value"],
+                                    rerank_cut=calib["knob2_value"],
+                                    books=books, coarse=coarse)
+    assert _rows(served) == _rows(direct)
+
+
+def test_ivfpq_index_round_trip_and_uncalibrated_refusal(emb, tmp_path):
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    path = str(tmp_path / "ivfpqidx2")
+    S.save_ivfpq_index(emb.sparkSession, books, coarse, path)
+    b2, c2 = S.load_ivfpq_index(emb.sparkSession, path)
+    assert (b2 == books).all() and (c2 == coarse).all()
+    with pytest.raises(ValueError, match="no stored calibration"):
+        S.ivfpq_topk_batch_from_index(emb, path, _queries(emb))
+
+
+def test_ivfpq_index_drift_recalibrates_both_knobs(emb, tmp_path):
+    """Drift must re-derive BOTH knobs together — a stale sidecar with
+    knobs that would badly miss must serve exactly what the fresh
+    auto path serves."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    calib = S.calibrate_ivfpq_index(emb, qs, k=5, recall_target_pct=80,
+                                    books=books, coarse=coarse)
+    stale = dict(calib, n_corpus=calib["n_corpus"] * 10,
+                 knob_value=1, knob2_value=1)
+    path = str(tmp_path / "ivfpqidx3")
+    S.save_ivfpq_index(emb.sparkSession, books, coarse, path,
+                       calibration=stale)
+    served = S.ivfpq_topk_batch_from_index(emb, path, qs)
+    auto = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe="auto",
+                                  rerank_cut="auto",
+                                  recall_target_pct=80,
+                                  books=books, coarse=coarse)
+    assert _rows(served) == _rows(auto)
