@@ -396,9 +396,13 @@ def hll_int_partials(df: DataFrame, keys: list[str], value_col: str,
     (keys..., reg, rho) with rho = max rank seen in the register.
     At most 2^p rows per key group regardless of input size — the
     mergeable fixed-size state that makes distinct-count maintenance
-    never-rescan at 100 TB (store per day/shard, merge later)."""
+    never-rescan at 100 TB (store per day/shard, merge later).
+    NULL values are excluded (they would hash to a NULL register no
+    estimate can read back — the sketch-family convention, matching
+    cms_partials)."""
     reg, rho = _hll_int_reg_rho(F.col(value_col), p)
-    return (df.select(*keys, reg.alias("reg"), rho.alias("_rho"))
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(*keys, reg.alias("reg"), rho.alias("_rho"))
             .groupBy(*keys, "reg")
             .agg(F.max("_rho").alias("rho")))
 

@@ -2136,6 +2136,21 @@ def corpus_hll_error(spark, sf_dir):
     return out.orderBy("stream", "config")
 
 
+def events_user_hll_by_type(spark, sf_dir):
+    """Per-event-type distinct-user estimate through the integer HLL
+    (r12) — the GROUP BY shape of the cardinality sketch: one 2^8
+    register set per type (the per-dimension state a 100 TB rollup
+    stores instead of raw user sets), fixed-point estimator per
+    group. NULL user_ids are excluded (a NULL hashes to a NULL
+    register no probe can read back — the sketch-family convention)."""
+    from ..operators import sketches as SK
+    events = _events(spark, sf_dir)
+    return (SK.hll_int_distinct(
+        events.filter(F.col("user_id").isNotNull()),
+        ["event_type"], "user_id", p=8)
+        .orderBy("event_type"))
+
+
 IVFPQ_NPROBE_FIXED = 8
 
 

@@ -5226,6 +5226,66 @@ ORDER BY stream, config
 REGISTRY["corpus_hll_error"] = QueryDef(
     X.corpus_hll_error, _hll_error_sql())
 
+
+def _hll_int_keyed_sql(src_sql: str, p: int, key_out: str) -> str:
+    """Keyed variant of the integer-HLL twin: ``src_sql`` must emit
+    (g, v); registers and the fixed-point estimator run PER GROUP —
+    the GROUP BY shape of the cardinality sketch (one 2^p register
+    set per group, the state a 100 TB rollup stores per dimension)."""
+    from ..operators.sketches import HLL_INT_HASH_BITS, hll_int_alpha_e6
+    hb = HLL_INT_HASH_BITS
+    m = 1 << p
+    mask = (1 << (hb - p)) - 1
+    r_max = hb - p + 1
+    alpha = hll_int_alpha_e6(m)
+    return f"""
+WITH sm AS (
+  SELECT g, reg, {r_max} - bit_count(x5) AS rho FROM (
+    SELECT g, reg, x4 | (x4 >> 32) AS x5 FROM (
+      SELECT g, reg, x3 | (x3 >> 16) AS x4 FROM (
+        SELECT g, reg, x2 | (x2 >> 8) AS x3 FROM (
+          SELECT g, reg, x1 | (x1 >> 4) AS x2 FROM (
+            SELECT g, reg, x0 | (x0 >> 2) AS x1 FROM (
+              SELECT g, reg, xr | (xr >> 1) AS x0 FROM (
+                SELECT g, h >> {hb - p} AS reg, h & {mask} AS xr FROM (
+                  SELECT g,
+                         ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                  FROM ({src_sql})))))))))),
+ag AS (
+  SELECT g, sum((1::BIGINT) << CAST({r_max} - rho AS INT)) AS sp,
+         count(*) AS cnt
+  FROM (SELECT g, reg, max(rho) AS rho FROM sm GROUP BY g, reg)
+  GROUP BY g)
+SELECT g AS {key_out},
+       CAST(CASE WHEN ({m} - cnt) > 0 AND raw <= {5 * m // 2}
+                 THEN ({m}::BIGINT * (lm.ln_e9
+                                      - coalesce(lv.ln_e9, 0)))
+                      // 1000000000
+                 ELSE raw END AS BIGINT) AS estimate
+FROM (SELECT g, cnt,
+             CAST(({alpha}::HUGEINT * {m * m} * {1 << r_max})
+                  // ((sp::HUGEINT
+                       + ({m} - cnt)::HUGEINT * {1 << r_max})
+                      * 1000000) AS BIGINT) AS raw
+      FROM ag) t
+JOIN read_parquet('{_FP.LOG_LOOKUP_PATH}') lm ON lm.k = {m}
+LEFT JOIN read_parquet('{_FP.LOG_LOOKUP_PATH}') lv
+       ON lv.k = {m} - t.cnt
+ORDER BY {key_out}
+"""
+
+
+# The GROUP BY shape of the integer HLL: one register set per event
+# type, estimator per group — the per-dimension cardinality rollup a
+# 100 TB pipeline stores instead of raw user sets. Spark side builds
+# per-type partials and estimates; the twin replays registers and
+# both estimator branches per group.
+REGISTRY["events_user_hll_by_type"] = QueryDef(
+    X.events_user_hll_by_type,
+    _hll_int_keyed_sql(
+        "SELECT event_type AS g, user_id::VARCHAR AS v FROM events "
+        "WHERE user_id IS NOT NULL", 8, "event_type"))
+
 # Wide (128-bit, two-word) Hamming sketch (r12 — VERDICT r11 #3):
 # the served batch at the fixed rf=4 budget, and the auto-calibrated
 # recall harness proving the sharper sketch holds the 0.8 floor at a

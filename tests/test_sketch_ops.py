@@ -400,3 +400,21 @@ def test_hll_error_harness_shape(spark, sf_dir):
         assert abs(fine.err) * max(coarse.n_exact, 1) <= \
             abs(coarse.err) * max(fine.n_exact, 1) + \
             max(fine.n_exact, 1)          # +1: integer-rounding slack
+
+
+def test_hll_int_excludes_null_values(spark):
+    """NULLs must not contribute a register (they would hash to a
+    NULL register no estimate can read back — cms_partials parity):
+    estimate with NULLs mixed in == estimate without."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    clean = spark.createDataFrame([(f"u{i}",) for i in range(50)],
+                                  "v string")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(None,)] * 7, "v string"))
+    e1 = SK.hll_int_distinct(clean.withColumn("_g", F.lit(1)),
+                             ["_g"], "v").head()["estimate"]
+    e2 = SK.hll_int_distinct(dirty.withColumn("_g", F.lit(1)),
+                             ["_g"], "v").head()["estimate"]
+    assert e1 == e2
