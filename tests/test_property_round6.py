@@ -401,3 +401,52 @@ def test_bloom_auto_subset_law_holds_at_auto_geometry(spark, sf_dir):
     with __import__("pytest").raises(ValueError):
         decontam.decontaminate_bloom(corpus, bench,
                                      expected_items="lots")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=40), st.integers(2, 14))
+def test_hll_reg_rho_formula_property(value, p):
+    """hll_int_reg_rho_py against a third, string-scan implementation:
+    rho is 1 + the count of leading zero BITS of the (60-p)-bit hash
+    suffix, and reg is the top-p-bit prefix — for any value and any
+    register width."""
+    import hashlib
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.sketches import (
+        hll_int_reg_rho_py,
+    )
+    reg, rho = hll_int_reg_rho_py(value, p)
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    bits = format(h, "060b")
+    assert reg == int(bits[:p], 2)
+    suffix = bits[p:]
+    lead = len(suffix) - len(suffix.lstrip("0"))
+    assert rho == lead + 1
+    assert 0 <= reg < (1 << p)
+    assert 1 <= rho <= 60 - p + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(4, 20))
+def test_hll_alpha_formula_property(p):
+    """alpha_m stays inside the published envelope (0.673 at m=16
+    rising toward 0.7213) and is non-decreasing in m — a broken alpha
+    (wrong constant, inverted correction) violates one of these."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.sketches import (
+        hll_int_alpha_e6,
+    )
+    m = 1 << p
+    a = hll_int_alpha_e6(m)
+    assert 673000 <= a < 721300
+    assert a >= hll_int_alpha_e6(1 << (p - 1)) if p > 4 else True
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 10 ** 6), st.integers(1, 100))
+def test_auto_knob_need_is_exact_ceiling(cnt, pct):
+    """The percentile row both auto calibrations pick —
+    (cnt*pct + 99) // 100 — is EXACTLY ceil(cnt*pct/100) for every
+    (truth size, target): the integer shape shared by
+    ivf_auto_nprobe, pq_auto_rerank and ivfpq_auto_knobs (and their
+    SQL twins), so a drift here would break every exact floor."""
+    assert (cnt * pct + 99) // 100 == math.ceil(cnt * pct / 100)
