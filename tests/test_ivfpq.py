@@ -190,3 +190,22 @@ def test_ivfpq_index_drift_recalibrates_both_knobs(emb, tmp_path):
                                   recall_target_pct=80,
                                   books=books, coarse=coarse)
     assert _rows(served) == _rows(auto)
+
+
+def test_ivfpq_plans_no_cartesian(emb):
+    """The r12 IVF-PQ plans keep the batch plan contracts: no
+    cartesian product anywhere — the corpus is reached only through
+    the scoring kernel (probe sets in the closure) and broadcast
+    sides (queries, cells, candidates are model/batch-sized). The
+    qcell probe-order relation is queries x broadcast CELLS — a
+    bounded broadcast NLJ, never a shuffle-side cartesian."""
+    qs = _queries(emb)
+    coarse = S.load_ivfpq_coarse()
+    served = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=8,
+                                    rerank_cut=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    qplan = (S.ivfpq_query_cellranks(qs, coarse)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in qplan
+    assert "BroadcastNestedLoopJoin" in qplan
