@@ -2759,6 +2759,24 @@ def train_pq_codebooks_lloyd_int(embeddings: DataFrame, m: int = 8,
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    return lloyd_codebooks_int(x, m, kcent, iters)
+
+
+def lloyd_codebooks_int(x, m: int, kcent: int, iters: int):
+    """The Lloyd loop itself over an (n, d) int64 matrix — shared by
+    the DataFrame trainer above and the residual-codebook training in
+    scripts/train_pq_lloyd_artifact.py (which feeds x − centroid(cell)
+    rows: the FAISS IndexIVFPQ convention of training PQ on coarse
+    residuals). Stride-sample seeding, first-min assignment ties,
+    empty clusters keep their previous centroid, grid snap on exit."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if len(x) < kcent:
+        raise ValueError(f"{len(x)} rows cannot seed kcent={kcent}")
     sd = d // m
     stride = max(1, len(x) // kcent)
     seeds = x[::stride][:kcent].astype(np.float64)   # (kcent, d)
@@ -2991,6 +3009,13 @@ def pq_topk_batch_from_index(embeddings: DataFrame, index_path: str,
 
 IVF_COARSE_LLOYD_PATH = str(Path(__file__).resolve().parents[1]
                             / "data" / "ivf_coarse_lloyd.parquet")
+# PQ codebook trained on coarse RESIDUALS (x - centroid(cell)) — the
+# codebook ivfpq encode="residual" serves with (FAISS IndexIVFPQ
+# trains PQ on residuals; a raw-trained codebook quantizes residuals
+# through mismatched centroids).
+PQ_RESIDUAL_CODEBOOKS_PATH = str(Path(__file__).resolve().parents[1]
+                                 / "data"
+                                 / "pq_codebooks_residual.parquet")
 
 
 def load_ivfpq_coarse(path: str | None = None):
@@ -3065,7 +3090,8 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
                      books=None, coarse=None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "query_id",
-                     q_vec_col: str = "query_vec") -> tuple[int, int]:
+                     q_vec_col: str = "query_vec",
+                     encode: str = "raw") -> tuple[int, int]:
     """The IVF-PQ twin of (ivf_auto_nprobe, pq_auto_rerank) — BOTH
     knobs from one exact construction, yielding an EXACT recall floor:
 
@@ -3081,9 +3107,11 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
        on the calibration batch (the hamming/pq exact-floor argument,
        extended through the pruning stage).
 
-    Cost: one brute-force truth pass + one full ADC pass — the
+    Cost: one brute-force truth pass + one probed ADC pass — the
     documented one-off calibration price, amortized against the
-    committed artifacts."""
+    committed artifacts. ``encode`` selects the ADC form stage 2
+    ranks under (raw / residual — the cut must be calibrated under
+    the order it will serve)."""
     import numpy as np
 
     if books is None:
@@ -3115,15 +3143,14 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
     nprobe = max(1, int(row["_np"])) if row and row["_np"] is not None \
         else 1
 
-    # stage 2: smallest ADC-rank cut covering the reachable truth
-    cand = (qcell.filter(F.col("cellrank") <= nprobe)
-            .select("query_id", "cell")
-            .join(cells, "cell")
-            .select("query_id", "vec_id"))
-    scored = (_pq_adc_scored(embeddings, queries, books=books,
-                             id_col=id_col, vec_col=vec_col,
-                             q_id_col=q_id_col, q_vec_col=q_vec_col)
-              .join(cand, ["query_id", "vec_id"]))
+    # stage 2: smallest ADC-rank cut covering the reachable truth —
+    # ranked over the SAME probed score relation serving reads
+    # (_ivfpq_scored at the stage-1 nprobe), so the stored cut
+    # describes exactly the order it will cut at serve time
+    scored = _ivfpq_scored(embeddings, queries, nprobe, books, coarse,
+                           encode, id_col, vec_col, q_id_col, q_vec_col)
+    if scored is None:
+        return nprobe, 1
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc())
     ranks = scored.withColumn("_ar", F.row_number().over(wa))
@@ -3140,6 +3167,112 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
     return nprobe, cut
 
 
+def _ivfpq_scored(embeddings: DataFrame, queries: DataFrame,
+                  nprobe: int, books, coarse, encode: str = "raw",
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  q_id_col: str = "query_id",
+                  q_vec_col: str = "query_vec") -> DataFrame | None:
+    """The probed ADC score relation (query_id, vec_id, adc) shared
+    by serving and the stage-2 cut calibration: cell assignment +
+    codes + per-query scoring in ONE Arrow pass, probe sets in the
+    closure, only probed non-self (query, row) pairs emit. None for
+    an empty query batch.
+
+    encode="raw" scores raw subvectors (lut per query);
+    encode="residual" scores x − centroid(cell) (the FAISS IndexIVFPQ
+    form) — both codes and tables shift by the integer identity
+    ip(x−c, cb) = ip(x, cb) − ip(c_slice, cb), so the residual is
+    never materialized and everything stays exact int64. Residual
+    tables are per (query, cell): lut[q][cell][j][cb] =
+    ||cb||² + 2·ip(c_slice_j, cb) − 2·ip(x_j/q_j, cb)'s table part."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(books, dtype=np.int64)
+    coarse = np.asarray(coarse, dtype=np.int64)
+    m, kcent, sd = books.shape
+    cn2_pq = (books ** 2).sum(axis=2)
+    cn2_cell = (coarse ** 2).sum(axis=1)
+
+    qrows = (queries.select(F.col(q_id_col).alias("_qid"),
+                            _quant_arr(F.col(q_vec_col)).alias("_qv"))
+             .orderBy("_qid").collect())
+    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    if not len(qids):
+        return None
+    qmat = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in qrows])
+
+    # probe sets: per query the nprobe cells nearest by integer L2
+    # (ties to the lowest cell id) — same order ivfpq_query_cellranks
+    # emits, derived here in the closure (model-sized matrix math)
+    d2 = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1, kind="stable")    # ties -> lowest cell
+    probe = order[:, :max(1, int(nprobe))]           # (nq, nprobe)
+
+    # ct[cell][j][cb] = 2 * ip(coarse[cell]_j, books[j][cb]) — the
+    # residual shift every residual code/table shares
+    if encode == "residual":
+        ct = np.empty((len(coarse), m, kcent), dtype=np.int64)
+        for j in range(m):
+            ct[:, j, :] = 2 * (coarse[:, j * sd:(j + 1) * sd]
+                               @ books[j].T)
+        # luts[q][cell][j][cb] — indexed by each row's own cell
+        luts = np.empty((len(qids), len(coarse), m, kcent),
+                        dtype=np.int64)
+        for j in range(m):
+            qdot = qmat[:, j * sd:(j + 1) * sd] @ books[j].T
+            luts[:, :, j, :] = (cn2_pq[j][None, None, :]
+                                + ct[None, :, j, :]
+                                - 2 * qdot[:, None, :])
+    else:
+        luts = np.empty((len(qids), m, kcent), dtype=np.int64)
+        for j in range(m):
+            luts[:, j, :] = cn2_pq[j][None, :] \
+                - 2 * (qmat[:, j * sd:(j + 1) * sd] @ books[j].T)
+
+    def kernel(batches):
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"query_id": [], "vec_id": [],
+                                    "adc": []})
+                continue
+            xs = np.stack([np.asarray(v, dtype=np.int64)
+                           for v in pdf["_qv"]])
+            cells = (cn2_cell[None, :] - 2 * (xs @ coarse.T)) \
+                .argmin(axis=1)
+            codes = np.empty((len(xs), m), dtype=np.int64)
+            for j in range(m):
+                scores = cn2_pq[j][None, :] \
+                    - 2 * (xs[:, j * sd:(j + 1) * sd] @ books[j].T)
+                if encode == "residual":
+                    scores = scores + ct[cells][:, j, :]
+                codes[:, j] = scores.argmin(axis=1)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                keep = np.isin(cells, probe[qi]) & (vec_ids != qid)
+                if not keep.any():
+                    continue
+                if encode == "residual":
+                    s = luts[qi][cells[keep][:, None], jj[None, :],
+                                 codes[keep]].sum(axis=1)
+                else:
+                    s = luts[qi][jj[None, :], codes[keep]].sum(axis=1)
+                out_q.append(np.full(keep.sum(), qid))
+                out_v.append(vec_ids[keep])
+                out_s.append(s)
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "vec_id": np.concatenate(out_v) if out_v else [],
+                "adc": np.concatenate(out_s) if out_s else []})
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _quant_arr(F.col(vec_col)).alias("_qv"),
+    ).mapInPandas(kernel, "query_id long, vec_id long, adc long")
+
+
 def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
                          k: int = 10, nprobe: int | str = 8,
                          rerank_cut: int | str | None = None,
@@ -3148,7 +3281,8 @@ def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          q_id_col: str = "query_id",
-                         q_vec_col: str = "query_vec") -> DataFrame:
+                         q_vec_col: str = "query_vec",
+                         encode: str = "raw") -> DataFrame:
     """Batch IVF-PQ ANN on the integer grid — (query_id, vec_id, l2):
     scan only the rows whose committed coarse cell ranks within each
     query's top-``nprobe`` (the IVF pruning), score those candidates
@@ -3165,15 +3299,26 @@ def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
     pruning-loss-only configuration the fixed-knob harness measures.
     The scoring kernel computes cell + codes in ONE Arrow pass with
     the probe sets broadcast in the closure, so only probed
-    (query, row) pairs ever emit."""
+    (query, row) pairs ever emit.
+
+    ``encode="residual"`` (r12): codes and ADC tables are built from
+    x − centroid(cell) instead of raw x — the faithful FAISS
+    IndexIVFPQ form (residuals are smaller vectors, so the same
+    16-cell codebook quantizes them more faithfully on clusterable
+    data). Still exact int64 end to end: every residual identity is
+    expanded through integer dot products, never materialized floats.
+    The exact-rerank stage and the recall floor are
+    encoding-independent; what the encoding changes is the ADC
+    ORDER, i.e. the calibrated cut the floor costs."""
     import numpy as np
-    import pandas as pd
 
     if isinstance(nprobe, str) and nprobe != "auto":
         raise ValueError(f"nprobe must be an int or 'auto': {nprobe!r}")
     if isinstance(rerank_cut, str) and rerank_cut != "auto":
         raise ValueError(
             f"rerank_cut must be an int, 'auto' or None: {rerank_cut!r}")
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"encode must be 'raw' or 'residual': {encode!r}")
     if books is None:
         books = load_pq_codebooks_parquet()
     books = np.asarray(books, dtype=np.int64)
@@ -3183,70 +3328,16 @@ def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
     if nprobe == "auto" or rerank_cut == "auto":
         nprobe, auto_cut = ivfpq_auto_knobs(
             embeddings, queries, k, recall_target_pct, books, coarse,
-            id_col, vec_col, q_id_col, q_vec_col)
+            id_col, vec_col, q_id_col, q_vec_col, encode=encode)
         if rerank_cut == "auto":
             rerank_cut = auto_cut
 
-    m, _kcent, sd = books.shape
-    cn2_pq = (books ** 2).sum(axis=2)
-    cn2_cell = (coarse ** 2).sum(axis=1)
-
-    qrows = (queries.select(F.col(q_id_col).alias("_qid"),
-                            _quant_arr(F.col(q_vec_col)).alias("_qv"))
-             .orderBy("_qid").collect())
-    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
-    if not len(qids):
+    scored = _ivfpq_scored(embeddings, queries, int(nprobe), books,
+                           coarse, encode, id_col, vec_col,
+                           q_id_col, q_vec_col)
+    if scored is None:
         return (embeddings.sparkSession
                 .createDataFrame([], "query_id long, vec_id long, l2 long"))
-    qmat = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in qrows])
-
-    # probe sets: per query the nprobe cells nearest by integer L2
-    # (ties to the lowest cell id) — same order ivfpq_query_cellranks
-    # emits, derived here in the closure (model-sized matrix math)
-    d2 = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-    order = np.argsort(d2, axis=1, kind="stable")    # ties -> lowest cell
-    probe = order[:, :max(1, int(nprobe))]           # (nq, nprobe)
-
-    luts = np.empty((len(qids), m, books.shape[1]), dtype=np.int64)
-    for j in range(m):
-        luts[:, j, :] = cn2_pq[j][None, :] \
-            - 2 * (qmat[:, j * sd:(j + 1) * sd] @ books[j].T)
-
-    def kernel(batches):
-        jj = np.arange(m)
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({"query_id": [], "vec_id": [],
-                                    "adc": []})
-                continue
-            xs = np.stack([np.asarray(v, dtype=np.int64)
-                           for v in pdf["_qv"]])
-            cells = (cn2_cell[None, :] - 2 * (xs @ coarse.T)) \
-                .argmin(axis=1)
-            codes = np.empty((len(xs), m), dtype=np.int64)
-            for j in range(m):
-                sub = xs[:, j * sd:(j + 1) * sd]
-                codes[:, j] = (cn2_pq[j][None, :]
-                               - 2 * (sub @ books[j].T)).argmin(axis=1)
-            vec_ids = pdf["vec_id"].to_numpy()
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(qids):
-                keep = np.isin(cells, probe[qi]) & (vec_ids != qid)
-                if not keep.any():
-                    continue
-                s = luts[qi][jj[None, :], codes[keep]].sum(axis=1)
-                out_q.append(np.full(keep.sum(), qid))
-                out_v.append(vec_ids[keep])
-                out_s.append(s)
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q) if out_q else [],
-                "vec_id": np.concatenate(out_v) if out_v else [],
-                "adc": np.concatenate(out_s) if out_s else []})
-
-    scored = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        _quant_arr(F.col(vec_col)).alias("_qv"),
-    ).mapInPandas(kernel, "query_id long, vec_id long, adc long")
 
     if rerank_cut is not None:
         wa = Window.partitionBy("query_id").orderBy(

@@ -2216,6 +2216,31 @@ def ann_ivfpq_recall_batch_auto(spark, sf_dir):
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
 
 
+def ann_ivfpq_res_recall_batch_auto(spark, sf_dir):
+    """Residual-encoding IVF-PQ under the auto calibration (r12):
+    codes and ADC tables built from x − centroid(cell) through the
+    committed RESIDUAL-trained codebook
+    (data/pq_codebooks_residual.parquet — FAISS IndexIVFPQ trains PQ
+    on residuals). The exact floor holds identically; what the
+    harness MEASURES is the calibrated cut the floor costs under the
+    residual order — and on this near-uniform corpus it comes out
+    LARGER than raw at sf0.1/sf1 (residuals only shrink when cells
+    carry structure): the textbook refinement, measured instead of
+    assumed, and rejected where the data disagrees."""
+    from ..operators import similarity
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    books = similarity.load_pq_codebooks_parquet(
+        similarity.PQ_RESIDUAL_CODEBOOKS_PATH)
+    approx = similarity.ivfpq_topk_batch_int(
+        emb, queries, k=ANN_TOPK, nprobe="auto", rerank_cut="auto",
+        recall_target_pct=80, books=books, encode="residual")
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
 def ann_ivfpq_from_saved_index(spark, sf_dir):
     """The IVF-PQ member of the saved-index lifecycle family — with
     the r12 TWO-KNOB sidecar: calibrate (nprobe, rerank_cut) together

@@ -28,6 +28,7 @@ from ..operators.relevance import (
 from ..operators.similarity import (
     IVF_COARSE_LLOYD_PATH as _IVFCOARSE,
     PQ_LLOYD_CODEBOOKS_PATH as _PQLLOYD,
+    PQ_RESIDUAL_CODEBOOKS_PATH as _PQRES,
 )
 
 # The four integers of the exactly-rational BM25 kernel at the default
@@ -5140,6 +5141,162 @@ REGISTRY["ann_ivfpq_recall_batch_auto"] = QueryDef(
 REGISTRY["ann_ivfpq_from_saved_index"] = QueryDef(
     X.ann_ivfpq_from_saved_index,
     _ivfpq_sql(100, 10, nprobe="auto", auto_cut=True))
+
+
+def _ivfpq_res_sql(stride_q: int = 100, k: int = 10,
+                   recall_target_pct: int = 80, m: int = 8,
+                   sd: int = 8) -> str:
+    """Twin of ivfpq_topk_batch_int(encode="residual", books =
+    residual-trained codebook, both knobs auto): codes and ADC tables
+    are built from x − centroid(cell) through the integer identity
+    ip(x−c, cb) = ip(x, cb) − ip(c_slice, cb) — the residual is never
+    materialized; ``ct(cell, j, c) = 2·ip(c_slice_j, cb)`` carries the
+    shift, so every value stays exact int64 and the twin is
+    bit-identical. CTE order differs from the raw twin because codes
+    now depend on each row's cell (vcell before codes)."""
+    l2 = _L2_INT.format(a="e.qv", b="q.qqv")
+    need = f"greatest((cnt * {recall_target_pct} + 99) // 100, 1)"
+    return f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+js AS (SELECT unnest(range({m})) AS j),
+centsub AS (
+  SELECT j::BIGINT AS j, c::BIGINT AS c, cv
+  FROM read_parquet('{_PQRES}')),
+cnorm AS (
+  SELECT j, c, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
+  FROM centsub),
+vecsub AS (
+  SELECT vec_id, j, qv[j * {sd} + 1:(j + 1) * {sd}] AS xv
+  FROM qe, js),
+coarse AS (
+  SELECT c::BIGINT AS cell, cv FROM read_parquet('{_IVFCOARSE}')),
+ccn AS (
+  SELECT cell, CAST(list_inner_product(cv, cv) AS BIGINT) AS cn2
+  FROM coarse),
+vcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, co.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY cc.cn2
+                      - 2 * CAST(list_inner_product(e.qv, co.cv)
+                                 AS BIGINT) ASC,
+                      co.cell ASC) AS rn
+    FROM qe e, coarse co
+    JOIN ccn cc USING (cell))
+  WHERE rn = 1),
+ct AS (
+  SELECT co.cell, cs.j, cs.c,
+         2 * CAST(list_inner_product(
+             co.cv[cs.j * {sd} + 1:(cs.j + 1) * {sd}], cs.cv)
+             AS BIGINT) AS t
+  FROM coarse co, centsub cs),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT v.vec_id, v.j, cs.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.j
+             ORDER BY cn.cn2 + ct.t
+                      - 2 * CAST(list_inner_product(v.xv, cs.cv)
+                                 AS BIGINT) ASC,
+                      cs.c ASC) AS rn
+    FROM vecsub v
+    JOIN vcell vc ON vc.vec_id = v.vec_id
+    JOIN centsub cs ON cs.j = v.j
+    JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c
+    JOIN ct ON ct.cell = vc.cell AND ct.j = cs.j AND ct.c = cs.c)
+  WHERE rn = 1),
+pqs AS (SELECT vec_id AS query_id, qv AS qqv FROM qe
+        WHERE vec_id % {stride_q} = 0),
+qcell AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, cell ASC) AS cellrank
+  FROM (
+    SELECT q.query_id, co.cell,
+           CAST(list_inner_product(q.qqv, q.qqv) AS BIGINT)
+           - 2 * CAST(list_inner_product(q.qqv, co.cv) AS BIGINT)
+           + cc.cn2 AS d2
+    FROM pqs q, coarse co
+    JOIN ccn cc USING (cell))),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {l2} ASC, e.vec_id ASC) AS rn
+    FROM qe e, pqs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {k}),
+tcnt AS (SELECT query_id, count(*) AS cnt FROM truth GROUP BY 1),
+npv AS (
+  SELECT greatest(max(cellrank), 1) AS np FROM (
+    SELECT t.query_id, qc.cellrank,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY qc.cellrank ASC) AS rn,
+           tc.cnt
+    FROM truth t
+    JOIN vcell v ON v.vec_id = t.vec_id
+    JOIN qcell qc ON qc.query_id = t.query_id AND qc.cell = v.cell
+    JOIN tcnt tc ON tc.query_id = t.query_id)
+  WHERE rn = {need}),
+probe AS (SELECT query_id, cell FROM qcell
+          WHERE cellrank <= (SELECT np FROM npv)),
+cand AS (
+  SELECT p.query_id, v.vec_id
+  FROM probe p JOIN vcell v USING (cell)
+  WHERE v.vec_id <> p.query_id),
+tabs AS (
+  SELECT q.query_id, ct.cell, cs.j, cs.c,
+         cn.cn2 + ct.t - 2 * CAST(list_inner_product(
+             q.qqv[cs.j * {sd} + 1:(cs.j + 1) * {sd}], cs.cv)
+             AS BIGINT) AS val
+  FROM pqs q, centsub cs
+  JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c
+  JOIN ct ON ct.j = cs.j AND ct.c = cs.c),
+scores AS (
+  SELECT cd.query_id, c.vec_id, CAST(sum(t.val) AS BIGINT) AS adc
+  FROM codes c
+  JOIN cand cd ON cd.vec_id = c.vec_id
+  JOIN vcell vc ON vc.vec_id = c.vec_id
+  JOIN tabs t ON t.query_id = cd.query_id AND t.cell = vc.cell
+             AND t.j = c.j AND t.c = c.code
+  GROUP BY 1, 2),
+adcrank AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, vec_id ASC) AS ar
+  FROM scores),
+cutv AS (
+  SELECT greatest(max(ar), 1) AS rr FROM (
+    SELECT t.query_id, r.ar,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY r.ar ASC) AS rn,
+           tc.cnt
+    FROM truth t
+    JOIN adcrank r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+    JOIN tcnt tc ON tc.query_id = t.query_id)
+  WHERE rn = {need}),
+cand2 AS (SELECT query_id, vec_id FROM adcrank
+          WHERE ar <= (SELECT rr FROM cutv)),
+rer AS (
+  SELECT c.query_id, c.vec_id, {l2} AS l2
+  FROM cand2 c
+  JOIN qe e USING (vec_id)
+  JOIN pqs q USING (query_id))
+SELECT query_id, vec_id, CAST(l2 AS BIGINT) AS l2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2 ASC, vec_id ASC) AS rn
+  FROM rer) WHERE rn <= {k}
+ORDER BY query_id, vec_id
+"""
+
+
+# Residual IVF-PQ (FAISS IndexIVFPQ trains and encodes PQ on coarse
+# residuals). The harness MEASURES the textbook refinement instead of
+# assuming it: on this near-uniform corpus residual encoding holds the
+# same exact floor at a LARGER calibrated cut than raw at sf0.1/sf1
+# (residuals only shrink when cells carry structure) — recorded in
+# BASELINE.md as the r12 honest diagnostic.
+REGISTRY["ann_ivfpq_res_recall_batch_auto"] = QueryDef(
+    X.ann_ivfpq_res_recall_batch_auto,
+    _pq_recall_sql(_ivfpq_res_sql(100, 10, 80)))
 
 
 def _hll_int_ctes(tag: str, stream_sql: str, p: int) -> str:

@@ -29,6 +29,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (  # noqa: E402
     IVF_COARSE_LLOYD_PATH,
     PQ_LLOYD_CODEBOOKS_PATH,
+    PQ_RESIDUAL_CODEBOOKS_PATH,
+    _quant_arr,
+    lloyd_codebooks_int,
     load_pq_codebooks_parquet,
     pq_codebooks_int,
     pq_distortion_int,
@@ -76,6 +79,25 @@ def main() -> None:
     assert (load_pq_codebooks_parquet(IVF_COARSE_LLOYD_PATH)
             == coarse).all()
     print(f"wrote {IVF_COARSE_LLOYD_PATH} ({COARSE_CELLS} cells)")
+
+    # Residual PQ codebook (FAISS IndexIVFPQ convention): train the
+    # Lloyd loop on x - centroid(cell(x)) so the 16 cells per
+    # subspace quantize what encode="residual" actually feeds them.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    rows = (emb.select(F.col("vec_id").alias("_id"),
+                       _quant_arr(F.col("embedding")).alias("_qv"))
+            .orderBy("_id").collect())
+    x = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in rows])
+    cells = ((coarse[0] ** 2).sum(axis=1)[None, :]
+             - 2 * (x @ coarse[0].T)).argmin(axis=1)
+    res_books = lloyd_codebooks_int(x - coarse[0][cells],
+                                    m=M, kcent=KCENT, iters=ITERS)
+    save_pq_codebooks_parquet(res_books, PQ_RESIDUAL_CODEBOOKS_PATH)
+    assert (load_pq_codebooks_parquet(PQ_RESIDUAL_CODEBOOKS_PATH)
+            == res_books).all()
+    print(f"wrote {PQ_RESIDUAL_CODEBOOKS_PATH}")
     spark.stop()
 
 

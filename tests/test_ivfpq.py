@@ -209,3 +209,47 @@ def test_ivfpq_plans_no_cartesian(emb):
              ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in qplan
     assert "BroadcastNestedLoopJoin" in qplan
+
+
+def test_residual_no_pruning_equals_brute_force(emb):
+    """The pipeline identity holds under residual encoding too: the
+    encoding changes only the ADC order, and with every cell probed
+    and no cut, the exact rerank washes it out entirely."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet(S.PQ_RESIDUAL_CODEBOOKS_PATH)
+    full = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=64,
+                                  rerank_cut=None, books=books,
+                                  encode="residual")
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    assert _rows(full) == _rows(truth)
+
+
+def test_residual_auto_holds_exact_floor(emb):
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet(S.PQ_RESIDUAL_CODEBOOKS_PATH)
+    served = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe="auto",
+                                    rerank_cut="auto",
+                                    recall_target_pct=80,
+                                    books=books, encode="residual")
+    truth = S.l2_topk_batch_int(emb, qs, k=5)
+    rep = S.recall_report(served, truth, k=5).collect()
+    assert rep and all(r.recall_e6 >= 800000 for r in rep)
+
+
+def test_residual_encoding_changes_adc_order_not_candidates(emb):
+    """Same probe sets, same candidate rows — only the ADC order may
+    differ between encodings: at equal (nprobe, no cut) the reranked
+    results are identical; the SCORED relations cover the same
+    (query, vec) pairs."""
+    qs = _queries(emb)
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    raw = S._ivfpq_scored(emb, qs, 8, books, coarse, "raw")
+    res = S._ivfpq_scored(emb, qs, 8, books, coarse, "residual")
+    assert sorted((r["query_id"], r["vec_id"]) for r in raw.collect()) \
+        == sorted((r["query_id"], r["vec_id"]) for r in res.collect())
+
+
+def test_unknown_encode_rejected(emb):
+    with pytest.raises(ValueError, match="encode"):
+        S.ivfpq_topk_batch_int(emb, _queries(emb), encode="opq")
