@@ -5689,7 +5689,8 @@ def _last_green_rounds() -> dict[str, int]:
 # fixed 1e6-guess to the measured-n integer derivation (both bloom
 # oracles), corpus_cms_error's geometries are now target-derived
 # (w55d5/w6d1 replace w64d4/w8d2), and approx_error_panel embeds both
-# rewritten members verbatim.
+# rewritten members verbatim — and grew again late in r12 (committed-
+# Lloyd PQ, IVF-PQ and integer-HLL rows, 18 -> 30), so it stays here.
 REWRITTEN_THIS_ROUND: set[str] = {
     "decontaminate_bloom_clean", "decontaminate_bloom_fpr",
     "corpus_cms_error", "approx_error_panel",
