@@ -498,3 +498,37 @@ def hll_int_reg_rho_py(value: str, p: int = 8) -> tuple[int, int]:
     reg = h >> (bits - p)
     x = h & ((1 << (bits - p)) - 1)
     return reg, (bits - p) - x.bit_length() + 1
+
+
+def hll_int_union_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers of the UNION stream from two register sets alone:
+    register-wise max across both (the defining HLL property —
+    sketch(A ∪ B) == max-merge(sketch(A), sketch(B)), exactly). Raw
+    rows are never revisited: the 100 TB set-algebra primitive."""
+    return (a.select("reg", "rho").unionByName(b.select("reg", "rho"))
+            .groupBy("reg").agg(F.max("rho").alias("rho")))
+
+
+def hll_int_intersection_estimate(a: DataFrame, b: DataFrame,
+                                  p: int = 8) -> DataFrame:
+    """Inclusion–exclusion over integer-HLL registers: one row
+    (n_a, n_b, n_union, n_intersect) with
+    n_intersect = max(n_a + n_b − n_union, 0) — |A∩B| estimated from
+    SKETCHES of A and B alone (the contamination-overlap question —
+    'how much of corpus B is already in corpus A' — answered without
+    rescanning either corpus). Inputs are keyless register relations
+    (hll_int_partials(df, [], col, p)). All three component estimates
+    run the same fixed-point estimator, so the twin replays the whole
+    relation bit-for-bit; the subtraction compounds the component
+    errors — the price corpus_hll_overlap measures against the exact
+    join."""
+    def est(regs, name):
+        return hll_int_estimate(regs, [], p, name)
+
+    u = hll_int_union_registers(a, b)
+    one = (est(a, "n_a").crossJoin(F.broadcast(est(b, "n_b")))
+           .crossJoin(F.broadcast(est(u, "n_union"))))
+    inter = F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"),
+                       F.lit(0)).cast("long")
+    return one.select("n_a", "n_b", "n_union",
+                      inter.alias("n_intersect"))

@@ -2151,6 +2151,33 @@ def events_user_hll_by_type(spark, sf_dir):
         .orderBy("event_type"))
 
 
+def corpus_hll_overlap(spark, sf_dir):
+    """Sketch-space set intersection (r12): |A∩B| by
+    inclusion–exclusion over integer-HLL registers of two lineitem
+    partkey sub-corpora (split by order parity) — the
+    contamination-overlap question answered from fixed-size register
+    state alone (union registers are the register-wise max:
+    sketch(A∪B) == max-merge EXACTLY), next to the exact
+    intersection join and the signed error the subtraction compounds.
+    One row: (n_a, n_b, n_union, n_intersect, n_exact_intersect,
+    err) — all integers, twin replays every estimate bit-for-bit."""
+    from ..operators import sketches as SK
+    li = load_testdata(spark, sf_dir, ["lineitem"])["lineitem"]
+    pk = li.select((F.col("l_orderkey") % 2).alias("_half"),
+                   F.col("l_partkey").cast("string").alias("v"))
+    a = SK.hll_int_partials(pk.filter("_half = 0"), [], "v", p=8)
+    b = SK.hll_int_partials(pk.filter("_half = 1"), [], "v", p=8)
+    est = SK.hll_int_intersection_estimate(a, b, p=8)
+    exact = (pk.filter("_half = 0").select("v").distinct()
+             .intersect(pk.filter("_half = 1").select("v").distinct())
+             .agg(F.count(F.lit(1)).alias("n_exact_intersect")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_a", "n_b", "n_union", "n_intersect",
+                    F.col("n_exact_intersect").cast("long"),
+                    (F.col("n_intersect") - F.col("n_exact_intersect"))
+                    .cast("long").alias("err")))
+
+
 IVFPQ_NPROBE_FIXED = 8
 
 

@@ -5384,6 +5384,99 @@ REGISTRY["corpus_hll_error"] = QueryDef(
     X.corpus_hll_error, _hll_error_sql())
 
 
+def _hll_regs_cte(tag: str, stream_sql: str, p: int) -> str:
+    """``{tag}_rg(reg, rho)`` — the register relation of one stream
+    (the smear-chain bit math of _hll_int_ctes, grouped)."""
+    from ..operators.sketches import HLL_INT_HASH_BITS
+    hb = HLL_INT_HASH_BITS
+    mask = (1 << (hb - p)) - 1
+    r_max = hb - p + 1
+    return f"""{tag}_rg AS (
+  SELECT reg, max(rho) AS rho FROM (
+  SELECT reg, {r_max} - bit_count(x5) AS rho FROM (
+    SELECT reg, x4 | (x4 >> 32) AS x5 FROM (
+      SELECT reg, x3 | (x3 >> 16) AS x4 FROM (
+        SELECT reg, x2 | (x2 >> 8) AS x3 FROM (
+          SELECT reg, x1 | (x1 >> 4) AS x2 FROM (
+            SELECT reg, x0 | (x0 >> 2) AS x1 FROM (
+              SELECT reg, xr | (xr >> 1) AS x0 FROM (
+                SELECT h >> {hb - p} AS reg, h & {mask} AS xr FROM (
+                  SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                  FROM ({stream_sql}))))))))))
+  GROUP BY reg)"""
+
+
+def _hll_est_cte(tag: str, p: int, out: str) -> str:
+    """``{tag}_es({out})`` — the fixed-point estimator over
+    ``{tag}_rg`` (the _hll_int_ctes estimator, register-relation
+    input)."""
+    from ..operators.sketches import HLL_INT_HASH_BITS, hll_int_alpha_e6
+    hb = HLL_INT_HASH_BITS
+    m = 1 << p
+    r_max = hb - p + 1
+    alpha = hll_int_alpha_e6(m)
+    return f"""{tag}_es AS (
+  SELECT CAST(CASE WHEN ({m} - cnt) > 0 AND raw <= {5 * m // 2}
+              THEN ({m}::BIGINT * (lm.ln_e9 - coalesce(lv.ln_e9, 0)))
+                   // 1000000000
+              ELSE raw END AS BIGINT) AS {out}
+  FROM (SELECT cnt,
+               CAST(({alpha}::HUGEINT * {m * m} * {1 << r_max})
+                    // ((sp::HUGEINT
+                         + ({m} - cnt)::HUGEINT * {1 << r_max})
+                        * 1000000) AS BIGINT) AS raw
+        FROM (SELECT sum((1::BIGINT)
+                         << CAST({r_max} - rho AS INT)) AS sp,
+                     count(*) AS cnt
+              FROM {tag}_rg)) t
+  JOIN read_parquet('{_FP.LOG_LOOKUP_PATH}') lm ON lm.k = {m}
+  LEFT JOIN read_parquet('{_FP.LOG_LOOKUP_PATH}') lv
+         ON lv.k = {m} - t.cnt)"""
+
+
+_HLL_OVL_A = ("SELECT l_partkey::VARCHAR AS v FROM lineitem "
+              "WHERE l_orderkey % 2 = 0")
+_HLL_OVL_B = ("SELECT l_partkey::VARCHAR AS v FROM lineitem "
+              "WHERE l_orderkey % 2 = 1")
+
+
+def _hll_overlap_sql(p: int = 8) -> str:
+    return f"""
+WITH {_hll_regs_cte("a", _HLL_OVL_A, p)},
+{_hll_regs_cte("b", _HLL_OVL_B, p)},
+u_rg AS (
+  SELECT reg, max(rho) AS rho FROM (
+    SELECT reg, rho FROM a_rg UNION ALL SELECT reg, rho FROM b_rg)
+  GROUP BY reg),
+{_hll_est_cte("a", p, "n_a")},
+{_hll_est_cte("b", p, "n_b")},
+{_hll_est_cte("u", p, "n_union")},
+ex AS (
+  SELECT count(*)::BIGINT AS n_exact_intersect FROM (
+    SELECT DISTINCT v FROM ({_HLL_OVL_A})
+    INTERSECT
+    SELECT DISTINCT v FROM ({_HLL_OVL_B})))
+SELECT a_es.n_a, b_es.n_b, u_es.n_union,
+       greatest(a_es.n_a + b_es.n_b - u_es.n_union, 0)::BIGINT
+         AS n_intersect,
+       ex.n_exact_intersect,
+       (greatest(a_es.n_a + b_es.n_b - u_es.n_union, 0)
+        - ex.n_exact_intersect)::BIGINT AS err
+FROM a_es CROSS JOIN b_es CROSS JOIN u_es CROSS JOIN ex
+"""
+
+
+# Sketch-space set algebra (r12): |A∩B| from SKETCHES of A and B alone
+# — the contamination-overlap question ("how much of corpus B is
+# already in corpus A") answered without rescanning either corpus;
+# union registers are the register-wise max (sketch(A∪B) ==
+# max-merge, exactly), intersection by inclusion–exclusion, measured
+# against the exact join. Inclusion–exclusion compounds the component
+# errors — the harness records that price as the signed err column.
+REGISTRY["corpus_hll_overlap"] = QueryDef(
+    X.corpus_hll_overlap, _hll_overlap_sql(8))
+
+
 def _hll_int_keyed_sql(src_sql: str, p: int, key_out: str) -> str:
     """Keyed variant of the integer-HLL twin: ``src_sql`` must emit
     (g, v); registers and the fixed-point estimator run PER GROUP —

@@ -418,3 +418,42 @@ def test_hll_int_excludes_null_values(spark):
     e2 = SK.hll_int_distinct(dirty.withColumn("_g", F.lit(1)),
                              ["_g"], "v").head()["estimate"]
     assert e1 == e2
+
+
+def test_hll_int_union_registers_equal_direct_union_sketch(spark):
+    """sketch(A ∪ B) == register-wise max of sketch(A), sketch(B) —
+    EXACTLY (the defining HLL merge property the overlap estimator
+    rides on), including when the sets overlap."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    a_df = spark.createDataFrame([(f"x{i}",) for i in range(300)],
+                                 "v string")
+    b_df = spark.createDataFrame([(f"x{i}",) for i in range(150, 500)],
+                                 "v string")
+    a = SK.hll_int_partials(a_df, [], "v", p=8)
+    b = SK.hll_int_partials(b_df, [], "v", p=8)
+    direct = SK.hll_int_partials(a_df.unionByName(b_df), [], "v", p=8)
+    assert sorted((r["reg"], r["rho"]) for r in
+                  SK.hll_int_union_registers(a, b).collect()) == \
+        sorted((r["reg"], r["rho"]) for r in direct.collect())
+
+
+def test_hll_int_intersection_estimate_bands(spark):
+    """Inclusion–exclusion sanity on a known overlap (|A∩B| = 150 of
+    |A|=300, |B|=350): the estimate is non-negative, bounded by
+    min-side estimate, and within a compounded-error band (3 sketches
+    at ~6.5% RSE each -> allow ~35% of the union's scale)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        sketches as SK,
+    )
+    a_df = spark.createDataFrame([(f"x{i}",) for i in range(300)],
+                                 "v string")
+    b_df = spark.createDataFrame([(f"x{i}",) for i in range(150, 500)],
+                                 "v string")
+    a = SK.hll_int_partials(a_df, [], "v", p=8)
+    b = SK.hll_int_partials(b_df, [], "v", p=8)
+    r = SK.hll_int_intersection_estimate(a, b, p=8).head()
+    assert r["n_intersect"] >= 0
+    assert r["n_union"] <= r["n_a"] + r["n_b"]
+    assert abs(r["n_intersect"] - 150) <= 100
