@@ -2394,6 +2394,8 @@ def approx_error_panel(spark, sf_dir):
                 "ann_ivfpq_fixed"),
         minmean(ann_ivfpq_recall_batch_auto(spark, sf_dir),
                 "ann_ivfpq_auto"),
+        minmean(ann_ivfpq_res_recall_batch_auto(spark, sf_dir),
+                "ann_ivfpq_res_auto"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_hll_error(spark, sf_dir)

@@ -5617,6 +5617,8 @@ ipqf AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_ivfpq_recall_batch"].oracle})),
 ipqa AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_ivfpq_recall_batch_auto"].oracle})),
+ipqr AS (SELECT recall_e6 FROM
+         ({REGISTRY["ann_ivfpq_res_recall_batch_auto"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -5688,6 +5690,13 @@ panel AS (
   SELECT 'ann_ivfpq_auto', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM ipqa
+  UNION ALL
+  SELECT 'ann_ivfpq_res_auto', 'min_recall_e6', min(recall_e6)
+  FROM ipqr
+  UNION ALL
+  SELECT 'ann_ivfpq_res_auto', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ipqr
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})
