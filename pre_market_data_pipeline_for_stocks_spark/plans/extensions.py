@@ -105,6 +105,46 @@ def dedup_lsh_recall(spark, sf_dir):
                   F.greatest(F.col("n_exact"), F.lit(1))).alias("recall_e6"))
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_recall(spark, sf_dir):
+    """Pair-level recall of the BANDED SimHash candidate generation
+    against the exact all-pairs Hamming truth at the same radius
+    (r12 — the last dedup family without a measured harness): one row
+    (n_exact, n_found, recall_e6). The loss measured here is purely
+    the two-half banding (a pair at hamming <= 3 whose flips split
+    across BOTH 16-bit halves agrees on neither band and is never a
+    candidate — pigeonhole guarantees hamming <= 1 is always found,
+    unit-pinned). The exact side is a signature self-join
+    (|docs|^2/2 one-long comparisons — the documented oracle-scale
+    anchor, like ngram_jaccard; the production path IS the banded
+    plan being measured). Found joins the REAL banded plan; the twin
+    reformulates banding as (half0 equal OR half1 equal) over the
+    same all-pairs relation — identical sets by construction."""
+    from ..functions.fixedpoint import idiv_long
+    docs = _docs(spark, sf_dir)
+    s = dedup.simhash(docs, 32)
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("sim_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("sim_b"))
+    exact = (a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+             .filter(F.bit_count(F.col("sim_a").bitwiseXOR(
+                 F.col("sim_b"))) <= SIMHASH_MAX_HAMMING)
+             .select("doc_a", "doc_b"))
+    banded = (dedup.simhash_near_dup_pairs(
+        docs, 32, 16, SIMHASH_MAX_HAMMING).select("doc_a", "doc_b"))
+    found = exact.join(banded, ["doc_a", "doc_b"])
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found")))
+    return agg.select(
+        "n_exact", "n_found",
+        idiv_long(F.col("n_found") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact"), F.lit(1)))
+        .alias("recall_e6"))
+
+
 LSH_MAX_BUCKET = 2
 
 

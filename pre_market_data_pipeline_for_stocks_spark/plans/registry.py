@@ -5477,6 +5477,42 @@ REGISTRY["corpus_hll_overlap"] = QueryDef(
     X.corpus_hll_overlap, _hll_overlap_sql(8))
 
 
+def _simhash_recall_sql(bits: int = 32, band_bits: int = 16,
+                        max_hamming: int = 3) -> str:
+    """Twin of dedup_simhash_recall: exact all-pairs Hamming truth at
+    the radius vs the banding reformulated over the same relation —
+    a candidate iff the two signatures agree on at least one
+    ``band_bits`` half, which is exactly the banded plan's equi-join
+    semantics (identical sets by construction)."""
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_simhash_cte(bits).strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS h,
+         (a.simhash & {mask}) = (b.simhash & {mask}) AS half0,
+         (a.simhash >> {band_bits}) = (b.simhash >> {band_bits})
+           AS half1
+  FROM simhash_t a JOIN simhash_t b ON a.doc_id < b.doc_id),
+ex AS (SELECT count(*) AS n_exact FROM pairs
+       WHERE h <= {max_hamming}),
+fd AS (SELECT count(*) AS n_found FROM pairs
+       WHERE h <= {max_hamming} AND (half0 OR half1))
+SELECT ex.n_exact::BIGINT AS n_exact, fd.n_found::BIGINT AS n_found,
+       CAST(fd.n_found * 1000000 // greatest(ex.n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM ex CROSS JOIN fd
+"""
+
+
+# SimHash banding recall (r12 — the last dedup family measured): the
+# two-half candidate generation against exact all-pairs Hamming truth
+# at the same radius; the only loss is a pair whose flips split across
+# both halves (pigeonhole: hamming <= 1 always found, unit-pinned).
+REGISTRY["dedup_simhash_recall"] = QueryDef(
+    X.dedup_simhash_recall, _simhash_recall_sql(32, 16, 3))
+
+
 def _hll_int_keyed_sql(src_sql: str, p: int, key_out: str) -> str:
     """Keyed variant of the integer-HLL twin: ``src_sql`` must emit
     (g, v); registers and the fixed-point estimator run PER GROUP —

@@ -689,3 +689,42 @@ def test_canonical_key_dedup_is_order_insensitive(spark):
     out = exact_dedup(docs.select("doc_id", canon.alias("text"))).collect()
     groups = sorted((r["n_copies"], r["keep_doc_id"]) for r in out)
     assert groups == [(1, 4), (3, 1)]
+
+
+def test_simhash_banding_pigeonhole_guarantee(spark, sf_dir):
+    """A pair at hamming <= band count - 1 (here <= 1 for two halves)
+    can never split its flips across both halves, so the banded
+    candidate generation finds EVERY such pair — the pigeonhole
+    guarantee the dedup_simhash_recall harness floor rests on."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    s = dd.simhash(docs, 32)
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("sim_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("sim_b"))
+    close = (a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+             .filter(F.bit_count(F.col("sim_a").bitwiseXOR(
+                 F.col("sim_b"))) <= 1)
+             .select("doc_a", "doc_b"))
+    banded = dd.simhash_near_dup_pairs(docs, 32, 16, 1) \
+        .select("doc_a", "doc_b")
+    missed = close.join(banded, ["doc_a", "doc_b"], "left_anti")
+    assert missed.count() == 0
+
+
+def test_simhash_recall_harness_laws(spark, sf_dir):
+    """n_found <= n_exact (banding only loses), recall in [0, 1e6],
+    and the integer division is exact."""
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        dedup_simhash_recall,
+    )
+    r = dedup_simhash_recall(spark, sf_dir).head()
+    assert 0 <= r["n_found"] <= r["n_exact"]
+    assert r["recall_e6"] == (r["n_found"] * 10 ** 6) \
+        // max(r["n_exact"], 1)
