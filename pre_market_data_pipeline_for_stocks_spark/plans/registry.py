@@ -5513,6 +5513,46 @@ REGISTRY["dedup_simhash_recall"] = QueryDef(
     X.dedup_simhash_recall, _simhash_recall_sql(32, 16, 3))
 
 
+def _simhash_recall_auto_sql(bits: int = 32,
+                             max_hamming: int = 3) -> str:
+    """Twin of the pigeonhole-banded recall harness: band_bits="auto"
+    slices the signature into max_hamming + 1 bands, so a within-
+    radius pair agrees on at least one band BY CONSTRUCTION and the
+    measured recall is exactly 1e6. The twin spells the candidacy as
+    the OR over all band-slice equalities."""
+    band_bits = max(1, bits // (max_hamming + 1))
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bandeq = " OR ".join(
+        f"((a.simhash >> {i * band_bits}) & {mask}) = "
+        f"((b.simhash >> {i * band_bits}) & {mask})"
+        for i in range(n_bands))
+    return f"""
+WITH {_simhash_cte(bits).strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS h,
+         ({bandeq}) AS cand
+  FROM simhash_t a JOIN simhash_t b ON a.doc_id < b.doc_id),
+ex AS (SELECT count(*) AS n_exact FROM pairs
+       WHERE h <= {max_hamming}),
+fd AS (SELECT count(*) AS n_found FROM pairs
+       WHERE h <= {max_hamming} AND cand)
+SELECT ex.n_exact::BIGINT AS n_exact, fd.n_found::BIGINT AS n_found,
+       CAST(fd.n_found * 1000000 // greatest(ex.n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM ex CROSS JOIN fd
+"""
+
+
+# The pigeonhole auto mode: max_hamming + 1 bands make within-radius
+# candidacy CERTAIN (flips cannot touch every band) — measured recall
+# exactly 1e6 vs the fixed two-half banding's 0.43, priced in wider
+# band buckets. The simhash member of the auto-knob program.
+REGISTRY["dedup_simhash_recall_auto"] = QueryDef(
+    X.dedup_simhash_recall_auto, _simhash_recall_auto_sql(32, 3))
+
+
 def _hll_int_keyed_sql(src_sql: str, p: int, key_out: str) -> str:
     """Keyed variant of the integer-HLL twin: ``src_sql`` must emit
     (g, v); registers and the fixed-point estimator run PER GROUP —

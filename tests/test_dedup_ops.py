@@ -728,3 +728,25 @@ def test_simhash_recall_harness_laws(spark, sf_dir):
     assert 0 <= r["n_found"] <= r["n_exact"]
     assert r["recall_e6"] == (r["n_found"] * 10 ** 6) \
         // max(r["n_exact"], 1)
+
+
+def test_simhash_auto_banding_is_pigeonhole_complete(spark, sf_dir):
+    """band_bits="auto" sizes the band count at max_hamming + 1, so
+    EVERY within-radius pair is a candidate — the harness recall is
+    exactly 1e6 by construction, and unknown band_bits strings fail
+    loud."""
+    import pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
+        dedup_simhash_recall_auto,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    r = dedup_simhash_recall_auto(spark, sf_dir).head()
+    assert r["recall_e6"] == 10 ** 6
+    assert r["n_found"] == r["n_exact"]
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    with pytest.raises(ValueError, match="band_bits"):
+        dd.simhash_near_dup_pairs(docs, 32, "adaptive", 3)
