@@ -2444,6 +2444,10 @@ def approx_error_panel(spark, sf_dir):
     parts = [
         one(dedup_lsh_recall(spark, sf_dir),
             "dedup_minhash_lsh", "pair_recall_e6", "recall_e6"),
+        one(dedup_simhash_recall(spark, sf_dir),
+            "dedup_simhash_fixed", "pair_recall_e6", "recall_e6"),
+        one(dedup_simhash_recall_auto(spark, sf_dir),
+            "dedup_simhash_auto", "pair_recall_e6", "recall_e6"),
         one(ann_lsh_pair_recall(spark, sf_dir),
             "ann_sign_lsh_fixed", "pair_recall_e6", "recall_e6"),
         one(ann_lsh_pair_recall_auto(spark, sf_dir),

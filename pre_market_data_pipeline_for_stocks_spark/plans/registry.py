@@ -5700,6 +5700,12 @@ panel AS (
          recall_e6 AS value
   FROM ({REGISTRY["dedup_lsh_recall"].oracle})
   UNION ALL
+  SELECT 'dedup_simhash_fixed', 'pair_recall_e6', recall_e6
+  FROM ({REGISTRY["dedup_simhash_recall"].oracle})
+  UNION ALL
+  SELECT 'dedup_simhash_auto', 'pair_recall_e6', recall_e6
+  FROM ({REGISTRY["dedup_simhash_recall_auto"].oracle})
+  UNION ALL
   SELECT 'ann_sign_lsh_fixed', 'pair_recall_e6', recall_e6
   FROM ({REGISTRY["ann_lsh_pair_recall"].oracle})
   UNION ALL
