@@ -570,7 +570,11 @@ def save_index_calibration(spark, path: str, calib: dict) -> None:
 
 def load_index_calibration(spark, path: str) -> dict | None:
     """Read the calibration sidecar written by save_index_calibration;
-    None when the artifact carries none (pre-r12 indexes)."""
+    None when the artifact carries none (pre-r12 indexes). Tolerant of
+    OLDER sidecar schemas (r13, per ADVICE): a sidecar persisted before
+    the knob2 extension carries 7 columns — missing fields come back as
+    None rather than crashing the load, so pre-existing single-knob
+    IVF/Hamming/signature artifacts keep serving."""
     from pyspark.errors import AnalysisException
     try:
         row = spark.read.parquet(f"{path}/_calibration").head()
@@ -578,7 +582,8 @@ def load_index_calibration(spark, path: str) -> dict | None:
         return None
     if row is None:
         return None
-    return {f: row[f] for f in _CALIBRATION_FIELDS}
+    d = row.asDict()
+    return {f: d.get(f) for f in _CALIBRATION_FIELDS}
 
 
 def _measured_min_recall_e6(approx: DataFrame, truth: DataFrame,
@@ -3091,7 +3096,8 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "query_id",
                      q_vec_col: str = "query_vec",
-                     encode: str = "raw") -> tuple[int, int]:
+                     encode: str = "raw",
+                     fixed_nprobe: int | None = None) -> tuple[int, int]:
     """The IVF-PQ twin of (ivf_auto_nprobe, pq_auto_rerank) — BOTH
     knobs from one exact construction, yielding an EXACT recall floor:
 
@@ -3111,7 +3117,11 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
     documented one-off calibration price, amortized against the
     committed artifacts. ``encode`` selects the ADC form stage 2
     ranks under (raw / residual — the cut must be calibrated under
-    the order it will serve)."""
+    the order it will serve). ``fixed_nprobe`` (r13, per ADVICE)
+    skips stage 1 and calibrates the cut AT the caller's cell budget
+    — the mixed-knob case (explicit nprobe, rerank_cut="auto"); note
+    the floor then only covers the truth rows reachable at that
+    nprobe — pruning loss past it is the caller's explicit choice."""
     import numpy as np
 
     if books is None:
@@ -3120,8 +3130,6 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
         coarse = load_ivfpq_coarse()
     coarse = np.asarray(coarse, dtype=np.int64)
 
-    cells = ivfpq_assign_cells_int(embeddings, coarse, id_col, vec_col)
-    qcell = ivfpq_query_cellranks(queries, coarse, q_id_col, q_vec_col)
     truth = l2_topk_batch_int(embeddings, queries, k,
                               id_col, vec_col, q_id_col, q_vec_col)
     tcnt = truth.groupBy("query_id").agg(
@@ -3130,18 +3138,26 @@ def ivfpq_auto_knobs(embeddings: DataFrame, queries: DataFrame,
         ((F.col("_cnt") * recall_target_pct + 99) / 100).cast("int"),
         F.lit(1))
 
-    # stage 1: smallest per-query cell budget reaching the target
-    wq = Window.partitionBy("query_id").orderBy(F.col("cellrank").asc())
-    row = (truth.select("query_id", "vec_id")
-           .join(cells, "vec_id")
-           .join(qcell, ["query_id", "cell"])
-           .withColumn("_rn", F.row_number().over(wq))
-           .join(tcnt, "query_id")
-           .filter(F.col("_rn") == need)
-           .agg(F.max("cellrank").alias("_np"))
-           .head())
-    nprobe = max(1, int(row["_np"])) if row and row["_np"] is not None \
-        else 1
+    if fixed_nprobe is not None:
+        nprobe = max(1, int(fixed_nprobe))
+    else:
+        # stage 1: smallest per-query cell budget reaching the target
+        cells = ivfpq_assign_cells_int(embeddings, coarse,
+                                       id_col, vec_col)
+        qcell = ivfpq_query_cellranks(queries, coarse,
+                                      q_id_col, q_vec_col)
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cellrank").asc())
+        row = (truth.select("query_id", "vec_id")
+               .join(cells, "vec_id")
+               .join(qcell, ["query_id", "cell"])
+               .withColumn("_rn", F.row_number().over(wq))
+               .join(tcnt, "query_id")
+               .filter(F.col("_rn") == need)
+               .agg(F.max("cellrank").alias("_np"))
+               .head())
+        nprobe = max(1, int(row["_np"])) \
+            if row and row["_np"] is not None else 1
 
     # stage 2: smallest ADC-rank cut covering the reachable truth —
     # ranked over the SAME probed score relation serving reads
@@ -3184,7 +3200,13 @@ def _ivfpq_scored(embeddings: DataFrame, queries: DataFrame,
     ip(x−c, cb) = ip(x, cb) − ip(c_slice, cb), so the residual is
     never materialized and everything stays exact int64. Residual
     tables are per (query, cell): lut[q][cell][j][cb] =
-    ||cb||² + 2·ip(c_slice_j, cb) − 2·ip(x_j/q_j, cb)'s table part."""
+    ||cb||² + 2·ip(c_slice_j, cb) − 2·ip(x_j/q_j, cb)'s table part,
+    PLUS the per-(query, cell) coarse distance ||q − c||² added once
+    at emit — the term FAISS folds into its per-list tables. Without
+    it the residual ADC estimates ||q − x̂||² − ||q − c||²: exact
+    within a cell but biased TOWARD far cells across cells (r12
+    ADVICE); with it the estimate is the full ||q − (c + r̂)||², so
+    cross-cell candidate ordering is unbiased."""
     import numpy as np
     import pandas as pd
 
@@ -3255,8 +3277,11 @@ def _ivfpq_scored(embeddings: DataFrame, queries: DataFrame,
                 if not keep.any():
                     continue
                 if encode == "residual":
+                    # + d2[q, cell]: the coarse term completing the
+                    # FAISS per-list table (see docstring)
                     s = luts[qi][cells[keep][:, None], jj[None, :],
-                                 codes[keep]].sum(axis=1)
+                                 codes[keep]].sum(axis=1) \
+                        + d2[qi, cells[keep]]
                 else:
                     s = luts[qi][jj[None, :], codes[keep]].sum(axis=1)
                 out_q.append(np.full(keep.sum(), qid))
@@ -3326,9 +3351,14 @@ def ivfpq_topk_batch_int(embeddings: DataFrame, queries: DataFrame,
         coarse = load_ivfpq_coarse()
     coarse = np.asarray(coarse, dtype=np.int64)
     if nprobe == "auto" or rerank_cut == "auto":
+        # An explicit integer nprobe is HONORED (r13, per ADVICE):
+        # rerank_cut="auto" then calibrates the cut at the caller's
+        # cell budget instead of silently re-deriving both knobs.
+        fixed = None if nprobe == "auto" else int(nprobe)
         nprobe, auto_cut = ivfpq_auto_knobs(
             embeddings, queries, k, recall_target_pct, books, coarse,
-            id_col, vec_col, q_id_col, q_vec_col, encode=encode)
+            id_col, vec_col, q_id_col, q_vec_col, encode=encode,
+            fixed_nprobe=fixed)
         if rerank_cut == "auto":
             rerank_cut = auto_cut
 
@@ -3446,12 +3476,22 @@ def ivfpq_topk_batch_from_index(embeddings: DataFrame, index_path: str,
                 "pass nprobe and rerank_cut explicitly or save with "
                 "calibration=calibrate_ivfpq_index(...)")
         if _drifted(calib, embeddings.count(), drift_pct):
-            nprobe, rerank_cut = "auto", "auto"
+            # Only the UNSPECIFIED knobs re-derive on drift (r13, per
+            # ADVICE): a caller-pinned knob stays pinned — "auto"
+            # re-calibrates the other one around it.
+            if nprobe is None:
+                nprobe = "auto"
+            if rerank_cut is None:
+                rerank_cut = "auto"
         else:
             if nprobe is None:
                 nprobe = int(calib["knob_value"])
             if rerank_cut is None:
-                rerank_cut = int(calib["knob2_value"])
+                # A single-knob-era sidecar (knob2 NULL) carries no
+                # stored cut: calibrate one at the stored nprobe
+                # rather than crashing on int(None).
+                kv2 = calib.get("knob2_value")
+                rerank_cut = int(kv2) if kv2 is not None else "auto"
     return ivfpq_topk_batch_int(embeddings, queries, k, nprobe,
                                 rerank_cut, recall_target_pct,
                                 books, coarse, id_col, vec_col,

@@ -5153,7 +5153,10 @@ def _ivfpq_res_sql(stride_q: int = 100, k: int = 10,
     materialized; ``ct(cell, j, c) = 2·ip(c_slice_j, cb)`` carries the
     shift, so every value stays exact int64 and the twin is
     bit-identical. CTE order differs from the raw twin because codes
-    now depend on each row's cell (vcell before codes)."""
+    now depend on each row's cell (vcell before codes). The per-
+    (query, cell) coarse distance ``qcd.d2`` is added into ``scores``
+    (r13, mirroring the engine): FAISS folds ||q − c||² into its
+    per-list tables so cross-cell ADC order is unbiased."""
     l2 = _L2_INT.format(a="e.qv", b="q.qqv")
     need = f"greatest((cnt * {recall_target_pct} + 99) // 100, 1)"
     return f"""
@@ -5206,17 +5209,18 @@ codes AS (
   WHERE rn = 1),
 pqs AS (SELECT vec_id AS query_id, qv AS qqv FROM qe
         WHERE vec_id % {stride_q} = 0),
+qcd AS (
+  SELECT q.query_id, co.cell,
+         CAST(list_inner_product(q.qqv, q.qqv) AS BIGINT)
+         - 2 * CAST(list_inner_product(q.qqv, co.cv) AS BIGINT)
+         + cc.cn2 AS d2
+  FROM pqs q, coarse co
+  JOIN ccn cc USING (cell)),
 qcell AS (
   SELECT query_id, cell,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY d2 ASC, cell ASC) AS cellrank
-  FROM (
-    SELECT q.query_id, co.cell,
-           CAST(list_inner_product(q.qqv, q.qqv) AS BIGINT)
-           - 2 * CAST(list_inner_product(q.qqv, co.cv) AS BIGINT)
-           + cc.cn2 AS d2
-    FROM pqs q, coarse co
-    JOIN ccn cc USING (cell))),
+  FROM qcd),
 truth AS (
   SELECT query_id, vec_id FROM (
     SELECT q.query_id, e.vec_id,
@@ -5251,10 +5255,13 @@ tabs AS (
   JOIN cnorm cn ON cn.j = cs.j AND cn.c = cs.c
   JOIN ct ON ct.j = cs.j AND ct.c = cs.c),
 scores AS (
-  SELECT cd.query_id, c.vec_id, CAST(sum(t.val) AS BIGINT) AS adc
+  SELECT cd.query_id, c.vec_id,
+         CAST(sum(t.val) AS BIGINT)
+         + CAST(min(qd.d2) AS BIGINT) AS adc
   FROM codes c
   JOIN cand cd ON cd.vec_id = c.vec_id
   JOIN vcell vc ON vc.vec_id = c.vec_id
+  JOIN qcd qd ON qd.query_id = cd.query_id AND qd.cell = vc.cell
   JOIN tabs t ON t.query_id = cd.query_id AND t.cell = vc.cell
              AND t.j = c.j AND t.c = c.code
   GROUP BY 1, 2),

@@ -750,3 +750,9 @@ def test_simhash_auto_banding_is_pigeonhole_complete(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
     with pytest.raises(ValueError, match="band_bits"):
         dd.simhash_near_dup_pairs(docs, 32, "adaptive", 3)
+    # out-of-range integers raise too (r12 ADVICE: band_bits > bits
+    # used to explode an EMPTY band array — zero candidates, silently)
+    with pytest.raises(ValueError, match="band_bits"):
+        dd.simhash_near_dup_pairs(docs, 32, 64, 3)
+    with pytest.raises(ValueError, match="band_bits"):
+        dd.simhash_near_dup_pairs(docs, 32, 0, 3)

@@ -253,3 +253,74 @@ def test_residual_encoding_changes_adc_order_not_candidates(emb):
 def test_unknown_encode_rejected(emb):
     with pytest.raises(ValueError, match="encode"):
         S.ivfpq_topk_batch_int(emb, _queries(emb), encode="opq")
+
+
+def test_fixed_nprobe_skips_stage_one(emb):
+    """ivfpq_auto_knobs(fixed_nprobe=N) must return N verbatim and
+    calibrate only the cut — the mixed-knob entry the serving paths
+    route an explicit nprobe through (r12 ADVICE: "auto" cut used to
+    silently re-derive the caller's cell budget)."""
+    qs = _queries(emb)
+    nprobe, cut = S.ivfpq_auto_knobs(emb, qs, k=5,
+                                     recall_target_pct=80,
+                                     fixed_nprobe=3)
+    assert nprobe == 3 and cut >= 1
+
+
+def test_explicit_nprobe_with_auto_cut_is_honored(emb):
+    """nprobe=<int> + rerank_cut="auto" serves at the CALLER's cell
+    budget with the cut calibrated at that budget — bit-identical to
+    the explicit two-step at the same knobs, and distinct from the
+    full-auto path whenever stage 1 would have picked another
+    nprobe."""
+    qs = _queries(emb)
+    mixed = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=3,
+                                   rerank_cut="auto",
+                                   recall_target_pct=80)
+    _, cut = S.ivfpq_auto_knobs(emb, qs, k=5, recall_target_pct=80,
+                                fixed_nprobe=3)
+    manual = S.ivfpq_topk_batch_int(emb, qs, k=5, nprobe=3,
+                                    rerank_cut=cut)
+    assert _rows(mixed) == _rows(manual)
+
+
+def test_residual_adc_is_full_faiss_estimate(emb):
+    """The residual ADC must equal the FULL FAISS IndexIVFPQ estimate
+    ||r_q − r̂||² (r_q = q − centroid(cell), r̂ = decoded residual
+    code) — including the per-(query, cell) coarse distance the r12
+    ADVICE found missing. Verified against an independent numpy
+    recomputation from the committed artifacts: without the coarse
+    term the engine's adc would sit exactly ||q − c||² below this for
+    every pair, so any single matching row pins the term."""
+    qs = _queries(emb, mod=100)
+    books = S.load_pq_codebooks_parquet(S.PQ_RESIDUAL_CODEBOOKS_PATH)
+    coarse = S.load_ivfpq_coarse()
+    scored = {(r["query_id"], r["vec_id"]): r["adc"]
+              for r in S._ivfpq_scored(emb, qs, 64, books, coarse,
+                                       "residual").collect()}
+    assert scored
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.floor(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in rows]) * 1000 + 0.5).astype(np.int64)
+    books = np.asarray(books, dtype=np.int64)
+    coarse = np.asarray(coarse, dtype=np.int64)
+    m, kcent, sd = books.shape
+    # committed-artifact encode: cell by integer L2 (ties low), codes
+    # per subspace on the residual grid via the int identity
+    d2c = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cells = d2c.argmin(axis=1)
+    resid = mat - coarse[cells]
+    codes = np.stack([
+        ((resid[:, j * sd:(j + 1) * sd][:, None, :]
+          - books[j][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(m)], axis=1)
+    dec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                         axis=1)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    for (qid, vid), adc in scored.items():
+        qi, vi = idx[qid], idx[vid]
+        rq = mat[qi] - coarse[cells[vi]]
+        expect = int(((rq - dec[vi]) ** 2).sum())
+        assert adc == expect, (qid, vid, adc, expect)

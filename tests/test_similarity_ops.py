@@ -1214,3 +1214,23 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     for s in ("doc_tokens", "part_keys"):
         for g in ("m16", "m256"):
             assert (f"hll_{s}_{g}", "signed_err_n") in rows
+
+
+def test_calibration_sidecar_old_schema_loads_tolerantly(spark, tmp_path):
+    """A sidecar persisted BEFORE the r12 knob2 extension carries 7
+    columns; load_index_calibration must return it with the missing
+    knob2 fields as None instead of raising (r12 ADVICE: row[f]
+    crashed on every pre-existing calibrated artifact)."""
+    path = str(tmp_path / "old_idx")
+    old_schema = ("kind string, knob string, knob_value long, k long, "
+                  "recall_target_pct long, min_recall_e6 long, "
+                  "n_corpus long")
+    (spark.createDataFrame(
+        [("ivf", "nprobe", 4, 10, 80, 900000, 500)], schema=old_schema)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/_calibration"))
+    calib = S.load_index_calibration(spark, path)
+    assert calib == {"kind": "ivf", "knob": "nprobe", "knob_value": 4,
+                     "k": 10, "recall_target_pct": 80,
+                     "min_recall_e6": 900000, "n_corpus": 500,
+                     "knob2": None, "knob2_value": None}
