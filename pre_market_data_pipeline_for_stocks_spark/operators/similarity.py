@@ -3021,6 +3021,26 @@ IVF_COARSE_LLOYD_PATH = str(Path(__file__).resolve().parents[1]
 PQ_RESIDUAL_CODEBOOKS_PATH = str(Path(__file__).resolve().parents[1]
                                  / "data"
                                  / "pq_codebooks_residual.parquet")
+# Clustered regime (r13, VERDICT #2): a committed mixture-of-Gaussians
+# corpus + its own trained artifact trio, so the residual-vs-raw
+# measurement covers BOTH data regimes (the driver corpora are
+# near-uniform — the regime residual encoding loses in). Generated by
+# scripts/gen_clustered_embeddings.py; regenerate deliberately.
+_DATA_DIR = Path(__file__).resolve().parents[1] / "data"
+CLUSTERED_EMBEDDINGS_PATH = str(_DATA_DIR
+                                / "embeddings_clustered.parquet")
+IVF_COARSE_CLUSTERED_PATH = str(_DATA_DIR
+                                / "ivf_coarse_clustered.parquet")
+PQ_CLUSTERED_RAW_PATH = str(_DATA_DIR / "pq_clustered_raw.parquet")
+PQ_CLUSTERED_RES_PATH = str(_DATA_DIR / "pq_clustered_res.parquet")
+
+
+def load_clustered_embeddings(spark) -> DataFrame:
+    """The committed clustered corpus as the standard (vec_id,
+    embedding array<double>) relation every ANN operator takes."""
+    return (spark.read.parquet(CLUSTERED_EMBEDDINGS_PATH)
+            .select(F.col("vec_id").cast("long"),
+                    F.col("embedding").cast("array<double>")))
 
 
 def load_ivfpq_coarse(path: str | None = None):

@@ -230,6 +230,24 @@ def dedup_cdc_spans(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+SUBSTR_MIN_WORDS = 16
+SUBSTR_MAX_PAIR_DF = 16
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """Cross-document exact repeated-substring spans (r13, VERDICT
+    #3 — the Lee et al. 2022 modality): maximal aligned runs of
+    identical CDC segments shared by two documents, >= 16 words.
+    CDC-anchor equi-join (hot segments df-capped at 16 before the
+    self-join) + gaps-and-islands extension — no all-pairs join, no
+    imperative loop."""
+    return (dedup.substring_duplicate_spans(
+                _docs(spark, sf_dir), CDC_MASK_BITS,
+                min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF)
+            .orderBy("doc_a", "doc_b", "seg_start_a", "seg_start_b"))
+
+
 def dedup_span_removal(spark, sf_dir):
     """Span-level boilerplate removal: every 8-word segment occurring
     more than once corpus-wide is stripped and the documents
@@ -2337,6 +2355,47 @@ def ann_ivfpq_res_recall_batch_auto(spark, sf_dir):
         recall_target_pct=80, books=books, encode="residual")
     truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
     return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def _ivfpq_clustered_recall(spark, encode: str):
+    """Shared body of the clustered-regime pair: the committed
+    mixture-of-Gaussians corpus served through ITS OWN trained
+    artifact trio under the auto calibration, recall vs exact L2."""
+    from ..operators import similarity
+    emb = similarity.load_clustered_embeddings(spark)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    books = similarity.load_pq_codebooks_parquet(
+        similarity.PQ_CLUSTERED_RES_PATH if encode == "residual"
+        else similarity.PQ_CLUSTERED_RAW_PATH)
+    coarse = similarity.load_ivfpq_coarse(
+        similarity.IVF_COARSE_CLUSTERED_PATH)
+    approx = similarity.ivfpq_topk_batch_int(
+        emb, queries, k=ANN_TOPK, nprobe="auto", rerank_cut="auto",
+        recall_target_pct=80, books=books, coarse=coarse, encode=encode)
+    truth = similarity.l2_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_ivfpq_clustered_recall_auto(spark, sf_dir):
+    """Raw-encoding IVF-PQ on the committed CLUSTERED corpus (r13,
+    VERDICT #2): the control arm of the two-regime residual
+    measurement — same auto-knob harness, same floor, clustered data.
+    sf_dir is unused by design: the corpus is the committed fixture
+    (scripts/gen_clustered_embeddings.py), identical at every sf, so
+    the twin reads the exact same bytes through read_parquet."""
+    return _ivfpq_clustered_recall(spark, "raw")
+
+
+def ann_ivfpq_res_clustered_recall_auto(spark, sf_dir):
+    """Residual-encoding IVF-PQ on the committed CLUSTERED corpus —
+    the regime FAISS's residual convention is built for (residuals
+    shrink when cells carry structure; this fixture's residual PQ
+    reconstruction error is 99.4% below raw). Completes the r12
+    honest-rejection measurement: BASELINE.md "Residual IVF-PQ"
+    records the calibrated cut in BOTH regimes."""
+    return _ivfpq_clustered_recall(spark, "residual")
 
 
 def ann_ivfpq_from_saved_index(spark, sf_dir):

@@ -1,0 +1,114 @@
+"""Generate the COMMITTED clustered-embeddings fixture + its trained
+IVF-PQ artifacts — the second regime of the residual-encoding
+measurement (VERDICT r12 #2).
+
+The driver's embeddings tables are near-uniform, so the r12 harness
+could only show residual IVF-PQ LOSING (residuals shrink only when
+cells carry structure; on uniform data they are as large as the raw
+vectors). This fixture is a mixture of 32 well-separated Gaussians
+(2,000 x 64, sigma 0.05 vs center scale 1.0), i.e. the data regime
+FAISS's residual convention is built for — re-running the same
+auto-knob harness on it either shows the textbook win appearing or
+honestly records its absence (BASELINE.md "Residual IVF-PQ: two
+regimes").
+
+Committed-artifact pattern (train_pq_lloyd_artifact.py): generation
+uses seeded numpy (PCG64) whose bytes may differ across numpy builds,
+so the OUTPUT is committed and only the committed bytes ever reach a
+query plan — both engines (Spark and the DuckDB twins' read_parquet)
+read the same files, keeping every downstream number bit-identical.
+Regenerate deliberately, alongside re-measured BASELINE.md numbers.
+
+Writes (all single-file parquet under the package data/ dir):
+  embeddings_clustered.parquet   (vec_id BIGINT, embedding LIST<DOUBLE>)
+  ivf_coarse_clustered.parquet   m=1 x 64-cell Lloyd coarse quantizer
+  pq_clustered_raw.parquet       8x16x8 Lloyd PQ trained on x
+  pq_clustered_res.parquet       8x16x8 Lloyd PQ trained on x - c(x)
+
+Usage: python scripts/gen_clustered_embeddings.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (  # noqa: E402
+    CLUSTERED_EMBEDDINGS_PATH,
+    IVF_COARSE_CLUSTERED_PATH,
+    PQ_CLUSTERED_RAW_PATH,
+    PQ_CLUSTERED_RES_PATH,
+    lloyd_codebooks_int,
+    load_pq_codebooks_parquet,
+    save_pq_codebooks_parquet,
+)
+
+SEED = 20260816
+N, D, C = 2000, 64, 32
+SIGMA = 0.05          # within-cluster stddev per dim (centers ~ N(0,1))
+M, KCENT, ITERS = 8, 16, 15
+COARSE_CELLS = 64     # same serving convention as the committed uniform pair
+
+
+def main() -> None:
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    centers = rng.standard_normal((C, D))
+    cluster = np.arange(N) % C            # interleaved: any stride
+    vecs = centers[cluster] + SIGMA * rng.standard_normal((N, D))
+
+    table = pa.table({
+        "vec_id": pa.array(np.arange(N, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    pq.write_table(table, CLUSTERED_EMBEDDINGS_PATH)
+    print(f"wrote {CLUSTERED_EMBEDDINGS_PATH} ({N} x {D}, {C} clusters, "
+          f"sigma {SIGMA})")
+
+    # the shared 1e-3 grid (same round-half-up as _quant_arr)
+    x = np.floor(vecs * 1000 + 0.5).astype(np.int64)
+
+    coarse = lloyd_codebooks_int(x, m=1, kcent=COARSE_CELLS, iters=ITERS)
+    save_pq_codebooks_parquet(coarse, IVF_COARSE_CLUSTERED_PATH)
+    print(f"wrote {IVF_COARSE_CLUSTERED_PATH} ({COARSE_CELLS} cells)")
+
+    raw_books = lloyd_codebooks_int(x, m=M, kcent=KCENT, iters=ITERS)
+    save_pq_codebooks_parquet(raw_books, PQ_CLUSTERED_RAW_PATH)
+
+    cells = ((coarse[0] ** 2).sum(axis=1)[None, :]
+             - 2 * (x @ coarse[0].T)).argmin(axis=1)
+    resid = x - coarse[0][cells]
+    res_books = lloyd_codebooks_int(resid, m=M, kcent=KCENT, iters=ITERS)
+    save_pq_codebooks_parquet(res_books, PQ_CLUSTERED_RES_PATH)
+
+    for p in (IVF_COARSE_CLUSTERED_PATH, PQ_CLUSTERED_RAW_PATH,
+              PQ_CLUSTERED_RES_PATH):
+        load_pq_codebooks_parquet(p)      # round-trip sanity
+
+    # the number that predicts the regime: per-row PQ reconstruction
+    # error, raw vs residual (numpy mirror of pq_distortion_int)
+    def distortion(mat, books):
+        sd = D // M
+        tot = 0
+        for j in range(M):
+            sub = mat[:, j * sd:(j + 1) * sd]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            tot += int(d2.min(axis=1).sum())
+        return tot
+
+    raw_err = distortion(x, raw_books)
+    res_err = distortion(resid, res_books)
+    print(f"int-grid PQ reconstruction error: raw {raw_err}, "
+          f"residual {res_err} "
+          f"({100.0 * (raw_err - res_err) / raw_err:.1f}% lower)")
+    print(f"wrote {PQ_CLUSTERED_RAW_PATH}")
+    print(f"wrote {PQ_CLUSTERED_RES_PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Measure the raw-vs-residual IVF-PQ calibrated knobs in BOTH data
+regimes — the numbers BASELINE.md "Residual IVF-PQ" records.
+
+For each corpus it runs ivfpq_auto_knobs (the exact-floor two-knob
+construction at k=10, target 80%) under encode="raw" and
+encode="residual" with the corpus's own committed artifacts and
+prints nprobe, the ADC rerank cut, and the cut as a fraction of the
+mean probed-candidate count (the serving cost the cut buys back).
+
+Corpora:
+  uniform  — the driver embeddings at sf0.01 / sf0.1 / .sf1 with the
+             committed Lloyd artifacts (near-uniform: the regime
+             residual encoding loses in),
+  clustered — the committed mixture-of-Gaussians fixture with its own
+             trained trio (the regime FAISS's residual convention is
+             built for).
+
+Usage: python scripts/measure_ivfpq_regimes.py [sf_dirs...]
+       (default: sf0.01 sf0.1 .sf1 clustered)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (  # noqa: E402
+    similarity as S,
+)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+
+K, TARGET, STRIDE = 10, 80, 100
+
+
+def _queries(emb):
+    return (emb.filter(F.col("vec_id") % STRIDE == 0)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def measure(name, emb, raw_books, res_books, coarse):
+    n = emb.count()
+    qs = _queries(emb)
+    csize = (S.ivfpq_assign_cells_int(emb, coarse)
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("csz")))
+    qcell = S.ivfpq_query_cellranks(qs, coarse)
+    for encode, books in (("raw", raw_books), ("residual", res_books)):
+        nprobe, cut = S.ivfpq_auto_knobs(emb, qs, K, TARGET, books,
+                                         coarse, encode=encode)
+        # exact mean probed-candidate count at this nprobe
+        probed = (qcell.filter(F.col("cellrank") <= nprobe)
+                  .join(csize, "cell")
+                  .groupBy("query_id").agg(F.sum("csz").alias("nc"))
+                  .agg(F.avg("nc")).head()[0])
+        pct = 100.0 * cut / probed if probed else float("nan")
+        print(f"{name:>10} n={n:>6} {encode:>8}: nprobe={nprobe:>2} "
+              f"cut={cut:>6} ({pct:.1f}% of ~{probed:.0f} probed)")
+
+
+def main() -> None:
+    spark = get_spark("measure-ivfpq-regimes")
+    targets = sys.argv[1:] or ["/root/testdata/sf0.01",
+                               "/root/testdata/sf0.1",
+                               "/root/repo/.sf1", "clustered"]
+    for t in targets:
+        if t == "clustered":
+            emb = S.load_clustered_embeddings(spark)
+            measure("clustered", emb,
+                    S.load_pq_codebooks_parquet(S.PQ_CLUSTERED_RAW_PATH),
+                    S.load_pq_codebooks_parquet(S.PQ_CLUSTERED_RES_PATH),
+                    S.load_ivfpq_coarse(S.IVF_COARSE_CLUSTERED_PATH))
+        else:
+            emb = spark.read.parquet(f"{t}/embeddings.parquet")
+            measure(t.rstrip("/").rsplit("/", 1)[-1], emb,
+                    S.load_pq_codebooks_parquet(),
+                    S.load_pq_codebooks_parquet(
+                        S.PQ_RESIDUAL_CODEBOOKS_PATH),
+                    S.load_ivfpq_coarse())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

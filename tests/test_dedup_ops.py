@@ -756,3 +756,69 @@ def test_simhash_auto_banding_is_pigeonhole_complete(spark, sf_dir):
         dd.simhash_near_dup_pairs(docs, 32, 64, 3)
     with pytest.raises(ValueError, match="band_bits"):
         dd.simhash_near_dup_pairs(docs, 32, 0, 3)
+
+
+def test_substring_duplicate_spans_crafted(spark):
+    """Cross-doc repeated-substring detection (r13): two docs sharing
+    a 60-word block at DIFFERENT word offsets, one unrelated doc. The
+    anchor join + island extension must emit exactly ONE maximal span
+    between the sharing pair (consecutive shared segments carry a
+    constant alignment delta, so they merge), covering the chunk-
+    aligned core of the repeat, and nothing involving the outsider.
+    Values pinned (md5 chunking is deterministic): the 60-word repeat
+    CDC-resyncs into 6 fully-shared segments of 28 words — first/last
+    segments differ (prefix/suffix bleed; the documented slack)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"shared{i}" for i in range(60))
+    docs = spark.createDataFrame([
+        (1, "apre1 apre2 " + shared + " asuf1"),
+        (2, "bpre1 bpre2 bpre3 bpre4 bpre5 " + shared + " bsuf1 bsuf2"),
+        (3, "czzz1 czzz2 czzz3 czzz4 czzz5 czzz6 czzz7 czzz8"),
+    ], "doc_id long, text string")
+    rows = dd.substring_duplicate_spans(docs, mask_bits=3,
+                                        min_words=8).collect()
+    assert [tuple(r) for r in rows] == [(1, 2, 1, 2, 6, 28)]
+    # the min_words gate: demanding more than the shared core drops it
+    assert not dd.substring_duplicate_spans(docs, mask_bits=3,
+                                            min_words=29).collect()
+
+
+def test_substring_duplicate_spans_islands_are_maximal(spark, sf_dir):
+    """Gaps-and-islands law on real data: within one (doc_a, doc_b,
+    delta) alignment, emitted runs never touch — the next span starts
+    strictly past the previous one's end (else extension failed to
+    merge them). And the hot-segment cap keeps the pair space bounded:
+    every span's per-segment pair fan-out was <= max_pair_df by
+    construction."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    rows = dd.substring_duplicate_spans(docs, min_words=8).collect()
+    assert rows, "sf fixture should carry cross-doc repeats"
+    by_align = {}
+    for r in rows:
+        key = (r.doc_a, r.doc_b, r.seg_start_b - r.seg_start_a)
+        by_align.setdefault(key, []).append(r)
+    for spans in by_align.values():
+        spans.sort(key=lambda r: r.seg_start_a)
+        for prev, nxt in zip(spans, spans[1:]):
+            assert nxt.seg_start_a > prev.seg_start_a + prev.n_segs
+    assert all(r.n_words >= 8 and r.n_segs >= 1 and r.doc_a < r.doc_b
+               for r in rows)
+
+
+def test_substring_duplicate_spans_plan_has_no_cartesian(spark, sf_dir):
+    """The candidate join is an equi-join on the segment hash with a
+    frequency cap — never an all-pairs product (the plan contract of
+    the whole dedup family)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    plan = (dd.substring_duplicate_spans(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
