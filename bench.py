@@ -82,16 +82,24 @@ def main() -> None:
     # load). Bounded: a busy host eventually gets measured anyway, with
     # the wait + start/end loadavg recorded so the calibration protocol
     # can normalize ex post.
-    waited = 0.0
-    while waited < LOAD_WAIT_MAX_S:
-        la1, la5, _ = os.getloadavg()
-        if la1 <= LOAD_GATE_TIGHT and la5 <= LOAD_GATE_5MIN_TIGHT:
-            break
-        if (la1 <= LOAD_GATE and la5 <= LOAD_GATE_5MIN
-                and waited >= LOAD_WAIT_SOFT_S):
-            break
-        time.sleep(LOAD_POLL_S)
-        waited += LOAD_POLL_S
+    def wait_for_quiet(budget_s: float) -> tuple[float, str]:
+        """Bounded wait; returns (seconds waited, gate class reached):
+        "tight" (both averages under the tight gates), "soft" (the
+        loose gates after the soft budget), or "expired"."""
+        w = 0.0
+        while True:
+            la1, la5, _ = os.getloadavg()
+            if la1 <= LOAD_GATE_TIGHT and la5 <= LOAD_GATE_5MIN_TIGHT:
+                return w, "tight"
+            if (la1 <= LOAD_GATE and la5 <= LOAD_GATE_5MIN
+                    and w >= LOAD_WAIT_SOFT_S):
+                return w, "soft"
+            if w >= budget_s:
+                return w, "expired"
+            time.sleep(LOAD_POLL_S)
+            w += LOAD_POLL_S
+
+    waited, gate = wait_for_quiet(LOAD_WAIT_MAX_S)
 
     spark = get_spark("premarket-bench")
 
@@ -117,18 +125,41 @@ def main() -> None:
         force(fn(spark, sf_dir))
         return time.perf_counter() - t0
 
-    # best-of-2 everywhere: single-run numbers swing +-50% on the
-    # heavier queries (GC/AQE variance in one shared JVM); min-of-2 is
-    # stable enough to compare across rounds. Raw samples stay
-    # unrounded until emit so the min is the true min.
-    runs: dict[str, list[float]] = {
-        name: [sample(fn), sample(fn)] for name, fn in suite.items()}
+    def run_suite() -> dict[str, list[float]]:
+        # best-of-2 everywhere: single-run numbers swing +-50% on the
+        # heavier queries (GC/AQE variance in one shared JVM); min-of-2
+        # is stable enough to compare across rounds. Raw samples stay
+        # unrounded until emit so the min is the true min.
+        r: dict[str, list[float]] = {
+            name: [sample(fn), sample(fn)] for name, fn in suite.items()}
+        # The 3 slowest get a THIRD sample: their round-over-round
+        # deltas are the ones read at the +-0.2 s level, and one extra
+        # run bounds the added wall time to ~the slowest query's cost.
+        for name in sorted(r, key=lambda n: min(r[n]))[-3:]:
+            r[name].append(sample(suite[name]))
+        return r
 
-    # The 3 slowest get a THIRD sample: their round-over-round deltas
-    # are the ones read at the +-0.2 s level, and one extra run bounds
-    # the added wall time to ~the slowest query's cost.
-    for name in sorted(runs, key=lambda n: min(runs[n]))[-3:]:
-        runs[name].append(sample(suite[name]))
+    runs = run_suite()
+
+    # Soft-gate re-run (VERDICT r12 #5): when the official sampling
+    # opened on a still-draining host (the tight dual gate never
+    # passed — r12 read flagship 1.58x officially while two quiet
+    # windows read <=1.3x), wait out the drain ONCE and re-sample; the
+    # noisy first pass is kept in the detail file as the recorded
+    # fallback. If the host never quiets, the first pass stands with
+    # an explicit "gate": "soft"/"expired" field.
+    first_pass = None
+    if gate != "tight":
+        _, gate2 = wait_for_quiet(LOAD_WAIT_MAX_S)
+        if gate2 == "tight":
+            first_pass = {"gate": gate,
+                          "loadavg_start": [round(x, 2)
+                                            for x in loadavg_start],
+                          "runs": {n: [round(x, 3) for x in s]
+                                   for n, s in runs.items()}}
+            gate = "tight-rerun"
+            loadavg_start = os.getloadavg()
+            runs = run_suite()
 
     def calibrate() -> float:
         spark.catalog.clearCache()
@@ -174,6 +205,8 @@ def main() -> None:
         "loadavg_wait_s": waited,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": loadavg_end,
+        "gate": gate,
+        "first_pass": first_pass,
         "sf": sf_val,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
@@ -186,6 +219,7 @@ def main() -> None:
         "queries": timings,
         "calibration_range_sum_s": detail["calibration_range_sum_s"],
         "loadavg_start": detail["loadavg_start"],
+        "gate": gate,
         "sf": sf_val,
     }))
 

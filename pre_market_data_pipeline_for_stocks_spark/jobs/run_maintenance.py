@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="working directory for the partitioned tree")
     ap.add_argument("--retain-from", default=None,
                     help="drop day partitions below this ISO date")
+    ap.add_argument("--ivf-index", default=None,
+                    help="path of a saved IVF artifact to retrain-on-"
+                         "drift against the embeddings table "
+                         "(similarity.maintain_ivf_index: no-op when "
+                         "corpus count is within --ivf-drift-pct of "
+                         "the sidecar, else retrain + re-calibrate + "
+                         "atomic replace)")
+    ap.add_argument("--ivf-drift-pct", type=int, default=50)
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -88,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
     n_sub_k = k_anonymity_suppression(
         quasi, ["event_type", "day", "value_bucket"], k=5).count()
 
+    ivf = None
+    if args.ivf_index:
+        from ..operators import similarity as S
+        emb = load_testdata(spark, args.sf_dir,
+                            ["embeddings"])["embeddings"]
+        calib_queries = (emb.filter(F.col("vec_id") % 100 == 0)
+                         .select(F.col("vec_id").alias("query_id"),
+                                 F.col("embedding").alias("query_vec")))
+        r = S.maintain_ivf_index(emb, args.ivf_index, calib_queries,
+                                 drift_pct=args.ivf_drift_pct)
+        ivf = {"retrained": r["retrained"],
+               "n_corpus": r["n_corpus"],
+               "min_recall_e6": (r["calibration"] or {}).get(
+                   "min_recall_e6"),
+               "nprobe": (r["calibration"] or {}).get("knob_value")}
+
     ok = n_after == expected and n_orphans == 0
     print(json.dumps({
         "rows_before": n_before,
@@ -96,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         "partitions_vacuumed": len(dropped),
         "fk_orphans": n_orphans,
         "k_anonymity_sub_k_groups": n_sub_k,
+        "ivf_index": ivf,
         "ok": ok,
         "wall_s": round(time.time() - t0, 2),
     }))

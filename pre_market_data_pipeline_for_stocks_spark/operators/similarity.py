@@ -656,6 +656,10 @@ def _drifted(calib: dict, n_now: int, drift_pct: int) -> bool:
     is metadata-only); distribution drift without count drift is the
     documented residual — re-calibrate explicitly after reshaping
     ingests."""
+    # Serve-time drift handling re-calibrates the KNOB only; the
+    # stored centroids/codebooks stay stale until maintain_ivf_index
+    # retrains + atomically replaces the artifact — the r13 closure
+    # of the "knob calibrated against a mis-trained model" residual.
     n_cal = calib.get("n_corpus") or 0
     if n_cal <= 0:
         return True
@@ -707,6 +711,83 @@ def ivf_topk_batch_from_index(embeddings: DataFrame, index_path: str,
     return ivf_topk_batch_with_index(embeddings, cents, queries, k, nprobe,
                                      id_col, vec_col, q_id_col, q_vec_col,
                                      recall_target_pct)
+
+
+def _replace_artifact_dir(new_path: str, path: str) -> None:
+    """Swap a freshly-written artifact directory into the serve path.
+
+    Local-FS protocol: the new artifact is FULLY written at
+    ``new_path`` before the first rename, so a reader sees either the
+    complete old artifact or the complete new one, never a mix. A
+    crash between the two renames leaves the old artifact intact at
+    ``{path}__replaced`` (recoverable by hand), not a torn serve
+    path. On an object store this job would flip a manifest pointer
+    instead — renames there are copies."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__replaced"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(new_path, path)
+    shutil.rmtree(old)
+
+
+def maintain_ivf_index(embeddings: DataFrame, index_path: str,
+                       calib_queries: DataFrame,
+                       drift_pct: int = 50, train_iters: int = 2,
+                       sample_mod: int = 1,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       q_id_col: str = "query_id",
+                       q_vec_col: str = "query_vec") -> dict:
+    """Retrain-on-drift for a SAVED IVF artifact (r13, VERDICT #4):
+    when the corpus count has moved >= ``drift_pct``% from the
+    sidecar's ``n_corpus``, the stored CENTROIDS are as stale as the
+    stored knob — re-calibrating nprobe against a mis-trained model
+    (what the serve-time "auto" fallback does) restores the floor's
+    MEASUREMENT but keeps paying the mis-trained quantizer's probe
+    budget. This maintenance pass closes that residual: retrain the
+    coarse quantizer on the CURRENT corpus at the stored cell count,
+    re-calibrate (k/target from the old sidecar), and atomically
+    replace the artifact (_replace_artifact_dir), so every later
+    ivf_topk_batch_from_index serve reads a model trained on the
+    corpus it serves.
+
+    No-drift invocations are cheap no-ops (one sidecar read + one
+    corpus count) — safe to run nightly. Returns a metrics dict:
+    ``retrained`` (bool), ``n_corpus``, ``n_cells``, and the sidecar
+    dict now at the serve path. An uncalibrated artifact (no sidecar)
+    is always retrained — there is no drift reference, and the
+    retrain leaves it self-describing."""
+    spark = embeddings.sparkSession
+    calib = load_index_calibration(spark, index_path)
+    n_now = embeddings.count()
+    if calib is not None and not _drifted(calib, n_now, drift_pct):
+        return {"retrained": False, "n_corpus": n_now,
+                "n_cells": None, "calibration": calib}
+    n_cells = load_ivf_index(spark, index_path).count()
+    # ceil keeps the retrained budget AT MOST the stored cell count
+    # (stride seeding can't hit an exact k; empty cells may also drop)
+    stride = max(1, -(-n_now // max(1, n_cells)))
+    if sample_mod > 1:
+        stride = max(sample_mod, stride - stride % sample_mod)
+    trained = train_ivf_centroids(embeddings, centroid_stride=stride,
+                                  iters=train_iters, id_col=id_col,
+                                  vec_col=vec_col, sample_mod=sample_mod)
+    cents = spark.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    k = int(calib["k"]) if calib else 10
+    target = int(calib["recall_target_pct"]) if calib else 80
+    new_calib = calibrate_ivf_index(embeddings, cents, calib_queries,
+                                    k, target, id_col, vec_col,
+                                    q_id_col, q_vec_col)
+    tmp = index_path.rstrip("/") + "__retrain_tmp"
+    save_ivf_index(cents, tmp, calibration=new_calib)
+    _replace_artifact_dir(tmp, index_path)
+    return {"retrained": True, "n_corpus": n_now,
+            "n_cells": int(n_cells), "calibration": new_calib}
 
 
 def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,

@@ -211,3 +211,50 @@ def test_bm25_stored_params_default(spark, tmp_path):
     legacy = sorted(map(tuple,
                         R.bm25_search_indexed(spark, path, q).collect()))
     assert legacy == default
+
+
+def test_maintain_ivf_index_retrains_on_grown_corpus(emb, tmp_path):
+    """Retrain-on-drift (r13, VERDICT #4): an artifact trained and
+    calibrated on HALF the corpus, then asked to serve the full one
+    (100% count drift), must be retrained by the maintenance pass —
+    new centroids trained on the CURRENT corpus at the stored cell
+    count, fresh two-field calibration, atomic in-place replace — and
+    a serve through the replaced artifact must hold the re-measured
+    floor. A second maintenance pass right after is a no-op."""
+    spark = emb.sparkSession
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = _cents(half, stride=24)          # same cell budget ~n/stride
+    qs_half = _queries(half)
+    calib = S.calibrate_ivf_index(half, cents, qs_half, k=10,
+                                  recall_target_pct=80)
+    path = str(tmp_path / "ivf_maint")
+    S.save_ivf_index(cents, path, calibration=calib)
+    n_cells = cents.count()
+
+    qs_full = _queries(emb)
+    r = S.maintain_ivf_index(emb, path, qs_full)
+    assert r["retrained"] is True
+    assert r["n_corpus"] == emb.count()
+    assert r["n_cells"] == n_cells
+
+    new_calib = S.load_index_calibration(spark, path)
+    assert new_calib["n_corpus"] == emb.count()
+    assert new_calib["min_recall_e6"] >= 800000 - 100000
+    # replaced artifact kept the cell budget (at most the stored count
+    # — ceil-stride seeding) and serves the floor the new sidecar
+    # records (serve == fresh-calibration construction)
+    new_cents = S.load_ivf_index(spark, path)
+    assert 1 <= new_cents.count() <= n_cells
+    served = S.ivf_topk_batch_from_index(emb, path, qs_full)
+    truth = S.cosine_topk_batch_int(emb, qs_full, k=10)
+    rep = S.recall_report(served, truth, k=10).collect()
+    assert rep
+    assert min(x.recall_e6 for x in rep) >= new_calib["min_recall_e6"]
+    # no leftover swap dirs from the atomic replace
+    import os
+    assert not os.path.exists(path + "__retrain_tmp")
+    assert not os.path.exists(path + "__replaced")
+
+    r2 = S.maintain_ivf_index(emb, path, qs_full)
+    assert r2["retrained"] is False
+    assert r2["calibration"]["n_corpus"] == emb.count()

@@ -42,3 +42,42 @@ def test_maintenance_job_retention_drops_partitions(sf_dir, tmp_path):
     assert code == 0 and m["ok"] is True
     assert m["partitions_vacuumed"] >= 1
     assert m["rows_after"] < m["rows_before"]
+
+
+def test_maintenance_job_ivf_retrain_path(spark, sf_dir, tmp_path):
+    """--ivf-index wires similarity.maintain_ivf_index into the
+    nightly sweep: a drifted artifact (calibrated at a fraudulent
+    n_corpus) is retrained + re-calibrated in place and the metrics
+    line reports it; a second run over the now-fresh sidecar is a
+    recorded no-op."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = S.train_ivf_centroids(emb, centroid_stride=50, iters=1,
+                                    sample_mod=2)
+    cents = spark.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    qs = (emb.filter(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    calib = S.calibrate_ivf_index(emb, cents, qs, k=10,
+                                  recall_target_pct=80)
+    path = str(tmp_path / "ivf_art")
+    S.save_ivf_index(cents, path,
+                     calibration=dict(calib, n_corpus=7))  # drifted
+
+    code, m = _run(["--sf-dir", sf_dir, "--work", str(tmp_path / "w"),
+                    "--ivf-index", path])
+    assert code == 0
+    assert m["ivf_index"]["retrained"] is True
+    assert m["ivf_index"]["n_corpus"] == emb.count()
+    assert m["ivf_index"]["min_recall_e6"] >= 700000
+    assert m["ivf_index"]["nprobe"] >= 1
+
+    code2, m2 = _run(["--sf-dir", sf_dir, "--work",
+                      str(tmp_path / "w2"), "--ivf-index", path])
+    assert code2 == 0
+    assert m2["ivf_index"]["retrained"] is False
