@@ -248,6 +248,18 @@ def dedup_substring_spans(spark, sf_dir):
             .orderBy("doc_a", "doc_b", "seg_start_a", "seg_start_b"))
 
 
+def dedup_substring_removal(spark, sf_dir):
+    """The APPLY side of dedup_substring_spans (r13): every detected
+    cross-doc run stripped from the higher doc_id of its pair — the
+    min-id-keeper convention — with untouched docs passing through
+    whole. One CDC segmentation feeds detection and reassembly."""
+    return (dedup.remove_cross_doc_substrings(
+                _docs(spark, sf_dir), CDC_MASK_BITS,
+                min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF)
+            .orderBy("doc_id"))
+
+
 def dedup_span_removal(spark, sf_dir):
     """Span-level boilerplate removal: every 8-word segment occurring
     more than once corpus-wide is stripped and the documents
@@ -2477,10 +2489,12 @@ def approx_error_panel(spark, sf_dir):
     rows — the table a training-data pipeline's model card quotes.
     Composes the error harnesses (MinHash-LSH pair recall, sign-LSH
     fixed + auto, IVF auto min/mean, Hamming fixed + auto + 128-bit
-    auto min/mean, Bloom false-drop rate at the r12 auto-sized
-    geometry, CMS max overestimate per target-derived geometry); every
-    underlying side stays oracle-checked individually, and the panel's
-    own oracle is the same composition in SQL."""
+    auto min/mean, the PQ/IVF-PQ families including the r13
+    clustered-regime raw/residual pair, Bloom false-drop rate at the
+    r12 auto-sized geometry, CMS max overestimate per target-derived
+    geometry); every underlying side stays oracle-checked
+    individually, and the panel's own oracle is the same composition
+    in SQL."""
     from ..functions.fixedpoint import idiv_long
 
     def one(df, family, metric, col):
@@ -2530,6 +2544,10 @@ def approx_error_panel(spark, sf_dir):
                 "ann_ivfpq_auto"),
         minmean(ann_ivfpq_res_recall_batch_auto(spark, sf_dir),
                 "ann_ivfpq_res_auto"),
+        minmean(ann_ivfpq_clustered_recall_auto(spark, sf_dir),
+                "ann_ivfpq_clustered_raw"),
+        minmean(ann_ivfpq_res_clustered_recall_auto(spark, sf_dir),
+                "ann_ivfpq_clustered_res"),
         one(decontaminate_bloom_fpr(spark, sf_dir),
             "decontaminate_bloom", "false_drop_rate_e6", "fpr_e6"),
         (corpus_hll_error(spark, sf_dir)

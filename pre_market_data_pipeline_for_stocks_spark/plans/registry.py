@@ -2469,6 +2469,44 @@ HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}
 ORDER BY doc_a, doc_b, seg_start_a, seg_start_b
 """),
 
+    # operators.dedup.remove_cross_doc_substrings (r13): the apply
+    # side — detected runs stripped from the higher doc_id (min-id
+    # keeper), reassembly over the same CDC segmentation.
+    "dedup_substring_removal": QueryDef(X.dedup_substring_removal, f"""
+WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, n_words, seg,
+              {_H.format(x='seg')} AS sh FROM segs),
+fr AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1),
+el AS (SELECT hh.doc_id, hh.sid, hh.n_words, hh.sh
+       FROM hh JOIN fr USING (sh)
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+pr AS (
+  SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
+         b.sid AS sb, a.n_words AS nw
+  FROM el a JOIN el b USING (sh)
+  WHERE a.doc_id < b.doc_id),
+gi AS (
+  SELECT *, sb - sa AS delta,
+         sa - row_number() OVER (PARTITION BY doc_a, doc_b, sb - sa
+                                 ORDER BY sa) AS grp
+  FROM pr),
+sp AS (
+  SELECT doc_b, min(sa) + delta AS sb0, count(*) AS nseg
+  FROM gi GROUP BY doc_a, doc_b, delta, grp
+  HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}),
+rm AS (
+  SELECT DISTINCT doc_b AS doc_id, CAST(sb0 + u.i AS BIGINT) AS sid
+  FROM sp, UNNEST(range(sp.nseg)) u(i))
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN r.sid IS NULL THEN s.seg END,
+                           ' ' ORDER BY s.sid), '') AS clean_text,
+       count(*)::BIGINT AS n_segments,
+       count(r.sid)::BIGINT AS n_removed
+FROM segs s
+LEFT JOIN rm r ON r.doc_id = s.doc_id AND r.sid = s.sid
+GROUP BY 1 ORDER BY 1
+"""),
+
     # operators.merge.merge_upsert: Delta-style MERGE triad with
     # last-writer-wins (delete preferred on seq ties). The NOT EXISTS
     # is the left-anti twin; UNION ALL is the applied-changes append.
@@ -5772,6 +5810,10 @@ ipqa AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_ivfpq_recall_batch_auto"].oracle})),
 ipqr AS (SELECT recall_e6 FROM
          ({REGISTRY["ann_ivfpq_res_recall_batch_auto"].oracle})),
+ipqcr AS (SELECT recall_e6 FROM
+          ({REGISTRY["ann_ivfpq_clustered_recall_auto"].oracle})),
+ipqcs AS (SELECT recall_e6 FROM
+          ({REGISTRY["ann_ivfpq_res_clustered_recall_auto"].oracle})),
 panel AS (
   SELECT 'dedup_minhash_lsh' AS family, 'pair_recall_e6' AS metric,
          recall_e6 AS value
@@ -5856,6 +5898,20 @@ panel AS (
   SELECT 'ann_ivfpq_res_auto', 'mean_recall_e6',
          CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
   FROM ipqr
+  UNION ALL
+  SELECT 'ann_ivfpq_clustered_raw', 'min_recall_e6', min(recall_e6)
+  FROM ipqcr
+  UNION ALL
+  SELECT 'ann_ivfpq_clustered_raw', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ipqcr
+  UNION ALL
+  SELECT 'ann_ivfpq_clustered_res', 'min_recall_e6', min(recall_e6)
+  FROM ipqcs
+  UNION ALL
+  SELECT 'ann_ivfpq_clustered_res', 'mean_recall_e6',
+         CAST(sum(recall_e6) AS BIGINT) // greatest(count(*), 1)
+  FROM ipqcs
   UNION ALL
   SELECT 'decontaminate_bloom', 'false_drop_rate_e6', fpr_e6
   FROM ({REGISTRY["decontaminate_bloom_fpr"].oracle})
@@ -6031,6 +6087,11 @@ EXTENDED_BENCH = [
     # timed so the calibrate+serve cost is visible next to the fixed-
     # nprobe ann_ivf_topk_batch baseline.
     "ann_ivf_topk_batch_auto",
+    # round-13 additions: cross-doc substring spans + the clustered-
+    # regime IVF-PQ pair (committed fixture, own artifacts).
+    "dedup_substring_spans", "dedup_substring_removal",
+    "ann_ivfpq_clustered_recall_auto",
+    "ann_ivfpq_res_clustered_recall_auto",
 ]
 
 

@@ -822,3 +822,52 @@ def test_substring_duplicate_spans_plan_has_no_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_cross_doc_substrings_keeps_earliest_copy(spark):
+    """The apply side (r13): the lower doc_id keeps its text intact,
+    the higher doc_id loses exactly the detected shared core (6
+    segments / 28 words in the pinned crafted fixture), outsiders
+    pass through whole, and kept text preserves segment order."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"shared{i}" for i in range(60))
+    docs = spark.createDataFrame([
+        (1, "apre1 apre2 " + shared + " asuf1"),
+        (2, "bpre1 bpre2 bpre3 bpre4 bpre5 " + shared + " bsuf1 bsuf2"),
+        (3, "czzz1 czzz2 czzz3 czzz4 czzz5 czzz6 czzz7 czzz8"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dd.remove_cross_doc_substrings(docs, min_words=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == docs.collect()[0].text
+    assert out[2].n_removed == 6
+    kept2 = out[2].clean_text.split()
+    assert len(kept2) == len(docs.collect()[1].text.split()) - 28
+    # removed words are gone, retained order intact
+    assert "shared19" not in kept2 and "shared46" not in kept2
+    assert kept2[:5] == ["bpre1", "bpre2", "bpre3", "bpre4", "bpre5"]
+    assert kept2[-2:] == ["bsuf1", "bsuf2"]
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == docs.collect()[2].text
+
+
+def test_remove_cross_doc_substrings_laws_on_fixture(spark, sf_dir):
+    """Global laws on real data: a doc never appearing as the higher
+    id of any span loses nothing; every doc's removed count is
+    bounded by its segment count; untouched docs reassemble to their
+    full whitespace-normalized text."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    spans = dd.substring_duplicate_spans(docs, min_words=16).collect()
+    losers = {r.doc_b for r in spans}
+    out = dd.remove_cross_doc_substrings(docs, min_words=16).collect()
+    assert sum(r.n_removed for r in out) > 0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert 0 <= r.n_removed <= r.n_segments
+        if r.doc_id not in losers:
+            assert r.n_removed == 0
+            assert r.clean_text == " ".join(texts[r.doc_id].split())

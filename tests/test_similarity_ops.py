@@ -1170,9 +1170,10 @@ def test_auto_calibration_plans_no_cartesian(emb):
 
 
 def test_approx_error_panel_shape_and_laws(spark, sf_dir):
-    """The datacard panel: 34 integer rows (r12 adds the 128-bit
+    """The datacard panel: 38 integer rows (r12 added the 128-bit
     hamming, integer-PQ fixed+auto, committed-Lloyd PQ, IVF-PQ and
-    integer-HLL families), every auto family at or above
+    integer-HLL families; r13 adds the clustered-regime IVF-PQ
+    raw/residual pair), every auto family at or above
     its fixed twin (the reason the auto modes exist), recalls in
     [0, 1e6], overestimates non-negative."""
     from pre_market_data_pipeline_for_stocks_spark.plans.extensions import (
@@ -1180,7 +1181,7 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     )
     rows = {(r.family, r.metric): r.value
             for r in approx_error_panel(spark, sf_dir).collect()}
-    assert len(rows) == 34
+    assert len(rows) == 38
     assert all(0 <= v <= 10 ** 6 for (f, m), v in rows.items()
                if m.endswith("recall_e6"))
     assert rows[("ann_hamming_auto", "min_recall_e6")] >= \
@@ -1207,6 +1208,11 @@ def test_approx_error_panel_shape_and_laws(spark, sf_dir):
     assert 0 <= rows[("ann_ivfpq_fixed", "min_recall_e6")] <= 10 ** 6
     assert rows[("ann_ivfpq_auto", "min_recall_e6")] >= 800000
     assert rows[("ann_ivfpq_res_auto", "min_recall_e6")] >= 800000
+    # clustered regime (r13): both arms hold the exact floor on the
+    # committed mixture-of-Gaussians fixture through their own
+    # trained artifacts
+    assert rows[("ann_ivfpq_clustered_raw", "min_recall_e6")] >= 800000
+    assert rows[("ann_ivfpq_clustered_res", "min_recall_e6")] >= 800000
     # simhash: the pigeonhole auto floor is exact
     assert rows[("dedup_simhash_auto", "pair_recall_e6")] == 10 ** 6
     assert rows[("dedup_simhash_fixed", "pair_recall_e6")] <= 10 ** 6
