@@ -790,6 +790,58 @@ def maintain_ivf_index(embeddings: DataFrame, index_path: str,
             "n_cells": int(n_cells), "calibration": new_calib}
 
 
+def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
+                         calib_queries: DataFrame,
+                         drift_pct: int = 50, iters: int = 15,
+                         sample_mod: int = 1,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         q_id_col: str = "query_id",
+                         q_vec_col: str = "query_vec") -> dict:
+    """The two-knob sibling of maintain_ivf_index: retrain-on-drift
+    for a SAVED IVF-PQ artifact pair. On count drift past
+    ``drift_pct``%, re-run the integer Lloyd trainers on the CURRENT
+    corpus at the STORED shapes — the coarse quantizer at its cell
+    count (m=1 form) and the PQ codebook at its (m, kcent) — then
+    re-calibrate BOTH knobs together (calibrate_ivfpq_index at the
+    stored k/target) and atomically replace the directory. Training
+    is the documented driver-resident model-state pattern
+    (train_pq_codebooks_lloyd_int): a bounded ``sample_mod`` sample,
+    never the corpus."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    calib = load_index_calibration(spark, index_path)
+    n_now = embeddings.count()
+    if calib is not None and not _drifted(calib, n_now, drift_pct):
+        return {"retrained": False, "n_corpus": n_now,
+                "calibration": calib}
+    old_books, old_coarse = load_ivfpq_index(spark, index_path)
+    m, kcent, _sd = np.asarray(old_books).shape
+    n_cells = len(np.asarray(old_coarse))
+
+    rows = (embeddings.filter(F.col(id_col) % sample_mod == 0)
+            .select(F.col(id_col).alias("_id"),
+                    _quant_arr(F.col(vec_col)).alias("_qv"))
+            .orderBy("_id").collect())
+    x = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in rows])
+    coarse = lloyd_codebooks_int(x, m=1, kcent=n_cells, iters=iters)
+    books = lloyd_codebooks_int(x, m=m, kcent=kcent, iters=iters)
+
+    k = int(calib["k"]) if calib else 10
+    target = int(calib["recall_target_pct"]) if calib else 80
+    new_calib = calibrate_ivfpq_index(embeddings, calib_queries, k,
+                                      target, books, coarse[0],
+                                      id_col, vec_col,
+                                      q_id_col, q_vec_col)
+    tmp = index_path.rstrip("/") + "__retrain_tmp"
+    save_ivfpq_index(spark, books, coarse[0], tmp,
+                     calibration=new_calib)
+    _replace_artifact_dir(tmp, index_path)
+    return {"retrained": True, "n_corpus": n_now,
+            "n_cells": int(n_cells), "calibration": new_calib}
+
+
 def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
                         query_vec_id: int = 0, k: int = 10,
                         nprobe: int = 3, id_col: str = "vec_id",

@@ -258,3 +258,43 @@ def test_maintain_ivf_index_retrains_on_grown_corpus(emb, tmp_path):
     r2 = S.maintain_ivf_index(emb, path, qs_full)
     assert r2["retrained"] is False
     assert r2["calibration"]["n_corpus"] == emb.count()
+
+
+def test_maintain_ivfpq_index_retrains_on_grown_corpus(emb, tmp_path):
+    """The two-knob sibling: an IVF-PQ artifact pair calibrated on
+    half the corpus retrains (both models, at the stored shapes) and
+    re-calibrates both knobs when asked to serve the full one; the
+    serve through the replaced artifact holds the re-measured floor;
+    a second pass is a no-op."""
+    spark = emb.sparkSession
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    qs_half = (half.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    calib = S.calibrate_ivfpq_index(half, qs_half, k=5,
+                                    recall_target_pct=80,
+                                    books=books, coarse=coarse)
+    path = str(tmp_path / "ivfpq_maint")
+    S.save_ivfpq_index(spark, books, coarse, path, calibration=calib)
+
+    qs_full = _queries(emb)
+    r = S.maintain_ivfpq_index(emb, path, qs_full)
+    assert r["retrained"] is True and r["n_corpus"] == emb.count()
+
+    new_calib = S.load_index_calibration(spark, path)
+    assert new_calib["n_corpus"] == emb.count()
+    assert new_calib["knob_value"] >= 1 and new_calib["knob2_value"] >= 1
+    b2, c2 = S.load_ivfpq_index(spark, path)
+    import numpy as np
+    assert np.asarray(b2).shape == np.asarray(books).shape
+    assert np.asarray(c2).shape == np.asarray(coarse).shape
+    served = S.ivfpq_topk_batch_from_index(emb, path, qs_full)
+    truth = S.l2_topk_batch_int(emb, qs_full, k=5)
+    rep = S.recall_report(served, truth, k=5).collect()
+    assert rep
+    assert min(x.recall_e6 for x in rep) >= new_calib["min_recall_e6"]
+
+    r2 = S.maintain_ivfpq_index(emb, path, qs_full)
+    assert r2["retrained"] is False
