@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
                          "the sidecar, else retrain + re-calibrate + "
                          "atomic replace)")
     ap.add_argument("--ivf-drift-pct", type=int, default=50)
+    ap.add_argument("--ivfpq-index", default=None,
+                    help="path of a saved IVF-PQ artifact pair to "
+                         "retrain-on-drift (two-knob sibling: "
+                         "similarity.maintain_ivfpq_index)")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -96,21 +100,31 @@ def main(argv: list[str] | None = None) -> int:
     n_sub_k = k_anonymity_suppression(
         quasi, ["event_type", "day", "value_bucket"], k=5).count()
 
-    ivf = None
-    if args.ivf_index:
+    ivf = ivfpq = None
+    if args.ivf_index or args.ivfpq_index:
         from ..operators import similarity as S
         emb = load_testdata(spark, args.sf_dir,
                             ["embeddings"])["embeddings"]
         calib_queries = (emb.filter(F.col("vec_id") % 100 == 0)
                          .select(F.col("vec_id").alias("query_id"),
                                  F.col("embedding").alias("query_vec")))
-        r = S.maintain_ivf_index(emb, args.ivf_index, calib_queries,
-                                 drift_pct=args.ivf_drift_pct)
-        ivf = {"retrained": r["retrained"],
-               "n_corpus": r["n_corpus"],
-               "min_recall_e6": (r["calibration"] or {}).get(
-                   "min_recall_e6"),
-               "nprobe": (r["calibration"] or {}).get("knob_value")}
+
+        def _metrics(r):
+            c = r["calibration"] or {}
+            return {"retrained": r["retrained"],
+                    "n_corpus": r["n_corpus"],
+                    "min_recall_e6": c.get("min_recall_e6"),
+                    "nprobe": c.get("knob_value"),
+                    "rerank_cut": c.get("knob2_value")}
+
+        if args.ivf_index:
+            ivf = _metrics(S.maintain_ivf_index(
+                emb, args.ivf_index, calib_queries,
+                drift_pct=args.ivf_drift_pct))
+        if args.ivfpq_index:
+            ivfpq = _metrics(S.maintain_ivfpq_index(
+                emb, args.ivfpq_index, calib_queries,
+                drift_pct=args.ivf_drift_pct))
 
     ok = n_after == expected and n_orphans == 0
     print(json.dumps({
@@ -121,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         "fk_orphans": n_orphans,
         "k_anonymity_sub_k_groups": n_sub_k,
         "ivf_index": ivf,
+        "ivfpq_index": ivfpq,
         "ok": ok,
         "wall_s": round(time.time() - t0, 2),
     }))

@@ -871,3 +871,15 @@ def test_remove_cross_doc_substrings_laws_on_fixture(spark, sf_dir):
         if r.doc_id not in losers:
             assert r.n_removed == 0
             assert r.clean_text == " ".join(texts[r.doc_id].split())
+
+
+def test_remove_cross_doc_substrings_plan_has_no_cartesian(spark, sf_dir):
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    plan = (dd.remove_cross_doc_substrings(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
