@@ -15,6 +15,11 @@ One invocation:
 4. audits referential integrity across the TPC-H FK edges
    (expectations.referential_orphans) and k-anonymity of the event
    quasi-identifiers (expectations.k_anonymity_suppression),
+5. (r13) optionally retrains-on-drift saved ANN artifacts against
+   the embeddings table: ``--ivf-index`` (maintain_ivf_index) and
+   ``--ivfpq-index`` (maintain_ivfpq_index) — no-ops when the corpus
+   count is within ``--ivf-drift-pct`` of each sidecar, else retrain
+   at the stored shapes, re-calibrate, atomic replace,
 and prints ONE JSON metrics line. Exit code: non-zero when any FK
 edge has orphans or the compacted tree lost rows — orchestration
 alerts instead of silently serving a torn snapshot.
