@@ -73,6 +73,30 @@ def main() -> None:
                     S.load_pq_codebooks_parquet(S.PQ_CLUSTERED_RAW_PATH),
                     S.load_pq_codebooks_parquet(S.PQ_CLUSTERED_RES_PATH),
                     S.load_ivfpq_coarse(S.IVF_COARSE_CLUSTERED_PATH))
+        elif t.startswith("clustered:"):
+            # scaled clustered regime, generated in-memory with the
+            # SAME seed/center draw as the committed fixture (the
+            # centers come out identical; only the point count grows)
+            # and artifacts trained on the fly — a measurement-only
+            # scale point, nothing committed.
+            import numpy as np
+            n = int(t.split(":", 1)[1])
+            rng = np.random.Generator(np.random.PCG64(20260816))
+            centers = rng.standard_normal((32, 64))
+            vecs = centers[np.arange(n) % 32] \
+                + 0.05 * rng.standard_normal((n, 64))
+            x = np.floor(vecs * 1000 + 0.5).astype(np.int64)
+            coarse = S.lloyd_codebooks_int(x, m=1, kcent=64, iters=15)
+            raw_books = S.lloyd_codebooks_int(x, m=8, kcent=16,
+                                              iters=15)
+            cells = ((coarse[0] ** 2).sum(axis=1)[None, :]
+                     - 2 * (x @ coarse[0].T)).argmin(axis=1)
+            res_books = S.lloyd_codebooks_int(x - coarse[0][cells],
+                                              m=8, kcent=16, iters=15)
+            emb = spark.createDataFrame(
+                [(int(i), vecs[i].tolist()) for i in range(n)],
+                schema="vec_id long, embedding array<double>")
+            measure(f"clust{n}", emb, raw_books, res_books, coarse[0])
         else:
             emb = spark.read.parquet(f"{t}/embeddings.parquet")
             measure(t.rstrip("/").rsplit("/", 1)[-1], emb,

@@ -883,3 +883,27 @@ def test_remove_cross_doc_substrings_plan_has_no_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_are_true_exact_repeats(spark, sf_dir):
+    """Integrity law: every emitted span, reconstructed from the CDC
+    segments it claims, is an EXACT text match between the two
+    documents (hash equality in the join is stood behind by string
+    equality here — an md5 collision or an off-by-one in the island
+    arithmetic would fail this)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    spans = dd.substring_duplicate_spans(docs, min_words=8).collect()
+    assert spans
+    seg_txt = {(r.doc_id, r.seg_id): r.seg
+               for r in dd.cdc_segments(docs, 3).collect()}
+    for s in spans:
+        a = [seg_txt[(s.doc_a, s.seg_start_a + i)]
+             for i in range(s.n_segs)]
+        b = [seg_txt[(s.doc_b, s.seg_start_b + i)]
+             for i in range(s.n_segs)]
+        assert a == b, (s.doc_a, s.doc_b, s.seg_start_a)
+        assert sum(len(x.split()) for x in a) == s.n_words
