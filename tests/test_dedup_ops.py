@@ -907,3 +907,41 @@ def test_substring_spans_are_true_exact_repeats(spark, sf_dir):
              for i in range(s.n_segs)]
         assert a == b, (s.doc_a, s.doc_b, s.seg_start_a)
         assert sum(len(x.split()) for x in a) == s.n_words
+
+
+def test_substring_family_chain_and_multi_island(spark):
+    """Composite fixture: docs 1-3 chain-share one 50-word block
+    (which docs 10-11 ALSO carry), and 10-11 additionally share a
+    second 40-word block — so one pair carries TWO islands at
+    different alignment deltas, and the keeper rule must converge the
+    5-way chain to exactly one surviving copy (doc 1, the global min
+    id). Pinned end to end."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"sh{i}" for i in range(50))
+    other = " ".join(f"ot{i}" for i in range(40))
+    docs = spark.createDataFrame([
+        (1, "a1 a2 " + shared),
+        (2, "b1 " + shared + " b2"),
+        (3, "c1 c2 c3 " + shared),
+        (10, "x1 " + other + " x2 " + shared),
+        (11, other + " y1 y2 " + shared + " y3"),
+    ], "doc_id long, text string")
+    spans = dd.substring_duplicate_spans(docs, min_words=8).collect()
+    # every pair of the 5 docs shares the block -> C(5,2) pairs, plus
+    # the second (other) island between 10 and 11
+    assert len(spans) == 11
+    tens = sorted((r for r in spans if (r.doc_a, r.doc_b) == (10, 11)),
+                  key=lambda r: r.seg_start_a)
+    assert len(tens) == 2          # two SEPARATE islands for one pair
+    # the gap between the blocks keeps them apart even at equal delta
+    assert tens[1].seg_start_a > tens[0].seg_start_a + tens[0].n_segs
+    out = {r.doc_id: r for r in
+           dd.remove_cross_doc_substrings(docs, min_words=8).collect()}
+    assert out[1].n_removed == 0                  # global keeper
+    assert out[2].n_removed > 0 and out[3].n_removed > 0
+    # 10 keeps its `other` copy (it is the lower id of that pair) but
+    # loses `shared`; 11 loses BOTH blocks
+    assert "ot5" in out[10].clean_text and "sh20" not in out[10].clean_text
+    assert "ot5" not in out[11].clean_text
+    assert "sh20" not in out[11].clean_text
+    assert out[11].n_removed > out[10].n_removed
