@@ -260,6 +260,24 @@ def dedup_substring_removal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def dedup_substring_incremental(spark, sf_dir):
+    """Corpus-scan-free incremental substring spans (r13): even
+    doc_ids play the standing corpus — reduced to its persisted
+    segment-hash index (build_segment_index) — and odd doc_ids the
+    incoming batch. Join cost ∝ batch × collision rate, independent
+    of corpus row count; equality with the within-corpus operator on
+    cross pairs is unit-pinned."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.build_segment_index(
+        docs.filter(F.col("doc_id") % 2 == 0), CDC_MASK_BITS)
+    return (dedup.substring_spans_vs_index(
+                docs.filter(F.col("doc_id") % 2 == 1), index,
+                CDC_MASK_BITS, min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF)
+            .orderBy("batch_doc", "corpus_doc", "seg_start_batch",
+                     "seg_start_corpus"))
+
+
 def dedup_span_removal(spark, sf_dir):
     """Span-level boilerplate removal: every 8-word segment occurring
     more than once corpus-wide is stripped and the documents

@@ -2507,6 +2507,40 @@ LEFT JOIN rm r ON r.doc_id = s.doc_id AND r.sid = s.sid
 GROUP BY 1 ORDER BY 1
 """),
 
+    # operators.dedup.substring_spans_vs_index (r13): the incremental
+    # sibling — batch (odd ids) vs the standing corpus's persisted
+    # segment-hash index (even ids); df cap on the INDEX side only.
+    "dedup_substring_incremental": QueryDef(
+        X.dedup_substring_incremental, f"""
+WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh FROM segs),
+idx AS (SELECT doc_id, sid, n_words, sh FROM hh WHERE doc_id % 2 = 0),
+bh AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh
+       FROM hh WHERE doc_id % 2 = 1),
+fr AS (SELECT sh, count(*) AS df FROM idx GROUP BY 1),
+el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh
+       FROM idx JOIN fr USING (sh)
+       WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}),
+pr AS (
+  SELECT b.batch_doc, b.sa, e.corpus_doc, e.sb, b.nw
+  FROM bh b JOIN el e USING (sh)
+  WHERE b.batch_doc <> e.corpus_doc),
+gi AS (
+  SELECT *, sb - sa AS delta,
+         sa - row_number() OVER (
+             PARTITION BY batch_doc, corpus_doc, sb - sa
+             ORDER BY sa) AS grp
+  FROM pr)
+SELECT batch_doc, corpus_doc,
+       min(sa)::BIGINT AS seg_start_batch,
+       (min(sa) + delta)::BIGINT AS seg_start_corpus,
+       count(*)::BIGINT AS n_segs,
+       sum(nw)::BIGINT AS n_words
+FROM gi GROUP BY batch_doc, corpus_doc, delta, grp
+HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}
+ORDER BY batch_doc, corpus_doc, seg_start_batch, seg_start_corpus
+"""),
+
     # operators.merge.merge_upsert: Delta-style MERGE triad with
     # last-writer-wins (delete preferred on seq ties). The NOT EXISTS
     # is the left-anti twin; UNION ALL is the applied-changes append.
@@ -6090,6 +6124,7 @@ EXTENDED_BENCH = [
     # round-13 additions: cross-doc substring spans + the clustered-
     # regime IVF-PQ pair (committed fixture, own artifacts).
     "dedup_substring_spans", "dedup_substring_removal",
+    "dedup_substring_incremental",
     "ann_ivfpq_clustered_recall_auto",
     "ann_ivfpq_res_clustered_recall_auto",
 ]

@@ -945,3 +945,46 @@ def test_substring_family_chain_and_multi_island(spark):
     assert "ot5" not in out[11].clean_text
     assert "sh20" not in out[11].clean_text
     assert out[11].n_removed > out[10].n_removed
+
+
+def test_substring_spans_vs_index_equals_full_cross_pairs(spark, sf_dir):
+    """Incremental == within-corpus on cross pairs (caps off): for a
+    corpus/batch split, substring_spans_vs_index over the persisted
+    segment index emits EXACTLY the full operator's spans whose pair
+    straddles the split, re-oriented (batch_doc, corpus_doc). Also
+    pins the index contract: the index carries hashes only — no text
+    column — and a batch doc re-ingested over its own index rows is
+    self-excluded."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dd.build_segment_index(corpus)
+    assert set(idx.columns) == {"doc_id", "seg_id", "n_words", "sh"}
+    inc = {tuple(r) for r in dd.substring_spans_vs_index(
+        batch, idx, min_words=8, max_pair_df=10 ** 6).collect()}
+    assert inc
+    full = dd.substring_duplicate_spans(
+        docs, min_words=8, max_pair_df=10 ** 6).collect()
+    cross = set()
+    for r in full:
+        if r.doc_a % 2 == r.doc_b % 2:
+            continue
+        if r.doc_a % 2 == 1:
+            cross.add((r.doc_a, r.doc_b, r.seg_start_a,
+                       r.seg_start_b, r.n_segs, r.n_words))
+        else:
+            cross.add((r.doc_b, r.doc_a, r.seg_start_b,
+                       r.seg_start_a, r.n_segs, r.n_words))
+    assert inc == cross
+    # self-exclusion on re-ingest: a batch containing a doc already
+    # in the index yields no (d, d) span
+    re_inc = dd.substring_spans_vs_index(
+        corpus.limit(5), dd.build_segment_index(corpus),
+        min_words=1, max_pair_df=10 ** 6).collect()
+    assert all(r.batch_doc != r.corpus_doc for r in re_inc)
