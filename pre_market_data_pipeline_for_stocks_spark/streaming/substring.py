@@ -1,0 +1,105 @@
+"""Streaming cross-document substring scrubbing — the Lee et al.
+2022 span-dedup modality at ingest time (r13; the spans-family
+sibling of streaming/admission.py).
+
+Batch twin: ``operators.dedup.scrub_batch_vs_index`` cleans ONE batch
+against a standing segment-hash index. A real pipeline is a STREAM of
+batches, each of which must be scrubbed against everything ingested
+before it — including text that arrived two micro-batches ago. This
+module composes the persisted segment index
+(``dedup.build_segment_index``: (doc_id, seg_id, n_words, sh), no
+text — corpus text is never re-read) with foreachBatch:
+
+    seed_segment_index(corpus, index_root)       # once, backfill
+    run_scrub(doc_stream, index_root, cleaned_root, ckpt)
+
+Per micro-batch, inside the writer:
+  1. read the segment index (seed + every previous batch's append),
+  2. strip from each incoming doc every >= min_words run it shares
+     with the index (corpus-wins keeper: the standing copy is already
+     published, the arriving copy loses),
+  3. write the cleaned docs to ``cleaned_root/batch-N``,
+  4. re-segment the WRITTEN cleaned text and append those hashes to
+     ``index_root/batch-N`` — the index always describes exactly what
+     was stored, so a later batch repeating an already-SCRUBBED span
+     is still caught by the surviving copy's segments.
+
+Exactly-once: foreachBatch is at-least-once — a recovered query
+replays a micro-batch under the same batch id. Both writes are
+batch-id-keyed overwrites and step 1 EXCLUDES the replayed batch's own
+``index_root/batch-N`` from the index read (the admission.py replay
+contract): a replay recomputes the identical scrub decision from the
+identical pre-batch index instead of matching its own first-attempt
+segments and scrubbing every doc against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import build_segment_index, scrub_batch_vs_index
+from .admission import read_index as _read_dirs_union  # noqa: F401
+from .admission import _index_dirs
+
+
+def seed_segment_index(corpus: DataFrame, index_root: str,
+                       mask_bits: int = 3) -> None:
+    """Materialize the backfill corpus's segment index at
+    ``index_root/seed`` — run once before starting the stream. An
+    empty/missing root is also legal: the first micro-batch is then
+    scrubbed against nothing (cold start)."""
+    (build_segment_index(corpus, mask_bits)
+     .write.mode("overwrite").parquet(f"{index_root}/seed"))
+
+
+def read_segment_index(spark: SparkSession, index_root: str,
+                       exclude_batch: int | None = None
+                       ) -> DataFrame | None:
+    """The standing segment index as one DataFrame (None on cold
+    start). Same seed + batch-* layout and replay exclusion as the
+    admission index."""
+    dirs = _index_dirs(spark, index_root, exclude_batch)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def scrub_writer(index_root: str, cleaned_root: str,
+                 mask_bits: int = 3, min_words: int = 16,
+                 max_pair_df: int = 16):
+    """The foreachBatch function behind ``run_scrub`` (exposed for
+    direct replay tests)."""
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = read_segment_index(spark, index_root,
+                                   exclude_batch=batch_id)
+        cleaned = scrub_batch_vs_index(batch_df, index, mask_bits,
+                                       min_words, max_pair_df)
+        cleaned.write.mode("overwrite") \
+            .parquet(f"{cleaned_root}/batch-{batch_id}")
+        # The index append is derived from the WRITTEN cleaned text
+        # (read back), so it records exactly what was stored even if
+        # the plan above were nondeterministic.
+        written = spark.read.parquet(f"{cleaned_root}/batch-{batch_id}")
+        (build_segment_index(written, mask_bits)
+         .write.mode("overwrite")
+         .parquet(f"{index_root}/batch-{batch_id}"))
+    return write
+
+
+def run_scrub(doc_stream: DataFrame, index_root: str,
+              cleaned_root: str, checkpoint: str,
+              mask_bits: int = 3, min_words: int = 16,
+              max_pair_df: int = 16) -> None:
+    """Drive the scrub stream synchronously to exhaustion (local
+    drain; a deployment leaves the query running)."""
+    q = (doc_stream.writeStream.outputMode("append")
+         .foreachBatch(scrub_writer(index_root, cleaned_root,
+                                    mask_bits, min_words, max_pair_df))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_cleaned(spark: SparkSession, cleaned_root: str) -> DataFrame:
+    """Union of every written micro-batch's cleaned docs."""
+    return spark.read.parquet(f"{cleaned_root}/batch-*")

@@ -1,0 +1,127 @@
+"""Streaming substring scrubbing (streaming/substring.py): stream ==
+sequential batch fold, the cross-micro-batch catch (a span repeated
+against text that arrived one batch earlier), and replay idempotence —
+the admission.py contract applied to the spans family."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+from pre_market_data_pipeline_for_stocks_spark.streaming import (
+    substring as ss,
+)
+
+BLOCK_X = " ".join(f"bx{i}" for i in range(50))
+BLOCK_Y = " ".join(f"by{i}" for i in range(50))
+
+
+def _setup(spark, tmp_path):
+    seed = spark.createDataFrame(
+        [(1, "s1 s2 " + BLOCK_X + " s3")], "doc_id long, text string")
+    # b0: 100 repeats BLOCK_X (scrubbed via seed); 101 introduces
+    # BLOCK_Y (survives — seed never saw it)
+    b0 = spark.createDataFrame(
+        [(100, "a1 " + BLOCK_X + " a2"),
+         (101, "b1 b2 " + BLOCK_Y + " b3")], "doc_id long, text string")
+    # b1: 200 repeats BLOCK_Y — caught ONLY by 101's appended segments
+    b1 = spark.createDataFrame(
+        [(200, "c1 " + BLOCK_Y + " c2"),
+         (201, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12 d13 d14 d15 "
+               "d16 d17 d18")], "doc_id long, text string")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        dst = f"{src}/batchfile-{i}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(f"{src}/f{i}")
+        os.utime(dst, (1_700_000_000 + 600 * i,) * 2)
+
+    index_root = str(tmp_path / "index")
+    cleaned_root = str(tmp_path / "cleaned")
+    ss.seed_segment_index(seed, index_root)
+    return seed, b0, b1, src, index_root, cleaned_root
+
+
+def _stream(spark, src, schema):
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "batchfile-*.parquet")
+            .parquet(src))
+
+
+def _sequential_fold(seed, batches, min_words=16):
+    index = dd.build_segment_index(seed)
+    out = []
+    for b in batches:
+        cleaned = dd.scrub_batch_vs_index(b, index, min_words=min_words)
+        out.append(cleaned)
+        index = index.unionByName(dd.build_segment_index(
+            cleaned.select("doc_id", "text")))
+    rows = out[0].unionByName(out[1])
+    return {r.doc_id: (r.text, r.n_removed) for r in rows.collect()}
+
+
+def test_stream_scrub_matches_sequential_batch(spark, tmp_path):
+    seed, b0, b1, src, index_root, cleaned_root = _setup(spark, tmp_path)
+    ss.run_scrub(_stream(spark, src, b0.schema), index_root,
+                 cleaned_root, str(tmp_path / "ckpt"))
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in ss.read_cleaned(spark, cleaned_root).collect()}
+    want = _sequential_fold(seed, (b0, b1))
+    assert got == want and len(got) == 4
+
+    # cross-micro-batch pin: 100 scrubbed by the SEED's BLOCK_X, 200
+    # scrubbed purely by 101's appended segments (seed never saw
+    # BLOCK_Y), the unrelated 201 untouched
+    assert got[100][1] > 0 and "bx20" not in got[100][0]
+    assert got[101][1] == 0 and "by20" in got[101][0]
+    assert got[200][1] > 0 and "by20" not in got[200][0]
+    assert got[201][1] == 0
+
+    # the index records what was STORED: the scrubbed copy of
+    # BLOCK_Y's core exists exactly once across seed+batches
+    idx = ss.read_segment_index(spark, index_root)
+    assert idx.count() > 0
+
+
+def test_stream_scrub_replay_is_idempotent(spark, tmp_path):
+    seed, b0, b1, src, index_root, cleaned_root = _setup(spark, tmp_path)
+    w = ss.scrub_writer(index_root, cleaned_root)
+    w(b0, 0)
+    w(b1, 1)
+    first = {r.doc_id: (r.text, r.n_removed)
+             for r in ss.read_cleaned(spark, cleaned_root).collect()}
+    # replay batch 1 (crash-recovery): its own first-attempt index
+    # append must be excluded, so the decision is identical
+    w(b1, 1)
+    second = {r.doc_id: (r.text, r.n_removed)
+              for r in ss.read_cleaned(spark, cleaned_root).collect()}
+    assert first == second
+    # and a THIRD batch repeating BLOCK_Y is still scrubbed by the
+    # replayed batch's (unchanged) surviving copy... via 101's append
+    probe = spark.createDataFrame(
+        [(300, "e1 " + BLOCK_Y + " e2")], "doc_id long, text string")
+    w(probe, 2)
+    got = {r.doc_id: r.n_removed
+           for r in spark.read.parquet(
+               f"{cleaned_root}/batch-2").collect()}
+    assert got[300] > 0
+
+
+def test_scrub_cold_start_normalizes_only(spark, tmp_path):
+    """index=None (cold start) strips nothing; text comes back
+    whitespace-normalized through the same segmentation so the cold
+    and no-match paths are byte-identical."""
+    docs = spark.createDataFrame(
+        [(7, "  w1   w2  w3 ")], "doc_id long, text string")
+    out = dd.scrub_batch_vs_index(docs, None).collect()
+    assert [tuple(r) for r in out] == [(7, "w1 w2 w3", 1, 0)] or \
+        (out[0].text == "w1 w2 w3" and out[0].n_removed == 0)
