@@ -38,7 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import build_segment_index, scrub_batch_vs_index
-from .admission import read_index as _read_dirs_union  # noqa: F401
 from .admission import _index_dirs
 
 
