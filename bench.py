@@ -150,9 +150,15 @@ def main() -> None:
     # an explicit "gate": "soft"/"expired" field.
     first_pass = None
     if gate != "tight":
-        _, gate2 = wait_for_quiet(LOAD_WAIT_MAX_S)
+        # The second wait counts into loadavg_wait_s too (r13 ADVICE):
+        # the calibration protocol reads that field as the FULL quiet-
+        # wait budget spent, not just the pre-JVM leg.
+        w1 = waited
+        w2, gate2 = wait_for_quiet(LOAD_WAIT_MAX_S)
+        waited += w2
         if gate2 == "tight":
             first_pass = {"gate": gate,
+                          "loadavg_wait_s": w1,
                           "loadavg_start": [round(x, 2)
                                             for x in loadavg_start],
                           "runs": {n: [round(x, 3) for x in s]

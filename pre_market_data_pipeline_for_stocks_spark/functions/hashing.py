@@ -32,3 +32,28 @@ def md5_i64_sql(expr: str, seed: int | None = None) -> str:
     """DuckDB twin of :func:`md5_i64`."""
     s = f"('{seed}:' || {expr})" if seed is not None else expr
     return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def md5_i64b(col: Column, seed: int | None = None) -> Column:
+    """The SECOND 60-bit word of the same md5 digest (hex digits
+    16-30) — independent of :func:`md5_i64`'s word, free (same one
+    md5 evaluation in both engines after common-subexpression
+    elimination).
+
+    Used to widen hash keys to 120 bits on DESTRUCTIVE paths (r13
+    VERDICT #3): exact dedup and substring removal strip text on key
+    equality alone, and at ~10^12 segments (100 TB) the 60-bit
+    birthday term n^2/2^61 reaches ~10^6 expected collisions —
+    ppm-level wrongful removal. At 120 bits the same population gives
+    n^2/2^121 ≈ 4e-13 expected collisions: negligible at any
+    realistic corpus size. Non-destructive paths (candidate
+    generation, frequency caps) keep the single word — a collision
+    there only adds a verified-then-discarded candidate."""
+    s = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s.cast("string")), 16, 15), 16, 10).cast("long")
+
+
+def md5_i64b_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`md5_i64b`."""
+    s = f"('{seed}:' || {expr})" if seed is not None else expr
+    return f"('0x' || substr(md5({s}), 16, 15))::BIGINT"

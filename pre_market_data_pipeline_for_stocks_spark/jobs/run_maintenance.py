@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="path of a saved IVF-PQ artifact pair to "
                          "retrain-on-drift (two-knob sibling: "
                          "similarity.maintain_ivfpq_index)")
+    ap.add_argument("--ivfpq-sample-mod", type=int, default=None,
+                    help="explicit training-sample stride for the "
+                         "IVF-PQ retrain (default: derived from "
+                         "--ivfpq-max-train-rows so the driver-side "
+                         "sample stays bounded on any corpus)")
+    ap.add_argument("--ivfpq-max-train-rows", type=int, default=65536,
+                    help="driver-side training-sample row budget used "
+                         "to derive the stride when --ivfpq-sample-mod "
+                         "is not given")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -129,7 +138,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.ivfpq_index:
             ivfpq = _metrics(S.maintain_ivfpq_index(
                 emb, args.ivfpq_index, calib_queries,
-                drift_pct=args.ivf_drift_pct))
+                drift_pct=args.ivf_drift_pct,
+                sample_mod=args.ivfpq_sample_mod,
+                max_train_rows=args.ivfpq_max_train_rows))
 
     ok = n_after == expected and n_orphans == 0
     print(json.dumps({

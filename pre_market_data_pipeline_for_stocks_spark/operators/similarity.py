@@ -714,24 +714,67 @@ def ivf_topk_batch_from_index(embeddings: DataFrame, index_path: str,
 
 
 def _replace_artifact_dir(new_path: str, path: str) -> None:
-    """Swap a freshly-written artifact directory into the serve path.
+    """Swap a freshly-written artifact directory into the serve path
+    with a VERSIONED-DIR + SYMLINK FLIP (r13 ADVICE: the old
+    rename-away/rename-in dance had a window where the serve path did
+    not exist at all, and rmtree of the old dir could yank files from
+    under an in-flight reader).
 
-    Local-FS protocol: the new artifact is FULLY written at
-    ``new_path`` before the first rename, so a reader sees either the
-    complete old artifact or the complete new one, never a mix. A
-    crash between the two renames leaves the old artifact intact at
-    ``{path}__replaced`` (recoverable by hand), not a torn serve
-    path. On an object store this job would flip a manifest pointer
-    instead — renames there are copies."""
+    Protocol: the serve path is a symlink to ``{path}__v{N}``. Each
+    replacement moves the fully-written artifact to ``__v{N+1}``,
+    creates a fresh symlink at a temp name, and ``os.replace``s it
+    over the serve path — one atomic rename(2), so a reader resolving
+    ``path`` at ANY instant sees a complete artifact directory.
+
+    Honest residual windows on local FS:
+
+    - A reader that resolved the symlink BEFORE the flip and is still
+      mid-read when the previous version dir is removed can hit
+      FileNotFound. Only the N-1 version is removed (the new and the
+      just-replaced dirs coexist during the flip), so the exposure is
+      readers still in flight a FULL maintenance cycle later — with
+      nightly maintenance that is a reader stalled for hours, not the
+      every-concurrent-reader race of the old two-rename dance.
+    - The FIRST call on a legacy real-directory serve path migrates
+      it (rename dir → ``__v0``, then symlink); between those two
+      steps the serve path briefly does not exist. One-time, at
+      migration only.
+
+    On an object store this job would flip a manifest pointer instead
+    — renames there are copies and symlinks don't exist."""
     import os
     import shutil
 
-    old = path.rstrip("/") + "__replaced"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(new_path, path)
-    shutil.rmtree(old)
+    path = path.rstrip("/")
+    prev_target = None
+    if os.path.islink(path):
+        prev_target = os.path.join(os.path.dirname(path),
+                                   os.readlink(path))
+        ver = int(prev_target.rsplit("__v", 1)[1]) + 1
+    elif os.path.exists(path):
+        # legacy real dir: migrate into the versioned layout
+        prev_target = path + "__v0"
+        os.rename(path, prev_target)
+        os.symlink(os.path.basename(prev_target), path)
+        ver = 1
+    else:
+        ver = 0
+    vdir = f"{path}__v{ver}"
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
+    os.rename(new_path, vdir)
+    tmp_link = path + "__flip_tmp"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    # relative target: the artifact stays valid if the parent dir moves
+    os.symlink(os.path.basename(vdir), tmp_link)
+    os.replace(tmp_link, path)
+    # retention = current + just-replaced: readers who resolved the
+    # symlink moments before the flip keep a live directory; only the
+    # two-generations-old version is reclaimed.
+    stale = f"{path}__v{ver - 2}"
+    if ver >= 2 and os.path.exists(stale):
+        shutil.rmtree(stale)
 
 
 def maintain_ivf_index(embeddings: DataFrame, index_path: str,
@@ -793,7 +836,8 @@ def maintain_ivf_index(embeddings: DataFrame, index_path: str,
 def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
                          calib_queries: DataFrame,
                          drift_pct: int = 50, iters: int = 15,
-                         sample_mod: int = 1,
+                         sample_mod: int | None = None,
+                         max_train_rows: int = 65536,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          q_id_col: str = "query_id",
@@ -804,10 +848,18 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
     corpus at the STORED shapes — the coarse quantizer at its cell
     count (m=1 form) and the PQ codebook at its (m, kcent) — then
     re-calibrate BOTH knobs together (calibrate_ivfpq_index at the
-    stored k/target) and atomically replace the directory. Training
-    is the documented driver-resident model-state pattern
-    (train_pq_codebooks_lloyd_int): a bounded ``sample_mod`` sample,
-    never the corpus."""
+    stored k/target) and atomically replace the directory.
+
+    Training is the documented driver-resident model-state pattern:
+    the trainer collects a SAMPLE of the corpus to the driver. The
+    sample is bounded by construction (r13 ADVICE — the old default
+    ``sample_mod=1`` collected the ENTIRE corpus while the docstring
+    claimed a bounded sample): with ``sample_mod=None`` (default) the
+    stride is derived from ``max_train_rows`` as
+    ``ceil(n_corpus / max_train_rows)``, so the driver never holds
+    more than ~``max_train_rows`` vectors regardless of corpus size.
+    Pass an explicit ``sample_mod`` to pin the stride (1 = train on
+    everything — only sane for small corpora/tests)."""
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -816,6 +868,8 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
     if calib is not None and not _drifted(calib, n_now, drift_pct):
         return {"retrained": False, "n_corpus": n_now,
                 "calibration": calib}
+    if sample_mod is None:
+        sample_mod = max(1, -(-n_now // max(1, max_train_rows)))
     old_books, old_coarse = load_ivfpq_index(spark, index_path)
     m, kcent, _sd = np.asarray(old_books).shape
     n_cells = len(np.asarray(old_coarse))

@@ -81,3 +81,77 @@ def test_maintenance_job_ivf_retrain_path(spark, sf_dir, tmp_path):
                       str(tmp_path / "w2"), "--ivf-index", path])
     assert code2 == 0
     assert m2["ivf_index"]["retrained"] is False
+
+
+def test_replace_artifact_dir_symlink_flip(tmp_path):
+    """The serve path becomes a symlink after the first replacement
+    (legacy real dirs are migrated), the flip is a single atomic
+    rename, and retention keeps current + just-replaced so a reader
+    that resolved the symlink moments before a flip still has a live
+    directory (r13 ADVICE: the old two-rename dance had a no-serve-
+    path window and rmtree'd the dir readers were inside)."""
+    import os
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        _replace_artifact_dir,
+    )
+
+    def mk(name, payload):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part.txt").write_text(payload)
+        return str(d)
+
+    serve = mk("art", "v0")
+    # migration: legacy real dir -> versioned layout
+    _replace_artifact_dir(mk("new1", "v1"), serve)
+    assert os.path.islink(serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v1"
+    # the migrated v0 dir survives the flip (retention window)
+    assert (tmp_path / "art__v0" / "part.txt").read_text() == "v0"
+
+    _replace_artifact_dir(mk("new2", "v2"), serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v2"
+    # just-replaced version retained, two-generations-old reclaimed
+    assert (tmp_path / "art__v1").exists()
+    _replace_artifact_dir(mk("new3", "v3"), serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v3"
+    assert (tmp_path / "art__v2").exists()
+    assert not (tmp_path / "art__v1").exists()
+
+
+def test_maintain_ivfpq_sample_mod_derived_bounded(spark, sf_dir,
+                                                   tmp_path,
+                                                   monkeypatch):
+    """With sample_mod=None (the new default) the training stride is
+    derived from max_train_rows, so the driver-side collect is
+    bounded on any corpus (r13 ADVICE: the old default collected the
+    ENTIRE embeddings table)."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    qs = (emb.filter(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    calib = S.calibrate_ivfpq_index(emb, qs, 10, 60, books, coarse)
+    path = str(tmp_path / "ivfpq_art")
+    S.save_ivfpq_index(spark, books, coarse, path,
+                       calibration=dict(calib, n_corpus=7))  # drifted
+
+    budget = max(1, n // 3)
+    r = S.maintain_ivfpq_index(emb, path, qs,
+                               max_train_rows=budget)
+    assert r["retrained"] is True
+    # stride derived as ceil(n / budget) -> sampled rows <= budget
+    stride = -(-n // budget)
+    n_sampled = emb.filter(F.col("vec_id") % stride == 0).count()
+    assert n_sampled <= budget + 1
+    # the replaced artifact still serves
+    assert S.load_index_calibration(spark, path) is not None
