@@ -512,8 +512,14 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     0.80 at nprobe=8) because the synthetic vectors are near-uniform —
     there is no cluster structure for Lloyd to converge to, so extra
     rounds just relocate cell boundaries relative to one fixed query.
-    Real embedding corpora are clustered; tune (iters, nprobe) against
-    a recall probe set as usual. At scale:
+    Real embedding corpora are clustered, and that regime is now
+    MEASURED (r14, `ann_ivf_clustered_recall_auto` + BASELINE.md's
+    two-regime table): at equal n=2,000 and 10 cells, the calibrated
+    0.8 floor needs nprobe=7 (a ~70% corpus scan) on the near-uniform
+    fixture but nprobe=1 (10%) on the committed 32-Gaussian one —
+    cells that align with real clusters make the probe fraction, and
+    hence the scan cost, collapse. Tune (iters, nprobe) against a
+    recall probe set as usual. At scale:
     the cell assignment is a broadcast cross join (|centroids| is
     small), the probed scan touches ~nprobe/|centroids| of the data —
     the IVF trade of recall for scan fraction. All tie-breaks are

@@ -248,6 +248,21 @@ def dedup_substring_spans(spark, sf_dir):
             .orderBy("doc_a", "doc_b", "seg_start_a", "seg_start_b"))
 
 
+def dedup_substring_spans_exact(spark, sf_dir):
+    """dedup_substring_spans with WORD-EXACT bounds (r14, VERDICT r13
+    #4): each chunk-aligned maximal run extended into its boundary
+    segments by direct text comparison (longest common suffix/prefix
+    of the two boundary segment texts), reporting Lee et al. 2022's
+    exact-repeat coordinates — 0-based word offsets and the exact
+    repeat length — instead of the ~2^mask_bits-words-per-side slack
+    of the segment-granular core. All added joins are span-bounded."""
+    return (dedup.substring_duplicate_spans_exact(
+                _docs(spark, sf_dir), CDC_MASK_BITS,
+                min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF)
+            .orderBy("doc_a", "doc_b", "word_start_a", "word_start_b"))
+
+
 def dedup_substring_removal(spark, sf_dir):
     """The APPLY side of dedup_substring_spans (r13): every detected
     cross-doc run stripped from the higher doc_id of its pair — the
@@ -2426,6 +2441,79 @@ def ann_ivfpq_res_clustered_recall_auto(spark, sf_dir):
     honest-rejection measurement: BASELINE.md "Residual IVF-PQ"
     records the calibrated cut in BOTH regimes."""
     return _ivfpq_clustered_recall(spark, "residual")
+
+
+def ann_ivf_clustered_recall_auto(spark, sf_dir):
+    """Plain-IVF auto-nprobe recall on the committed CLUSTERED corpus
+    (r14, VERDICT r13 #2 — the regime evidence the docstrings claimed
+    without a number): same train/calibrate/serve harness as
+    ann_ivf_recall_batch, same floor target, mixture-of-Gaussians
+    data. This is IVF's win regime — cells align with real clusters,
+    so the calibrated nprobe probes a FRACTION of the cells the
+    near-uniform fixture needs (the two-regime table in BASELINE.md
+    records both). sf_dir unused by design: the corpus is the
+    committed fixture, identical at every sf."""
+    from ..operators import similarity
+    emb = similarity.load_clustered_embeddings(spark)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.ivf_topk_batch(emb, queries, k=ANN_TOPK,
+                                       centroid_stride=200, nprobe="auto",
+                                       train_iters=1, train_sample_mod=2,
+                                       recall_target_pct=80)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_hamming_clustered_recall_auto(spark, sf_dir):
+    """Hamming auto-rerank recall on the committed CLUSTERED corpus
+    (r14, VERDICT r13 #2): the 64-bit sign sketch's angle distortion
+    measured where neighbors sit at small true angles — the regime
+    where a fixed hamming cut is least trustworthy and the calibrated
+    cut must stretch. Floor exact by construction (rerank kernel ==
+    truth kernel) wherever |truth| = k; what the regime moves is the
+    calibrated cut size, recorded in BASELINE.md's two-regime table."""
+    from ..operators import similarity
+    emb = similarity.load_clustered_embeddings(spark)
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    approx = similarity.hamming_topk_batch(emb, queries, k=ANN_TOPK,
+                                           rerank_factor="auto",
+                                           recall_target_pct=80)
+    truth = similarity.cosine_topk_batch_int(emb, queries, k=ANN_TOPK)
+    return similarity.recall_report(approx, truth, k=ANN_TOPK)
+
+
+def ann_lsh_clustered_pair_recall_auto(spark, sf_dir):
+    """Sign-LSH pair recall on the committed CLUSTERED corpus (r14,
+    VERDICT r13 #2): the auto-(b, r) banded plan vs exact integer
+    threshold pairs over the anchored stratum — clustered data is the
+    plan's win regime (near-threshold pairs sit at SMALLER angles
+    than the uniform fixture's, so per-band collision probability
+    p^r is higher at the same (b, r)); this query turns that doc
+    claim into a driver-verified number. Auto resolves to (b=5, r=4)
+    at the 2000-vector fixture (same pinning as the uniform twin)."""
+    from ..functions.fixedpoint import idiv_long
+    from ..operators import similarity
+    emb = similarity.load_clustered_embeddings(spark)
+    exact = (similarity.cosine_threshold_pairs_int(
+        emb, threshold=0.4, anchor_mod=ANN_LSH_ANCHOR_MOD)
+        .select("vec_a", "vec_b"))
+    lsh = (similarity.lsh_candidate_pairs(emb, bands="auto",
+                                          planes_per_band="auto",
+                                          threshold=0.4, max_bucket=4096,
+                                          recall_target_pct=50)
+           .filter(F.col("vec_a") % ANN_LSH_ANCHOR_MOD == 0)
+           .select("vec_a", "vec_b"))
+    found = exact.join(lsh, ["vec_a", "vec_b"])
+    agg = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found")))
+    return agg.select(
+        "n_exact", "n_found",
+        idiv_long(F.col("n_found") * F.lit(10 ** 6),
+                  F.greatest(F.col("n_exact"), F.lit(1))).alias("recall_e6"))
 
 
 def ann_ivfpq_from_saved_index(spark, sf_dir):

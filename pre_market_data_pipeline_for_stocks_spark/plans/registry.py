@@ -84,11 +84,17 @@ from .premarket_tpch import (
 )
 
 _H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
+_H2 = "('0x' || substr(md5({x}), 16, 15))::BIGINT"        # functions.hashing.md5_i64b twin
 
 
 def _h(x: str, seed: int | None = None) -> str:
     s = f"('{seed}:' || {x})" if seed is not None else x
     return _H.format(x=s)
+
+
+def _h2(x: str, seed: int | None = None) -> str:
+    s = f"('{seed}:' || {x})" if seed is not None else x
+    return _H2.format(x=s)
 
 
 # Shared CTE: distinct word 3-gram shingles per document, plus their
@@ -484,7 +490,8 @@ def _lsh_bucket_sql(planes: int = 8) -> str:
 
 
 def _lsh_pairs_sql(bands: int = 4, planes_per_band: int = 4,
-                   threshold: float = 0.4) -> str:
+                   threshold: float = 0.4,
+                   emb_from: str = "embeddings") -> str:
     """Twin of similarity.lsh_candidate_pairs at FIXED (b, r). The
     Spark wrapper sizes r via planes_per_band="auto"; auto == 4 below
     ~4096 vectors (auto_planes_per_band), so this pinned grid is exact
@@ -514,7 +521,7 @@ def _lsh_pairs_sql(bands: int = 4, planes_per_band: int = 4,
 WITH pe AS (
   SELECT vec_id, i - 1 AS dim,
          CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+  FROM {emb_from}, UNNEST(range(1, len(embedding) + 1)) t(i)),
 proj AS (SELECT vec_id,
     {projs}
   FROM pe GROUP BY vec_id),
@@ -527,7 +534,7 @@ ez AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS qv
-  FROM embeddings)
+  FROM {emb_from})
 SELECT c.vec_a, c.vec_b, {cos_e6} AS cosine_e6
 FROM cand c
 JOIN ez ea ON ea.vec_id = c.vec_a
@@ -539,7 +546,8 @@ WHERE list_inner_product(ea.qv, ea.qv) > 0
 
 
 def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
-             k: int = 10, sample_mod: int = 2) -> str:
+             k: int = 10, sample_mod: int = 2,
+             emb_from: str = "embeddings") -> str:
     """Oracle twin of similarity.ivf_topk with ``iters`` Lloyd rounds
     unrolled as CTE pairs (assign a{i} from c{i}, recompute c{i+1} from
     a{i}). Training CTEs read the deterministic ``vec_id % sample_mod``
@@ -568,7 +576,7 @@ def _ivf_sql(stride: int = 200, nprobe: int = 3, iters: int = 1,
     FROM {assigned} a, UNNEST(range(1, len(a.v) + 1)) t(i)
     GROUP BY a.cell, t.i) GROUP BY cell)"""
 
-    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ctes = [f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_from})",
             f"es AS (SELECT * FROM e WHERE vec_id % {sample_mod} = 0)",
             f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM es "
             f"WHERE vec_id % {stride} = 0)"]
@@ -597,7 +605,8 @@ LIMIT {k}
 def _ivf_batch_sql(stride: int = 200, nprobe: int | str = 3,
                    iters: int = 1, k: int = 10, sample_mod: int = 2,
                    query_mod: int = 100,
-                   recall_target_pct: int = 80) -> str:
+                   recall_target_pct: int = 80,
+                   emb_from: str = "embeddings") -> str:
     """Oracle twin of similarity.ivf_topk_batch over the deterministic
     ``vec_id % query_mod == 0`` query shard: same unrolled training CTEs
     as _ivf_sql, then per-query probe (row_number <= nprobe) and
@@ -611,7 +620,7 @@ def _ivf_batch_sql(stride: int = 200, nprobe: int | str = 3,
     scalar CTE the probe filter reads instead of a literal."""
     cos = ("(list_inner_product({a}, {b}) / (sqrt(list_inner_product("
            "{a}, {a})) * sqrt(list_inner_product({b}, {b}))))")
-    train = _ivf_sql(stride, 3, iters, k, sample_mod)
+    train = _ivf_sql(stride, 3, iters, k, sample_mod, emb_from)
     # Reuse the training CTE chain verbatim: everything up to and
     # including the full-corpus `assigned` CTE.
     body = train.split("q AS (SELECT v AS qv")[0].rstrip().rstrip(",")
@@ -619,7 +628,7 @@ def _ivf_batch_sql(stride: int = 200, nprobe: int | str = 3,
     final_cos = cos.format(a="a.v", b="q.qv")
     if nprobe == "auto":
         auto_ctes = f""",
-qq AS (SELECT vec_id, {_QUANT_EMB} AS qv2 FROM embeddings),
+qq AS (SELECT vec_id, {_QUANT_EMB} AS qv2 FROM {emb_from}),
 qqn AS (SELECT vec_id, qv2 FROM qq
         WHERE CAST(list_inner_product(qv2, qv2) AS BIGINT) > 0),
 ctruth AS (
@@ -2295,10 +2304,12 @@ FROM m ORDER BY doc_id
 """),
 
     # --- LLM-data-pipeline extensions ------------------------------------
+    # group key is the 120-bit md5 word pair (r14 collision
+    # hardening); text_hash stays word 1 for schema stability
     "dedup_exact": QueryDef(X.dedup_exact, f"""
 SELECT {_h('text')} AS text_hash, min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
-FROM documents GROUP BY 1
+FROM documents GROUP BY {_h('text')}, {_h2('text')}
 """),
 
     "dedup_ngram_jaccard": QueryDef(X.dedup_ngram_jaccard, f"""
@@ -2351,14 +2362,15 @@ h AS (
          array_to_string(words[st + 1 : st + {X.SPAN_SEG_WORDS}], ' ')
            AS seg
   FROM s),
-hh AS (SELECT doc_id, seg_id, seg, {_H.format(x='seg')} AS sh FROM h),
-f AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1)
+hh AS (SELECT doc_id, seg_id, seg, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM h),
+f AS (SELECT sh, sh2, count(*) AS df FROM hh GROUP BY 1, 2)
 SELECT hh.doc_id,
        coalesce(string_agg(CASE WHEN f.df <= {X.SPAN_MAX_DF} THEN hh.seg END,
                            ' ' ORDER BY hh.seg_id), '') AS clean_text,
        count(*) AS n_segments,
        count(CASE WHEN f.df > {X.SPAN_MAX_DF} THEN 1 END) AS n_removed
-FROM hh JOIN f USING (sh)
+FROM hh JOIN f USING (sh, sh2)
 GROUP BY 1 ORDER BY 1
 """),
 
@@ -2370,9 +2382,10 @@ WITH canon AS (
          array_to_string(list_sort(list_distinct(
            string_split_regex(trim(lower(p_name)), '\\s+'))), ' ') AS c
   FROM part),
-h AS (SELECT p_partkey, {_H.format(x='c')} AS text_hash FROM canon)
+h AS (SELECT p_partkey, {_H.format(x='c')} AS text_hash,
+             {_H2.format(x='c')} AS th2 FROM canon)
 SELECT text_hash, min(p_partkey) AS keep_doc_id, count(*) AS n_copies
-FROM h GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+FROM h GROUP BY text_hash, th2 HAVING count(*) > 1 ORDER BY text_hash
 """),
 
     # operators.expectations.k_anonymity_suppression over bucketed
@@ -2426,15 +2439,16 @@ FROM segs ORDER BY doc_id, seg_id
     # tail of dedup_span_removal over CDC segments.
     "dedup_cdc_spans": QueryDef(X.dedup_cdc_spans, f"""
 WITH {_CDC_SEGS_CTE},
-hh AS (SELECT doc_id, sid, seg, {_H.format(x='seg')} AS sh FROM segs),
-fr AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1)
+hh AS (SELECT doc_id, sid, seg, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+fr AS (SELECT sh, sh2, count(*) AS df FROM hh GROUP BY 1, 2)
 SELECT hh.doc_id,
        coalesce(string_agg(CASE WHEN fr.df <= {X.SPAN_MAX_DF}
                                 THEN hh.seg END,
                            ' ' ORDER BY hh.sid), '') AS clean_text,
        count(*) AS n_segments,
        count(CASE WHEN fr.df > {X.SPAN_MAX_DF} THEN 1 END) AS n_removed
-FROM hh JOIN fr USING (sh)
+FROM hh JOIN fr USING (sh, sh2)
 GROUP BY 1 ORDER BY 1
 """),
 
@@ -2443,16 +2457,19 @@ GROUP BY 1 ORDER BY 1
     # (df capped BEFORE the self-join) + gaps-and-islands maximal
     # extension per (doc_a, doc_b, alignment delta). The Lee et al.
     # 2022 training-data dedup modality at segment granularity.
+    # r14: 120-bit (sh, sh2) key on this destructive family; the df
+    # cap counts DISTINCT docs (r13 ADVICE).
     "dedup_substring_spans": QueryDef(X.dedup_substring_spans, f"""
 WITH {_CDC_SEGS_CTE},
-hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh FROM segs),
-fr AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1),
-el AS (SELECT hh.* FROM hh JOIN fr USING (sh)
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
        WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
 pr AS (
   SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
          b.sid AS sb, a.n_words AS nw
-  FROM el a JOIN el b USING (sh)
+  FROM el a JOIN el b USING (sh, sh2)
   WHERE a.doc_id < b.doc_id),
 gi AS (
   SELECT *, sb - sa AS delta,
@@ -2469,21 +2486,99 @@ HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}
 ORDER BY doc_a, doc_b, seg_start_a, seg_start_b
 """),
 
+    # operators.dedup.substring_duplicate_spans_exact (r14, VERDICT
+    # r13 #4): word-exact bounds — each run extended into its
+    # boundary segments by direct text comparison (longest common
+    # word suffix of the left-boundary pair, prefix of the right).
+    # The prefix length is found relationally in both engines: first
+    # mismatching index in a filtered range, else the shorter length.
+    "dedup_substring_spans_exact": QueryDef(
+        X.dedup_substring_spans_exact, f"""
+WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+pr AS (
+  SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
+         b.sid AS sb, a.n_words AS nw
+  FROM el a JOIN el b USING (sh, sh2)
+  WHERE a.doc_id < b.doc_id),
+gi AS (
+  SELECT *, sb - sa AS delta,
+         sa - row_number() OVER (PARTITION BY doc_a, doc_b, sb - sa
+                                 ORDER BY sa) AS grp
+  FROM pr),
+sp AS (
+  SELECT doc_a, doc_b, min(sa)::BIGINT AS seg_start_a,
+         (min(sa) + delta)::BIGINT AS seg_start_b,
+         count(*)::BIGINT AS n_segs, sum(nw)::BIGINT AS n_words
+  FROM gi GROUP BY doc_a, doc_b, delta, grp
+  HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}),
+sw AS (
+  SELECT doc_id, sid, seg,
+         coalesce(sum(n_words) OVER (
+             PARTITION BY doc_id ORDER BY sid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS woff,
+         lag(seg) OVER (PARTITION BY doc_id ORDER BY sid) AS prev_seg
+  FROM segs),
+j AS (
+  SELECT sp.*, a0.woff AS ws_a, a0.prev_seg AS la,
+         b0.woff AS ws_b, b0.prev_seg AS lb,
+         ae.seg AS ra, be.seg AS rb
+  FROM sp
+  JOIN sw a0 ON a0.doc_id = sp.doc_a AND a0.sid = sp.seg_start_a
+  JOIN sw b0 ON b0.doc_id = sp.doc_b AND b0.sid = sp.seg_start_b
+  LEFT JOIN sw ae ON ae.doc_id = sp.doc_a
+                 AND ae.sid = sp.seg_start_a + sp.n_segs
+  LEFT JOIN sw be ON be.doc_id = sp.doc_b
+                 AND be.sid = sp.seg_start_b + sp.n_segs),
+x1 AS (
+  SELECT j.*,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(la, '\\s+')) END AS lav,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(lb, '\\s+')) END AS lbv,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(ra, '\\s+') END AS rav,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(rb, '\\s+') END AS rbv
+  FROM j),
+x2 AS (SELECT *, least(len(lav), len(lbv)) AS nl,
+              least(len(rav), len(rbv)) AS nr FROM x1),
+x3 AS (SELECT *,
+    coalesce(list_filter(range(1, nl + 1),
+                         i -> lav[i] <> lbv[i])[1] - 1, nl) AS ext_l,
+    coalesce(list_filter(range(1, nr + 1),
+                         i -> rav[i] <> rbv[i])[1] - 1, nr) AS ext_r
+  FROM x2)
+SELECT doc_a, doc_b,
+       (ws_a - ext_l)::BIGINT AS word_start_a,
+       (ws_b - ext_l)::BIGINT AS word_start_b,
+       (n_words + ext_l + ext_r)::BIGINT AS n_words_exact,
+       n_segs, n_words AS n_words_core
+FROM x3
+ORDER BY doc_a, doc_b, word_start_a, word_start_b
+"""),
+
     # operators.dedup.remove_cross_doc_substrings (r13): the apply
     # side — detected runs stripped from the higher doc_id (min-id
     # keeper), reassembly over the same CDC segmentation.
     "dedup_substring_removal": QueryDef(X.dedup_substring_removal, f"""
 WITH {_CDC_SEGS_CTE},
 hh AS (SELECT doc_id, sid, n_words, seg,
-              {_H.format(x='seg')} AS sh FROM segs),
-fr AS (SELECT sh, count(*) AS df FROM hh GROUP BY 1),
-el AS (SELECT hh.doc_id, hh.sid, hh.n_words, hh.sh
-       FROM hh JOIN fr USING (sh)
+              {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+el AS (SELECT hh.doc_id, hh.sid, hh.n_words, hh.sh, hh.sh2
+       FROM hh JOIN fr USING (sh, sh2)
        WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
 pr AS (
   SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
          b.sid AS sb, a.n_words AS nw
-  FROM el a JOIN el b USING (sh)
+  FROM el a JOIN el b USING (sh, sh2)
   WHERE a.doc_id < b.doc_id),
 gi AS (
   SELECT *, sb - sa AS delta,
@@ -2513,17 +2608,18 @@ GROUP BY 1 ORDER BY 1
     "dedup_substring_incremental": QueryDef(
         X.dedup_substring_incremental, f"""
 WITH {_CDC_SEGS_CTE},
-hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh FROM segs),
-idx AS (SELECT doc_id, sid, n_words, sh FROM hh WHERE doc_id % 2 = 0),
-bh AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+idx AS (SELECT doc_id, sid, n_words, sh, sh2 FROM hh WHERE doc_id % 2 = 0),
+bh AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh, sh2
        FROM hh WHERE doc_id % 2 = 1),
-fr AS (SELECT sh, count(*) AS df FROM idx GROUP BY 1),
-el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh
-       FROM idx JOIN fr USING (sh)
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM idx GROUP BY 1, 2),
+el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh, idx.sh2
+       FROM idx JOIN fr USING (sh, sh2)
        WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}),
 pr AS (
   SELECT b.batch_doc, b.sa, e.corpus_doc, e.sb, b.nw
-  FROM bh b JOIN el e USING (sh)
+  FROM bh b JOIN el e USING (sh, sh2)
   WHERE b.batch_doc <> e.corpus_doc),
 gi AS (
   SELECT *, sb - sa AS delta,
@@ -4478,7 +4574,8 @@ FROM a
 """)
 
 
-def _signature_cte(planes: int = 64) -> str:
+def _signature_cte(planes: int = 64,
+                   emb_from: str = "embeddings") -> str:
     """CTE chain ending in ``sigs(vec_id, sig)`` — the DuckDB twin of
     similarity.binary_signatures: quantized integer projections (sign
     bits cannot flip on accumulation order), bit p weighted 1<<p; bit
@@ -4498,7 +4595,7 @@ def _signature_cte(planes: int = 64) -> str:
     return f"""pe AS (
   SELECT vec_id, i - 1 AS dim,
          CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS val
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+  FROM {emb_from}, UNNEST(range(1, len(embedding) + 1)) t(i)),
 proj AS (SELECT vec_id,
     {projs}
   FROM pe GROUP BY vec_id),
@@ -4645,7 +4742,8 @@ ORDER BY cosine_e6 DESC, vec_id ASC LIMIT {k}
 
 def _hamming_batch_sql(stride: int = 100, k: int = 5,
                        rf: int | str = 4,
-                       recall_target_pct: int = 80) -> str:
+                       recall_target_pct: int = 80,
+                       emb_from: str = "embeddings") -> str:
     """Twin of extensions.ann_hamming_topk_batch: every ``stride``-th
     vector queries the signature index; per-query (hamming, vec_id)
     cut then per-query cosine_e6 rerank.
@@ -4689,8 +4787,8 @@ autorr AS (
         cut = str(rf * k)
         auto_ctes = ""
     return f"""
-WITH {_signature_cte()},
-ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM embeddings),
+WITH {_signature_cte(emb_from=emb_from)},
+ez AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM {emb_from}),
 qs AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs
        WHERE vec_id % {stride} = 0),
 qv AS (SELECT vec_id AS query_id, qv AS qqv FROM ez
@@ -5447,6 +5545,101 @@ REGISTRY["ann_ivfpq_res_clustered_recall_auto"] = QueryDef(
                        books_src=_PQCL_RES, coarse_src=_IVFCOARSE_CL),
         emb_from=_CLUST_EMB_FROM))
 
+# r14 (VERDICT r13 #2): the remaining ANN families measured on the
+# clustered fixture — plain-IVF auto-nprobe, Hamming auto-rerank and
+# sign-LSH auto-(b, r) pair recall, each the uniform twin's SQL with
+# the corpus swapped to the committed parquet (the builders'
+# emb_from parameter; defaults keep the uniform oracle text
+# byte-identical).
+REGISTRY["ann_ivf_clustered_recall_auto"] = QueryDef(
+    X.ann_ivf_clustered_recall_auto, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM {_CLUST_EMB_FROM}),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {X.ANN_TOPK}),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t
+  JOIN ({_ivf_batch_sql(nprobe="auto", emb_from=_CLUST_EMB_FROM)}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST({X.ANN_TOPK} AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, {X.ANN_TOPK}), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""")
+
+REGISTRY["ann_hamming_clustered_recall_auto"] = QueryDef(
+    X.ann_hamming_clustered_recall_auto, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM {_CLUST_EMB_FROM}),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+qs AS (SELECT vec_id AS query_id, qv AS qqv FROM qen
+       WHERE vec_id % 100 = 0),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_qcos_e6_sql('e.qv', 'q.qqv')} DESC,
+                      e.vec_id ASC) AS rn
+    FROM qen e, qs q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= {X.ANN_TOPK}),
+hits AS (
+  SELECT t.query_id, count(*) AS h
+  FROM truth t
+  JOIN ({_hamming_batch_sql(100, X.ANN_TOPK, "auto",
+                            emb_from=_CLUST_EMB_FROM)}) a
+    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT q.query_id,
+       coalesce(h.h, 0)::BIGINT AS n_hit,
+       CAST({X.ANN_TOPK} AS BIGINT) AS k,
+       CAST(coalesce(h.h, 0) * 1000000
+            // greatest(least(q.tc, {X.ANN_TOPK}), 1) AS BIGINT)
+         AS recall_e6
+FROM (SELECT query_id, count(*) AS tc FROM truth GROUP BY 1) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""")
+
+REGISTRY["ann_lsh_clustered_pair_recall_auto"] = QueryDef(
+    X.ann_lsh_clustered_pair_recall_auto, f"""
+WITH qe AS (SELECT vec_id, {_QUANT_EMB} AS qv FROM {_CLUST_EMB_FROM}),
+qen AS (SELECT vec_id, qv FROM qe
+        WHERE CAST(list_inner_product(qv, qv) AS BIGINT) > 0),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM qen a, qen b
+  WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+    AND {_qcos_e6_sql('a.qv', 'b.qv')} >= 400000),
+lshp AS (
+  SELECT vec_a, vec_b
+  FROM ({_lsh_pairs_sql(5, 4, 0.4, emb_from=_CLUST_EMB_FROM)})
+  WHERE vec_a % 10 = 0),
+agg AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM exact JOIN lshp USING (vec_a, vec_b))
+           AS n_found)
+SELECT n_exact, n_found,
+       CAST(n_found * 1000000 // greatest(n_exact, 1) AS BIGINT)
+         AS recall_e6
+FROM agg
+""")
+
 
 def _hll_int_ctes(tag: str, stream_sql: str, p: int) -> str:
     """CTE chain of one integer-HLL (stream, geometry) block, ending
@@ -6127,6 +6320,10 @@ EXTENDED_BENCH = [
     "dedup_substring_incremental",
     "ann_ivfpq_clustered_recall_auto",
     "ann_ivfpq_res_clustered_recall_auto",
+    # round-14 additions: the remaining ANN families on the clustered
+    # fixture + the word-exact substring spans.
+    "ann_ivf_clustered_recall_auto", "ann_hamming_clustered_recall_auto",
+    "ann_lsh_clustered_pair_recall_auto", "dedup_substring_spans_exact",
 ]
 
 

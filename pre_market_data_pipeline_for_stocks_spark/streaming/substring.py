@@ -7,7 +7,7 @@ against a standing segment-hash index. A real pipeline is a STREAM of
 batches, each of which must be scrubbed against everything ingested
 before it — including text that arrived two micro-batches ago. This
 module composes the persisted segment index
-(``dedup.build_segment_index``: (doc_id, seg_id, n_words, sh), no
+(``dedup.build_segment_index``: (doc_id, seg_id, n_words, sh, sh2), no
 text — corpus text is never re-read) with foreachBatch:
 
     seed_segment_index(corpus, index_root)       # once, backfill
@@ -15,11 +15,20 @@ text — corpus text is never re-read) with foreachBatch:
 
 Per micro-batch, inside the writer:
   1. read the segment index (seed + every previous batch's append),
-  2. strip from each incoming doc every >= min_words run it shares
+  2. scrub WITHIN the batch first (r13 ADVICE: two documents sharing
+     a long span that arrive in the SAME micro-batch would otherwise
+     both be stored whole — the index can't catch what hasn't been
+     appended yet): remove_cross_doc_substrings over the batch alone,
+     min-id keeper — the lower doc_id plays the "already standing"
+     copy its peers would have been scrubbed against had it arrived
+     one batch earlier,
+  3. strip from each surviving doc every >= min_words run it shares
      with the index (corpus-wins keeper: the standing copy is already
      published, the arriving copy loses),
-  3. write the cleaned docs to ``cleaned_root/batch-N``,
-  4. re-segment the WRITTEN cleaned text and append those hashes to
+  4. write the cleaned docs to ``cleaned_root/batch-N`` (n_removed
+     counts BOTH passes; n_segments describes the post-within-batch
+     segmentation the index pass saw),
+  5. re-segment the WRITTEN cleaned text and append those hashes to
      ``index_root/batch-N`` — the index always describes exactly what
      was stored, so a later batch repeating an already-SCRUBBED span
      is still caught by the surviving copy's segments.
@@ -37,7 +46,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.dedup import build_segment_index, scrub_batch_vs_index
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    build_segment_index,
+    remove_cross_doc_substrings,
+    scrub_batch_vs_index,
+)
 from .admission import _index_dirs
 
 
@@ -70,8 +85,21 @@ def scrub_writer(index_root: str, cleaned_root: str,
         spark = batch_df.sparkSession
         index = read_segment_index(spark, index_root,
                                    exclude_batch=batch_id)
-        cleaned = scrub_batch_vs_index(batch_df, index, mask_bits,
+        # within-batch pass first (module doc step 2): same-batch
+        # duplicates resolve by min-id before the index ever sees them
+        within = remove_cross_doc_substrings(batch_df, mask_bits,
+                                             min_words, max_pair_df)
+        scrubbed = within.select("doc_id",
+                                 F.col("clean_text").alias("text"))
+        cleaned = scrub_batch_vs_index(scrubbed, index, mask_bits,
                                        min_words, max_pair_df)
+        cleaned = (cleaned.join(
+                       within.select("doc_id",
+                                     F.col("n_removed").alias("_rm_w")),
+                       "doc_id")
+                   .withColumn("n_removed",
+                               F.col("n_removed") + F.col("_rm_w"))
+                   .drop("_rm_w"))
         cleaned.write.mode("overwrite") \
             .parquet(f"{cleaned_root}/batch-{batch_id}")
         # The index append is derived from the WRITTEN cleaned text

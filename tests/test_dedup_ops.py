@@ -3,6 +3,8 @@ the max_df hot-shingle guard (a plan-cost property, not a result)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
@@ -980,7 +982,8 @@ def test_substring_spans_vs_index_equals_full_cross_pairs(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     idx = dd.build_segment_index(corpus)
-    assert set(idx.columns) == {"doc_id", "seg_id", "n_words", "sh"}
+    assert set(idx.columns) == {"doc_id", "seg_id", "n_words",
+                                "sh", "sh2"}
     inc = {tuple(r) for r in dd.substring_spans_vs_index(
         batch, idx, min_words=8, max_pair_df=10 ** 6).collect()}
     assert inc
@@ -1003,3 +1006,125 @@ def test_substring_spans_vs_index_equals_full_cross_pairs(spark, sf_dir):
         corpus.limit(5), dd.build_segment_index(corpus),
         min_words=1, max_pair_df=10 ** 6).collect()
     assert all(r.batch_doc != r.corpus_doc for r in re_inc)
+
+
+def test_destructive_paths_survive_60bit_hash_collision(spark,
+                                                        monkeypatch):
+    """Collision hardening (r14, VERDICT r13 #3): the destructive
+    paths group/join on the 120-bit (sh, sh2) md5 word pair, so a
+    collision in the FIRST 60-bit word alone must not merge documents
+    or strip text. A real 60-bit md5 collision is unconstructible in
+    a test, so the first word is monkeypatched to a degenerate hash
+    (string length) — every same-length text now 'collides' at 60
+    bits, the seeded-collision scenario — while the second word stays
+    real md5 and must carry the protection."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+
+    weak = lambda col, seed=None: F.length(col).cast("long")  # noqa: E731
+    monkeypatch.setattr(dd, "md5_i64", weak)
+
+    # exact_dedup: distinct same-length texts must NOT merge...
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "ddd eee fff"), (3, "aaa bbb ccc")],
+        "doc_id long, text string")
+    groups = dd.exact_dedup(docs).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in groups}
+    assert by_keep == {1: 2, 2: 1}  # ...while true duplicates still do
+
+    # substring removal: two docs whose single CDC segments have equal
+    # LENGTH (equal weak sh) but different text must lose nothing.
+    # Tokens are 3 chars (weak token-hash 3 % 8 != 0), so each doc is
+    # one segment and the two segments weak-collide at 60 bits.
+    a = " ".join(f"ax{i % 10}" for i in range(20))
+    b = " ".join(f"bz{i % 10}" for i in range(20))
+    assert len(a) == len(b) and a != b
+    pair = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.remove_cross_doc_substrings(
+        pair, min_words=8).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    assert out[2].clean_text == b
+    # control: a genuine duplicate IS still removed under the weak
+    # first word (the pair key agrees on both words for equal text)
+    dup = spark.createDataFrame([(1, a), (2, a)],
+                                "doc_id long, text string")
+    out2 = {r.doc_id: r for r in dd.remove_cross_doc_substrings(
+        dup, min_words=8).collect()}
+    assert out2[1].n_removed == 0 and out2[2].n_removed > 0
+
+    # scrub-vs-index: same law on the ingest path — the index rows
+    # carry both words, so the batch's weak-colliding doc is untouched
+    idx = dd.build_segment_index(pair.filter(F.col("doc_id") == 1))
+    got = dd.scrub_batch_vs_index(
+        spark.createDataFrame([(9, b)], "doc_id long, text string"),
+        idx, min_words=8).collect()[0]
+    assert got.n_removed == 0 and got.text == b
+
+
+def test_substring_pair_df_cap_counts_distinct_docs(spark):
+    """r13 ADVICE: the max_pair_df cap counts DISTINCT documents per
+    segment, not occurrences — a segment repeated many times INSIDE
+    one document (tiny pair fan-out) must still anchor a cross-doc
+    span."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    block = " ".join(f"blk{i}" for i in range(40))
+    # doc 1 repeats the block 5 times internally; doc 2 has it once.
+    # Under the old occurrence cap, max_pair_df=4 excluded the block's
+    # segments (6 occurrences) and the pair vanished.
+    docs = spark.createDataFrame(
+        [(1, ("p1 p2 " + block + " ") * 5), (2, "q1 " + block + " q2")],
+        "doc_id long, text string")
+    rows = dd.substring_duplicate_spans(docs, min_words=8,
+                                        max_pair_df=4).collect()
+    assert rows and all(r.doc_a == 1 and r.doc_b == 2 for r in rows)
+
+
+def test_substring_spans_exact_word_bounds(spark):
+    """Word-exact bounds (r14, VERDICT r13 #4): prefix/suffix vocab
+    fully disjoint from the shared block, so the maximal exact repeat
+    IS the block — the operator must report its exact word offsets
+    and length, eliminating the segment-granular slack."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = [f"sh{i}" for i in range(100)]
+    pre_a, pre_b = ["ap1", "ap2", "ap3"], ["bp1"] * 7
+    suf_a, suf_b = ["as1", "as2"], ["bs1", "bs2", "bs3"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(pre_a + shared + suf_a)),
+         (2, " ".join(pre_b + shared + suf_b))],
+        "doc_id long, text string")
+    rows = dd.substring_duplicate_spans_exact(docs, min_words=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.word_start_a, r.word_start_b) == (len(pre_a), len(pre_b))
+    assert r.n_words_exact == len(shared)
+    assert r.n_words_exact >= r.n_words_core  # slack was recovered
+
+
+def test_substring_spans_exact_is_maximal_on_fixture(spark, sf_dir):
+    """Property law on real data: every word-exact span is (a) a true
+    exact repeat — the claimed word windows of the two documents are
+    identical token sequences — and (b) word-maximal: the token just
+    outside each end differs between the documents or falls off a
+    document boundary. (b) is exactly what the segment-granular core
+    cannot promise; runs split by the df cap are exempt from (b) but
+    none occur at this fixture's knobs (asserted via spans parity)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    words = {r.doc_id: r.text.split()
+             for r in docs.select("doc_id", "text").collect()}
+    rows = dd.substring_duplicate_spans_exact(
+        docs, min_words=8, max_pair_df=10 ** 6).collect()
+    assert rows
+    assert len(rows) == len(dd.substring_duplicate_spans(
+        docs, min_words=8, max_pair_df=10 ** 6).collect())
+    for r in rows:
+        wa, wb = words[r.doc_a], words[r.doc_b]
+        sa, sb, n = r.word_start_a, r.word_start_b, r.n_words_exact
+        assert wa[sa:sa + n] == wb[sb:sb + n] != []
+        left_open = sa > 0 and sb > 0
+        assert not left_open or wa[sa - 1] != wb[sb - 1]
+        right_open = sa + n < len(wa) and sb + n < len(wb)
+        assert not right_open or wa[sa + n] != wb[sb + n]

@@ -58,14 +58,28 @@ def _stream(spark, src, schema):
 
 
 def _sequential_fold(seed, batches, min_words=16):
+    # mirrors scrub_writer: within-batch min-id pass FIRST, then the
+    # batch-vs-index corpus-wins pass; n_removed sums both
     index = dd.build_segment_index(seed)
     out = []
     for b in batches:
-        cleaned = dd.scrub_batch_vs_index(b, index, min_words=min_words)
+        within = dd.remove_cross_doc_substrings(b, min_words=min_words)
+        scrubbed = within.select(
+            "doc_id", F.col("clean_text").alias("text"))
+        cleaned = dd.scrub_batch_vs_index(scrubbed, index,
+                                          min_words=min_words)
+        cleaned = (cleaned.join(
+                       within.select("doc_id", F.col("n_removed")
+                                     .alias("_w")), "doc_id")
+                   .withColumn("n_removed",
+                               F.col("n_removed") + F.col("_w"))
+                   .drop("_w"))
         out.append(cleaned)
         index = index.unionByName(dd.build_segment_index(
             cleaned.select("doc_id", "text")))
-    rows = out[0].unionByName(out[1])
+    rows = out[0]
+    for o in out[1:]:
+        rows = rows.unionByName(o)
     return {r.doc_id: (r.text, r.n_removed) for r in rows.collect()}
 
 
@@ -125,3 +139,29 @@ def test_scrub_cold_start_normalizes_only(spark, tmp_path):
     out = dd.scrub_batch_vs_index(docs, None).collect()
     assert [tuple(r) for r in out] == [(7, "w1 w2 w3", 1, 0)] or \
         (out[0].text == "w1 w2 w3" and out[0].n_removed == 0)
+
+
+def test_scrub_within_batch_duplicates(spark, tmp_path):
+    """r13 ADVICE: two documents sharing a long span that arrive in
+    the SAME micro-batch must not both be stored whole. The writer's
+    within-batch pass (min-id keeper) scrubs the higher id before the
+    index pass, and a LATER batch repeating the span is caught by the
+    surviving copy's appended segments."""
+    index_root = str(tmp_path / "idx")
+    cleaned_root = str(tmp_path / "cln")
+    w = ss.scrub_writer(index_root, cleaned_root)
+    both = spark.createDataFrame(
+        [(10, "p1 p2 " + BLOCK_X + " p3"),
+         (20, "q1 " + BLOCK_X + " q2 q3")], "doc_id long, text string")
+    w(both, 0)
+    got = {r.doc_id: r for r in
+           spark.read.parquet(f"{cleaned_root}/batch-0").collect()}
+    assert got[10].n_removed == 0 and "bx20" in got[10].text
+    assert got[20].n_removed > 0 and "bx20" not in got[20].text
+
+    # later batch repeating the block: scrubbed via doc 10's segments
+    later = spark.createDataFrame(
+        [(30, "r1 " + BLOCK_X + " r2")], "doc_id long, text string")
+    w(later, 1)
+    got1 = spark.read.parquet(f"{cleaned_root}/batch-1").collect()[0]
+    assert got1.n_removed > 0 and "bx20" not in got1.text
