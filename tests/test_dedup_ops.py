@@ -1128,3 +1128,18 @@ def test_substring_spans_exact_is_maximal_on_fixture(spark, sf_dir):
         assert not left_open or wa[sa - 1] != wb[sb - 1]
         right_open = sa + n < len(wa) and sb + n < len(wb)
         assert not right_open or wa[sa + n] != wb[sb + n]
+
+
+def test_substring_spans_exact_plan_has_no_cartesian(spark, sf_dir):
+    """The word-exact extension adds only span-bounded (doc, seg_id)
+    equi-joins on top of the core detection — the family's
+    no-all-pairs plan contract must survive it."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    plan = (dd.substring_duplicate_spans_exact(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

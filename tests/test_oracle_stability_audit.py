@@ -121,6 +121,14 @@ ALLOWED = {
     # emissions are pure integers, so a round flip could only move one
     # membership at the measure-zero midpoint case.
     "ann_ivf_recall_batch",
+    # r14: the SAME oracle text as ann_ivf_recall_batch with only the
+    # corpus swapped to the committed clustered parquet
+    # (_ivf_batch_sql(emb_from=...) — the round(avg) the regex sees is
+    # the identical embedded training CTE adjudicated above). Strictly
+    # LESS sf-sensitive than its twin: the corpus is committed bytes,
+    # identical at every sf, and the entry is hash-green in this
+    # round's landing check (scripts/check_queries.py).
+    "ann_ivf_clustered_recall_auto",
     # pure COMPOSITION of already-listed oracles (it unions
     # ann_ivf_recall_batch + the hamming/lsh/bloom/cms harnesses
     # verbatim as subqueries — the round(avg) the regex sees is the
