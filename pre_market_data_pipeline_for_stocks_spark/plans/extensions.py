@@ -275,6 +275,20 @@ def dedup_substring_removal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def dedup_substring_removal_exact(spark, sf_dir):
+    """The word-exact APPLY (r14): the higher doc_id of each pair
+    loses the ENTIRE maximal exact repeat — core segments whole plus
+    the measured boundary overhang trimmed word-exactly — completing
+    Lee et al. 2022's removal semantics (the segment-granular
+    dedup_substring_removal leaves ~2^mask_bits words of slack per
+    side; measured mean 11.8 words/span on this fixture)."""
+    return (dedup.remove_cross_doc_substrings_exact(
+                _docs(spark, sf_dir), CDC_MASK_BITS,
+                min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF)
+            .orderBy("doc_id"))
+
+
 def dedup_substring_incremental(spark, sf_dir):
     """Corpus-scan-free incremental substring spans (r13): even
     doc_ids play the standing corpus — reduced to its persisted

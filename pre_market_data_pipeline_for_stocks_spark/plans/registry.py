@@ -990,6 +990,75 @@ segs AS (
   FROM sg GROUP BY 1, 2)"""
 
 
+def _substr_exact_x3() -> str:
+    """Shared CTE chain of the word-exact substring twins (r14),
+    ending in ``x3`` — one row per maximal segment-aligned span with
+    its word offsets (ws_a/ws_b) and exact boundary extensions
+    (ext_l/ext_r, the longest common word suffix/prefix of the
+    boundary-segment pairs, found as first-mismatch-index over a
+    filtered range — dedup._common_prefix_words' twin)."""
+    return f"""WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+pr AS (
+  SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
+         b.sid AS sb, a.n_words AS nw
+  FROM el a JOIN el b USING (sh, sh2)
+  WHERE a.doc_id < b.doc_id),
+gi AS (
+  SELECT *, sb - sa AS delta,
+         sa - row_number() OVER (PARTITION BY doc_a, doc_b, sb - sa
+                                 ORDER BY sa) AS grp
+  FROM pr),
+sp AS (
+  SELECT doc_a, doc_b, min(sa)::BIGINT AS seg_start_a,
+         (min(sa) + delta)::BIGINT AS seg_start_b,
+         count(*)::BIGINT AS n_segs, sum(nw)::BIGINT AS n_words
+  FROM gi GROUP BY doc_a, doc_b, delta, grp
+  HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}),
+sw AS (
+  SELECT doc_id, sid, seg,
+         coalesce(sum(n_words) OVER (
+             PARTITION BY doc_id ORDER BY sid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS woff,
+         lag(seg) OVER (PARTITION BY doc_id ORDER BY sid) AS prev_seg
+  FROM segs),
+j AS (
+  SELECT sp.*, a0.woff AS ws_a, a0.prev_seg AS la,
+         b0.woff AS ws_b, b0.prev_seg AS lb,
+         ae.seg AS ra, be.seg AS rb
+  FROM sp
+  JOIN sw a0 ON a0.doc_id = sp.doc_a AND a0.sid = sp.seg_start_a
+  JOIN sw b0 ON b0.doc_id = sp.doc_b AND b0.sid = sp.seg_start_b
+  LEFT JOIN sw ae ON ae.doc_id = sp.doc_a
+                 AND ae.sid = sp.seg_start_a + sp.n_segs
+  LEFT JOIN sw be ON be.doc_id = sp.doc_b
+                 AND be.sid = sp.seg_start_b + sp.n_segs),
+x1 AS (
+  SELECT j.*,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(la, '\\s+')) END AS lav,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(lb, '\\s+')) END AS lbv,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(ra, '\\s+') END AS rav,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(rb, '\\s+') END AS rbv
+  FROM j),
+x2 AS (SELECT *, least(len(lav), len(lbv)) AS nl,
+              least(len(rav), len(rbv)) AS nr FROM x1),
+x3 AS (SELECT *,
+    coalesce(list_filter(range(1, nl + 1),
+                         i -> lav[i] <> lbv[i])[1] - 1, nl) AS ext_l,
+    coalesce(list_filter(range(1, nr + 1),
+                         i -> rav[i] <> rbv[i])[1] - 1, nr) AS ext_r
+  FROM x2)"""
+
+
 def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Twin of relational.graph_supplier_pagerank: the iteration
     unrolled as (d_i dangling mass, c_i contributions, p_{i+1} rank)
@@ -2494,66 +2563,7 @@ ORDER BY doc_a, doc_b, seg_start_a, seg_start_b
     # mismatching index in a filtered range, else the shorter length.
     "dedup_substring_spans_exact": QueryDef(
         X.dedup_substring_spans_exact, f"""
-WITH {_CDC_SEGS_CTE},
-hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
-              {_H2.format(x='seg')} AS sh2 FROM segs),
-fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
-el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
-       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
-pr AS (
-  SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
-         b.sid AS sb, a.n_words AS nw
-  FROM el a JOIN el b USING (sh, sh2)
-  WHERE a.doc_id < b.doc_id),
-gi AS (
-  SELECT *, sb - sa AS delta,
-         sa - row_number() OVER (PARTITION BY doc_a, doc_b, sb - sa
-                                 ORDER BY sa) AS grp
-  FROM pr),
-sp AS (
-  SELECT doc_a, doc_b, min(sa)::BIGINT AS seg_start_a,
-         (min(sa) + delta)::BIGINT AS seg_start_b,
-         count(*)::BIGINT AS n_segs, sum(nw)::BIGINT AS n_words
-  FROM gi GROUP BY doc_a, doc_b, delta, grp
-  HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}),
-sw AS (
-  SELECT doc_id, sid, seg,
-         coalesce(sum(n_words) OVER (
-             PARTITION BY doc_id ORDER BY sid
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0)::BIGINT AS woff,
-         lag(seg) OVER (PARTITION BY doc_id ORDER BY sid) AS prev_seg
-  FROM segs),
-j AS (
-  SELECT sp.*, a0.woff AS ws_a, a0.prev_seg AS la,
-         b0.woff AS ws_b, b0.prev_seg AS lb,
-         ae.seg AS ra, be.seg AS rb
-  FROM sp
-  JOIN sw a0 ON a0.doc_id = sp.doc_a AND a0.sid = sp.seg_start_a
-  JOIN sw b0 ON b0.doc_id = sp.doc_b AND b0.sid = sp.seg_start_b
-  LEFT JOIN sw ae ON ae.doc_id = sp.doc_a
-                 AND ae.sid = sp.seg_start_a + sp.n_segs
-  LEFT JOIN sw be ON be.doc_id = sp.doc_b
-                 AND be.sid = sp.seg_start_b + sp.n_segs),
-x1 AS (
-  SELECT j.*,
-    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
-         ELSE list_reverse(string_split_regex(la, '\\s+')) END AS lav,
-    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
-         ELSE list_reverse(string_split_regex(lb, '\\s+')) END AS lbv,
-    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(ra, '\\s+') END AS rav,
-    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(rb, '\\s+') END AS rbv
-  FROM j),
-x2 AS (SELECT *, least(len(lav), len(lbv)) AS nl,
-              least(len(rav), len(rbv)) AS nr FROM x1),
-x3 AS (SELECT *,
-    coalesce(list_filter(range(1, nl + 1),
-                         i -> lav[i] <> lbv[i])[1] - 1, nl) AS ext_l,
-    coalesce(list_filter(range(1, nr + 1),
-                         i -> rav[i] <> rbv[i])[1] - 1, nr) AS ext_r
-  FROM x2)
+{_substr_exact_x3()}
 SELECT doc_a, doc_b,
        (ws_a - ext_l)::BIGINT AS word_start_a,
        (ws_b - ext_l)::BIGINT AS word_start_b,
@@ -2561,6 +2571,54 @@ SELECT doc_a, doc_b,
        n_segs, n_words AS n_words_core
 FROM x3
 ORDER BY doc_a, doc_b, word_start_a, word_start_b
+"""),
+
+    # operators.dedup.remove_cross_doc_substrings_exact (r14): the
+    # word-exact APPLY — core segments nulled, boundary segments
+    # rewritten by a slice that drops the measured overhang (max trim
+    # per side when spans share a boundary segment), trim accounting
+    # capped at the segment length.
+    "dedup_substring_removal_exact": QueryDef(
+        X.dedup_substring_removal_exact, f"""
+{_substr_exact_x3()},
+rm AS (
+  SELECT DISTINCT doc_b AS doc_id,
+         CAST(seg_start_b + u.i AS BIGINT) AS sid
+  FROM x3, UNNEST(range(x3.n_segs)) u(i)),
+tr AS (
+  SELECT doc_id, sid, max(ts) AS ts, max(te) AS te FROM (
+    SELECT doc_b AS doc_id, seg_start_b - 1 AS sid,
+           0::BIGINT AS ts, ext_l AS te
+    FROM x3 WHERE ext_l > 0
+    UNION ALL
+    SELECT doc_b, seg_start_b + n_segs, ext_r, 0::BIGINT
+    FROM x3 WHERE ext_r > 0)
+  GROUP BY 1, 2),
+fin AS (
+  SELECT s.doc_id, s.sid, s.seg,
+         string_split_regex(s.seg, '\\s+') AS w,
+         r.sid IS NOT NULL AS is_rm,
+         coalesce(tr.ts, 0) AS ts, coalesce(tr.te, 0) AS te
+  FROM segs s
+  LEFT JOIN rm r ON r.doc_id = s.doc_id AND r.sid = s.sid
+  LEFT JOIN tr ON tr.doc_id = s.doc_id AND tr.sid = s.sid),
+fx AS (
+  SELECT doc_id, sid, is_rm,
+         CASE WHEN is_rm THEN NULL
+              WHEN ts > 0 OR te > 0 THEN
+                array_to_string(w[ts + 1 : len(w) - te], ' ')
+              ELSE seg END AS new_seg,
+         CASE WHEN is_rm THEN 0
+              ELSE least(ts + te, len(w)) END AS wg
+  FROM fin)
+SELECT doc_id,
+       coalesce(string_agg(
+           CASE WHEN new_seg IS NOT NULL AND new_seg <> ''
+                THEN new_seg END, ' ' ORDER BY sid), '') AS clean_text,
+       count(*)::BIGINT AS n_segments,
+       count(CASE WHEN is_rm THEN 1 END)::BIGINT AS n_removed_segs,
+       sum(wg)::BIGINT AS n_trimmed_words
+FROM fx GROUP BY 1 ORDER BY 1
 """),
 
     # operators.dedup.remove_cross_doc_substrings (r13): the apply
@@ -6324,6 +6382,7 @@ EXTENDED_BENCH = [
     # fixture + the word-exact substring spans.
     "ann_ivf_clustered_recall_auto", "ann_hamming_clustered_recall_auto",
     "ann_lsh_clustered_pair_recall_auto", "dedup_substring_spans_exact",
+    "dedup_substring_removal_exact",
 ]
 
 

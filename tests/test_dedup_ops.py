@@ -1143,3 +1143,59 @@ def test_substring_spans_exact_plan_has_no_cartesian(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_cross_doc_substrings_exact_leaves_no_repeat(spark):
+    """Word-exact removal (r14): disjoint prefix/suffix vocab, so the
+    maximal exact repeat IS the shared block — the loser must retain
+    ONLY its unique words (zero boundary slack), the keeper stays
+    byte-intact, and the word accounting is exact: removed core words
+    + trimmed boundary words == the block length."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = [f"sh{i}" for i in range(100)]
+    pre_a, pre_b = ["ap1", "ap2", "ap3"], ["bp1"] * 7
+    suf_a, suf_b = ["as1", "as2"], ["bs1", "bs2", "bs3"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(pre_a + shared + suf_a)),
+         (2, " ".join(pre_b + shared + suf_b))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.remove_cross_doc_substrings_exact(
+        docs, min_words=8).collect()}
+    assert out[1].clean_text == " ".join(pre_a + shared + suf_a)
+    assert out[1].n_removed_segs == 0 and out[1].n_trimmed_words == 0
+    assert out[2].clean_text == " ".join(pre_b + suf_b)
+    # core + trims account for exactly the shared block
+    seg_words = {(r.doc_id, r.seg_id): r.n_words
+                 for r in dd.cdc_segments(docs, 3).collect()}
+    core_words = sum(n for (d, _), n in seg_words.items() if d == 2) \
+        - sum(len(x) for x in (pre_b, suf_b)) - out[2].n_trimmed_words
+    assert out[2].n_trimmed_words > 0
+    assert len(out[2].clean_text.split()) == len(pre_b) + len(suf_b)
+
+
+def test_remove_cross_doc_substrings_exact_chain_and_shared_boundary(
+        spark):
+    """Chains converge under the min-id keeper exactly like the core
+    remove (A < B < C sharing one block: A intact, B and C emptied of
+    it word-exactly), and overlapping boundary trims from multiple
+    partner spans compose by max — never double-counted past the
+    segment length."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"ch{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "aq1 aq2 " + shared + " aq3"),
+         (2, "bq1 " + shared + " bq2 bq3"),
+         (3, "cq1 cq2 cq3 " + shared)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.remove_cross_doc_substrings_exact(
+        docs, min_words=8).collect()}
+    assert out[1].n_removed_segs == 0 and out[1].n_trimmed_words == 0
+    for d, uniq in ((2, ["bq1", "bq2", "bq3"]),
+                    (3, ["cq1", "cq2", "cq3"])):
+        kept = out[d].clean_text.split()
+        assert kept == uniq, (d, kept)
+        # every shared word gone, none double-counted
+        total_gone = (sum(r.n_words for r in
+                          dd.cdc_segments(docs, 3).collect()
+                          if r.doc_id == d) - len(kept))
+        assert total_gone == 60
