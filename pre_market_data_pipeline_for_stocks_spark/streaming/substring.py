@@ -33,6 +33,15 @@ Per micro-batch, inside the writer:
      was stored, so a later batch repeating an already-SCRUBBED span
      is still caught by the surviving copy's segments.
 
+Granularity: the ingest scrub is SEGMENT-granular by design — the
+word-exact variant (``remove_cross_doc_substrings_exact``) needs the
+partner side's boundary-segment TEXT to measure the overhang, and the
+persisted index deliberately stores hashes only (corpus text is never
+re-read). The within-batch pass could run exact (both texts are in
+the batch) but stays segment-granular so stream == sequential-fold
+parity holds against the same batch primitive; the residual is the
+documented ~2^mask_bits words per span side.
+
 Exactly-once: foreachBatch is at-least-once — a recovered query
 replays a micro-batch under the same batch id. Both writes are
 batch-id-keyed overwrites and step 1 EXCLUDES the replayed batch's own
