@@ -1199,3 +1199,46 @@ def test_remove_cross_doc_substrings_exact_chain_and_shared_boundary(
                           dd.cdc_segments(docs, 3).collect()
                           if r.doc_id == d) - len(kept))
         assert total_gone == 60
+
+
+def test_common_prefix_suffix_words_match_python_reference(spark):
+    """The relational first-mismatch kernels behind the word-exact
+    family, checked against a plain-Python reference over a crafted
+    matrix of edge shapes: equal texts, one-prefix-of-other, disjoint,
+    single word, differing only at the first/last token, and null
+    sides (absent boundary => 0)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators.dedup import (
+        _common_prefix_words,
+        _common_suffix_words,
+    )
+
+    def ref_prefix(a, b):
+        if a is None or b is None:
+            return 0
+        ta, tb = a.split(), b.split()
+        n = 0
+        for x, y in zip(ta, tb):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    def ref_suffix(a, b):
+        if a is None or b is None:
+            return 0
+        return ref_prefix(" ".join(reversed(a.split())),
+                          " ".join(reversed(b.split())))
+
+    texts = ["w1 w2 w3 w4", "w1 w2 w3 w4", "w1 w2", "w1 w2 zz w4",
+             "zz w2 w3 w4", "w1", "zz", "a b c d e f g", None]
+    cases = [(a, b) for a in texts for b in texts]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = (df.select("a", "b",
+                     _common_prefix_words(F.col("a"), F.col("b"))
+                     .alias("p"),
+                     _common_suffix_words(F.col("a"), F.col("b"))
+                     .alias("s"))
+           .collect())
+    for r in got:
+        assert r.p == ref_prefix(r.a, r.b), (r.a, r.b, r.p)
+        assert r.s == ref_suffix(r.a, r.b), (r.a, r.b, r.s)
