@@ -1242,3 +1242,60 @@ def test_common_prefix_suffix_words_match_python_reference(spark):
     for r in got:
         assert r.p == ref_prefix(r.a, r.b), (r.a, r.b, r.p)
         assert r.s == ref_suffix(r.a, r.b), (r.a, r.b, r.s)
+
+
+def test_md5_i64b_three_way_parity(spark):
+    """The 120-bit key's second word agrees across three independent
+    implementations — the Spark column expression, the DuckDB twin
+    SQL, and plain hashlib — and is genuinely independent of word 1
+    (different values on every non-degenerate input)."""
+    import hashlib
+
+    import duckdb
+
+    from pre_market_data_pipeline_for_stocks_spark.functions.hashing import (
+        md5_i64,
+        md5_i64b,
+        md5_i64b_sql,
+        md5_i64_sql,
+    )
+    vals = ["", "a", "hello world", "x" * 100, "héllo",
+            "the quick brown fox", "123", " lead trail "]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: (r.h1, r.h2) for r in df.select(
+        "s", md5_i64(F.col("s")).alias("h1"),
+        md5_i64b(F.col("s")).alias("h2")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        d1, d2 = con.execute(
+            f"SELECT {md5_i64_sql('?')}, {md5_i64b_sql('?')}",
+            [v, v]).fetchone()
+        hexd = hashlib.md5(v.encode()).hexdigest()
+        ref1, ref2 = int(hexd[:15], 16), int(hexd[15:30], 16)
+        assert got[v] == (d1, d2) == (ref1, ref2), v
+        assert got[v][0] != got[v][1]
+
+
+def test_remove_cross_doc_substrings_exact_is_idempotent(spark):
+    """Running the word-exact removal over its own output finds
+    nothing left to remove: the repeat was excised in full on the
+    first pass (the segment-granular remove does NOT have this
+    property — its boundary slack can re-pair)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"ix{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, "aa1 aa2 " + shared + " aa3"),
+         (2, "bb1 " + shared + " bb2"),
+         (3, "cc1 cc2 " + shared)],
+        "doc_id long, text string")
+    once = (dd.remove_cross_doc_substrings_exact(docs, min_words=8)
+            .select("doc_id", F.col("clean_text").alias("text")))
+    again = {r.doc_id: r for r in
+             dd.remove_cross_doc_substrings_exact(once, min_words=8)
+             .collect()}
+    assert all(r.n_removed_segs == 0 and r.n_trimmed_words == 0
+               for r in again.values())
+    # and the texts are unchanged by the second pass
+    first = {r.doc_id: r.text for r in once.collect()}
+    for d, r in again.items():
+        assert r.clean_text == first[d]
