@@ -874,16 +874,33 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
     if calib is not None and not _drifted(calib, n_now, drift_pct):
         return {"retrained": False, "n_corpus": n_now,
                 "calibration": calib}
-    if sample_mod is None:
+    derived = sample_mod is None
+    if derived:
         sample_mod = max(1, -(-n_now // max(1, max_train_rows)))
     old_books, old_coarse = load_ivfpq_index(spark, index_path)
     m, kcent, _sd = np.asarray(old_books).shape
     n_cells = len(np.asarray(old_coarse))
 
-    rows = (embeddings.filter(F.col(id_col) % sample_mod == 0)
-            .select(F.col(id_col).alias("_id"),
-                    _quant_arr(F.col(vec_col)).alias("_qv"))
-            .orderBy("_id").collect())
+    # The modular sample assumes reasonably dense ids; on a derived
+    # stride the budget is enforced with a deterministic id-ordered
+    # LIMIT (ids clustered on stride multiples would otherwise blow
+    # past max_train_rows), and an id space that dodges the stride
+    # entirely (e.g. all-odd ids at stride 2) falls back to the
+    # id-ordered head — the nightly job must retrain, never crash on
+    # np.stack([]) (r14 review finding).
+    q = (embeddings.filter(F.col(id_col) % sample_mod == 0)
+         .select(F.col(id_col).alias("_id"),
+                 _quant_arr(F.col(vec_col)).alias("_qv"))
+         .orderBy("_id"))
+    if derived:
+        q = q.limit(max(1, max_train_rows))
+    rows = q.collect()
+    if not rows:
+        rows = (embeddings.select(F.col(id_col).alias("_id"),
+                                  _quant_arr(F.col(vec_col))
+                                  .alias("_qv"))
+                .orderBy("_id").limit(max(1, max_train_rows))
+                .collect())
     x = np.stack([np.asarray(r["_qv"], dtype=np.int64) for r in rows])
     coarse = lloyd_codebooks_int(x, m=1, kcent=n_cells, iters=iters)
     books = lloyd_codebooks_int(x, m=m, kcent=kcent, iters=iters)

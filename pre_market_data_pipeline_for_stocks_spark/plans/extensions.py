@@ -232,6 +232,10 @@ def dedup_cdc_spans(spark, sf_dir):
 
 SUBSTR_MIN_WORDS = 16
 SUBSTR_MAX_PAIR_DF = 16
+# r14 dual cap: total occurrences per segment hash — bounds pair rows
+# at max_occ² per hash even when the distinct-doc df is tiny (a
+# segment repeated 10k times inside each of two docs)
+SUBSTR_MAX_OCC = 64
 
 
 def dedup_substring_spans(spark, sf_dir):

@@ -83,18 +83,14 @@ from .premarket_tpch import (
     premarket_e2e_tpch,
 )
 
-_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"          # functions.hashing.md5_i64 twin
-_H2 = "('0x' || substr(md5({x}), 16, 15))::BIGINT"        # functions.hashing.md5_i64b twin
+# Templates and seeded helpers come from the ONE canonical definition
+# in functions.hashing (r14 review: a byte-for-byte re-implementation
+# here could silently diverge the oracles from the Spark side).
+from ..functions.hashing import md5_i64b_sql as _h2  # noqa: E402
+from ..functions.hashing import md5_i64_sql as _h  # noqa: E402
 
-
-def _h(x: str, seed: int | None = None) -> str:
-    s = f"('{seed}:' || {x})" if seed is not None else x
-    return _H.format(x=s)
-
-
-def _h2(x: str, seed: int | None = None) -> str:
-    s = f"('{seed}:' || {x})" if seed is not None else x
-    return _H2.format(x=s)
+_H = _h("{x}")     # functions.hashing.md5_i64 twin, {x}-templated
+_H2 = _h2("{x}")   # functions.hashing.md5_i64b twin
 
 
 # Shared CTE: distinct word 3-gram shingles per document, plus their
@@ -1000,9 +996,11 @@ def _substr_exact_x3() -> str:
     return f"""WITH {_CDC_SEGS_CTE},
 hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
               {_H2.format(x='seg')} AS sh2 FROM segs),
-fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
+              count(*) AS occ FROM hh GROUP BY 1, 2),
 el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
-       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}
+         AND fr.occ <= {X.SUBSTR_MAX_OCC}),
 pr AS (
   SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
          b.sid AS sb, a.n_words AS nw
@@ -2532,9 +2530,11 @@ GROUP BY 1 ORDER BY 1
 WITH {_CDC_SEGS_CTE},
 hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
               {_H2.format(x='seg')} AS sh2 FROM segs),
-fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
+              count(*) AS occ FROM hh GROUP BY 1, 2),
 el AS (SELECT hh.* FROM hh JOIN fr USING (sh, sh2)
-       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}
+         AND fr.occ <= {X.SUBSTR_MAX_OCC}),
 pr AS (
   SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
          b.sid AS sb, a.n_words AS nw
@@ -2629,10 +2629,12 @@ WITH {_CDC_SEGS_CTE},
 hh AS (SELECT doc_id, sid, n_words, seg,
               {_H.format(x='seg')} AS sh,
               {_H2.format(x='seg')} AS sh2 FROM segs),
-fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM hh GROUP BY 1, 2),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
+              count(*) AS occ FROM hh GROUP BY 1, 2),
 el AS (SELECT hh.doc_id, hh.sid, hh.n_words, hh.sh, hh.sh2
        FROM hh JOIN fr USING (sh, sh2)
-       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}),
+       WHERE fr.df BETWEEN 2 AND {X.SUBSTR_MAX_PAIR_DF}
+         AND fr.occ <= {X.SUBSTR_MAX_OCC}),
 pr AS (
   SELECT a.doc_id AS doc_a, a.sid AS sa, b.doc_id AS doc_b,
          b.sid AS sb, a.n_words AS nw
@@ -2671,10 +2673,12 @@ hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
 idx AS (SELECT doc_id, sid, n_words, sh, sh2 FROM hh WHERE doc_id % 2 = 0),
 bh AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh, sh2
        FROM hh WHERE doc_id % 2 = 1),
-fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df FROM idx GROUP BY 1, 2),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
+              count(*) AS occ FROM idx GROUP BY 1, 2),
 el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh, idx.sh2
        FROM idx JOIN fr USING (sh, sh2)
-       WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}),
+       WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}
+         AND fr.occ <= {X.SUBSTR_MAX_OCC}),
 pr AS (
   SELECT b.batch_doc, b.sa, e.corpus_doc, e.sb, b.nw
   FROM bh b JOIN el e USING (sh, sh2)

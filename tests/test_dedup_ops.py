@@ -1164,12 +1164,16 @@ def test_remove_cross_doc_substrings_exact_leaves_no_repeat(spark):
     assert out[1].clean_text == " ".join(pre_a + shared + suf_a)
     assert out[1].n_removed_segs == 0 and out[1].n_trimmed_words == 0
     assert out[2].clean_text == " ".join(pre_b + suf_b)
-    # core + trims account for exactly the shared block
+    # core + trims account for exactly the shared block: the doomed
+    # core segments' word sum (independently recomputed from the
+    # detection + segmentation) plus n_trimmed_words == 100
     seg_words = {(r.doc_id, r.seg_id): r.n_words
                  for r in dd.cdc_segments(docs, 3).collect()}
-    core_words = sum(n for (d, _), n in seg_words.items() if d == 2) \
-        - sum(len(x) for x in (pre_b, suf_b)) - out[2].n_trimmed_words
+    spans = dd.substring_duplicate_spans(docs, min_words=8).collect()
+    core_words = sum(seg_words[(s.doc_b, s.seg_start_b + i)]
+                     for s in spans for i in range(s.n_segs))
     assert out[2].n_trimmed_words > 0
+    assert core_words + out[2].n_trimmed_words == len(shared)
     assert len(out[2].clean_text.split()) == len(pre_b) + len(suf_b)
 
 
@@ -1299,3 +1303,42 @@ def test_remove_cross_doc_substrings_exact_is_idempotent(spark):
     first = {r.doc_id: r.text for r in once.collect()}
     for d, r in again.items():
         assert r.clean_text == first[d]
+
+
+def test_substring_occurrence_cap_bounds_pair_fanout(spark):
+    """r14 dual cap: segments whose WITHIN-doc repetition makes their
+    total occurrence count huge (df_docs=2 but ~80 occurrences — a
+    40x-repeated block in each of two docs) pass the distinct-doc cap
+    yet must be excluded by the occurrence cap: their pair space is
+    occurrences² per hash, exactly the blow-up the r13 occurrence
+    count bounded before the distinct-doc fix. The trade-off is
+    visible and documented — uncapped, the repeated region IS a true
+    giant cross-doc span; capped, it is skipped (boilerplate of this
+    shape is remove_duplicate_cdc_spans' job) while a once-per-doc
+    block of the same length still anchors its span."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    hot = " ".join(f"ht{i}" for i in range(40))
+    mild = " ".join(f"md{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 " + (hot + " ") * 40 + mild),
+         (2, "v1 " + (hot + " ") * 40 + mild + " v2")],
+        "doc_id long, text string")
+    seg_txt = {(r.doc_id, r.seg_id): r.seg
+               for r in dd.cdc_segments(docs, 3).collect()}
+
+    def covered(rows):
+        return " ".join(seg_txt[(s.doc_a, s.seg_start_a + i)]
+                        for s in rows for i in range(s.n_segs))
+
+    capped = dd.substring_duplicate_spans(docs, min_words=8,
+                                          max_occ=64).collect()
+    assert capped, "the once-per-doc block must still anchor a span"
+    assert "md5" in covered(capped)
+    assert "ht5" not in covered(capped), "hot segments leaked the cap"
+    # uncapped, the 40x-repeated region is detected as the giant true
+    # span it is — and its anchors each carry ~80x80 pair rows, the
+    # cost the cap exists to bound
+    uncapped = dd.substring_duplicate_spans(docs, min_words=8,
+                                            max_occ=10 ** 9).collect()
+    assert "ht5" in covered(uncapped)
+    assert max(s.n_words for s in uncapped) > 500

@@ -155,3 +155,33 @@ def test_maintain_ivfpq_sample_mod_derived_bounded(spark, sf_dir,
     assert n_sampled <= budget + 1
     # the replaced artifact still serves
     assert S.load_index_calibration(spark, path) is not None
+
+
+def test_maintain_ivfpq_survives_non_dense_ids(spark, sf_dir,
+                                               tmp_path):
+    """r14 review: a corpus whose ids all dodge the derived stride
+    (all-odd ids at stride 2) must fall back to the id-ordered head
+    instead of crashing np.stack on an empty sample, and the derived
+    path's LIMIT keeps the driver sample inside the budget even when
+    ids cluster on stride multiples."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") % 2 == 1))  # all-odd ids
+    n = emb.count()
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    qs = (emb.filter(F.col("vec_id") % 25 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    calib = S.calibrate_ivfpq_index(emb, qs, 10, 60, books, coarse)
+    path = str(tmp_path / "ivfpq_odd")
+    S.save_ivfpq_index(spark, books, coarse, path,
+                       calibration=dict(calib, n_corpus=7))  # drifted
+    # budget n//2 -> derived stride 2 -> id % 2 == 0 matches NOTHING
+    r = S.maintain_ivfpq_index(emb, path, qs, max_train_rows=n // 2)
+    assert r["retrained"] is True
+    assert S.load_index_calibration(spark, path) is not None
