@@ -985,10 +985,10 @@ def test_substring_spans_vs_index_equals_full_cross_pairs(spark, sf_dir):
     assert set(idx.columns) == {"doc_id", "seg_id", "n_words",
                                 "sh", "sh2"}
     inc = {tuple(r) for r in dd.substring_spans_vs_index(
-        batch, idx, min_words=8, max_pair_df=10 ** 6).collect()}
+        batch, idx, min_words=8, max_pair_df=10 ** 6, max_occ=10 ** 9).collect()}
     assert inc
     full = dd.substring_duplicate_spans(
-        docs, min_words=8, max_pair_df=10 ** 6).collect()
+        docs, min_words=8, max_pair_df=10 ** 6, max_occ=10 ** 9).collect()
     cross = set()
     for r in full:
         if r.doc_a % 2 == r.doc_b % 2:
@@ -1004,7 +1004,7 @@ def test_substring_spans_vs_index_equals_full_cross_pairs(spark, sf_dir):
     # in the index yields no (d, d) span
     re_inc = dd.substring_spans_vs_index(
         corpus.limit(5), dd.build_segment_index(corpus),
-        min_words=1, max_pair_df=10 ** 6).collect()
+        min_words=1, max_pair_df=10 ** 6, max_occ=10 ** 9).collect()
     assert all(r.batch_doc != r.corpus_doc for r in re_inc)
 
 
@@ -1116,10 +1116,10 @@ def test_substring_spans_exact_is_maximal_on_fixture(spark, sf_dir):
     words = {r.doc_id: r.text.split()
              for r in docs.select("doc_id", "text").collect()}
     rows = dd.substring_duplicate_spans_exact(
-        docs, min_words=8, max_pair_df=10 ** 6).collect()
+        docs, min_words=8, max_pair_df=10 ** 6, max_occ=10 ** 9).collect()
     assert rows
     assert len(rows) == len(dd.substring_duplicate_spans(
-        docs, min_words=8, max_pair_df=10 ** 6).collect())
+        docs, min_words=8, max_pair_df=10 ** 6, max_occ=10 ** 9).collect())
     for r in rows:
         wa, wb = words[r.doc_a], words[r.doc_b]
         sa, sb, n = r.word_start_a, r.word_start_b, r.n_words_exact
