@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="driver-side training-sample row budget used "
                          "to derive the stride when --ivfpq-sample-mod "
                          "is not given")
+    ap.add_argument("--keep-versions", type=int, default=2,
+                    help="artifact generations retained across atomic "
+                         "replaces (r14 VERDICT #3): a reader that "
+                         "resolved the serve symlink up to N-1 "
+                         "maintenance cycles ago still holds a live "
+                         "directory; default 2 = current + "
+                         "just-replaced, minimum enforced")
     args = ap.parse_args(argv)
 
     t0 = time.time()
@@ -134,13 +141,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.ivf_index:
             ivf = _metrics(S.maintain_ivf_index(
                 emb, args.ivf_index, calib_queries,
-                drift_pct=args.ivf_drift_pct))
+                drift_pct=args.ivf_drift_pct,
+                keep_versions=args.keep_versions))
         if args.ivfpq_index:
             ivfpq = _metrics(S.maintain_ivfpq_index(
                 emb, args.ivfpq_index, calib_queries,
                 drift_pct=args.ivf_drift_pct,
                 sample_mod=args.ivfpq_sample_mod,
-                max_train_rows=args.ivfpq_max_train_rows))
+                max_train_rows=args.ivfpq_max_train_rows,
+                keep_versions=args.keep_versions))
 
     ok = n_after == expected and n_orphans == 0
     print(json.dumps({

@@ -719,7 +719,8 @@ def ivf_topk_batch_from_index(embeddings: DataFrame, index_path: str,
                                      recall_target_pct)
 
 
-def _replace_artifact_dir(new_path: str, path: str) -> None:
+def _replace_artifact_dir(new_path: str, path: str,
+                          keep_versions: int = 2) -> None:
     """Swap a freshly-written artifact directory into the serve path
     with a VERSIONED-DIR + SYMLINK FLIP (r13 ADVICE: the old
     rename-away/rename-in dance had a window where the serve path did
@@ -735,12 +736,14 @@ def _replace_artifact_dir(new_path: str, path: str) -> None:
     Honest residual windows on local FS:
 
     - A reader that resolved the symlink BEFORE the flip and is still
-      mid-read when the previous version dir is removed can hit
-      FileNotFound. Only the N-1 version is removed (the new and the
-      just-replaced dirs coexist during the flip), so the exposure is
-      readers still in flight a FULL maintenance cycle later — with
-      nightly maintenance that is a reader stalled for hours, not the
-      every-concurrent-reader race of the old two-rename dance.
+      mid-read when its version dir is finally reclaimed can hit
+      FileNotFound. ``keep_versions`` (r14 VERDICT #3; default 2 =
+      current + just-replaced, minimum enforced) sets how many
+      generations survive each flip: a reader is exposed only after
+      ``keep_versions - 1`` FURTHER maintenance cycles complete — at
+      the default with nightly maintenance that is a reader stalled
+      for ~a day; ``keep_versions=3`` keeps the grandparent and
+      doubles the window, at one extra artifact copy of disk.
     - The FIRST call on a legacy real-directory serve path migrates
       it (rename dir → ``__v0``, then symlink); between those two
       steps the serve path briefly does not exist. One-time, at
@@ -752,11 +755,18 @@ def _replace_artifact_dir(new_path: str, path: str) -> None:
     import shutil
 
     path = path.rstrip("/")
-    prev_target = None
+    keep_versions = max(2, int(keep_versions))
     if os.path.islink(path):
-        prev_target = os.path.join(os.path.dirname(path),
-                                   os.readlink(path))
-        ver = int(prev_target.rsplit("__v", 1)[1]) + 1
+        target = os.readlink(path)
+        try:
+            ver = int(target.rsplit("__v", 1)[1]) + 1
+        except (IndexError, ValueError):
+            # hand-provisioned symlink whose target is outside the
+            # __v{N} scheme (r14 ADVICE #1: the int() parse raised
+            # IndexError here): leave the foreign target untouched —
+            # it is not ours to reclaim — and start versioning at 0.
+            # Readers holding the old target keep a live directory.
+            ver = 0
     elif os.path.exists(path):
         # legacy real dir: migrate into the versioned layout
         prev_target = path + "__v0"
@@ -775,18 +785,31 @@ def _replace_artifact_dir(new_path: str, path: str) -> None:
     # relative target: the artifact stays valid if the parent dir moves
     os.symlink(os.path.basename(vdir), tmp_link)
     os.replace(tmp_link, path)
-    # retention = current + just-replaced: readers who resolved the
-    # symlink moments before the flip keep a live directory; only the
-    # two-generations-old version is reclaimed.
-    stale = f"{path}__v{ver - 2}"
-    if ver >= 2 and os.path.exists(stale):
-        shutil.rmtree(stale)
+    # Retention (r14 VERDICT #3): the newest ``keep_versions`` dirs
+    # survive — __v{ver} .. __v{ver-keep_versions+1} — so a reader who
+    # resolved the symlink up to keep_versions-1 maintenance cycles
+    # ago still holds a live directory. The default (2: current +
+    # just-replaced) covers readers racing THIS flip; deployments with
+    # long-running readers widen the grace window via the knob. The
+    # sweep globs every __v{N} (not just ver-keep_versions) so a
+    # widened-then-narrowed knob still converges to the new policy.
+    base = os.path.basename(path) + "__v"
+    parent = os.path.dirname(path) or "."
+    for name in os.listdir(parent):
+        if not name.startswith(base):
+            continue
+        try:
+            n = int(name[len(base):])
+        except ValueError:
+            continue
+        if n <= ver - keep_versions:
+            shutil.rmtree(os.path.join(parent, name))
 
 
 def maintain_ivf_index(embeddings: DataFrame, index_path: str,
                        calib_queries: DataFrame,
                        drift_pct: int = 50, train_iters: int = 2,
-                       sample_mod: int = 1,
+                       sample_mod: int = 1, keep_versions: int = 2,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        q_id_col: str = "query_id",
@@ -816,6 +839,12 @@ def maintain_ivf_index(embeddings: DataFrame, index_path: str,
     if calib is not None and not _drifted(calib, n_now, drift_pct):
         return {"retrained": False, "n_corpus": n_now,
                 "n_cells": None, "calibration": calib}
+    if n_now == 0:
+        # An empty corpus has nothing to train on; the nightly job
+        # must report, never crash (r14 ADVICE #2 class). The served
+        # artifact is left as-is — stale beats nonexistent.
+        return {"retrained": False, "n_corpus": 0, "n_cells": None,
+                "reason": "empty corpus", "calibration": calib}
     n_cells = load_ivf_index(spark, index_path).count()
     # ceil keeps the retrained budget AT MOST the stored cell count
     # (stride seeding can't hit an exact k; empty cells may also drop)
@@ -834,7 +863,7 @@ def maintain_ivf_index(embeddings: DataFrame, index_path: str,
                                     q_id_col, q_vec_col)
     tmp = index_path.rstrip("/") + "__retrain_tmp"
     save_ivf_index(cents, tmp, calibration=new_calib)
-    _replace_artifact_dir(tmp, index_path)
+    _replace_artifact_dir(tmp, index_path, keep_versions)
     return {"retrained": True, "n_corpus": n_now,
             "n_cells": int(n_cells), "calibration": new_calib}
 
@@ -844,6 +873,7 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
                          drift_pct: int = 50, iters: int = 15,
                          sample_mod: int | None = None,
                          max_train_rows: int = 65536,
+                         keep_versions: int = 2,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          q_id_col: str = "query_id",
@@ -874,6 +904,13 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
     if calib is not None and not _drifted(calib, n_now, drift_pct):
         return {"retrained": False, "n_corpus": n_now,
                 "calibration": calib}
+    if n_now == 0:
+        # r14 ADVICE #2: with zero rows both the strided sample and
+        # the id-ordered fallback collect [] and np.stack([]) raised.
+        # An empty corpus cannot train codebooks; report and keep the
+        # existing artifact serving.
+        return {"retrained": False, "n_corpus": 0,
+                "reason": "empty corpus", "calibration": calib}
     derived = sample_mod is None
     if derived:
         sample_mod = max(1, -(-n_now // max(1, max_train_rows)))
@@ -914,7 +951,7 @@ def maintain_ivfpq_index(embeddings: DataFrame, index_path: str,
     tmp = index_path.rstrip("/") + "__retrain_tmp"
     save_ivfpq_index(spark, books, coarse[0], tmp,
                      calibration=new_calib)
-    _replace_artifact_dir(tmp, index_path)
+    _replace_artifact_dir(tmp, index_path, keep_versions)
     return {"retrained": True, "n_corpus": n_now,
             "n_cells": int(n_cells), "calibration": new_calib}
 

@@ -234,7 +234,11 @@ SUBSTR_MIN_WORDS = 16
 SUBSTR_MAX_PAIR_DF = 16
 # r14 dual cap: total occurrences per segment hash — bounds pair rows
 # at max_occ² per hash even when the distinct-doc df is tiny (a
-# segment repeated 10k times inside each of two docs)
+# segment repeated 10k times inside each of two docs). Passed
+# EXPLICITLY into every dedup call below (r14 ADVICE #4): the DuckDB
+# oracles bake {X.SUBSTR_MAX_OCC} into their SQL, so this one
+# definition site ties the twin parameters — dedup's own default
+# can drift without desynchronizing Spark from its oracle.
 SUBSTR_MAX_OCC = 64
 
 
@@ -248,7 +252,8 @@ def dedup_substring_spans(spark, sf_dir):
     return (dedup.substring_duplicate_spans(
                 _docs(spark, sf_dir), CDC_MASK_BITS,
                 min_words=SUBSTR_MIN_WORDS,
-                max_pair_df=SUBSTR_MAX_PAIR_DF)
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
             .orderBy("doc_a", "doc_b", "seg_start_a", "seg_start_b"))
 
 
@@ -263,7 +268,8 @@ def dedup_substring_spans_exact(spark, sf_dir):
     return (dedup.substring_duplicate_spans_exact(
                 _docs(spark, sf_dir), CDC_MASK_BITS,
                 min_words=SUBSTR_MIN_WORDS,
-                max_pair_df=SUBSTR_MAX_PAIR_DF)
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
             .orderBy("doc_a", "doc_b", "word_start_a", "word_start_b"))
 
 
@@ -275,7 +281,8 @@ def dedup_substring_removal(spark, sf_dir):
     return (dedup.remove_cross_doc_substrings(
                 _docs(spark, sf_dir), CDC_MASK_BITS,
                 min_words=SUBSTR_MIN_WORDS,
-                max_pair_df=SUBSTR_MAX_PAIR_DF)
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
             .orderBy("doc_id"))
 
 
@@ -289,7 +296,8 @@ def dedup_substring_removal_exact(spark, sf_dir):
     return (dedup.remove_cross_doc_substrings_exact(
                 _docs(spark, sf_dir), CDC_MASK_BITS,
                 min_words=SUBSTR_MIN_WORDS,
-                max_pair_df=SUBSTR_MAX_PAIR_DF)
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
             .orderBy("doc_id"))
 
 
@@ -306,7 +314,8 @@ def dedup_substring_incremental(spark, sf_dir):
     return (dedup.substring_spans_vs_index(
                 docs.filter(F.col("doc_id") % 2 == 1), index,
                 CDC_MASK_BITS, min_words=SUBSTR_MIN_WORDS,
-                max_pair_df=SUBSTR_MAX_PAIR_DF)
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
             .orderBy("batch_doc", "corpus_doc", "seg_start_batch",
                      "seg_start_corpus"))
 

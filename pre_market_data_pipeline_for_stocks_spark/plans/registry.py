@@ -2664,14 +2664,15 @@ GROUP BY 1 ORDER BY 1
 
     # operators.dedup.substring_spans_vs_index (r13): the incremental
     # sibling — batch (odd ids) vs the standing corpus's persisted
-    # segment-hash index (even ids); df cap on the INDEX side only.
+    # segment-hash index (even ids); occurrence cap on BOTH join
+    # sides (r14 ADVICE #3).
     "dedup_substring_incremental": QueryDef(
         X.dedup_substring_incremental, f"""
 WITH {_CDC_SEGS_CTE},
 hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
               {_H2.format(x='seg')} AS sh2 FROM segs),
 idx AS (SELECT doc_id, sid, n_words, sh, sh2 FROM hh WHERE doc_id % 2 = 0),
-bh AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh, sh2
+bh0 AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh, sh2
        FROM hh WHERE doc_id % 2 = 1),
 fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
               count(*) AS occ FROM idx GROUP BY 1, 2),
@@ -2679,6 +2680,9 @@ el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh, idx.sh2
        FROM idx JOIN fr USING (sh, sh2)
        WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}
          AND fr.occ <= {X.SUBSTR_MAX_OCC}),
+bfr AS (SELECT sh, sh2, count(*) AS occ FROM bh0 GROUP BY 1, 2),
+bh AS (SELECT bh0.* FROM bh0 JOIN bfr USING (sh, sh2)
+       WHERE bfr.occ <= {X.SUBSTR_MAX_OCC}),
 pr AS (
   SELECT b.batch_doc, b.sa, e.corpus_doc, e.sb, b.nw
   FROM bh b JOIN el e USING (sh, sh2)

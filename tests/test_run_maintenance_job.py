@@ -120,6 +120,118 @@ def test_replace_artifact_dir_symlink_flip(tmp_path):
     assert not (tmp_path / "art__v1").exists()
 
 
+def test_replace_artifact_dir_keep_versions(tmp_path):
+    """r14 VERDICT #3: the retention knob. keep_versions=3 keeps the
+    grandparent dir through a flip (a reader in flight TWO maintenance
+    cycles still holds a live directory); narrowing back to the
+    default 2 converges — the sweep reclaims every generation older
+    than the new policy, not just the single ver-keep_versions dir."""
+    import os
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        _replace_artifact_dir,
+    )
+
+    def mk(name, payload):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part.txt").write_text(payload)
+        return str(d)
+
+    serve = mk("art", "v0")
+    _replace_artifact_dir(mk("new1", "v1"), serve)  # migrate -> __v1
+    for i in (2, 3, 4):
+        _replace_artifact_dir(mk(f"new{i}", f"v{i}"), serve,
+                              keep_versions=3)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v4"
+    # N=3: current (__v4), parent (__v3), grandparent (__v2) live
+    assert (tmp_path / "art__v3").exists()
+    assert (tmp_path / "art__v2").exists()
+    assert not (tmp_path / "art__v1").exists()
+    # narrowing to the default reclaims the widened window's extras
+    _replace_artifact_dir(mk("new5", "v5"), serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v5"
+    assert (tmp_path / "art__v4").exists()
+    assert not (tmp_path / "art__v3").exists()
+    assert not (tmp_path / "art__v2").exists()
+    # keep_versions below the safe minimum is clamped to 2: the
+    # just-replaced dir always survives its own flip
+    _replace_artifact_dir(mk("new6", "v6"), serve, keep_versions=1)
+    assert (tmp_path / "art__v5").exists()
+    assert os.path.islink(serve)
+
+
+def test_replace_artifact_dir_foreign_symlink_target(tmp_path):
+    """r14 ADVICE #1: a hand-provisioned serve symlink whose target
+    lacks the __v{N} suffix must not crash the version parse. The
+    flip restarts versioning at __v0 and leaves the foreign target
+    dir untouched — it is not the protocol's to reclaim."""
+    import os
+
+    from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
+        _replace_artifact_dir,
+    )
+
+    def mk(name, payload):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part.txt").write_text(payload)
+        return str(d)
+
+    hand = mk("hand_built_index", "hand")
+    serve = str(tmp_path / "art")
+    os.symlink(os.path.basename(hand), serve)
+    _replace_artifact_dir(mk("new1", "v1"), serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v1"
+    # foreign dir untouched (readers holding it keep a live dir)
+    assert (tmp_path / "hand_built_index" / "part.txt").read_text() \
+        == "hand"
+    # subsequent flips run the normal versioned protocol
+    _replace_artifact_dir(mk("new2", "v2"), serve)
+    assert (tmp_path / "art" / "part.txt").read_text() == "v2"
+    assert (tmp_path / "art__v0").exists()
+
+
+def test_maintain_index_empty_corpus_reports(spark, sf_dir, tmp_path):
+    """r14 ADVICE #2: a drifted artifact over an EMPTY corpus must
+    report {'retrained': False, reason} — np.stack([]) used to raise
+    in the ivfpq trainer — and leave the served artifact in place
+    (stale beats nonexistent for the nightly job)."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = (emb.filter(F.col("vec_id") % 100 == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    empty = emb.limit(0)
+
+    books = S.load_pq_codebooks_parquet()
+    coarse = S.load_ivfpq_coarse()
+    calib = S.calibrate_ivfpq_index(emb, qs, 10, 60, books, coarse)
+    pq_path = str(tmp_path / "ivfpq_art")
+    S.save_ivfpq_index(spark, books, coarse, pq_path,
+                       calibration=dict(calib, n_corpus=7))  # drifted
+    r = S.maintain_ivfpq_index(empty, pq_path, qs)
+    assert r["retrained"] is False and r["reason"] == "empty corpus"
+    assert S.load_index_calibration(spark, pq_path) is not None
+
+    trained = S.train_ivf_centroids(emb, centroid_stride=50, iters=1,
+                                    sample_mod=2)
+    cents = spark.createDataFrame(
+        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    ivf_calib = S.calibrate_ivf_index(emb, cents, qs, k=10,
+                                      recall_target_pct=80)
+    ivf_path = str(tmp_path / "ivf_art")
+    S.save_ivf_index(cents, ivf_path,
+                     calibration=dict(ivf_calib, n_corpus=7))
+    r2 = S.maintain_ivf_index(empty, ivf_path, qs)
+    assert r2["retrained"] is False and r2["reason"] == "empty corpus"
+    assert S.load_index_calibration(spark, ivf_path) is not None
+
+
 def test_maintain_ivfpq_sample_mod_derived_bounded(spark, sf_dir,
                                                    tmp_path,
                                                    monkeypatch):
