@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Generate the BOILERPLATE-HEAVY sf1-scale corpus at .sfboil/ — the
+adversarial regime for the substring-dedup family (r14 VERDICT #2).
+
+The standing sf1 check (scripts/gen_sf1.py) replicates documents with
+per-doc word permutations: shingle sets decorrelate, so the dual caps
+(max_pair_df distinct docs, max_occ occurrences per segment hash) are
+near-best-case — almost nothing is hot. The regime Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") actually
+targets is the OPPOSITE: a large fraction of documents share verbatim
+headers/footers/templates, so boilerplate segment hashes carry df in
+the thousands. This generator builds that corpus WITH exact ground
+truth, so scripts/measure_boilerplate.py can report per-tier span
+recall, runtime, and cap-exclusion mass (recorded in BASELINE.md).
+
+Construction (deterministic, numpy PCG64):
+- base corpus: sf0.1 documents (5 000 docs) replicated x10 with the
+  same seeded per-doc word permutation as gen_sf1.py -> 50 000 docs
+  whose NATURAL text carries sf1's (low) duplicate structure.
+- boilerplate templates: 48-word sequences built from a synthetic
+  vocabulary (``twHt3x17``-style tokens) DISJOINT from the natural
+  vocabulary and unique per template — residual boilerplate mass in
+  any cleaned output is therefore exactly countable per doc (count
+  the surviving template tokens), no attribution heuristics.
+- tiers, one injection per doc (prepend for even ids, append for odd,
+  so both span-boundary directions are exercised):
+
+    tier  docs      templates  df/template   vs caps (df 16 / occ 64)
+    hot   12 500    5          ~2 500        excluded ~156x over
+    warm   5 000    50         ~100          excluded ~6x over
+    rare  10 000    1 000      ~10           INCLUDED (under both)
+    clean 22 500    —          —             —
+
+  ``rare`` is what the capped pair path must catch; ``hot``/``warm``
+  are what the caps deliberately route to the frequency path
+  (remove_duplicate_cdc_spans) — the measurement quantifies both.
+
+Outputs: .sfboil/documents.parquet (driver documents schema) and
+.sfboil/truth.parquet (doc_id, tier, template_id, injected_words,
+position) — the ground truth sidecar.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".sfboil")
+COPIES = 10
+STRIDE = 10_000_000
+TEMPLATE_WORDS = 48
+
+TIERS = {
+    # tier: (fraction of docs, number of templates)
+    "hot": (0.25, 5),
+    "warm": (0.10, 50),
+    "rare": (0.20, 1000),
+}
+
+
+def template_text(tier: str, tid: int) -> str:
+    """48 synthetic-vocabulary words, unique to (tier, tid): no
+    template shares a word with another template or with the natural
+    corpus, so surviving boilerplate is exactly countable."""
+    return " ".join(f"tw{tier[0].upper()}t{tid}x{j}"
+                    for j in range(TEMPLATE_WORDS))
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = t.column("source").to_pylist()
+
+    # --- replicate x10 with gen_sf1's seeded word permutation ---
+    all_ids, all_texts, all_langs, all_sources = [], [], [], []
+    for i in range(COPIES):
+        for did, txt, lg, srcv in zip(doc_ids, texts, langs, sources):
+            if i == 0:
+                nt = txt
+            else:
+                words = txt.split(" ")
+                rng = np.random.default_rng((i << 32) ^ (did & 0xFFFFFFFF))
+                nt = " ".join(np.array(words, dtype=object)
+                              [rng.permutation(len(words))])
+            all_ids.append(did + i * STRIDE)
+            all_texts.append(nt)
+            all_langs.append(lg)
+            all_sources.append(srcv)
+
+    n = len(all_ids)
+    # --- tier assignment: seeded global shuffle, contiguous slices ---
+    rng = np.random.default_rng(20260816)
+    order = rng.permutation(n)
+    truth_rows = []
+    pos = 0
+    for tier, (frac, n_tpl) in TIERS.items():
+        take = int(n * frac)
+        chosen = order[pos:pos + take]
+        pos += take
+        for k, idx in enumerate(chosen):
+            tid = k % n_tpl  # round-robin -> df ~ take / n_tpl each
+            tpl = template_text(tier, tid)
+            if all_ids[idx] % 2 == 0:
+                all_texts[idx] = tpl + " " + all_texts[idx]
+                where = "header"
+            else:
+                all_texts[idx] = all_texts[idx] + " " + tpl
+                where = "footer"
+            truth_rows.append((all_ids[idx], tier, f"{tier}:{tid}",
+                               TEMPLATE_WORDS, where))
+
+    docs = pa.table({
+        "doc_id": pa.array(all_ids, type=pa.int64()),
+        "text": pa.array(all_texts, type=pa.string()),
+        "lang": pa.array(all_langs, type=pa.string()),
+        "source": pa.array(all_sources, type=pa.string()),
+        "n_chars": pa.array([len(x) for x in all_texts],
+                            type=pa.int64()),
+    })
+    pq.write_table(docs, f"{DST}/documents.parquet")
+    truth = pa.table({
+        "doc_id": pa.array([r[0] for r in truth_rows], type=pa.int64()),
+        "tier": pa.array([r[1] for r in truth_rows], type=pa.string()),
+        "template_id": pa.array([r[2] for r in truth_rows],
+                                type=pa.string()),
+        "injected_words": pa.array([r[3] for r in truth_rows],
+                                   type=pa.int64()),
+        "position": pa.array([r[4] for r in truth_rows],
+                             type=pa.string()),
+    })
+    pq.write_table(truth, f"{DST}/truth.parquet")
+    df_per = {tier: int(n * frac) / n_tpl
+              for tier, (frac, n_tpl) in TIERS.items()}
+    print(f"docs: {docs.num_rows}, injected: {truth.num_rows}, "
+          f"df/template: {df_per}")
+    for f in sorted(os.listdir(DST)):
+        print(f, round(os.path.getsize(os.path.join(DST, f)) / 1e6, 1),
+              "MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Measure the substring-dedup family on the BOILERPLATE-HEAVY corpus
+(.sfboil/, scripts/gen_boilerplate.py) — r14 VERDICT #2.
+
+    python scripts/gen_boilerplate.py
+    python scripts/measure_boilerplate.py [--passes caps,batch,sweep,stream]
+
+Reports, per boilerplate tier (hot df~2500 / warm df~100 / rare df~10
+per template, caps at max_pair_df=16, max_occ=64):
+
+- cap-exclusion mass: the fraction of duplicate-eligible segment
+  occurrences (and their word mass) the dual caps exclude from the
+  pair join — the deliberate skip that keeps the pair space bounded,
+- end-to-end removal recall for the capped pair path
+  (remove_cross_doc_substrings, segment-granular + word-exact) vs the
+  frequency path (remove_duplicate_cdc_spans) that the caps route
+  corpus-wide boilerplate to,
+- a cap sweep (df/occ 16/64 -> 128/128) showing the recall/runtime
+  trade of widening the caps into the warm tier,
+- the STREAMING ingest scrub residual (r14 VERDICT #4, measured
+  option): the sequential scrub_writer fold over 5 micro-batches,
+  same residual accounting.
+
+Ground truth is exact: template tokens are a disjoint vocabulary
+(``twHt3x17``), so surviving boilerplate in any cleaned output is a
+token count, not an attribution heuristic. Keeper copies are reported
+separately — the pair path's min-id keeper RETAINS one copy per
+detected group by design, so its ceiling recall is < 1 while the
+frequency path (which strips every copy) can approach 1.
+
+Results are recorded in BASELINE.md next to the two-regime ANN table.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (  # noqa: E402
+    dedup,
+)
+from pre_market_data_pipeline_for_stocks_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".sfboil")
+TPL_RE = r"^tw[HWR]t[0-9]+x[0-9]+$"
+MIN_WORDS, MAX_DF, MAX_OCC, MASK_BITS = 16, 16, 64, 3
+
+
+def residual_by_tier(cleaned, truth, text_col):
+    """Surviving template-token mass per tier (exact: template
+    vocabulary is disjoint from natural text)."""
+    res = cleaned.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                        lambda w: w.rlike(TPL_RE))).alias("resid"))
+    rows = (truth.join(res, "doc_id", "left")
+            .groupBy("tier")
+            .agg(F.sum("injected_words").alias("injected"),
+                 F.sum(F.coalesce("resid", F.lit(0))).alias("resid"),
+                 F.countDistinct("template_id").alias("n_templates"))
+            .collect())
+    return {r["tier"]: {"injected": int(r["injected"]),
+                        "resid": int(r["resid"]),
+                        "recall": round(1 - r["resid"] / r["injected"], 4),
+                        "n_templates": int(r["n_templates"])}
+            for r in rows}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", default="caps,batch,sweep,stream")
+    args = ap.parse_args()
+    passes = set(args.passes.split(","))
+
+    spark = get_spark("boilerplate-measure")
+    docs = spark.read.parquet(f"{ROOT}/documents.parquet") \
+        .select("doc_id", "text")
+    truth = spark.read.parquet(f"{ROOT}/truth.parquet").cache()
+    truth.count()
+    out: dict = {"n_docs": docs.count()}
+
+    if "caps" in passes:
+        t0 = time.time()
+        segs = dedup.cdc_segments(docs, MASK_BITS)
+        from pre_market_data_pipeline_for_stocks_spark.functions.hashing import (
+            md5_i64,
+            md5_i64b,
+        )
+        hashed = segs.select("doc_id", "n_words",
+                             md5_i64(F.col("seg")).alias("sh"),
+                             md5_i64b(F.col("seg")).alias("sh2"))
+        fr = (hashed.groupBy("sh", "sh2")
+              .agg(F.countDistinct("doc_id").alias("df"),
+                   F.count(F.lit(1)).alias("occ"),
+                   F.sum("n_words").alias("words")))
+        agg = (fr.filter(F.col("occ") >= 2)
+               .agg(F.sum("occ").alias("dup_occ"),
+                    F.sum("words").alias("dup_words"),
+                    F.sum(F.when((F.col("df") > MAX_DF)
+                                 | (F.col("occ") > MAX_OCC),
+                                 F.col("occ"))).alias("excl_occ"),
+                    F.sum(F.when((F.col("df") > MAX_DF)
+                                 | (F.col("occ") > MAX_OCC),
+                                 F.col("words"))).alias("excl_words"))
+               .collect()[0])
+        out["cap_exclusion"] = {
+            "dup_eligible_occurrences": int(agg["dup_occ"]),
+            "excluded_occurrences": int(agg["excl_occ"] or 0),
+            "excluded_occ_frac": round(
+                (agg["excl_occ"] or 0) / agg["dup_occ"], 4),
+            "dup_eligible_words": int(agg["dup_words"]),
+            "excluded_words": int(agg["excl_words"] or 0),
+            "excluded_word_frac": round(
+                (agg["excl_words"] or 0) / agg["dup_words"], 4),
+            "wall_s": round(time.time() - t0, 1)}
+
+    if "batch" in passes:
+        for name, fn, col in (
+                ("pair_segment_granular",
+                 lambda d: dedup.remove_cross_doc_substrings(
+                     d, MASK_BITS, MIN_WORDS, MAX_DF, MAX_OCC),
+                 "clean_text"),
+                ("pair_word_exact",
+                 lambda d: dedup.remove_cross_doc_substrings_exact(
+                     d, MASK_BITS, MIN_WORDS, MAX_DF, MAX_OCC),
+                 "clean_text"),
+                ("frequency_cdc_spans",
+                 lambda d: dedup.remove_duplicate_cdc_spans(
+                     d, MASK_BITS, max_df=1),
+                 "clean_text")):
+            t0 = time.time()
+            cleaned = fn(docs).cache()
+            cleaned.count()
+            out[name] = {"by_tier": residual_by_tier(cleaned, truth, col),
+                         "wall_s": round(time.time() - t0, 1)}
+            cleaned.unpersist()
+
+    if "sweep" in passes:
+        for df_cap, occ_cap in ((16, 64), (128, 128)):
+            t0 = time.time()
+            cleaned = dedup.remove_cross_doc_substrings(
+                docs, MASK_BITS, MIN_WORDS, df_cap, occ_cap).cache()
+            cleaned.count()
+            out[f"sweep_df{df_cap}_occ{occ_cap}"] = {
+                "by_tier": residual_by_tier(cleaned, truth, "clean_text"),
+                "wall_s": round(time.time() - t0, 1)}
+            cleaned.unpersist()
+
+    if "stream" in passes:
+        from pre_market_data_pipeline_for_stocks_spark.streaming.substring import (
+            read_cleaned,
+            scrub_writer,
+        )
+        work = f"{ROOT}/_stream_work"
+        shutil.rmtree(work, ignore_errors=True)
+        index_root, cleaned_root = f"{work}/index", f"{work}/cleaned"
+        writer = scrub_writer(index_root, cleaned_root, MASK_BITS,
+                              MIN_WORDS, MAX_DF)
+        batched = docs.withColumn(
+            "_b", F.abs(F.hash("doc_id")) % 5).cache()
+        batched.count()
+        t0 = time.time()
+        for b in range(5):
+            writer(batched.filter(F.col("_b") == b).drop("_b"), b)
+        cleaned = read_cleaned(spark, cleaned_root).cache()
+        cleaned.count()
+        out["stream_scrub_5_batches"] = {
+            "by_tier": residual_by_tier(cleaned, truth, "text"),
+            "wall_s": round(time.time() - t0, 1)}
+        cleaned.unpersist()
+        batched.unpersist()
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

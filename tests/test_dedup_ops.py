@@ -1079,6 +1079,71 @@ def test_substring_pair_df_cap_counts_distinct_docs(spark):
     assert rows and all(r.doc_a == 1 and r.doc_b == 2 for r in rows)
 
 
+def test_substring_caps_route_hot_boilerplate_to_frequency_path(spark):
+    """r14 VERDICT #2 (boilerplate regime, the Lee et al. 2022 target
+    workload): a template shared by MANY docs (df 30 over the df-16
+    cap) is deliberately excluded from the pair join — zero spans,
+    bounded pair space — while a rare template (df 3) is caught; the
+    widened caps admit the hot tier (the sweep knob measured in
+    BASELINE.md); and the FREQUENCY path (remove_duplicate_cdc_spans)
+    strips the hot template from every copy at one groupBy, leaving
+    exactly the head-of-template words that merge into each doc's
+    unique-filler segment (boundaries are token-content-defined, so
+    that residual is identical across docs and computable from the
+    template alone)."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    hot = " ".join(f"hw{i}" for i in range(48))
+    rare = " ".join(f"rw{i}" for i in range(48))
+    rows = [(i, " ".join(f"f{i}w{j}" for j in range(10)) + " " + hot)
+            for i in range(30)]
+    rows += [(100 + i, " ".join(f"g{i}w{j}" for j in range(10))
+              + " " + rare) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = dd.substring_duplicate_spans(
+        docs, min_words=16, max_pair_df=16, max_occ=64).collect()
+    assert spans, "rare tier must be detected"
+    assert all(r.doc_a >= 100 and r.doc_b >= 100 for r in spans), \
+        "hot tier (df 30 > 16) must be cap-excluded from the pair join"
+
+    wide = dd.substring_duplicate_spans(
+        docs, min_words=16, max_pair_df=64, max_occ=64).collect()
+    assert any(r.doc_a < 30 and r.doc_b < 30 for r in wide), \
+        "widened caps must admit the hot tier"
+
+    # frequency path: df>=2 segments stripped from EVERY copy (no
+    # keeper). Residual per hot doc is the template-HEAD words that
+    # merge into the doc-unique filler segment — EXCEPT docs whose
+    # filler happens to END on a CDC boundary token: there the head
+    # lands in a pure template segment shared by every such doc
+    # (df 6 here), so it is stripped too. Boundaries are
+    # token-content-defined, so both populations are deterministic.
+    import hashlib
+
+    tpl_segs = dd.cdc_segments(
+        spark.createDataFrame([(0, hot)], "doc_id long, text string")
+    ).orderBy("seg_id").collect()
+    assert len(tpl_segs) > 1, "template must have an internal boundary"
+    k_head = tpl_segs[0].n_words
+    assert k_head == 5  # pinned: hw4 is the first boundary token
+
+    def ends_on_boundary(i):
+        h = int(hashlib.md5(f"f{i}w9".encode()).hexdigest()[:15], 16)
+        return h % 8 == 0
+
+    pure = {i for i in range(30) if ends_on_boundary(i)}
+    assert pure == {12, 15, 19, 21, 24, 29}  # pinned fixture split
+    out = {r.doc_id: r for r in
+           dd.remove_duplicate_cdc_spans(docs, max_df=1).collect()}
+    for i in range(30):
+        resid = [w for w in out[i].clean_text.split()
+                 if w.startswith("hw")]
+        if i in pure:
+            assert resid == []  # aligned copies stripped completely
+        else:
+            assert resid == hot.split()[:k_head]
+
+
 def test_substring_spans_exact_word_bounds(spark):
     """Word-exact bounds (r14, VERDICT r13 #4): prefix/suffix vocab
     fully disjoint from the shared block, so the maximal exact repeat
