@@ -301,6 +301,30 @@ def dedup_substring_removal_exact(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+SUBSTR_BOUNDARY_WORDS = 16
+
+
+def dedup_substring_incremental_exact(spark, sf_dir):
+    """Word-exact incremental substring spans (r15, VERDICT r14 #4):
+    the vs-index operator with the OPT-IN boundary-text index — the
+    even-id corpus's persisted index additionally stores each
+    segment's word offset and first/last 16 words (bounded text, not
+    the corpus), so each batch-vs-corpus run is extended to Lee et
+    al. 2022's exact word coordinates. Exact up to boundary_words of
+    overhang per side; all extension joins span-bounded."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.build_segment_index(
+        docs.filter(F.col("doc_id") % 2 == 0), CDC_MASK_BITS,
+        boundary_words=SUBSTR_BOUNDARY_WORDS)
+    return (dedup.substring_spans_vs_index_exact(
+                docs.filter(F.col("doc_id") % 2 == 1), index,
+                CDC_MASK_BITS, min_words=SUBSTR_MIN_WORDS,
+                max_pair_df=SUBSTR_MAX_PAIR_DF,
+                max_occ=SUBSTR_MAX_OCC)
+            .orderBy("batch_doc", "corpus_doc", "word_start_batch",
+                     "word_start_corpus"))
+
+
 def dedup_substring_incremental(spark, sf_dir):
     """Corpus-scan-free incremental substring spans (r13): even
     doc_ids play the standing corpus — reduced to its persisted

@@ -2703,6 +2703,110 @@ HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}
 ORDER BY batch_doc, corpus_doc, seg_start_batch, seg_start_corpus
 """),
 
+    # operators.dedup.substring_spans_vs_index_exact (r15, VERDICT
+    # r14 #4): the vs-index word-exact extension — batch boundary
+    # segments compared in FULL, corpus side against the index's
+    # persisted first/last SUBSTR_BOUNDARY_WORDS words (the bounded
+    # boundary text the opt-in index mode stores). Same dual caps
+    # (index occ AND batch occ) as the segment-granular incremental.
+    "dedup_substring_incremental_exact": QueryDef(
+        X.dedup_substring_incremental_exact, f"""
+WITH {_CDC_SEGS_CTE},
+hh AS (SELECT doc_id, sid, n_words, {_H.format(x='seg')} AS sh,
+              {_H2.format(x='seg')} AS sh2 FROM segs),
+idx AS (SELECT doc_id, sid, n_words, sh, sh2 FROM hh WHERE doc_id % 2 = 0),
+bh0 AS (SELECT doc_id AS batch_doc, sid AS sa, n_words AS nw, sh, sh2
+       FROM hh WHERE doc_id % 2 = 1),
+fr AS (SELECT sh, sh2, count(DISTINCT doc_id) AS df,
+              count(*) AS occ FROM idx GROUP BY 1, 2),
+el AS (SELECT idx.doc_id AS corpus_doc, idx.sid AS sb, idx.sh, idx.sh2
+       FROM idx JOIN fr USING (sh, sh2)
+       WHERE fr.df <= {X.SUBSTR_MAX_PAIR_DF}
+         AND fr.occ <= {X.SUBSTR_MAX_OCC}),
+bfr AS (SELECT sh, sh2, count(*) AS occ FROM bh0 GROUP BY 1, 2),
+bh AS (SELECT bh0.* FROM bh0 JOIN bfr USING (sh, sh2)
+       WHERE bfr.occ <= {X.SUBSTR_MAX_OCC}),
+pr AS (
+  SELECT b.batch_doc, b.sa, e.corpus_doc, e.sb, b.nw
+  FROM bh b JOIN el e USING (sh, sh2)
+  WHERE b.batch_doc <> e.corpus_doc),
+gi AS (
+  SELECT *, sb - sa AS delta,
+         sa - row_number() OVER (
+             PARTITION BY batch_doc, corpus_doc, sb - sa
+             ORDER BY sa) AS grp
+  FROM pr),
+sp AS (
+  SELECT batch_doc, corpus_doc,
+         min(sa)::BIGINT AS seg_start_batch,
+         (min(sa) + delta)::BIGINT AS seg_start_corpus,
+         count(*)::BIGINT AS n_segs, sum(nw)::BIGINT AS n_words
+  FROM gi GROUP BY batch_doc, corpus_doc, delta, grp
+  HAVING sum(nw) >= {X.SUBSTR_MIN_WORDS}),
+swb AS (
+  SELECT doc_id, sid, seg,
+         coalesce(sum(n_words) OVER (
+             PARTITION BY doc_id ORDER BY sid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS woff,
+         lag(seg) OVER (PARTITION BY doc_id ORDER BY sid) AS prev_seg
+  FROM segs WHERE doc_id % 2 = 1),
+iwt AS (
+  SELECT doc_id, sid,
+         coalesce(sum(n_words) OVER (
+             PARTITION BY doc_id ORDER BY sid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS woff,
+         array_to_string(w[1:least(len(w), {X.SUBSTR_BOUNDARY_WORDS})],
+                         ' ') AS head,
+         array_to_string(
+             w[greatest(len(w) - {X.SUBSTR_BOUNDARY_WORDS} + 1, 1)
+               : len(w)], ' ') AS tail
+  FROM (SELECT doc_id, sid, n_words,
+               string_split_regex(seg, '\\s+') AS w
+        FROM segs WHERE doc_id % 2 = 0)),
+j AS (
+  SELECT sp.*, b0.woff AS ws_b, b0.prev_seg AS lb, be.seg AS rb,
+         i0.woff AS ws_c, il.tail AS la, ir.head AS ra
+  FROM sp
+  JOIN swb b0 ON b0.doc_id = sp.batch_doc
+             AND b0.sid = sp.seg_start_batch
+  JOIN iwt i0 ON i0.doc_id = sp.corpus_doc
+             AND i0.sid = sp.seg_start_corpus
+  LEFT JOIN iwt il ON il.doc_id = sp.corpus_doc
+                  AND il.sid = sp.seg_start_corpus - 1
+  LEFT JOIN swb be ON be.doc_id = sp.batch_doc
+                  AND be.sid = sp.seg_start_batch + sp.n_segs
+  LEFT JOIN iwt ir ON ir.doc_id = sp.corpus_doc
+                  AND ir.sid = sp.seg_start_corpus + sp.n_segs),
+x1 AS (
+  SELECT j.*,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(la, '\\s+')) END AS lav,
+    CASE WHEN la IS NULL OR lb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE list_reverse(string_split_regex(lb, '\\s+')) END AS lbv,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(ra, '\\s+') END AS rav,
+    CASE WHEN ra IS NULL OR rb IS NULL THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(rb, '\\s+') END AS rbv
+  FROM j),
+x2 AS (SELECT *, least(len(lav), len(lbv)) AS nl,
+              least(len(rav), len(rbv)) AS nr FROM x1),
+x3 AS (SELECT *,
+    coalesce(list_filter(range(1, nl + 1),
+                         i -> lav[i] <> lbv[i])[1] - 1, nl) AS ext_l,
+    coalesce(list_filter(range(1, nr + 1),
+                         i -> rav[i] <> rbv[i])[1] - 1, nr) AS ext_r
+  FROM x2)
+SELECT batch_doc, corpus_doc,
+       (ws_b - ext_l)::BIGINT AS word_start_batch,
+       (ws_c - ext_l)::BIGINT AS word_start_corpus,
+       (n_words + ext_l + ext_r)::BIGINT AS n_words_exact,
+       n_segs, n_words AS n_words_core
+FROM x3
+ORDER BY batch_doc, corpus_doc, word_start_batch, word_start_corpus
+"""),
+
     # operators.merge.merge_upsert: Delta-style MERGE triad with
     # last-writer-wins (delete preferred on seq ties). The NOT EXISTS
     # is the left-anti twin; UNION ALL is the applied-changes append.

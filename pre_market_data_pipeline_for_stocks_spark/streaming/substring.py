@@ -33,14 +33,20 @@ Per micro-batch, inside the writer:
      was stored, so a later batch repeating an already-SCRUBBED span
      is still caught by the surviving copy's segments.
 
-Granularity: the ingest scrub is SEGMENT-granular by design — the
-word-exact variant (``remove_cross_doc_substrings_exact``) needs the
-partner side's boundary-segment TEXT to measure the overhang, and the
-persisted index deliberately stores hashes only (corpus text is never
-re-read). The within-batch pass could run exact (both texts are in
-the batch) but stays segment-granular so stream == sequential-fold
-parity holds against the same batch primitive; the residual is the
-documented ~2^mask_bits words per span side.
+Granularity: the DEFAULT ingest scrub is SEGMENT-granular — the
+word-exact trim needs the partner side's boundary-segment TEXT to
+measure the overhang, and the default index stores hashes only
+(corpus text is never re-read); the residual is the documented
+~2^mask_bits words per span side, measured per tier on the
+boilerplate fixture in BASELINE.md r15. The OPT-IN exact mode (r15,
+r14 VERDICT #4) closes it: pass ``exact_boundary_words=N`` (and seed
+with the same value) and the index additionally persists each
+segment's first/last N words plus its word offset — BOUNDED text
+(2N words/row), not the corpus — so both passes run word-exact
+(``remove_cross_doc_substrings_exact`` within the batch,
+``scrub_batch_vs_index_exact`` against the index), exact up to N
+words of overhang per span side. The value must match between seed
+and stream (one parquet schema per index_root).
 
 Exactly-once: foreachBatch is at-least-once — a recovered query
 replays a micro-batch under the same batch id. Both writes are
@@ -60,18 +66,24 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     build_segment_index,
     remove_cross_doc_substrings,
+    remove_cross_doc_substrings_exact,
     scrub_batch_vs_index,
+    scrub_batch_vs_index_exact,
 )
 from .admission import _index_dirs
 
 
 def seed_segment_index(corpus: DataFrame, index_root: str,
-                       mask_bits: int = 3) -> None:
+                       mask_bits: int = 3,
+                       boundary_words: int = 0) -> None:
     """Materialize the backfill corpus's segment index at
     ``index_root/seed`` — run once before starting the stream. An
     empty/missing root is also legal: the first micro-batch is then
-    scrubbed against nothing (cold start)."""
-    (build_segment_index(corpus, mask_bits)
+    scrubbed against nothing (cold start). ``boundary_words`` > 0
+    seeds the exact-mode index (must match the stream's
+    ``exact_boundary_words``)."""
+    (build_segment_index(corpus, mask_bits,
+                         boundary_words=boundary_words)
      .write.mode("overwrite").parquet(f"{index_root}/seed"))
 
 
@@ -87,21 +99,37 @@ def read_segment_index(spark: SparkSession, index_root: str,
 
 def scrub_writer(index_root: str, cleaned_root: str,
                  mask_bits: int = 3, min_words: int = 16,
-                 max_pair_df: int = 16):
+                 max_pair_df: int = 16,
+                 exact_boundary_words: int = 0):
     """The foreachBatch function behind ``run_scrub`` (exposed for
-    direct replay tests)."""
+    direct replay tests). ``exact_boundary_words`` > 0 switches BOTH
+    passes to the word-exact primitives and appends the boundary-text
+    index (module docstring, exact mode)."""
+    exact = exact_boundary_words > 0
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         index = read_segment_index(spark, index_root,
                                    exclude_batch=batch_id)
         # within-batch pass first (module doc step 2): same-batch
         # duplicates resolve by min-id before the index ever sees them
-        within = remove_cross_doc_substrings(batch_df, mask_bits,
-                                             min_words, max_pair_df)
+        if exact:
+            within = remove_cross_doc_substrings_exact(
+                batch_df, mask_bits, min_words, max_pair_df)
+            within = within.withColumn(
+                "n_removed", F.col("n_removed_segs"))
+        else:
+            within = remove_cross_doc_substrings(batch_df, mask_bits,
+                                                 min_words, max_pair_df)
         scrubbed = within.select("doc_id",
                                  F.col("clean_text").alias("text"))
-        cleaned = scrub_batch_vs_index(scrubbed, index, mask_bits,
-                                       min_words, max_pair_df)
+        if exact:
+            cleaned = scrub_batch_vs_index_exact(
+                scrubbed, index, mask_bits, min_words,
+                max_pair_df).drop("n_trimmed_words")
+        else:
+            cleaned = scrub_batch_vs_index(scrubbed, index, mask_bits,
+                                           min_words, max_pair_df)
         cleaned = (cleaned.join(
                        within.select("doc_id",
                                      F.col("n_removed").alias("_rm_w")),
@@ -115,7 +143,8 @@ def scrub_writer(index_root: str, cleaned_root: str,
         # (read back), so it records exactly what was stored even if
         # the plan above were nondeterministic.
         written = spark.read.parquet(f"{cleaned_root}/batch-{batch_id}")
-        (build_segment_index(written, mask_bits)
+        (build_segment_index(written, mask_bits,
+                             boundary_words=exact_boundary_words)
          .write.mode("overwrite")
          .parquet(f"{index_root}/batch-{batch_id}"))
     return write
@@ -124,12 +153,14 @@ def scrub_writer(index_root: str, cleaned_root: str,
 def run_scrub(doc_stream: DataFrame, index_root: str,
               cleaned_root: str, checkpoint: str,
               mask_bits: int = 3, min_words: int = 16,
-              max_pair_df: int = 16) -> None:
+              max_pair_df: int = 16,
+              exact_boundary_words: int = 0) -> None:
     """Drive the scrub stream synchronously to exhaustion (local
     drain; a deployment leaves the query running)."""
     q = (doc_stream.writeStream.outputMode("append")
          .foreachBatch(scrub_writer(index_root, cleaned_root,
-                                    mask_bits, min_words, max_pair_df))
+                                    mask_bits, min_words, max_pair_df,
+                                    exact_boundary_words))
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())

@@ -1407,3 +1407,71 @@ def test_substring_occurrence_cap_bounds_pair_fanout(spark):
                                             max_occ=10 ** 9).collect()
     assert "ht5" in covered(uncapped)
     assert max(s.n_words for s in uncapped) > 500
+
+
+def test_boundary_index_and_exact_scrub_zero_residual(spark):
+    """r15 (VERDICT r14 #4, opt-in exact mode): an index built with
+    boundary_words persists woff/head/tail; the vs-index exact span
+    reports the FULL maximal repeat (word-exact coordinates on both
+    sides), and the exact scrub leaves ZERO residual shared words —
+    the segment-granular scrub's ~2^mask_bits-per-side overhang is
+    trimmed using only the index's bounded boundary text, never the
+    corpus."""
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    shared = " ".join(f"sh{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 c3 " + shared + " c4 c5")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "b1 b2 b3 b4 b5 " + shared + " b6 b7")],
+        "doc_id long, text string")
+    idx = dd.build_segment_index(corpus, 3, boundary_words=16)
+    assert {"woff", "head", "tail"} <= set(idx.columns)
+    rows = idx.orderBy("seg_id").collect()
+    assert rows[0].woff == 0
+    assert [r.woff for r in rows] == \
+        [sum(x.n_words for x in rows[:i]) for i in range(len(rows))]
+    for r in rows:
+        seg_words = min(r.n_words, 16)
+        assert len(r.head.split()) == seg_words
+        assert len(r.tail.split()) == seg_words
+
+    span = dd.substring_spans_vs_index_exact(
+        batch, idx, 3, min_words=16).collect()
+    assert len(span) == 1
+    s = span[0]
+    # word-exact coordinates: the shared block starts at word 5 of
+    # the batch doc and word 3 of the corpus doc, 60 words long
+    assert (s.word_start_batch, s.word_start_corpus,
+            s.n_words_exact) == (5, 3, 60)
+    assert s.n_words_exact == s.n_words_core + (60 - s.n_words_core)
+
+    out = dd.scrub_batch_vs_index_exact(
+        batch, idx, 3, min_words=16).collect()[0]
+    assert out.text == "b1 b2 b3 b4 b5 b6 b7"  # zero residual
+    assert out.n_removed + 0 > 0
+    assert out.n_trimmed_words == 60 - s.n_words_core
+    # the segment-granular scrub on the same input leaves overhang
+    seg_out = dd.scrub_batch_vs_index(
+        batch, idx, 3, min_words=16).collect()[0]
+    assert any(w.startswith("sh") for w in seg_out.text.split())
+
+
+def test_exact_scrub_requires_boundary_index(spark):
+    """A hash-only index cannot serve the word-exact scrub: clear
+    ValueError naming the missing columns, not a silent
+    segment-granular fallback."""
+    import pytest
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    idx = dd.build_segment_index(docs, 3)  # no boundary_words
+    with pytest.raises(ValueError, match="boundary_words"):
+        dd.scrub_batch_vs_index_exact(docs, idx, 3)
+    with pytest.raises(ValueError, match="boundary_words"):
+        dd.substring_spans_vs_index_exact(docs, idx, 3)
+    # cold start (index=None) is still legal: normalize-only
+    out = dd.scrub_batch_vs_index_exact(docs, None, 3).collect()[0]
+    assert out.n_removed == 0 and out.n_trimmed_words == 0

@@ -165,3 +165,86 @@ def test_scrub_within_batch_duplicates(spark, tmp_path):
     w(later, 1)
     got1 = spark.read.parquet(f"{cleaned_root}/batch-1").collect()[0]
     assert got1.n_removed > 0 and "bx20" not in got1.text
+
+
+def _sequential_fold_exact(seed, batches, min_words=16, bw=16):
+    """Exact-mode twin of _sequential_fold: word-exact within-batch
+    pass, word-exact index scrub, boundary-text index appends. The
+    index is materialized per step (localCheckpoint) — the writer
+    reads it back from parquet, and the exact scrub references the
+    index relation several times, so an unexecuted union lineage
+    would re-evaluate the whole fold prefix at every reference."""
+    index = dd.build_segment_index(seed, boundary_words=bw) \
+        .localCheckpoint()
+    out = []
+    for b in batches:
+        within = dd.remove_cross_doc_substrings_exact(
+            b, min_words=min_words)
+        scrubbed = within.select(
+            "doc_id", F.col("clean_text").alias("text"))
+        cleaned = dd.scrub_batch_vs_index_exact(
+            scrubbed, index, min_words=min_words) \
+            .drop("n_trimmed_words")
+        cleaned = (cleaned.join(
+                       within.select("doc_id",
+                                     F.col("n_removed_segs")
+                                     .alias("_w")), "doc_id")
+                   .withColumn("n_removed",
+                               F.col("n_removed") + F.col("_w"))
+                   .drop("_w"))
+        out.append(cleaned)
+        index = index.unionByName(dd.build_segment_index(
+            cleaned.select("doc_id", "text"), boundary_words=bw)) \
+            .localCheckpoint()
+    rows = out[0]
+    for o in out[1:]:
+        rows = rows.unionByName(o)
+    return {r.doc_id: (r.text, r.n_removed) for r in rows.collect()}
+
+
+def test_stream_scrub_exact_mode_matches_fold_and_trims_overhang(
+        spark, tmp_path):
+    """r15 (VERDICT r14 #4): the opt-in exact mode. Stream ==
+    sequential fold of the word-exact primitives; cross-micro-batch
+    repeats are scrubbed to ZERO residual shared words (the
+    segment-granular mode's per-side overhang is trimmed using the
+    index's persisted boundary text); replay of a micro-batch is
+    idempotent."""
+    seed = spark.createDataFrame(
+        [(1, "s1 s2 " + BLOCK_X + " s3")], "doc_id long, text string")
+    b0 = spark.createDataFrame(
+        [(100, "a1 " + BLOCK_X + " a2"),
+         (101, "b1 b2 " + BLOCK_Y + " b3")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(200, "c1 " + BLOCK_Y + " c2")], "doc_id long, text string")
+
+    index_root = str(tmp_path / "idx")
+    cleaned_root = str(tmp_path / "cln")
+    ss.seed_segment_index(seed, index_root, boundary_words=16)
+    w = ss.scrub_writer(index_root, cleaned_root,
+                        exact_boundary_words=16)
+    w(b0, 0)
+    w(b1, 1)
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in ss.read_cleaned(spark, cleaned_root).collect()}
+    want = _sequential_fold_exact(seed, (b0, b1))
+    assert got == want and len(got) == 3
+
+    # ZERO residual: no bx-word of the seed's block survives in 100,
+    # no by-word of 101's block survives in 200 — word-exact, unlike
+    # the segment-granular default (overhang words remain there)
+    assert got[100][0] == "a1 a2"
+    assert got[101][1] == 0 and "by20" in got[101][0]
+    assert got[200][0] == "c1 c2"
+
+    # replay idempotence carries over to exact mode
+    w(b1, 1)
+    again = {r.doc_id: (r.text, r.n_removed)
+             for r in ss.read_cleaned(spark, cleaned_root).collect()}
+    assert again == got
+
+    # the exact index stores bounded boundary text
+    idx = ss.read_segment_index(spark, index_root)
+    assert {"woff", "head", "tail"} <= set(idx.columns)
+    assert idx.select(F.max(F.size(F.split("tail", r"\s+")))
+                      .alias("m")).collect()[0].m <= 16
