@@ -156,30 +156,36 @@ def main() -> None:
                 "wall_s": round(time.time() - t0, 1)}
             cleaned.unpersist()
 
-    if "stream" in passes:
+    stream_modes = [m for m in ("stream", "stream_exact")
+                    if m in passes]
+    if stream_modes:
         from pre_market_data_pipeline_for_stocks_spark.streaming.substring import (
             read_cleaned,
             scrub_writer,
         )
-        work = f"{ROOT}/_stream_work"
-        shutil.rmtree(work, ignore_errors=True)
-        index_root, cleaned_root = f"{work}/index", f"{work}/cleaned"
-        writer = scrub_writer(index_root, cleaned_root, MASK_BITS,
-                              MIN_WORDS, MAX_DF)
         batched = docs.withColumn(
             "_b", F.abs(F.hash("doc_id")) % 5).cache()
         batched.count()
-        t0 = time.time()
-        for b in range(5):
-            writer(batched.filter(F.col("_b") == b).drop("_b"), b)
-        cleaned = read_cleaned(spark, cleaned_root).cache()
-        cleaned.count()
-        out["stream_scrub_5_batches"] = {
-            "by_tier": residual_by_tier(cleaned, truth, "text"),
-            "wall_s": round(time.time() - t0, 1)}
-        cleaned.unpersist()
+        for mode in stream_modes:
+            bw = 16 if mode == "stream_exact" else 0
+            work = f"{ROOT}/_stream_work_{mode}"
+            shutil.rmtree(work, ignore_errors=True)
+            index_root = f"{work}/index"
+            cleaned_root = f"{work}/cleaned"
+            writer = scrub_writer(index_root, cleaned_root, MASK_BITS,
+                                  MIN_WORDS, MAX_DF,
+                                  exact_boundary_words=bw)
+            t0 = time.time()
+            for b in range(5):
+                writer(batched.filter(F.col("_b") == b).drop("_b"), b)
+            cleaned = read_cleaned(spark, cleaned_root).cache()
+            cleaned.count()
+            out[f"{mode}_scrub_5_batches"] = {
+                "by_tier": residual_by_tier(cleaned, truth, "text"),
+                "wall_s": round(time.time() - t0, 1)}
+            cleaned.unpersist()
+            shutil.rmtree(work, ignore_errors=True)
         batched.unpersist()
-        shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps(out))
 

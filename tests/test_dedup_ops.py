@@ -1475,3 +1475,25 @@ def test_exact_scrub_requires_boundary_index(spark):
     # cold start (index=None) is still legal: normalize-only
     out = dd.scrub_batch_vs_index_exact(docs, None, 3).collect()[0]
     assert out.n_removed == 0 and out.n_trimmed_words == 0
+
+
+def test_substring_vs_index_exact_plan_has_no_cartesian(spark, sf_dir):
+    """The vs-index exact family keeps the dedup plan contract: every
+    join added by the boundary extension is a (doc, seg_id) equi-join
+    — never a cartesian or broadcast-nested-loop product."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import dedup as dd
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    idx = dd.build_segment_index(
+        docs.filter(F.col("doc_id") % 2 == 0), boundary_words=16)
+    for df in (dd.substring_spans_vs_index_exact(
+                   docs.filter(F.col("doc_id") % 2 == 1), idx),
+               dd.scrub_batch_vs_index_exact(
+                   docs.filter(F.col("doc_id") % 2 == 1), idx)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
