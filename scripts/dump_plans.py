@@ -1,0 +1,53 @@
+"""Dump .explain("formatted") for bench queries to plans/r15/<name>_<tag>.txt.
+
+Usage: python scripts/dump_plans.py before [name ...]
+       python scripts/dump_plans.py after  [name ...]
+
+With no names, dumps the full headline suite plus the extended bench
+set. Planning only — nothing is executed, so this is safe to run while
+other work keeps the host busy.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pre_market_data_pipeline_for_stocks_spark.plans.registry import (  # noqa: E402
+    extended_bench_queries,
+    headline_queries,
+)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r15"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    suite = dict(headline_queries())
+    for n, fn in extended_bench_queries().items():
+        suite.setdefault(n, fn)
+    if names:
+        suite = {n: suite[n] for n in names}
+
+    spark = get_spark("dump-plans")
+    for name, fn in suite.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+        except Exception as e:  # noqa: BLE001 — record, keep dumping
+            plan = f"PLANNING FAILED: {e!r}\n"
+        (out_dir / f"{name}_{tag}.txt").write_text(plan)
+        print(f"{name}: {len(plan)} bytes")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
