@@ -20,12 +20,21 @@ ANN_QUERY_ID = 0
 ANN_TOPK = 10
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, ["documents"])["documents"]
+def _docs(spark: SparkSession, sf_dir: str,
+          rebalance: bool = False) -> DataFrame:
+    """``rebalance=True`` opts into sources.offline.rebalance_narrow_scan
+    (scale-adaptive map-parallelism restore) — only for queries whose
+    paired A/B measured a win; see that docstring for the trade."""
+    return load_testdata(spark, sf_dir, ["documents"],
+                         rebalance=("documents",) if rebalance else ()
+                         )["documents"]
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+def _emb(spark: SparkSession, sf_dir: str,
+         rebalance: bool = False) -> DataFrame:
+    return load_testdata(spark, sf_dir, ["embeddings"],
+                         rebalance=("embeddings",) if rebalance else ()
+                         )["embeddings"]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,16 +68,21 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs — the small-scale oracle baseline (scale path: MinHash-LSH)."""
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+    """Exact word-3-gram Jaccard pairs — the small-scale oracle baseline
+    (scale path: MinHash-LSH). rebalance=True (r15): the shingle
+    explode+md5 pass and the O(Σ df²) self-join dominate; restoring
+    map parallelism on a narrow scan measured 2.35→1.62 s at sf0.1."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir, rebalance=True),
                                      n=3, threshold=JACCARD_THRESHOLD)
 
 
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact Jaccard pairs via All-Pairs/PPJoin prefix filtering —
     same results as dedup_ngram_jaccard from a candidate join over
-    each doc's rarest shingles only (hot boilerplate never joins)."""
-    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir),
+    each doc's rarest shingles only (hot boilerplate never joins).
+    rebalance=True (r15): same derivation-dominated profile as the
+    exact baseline; measured 6.2→5.2 s at sf0.1."""
+    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir, rebalance=True),
                                       n=3, threshold=JACCARD_THRESHOLD)
 
 
@@ -1496,7 +1510,7 @@ def dedup_semantic_prune(spark, sf_dir):
     max_cell=4096 (hot-cell guard) is the default here (r6 #8): no-op
     at oracle scale, bounds the in-cell pair join on skewed corpora
     (over-cap cells conservatively skip pruning)."""
-    return similarity.semantic_dedup(_emb(spark, sf_dir),
+    return similarity.semantic_dedup(_emb(spark, sf_dir, rebalance=True),
                                      tau=SEMDEDUP_TAU,
                                      centroid_stride=SEMDEDUP_STRIDE,
                                      max_cell=4096)

@@ -1,0 +1,91 @@
+"""r15 phase profiler: decompose the heavy bench queries into timed
+sub-plans (noop-forced, cache-cleared between runs) so optimization
+targets the real cost, not the guessed one. Read-only; not a bench."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (  # noqa: E402
+    dedup, similarity)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import (  # noqa: E402
+    load_testdata)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(spark, label, fn, n=2):
+    times = []
+    for _ in range(n):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(f"{min(times):8.3f}  {label}  {times}")
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    spark = get_spark("profile-r15")
+    docs = load_testdata(spark, SF, ["documents"])["documents"]
+    emb = load_testdata(spark, SF, ["embeddings"])["embeddings"]
+
+    # warmup JVM + python workers
+    force(similarity.lsh_candidate_pairs(emb, bands=4,
+                                         planes_per_band="auto",
+                                         threshold=0.4, max_bucket=4096))
+
+    print("== ann_cosine_near_dup phases ==")
+    t(spark, "emb.count (auto sizing)", lambda: emb.count())
+    t(spark, "full query", lambda: force(similarity.lsh_candidate_pairs(
+        emb, bands=4, planes_per_band="auto", threshold=0.4,
+        max_bucket=4096)))
+    t(spark, "full query, no cap", lambda: force(
+        similarity.lsh_candidate_pairs(emb, bands=4,
+                                       planes_per_band="auto",
+                                       threshold=0.4, max_bucket=None)))
+    t(spark, "full query, fixed r=4 (no count)", lambda: force(
+        similarity.lsh_candidate_pairs(emb, bands=4, planes_per_band=4,
+                                       threshold=0.4, max_bucket=4096)))
+
+    print("== dedup_ngram_jaccard phases ==")
+    t(spark, "full query", lambda: force(dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5)))
+    t(spark, "no persist", lambda: force(dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, persist_shingles=False)))
+    t(spark, "shingles only (count)", lambda: dedup.hashed_shingles(
+        docs, 3).count())
+    t(spark, "shingles noop", lambda: force(dedup.hashed_shingles(docs, 3)))
+
+    print("== dedup_minhash_lsh phases ==")
+    t(spark, "full query", lambda: force(dedup.minhash_lsh_pairs(
+        docs, 8, 4, 3, 0.5)))
+    t(spark, "signatures only", lambda: force(dedup.minhash_signatures(
+        docs, 8, 3)))
+
+    print("== ann_ivf_topk phases ==")
+    t(spark, "train only (collect)", lambda: similarity.train_ivf_centroids(
+        emb, 200, 1, sample_mod=2).collect())
+    t(spark, "full query", lambda: force(similarity.ivf_topk(
+        emb, query_vec_id=0, k=10, centroid_stride=200, nprobe=3,
+        train_iters=1, train_sample_mod=2)))
+
+    print("== premarket_e2e phases ==")
+    from pre_market_data_pipeline_for_stocks_spark.plans.premarket_tpch import (
+        premarket_e2e_tpch)
+    t(spark, "full query", lambda: force(premarket_e2e_tpch(spark, SF)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""rebalance_narrow_scan (r15): the scale-adaptive map-parallelism
+restore for narrow fixture scans — gate math, kill switch, and result
+invariance for the opted-in queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from pre_market_data_pipeline_for_stocks_spark.sources import offline
+
+
+def test_small_file_rebalances_to_default_parallelism(spark, sf_dir):
+    df = offline.load_testdata(spark, sf_dir, ["documents"],
+                               rebalance=("documents",))["documents"]
+    assert df.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
+def test_default_is_no_rebalance(spark, sf_dir):
+    df = offline.load_testdata(spark, sf_dir, ["documents"])["documents"]
+    # single small parquet file -> one scan split
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_gate_skips_well_parallel_scans(spark, sf_dir, monkeypatch):
+    # Pretend splits are tiny so the estimated split count exceeds
+    # half the cores: the gate must leave the scan untouched — this is
+    # the at-scale behavior (many real splits -> no extra exchange).
+    monkeypatch.setattr(offline, "_DEFAULT_MAX_PARTITION_BYTES", 1024)
+    df = offline.load_testdata(spark, sf_dir, ["documents"],
+                               rebalance=("documents",))["documents"]
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_env_kill_switch(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_REBALANCE", "0")
+    df = offline.load_testdata(spark, sf_dir, ["documents"],
+                               rebalance=("documents",))["documents"]
+    assert df.rdd.getNumPartitions() == 1
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard",
+                                  "dedup_semantic_prune"])
+def test_rebalanced_query_results_unchanged(spark, sf_dir, monkeypatch,
+                                            name):
+    """The opted-in queries must emit the identical row set with the
+    rebalance on and off — partition layout is not a semantic input
+    (the oracle sweep checks the ON path against DuckDB; this pins
+    ON == OFF directly)."""
+    from pre_market_data_pipeline_for_stocks_spark.plans import registry
+    fn = registry.REGISTRY[name].fn
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_REBALANCE", "0")
+    off = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_REBALANCE", "1")
+    on = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert on == off
