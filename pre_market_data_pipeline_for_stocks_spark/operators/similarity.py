@@ -103,6 +103,85 @@ def _projection(vec_col, plane: int, dims: int):
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _banded_sign_keys_arrow(embeddings: DataFrame, bands: int,
+                            planes_per_band: int,
+                            dims: int = 64) -> DataFrame:
+    """(vec_id, band, band_key): the banded sign-LSH keys of
+    lsh_candidate_pairs as ONE Arrow-batched integer kernel — the r8
+    "Arrow kernel over HOF fold" lesson applied to the banded-key
+    build (r15). The expression form evaluated bands×planes
+    interpreted _projection folds per row (each a 64-element lambda,
+    no codegen) plus an explode; measured 0.65 s single-task per
+    uncached plan branch at sf0.1, recomputed concurrently by every
+    branch racing to fill the shared cache. Here each batch is one
+    (rows × dims) int64 matmul against the ±1 plane matrix plus bit
+    packing — milliseconds — and the band explosion is emitted
+    directly (mapInPandas may change cardinality), so the Generate
+    node disappears too.
+
+    BIT-IDENTICAL to the fold by construction (same DuckDB twin):
+    elements widen float32→float64 exactly like ``cast("double")``,
+    the 1e-3 quantization floor(v*1000 + 0.5) runs in IEEE float64 in
+    both engines, and the projection over the quantized int64 grid
+    with ±1 weights is an exact int64 sum in any evaluation order —
+    the sign can never flip (the r9 _projection contract). Parity is
+    pinned in tests/test_similarity_ops.py.
+
+    Degenerate-input semantics match the fold where the engine's data
+    contract can reach them: a NULL/absent vector or one whose length
+    differs from ``dims`` gets band_key 0 in every band (the fold's
+    NULL-propagation → bit 0 behavior). Vectors containing NaN (no
+    fixture or operator emits them) collapse to key 0 here as well,
+    where the fold would zero only the NaN element — documented
+    divergence on data outside the contract.
+
+    vec_id is emitted as long (the engine's id currency); callers
+    joining back to the source relation get the usual upcast."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = bands * planes_per_band
+    w = np.array([[_plane_weight(p, d) for d in range(dims)]
+                  for p in range(n_planes)], dtype=np.int64).T  # (dims, P)
+    bit_w = np.array([1 << r for r in range(planes_per_band)],
+                     dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "band": pd.Series([], dtype="int32"),
+                                    "band_key": pd.Series([], dtype="int64")})
+                continue
+            vecs = pdf["embedding"].to_numpy()
+            ok = np.array([v is not None and len(v) == dims for v in vecs])
+            mat = np.zeros((n, dims), dtype=np.float64)
+            if ok.any():
+                mat[ok] = np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in vecs[ok]])
+            q = np.floor(mat * 1000.0 + 0.5)
+            bad = ~np.isfinite(q).all(axis=1)
+            q[bad] = 0.0
+            proj = q.astype(np.int64) @ w                  # exact int64
+            bits = (proj > 0).reshape(n, bands, planes_per_band)
+            keys = (bits * bit_w[None, None, :]).sum(axis=2,
+                                                     dtype=np.int64)
+            keys[~ok | bad] = 0
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, bands).astype(np.int64),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_key": keys.reshape(-1),
+            })
+
+    return (embeddings
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "embedding")
+            .mapInPandas(kernel,
+                         "vec_id long, band int, band_key long"))
+
+
 def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
@@ -1291,20 +1370,8 @@ def lsh_candidate_pairs(embeddings: DataFrame, bands: int | str = 4,
     elif isinstance(bands, str):
         raise ValueError(f"bands must be an int or 'auto': {bands!r}")
     dims = 64
-    band_structs = []
-    for b in range(bands):
-        key = None
-        for r in range(planes_per_band):
-            p = b * planes_per_band + r
-            bit = F.when(_projection(F.col("embedding"), p, dims) > 0,
-                         F.lit(1 << r).cast("long")) \
-                   .otherwise(F.lit(0).cast("long"))
-            key = bit if key is None else key + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    banded = embeddings.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("vec_id", "bk.band", "bk.band_key")
+    banded = _banded_sign_keys_arrow(embeddings, bands, planes_per_band,
+                                     dims)
     if max_bucket is not None:
         from .dedup import cap_band_buckets
         banded = cap_band_buckets(banded, max_bucket)

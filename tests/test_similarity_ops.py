@@ -436,6 +436,54 @@ def test_lsh_pairs_auto_equals_min_planes_on_small_corpus(spark, sf_dir):
         sorted(map(tuple, fixed.collect()))
 
 
+def test_banded_keys_arrow_matches_projection_fold(spark, sf_dir):
+    """The r15 Arrow banded-key kernel must be BIT-identical to the
+    interpreted _projection fold it replaced (same int64 quantized
+    grid, ±1 weights, strict >0 sign): every (vec_id, band, band_key)
+    row equal across band geometries, including a degenerate vector
+    (NULL / wrong length → band_key 0 in every band)."""
+    from pyspark.sql import functions as F
+
+    from pre_market_data_pipeline_for_stocks_spark.operators import (
+        similarity as S,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.sources.offline import (
+        load_testdata,
+    )
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+
+    def fold_banded(embeddings, bands, r, dims=64):
+        structs = []
+        for b in range(bands):
+            key = None
+            for rr in range(r):
+                p = b * r + rr
+                bit = (F.when(S._projection(F.col("embedding"), p, dims) > 0,
+                              F.lit(1 << rr).cast("long"))
+                       .otherwise(F.lit(0).cast("long")))
+                key = bit if key is None else key + bit
+            structs.append(F.struct(F.lit(b).alias("band"),
+                                    key.alias("band_key")))
+        return (embeddings
+                .select(F.col("vec_id").cast("long").alias("vec_id"),
+                        F.explode(F.array(*structs)).alias("bk"))
+                .select("vec_id", "bk.band", "bk.band_key"))
+
+    for bands, r in [(4, 4), (5, 4), (2, 7)]:
+        a = sorted(map(tuple, fold_banded(emb, bands, r).collect()))
+        b = sorted(map(tuple,
+                       S._banded_sign_keys_arrow(emb, bands, r).collect()))
+        assert a == b and len(a) > 0
+
+    weird = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [0.25] * 64)],
+        "vec_id long, embedding array<double>")
+    rows = {(r.vec_id, r.band): r.band_key
+            for r in S._banded_sign_keys_arrow(weird, 2, 4).collect()}
+    assert all(rows[(i, b)] == 0 for i in (1, 2) for b in (0, 1))
+    assert any(rows[(3, b)] != 0 for b in (0, 1))
+
+
 def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
     import numpy as np
     from pre_market_data_pipeline_for_stocks_spark.operators.similarity import (
