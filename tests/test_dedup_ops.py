@@ -1497,3 +1497,34 @@ def test_substring_vs_index_exact_plan_has_no_cartesian(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_persist_segs_results_invariant_and_released(spark):
+    """r15: the opt-in segment cache (persist_segs) must be purely a
+    physical choice — identical rows cached vs uncached for the whole
+    family — and every persisted relation must land in the module
+    registry so release_shingle_caches()/clearCache frees it."""
+    import pre_market_data_pipeline_for_stocks_spark.operators.dedup as dd
+
+    shared = " ".join(f"ix{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, "aa1 aa2 " + shared + " aa3"),
+         (2, "bb1 " + shared + " bb2"),
+         (3, "totally unrelated words only here nothing shared at all "
+             "completely different text")],
+        "doc_id long, text string")
+    dd.release_shingle_caches()
+    for fn in (dd.substring_duplicate_spans,
+               dd.substring_duplicate_spans_exact,
+               dd.remove_cross_doc_substrings,
+               dd.remove_cross_doc_substrings_exact):
+        on = sorted(map(tuple,
+                        fn(docs, min_words=8, persist_segs=True)
+                        .collect()))
+        off = sorted(map(tuple,
+                         fn(docs, min_words=8, persist_segs=False)
+                         .collect()))
+        assert on == off and len(on) > 0
+    n = dd.release_shingle_caches()
+    # spans(1) + spans_exact(1) + removal(1) + removal_exact(segs+ext)
+    assert n == 5
