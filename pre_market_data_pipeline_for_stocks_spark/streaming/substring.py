@@ -69,6 +69,7 @@ from ..operators.dedup import (
     remove_cross_doc_substrings_exact,
     scrub_batch_vs_index,
     scrub_batch_vs_index_exact,
+    shingle_cache,
 )
 from .admission import _index_dirs
 
@@ -108,6 +109,16 @@ def scrub_writer(index_root: str, cleaned_root: str,
     exact = exact_boundary_words > 0
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        # Scope the r15 word-exact segment caches to THIS micro-batch:
+        # remove_cross_doc_substrings_exact persists its segment/ext
+        # relations (a measured 2x win on the deep composition), and a
+        # long-running stream must not accumulate one cache per batch.
+        # Both writes below execute inside the block, so the caches
+        # are live exactly while they help.
+        with shingle_cache():
+            _write_batch(batch_df, batch_id)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         index = read_segment_index(spark, index_root,
                                    exclude_batch=batch_id)
