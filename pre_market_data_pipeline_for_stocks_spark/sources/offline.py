@@ -108,8 +108,15 @@ def rebalance_narrow_scan(spark: SparkSession, df: DataFrame,
         if os.path.isfile(path):
             total, n_files = os.path.getsize(path), 1
         else:
-            sizes = [os.path.getsize(os.path.join(path, f))
-                     for f in os.listdir(path) if not f.startswith(("_", "."))]
+            # Recursive walk (r15 ADVICE): a flat listdir counted a
+            # nested partition directory as one tiny "file", which
+            # UNDER-estimates bytes/splits — the non-conservative
+            # direction (the gate could fire on a huge partitioned
+            # dataset and add a full-table shuffle). Summing regular
+            # files only keeps misestimates on the skip side.
+            sizes = [os.path.getsize(os.path.join(root, f))
+                     for root, _, files in os.walk(path)
+                     for f in files if not f.startswith(("_", "."))]
             total, n_files = sum(sizes), max(1, len(sizes))
     except OSError:
         return df

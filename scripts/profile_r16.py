@@ -1,0 +1,186 @@
+"""r16 phase profiler: decompose this round's heavy extended-bench
+queries into timed sub-plans (noop-forced, cache-cleared between runs)
+so optimization targets the real cost, not the guessed one. Read-only;
+not a bench. Pass phase-group names as argv to run a subset."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pre_market_data_pipeline_for_stocks_spark.operators import (  # noqa: E402
+    dedup, similarity, textstats)
+from pre_market_data_pipeline_for_stocks_spark.session import get_spark  # noqa: E402
+from pre_market_data_pipeline_for_stocks_spark.sources.offline import (  # noqa: E402
+    load_testdata)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(spark, label, fn, n=2):
+    times = []
+    for _ in range(n):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(f"{min(times):8.3f}  {label}  {times}", flush=True)
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    groups = set(sys.argv[1:])
+
+    def on(name):
+        return not groups or name in groups
+
+    spark = get_spark("profile-r16")
+    import pre_market_data_pipeline_for_stocks_spark.plans.extensions as X
+    from pre_market_data_pipeline_for_stocks_spark.plans import relational as R
+
+    docs = load_testdata(spark, SF, ["documents"])["documents"]
+
+    # warmup JVM + python workers
+    force(X.curated_corpus(spark, SF))
+
+    if on("manifest"):
+        print("== training_manifest phases ==")
+        t(spark, "curated_corpus", lambda: force(X.curated_corpus(spark, SF)))
+        t(spark, "training_packed", lambda: force(X.training_packed(spark, SF)))
+        t(spark, "training_manifest (full)",
+          lambda: force(X.training_manifest(spark, SF)))
+
+    if on("bm25"):
+        print("== text_bm25_indexed phases ==")
+        import tempfile
+
+        from pre_market_data_pipeline_for_stocks_spark.operators import (
+            relevance)
+        t(spark, "full query", lambda: force(X.text_bm25_indexed(spark, SF)))
+        t(spark, "save_bm25_index only",
+          lambda: relevance.save_bm25_index(
+              docs, tempfile.mkdtemp(prefix="bm25_prof_")))
+        path = tempfile.mkdtemp(prefix="bm25_prof_serve_")
+        relevance.save_bm25_index(docs, path)
+        t(spark, "serve only (existing index)",
+          lambda: force(relevance.bm25_search_indexed(
+              spark, path, X.BM25_QUERY, X.BM25_TOPN)))
+        tf = (relevance._tokens(docs, "doc_id", "text")
+              .groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).alias("tf")))
+        t(spark, "postings write only",
+          lambda: (tf.select("token", "doc_id", "tf")
+                   .repartition(F.col("token"))
+                   .sortWithinPartitions("token")
+                   .write.mode("overwrite")
+                   .parquet(tempfile.mkdtemp(prefix="bm25_p_") + "/p")))
+        dl = (docs.select(
+            F.col("doc_id"),
+            F.size(F.split(F.trim(F.lower(F.col("text"))),
+                           r"\s+")).cast("long").alias("dl")))
+        t(spark, "doclens write only",
+          lambda: dl.write.mode("overwrite")
+          .parquet(tempfile.mkdtemp(prefix="bm25_d_") + "/d"))
+        t(spark, "stats agg only",
+          lambda: (dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                          F.sum("dl").alias("total_len"))
+                   .coalesce(1).write.mode("overwrite")
+                   .parquet(tempfile.mkdtemp(prefix="bm25_s_") + "/s")))
+
+    if on("pagerank"):
+        print("== graph_supplier_pagerank phases ==")
+        from pre_market_data_pipeline_for_stocks_spark.operators.graph import (
+            pagerank)
+        tabs = load_testdata(spark, SF, ["orders", "lineitem"])
+        orders, lineitem = tabs["orders"], tabs["lineitem"]
+
+        def edges():
+            return (orders.join(lineitem,
+                                orders.o_orderkey == lineitem.l_orderkey)
+                    .select(F.col("o_custkey").alias("src"),
+                            (F.col("l_suppkey") + 1000000).alias("dst")))
+        t(spark, "full query",
+          lambda: force(R.graph_supplier_pagerank(spark, SF)))
+        t(spark, "edges distinct+ckpt only",
+          lambda: edges().distinct().localCheckpoint())
+        t(spark, "pagerank iters=1",
+          lambda: force(pagerank(edges(), iters=1)))
+        t(spark, "pagerank iters=3",
+          lambda: force(pagerank(edges(), iters=3)))
+
+    if on("ivf"):
+        print("== ann_ivf_topk_batch_auto phases ==")
+        emb = load_testdata(spark, SF, ["embeddings"])["embeddings"]
+        queries = (emb.filter(F.col("vec_id") % 100 == 0)
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("query_vec")))
+        t(spark, "batch fixed nprobe=3",
+          lambda: force(X.ann_ivf_topk_batch(spark, SF)))
+        t(spark, "batch auto (full)",
+          lambda: force(X.ann_ivf_topk_batch_auto(spark, SF)))
+        t(spark, "train+collect only",
+          lambda: similarity.train_ivf_centroids(
+              emb, 200, 1, sample_mod=2).collect())
+        t(spark, "truth kernel only",
+          lambda: force(similarity.cosine_topk_batch_int(
+              emb, queries, k=10)))
+
+    if on("panel"):
+        print("== corpus_quality_panel phases ==")
+        t(spark, "full query", lambda: force(X.corpus_quality_panel(spark, SF)))
+        t(spark, "quality_score", lambda: force(textstats.quality_score(docs)))
+        t(spark, "classifier_score",
+          lambda: force(textstats.classifier_score(docs)))
+        t(spark, "char_entropy", lambda: force(textstats.char_entropy(docs)))
+        t(spark, "dup_density",
+          lambda: force(dedup.shingle_duplication_density(docs)))
+        t(spark, "lang_id", lambda: force(textstats.lang_id(docs)))
+
+    if on("clusters"):
+        print("== dedup_clusters / keep_best / leakage_safe phases ==")
+        t(spark, "minhash pairs only",
+          lambda: force(dedup.minhash_lsh_pairs(
+              docs, X.MINHASH_K, X.MINHASH_BANDS, 3, X.JACCARD_THRESHOLD)))
+        t(spark, "dedup_clusters (full)",
+          lambda: force(X.dedup_clusters(spark, SF)))
+        t(spark, "keep_best (full)",
+          lambda: force(X.dedup_clusters_keep_best(spark, SF)))
+        t(spark, "split_leakage_safe (full)",
+          lambda: force(X.corpus_split_leakage_safe(spark, SF)))
+
+    if on("bpe"):
+        print("== corpus_bpe_encode phases ==")
+        from pre_market_data_pipeline_for_stocks_spark.operators import (
+            tokenizer)
+        t(spark, "learn_bpe only",
+          lambda: tokenizer.learn_bpe(docs, X.BPE_MERGES, min_count=1))
+        t(spark, "full query", lambda: force(X.corpus_bpe_encode(spark, SF)))
+
+    if on("logreg"):
+        print("== train_logreg_weights phases ==")
+        t(spark, "full query",
+          lambda: force(X.train_logreg_weights(spark, SF)))
+
+    if on("prefix"):
+        print("== dedup_jaccard_prefix rebalance A/B (paired) ==")
+        for _ in range(3):
+            os.environ["SPARK_GRAFT_SCAN_REBALANCE"] = "0"
+            t(spark, "rebalance OFF",
+              lambda: force(X.dedup_jaccard_prefix(spark, SF)), n=1)
+            os.environ["SPARK_GRAFT_SCAN_REBALANCE"] = "1"
+            t(spark, "rebalance ON",
+              lambda: force(X.dedup_jaccard_prefix(spark, SF)), n=1)
+        os.environ.pop("SPARK_GRAFT_SCAN_REBALANCE", None)
+
+
+if __name__ == "__main__":
+    main()
