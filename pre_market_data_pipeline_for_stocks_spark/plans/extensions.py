@@ -80,9 +80,13 @@ def dedup_jaccard_prefix(spark, sf_dir):
     """Exact Jaccard pairs via All-Pairs/PPJoin prefix filtering —
     same results as dedup_ngram_jaccard from a candidate join over
     each doc's rarest shingles only (hot boilerplate never joins).
-    rebalance=True (r15): same derivation-dominated profile as the
-    exact baseline; measured 6.2→5.2 s at sf0.1."""
-    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir, rebalance=True),
+    rebalance unwired (r16): the r15 opt-in never reproduced under the
+    cold best-of-2 protocol — paired A/B read OFF {6.46, 6.13, 4.91} s
+    vs ON {7.85, 6.42, 7.18} s at sf0.1, and the round-over-round
+    BENCH_DETAIL numbers (3.69 s OFF at r15 start → 5.51 s ON at r15
+    end) said the same; the r15 baseline was a loaded-session capture
+    (VERDICT r15 #2)."""
+    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir),
                                       n=3, threshold=JACCARD_THRESHOLD)
 
 
@@ -914,6 +918,14 @@ def training_packed(spark, sf_dir):
     per-shard roll-up."""
     from ..operators import sampling, sharding
     docs = _docs(spark, sf_dir)
+    # Persist-the-curated-ids A/B'd and NOT taken (r16, guide §5):
+    # decontaminate references ``pool`` twice, so persisting the
+    # CURATE_N-row curated id set looked like the substring-family win —
+    # but paired A/B at sf0.1 read old {7.36, 6.92, 7.26, 6.92, 6.38}
+    # vs persisted {7.45, 7.73, 7.16, 6.85, 6.77}: the two references
+    # race CONCURRENTLY (same r15 finding on the shallow substring
+    # members), and the persist serializes the curated TakeOrdered
+    # into a barrier before any downstream work starts.
     pool = docs.join(curated_corpus(spark, sf_dir).select("doc_id"),
                      "doc_id")
     # 1% eval split + 0.3 threshold: the standalone decontam query uses

@@ -411,6 +411,57 @@ def test_char_entropy_hand_computed(spark):
     assert out[1]["n_chars"] == 4
 
 
+def test_char_entropy_kernel_matches_expression_fold(spark):
+    """The r16 Arrow char-count kernel is bit-identical to the
+    explode -> groupBy(doc, ch) -> frozen-lookup path it replaced:
+    replay that path in pure Python (Counter over CODE POINTS + the
+    same log2_e9 parquet + the same shift-ladder/truncating-division
+    integer math) on code-point-tricky inputs — astral chars (one
+    element, not two surrogates), CJK, combining marks, whitespace-only
+    and huge single-char runs — and require equality to the last digit.
+    NULL/empty texts must vanish from the output (explode semantics)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pre_market_data_pipeline_for_stocks_spark.functions.fixedpoint import (
+        LOG_LOOKUP_PATH,
+        LOOKUP_MAX,
+    )
+    from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    t = pq.read_table(LOG_LOOKUP_PATH, columns=["k", "log2_e9"])
+    table = dict(zip(t.column("k").to_pylist(),
+                     t.column("log2_e9").to_pylist()))
+
+    def log2_e9(k: int) -> int:
+        s = 0
+        while k > (LOOKUP_MAX << s):
+            s += 1
+        return table[k >> s] + s * 10 ** 9
+
+    rows = [(1, ""), (2, None), (3, "abc"), (4, "héllo wörld"),
+            (5, "a\U0001F600b\U0001F600\U0001F601"), (6, "aaa   bb\tc"),
+            (7, " "), (8, "x" * 3000), (9, "é" * 7 + "e"),
+            (10, "日本語テキスト 日本"), (11, "áé combining")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["char_entropy_e6"])
+           for r in char_entropy(docs).collect()}
+
+    expected = {}
+    for doc_id, text in rows:
+        if not text:
+            continue
+        counts = Counter(text)  # Python iterates code points
+        n = sum(counts.values())
+        sl9 = sum(c * log2_e9(c) for c in counts.values())
+        h_num = n * log2_e9(n) - sl9
+        expected[doc_id] = (n, (h_num - h_num % (n * 1000)) // (n * 1000))
+    assert got == expected
+
+
 def test_secret_scan_redacts_and_counts(spark):
     from pre_market_data_pipeline_for_stocks_spark.operators.textstats import (
         secret_scan,
