@@ -1,0 +1,46 @@
+"""Driver-side small relations as LocalTableScan plans.
+
+``spark.createDataFrame(rows, schema)`` on a plain Python list builds a
+PICKLED-RDD-backed relation: the list is parallelized into
+defaultParallelism slices and EVERY job that evaluates the relation
+launches a Python-worker round trip per slice. That is invisible in a
+broadcast-join slot, but catastrophic in two shapes this engine hits
+(measured r16, local[32]):
+
+- ``coalesce(1)`` + file write: the single task drains all 32 python
+  partitions SEQUENTIALLY — a 1-row parquet write measured ~5 s (the
+  bm25 ``_params`` sidecar was 75%% of save_bm25_index's wall time);
+- any plan re-evaluated by several jobs (IVF centroid relations feed
+  the assign kernel, the probe scorer and the calibration job): each
+  job re-pays 32 python-worker calls.
+
+``local_relation`` routes the same rows through a pandas DataFrame
+instead (object dtype — None stays None, no NaN coercion), which the
+Arrow conversion path turns into a driver-materialized
+**LocalTableScan**: no Python ever runs on executors, every job reads
+the literal rows. Values and schema are identical to the list path
+(positional mapping against the explicit schema — pinned in tests,
+including array/decimal/None cells).
+
+At 100 TB the relations routed here are MODEL-SIZED by construction
+(codebooks, quotas, parameter sidecars) — never data-sized; a relation
+that grows with the corpus must stay a distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` as a LocalTableScan.
+
+    ``rows``: iterable of tuples/Rows (model-sized). Empty input falls
+    back to the plain path (Arrow cannot infer an empty frame; the
+    fallback is a valid empty relation of the same schema)."""
+    rows = [tuple(r) for r in rows]
+    if not rows:
+        return spark.createDataFrame([], schema=schema)
+    import pandas as pd
+    pdf = pd.DataFrame(rows, dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)

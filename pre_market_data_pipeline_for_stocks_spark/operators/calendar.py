@@ -37,7 +37,8 @@ def trading_dates(spark: SparkSession, start: date, end: date) -> DataFrame:
 
 
 def stocks_df(spark: SparkSession, stocks: list[str] | tuple[str, ...]) -> DataFrame:
-    return spark.createDataFrame([(s,) for s in stocks], "stock string")
+    from ..functions.localrel import local_relation
+    return local_relation(spark, [(s,) for s in stocks], "stock string")
 
 
 def date_stock_grid(dates: DataFrame, stocks: DataFrame) -> DataFrame:

@@ -221,9 +221,10 @@ def save_bm25_index(docs: DataFrame, path: str,
     (dl.agg(F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_len"))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
-    (docs.sparkSession
-     .createDataFrame([(round(k1 * 10 ** 6), round(b * 10 ** 6))],
-                      schema="k1_e6 long, b_e6 long")
+    from ..functions.localrel import local_relation
+    (local_relation(docs.sparkSession,
+                    [(round(k1 * 10 ** 6), round(b * 10 ** 6))],
+                    schema="k1_e6 long, b_e6 long")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/_params"))
 
 

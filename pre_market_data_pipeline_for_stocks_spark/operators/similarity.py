@@ -29,6 +29,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_relation
+
 
 def _plane_weight(plane: int, dim: int) -> float:
     """+-1 weight of hyperplane ``plane`` at dimension ``dim`` — the
@@ -615,8 +617,9 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
                                   id_col, vec_col,
                                   sample_mod=train_sample_mod, init=init)
-    cents = embeddings.sparkSession.createDataFrame(
-        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    cents = local_relation(
+        embeddings.sparkSession, trained.collect(),
+        schema="cent_id long, cent_vec array<double>")
     return ivf_topk_with_index(embeddings, cents, query_vec_id, k, nprobe,
                                id_col, vec_col)
 
@@ -648,7 +651,7 @@ def save_index_calibration(spark, path: str, calib: dict) -> None:
     self-describing directory. Single-knob calibrations may omit the
     knob2 fields — they persist as NULL."""
     row = tuple(calib.get(f) for f in _CALIBRATION_FIELDS)
-    (spark.createDataFrame([row], schema=CALIBRATION_SCHEMA)
+    (local_relation(spark, [row], schema=CALIBRATION_SCHEMA)
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{path}/_calibration"))
 
@@ -933,8 +936,9 @@ def maintain_ivf_index(embeddings: DataFrame, index_path: str,
     trained = train_ivf_centroids(embeddings, centroid_stride=stride,
                                   iters=train_iters, id_col=id_col,
                                   vec_col=vec_col, sample_mod=sample_mod)
-    cents = spark.createDataFrame(
-        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    cents = local_relation(
+        spark, trained.collect(),
+        schema="cent_id long, cent_vec array<double>")
     k = int(calib["k"]) if calib else 10
     target = int(calib["recall_target_pct"]) if calib else 80
     new_calib = calibrate_ivf_index(embeddings, cents, calib_queries,
@@ -1111,7 +1115,8 @@ def ivf_topk_with_index(embeddings: DataFrame, cents: DataFrame,
                           F.col(vec_col).cast("array<double>")
                           .alias("embedding"),
                           _norm(F.col(vec_col)).alias("_nrm")),
-        spark.createDataFrame(
+        local_relation(
+            spark,
             [(int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
              for r in probe_rows],
             schema="cent_id long, cent_vec array<double>"))
@@ -1183,8 +1188,9 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
                                   id_col, vec_col,
                                   sample_mod=train_sample_mod, init=init)
-    cents = embeddings.sparkSession.createDataFrame(
-        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    cents = local_relation(
+        embeddings.sparkSession, trained.collect(),
+        schema="cent_id long, cent_vec array<double>")
     return ivf_topk_batch_with_index(embeddings, cents, queries, k, nprobe,
                                      id_col, vec_col, q_id_col, q_vec_col,
                                      recall_target_pct)
@@ -1733,8 +1739,8 @@ def _exact_rerank(embeddings: DataFrame, cand_ids: DataFrame,
     vectors of the candidates (plus the query row, whose vector the
     re-scorer reads from the subset) and run the exact top-k."""
     cand = cand_ids.select("vec_id").unionByName(
-        embeddings.sparkSession.createDataFrame(
-            [(query_vec_id,)], "vec_id long"))
+        local_relation(embeddings.sparkSession,
+                       [(query_vec_id,)], "vec_id long"))
     subset = embeddings.join(
         F.broadcast(cand), embeddings[id_col] == cand["vec_id"],
         "leftsemi")
@@ -1836,8 +1842,9 @@ def ivfpq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     crows = train_ivf_centroids(embeddings, centroid_stride,
                                 train_iters, id_col, vec_col,
                                 sample_mod=train_sample_mod).collect()
-    cents = embeddings.sparkSession.createDataFrame(
-        crows, schema="cent_id long, cent_vec array<double>")
+    cents = local_relation(
+        embeddings.sparkSession, crows,
+        schema="cent_id long, cent_vec array<double>")
     assigned = _assign_cells(
         embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).cast("array<double>")
@@ -1873,8 +1880,8 @@ def save_pq_codebooks(spark, codebooks, path: str) -> None:
     m, k, _sd = codebooks.shape
     rows = [(int(j), int(c), [float(x) for x in codebooks[j][c]])
             for j in range(m) for c in range(k)]
-    (spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>")
+    (local_relation(
+        spark, rows, "subspace int, code int, centroid array<double>")
         .coalesce(1).write.mode("overwrite").parquet(path))
 
 
@@ -3249,7 +3256,7 @@ def save_pq_index(spark, books, path: str,
     m, kcent, _sd = books.shape
     rows = [(j, c, books[j, c].tolist())
             for j in range(m) for c in range(kcent)]
-    (spark.createDataFrame(rows, schema="j long, c long, cv array<long>")
+    (local_relation(spark, rows, schema="j long, c long, cv array<long>")
      .coalesce(1).write.mode("overwrite").parquet(path))
     if calibration is not None:
         save_index_calibration(spark, path, calibration)
@@ -3407,7 +3414,8 @@ def ivfpq_query_cellranks(queries: DataFrame, coarse,
     import numpy as np
 
     coarse = np.asarray(coarse, dtype=np.int64)
-    cells = spark.createDataFrame(
+    cells = local_relation(
+        spark,
         [(int(i), coarse[i].tolist()) for i in range(len(coarse))],
         schema="cell long, cv array<long>")
     q = queries.select(F.col(q_id_col).alias("query_id"),

@@ -462,7 +462,9 @@ def corpus_bpe_learned_merges(spark, sf_dir):
     from ..operators import tokenizer
     rows = tokenizer.learn_bpe(_docs(spark, sf_dir), BPE_MERGES,
                                min_count=1)
-    return spark.createDataFrame(
+    from ..functions.localrel import local_relation
+    return local_relation(
+        spark,
         [(r["merge_rank"], r["left_tok"], r["right_tok"], r["n_pairs"])
          for r in rows],
         "merge_rank int, left_tok string, right_tok string, n_pairs long")
@@ -747,7 +749,8 @@ def events_value_tiers(spark, sf_dir):
     (tier_id, n_events, sum_value). The plan must show an equi-join on
     the bin key, never a nested loop (pinned in unit tests)."""
     from ..operators import rangejoin
-    tiers = spark.createDataFrame(VALUE_TIERS, "tier_id int, lo int, hi int")
+    from ..functions.localrel import local_relation
+    tiers = local_relation(spark, VALUE_TIERS, "tier_id int, lo int, hi int")
     joined = rangejoin.interval_bin_join(
         _events(spark, sf_dir).select("event_id", "value"), tiers)
     return (joined.groupBy("tier_id")
@@ -2094,8 +2097,10 @@ def ann_ivf_from_saved_index(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("query_vec")))
     trained = similarity.train_ivf_centroids(emb, 200, 1, sample_mod=2)
-    cents = spark.createDataFrame(
-        trained.collect(), schema="cent_id long, cent_vec array<double>")
+    from ..functions.localrel import local_relation
+    cents = local_relation(
+        spark, trained.collect(),
+        schema="cent_id long, cent_vec array<double>")
     calib = similarity.calibrate_ivf_index(emb, cents, queries,
                                            k=ANN_TOPK,
                                            recall_target_pct=80)

@@ -133,7 +133,8 @@ def premarket_e2e_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = calendar.date_stock_grid(dates, stocks)
 
     fact = assemble.assemble_fact(grid, bars, heads, yoy)
-    lexicon = spark.createDataFrame(
-        LEXICON, "term string, raw_label string, raw_score double")
+    from ..functions.localrel import local_relation
+    lexicon = local_relation(
+        spark, LEXICON, "term string, raw_label string, raw_score double")
     scored = LexiconSentiment(lexicon).score(fact, "headline")
     return assemble.to_output_contract(scored)

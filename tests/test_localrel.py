@@ -1,0 +1,47 @@
+"""local_relation: value/type parity with the plain createDataFrame
+list path, plus the plan-shape claim (LocalTableScan — no pickled-RDD
+python partitions for executors to drain)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+
+from pre_market_data_pipeline_for_stocks_spark.functions.localrel import (
+    local_relation,
+)
+
+
+@pytest.mark.parametrize("rows,schema", [
+    ([(1, "a"), (2, None)], "k long, s string"),
+    ([(0, [0.1, 0.2]), (1, [1.5, -2.0])], "i long, v array<double>"),
+    ([(1.5,), (None,)], "x double"),
+    ([(Decimal("1.23"),)], "d decimal(10,2)"),
+    ([(0, [1, 2, 3])], "j int, cv array<long>"),
+    ([("s",)], "stock string"),
+])
+def test_values_and_schema_match_list_path(spark, rows, schema):
+    a = spark.createDataFrame(rows, schema=schema)
+    b = local_relation(spark, rows, schema)
+    def key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    assert a.schema == b.schema
+    assert (sorted(map(tuple, a.collect()), key=key)
+            == sorted(map(tuple, b.collect()), key=key))
+
+
+def test_row_objects_and_plan_shape(spark):
+    rows = [Row(cent_id=0, cent_vec=[0.5]), Row(cent_id=1, cent_vec=[1.0])]
+    df = local_relation(spark, rows,
+                        "cent_id long, cent_vec array<double>")
+    assert [tuple(r) for r in df.collect()] == [(0, [0.5]), (1, [1.0])]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+
+
+def test_empty_rows_fall_back(spark):
+    df = local_relation(spark, [], "a long, b string")
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == ["a", "b"]
