@@ -61,37 +61,50 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85,
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
-    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
-    outdeg = (e.groupBy("src")
-              .agg(F.count(F.lit(1)).alias("_deg"))
-              .localCheckpoint())
+    # Iteration-INVARIANT state hoisted out of the loop (r16, guide §5/
+    # §2.4 — don't recompute per round what never changes):
+    # - n is a driver-side int (one count() on the checkpointed node
+    #   set — model-sizing action, the ivf_cells_stride pattern). The
+    #   old plan rebuilt an identical one-row broadcast agg EVERY
+    #   iteration and crossJoined it twice.
+    # - e_deg pre-joins the out-degree onto the edges ONCE; each round
+    #   used to redo the edges⋈outdeg join.
+    # - dangling_nodes (nodes with no out-edges) is a fixed set; each
+    #   round used to re-run the anti-join before summing pr over it.
+    # Every replaced expression is integer-identical: n is the same
+    # count the broadcast agg produced, and x // y on nonneg Python
+    # ints equals idiv_long on the same literals.
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint()
+    dangling_nodes = (nodes.join(outdeg, nodes.node == outdeg.src,
+                                 "left_anti")
+                      .select("node").localCheckpoint())
 
     s12 = 10 ** 12
-    pr = (nodes.crossJoin(n_row)
-          .select("node", idiv_long(F.lit(s12), F.col("_n")).alias("pr"))
+    pr = (nodes.select("node", F.lit(s12 // n).cast("long").alias("pr"))
           .localCheckpoint())
+    base_e12 = ((dd - dn) * s12) // (dd * n)
     for _ in range(iters):
-        contrib = (e.join(pr, e.src == pr.node)
-                   .join(outdeg, "src")
+        contrib = (e_deg.join(pr, e_deg.src == pr.node)
                    .groupBy("dst")
                    .agg(F.sum(idiv_long(F.col("pr"), F.col("_deg")))
                         .cast("long").alias("_in")))
         dangling = F.broadcast(
-            pr.join(outdeg, pr.node == outdeg.src, "left_anti")
+            pr.join(dangling_nodes, "node", "leftsemi")
             .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("long")
                  .alias("_dang")))
         pr = (nodes
               .join(contrib, nodes.node == contrib.dst, "left")
-              .crossJoin(n_row).crossJoin(dangling)
+              .crossJoin(dangling)
               .select(
                   "node",
-                  (idiv_long(F.lit((dd - dn) * s12),
-                             F.lit(dd) * F.col("_n"))
+                  (F.lit(base_e12)
                    + idiv_long(
                        (F.coalesce(F.col("_in"), F.lit(0))
-                        .cast("decimal(38,0)") * F.col("_n")
+                        .cast("decimal(38,0)") * F.lit(n)
                         + F.col("_dang")) * dn,
-                       F.lit(dd) * F.col("_n"))).cast("long")
+                       F.lit(dd) * F.lit(n))).cast("long")
                   .alias("pr"))
               # Per-iteration truncation is measurably the right
               # frequency: the NEXT round's dangling-mass broadcast is
