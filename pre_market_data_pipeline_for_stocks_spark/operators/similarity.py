@@ -516,31 +516,58 @@ def ivf_auto_nprobe(embeddings: DataFrame, cents: DataFrame,
     floor if that boundary row matters.
 
     Model-sizing ACTION (like ivf_cells_stride's count() and the IVF
-    centroid collect): returns a driver-side int. Cost is one
-    brute-force corpus pass against the calibration shard + one
-    assignment pass — bounded, paid once per batch/index, amortized
-    over every query served. At deployment scale, calibrate on a
-    held-out probe sample against the saved index (load_ivf_index)
-    and reuse the int; ivf_topk_batch's ``nprobe="auto"`` calibrates
-    on the batch itself.
+    centroid collect): returns a driver-side int. Cost is ONE
+    brute-force corpus pass against the calibration shard — bounded,
+    paid once per batch/index, amortized over every query served. At
+    deployment scale, calibrate on a held-out probe sample against the
+    saved index (load_ivf_index) and reuse the int; ivf_topk_batch's
+    ``nprobe="auto"`` calibrates on the batch itself.
 
-    ``assigned`` (vec_id, cell — the corpus already assigned against
-    the SAME ``cents``) lets the caller share its assignment LINEAGE
-    instead of this helper constructing a duplicate; execution still
-    happens in this calibration job (nothing is persisted — see
-    ivf_topk_batch on why), but the plans stay textually identical
-    and a caller who HAS persisted/saved an assignment gets the reuse
-    for free."""
-    if assigned is None:
-        assigned = _assign_cells(
-            embeddings.select(F.col(id_col).alias("vec_id"),
-                              F.col(vec_col).cast("array<double>")
-                              .alias("embedding"),
-                              _norm(F.col(vec_col)).alias("_nrm")),
-            cents)
-    assigned = assigned.select("vec_id", "cell")
-    truth = cosine_topk_batch_int(embeddings, calib_queries, k,
-                                  id_col, vec_col, q_id_col, q_vec_col)
+    r16 (guide §2.3 — decide with small rows): the pre-r16 plan ALWAYS
+    assigned the ENTIRE corpus to cells inside the calibration job and
+    joined truth against it, although only the <= k x |queries| truth
+    neighbors' cells are ever consulted. Cell assignment is per-row
+    (global argmax over the codebook — no cross-row dependence), so
+    assigning ONLY the truth rows is value-identical. Two paths now:
+
+    - ``assigned`` given (vec_id, cell — the corpus assigned against
+      the SAME ``cents``, which the caller is about to serve from and
+      has typically PERSISTED, see ivf_topk_batch_with_index): join
+      truth against it directly — the calibration consumes the
+      materialization the serve pays for anyway, and no second
+      assignment subtree exists at all.
+    - ``assigned=None`` (calibrating against a saved index without
+      serving in the same plan): collect the truth pairs driver-side
+      (model-sized by the broadcastable-batch contract, like the
+      codebook collect), bring the truth vectors back via a broadcast
+      semi-join and assign ONLY those — the corpus-wide assignment
+      pass is gone at every scale."""
+    if assigned is not None:
+        assigned = assigned.select("vec_id", "cell")
+        truth = cosine_topk_batch_int(embeddings, calib_queries, k,
+                                      id_col, vec_col, q_id_col,
+                                      q_vec_col)
+    else:
+        from ..functions.localrel import local_relation
+
+        spark = embeddings.sparkSession
+        truth_rows = (cosine_topk_batch_int(embeddings, calib_queries, k,
+                                            id_col, vec_col, q_id_col,
+                                            q_vec_col)
+                      .select("query_id", F.col("vec_id").cast("long")
+                              .alias("vec_id"))
+                      .collect())
+        truth = local_relation(spark,
+                               [(r["query_id"], r["vec_id"])
+                                for r in truth_rows],
+                               "query_id long, vec_id long")
+        cand = embeddings.select(F.col(id_col).alias("vec_id"),
+                                 F.col(vec_col).cast("array<double>")
+                                 .alias("embedding"),
+                                 _norm(F.col(vec_col)).alias("_nrm"))
+        cand = cand.join(F.broadcast(truth.select("vec_id").distinct()),
+                         "vec_id", "leftsemi")
+        assigned = _assign_cells(cand, cents).select("vec_id", "cell")
     q = calib_queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).cast("array<double>").alias("_qvec"),
@@ -1176,13 +1203,11 @@ def ivf_topk_batch(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     the scale-correct setting — a fixed nprobe's recall decays like
     f(nprobe/|cells|) as the index grows (measured: min recall@10 0.30
     at sf0.1 with nprobe=3 over 10 cells) — at the documented cost of
-    the calibration (one brute-force corpus x batch score-off, plus
-    re-executing the shared assignment lineage in the calibration job
-    — deliberately NOT persisted: the assigned relation is
-    corpus-sized, and at scale the right amortization is calibrating
-    once against a SAVED index, not caching 100 TB; the auto path is
-    for batch jobs where one extra scan is cheaper than a wrong
-    recall floor)."""
+    the calibration (one brute-force corpus x batch score-off; since
+    r16 the calibration assigns only the truth neighbors' cells, not
+    the whole corpus — see ivf_auto_nprobe — so nothing corpus-sized
+    is ever duplicated or persisted for it; at scale the right
+    amortization remains calibrating once against a SAVED index)."""
     if isinstance(nprobe, str) and nprobe != "auto":
         raise ValueError(f"nprobe must be an int or 'auto': {nprobe!r}")
     trained = train_ivf_centroids(embeddings, centroid_stride, train_iters,
@@ -1225,6 +1250,19 @@ def ivf_topk_batch_with_index(embeddings: DataFrame, cents: DataFrame,
         cents)
 
     if nprobe == "auto":
+        # r16 (guide §5, VERDICT r15 #7): the calibration job used to
+        # carry its own corpus-wide assignment subtree next to the
+        # serve plan's — two full Arrow assign passes per query.
+        # Persisting the assignment the serve consumes anyway and
+        # handing it to the calibrator leaves ONE assign pass total.
+        # MEMORY_AND_DISK, registered in the shingle-cache lifetime
+        # registry (released by release_shingle_caches()/clearCache —
+        # bench.py clears per run). At deployment scale the right
+        # amortization is still calibrating ONCE against a saved index
+        # (ivf_auto_nprobe's assigned=None path, which assigns only
+        # the truth rows and persists nothing corpus-sized).
+        from .dedup import _persist_registered
+        assigned = _persist_registered(assigned)
         nprobe = ivf_auto_nprobe(embeddings, cents, queries, k,
                                  recall_target_pct, id_col, vec_col,
                                  q_id_col, q_vec_col, assigned=assigned)
