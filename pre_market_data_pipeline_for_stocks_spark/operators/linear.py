@@ -82,10 +82,17 @@ def train_logreg(docs: DataFrame, labels: DataFrame, iters: int = 3,
     lrf = Fraction(lr).limit_denominator(10 ** 6)
     spark = docs.sparkSession
     feats = hashed_features(docs, dims, id_col).localCheckpoint()
-    y = labels.select(F.col(id_col).alias("doc_id"),
-                      (F.col(label_col).cast("long") * 10 ** 9)
-                      .alias("y_e9"))
-    n_row = F.broadcast(y.agg(F.count(F.lit(1)).alias("_n")))
+    y = (labels.select(F.col(id_col).alias("doc_id"),
+                       (F.col(label_col).cast("long") * 10 ** 9)
+                       .alias("y_e9"))
+         .localCheckpoint())
+    # Iteration-invariant count hoisted to a driver int (r16, the
+    # pagerank pattern): the old plan rebuilt an identical one-row
+    # broadcast agg + crossJoin EVERY iteration; y is checkpointed so
+    # the count and the per-iteration gradient join share one
+    # materialization. x // y on nonneg ints == sdiv_long's truncation
+    # on the same literals, so every weight step is integer-identical.
+    n = y.count()
     w = spark.range(dims + 1).select(F.col("id").cast("int").alias("dim"),
                                      F.lit(0).cast("long").alias("w_e9"))
     for _ in range(iters):
@@ -103,14 +110,13 @@ def train_logreg(docs: DataFrame, labels: DataFrame, iters: int = 3,
                 .agg(F.sum(F.col("x_e9").cast("decimal(38,0)")
                            * (F.col("y_e9") - F.col("_p_e9")))
                      .alias("_g18")))
-        w = (w.join(grad, "dim", "left").crossJoin(n_row)
+        w = (w.join(grad, "dim", "left")
              .select("dim",
                      (F.col("w_e9")
                       + sdiv_long(F.coalesce(F.col("_g18"),
                                              F.lit(0).cast("decimal(38,0)"))
                                   * lrf.numerator,
-                                  F.lit(lrf.denominator)
-                                  * F.col("_n") * 10 ** 9))
+                                  F.lit(lrf.denominator * n * 10 ** 9)))
                      .cast("long").alias("w_e9"))
              .localCheckpoint())
     return (w.select("dim", sdiv_long(F.col("w_e9"), 1000)

@@ -218,8 +218,13 @@ def save_bm25_index(docs: DataFrame, path: str,
         F.size(F.split(F.trim(F.lower(F.col(text_col))),
                        r"\s+")).cast("long").alias("dl")))
     dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    (dl.agg(F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_len"))
+    # Stats from the artifact just written (r16, guide §5/§6): the old
+    # plan re-derived dl from the corpus — a second full text scan +
+    # tokenize-split per save — where the doclens parquet already holds
+    # the identical rows in two BIGINT columns.
+    (docs.sparkSession.read.parquet(f"{path}/doclens")
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum("dl").alias("total_len"))
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
     from ..functions.localrel import local_relation
     (local_relation(docs.sparkSession,

