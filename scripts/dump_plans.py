@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for bench queries to plans/r15/<name>_<tag>.txt.
+"""Dump .explain("formatted") for bench queries to plans/$SPARK_GRAFT_PLANS_DIR (default r16)/<name>_<tag>.txt.
 
 Usage: python scripts/dump_plans.py before [name ...]
        python scripts/dump_plans.py after  [name ...]
@@ -27,14 +27,19 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parents[1] / "plans" / "r15"
+    out_dir = (Path(__file__).resolve().parents[1] / "plans"
+               / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
     suite = dict(headline_queries())
     for n, fn in extended_bench_queries().items():
         suite.setdefault(n, fn)
     if names:
-        suite = {n: suite[n] for n in names}
+        unknown = [n for n in names if n not in suite]
+        if unknown:
+            print(f"skipping unknown queries: {unknown}",
+                  file=sys.stderr)
+        suite = {n: suite[n] for n in names if n in suite}
 
     spark = get_spark("dump-plans")
     for name, fn in suite.items():
